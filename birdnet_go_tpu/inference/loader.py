@@ -1,0 +1,86 @@
+"""Model construction + weight resolution.
+
+Weight order of precedence (reference analogue: embedded model bytes →
+external model path, internal/classifier/birdnet.go:314-402):
+1. explicit checkpoint path (orbax, produced by the importers/training),
+2. installed model dir ``<model_home>/<model_id>`` ($BIRDNET_TPU_MODELS,
+   default ./data/models — populated by `model install` / importers),
+3. deterministic random init (clearly warned: pipeline-testable, not
+   field-accurate — the data-free analogue of the reference's `noembed`
+   test builds).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+
+from birdnet_go_tpu.models.bat import BatClassifier
+from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+from birdnet_go_tpu.models.birdnet_v3 import BirdNETv3
+from birdnet_go_tpu.models.geomodel import Geomodel, GeomodelConfig
+from birdnet_go_tpu.models.perch_v2 import PerchV2
+
+log = logging.getLogger("birdnet_tpu.inference")
+
+_MODELS_ENV = "BIRDNET_TPU_MODELS"
+_DEFAULT_MODEL_HOME = "./data/models"
+
+_FAMILIES = {
+    "BirdNET_V2.4": BirdNETv24,
+    "BirdNET_V3.0": BirdNETv3,
+    "Perch_V2": PerchV2,
+    "BattyBirdNET": BatClassifier,
+}
+
+
+def model_home() -> Path:
+    return Path(os.environ.get(_MODELS_ENV, _DEFAULT_MODEL_HOME))
+
+
+def build_model(model_id: str, **kwargs) -> Any:
+    try:
+        return _FAMILIES[model_id](**kwargs)
+    except KeyError:
+        raise KeyError(f"unknown model family {model_id!r}; "
+                       f"known: {sorted(_FAMILIES)}") from None
+
+
+def load_model(model_id: str, checkpoint: str | None = None, seed: int = 0,
+               **kwargs) -> tuple[Any, Any]:
+    """Returns (model, params)."""
+    from birdnet_go_tpu.inference.checkpoint import load_params
+
+    model = build_model(model_id, **kwargs)
+    if checkpoint:
+        params = load_params(checkpoint)
+        log.info("loaded %s weights from %s", model_id, checkpoint)
+        return model, params
+    installed = model_home() / model_id
+    if installed.is_dir() and any(installed.iterdir()):
+        params = load_params(installed)
+        log.info("loaded %s weights from %s", model_id, installed)
+        return model, params
+    log.warning(
+        "no weights for %s (no checkpoint given, nothing installed under "
+        "%s) — using deterministic random init; detections will NOT be "
+        "field-accurate", model_id, model_home())
+    return model, model.init(jax.random.PRNGKey(seed))
+
+
+def load_geomodel(checkpoint: str | None = None, num_species: int = 6522,
+                  seed: int = 7) -> tuple[Geomodel, Any]:
+    from birdnet_go_tpu.inference.checkpoint import load_params
+
+    g = Geomodel(GeomodelConfig(num_species=num_species))
+    if checkpoint:
+        return g, load_params(checkpoint)
+    installed = model_home() / "Geomodel"
+    if installed.is_dir() and any(installed.iterdir()):
+        return g, load_params(installed)
+    log.warning("no geomodel weights — using deterministic random init")
+    return g, g.init(jax.random.PRNGKey(seed))
