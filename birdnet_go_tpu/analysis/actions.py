@@ -1,0 +1,136 @@
+"""Post-approval actions (reference: internal/analysis/processor/
+actions_types.go:92-339, execute.go, actions_composite.go).
+
+Actions run on the JobQueue with per-action retry policy. The Composite
+action preserves the reference's ordering contract: Database → SSE → MQTT
+sequentially, so the SSE/MQTT payloads carry the DB-assigned detection id.
+SaveAudio extracts the clip from the CaptureBuffer by wall-clock and is
+scheduled separately.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Protocol
+
+import numpy as np
+
+from birdnet_go_tpu.analysis.jobqueue import JobQueue, RetryConfig
+from birdnet_go_tpu.analysis.processor import Detection, PendingDetection
+
+log = logging.getLogger("birdnet_tpu.actions")
+
+
+class Action(Protocol):
+    description: str
+
+    def execute(self) -> None: ...
+
+
+@dataclasses.dataclass
+class LogAction:
+    """Console/log line for an approved detection (LogAction analogue)."""
+
+    detection: Detection
+    description: str = "log detection"
+
+    def execute(self) -> None:
+        d = self.detection
+        log.info("detection: %s (%.3f) model=%s source=%s",
+                 d.species.common, d.confidence, d.model_id, d.source_id)
+
+
+@dataclasses.dataclass
+class DatabaseAction:
+    """Persist the detection; stores the assigned id back on the event so
+    downstream actions (SSE/MQTT) reference it."""
+
+    detection: Detection
+    store: Any                        # datastore.Datastore
+    contributions: dict[str, Any] | None = None
+    clip_name: str | None = None
+    assigned_id: int | None = None
+    on_saved: Callable[[int], None] | None = None
+    description: str = "save detection to datastore"
+
+    def execute(self) -> None:
+        self.assigned_id = self.store.insert_detection(
+            self.detection, clip_name=self.clip_name,
+            contributions=self.contributions)
+        if self.on_saved:
+            self.on_saved(self.assigned_id)
+
+
+@dataclasses.dataclass
+class SaveAudioAction:
+    """Clip export: CaptureBuffer.read_segment by wall-clock → WAV.
+
+    Reference: SaveAudioAction w/ deferred retries for extended capture
+    (extended_capture.go) — if the requested span isn't fully buffered yet
+    the action raises so the JobQueue retries later.
+    """
+
+    capture_buffer: Any               # audio.CaptureBuffer
+    start_time: float
+    end_time: float
+    out_path: str | Path
+    sample_rate: int = 48000
+    description: str = "export audio clip"
+
+    def execute(self) -> None:
+        from birdnet_go_tpu.audio.wav import write_wav
+
+        if time.time() < self.end_time:
+            raise RuntimeError("clip span not fully captured yet")
+        pcm = self.capture_buffer.read_segment(self.start_time, self.end_time)
+        out = Path(self.out_path)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(out.suffix + ".tmp")
+        with open(tmp, "wb") as f:
+            write_wav(f, pcm, self.sample_rate)
+        tmp.rename(out)               # atomic temp-file+rename (reference)
+
+
+@dataclasses.dataclass
+class CallbackAction:
+    """Adapter for SSE broadcast / MQTT publish / notification hooks."""
+
+    fn: Callable[[], None]
+    description: str = "callback action"
+
+    def execute(self) -> None:
+        self.fn()
+
+
+@dataclasses.dataclass
+class CompositeAction:
+    """Run sub-actions sequentially, aborting on first failure (so the
+    JobQueue retry re-runs the remaining chain in order)."""
+
+    actions: list[Any]
+    description: str = "composite action"
+
+    def execute(self) -> None:
+        for a in self.actions:
+            a.execute()
+
+
+def enqueue_actions(queue: JobQueue, actions: list[Any],
+                    retry: RetryConfig | None = None) -> int:
+    n = 0
+    for a in actions:
+        if queue.enqueue(a.execute, a.description, retry=retry):
+            n += 1
+    return n
+
+
+def clip_filename(detection: Detection, fmt: str = "wav") -> str:
+    """Deterministic clip name: <scientific>_<conf>_<timestamp>.<fmt>."""
+    ts = detection.timestamp or None
+    stamp = (ts.strftime("%Y%m%dT%H%M%S") if ts else
+             f"{detection.begin_seconds:.0f}")
+    sci = detection.species.scientific.replace(" ", "_").lower()
+    return f"{sci}_{int(round(detection.confidence * 100))}p_{stamp}.{fmt}"

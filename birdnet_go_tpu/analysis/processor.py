@@ -1,0 +1,338 @@
+"""Realtime detection processor: filter stack, cross-model consensus,
+Deep Detection, and the flush loop.
+
+Reference: internal/analysis/processor/processor.go — the single consumer
+of the results queue. Per result: canonicalize species, record human/dog
+detections, exclusion list, per-species > per-model > global thresholds
+with dynamic-threshold adjustment, range-filter inclusion; then merge into
+a pending map keyed "sourceID:scientificName" carrying per-model
+contributions (cross-model consensus). A 1 s flusher approves items whose
+total count reaches minDetections by FlushDeadline and runs their actions.
+
+Timing model (Appendix C of SURVEY.md): FlushDeadline = firstSeen +
+(Export.Length − PreCapture); privacy filter discards when a human
+vocalization was heard at-or-after the detection start (>= semantics,
+processor.go:1504-1510).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import logging
+import threading
+import time
+from typing import Callable
+
+from birdnet_go_tpu.analysis import deep_detection
+from birdnet_go_tpu.analysis.dynamic_threshold import DynamicThresholds
+from birdnet_go_tpu.analysis.results import Detection
+from birdnet_go_tpu.config.settings import Settings
+from birdnet_go_tpu.taxonomy.labels import LabelSet, Species
+
+log = logging.getLogger("birdnet_tpu.processor")
+
+
+@dataclasses.dataclass
+class WindowPrediction:
+    """One model's post-processed output for one stream window (the queue
+    element between scheduler and processor — classifier.Results analogue)."""
+
+    source_id: str
+    model_id: str
+    start_time: float                 # unix seconds of window start
+    end_time: float
+    indices: list[int]
+    confidences: list[float]
+
+
+@dataclasses.dataclass
+class ModelContribution:
+    model_id: str
+    count: int = 0
+    max_confidence: float = 0.0
+
+
+@dataclasses.dataclass
+class PendingDetection:
+    detection: Detection              # best-so-far
+    source_id: str
+    first_detected: float
+    flush_deadline: float
+    count: int = 0
+    contributions: dict[str, ModelContribution] = dataclasses.field(
+        default_factory=dict)
+
+    @property
+    def best_model_id(self) -> str:
+        if not self.contributions:
+            return self.detection.model_id
+        return max(self.contributions.values(),
+                   key=lambda c: c.max_confidence).model_id
+
+
+@dataclasses.dataclass
+class ProcessorStats:
+    results_processed: int = 0
+    detections_filtered: int = 0
+    detections_pending: int = 0
+    detections_approved: int = 0
+    detections_discarded: int = 0
+    discard_reasons: dict[str, int] = dataclasses.field(default_factory=dict)
+
+
+def _is_human(sp: Species) -> bool:
+    s = (sp.scientific + " " + sp.common).lower()
+    return "human" in s
+
+
+def _is_dog(sp: Species) -> bool:
+    s = (sp.scientific + " " + sp.common).lower()
+    return s.startswith("dog") or " dog" in s or "canis familiaris" in s
+
+
+class Processor:
+    """Single-consumer detection engine (thread-safe submit/flush)."""
+
+    def __init__(self, settings: Settings,
+                 labels_by_model: dict[str, LabelSet],
+                 on_approved: Callable[[Detection, PendingDetection], None]
+                 | None = None,
+                 included_species: set[str] | None = None,
+                 clock: Callable[[], float] = time.time):
+        self.settings = settings
+        self.labels_by_model = labels_by_model
+        self.on_approved = on_approved
+        self.clock = clock
+        # range filter included set: scientific names; None = filter inactive
+        self.included_species = included_species
+        self.dynamic = DynamicThresholds(
+            trigger=settings.dynamic_threshold.trigger,
+            floor=settings.dynamic_threshold.min,
+            valid_hours=settings.dynamic_threshold.valid_hours)
+        self._pending: dict[str, PendingDetection] = {}
+        self._last_human: dict[str, float] = {}
+        self._last_dog: dict[str, float] = {}
+        self._lock = threading.Lock()
+        self.stats = ProcessorStats()
+        self._model_settings = {m.model_id: m for m in settings.models}
+
+    # -- configuration lookups -------------------------------------------------
+
+    def _base_threshold(self, model_id: str, sp: Species) -> float:
+        sc = self.settings.species.config.get(sp.scientific) \
+            or self.settings.species.config.get(sp.label) \
+            or self.settings.species.config.get(sp.common)
+        if sc and "threshold" in sc:
+            return float(sc["threshold"])
+        ms = self._model_settings.get(model_id)
+        if ms is not None:
+            return ms.threshold
+        return 0.8
+
+    def effective_threshold(self, model_id: str, sp: Species,
+                            now: float | None = None) -> float:
+        base = self._base_threshold(model_id, sp)
+        if self.settings.dynamic_threshold.enabled:
+            return self.dynamic.adjust(base, model_id, sp.scientific,
+                                       now=now or self.clock())
+        return base
+
+    def _deep_detection_params(self, model_id: str) -> tuple[int, float]:
+        """(level, overlap) for minDetections — bat models use bat_level
+        (false_positive_filter.go separate bat config)."""
+        level = self.settings.deep_detection.level
+        if "bat" in model_id.lower():
+            level = self.settings.deep_detection.bat_level
+        ms = self._model_settings.get(model_id)
+        overlap = ms.overlap if ms else 0.0
+        return level, overlap
+
+    # -- ingest ------------------------------------------------------------------
+
+    def submit(self, pred: WindowPrediction) -> None:
+        """Process one window's top-K results (processResults analogue)."""
+        labels = self.labels_by_model.get(pred.model_id)
+        if labels is None:
+            log.warning("no labels for model %s", pred.model_id)
+            return
+        with self._lock:
+            self.stats.results_processed += 1
+        for conf, idx in zip(pred.confidences, pred.indices):
+            if idx < 0 or idx >= len(labels):
+                continue
+            sp = labels[idx]
+            self._process_one(pred, sp, float(conf), labels)
+
+    def _process_one(self, pred: WindowPrediction, sp: Species,
+                     conf: float, labels: LabelSet) -> None:
+        now_detect = pred.start_time
+        # Human/dog bookkeeping happens before any filtering so privacy
+        # state updates even for sub-threshold hits above their own floors.
+        if _is_human(sp):
+            if conf >= self.settings.privacy_filter.confidence:
+                with self._lock:
+                    prev = self._last_human.get(pred.source_id, 0.0)
+                    self._last_human[pred.source_id] = max(prev, now_detect)
+            return                      # never stored as a bird detection
+        if _is_dog(sp):
+            if conf >= self.settings.dog_bark_filter.confidence:
+                with self._lock:
+                    prev = self._last_dog.get(pred.source_id, 0.0)
+                    self._last_dog[pred.source_id] = max(prev, now_detect)
+            return
+
+        if self._should_filter(pred.model_id, sp, conf):
+            with self._lock:
+                self.stats.detections_filtered += 1
+            return
+        self._merge_pending(pred, sp, conf)
+
+    def _should_filter(self, model_id: str, sp: Species, conf: float) -> bool:
+        # exclusion list (config species.exclude; scientific or label match)
+        excl = self.settings.species.exclude
+        if excl and (sp.scientific in excl or sp.label in excl
+                     or sp.common in excl):
+            return True
+        if conf < self.effective_threshold(model_id, sp):
+            return True
+        # range filter inclusion (config include list always passes)
+        if sp.scientific in self.settings.species.include:
+            return False
+        if self.included_species is not None \
+                and sp.scientific not in self.included_species:
+            return True
+        return False
+
+    def _merge_pending(self, pred: WindowPrediction, sp: Species,
+                       conf: float) -> None:
+        key = f"{pred.source_id}:{sp.scientific}"
+        exp = self.settings.export
+        with self._lock:
+            item = self._pending.get(key)
+            if item is None:
+                det = Detection(
+                    species=sp, confidence=conf,
+                    begin_seconds=0.0, end_seconds=0.0,
+                    model_id=pred.model_id, source_id=pred.source_id,
+                    species_code="")
+                deadline = pred.start_time + (exp.clip_length_seconds
+                                              - exp.pre_capture_seconds)
+                item = PendingDetection(
+                    detection=det, source_id=pred.source_id,
+                    first_detected=pred.start_time, flush_deadline=deadline)
+                self._pending[key] = item
+                self.stats.detections_pending += 1
+            item.count += 1
+            c = item.contributions.setdefault(
+                pred.model_id, ModelContribution(model_id=pred.model_id))
+            c.count += 1
+            if conf > c.max_confidence:
+                c.max_confidence = conf
+            if conf > item.detection.confidence:
+                item.detection.confidence = conf
+                item.detection.model_id = pred.model_id
+
+    # -- flush --------------------------------------------------------------------
+
+    def flush(self, now: float | None = None) -> list[Detection]:
+        """One flush cycle: approve/discard items past their deadline.
+        Returns approved detections (actions already dispatched)."""
+        now = self.clock() if now is None else now
+        approved: list[tuple[Detection, PendingDetection]] = []
+        with self._lock:
+            due = [(k, v) for k, v in self._pending.items()
+                   if now > v.flush_deadline]
+            for key, item in due:
+                del self._pending[key]
+                discard, reason = self._should_discard(item)
+                if discard:
+                    self.stats.detections_discarded += 1
+                    self.stats.discard_reasons[reason] = \
+                        self.stats.discard_reasons.get(reason, 0) + 1
+                    continue
+                self.stats.detections_approved += 1
+                d = item.detection
+                # realtime mode: begin/end carry unix wall-clock of the
+                # detection span (clip extraction reads the CaptureBuffer
+                # by wall-clock — buffer/capture.go:198 ReadSegment)
+                d.timestamp = _dt.datetime.fromtimestamp(item.first_detected)
+                d.begin_seconds = item.first_detected
+                d.end_seconds = item.flush_deadline
+                approved.append((d, item))
+        for d, item in approved:
+            if self.settings.dynamic_threshold.enabled:
+                self.dynamic.learn(d.confidence, d.model_id,
+                                   d.species.scientific, now=now)
+            if self.on_approved is not None:
+                try:
+                    self.on_approved(d, item)
+                except Exception:
+                    log.exception("on_approved failed for %s", d.label)
+        return [d for d, _ in approved]
+
+    def _should_discard(self, item: PendingDetection) -> tuple[bool, str]:
+        """shouldDiscardDetection: minDetections, privacy, dog bark.
+
+        (Daylight filter hooks in via analysis.suncalc once present.)
+        Caller holds self._lock.
+        """
+        level, overlap = self._deep_detection_params(item.best_model_id)
+        required = deep_detection.min_detections(level, overlap)
+        if item.count < required:
+            return True, f"false positive, matched {item.count}/{required} times"
+        if self.settings.privacy_filter.enabled:
+            last_human = self._last_human.get(item.source_id)
+            # >= semantics: equal timestamps still trip the filter
+            # (processor.go:1504-1510)
+            if last_human is not None and last_human >= item.first_detected:
+                return True, "privacy filter"
+        if self.settings.dog_bark_filter.enabled:
+            last_dog = self._last_dog.get(item.source_id)
+            if last_dog is not None:
+                window = self.settings.dog_bark_filter.remember_minutes * 60.0
+                if item.first_detected - last_dog < window:
+                    return True, "recent dog bark"
+        return False, ""
+
+    # -- introspection ---------------------------------------------------------------
+
+    def pending_snapshot(self) -> list[PendingDetection]:
+        with self._lock:
+            return list(self._pending.values())
+
+    def set_included_species(self, included: set[str] | None) -> None:
+        """Swap the range-filter inclusion set (rebuild_range_filter)."""
+        with self._lock:
+            self.included_species = included
+
+
+class FlushLoop:
+    """1 s flusher thread (pendingDetectionsFlusher, processor.go:1846)."""
+
+    def __init__(self, processor: Processor, interval: float = 1.0):
+        self.processor = processor
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, name="flusher",
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            try:
+                self.processor.flush()
+            except Exception:
+                log.exception("flush cycle failed")

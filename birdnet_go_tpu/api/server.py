@@ -1,0 +1,404 @@
+"""REST + SSE API server (subset of the reference's ~200 /api/v2 routes,
+SURVEY.md Appendix A), running aiohttp on a dedicated thread.
+
+Route groups implemented: health/ping, detections (list/recent/get/delete/
+review/lock/search + SSE stream), analytics (summary/daily/hourly/heatmap/
+confidence histogram), streams health, system (info + inference status),
+settings (GET/PATCH section merge + control signals), range filter
+(status/list/rebuild/test), media (clips), models list, scheduler stats.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import datetime as _dt
+import json
+import logging
+import threading
+import time
+from pathlib import Path
+from typing import Any
+
+from aiohttp import web
+
+from birdnet_go_tpu.api.sse import SseBroadcaster, format_sse
+from birdnet_go_tpu.version import __version__
+
+log = logging.getLogger("birdnet_tpu.api")
+
+
+def _json(data: Any, status: int = 200) -> web.Response:
+    return web.json_response(data, status=status, dumps=lambda d: json.dumps(
+        d, default=str))
+
+
+class ApiServer:
+    """HTTP server bound to an Application (birdnet_go_tpu.app)."""
+
+    def __init__(self, app_ctx: Any, host: str = "0.0.0.0", port: int = 8080):
+        self.ctx = app_ctx
+        self.host = host
+        self.port = port
+        self.sse = SseBroadcaster()
+        self._thread: threading.Thread | None = None
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._started = threading.Event()
+        self._runner: web.AppRunner | None = None
+        self.started_at = time.time()
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, name="api-server",
+                                        daemon=True)
+        self._thread.start()
+        if not self._started.wait(timeout=15):
+            raise RuntimeError("API server failed to start")
+
+    def stop(self) -> None:
+        loop = self._loop
+        self._loop = None                   # idempotent: second stop no-ops
+        if loop is not None and loop.is_running():
+            async def _shutdown():
+                if self._runner is not None:
+                    await self._runner.cleanup()
+                loop.stop()
+
+            asyncio.run_coroutine_threadsafe(_shutdown(), loop)
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def _run(self) -> None:
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        self._loop = loop
+        self.sse.bind(loop)
+        app = self.build_app()
+        self._runner = web.AppRunner(app)
+        loop.run_until_complete(self._runner.setup())
+        site = web.TCPSite(self._runner, self.host, self.port)
+        loop.run_until_complete(site.start())
+        log.info("API listening on %s:%d", self.host, self.port)
+        self._started.set()
+        loop.run_forever()
+
+    # -- app/routes ----------------------------------------------------------------
+
+    def build_app(self) -> web.Application:
+        app = web.Application()
+        r = app.router
+        v2 = "/api/v2"
+        r.add_get(f"{v2}/health", self.h_health)
+        r.add_get(f"{v2}/ping", self.h_ping)
+        # detections
+        r.add_get(f"{v2}/detections", self.h_detections)
+        r.add_get(f"{v2}/detections/recent", self.h_recent)
+        r.add_get(f"{v2}/detections/stream", self.h_detections_stream)
+        r.add_get(f"{v2}/detections/{{id}}", self.h_detection)
+        r.add_delete(f"{v2}/detections/{{id}}", self.h_delete_detection)
+        r.add_post(f"{v2}/detections/{{id}}/review", self.h_review)
+        r.add_post(f"{v2}/detections/{{id}}/lock", self.h_lock)
+        r.add_post(f"{v2}/detections/search", self.h_search)
+        # analytics
+        r.add_get(f"{v2}/analytics/summary", self.h_summary)
+        r.add_get(f"{v2}/analytics/daily", self.h_daily)
+        r.add_get(f"{v2}/analytics/hourly", self.h_hourly)
+        r.add_get(f"{v2}/analytics/heatmap", self.h_heatmap)
+        r.add_get(f"{v2}/analytics/confidence", self.h_confidence)
+        r.add_get(f"{v2}/analytics/species/first-seen", self.h_first_seen)
+        # streams / system
+        r.add_get(f"{v2}/streams/health", self.h_streams_health)
+        r.add_get(f"{v2}/system/info", self.h_system_info)
+        r.add_get(f"{v2}/system/inference", self.h_inference_status)
+        r.add_get(f"{v2}/system/scheduler", self.h_scheduler_stats)
+        # settings
+        r.add_get(f"{v2}/settings", self.h_get_settings)
+        r.add_patch(f"{v2}/settings/{{section}}", self.h_patch_settings)
+        # range filter
+        r.add_get(f"{v2}/range/status", self.h_range_status)
+        r.add_get(f"{v2}/range/species/list", self.h_range_list)
+        r.add_post(f"{v2}/range/rebuild", self.h_range_rebuild)
+        r.add_post(f"{v2}/range/species/test", self.h_range_test)
+        # models / media
+        r.add_get(f"{v2}/models", self.h_models)
+        r.add_get(f"{v2}/media/audio/{{filename}}", self.h_media_audio)
+        return app
+
+    # -- handlers: core ----------------------------------------------------------------
+
+    async def h_health(self, request):
+        return _json({
+            "status": "healthy",
+            "version": __version__,
+            "uptime_seconds": round(time.time() - self.started_at, 1),
+        })
+
+    async def h_ping(self, request):
+        return _json({"pong": True, "time": _dt.datetime.now().isoformat()})
+
+    # -- handlers: detections -------------------------------------------------------------
+
+    def _detection_query(self, q) -> dict:
+        return dict(
+            species=q.get("species"),
+            date_from=q.get("from"), date_to=q.get("to"),
+            source_id=q.get("source"),
+            min_confidence=(float(q["min_confidence"])
+                            if "min_confidence" in q else None),
+            limit=min(int(q.get("limit", 100)), 1000),
+            offset=int(q.get("offset", 0)),
+            order=q.get("order", "desc"),
+        )
+
+    async def h_detections(self, request):
+        rows = self.ctx.datastore.search_detections(
+            **self._detection_query(request.query))
+        return _json({"detections": rows, "count": len(rows)})
+
+    async def h_recent(self, request):
+        limit = min(int(request.query.get("limit", 10)), 100)
+        return _json(self.ctx.datastore.recent_detections(limit))
+
+    async def h_detection(self, request):
+        row = self.ctx.datastore.get_detection(int(request.match_info["id"]))
+        if row is None:
+            return _json({"error": "not found"}, status=404)
+        return _json(row)
+
+    async def h_delete_detection(self, request):
+        try:
+            ok = self.ctx.datastore.delete_detection(
+                int(request.match_info["id"]))
+        except PermissionError as e:
+            return _json({"error": str(e)}, status=409)
+        if not ok:
+            return _json({"error": "not found"}, status=404)
+        return _json({"deleted": True})
+
+    async def h_review(self, request):
+        body = await request.json()
+        verdict = body.get("verdict", "")
+        try:
+            rid = self.ctx.datastore.review_detection(
+                int(request.match_info["id"]), verdict,
+                body.get("comment", ""))
+        except ValueError as e:
+            return _json({"error": str(e)}, status=400)
+        return _json({"review_id": rid})
+
+    async def h_lock(self, request):
+        body = await request.json() if request.can_read_body else {}
+        locked = bool(body.get("locked", True))
+        ok = self.ctx.datastore.lock_detection(
+            int(request.match_info["id"]), locked)
+        if not ok:
+            return _json({"error": "not found"}, status=404)
+        return _json({"locked": locked})
+
+    async def h_search(self, request):
+        body = await request.json()
+        rows = self.ctx.datastore.search_detections(
+            species=body.get("species"),
+            date_from=body.get("from"), date_to=body.get("to"),
+            source_id=body.get("source"),
+            min_confidence=body.get("min_confidence"),
+            limit=min(int(body.get("limit", 100)), 1000),
+            offset=int(body.get("offset", 0)))
+        return _json({"detections": rows, "count": len(rows)})
+
+    async def h_detections_stream(self, request):
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        })
+        await resp.prepare(request)
+        q = self.sse.subscribe("detections")
+        try:
+            await resp.write(format_sse("connected", "{}"))
+            while True:
+                try:
+                    event, payload = await asyncio.wait_for(q.get(),
+                                                            timeout=30)
+                    await resp.write(format_sse(event, payload))
+                except asyncio.TimeoutError:
+                    await resp.write(b": keepalive\n\n")
+        except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        finally:
+            self.sse.unsubscribe("detections", q)
+        return resp
+
+    # -- handlers: analytics ----------------------------------------------------------------
+
+    async def h_summary(self, request):
+        return _json(self.ctx.datastore.species_summary(
+            request.query.get("from"), request.query.get("to")))
+
+    async def h_daily(self, request):
+        today = _dt.date.today()
+        dfrom = request.query.get("from",
+                                  (today - _dt.timedelta(days=30)).isoformat())
+        dto = request.query.get("to", today.isoformat())
+        return _json(self.ctx.datastore.daily_counts(dfrom, dto))
+
+    async def h_hourly(self, request):
+        return _json(self.ctx.datastore.hourly_distribution(
+            request.query.get("date"), request.query.get("species")))
+
+    async def h_heatmap(self, request):
+        today = _dt.date.today()
+        dfrom = request.query.get("from",
+                                  (today - _dt.timedelta(days=30)).isoformat())
+        dto = request.query.get("to", today.isoformat())
+        return _json(self.ctx.datastore.detection_heatmap(dfrom, dto))
+
+    async def h_confidence(self, request):
+        return _json(self.ctx.datastore.confidence_histogram())
+
+    async def h_first_seen(self, request):
+        return _json(self.ctx.datastore.new_species_first_seen())
+
+    # -- handlers: system/streams --------------------------------------------------------------
+
+    async def h_streams_health(self, request):
+        return _json(self.ctx.engine.stream_health())
+
+    async def h_system_info(self, request):
+        import platform
+
+        import jax
+
+        return _json({
+            "version": __version__,
+            "platform": platform.platform(),
+            "python": platform.python_version(),
+            "devices": [str(d) for d in jax.devices()],
+            "uptime_seconds": round(time.time() - self.started_at, 1),
+            "sources": [s.source_id for s in self.ctx.engine.sources()],
+        })
+
+    async def h_inference_status(self, request):
+        out = []
+        for model_id, b in self.ctx.device_loop.batchers.items():
+            out.append({
+                "model_id": model_id,
+                "backend": "jax-tpu",
+                "batch_size": b.max_batch,
+                "windows_processed": b.stats.windows_processed,
+                "last_latency_ms": b.stats.last_latency_ms,
+                "overruns": b.stats.overruns,
+                "realtime_budget_ms": b.budget_seconds * 1000,
+            })
+        return _json(out)
+
+    async def h_scheduler_stats(self, request):
+        return _json({
+            "ticks": self.ctx.device_loop.ticks,
+            "processor": {
+                "results_processed": self.ctx.processor.stats.results_processed,
+                "approved": self.ctx.processor.stats.detections_approved,
+                "discarded": self.ctx.processor.stats.detections_discarded,
+                "discard_reasons": self.ctx.processor.stats.discard_reasons,
+                "pending": len(self.ctx.processor.pending_snapshot()),
+            },
+            "jobqueue": vars(self.ctx.jobqueue.stats),
+        })
+
+    # -- handlers: settings ---------------------------------------------------------------------
+
+    async def h_get_settings(self, request):
+        import dataclasses
+
+        return _json(dataclasses.asdict(self.ctx.settings))
+
+    async def h_patch_settings(self, request):
+        """Section merge + control signal (reference: settings PATCH →
+        control channel signals, api/v2/settings.go)."""
+        import dataclasses
+
+        from birdnet_go_tpu.config.control import ControlSignal
+        from birdnet_go_tpu.config.settings import _merge_dataclass
+
+        section = request.match_info["section"]
+        if not hasattr(self.ctx.settings, section):
+            return _json({"error": f"unknown section {section!r}"},
+                         status=404)
+        body = await request.json()
+        target = getattr(self.ctx.settings, section)
+        if dataclasses.is_dataclass(target):
+            _merge_dataclass(target, body)
+        else:
+            setattr(self.ctx.settings, section, body)
+        warnings = self.ctx.settings.validate()
+        signal = {
+            "range_filter": ControlSignal.REBUILD_RANGE_FILTER,
+            "species": ControlSignal.RELOAD_SPECIES_CONFIG,
+            "models": ControlSignal.RELOAD_THRESHOLDS,
+            "export": ControlSignal.RELOAD_EXPORT,
+            "privacy_filter": ControlSignal.RELOAD_PRIVACY,
+        }.get(section)
+        if signal is not None and self.ctx.control is not None:
+            self.ctx.control.send(signal)
+        return _json({"updated": section, "warnings": warnings,
+                      "signal": signal.value if signal else None})
+
+    # -- handlers: range filter --------------------------------------------------------------------
+
+    async def h_range_status(self, request):
+        inc = self.ctx.processor.included_species
+        return _json({
+            "enabled": inc is not None,
+            "included_count": len(inc) if inc is not None else None,
+            "latitude": self.ctx.settings.location.latitude,
+            "longitude": self.ctx.settings.location.longitude,
+            "threshold": self.ctx.settings.range_filter.threshold,
+        })
+
+    async def h_range_list(self, request):
+        inc = self.ctx.processor.included_species
+        return _json({"species": sorted(inc) if inc else []})
+
+    async def h_range_rebuild(self, request):
+        n = self.ctx.rebuild_range_filter()
+        return _json({"rebuilt": True, "included_count": n})
+
+    async def h_range_test(self, request):
+        body = await request.json()
+        try:
+            scores = self.ctx.range_filter_scores(
+                float(body["latitude"]), float(body["longitude"]),
+                int(body.get("week", -1)))
+        except (KeyError, ValueError) as e:
+            return _json({"error": str(e)}, status=400)
+        thr = float(body.get("threshold",
+                             self.ctx.settings.range_filter.threshold))
+        return _json({"count": int((scores >= thr).sum()),
+                      "threshold": thr})
+
+    # -- handlers: models/media ------------------------------------------------------------------------
+
+    async def h_models(self, request):
+        from birdnet_go_tpu.models.registry import MODEL_REGISTRY
+
+        out = []
+        for mid, spec in MODEL_REGISTRY.items():
+            out.append({
+                "model_id": mid,
+                "display_name": spec.display_name,
+                "sample_rate": spec.sample_rate,
+                "clip_seconds": spec.clip_seconds,
+                "num_species": spec.num_species,
+                "loaded": mid in self.ctx.device_loop.batchers,
+            })
+        return _json(out)
+
+    async def h_media_audio(self, request):
+        name = request.match_info["filename"]
+        base = Path(self.ctx.settings.export.path).resolve()
+        target = (base / name).resolve()
+        # securefs-style sandbox: never serve outside the clip dir
+        if not str(target).startswith(str(base)) or not target.is_file():
+            return _json({"error": "not found"}, status=404)
+        return web.FileResponse(target)

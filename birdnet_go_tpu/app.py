@@ -1,0 +1,277 @@
+"""Application assembly + lifecycle (reference: internal/app service
+registry + the four services started in order — BirdNETAnalyzer,
+DatabaseService, APIServerService, AudioPipelineService;
+internal/analysis/*_service.go).
+
+Startup order mirrors the reference (SURVEY.md §3.1): models/classifiers
+first (with range-filter build), then datastore, then API, then the audio
+pipeline (sources → engine → device loop → processor → flusher → jobqueue).
+Shutdown reverses it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import functools
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from birdnet_go_tpu.analysis import actions as actions_mod
+from birdnet_go_tpu.analysis.jobqueue import JobQueue, RetryConfig
+from birdnet_go_tpu.analysis.processor import (
+    FlushLoop,
+    PendingDetection,
+    Processor,
+    WindowPrediction,
+)
+from birdnet_go_tpu.analysis.results import Detection
+from birdnet_go_tpu.audio.engine import AudioEngine
+from birdnet_go_tpu.audio.sources_file import FileLoopSource, ToneSource
+from birdnet_go_tpu.config.control import ControlBus, ControlSignal
+from birdnet_go_tpu.config.settings import Settings
+from birdnet_go_tpu.datastore.sqlite import Datastore
+from birdnet_go_tpu.inference.backend import JaxClassifier, JaxRangeFilter
+from birdnet_go_tpu.inference.loader import load_geomodel, load_model
+from birdnet_go_tpu.models.geomodel import birdnet_week
+from birdnet_go_tpu.scheduler.loop import DeviceLoop, ModelBatcher
+from birdnet_go_tpu.taxonomy.labels import load_labels
+
+log = logging.getLogger("birdnet_tpu.app")
+
+
+class Application:
+    """Wires the full realtime stack from Settings."""
+
+    def __init__(self, settings: Settings):
+        self.settings = settings
+        self.control = ControlBus()
+        self.datastore: Datastore | None = None
+        self.engine: AudioEngine | None = None
+        self.device_loop: DeviceLoop | None = None
+        self.processor: Processor | None = None
+        self.flusher: FlushLoop | None = None
+        self.jobqueue: JobQueue | None = None
+        self.api = None
+        self.classifiers: dict[str, JaxClassifier] = {}
+        self.labels = {}
+        self._sources: list = []
+        self._range_filter: JaxRangeFilter | None = None
+
+    # -- assembly ---------------------------------------------------------------
+
+    def setup(self) -> None:
+        s = self.settings
+        warnings = s.validate()
+        for w in warnings:
+            log.warning("config: %s", w)
+
+        # 1. models (BirdNETAnalyzer service analogue)
+        enabled = [m for m in s.models if m.enabled]
+        specs = []
+        for ms in enabled:
+            model, params = load_model(ms.model_id, checkpoint=ms.checkpoint)
+            clf = JaxClassifier(model, params)
+            self.classifiers[ms.model_id] = clf
+            self.labels[ms.model_id] = load_labels(
+                s.data_dir, locale=ms.locale, model_id=ms.model_id,
+                expected_count=clf.num_species)
+            specs.append(model.spec)
+
+        # range filter (geomodel) — startup build (range_filter.go:100)
+        included = None
+        if s.range_filter.enabled and s.location.latitude is not None:
+            g, gparams = load_geomodel(
+                num_species=len(self.labels[enabled[0].model_id]))
+            self._range_filter = JaxRangeFilter(g, gparams)
+            included = self._compute_included_species()
+
+        # 2. datastore
+        self.datastore = Datastore(s.database.path)
+
+        # 3. detection engine
+        self.jobqueue = JobQueue()
+        self.processor = Processor(
+            s, self.labels, on_approved=self._on_approved,
+            included_species=included)
+        if s.dynamic_threshold.enabled:
+            self.processor.dynamic.restore(
+                self.datastore.load_dynamic_thresholds())
+        self.flusher = FlushLoop(self.processor)
+
+        # 4. audio pipeline
+        overlaps = {m.model_id: m.overlap for m in enabled}
+        self.engine = AudioEngine(
+            specs, capture_seconds=s.realtime.capture_buffer_seconds,
+            overlaps=overlaps)
+        self.device_loop = DeviceLoop(tick_seconds=s.realtime.tick_ms / 1000)
+        for ms in enabled:
+            clf = self.classifiers[ms.model_id]
+            self.device_loop.add_batcher(ModelBatcher(
+                clf, max_batch=s.realtime.max_batch,
+                sensitivity=ms.sensitivity,
+                on_result=functools.partial(self._on_window_result,
+                                            ms.model_id)))
+        self.device_loop.add_provider(self.engine.collect_ready)
+
+        # 5. API
+        if s.webserver.enabled:
+            from birdnet_go_tpu.api.server import ApiServer
+
+            self.api = ApiServer(self, host=s.webserver.host,
+                                 port=s.webserver.port)
+
+        # control signals
+        self.control.subscribe(ControlSignal.REBUILD_RANGE_FILTER,
+                               lambda: self.rebuild_range_filter())
+
+        # sources from config
+        for src_cfg in s.realtime.sources:
+            self._add_source_from_config(src_cfg)
+
+    def _add_source_from_config(self, cfg: dict) -> None:
+        stype = cfg.get("type", "file")
+        if stype == "file":
+            src = FileLoopSource(self.engine, cfg["path"],
+                                 source_id=cfg.get("id"),
+                                 speed=float(cfg.get("speed", 1.0)))
+        elif stype == "tone":
+            src = ToneSource(self.engine, source_id=cfg.get("id", "tone0"),
+                             freq_hz=float(cfg.get("freq", 1000.0)))
+        elif stype in ("rtsp", "http"):
+            from birdnet_go_tpu.audio.ffmpeg import FfmpegSource
+
+            src = FfmpegSource(self.engine, cfg["url"],
+                               source_id=cfg.get("id"),
+                               transport=cfg.get("transport", "tcp"))
+        else:
+            log.warning("unknown source type %r", stype)
+            return
+        self._sources.append(src)
+
+    # -- lifecycle -----------------------------------------------------------------
+
+    def start(self) -> None:
+        self.control.start()
+        self.jobqueue.start()
+        self.flusher.start()
+        self.device_loop.start()
+        if self.api is not None:
+            self.api.start()
+        for src in self._sources:
+            src.start()
+        log.info("application started: %d model(s), %d source(s)",
+                 len(self.classifiers), len(self._sources))
+
+    def stop(self) -> None:
+        for src in self._sources:
+            src.stop()
+        self.device_loop.stop()
+        self.flusher.stop()
+        self.processor.flush(now=time.time() + 1e6)   # final drain
+        if self.settings.dynamic_threshold.enabled and self.datastore:
+            self.datastore.save_dynamic_thresholds(
+                self.processor.dynamic.snapshot())
+        self.jobqueue.stop()
+        if self.api is not None:
+            self.api.stop()
+        self.control.stop()
+        if self.datastore is not None:
+            self.datastore.close()
+        log.info("application stopped")
+
+    # -- pipeline callbacks ------------------------------------------------------------
+
+    def _on_window_result(self, model_id: str, w, vals: np.ndarray,
+                          idx: np.ndarray) -> None:
+        """Device loop → processor (the ResultsQueue hand-off); bound
+        per-batcher so the window carries its model identity."""
+        self.processor.submit(WindowPrediction(
+            source_id=w.source_id,
+            model_id=model_id,
+            start_time=w.start_time, end_time=w.end_time,
+            indices=[int(i) for i in idx],
+            confidences=[float(v) for v in vals]))
+
+    def _on_approved(self, d: Detection, item: PendingDetection) -> None:
+        """Build + enqueue the action chain (getDefaultActions analogue)."""
+        s = self.settings
+        labels = self.labels.get(d.model_id)
+        if labels is not None and not d.species_code:
+            d.species_code = labels.code_for(d.species)
+
+        chain: list = [actions_mod.LogAction(d)]
+        clip_name = None
+        if s.export.enabled and self.engine is not None:
+            cb = self.engine.capture_buffer(d.source_id)
+            if cb is not None:
+                clip_name = actions_mod.clip_filename(d, s.export.format)
+                clip_start = d.begin_seconds - s.export.pre_capture_seconds
+                clip_end = clip_start + s.export.clip_length_seconds
+                self.jobqueue.enqueue(
+                    actions_mod.SaveAudioAction(
+                        capture_buffer=cb, start_time=clip_start,
+                        end_time=clip_end,
+                        out_path=Path(s.export.path) / clip_name,
+                        sample_rate=cb.sample_rate).execute,
+                    f"save clip {clip_name}",
+                    retry=RetryConfig(enabled=True, max_retries=10,
+                                      initial_delay=1.0, max_delay=10.0))
+
+        def _sse_broadcast(det_id: int) -> None:
+            if self.api is not None:
+                self.api.sse.publish("detections", "detection", {
+                    "id": det_id,
+                    "scientific_name": d.species.scientific,
+                    "common_name": d.species.common,
+                    "confidence": d.confidence,
+                    "model_id": d.model_id,
+                    "source_id": d.source_id,
+                    "timestamp": d.timestamp,
+                    "clip_name": clip_name,
+                })
+
+        chain.append(actions_mod.DatabaseAction(
+            d, self.datastore, contributions=item.contributions,
+            clip_name=clip_name, on_saved=_sse_broadcast))
+        self.jobqueue.enqueue(
+            actions_mod.CompositeAction(chain, f"detection {d.label}").execute,
+            f"composite {d.label}",
+            retry=RetryConfig(enabled=True, max_retries=3,
+                              initial_delay=2.0))
+
+    # -- range filter ---------------------------------------------------------------------
+
+    def _compute_included_species(self) -> set[str] | None:
+        s = self.settings
+        if self._range_filter is None or s.location.latitude is None:
+            return None
+        week = birdnet_week(_dt.date.today())
+        scores = self._range_filter.predict(
+            s.location.latitude, s.location.longitude, week)
+        primary = next(iter(self.labels.values()))
+        included = {primary[i].scientific
+                    for i in np.nonzero(scores >= s.range_filter.threshold)[0]
+                    if i < len(primary)}
+        included.update(s.species.include)
+        return included
+
+    def rebuild_range_filter(self) -> int:
+        inc = self._compute_included_species()
+        if self.processor is not None:
+            self.processor.set_included_species(inc)
+        n = len(inc) if inc is not None else 0
+        log.info("range filter rebuilt: %d species included", n)
+        return n
+
+    def range_filter_scores(self, lat: float, lon: float,
+                            week: int) -> np.ndarray:
+        if self._range_filter is None:
+            g, gparams = load_geomodel(
+                num_species=len(next(iter(self.labels.values()))))
+            self._range_filter = JaxRangeFilter(g, gparams)
+        if week <= 0:
+            week = birdnet_week(_dt.date.today())
+        return self._range_filter.predict(lat, lon, week)

@@ -218,9 +218,38 @@ def _cmd_rangefilter(args) -> int:
 
 
 def _cmd_serve(args) -> int:
-    print("serve: realtime server lands with the scheduler/processor layer",
-          file=sys.stderr)
-    return 1
+    import signal
+    import threading
+
+    from birdnet_go_tpu.app import Application
+    from birdnet_go_tpu.config.settings import ModelSettings, load_settings
+
+    settings = load_settings(args.config)
+    if args.config is None:
+        settings.models = [ModelSettings(
+            model_id=args.model, checkpoint=args.checkpoint,
+            sensitivity=args.sensitivity, threshold=args.threshold,
+            overlap=args.overlap, locale=args.locale)]
+    if args.latitude is not None:
+        settings.location.latitude = args.latitude
+        settings.location.longitude = args.longitude
+    if args.data_dir:
+        settings.data_dir = args.data_dir
+    settings.webserver.host = args.host
+    settings.webserver.port = args.port
+
+    app = Application(settings)
+    app.setup()
+    app.start()
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *a: stop.set())
+    signal.signal(signal.SIGTERM, lambda *a: stop.set())
+    print(f"serving on http://{args.host}:{args.port} — Ctrl-C to stop")
+    try:
+        stop.wait()
+    finally:
+        app.stop()
+    return 0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,92 @@
+"""Hot-reload control bus.
+
+Reference: internal/analysis/control_monitor.go:320-349 — a channel of
+string signals (reload_birdnet, rebuild_range_filter,
+reconfigure_rtsp_sources, ...) that services subscribe to so settings
+changes apply live, without restart.
+"""
+
+from __future__ import annotations
+
+import enum
+import logging
+import queue
+import threading
+from typing import Callable
+
+log = logging.getLogger("birdnet_tpu.control")
+
+
+class ControlSignal(str, enum.Enum):
+    RELOAD_MODEL = "reload_model"
+    REBUILD_RANGE_FILTER = "rebuild_range_filter"
+    RECONFIGURE_SOURCES = "reconfigure_sources"
+    RELOAD_SPECIES_CONFIG = "reload_species_config"
+    RELOAD_THRESHOLDS = "reload_thresholds"
+    RESTART_SERVER = "restart_server"
+    RELOAD_EXPORT = "reload_export"
+    RELOAD_PRIVACY = "reload_privacy"
+
+
+class ControlBus:
+    """Fan-out of control signals to registered handlers (thread-safe).
+
+    Handlers run on the bus's dispatcher thread; they must be quick or
+    hand off to their own workers (same contract as the reference's
+    control monitor goroutine).
+    """
+
+    def __init__(self):
+        self._handlers: dict[ControlSignal, list[Callable[[], None]]] = {}
+        self._queue: queue.Queue[ControlSignal | None] = queue.Queue()
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+
+    def subscribe(self, signal: ControlSignal,
+                  handler: Callable[[], None]) -> None:
+        with self._lock:
+            self._handlers.setdefault(signal, []).append(handler)
+
+    def send(self, signal: ControlSignal) -> None:
+        self._queue.put(signal)
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(target=self._run, name="control-bus",
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._thread is None:
+            return
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+        self._thread = None
+
+    def _run(self) -> None:
+        while True:
+            sig = self._queue.get()
+            if sig is None:
+                return
+            with self._lock:
+                handlers = list(self._handlers.get(sig, ()))
+            for h in handlers:
+                try:
+                    h()
+                except Exception:
+                    log.exception("control handler for %s failed", sig)
+
+    def drain_sync(self) -> None:
+        """Testing helper: process queued signals on the caller's thread."""
+        while True:
+            try:
+                sig = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if sig is None:
+                return
+            with self._lock:
+                handlers = list(self._handlers.get(sig, ()))
+            for h in handlers:
+                h()

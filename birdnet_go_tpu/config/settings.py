@@ -1,0 +1,252 @@
+"""Settings tree: YAML + env overrides + validation.
+
+Mirrors the reference's conf.Settings (internal/conf/config.go:1787-1855)
+at reduced surface, keeping its defaults (internal/conf/defaults.go):
+sensitivity 1.0, threshold 0.8, range-filter threshold 0.01, capture ring
+120 s, clip export 15 s / pre-capture 3 s, privacy filter on at 0.05,
+dog-bark filter off, dynamic thresholds trigger 0.90 / floor 0.20.
+
+Env overrides use BIRDNET_TPU_<SECTION>__<FIELD>=value (double underscore
+per nesting level), the analogue of the reference's viper env binding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass
+class ModelSettings:
+    model_id: str = "BirdNET_V2.4"
+    enabled: bool = True
+    checkpoint: str | None = None
+    sensitivity: float = 1.0          # defaults.go:76, range [0, 1.5]
+    threshold: float = 0.8            # defaults.go:77 (Perch/V3/Bat use 0.5)
+    overlap: float = 0.0              # seconds on 3 s base, [0, 2.9]
+    locale: str = "en_us"
+
+
+@dataclasses.dataclass
+class RangeFilterSettings:
+    enabled: bool = True
+    model: str = "latest"             # "latest" (geomodel v3) | "legacy"
+    threshold: float = 0.01           # defaults.go:91
+    rebuild_hour: int = 0             # daily rebuild (UpdateRangeFilterAction)
+
+
+@dataclasses.dataclass
+class PrivacyFilterSettings:
+    enabled: bool = True              # defaults.go:298
+    confidence: float = 0.05          # human-vocal confidence (defaults.go:300)
+
+
+@dataclasses.dataclass
+class DogBarkFilterSettings:
+    enabled: bool = False             # defaults.go:303
+    confidence: float = 0.1
+    remember_minutes: float = 5.0     # defaults.go:305
+
+
+@dataclasses.dataclass
+class DynamicThresholdSettings:
+    enabled: bool = False
+    trigger: float = 0.90             # defaults.go:205
+    min: float = 0.20                 # floor (defaults.go:207)
+    valid_hours: float = 24.0
+
+
+@dataclasses.dataclass
+class DeepDetectionSettings:
+    # false_positive_filter.go:18-60: level → min overlap + % confirmations
+    level: int = 0                    # 0 = off, 1-5
+    bat_level: int = 2                # defaults.go:106-108 (bat default 2)
+
+
+@dataclasses.dataclass
+class ExportSettings:
+    enabled: bool = True
+    clip_length_seconds: float = 15.0   # defaults.go:137
+    pre_capture_seconds: float = 3.0    # defaults.go:138
+    path: str = "data/clips"
+    format: str = "wav"                  # wav|flac
+
+
+@dataclasses.dataclass
+class SpeciesSettings:
+    include: list[str] = dataclasses.field(default_factory=list)
+    exclude: list[str] = dataclasses.field(default_factory=list)
+    # per-species config: {"Sci name": {"threshold": 0.x, "interval": s}}
+    config: dict[str, dict[str, Any]] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class RealtimeSettings:
+    interval_seconds: float = 15.0    # repeated-species log interval
+    capture_buffer_seconds: float = 120.0
+    sources: list[dict[str, Any]] = dataclasses.field(default_factory=list)
+    # scheduler
+    tick_ms: int = 100                # buffer monitor poll (buffer_manager.go:392)
+    max_batch: int = 256              # device megabatch per (model, tick)
+
+
+@dataclasses.dataclass
+class WebServerSettings:
+    enabled: bool = True
+    host: str = "0.0.0.0"
+    port: int = 8080
+
+
+@dataclasses.dataclass
+class DatabaseSettings:
+    type: str = "sqlite"
+    path: str = "data/birdnet.db"
+
+
+@dataclasses.dataclass
+class LocationSettings:
+    latitude: float | None = None
+    longitude: float | None = None
+
+
+@dataclasses.dataclass
+class Settings:
+    models: list[ModelSettings] = dataclasses.field(
+        default_factory=lambda: [ModelSettings()])
+    location: LocationSettings = dataclasses.field(default_factory=LocationSettings)
+    range_filter: RangeFilterSettings = dataclasses.field(
+        default_factory=RangeFilterSettings)
+    privacy_filter: PrivacyFilterSettings = dataclasses.field(
+        default_factory=PrivacyFilterSettings)
+    dog_bark_filter: DogBarkFilterSettings = dataclasses.field(
+        default_factory=DogBarkFilterSettings)
+    dynamic_threshold: DynamicThresholdSettings = dataclasses.field(
+        default_factory=DynamicThresholdSettings)
+    deep_detection: DeepDetectionSettings = dataclasses.field(
+        default_factory=DeepDetectionSettings)
+    export: ExportSettings = dataclasses.field(default_factory=ExportSettings)
+    species: SpeciesSettings = dataclasses.field(default_factory=SpeciesSettings)
+    realtime: RealtimeSettings = dataclasses.field(default_factory=RealtimeSettings)
+    webserver: WebServerSettings = dataclasses.field(default_factory=WebServerSettings)
+    database: DatabaseSettings = dataclasses.field(default_factory=DatabaseSettings)
+    data_dir: str | None = None
+
+    def validate(self) -> list[str]:
+        """Returns human-readable warnings (reference surfaces config
+        validation as notifications — main.go:212-227)."""
+        warnings = []
+        for m in self.models:
+            if not (0.0 <= m.sensitivity <= 1.5):
+                warnings.append(
+                    f"{m.model_id}: sensitivity {m.sensitivity} outside "
+                    f"[0, 1.5], clamping")
+                m.sensitivity = min(max(m.sensitivity, 0.0), 1.5)
+            if not (0.0 <= m.threshold <= 1.0):
+                warnings.append(
+                    f"{m.model_id}: threshold {m.threshold} outside [0, 1]")
+                m.threshold = min(max(m.threshold, 0.0), 1.0)
+            if not (0.0 <= m.overlap <= 2.9):
+                warnings.append(
+                    f"{m.model_id}: overlap {m.overlap} outside [0, 2.9]")
+                m.overlap = min(max(m.overlap, 0.0), 2.9)
+        lat, lon = self.location.latitude, self.location.longitude
+        if (lat is None) != (lon is None):
+            warnings.append("latitude/longitude must both be set; range "
+                            "filter disabled")
+            self.location.latitude = self.location.longitude = None
+        if lat is not None and not (-90 <= lat <= 90):
+            warnings.append(f"latitude {lat} invalid; location cleared")
+            self.location.latitude = self.location.longitude = None
+        if lon is not None and not (-180 <= lon <= 180):
+            warnings.append(f"longitude {lon} invalid; location cleared")
+            self.location.latitude = self.location.longitude = None
+        if not (0 <= self.deep_detection.level <= 5):
+            warnings.append("deep_detection.level must be 0-5; reset to 0")
+            self.deep_detection.level = 0
+        return warnings
+
+
+def _from_dict(cls, data: dict[str, Any]):
+    """Recursively build a dataclass from a dict, ignoring unknown keys."""
+    if not dataclasses.is_dataclass(cls):
+        return data
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, val in (data or {}).items():
+        f = fields.get(key)
+        if f is None:
+            continue
+        ftype = f.type if not isinstance(f.type, str) else None
+        default = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default  # noqa: E501
+        if dataclasses.is_dataclass(default) and isinstance(val, dict):
+            kwargs[key] = _merge_dataclass(default, val)
+        elif isinstance(default, list) and val and isinstance(val[0], dict) \
+                and key == "models":
+            kwargs[key] = [_merge_dataclass(ModelSettings(), v) for v in val]
+        else:
+            kwargs[key] = val
+        del ftype
+    return cls(**kwargs)
+
+
+def _merge_dataclass(instance, data: dict[str, Any]):
+    for key, val in (data or {}).items():
+        if not hasattr(instance, key):
+            continue
+        cur = getattr(instance, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            _merge_dataclass(cur, val)
+        else:
+            setattr(instance, key, val)
+    return instance
+
+
+def default_settings() -> Settings:
+    return Settings()
+
+
+def load_settings(path: str | Path | None = None,
+                  env: dict[str, str] | None = None) -> Settings:
+    """YAML file → Settings, then env overrides, then validation."""
+    s = Settings()
+    if path:
+        raw = yaml.safe_load(Path(path).read_text()) or {}
+        s = _from_dict(Settings, raw)
+    _apply_env_overrides(s, env if env is not None else dict(os.environ))
+    return s
+
+
+def _apply_env_overrides(s: Settings, env: dict[str, str]) -> None:
+    prefix = "BIRDNET_TPU_"
+    for key, val in env.items():
+        if not key.startswith(prefix) or key in ("BIRDNET_TPU_DATA",
+                                                 "BIRDNET_TPU_MODELS"):
+            continue
+        parts = key[len(prefix):].lower().split("__")
+        target: Any = s
+        ok = True
+        for p in parts[:-1]:
+            if not hasattr(target, p):
+                ok = False
+                break
+            target = getattr(target, p)
+        if not ok or not hasattr(target, parts[-1]):
+            continue
+        cur = getattr(target, parts[-1])
+        try:
+            if isinstance(cur, bool):
+                parsed: Any = val.lower() in ("1", "true", "yes", "on")
+            elif isinstance(cur, int) and not isinstance(cur, bool):
+                parsed = int(val)
+            elif isinstance(cur, float) or cur is None:
+                parsed = float(val) if val.replace(
+                    ".", "", 1).lstrip("-").isdigit() else val
+            else:
+                parsed = val
+        except ValueError:
+            continue
+        setattr(target, parts[-1], parsed)

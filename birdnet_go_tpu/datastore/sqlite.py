@@ -1,0 +1,328 @@
+"""SQLite datastore.
+
+Schema follows the reference's v2 normalized direction
+(internal/datastore/v2/entities) at reduced surface: a `detections` table
+(the Note analogue), `model_contributions` (consensus records),
+`reviews`, `dynamic_thresholds`. WAL journal, busy-timeout, automigrate on
+open (datastore/manage.go analogue).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import sqlite3
+import threading
+from pathlib import Path
+from typing import Any, Iterable
+
+from birdnet_go_tpu.analysis.results import Detection
+from birdnet_go_tpu.taxonomy.labels import Species
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS detections (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    timestamp REAL NOT NULL,
+    date TEXT NOT NULL,
+    time TEXT NOT NULL,
+    source_id TEXT NOT NULL DEFAULT '',
+    model_id TEXT NOT NULL DEFAULT '',
+    scientific_name TEXT NOT NULL,
+    common_name TEXT NOT NULL DEFAULT '',
+    species_code TEXT NOT NULL DEFAULT '',
+    confidence REAL NOT NULL,
+    begin_time REAL NOT NULL DEFAULT 0,
+    end_time REAL NOT NULL DEFAULT 0,
+    clip_name TEXT NOT NULL DEFAULT '',
+    locked INTEGER NOT NULL DEFAULT 0
+);
+CREATE INDEX IF NOT EXISTS idx_det_ts ON detections(timestamp);
+CREATE INDEX IF NOT EXISTS idx_det_sci ON detections(scientific_name);
+CREATE INDEX IF NOT EXISTS idx_det_date ON detections(date);
+
+CREATE TABLE IF NOT EXISTS model_contributions (
+    detection_id INTEGER NOT NULL REFERENCES detections(id) ON DELETE CASCADE,
+    model_id TEXT NOT NULL,
+    hit_count INTEGER NOT NULL,
+    max_confidence REAL NOT NULL
+);
+CREATE INDEX IF NOT EXISTS idx_mc_det ON model_contributions(detection_id);
+
+CREATE TABLE IF NOT EXISTS reviews (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    detection_id INTEGER NOT NULL REFERENCES detections(id) ON DELETE CASCADE,
+    verdict TEXT NOT NULL,             -- 'correct' | 'false_positive'
+    comment TEXT NOT NULL DEFAULT '',
+    created_at REAL NOT NULL
+);
+
+CREATE TABLE IF NOT EXISTS dynamic_thresholds (
+    model_id TEXT NOT NULL,
+    scientific_name TEXT NOT NULL,
+    level INTEGER NOT NULL,
+    high_conf_count INTEGER NOT NULL,
+    expires_at REAL NOT NULL,
+    PRIMARY KEY (model_id, scientific_name)
+);
+
+CREATE TABLE IF NOT EXISTS hourly_weather (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    time REAL NOT NULL UNIQUE,
+    temperature REAL, humidity REAL, pressure REAL,
+    wind_speed REAL, wind_deg REAL, clouds REAL, description TEXT
+);
+"""
+
+
+class Datastore:
+    """Thread-safe SQLite store (single connection + lock; WAL)."""
+
+    def __init__(self, path: str | Path = ":memory:"):
+        self.path = str(path)
+        if self.path != ":memory:":
+            Path(self.path).parent.mkdir(parents=True, exist_ok=True)
+        self._conn = sqlite3.connect(self.path, check_same_thread=False)
+        self._conn.row_factory = sqlite3.Row
+        self._lock = threading.Lock()
+        with self._lock:
+            self._conn.execute("PRAGMA journal_mode=WAL")
+            self._conn.execute("PRAGMA busy_timeout=5000")
+            self._conn.execute("PRAGMA foreign_keys=ON")
+            self._conn.executescript(_SCHEMA)
+            self._conn.commit()
+
+    def close(self) -> None:
+        with self._lock:
+            self._conn.close()
+
+    # -- detections ------------------------------------------------------------
+
+    def insert_detection(self, d: Detection, clip_name: str | None = None,
+                         contributions: dict[str, Any] | None = None) -> int:
+        ts = (d.timestamp.timestamp() if d.timestamp else d.begin_seconds)
+        when = _dt.datetime.fromtimestamp(ts)
+        with self._lock:
+            cur = self._conn.execute(
+                "INSERT INTO detections (timestamp, date, time, source_id,"
+                " model_id, scientific_name, common_name, species_code,"
+                " confidence, begin_time, end_time, clip_name)"
+                " VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
+                (ts, when.strftime("%Y-%m-%d"), when.strftime("%H:%M:%S"),
+                 d.source_id, d.model_id, d.species.scientific,
+                 d.species.common, d.species_code, d.confidence,
+                 d.begin_seconds, d.end_seconds, clip_name or ""))
+            det_id = cur.lastrowid
+            if contributions:
+                for model_id, c in contributions.items():
+                    self._conn.execute(
+                        "INSERT INTO model_contributions (detection_id,"
+                        " model_id, hit_count, max_confidence)"
+                        " VALUES (?,?,?,?)",
+                        (det_id, model_id, getattr(c, "count", 0),
+                         getattr(c, "max_confidence", 0.0)))
+            self._conn.commit()
+            return int(det_id)
+
+    def get_detection(self, det_id: int) -> dict[str, Any] | None:
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT * FROM detections WHERE id = ?", (det_id,)).fetchone()
+            if row is None:
+                return None
+            d = dict(row)
+            d["contributions"] = [dict(r) for r in self._conn.execute(
+                "SELECT model_id, hit_count, max_confidence FROM"
+                " model_contributions WHERE detection_id = ?", (det_id,))]
+            return d
+
+    def delete_detection(self, det_id: int) -> bool:
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT locked FROM detections WHERE id = ?",
+                (det_id,)).fetchone()
+            if row is None:
+                return False
+            if row["locked"]:
+                raise PermissionError(f"detection {det_id} is locked")
+            self._conn.execute("DELETE FROM detections WHERE id = ?",
+                               (det_id,))
+            self._conn.commit()
+            return True
+
+    def lock_detection(self, det_id: int, locked: bool = True) -> bool:
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE detections SET locked = ? WHERE id = ?",
+                (1 if locked else 0, det_id))
+            self._conn.commit()
+            return cur.rowcount > 0
+
+    def review_detection(self, det_id: int, verdict: str,
+                         comment: str = "") -> int:
+        if verdict not in ("correct", "false_positive"):
+            raise ValueError(f"invalid verdict {verdict!r}")
+        import time as _t
+
+        with self._lock:
+            cur = self._conn.execute(
+                "INSERT INTO reviews (detection_id, verdict, comment,"
+                " created_at) VALUES (?,?,?,?)",
+                (det_id, verdict, comment, _t.time()))
+            self._conn.commit()
+            return int(cur.lastrowid)
+
+    def search_detections(self, species: str | None = None,
+                          date_from: str | None = None,
+                          date_to: str | None = None,
+                          source_id: str | None = None,
+                          min_confidence: float | None = None,
+                          limit: int = 100, offset: int = 0,
+                          order: str = "desc") -> list[dict[str, Any]]:
+        clauses, args = [], []
+        if species:
+            clauses.append("(scientific_name = ? OR common_name LIKE ?)")
+            args += [species, f"%{species}%"]
+        if date_from:
+            clauses.append("date >= ?"); args.append(date_from)
+        if date_to:
+            clauses.append("date <= ?"); args.append(date_to)
+        if source_id:
+            clauses.append("source_id = ?"); args.append(source_id)
+        if min_confidence is not None:
+            clauses.append("confidence >= ?"); args.append(min_confidence)
+        where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        direction = "DESC" if order.lower() != "asc" else "ASC"
+        sql = (f"SELECT * FROM detections {where} ORDER BY timestamp"
+               f" {direction} LIMIT ? OFFSET ?")
+        args += [limit, offset]
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(sql, args)]
+
+    def recent_detections(self, limit: int = 10) -> list[dict[str, Any]]:
+        return self.search_detections(limit=limit)
+
+    def count_detections(self) -> int:
+        with self._lock:
+            (n,) = self._conn.execute(
+                "SELECT COUNT(*) FROM detections").fetchone()
+            return int(n)
+
+    # -- analytics ----------------------------------------------------------------
+
+    def species_summary(self, date_from: str | None = None,
+                        date_to: str | None = None) -> list[dict[str, Any]]:
+        clauses, args = [], []
+        if date_from:
+            clauses.append("date >= ?"); args.append(date_from)
+        if date_to:
+            clauses.append("date <= ?"); args.append(date_to)
+        where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        sql = (f"SELECT scientific_name, common_name, COUNT(*) AS count,"
+               f" MAX(confidence) AS max_confidence,"
+               f" AVG(confidence) AS avg_confidence,"
+               f" MIN(timestamp) AS first_seen, MAX(timestamp) AS last_seen"
+               f" FROM detections {where} GROUP BY scientific_name"
+               f" ORDER BY count DESC")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(sql, args)]
+
+    def hourly_distribution(self, date: str | None = None,
+                            species: str | None = None) -> list[int]:
+        clauses, args = [], []
+        if date:
+            clauses.append("date = ?"); args.append(date)
+        if species:
+            clauses.append("scientific_name = ?"); args.append(species)
+        where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        sql = (f"SELECT CAST(substr(time, 1, 2) AS INTEGER) AS hr,"
+               f" COUNT(*) AS n FROM detections {where} GROUP BY hr")
+        out = [0] * 24
+        with self._lock:
+            for r in self._conn.execute(sql, args):
+                if 0 <= r["hr"] < 24:
+                    out[r["hr"]] = r["n"]
+        return out
+
+    def daily_counts(self, date_from: str, date_to: str
+                     ) -> list[dict[str, Any]]:
+        sql = ("SELECT date, COUNT(*) AS count,"
+               " COUNT(DISTINCT scientific_name) AS species"
+               " FROM detections WHERE date BETWEEN ? AND ?"
+               " GROUP BY date ORDER BY date")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                sql, (date_from, date_to))]
+
+    def confidence_histogram(self, bins: int = 10) -> list[int]:
+        out = [0] * bins
+        with self._lock:
+            for r in self._conn.execute(
+                    "SELECT confidence FROM detections"):
+                b = min(int(r["confidence"] * bins), bins - 1)
+                out[b] += 1
+        return out
+
+    def detection_heatmap(self, date_from: str, date_to: str
+                          ) -> dict[str, list[int]]:
+        """date → 24-hour counts (analytics heatmap endpoint)."""
+        sql = ("SELECT date, CAST(substr(time, 1, 2) AS INTEGER) AS hr,"
+               " COUNT(*) AS n FROM detections WHERE date BETWEEN ? AND ?"
+               " GROUP BY date, hr")
+        out: dict[str, list[int]] = {}
+        with self._lock:
+            for r in self._conn.execute(sql, (date_from, date_to)):
+                out.setdefault(r["date"], [0] * 24)[r["hr"]] = r["n"]
+        return out
+
+    def new_species_first_seen(self) -> list[dict[str, Any]]:
+        sql = ("SELECT scientific_name, common_name,"
+               " MIN(date) AS first_date FROM detections"
+               " GROUP BY scientific_name ORDER BY first_date DESC")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(sql)]
+
+    # -- dynamic thresholds ----------------------------------------------------------
+
+    def save_dynamic_thresholds(self, state: dict[tuple[str, str], Any]
+                                ) -> None:
+        with self._lock:
+            self._conn.execute("DELETE FROM dynamic_thresholds")
+            for (model_id, sci), st in state.items():
+                self._conn.execute(
+                    "INSERT INTO dynamic_thresholds (model_id,"
+                    " scientific_name, level, high_conf_count, expires_at)"
+                    " VALUES (?,?,?,?,?)",
+                    (model_id, sci, st.level, st.high_conf_count,
+                     st.expires_at))
+            self._conn.commit()
+
+    def load_dynamic_thresholds(self) -> dict[tuple[str, str], Any]:
+        from birdnet_go_tpu.analysis.dynamic_threshold import ThresholdState
+
+        with self._lock:
+            return {
+                (r["model_id"], r["scientific_name"]): ThresholdState(
+                    level=r["level"], high_conf_count=r["high_conf_count"],
+                    expires_at=r["expires_at"])
+                for r in self._conn.execute(
+                    "SELECT * FROM dynamic_thresholds")
+            }
+
+    # -- weather ------------------------------------------------------------------------
+
+    def save_hourly_weather(self, time_unix: float, **fields) -> None:
+        cols = ["temperature", "humidity", "pressure", "wind_speed",
+                "wind_deg", "clouds", "description"]
+        vals = [fields.get(c) for c in cols]
+        with self._lock:
+            self._conn.execute(
+                "INSERT OR REPLACE INTO hourly_weather (time, "
+                + ", ".join(cols) + ") VALUES (?,?,?,?,?,?,?,?)",
+                (time_unix, *vals))
+            self._conn.commit()
+
+    def get_hourly_weather(self, date: str) -> list[dict[str, Any]]:
+        t0 = _dt.datetime.strptime(date, "%Y-%m-%d").timestamp()
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                "SELECT * FROM hourly_weather WHERE time >= ? AND time < ?"
+                " ORDER BY time", (t0, t0 + 86400))]

@@ -63,6 +63,7 @@ class JaxClassifier:
 
     def predict_topk(self, pcm: np.ndarray, sensitivity: float = 1.0,
                      k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        k = min(k, self.num_species)
         vals, idx = self._jitted(self.params, jnp.asarray(pcm, jnp.float32),
                                  k, jnp.float32(sensitivity), self._range_mask)
         return np.asarray(vals), np.asarray(idx)

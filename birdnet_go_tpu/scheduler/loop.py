@@ -1,0 +1,215 @@
+"""Megabatch packer + pipelined device loop.
+
+Per model: a fixed batch shape [B, clip_samples] int16 (int16 halves the
+host→device transfer vs float32; conversion happens on device inside the
+jitted step). Each tick collects every ready window from every stream's
+AnalysisBuffer, packs them (padding the remainder), dispatches the jitted
+step, and — exploiting JAX async dispatch — harvests the *previous* tick's
+results while the current batch runs, i.e. double-buffered H2D/compute
+without explicit streams.
+
+The realtime budget contract is preserved: a window is overdue if its
+dispatch→result latency exceeds ClipLength/2 (reference model.go:49-54);
+overruns are counted (process.go:352-370 analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import threading
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+log = logging.getLogger("birdnet_tpu.scheduler")
+
+
+@dataclasses.dataclass
+class PendingWindow:
+    source_id: str
+    start_time: float
+    end_time: float
+
+
+@dataclasses.dataclass
+class BatcherStats:
+    windows_processed: int = 0
+    batches_dispatched: int = 0
+    windows_deferred: int = 0          # ready but didn't fit this tick
+    overruns: int = 0
+    last_batch_fill: float = 0.0
+    last_latency_ms: float = 0.0
+
+
+class ModelBatcher:
+    """Packs ready windows from N streams into device megabatches for one
+    model, pipelined one tick deep."""
+
+    def __init__(self, classifier: Any, max_batch: int = 256,
+                 sensitivity: float = 1.0, top_k: int = 10,
+                 on_result: Callable[..., None] | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        from birdnet_go_tpu.ops.pcm import pcm16_to_float32
+        from birdnet_go_tpu.ops.postprocess import (
+            sigmoid_confidence,
+            top_k_results,
+        )
+
+        self.classifier = classifier
+        self.model = classifier.model
+        self.spec = self.model.spec
+        self.max_batch = max_batch
+        self.sensitivity = sensitivity
+        self.top_k = min(top_k, self.model.num_species)
+        self.on_result = on_result
+        self.stats = BatcherStats()
+        self.budget_seconds = self.spec.buffer_interval_seconds
+
+        self._staged = np.zeros((max_batch, self.spec.clip_samples), np.int16)
+        self._meta: list[PendingWindow] = []
+        self._inflight: tuple[Any, Any, list[PendingWindow], float] | None = None
+        self._jnp = jnp
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def _step(params, pcm_i16, sensitivity, k, mask):
+            pcm = pcm16_to_float32(pcm_i16)
+            out = self.model.apply(params, pcm)
+            conf = sigmoid_confidence(out["logits"], sensitivity)
+            if mask is not None:
+                conf = conf * mask
+            return top_k_results(conf, k)
+
+        self._step = _step
+
+    # -- producer side -----------------------------------------------------------
+
+    def offer(self, pcm_i16: np.ndarray, source_id: str,
+              start_time: float) -> bool:
+        """Stage one ready window; False if this tick's batch is full."""
+        n = len(self._meta)
+        if n >= self.max_batch:
+            self.stats.windows_deferred += 1
+            return False
+        self._staged[n, :] = pcm_i16
+        self._meta.append(PendingWindow(
+            source_id=source_id, start_time=start_time,
+            end_time=start_time + self.spec.clip_seconds))
+        return True
+
+    # -- device loop --------------------------------------------------------------
+
+    def dispatch(self) -> int:
+        """Send the staged batch to the device (non-blocking); returns the
+        number of real windows dispatched. Harvests the previous batch
+        first (one-deep pipeline)."""
+        self.harvest()
+        n = len(self._meta)
+        if n == 0:
+            return 0
+        jnp = self._jnp
+        pcm = jnp.asarray(self._staged)      # fixed shape: no recompiles
+        vals, idx = self._step(
+            self.classifier.params, pcm,
+            jnp.float32(self.sensitivity), self.top_k,
+            self.classifier._range_mask)
+        self._inflight = (vals, idx, self._meta, time.monotonic())
+        self._meta = []
+        self.stats.batches_dispatched += 1
+        self.stats.last_batch_fill = n / self.max_batch
+        return n
+
+    def harvest(self) -> int:
+        """Block on the previous in-flight batch (if any) and fan out
+        results. Called at the top of dispatch(), so compute of batch i
+        overlaps staging of batch i+1."""
+        if self._inflight is None:
+            return 0
+        vals, idx, meta, t0 = self._inflight
+        self._inflight = None
+        vals_np = np.asarray(vals)            # materialization = sync point
+        idx_np = np.asarray(idx)
+        latency = time.monotonic() - t0
+        self.stats.last_latency_ms = latency * 1000.0
+        if latency > self.budget_seconds:
+            self.stats.overruns += 1
+            log.warning("%s batch latency %.0f ms exceeds realtime budget"
+                        " %.0f ms", self.spec.model_id, latency * 1000,
+                        self.budget_seconds * 1000)
+        for j, w in enumerate(meta):
+            self.stats.windows_processed += 1
+            if self.on_result is not None:
+                self.on_result(w, vals_np[j], idx_np[j])
+        return len(meta)
+
+
+class DeviceLoop:
+    """Tick loop: drains ready windows from registered window sources into
+    each model's batcher, dispatches, repeats. One thread for all models
+    (device work is async; the thread only stages/harvests)."""
+
+    def __init__(self, tick_seconds: float = 0.1):
+        self.tick_seconds = tick_seconds
+        self.batchers: dict[str, ModelBatcher] = {}
+        # window providers: callables returning iterable of
+        # (model_id, pcm_i16, source_id, start_time)
+        self._providers: list[Callable[[], list]] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.ticks = 0
+
+    def add_batcher(self, batcher: ModelBatcher) -> None:
+        self.batchers[batcher.spec.model_id] = batcher
+
+    def add_provider(self, provider: Callable[[], list]) -> None:
+        self._providers.append(provider)
+
+    def run_tick(self) -> int:
+        """One scheduling tick; returns windows dispatched."""
+        for provider in self._providers:
+            for model_id, pcm, source_id, start_time in provider():
+                b = self.batchers.get(model_id)
+                if b is not None:
+                    b.offer(pcm, source_id, start_time)
+        dispatched = 0
+        for b in self.batchers.values():
+            dispatched += b.dispatch()
+        self.ticks += 1
+        return dispatched
+
+    def drain(self) -> None:
+        for b in self.batchers.values():
+            b.harvest()
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, name="device-loop",
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        self.drain()
+
+    def _run(self) -> None:
+        next_tick = time.monotonic()
+        while not self._stop.is_set():
+            try:
+                self.run_tick()
+            except Exception:
+                log.exception("device loop tick failed")
+            next_tick += self.tick_seconds
+            delay = next_tick - time.monotonic()
+            if delay > 0:
+                self._stop.wait(delay)
+            else:
+                next_tick = time.monotonic()   # fell behind: don't spiral

@@ -1,0 +1,213 @@
+"""Full-stack realtime integration: source → engine → device loop →
+processor → actions → datastore → API (tiny model, CPU)."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from birdnet_go_tpu.app import Application
+from birdnet_go_tpu.config.settings import ModelSettings, Settings
+
+
+@pytest.fixture()
+def tiny_app(tmp_path, monkeypatch):
+    """Application with a tiny BirdNET and a free port."""
+    import socket
+
+    from birdnet_go_tpu.inference import loader
+    from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+    from birdnet_go_tpu.models.efficientnet import BlockSpec, EfficientNetConfig
+    from birdnet_go_tpu.ops.melspec import MelConfig
+
+    def tiny_load_model(model_id, checkpoint=None, seed=0, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        m = BirdNETv24(num_species=6,
+                       mel=MelConfig(sample_rate=48000, n_fft=256, hop=8192,
+                                     n_mels=16),
+                       compute_dtype=jnp.float32)
+        m.net = EfficientNetConfig(blocks=(BlockSpec(1, 8, 3, 2, 1),),
+                                   embedding_dim=16, num_classes=6)
+        return m, m.init(jax.random.PRNGKey(0))
+
+    monkeypatch.setattr(loader, "load_model", tiny_load_model)
+    import birdnet_go_tpu.app as app_mod
+
+    monkeypatch.setattr(app_mod, "load_model", tiny_load_model)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    settings = Settings()
+    settings.models = [ModelSettings(model_id="BirdNET_V2.4", threshold=0.0)]
+    settings.database.path = str(tmp_path / "test.db")
+    settings.export.path = str(tmp_path / "clips")
+    settings.export.clip_length_seconds = 4.0
+    settings.export.pre_capture_seconds = 1.0
+    settings.webserver.host = "127.0.0.1"
+    settings.webserver.port = port
+    settings.realtime.tick_ms = 20
+    settings.realtime.max_batch = 8
+
+    app = Application(settings)
+    app.setup()
+    yield app
+    # stop() is idempotent-ish; tests call it themselves when needed
+    try:
+        app.stop()
+    except Exception:
+        pass
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2{path}", timeout=5) as r:
+        return json.loads(r.read())
+
+
+def test_full_pipeline_detection_flow(tiny_app):
+    app = tiny_app
+    app.start()
+    port = app.settings.webserver.port
+
+    # push 6 s of audio through a synchronous tone source
+    from birdnet_go_tpu.audio.sources_file import ToneSource
+
+    tone = ToneSource(app.engine, source_id="t1", freq_hz=2000.0)
+    app.engine.add_source(tone.source)
+    for _ in range(6):
+        tone.push_seconds(1.0)
+        time.sleep(0.05)
+
+    # wait for the device loop to process windows
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        if app.processor.stats.results_processed >= 3:
+            break
+        time.sleep(0.1)
+    assert app.processor.stats.results_processed >= 3
+
+    # force the pending detections to flush (threshold 0 → top-1 pends)
+    approved = app.processor.flush(now=time.time() + 1e6)
+    assert approved, "expected at least one approved detection"
+
+    # actions run through the job queue → datastore
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if app.datastore.count_detections() > 0:
+            break
+        time.sleep(0.1)
+    assert app.datastore.count_detections() > 0
+
+    # API surface
+    health = _get(port, "/health")
+    assert health["status"] == "healthy"
+    recents = _get(port, "/detections/recent")
+    assert recents and "scientific_name" in recents[0]
+    info = _get(port, "/system/info")
+    assert "t1" in info["sources"]
+    inference = _get(port, "/system/inference")
+    assert inference[0]["windows_processed"] >= 3
+    stats = _get(port, "/system/scheduler")
+    assert stats["processor"]["approved"] >= 1
+    summary = _get(port, "/analytics/summary")
+    assert summary[0]["count"] >= 1
+    app.stop()
+
+
+def test_api_detection_crud_and_settings(tiny_app):
+    app = tiny_app
+    app.start()
+    port = app.settings.webserver.port
+
+    # seed a detection directly
+    from tests.test_realtime_core import _detection
+
+    det_id = app.datastore.insert_detection(_detection())
+
+    row = _get(port, f"/detections/{det_id}")
+    assert row["scientific_name"] == "Turdus merula"
+
+    # review
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/detections/{det_id}/review",
+        data=json.dumps({"verdict": "correct"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        assert json.loads(r.read())["review_id"] == 1
+
+    # lock then delete → 409
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/detections/{det_id}/lock",
+        data=b"{}", headers={"Content-Type": "application/json"},
+        method="POST")
+    urllib.request.urlopen(req, timeout=5).read()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/detections/{det_id}",
+        method="DELETE")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=5)
+    assert exc.value.code == 409
+
+    # settings PATCH merges + signals
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/settings/privacy_filter",
+        data=json.dumps({"confidence": 0.2}).encode(),
+        headers={"Content-Type": "application/json"}, method="PATCH")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        body = json.loads(r.read())
+    assert body["updated"] == "privacy_filter"
+    assert app.settings.privacy_filter.confidence == 0.2
+
+    # unknown section 404
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/settings/nonsense",
+        data=b"{}", headers={"Content-Type": "application/json"},
+        method="PATCH")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=5)
+    assert exc.value.code == 404
+    app.stop()
+
+
+def test_sse_stream_delivers_detection(tiny_app):
+    import http.client
+    import threading
+
+    app = tiny_app
+    app.start()
+    port = app.settings.webserver.port
+
+    events = []
+
+    def reader():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/api/v2/detections/stream")
+        resp = conn.getresponse()
+        buf = b""
+        while len(events) < 2:
+            chunk = resp.read1(4096)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n\n" in buf:
+                raw, buf = buf.split(b"\n\n", 1)
+                if raw.strip():
+                    events.append(raw.decode())
+        conn.close()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    time.sleep(0.5)                      # let the client subscribe
+
+    app.api.sse.publish("detections", "detection",
+                        {"common_name": "Great Tit", "confidence": 0.93})
+    t.join(timeout=10)
+    assert any("connected" in e for e in events)
+    assert any("Great Tit" in e for e in events)
+    app.stop()

@@ -1,0 +1,275 @@
+"""Detection-engine behavior tests (table-driven, mirroring the reference's
+processor test strategy — SURVEY.md §4)."""
+
+import pytest
+
+from birdnet_go_tpu.analysis import deep_detection
+from birdnet_go_tpu.analysis.dynamic_threshold import DynamicThresholds
+from birdnet_go_tpu.analysis.eventtracker import EventTracker
+from birdnet_go_tpu.analysis.jobqueue import JobQueue, RetryConfig
+from birdnet_go_tpu.analysis.processor import Processor, WindowPrediction
+from birdnet_go_tpu.config.settings import ModelSettings, Settings
+from birdnet_go_tpu.taxonomy.labels import LabelSet, Species
+
+M = "BirdNET_V2.4"
+
+
+def make_labels():
+    sp = [
+        Species("Turdus merula", "Eurasian Blackbird"),        # 0
+        Species("Strix aluco", "Tawny Owl"),                   # 1
+        Species("Human vocal", "Human vocal"),                 # 2
+        Species("Canis familiaris", "Dog"),                    # 3
+        Species("Parus major", "Great Tit"),                   # 4
+    ]
+    return LabelSet(species=sp)
+
+
+def make_processor(approved_sink=None, **overrides):
+    s = Settings()
+    s.models = [ModelSettings(model_id=M, threshold=0.5)]
+    s.export.clip_length_seconds = 15.0
+    s.export.pre_capture_seconds = 3.0
+    for k, v in overrides.items():
+        # dotted path override, e.g. "privacy_filter.enabled"
+        obj = s
+        parts = k.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], v)
+    now = [1000.0]
+    p = Processor(s, {M: make_labels()},
+                  on_approved=approved_sink, clock=lambda: now[0])
+    return p, s, now
+
+
+def pred(idx, conf, t=1000.0, source="src1", model=M):
+    return WindowPrediction(source_id=source, model_id=model, start_time=t,
+                            end_time=t + 3.0, indices=[idx],
+                            confidences=[conf])
+
+
+# -- deep detection math ----------------------------------------------------------
+
+@pytest.mark.parametrize("level,overlap,expected", [
+    (0, 0.0, 1),          # off
+    (0, 2.9, 1),
+    (1, 2.0, 2),          # 6/1.0 × 0.20 = 1.2 → 2
+    (2, 2.2, 3),          # 6/0.8 × 0.30 = 2.25 → 3
+    (3, 2.4, 5),          # 6/0.6 × 0.50 = 5.0 → 5 (epsilon guard)
+    (4, 2.7, 12),         # 6/0.3 × 0.60 = 12.0 → 12
+    (5, 2.8, 21),         # 6/0.2 × 0.70 = 21.0 → 21
+    (3, 0.0, 1),          # no overlap: 6/3 × 0.5 = 1.0 → 1
+    (5, 2.95, 42),        # segment clamps at 0.1: 60 × 0.7 = 42
+])
+def test_min_detections_table(level, overlap, expected):
+    assert deep_detection.min_detections(level, overlap) == expected
+
+
+# -- threshold & filter stack -------------------------------------------------------
+
+def test_detection_below_threshold_filtered():
+    p, _, now = make_processor()
+    p.submit(pred(0, 0.4))
+    assert p.stats.detections_filtered == 1
+    assert p.pending_snapshot() == []
+
+
+def test_detection_above_threshold_pends_then_approves():
+    approved = []
+    p, _, now = make_processor(lambda d, item: approved.append(d))
+    p.submit(pred(0, 0.9, t=1000.0))
+    assert len(p.pending_snapshot()) == 1
+    # deadline = 1000 + (15 - 3) = 1012
+    assert p.flush(now=1011.9) == []
+    out = p.flush(now=1012.1)
+    assert len(out) == 1 and out[0].species.scientific == "Turdus merula"
+    assert approved and approved[0].confidence == 0.9
+    assert p.stats.detections_approved == 1
+
+
+def test_per_species_threshold_override():
+    p, s, _ = make_processor()
+    s.species.config["Turdus merula"] = {"threshold": 0.95}
+    p.submit(pred(0, 0.9))          # below species override
+    assert p.stats.detections_filtered == 1
+    p.submit(pred(1, 0.9))          # other species uses model threshold 0.5
+    assert len(p.pending_snapshot()) == 1
+
+
+def test_exclusion_list():
+    p, s, _ = make_processor()
+    s.species.exclude = ["Turdus merula"]
+    p.submit(pred(0, 0.99))
+    assert p.stats.detections_filtered == 1
+
+
+def test_range_filter_inclusion_and_config_include_override():
+    p, s, _ = make_processor()
+    p.set_included_species({"Strix aluco"})
+    p.submit(pred(0, 0.9))          # blackbird not in range → filtered
+    assert p.stats.detections_filtered == 1
+    p.submit(pred(1, 0.9))          # owl in range
+    assert len(p.pending_snapshot()) == 1
+    # config include list bypasses the range filter (range_filter.go merge)
+    s.species.include = ["Turdus merula"]
+    p.submit(pred(0, 0.9))
+    assert len(p.pending_snapshot()) == 2
+
+
+def test_cross_model_consensus_merges_contributions():
+    p, s, _ = make_processor()
+    s.models.append(ModelSettings(model_id="Perch_V2", threshold=0.5))
+    p._model_settings = {m.model_id: m for m in s.models}
+    p.labels_by_model["Perch_V2"] = make_labels()
+    p.submit(pred(0, 0.6, t=1000.0))
+    p.submit(pred(0, 0.8, t=1001.5, model="Perch_V2"))
+    items = p.pending_snapshot()
+    assert len(items) == 1
+    item = items[0]
+    assert item.count == 2
+    assert set(item.contributions) == {M, "Perch_V2"}
+    assert item.best_model_id == "Perch_V2"          # higher max confidence
+    assert item.detection.confidence == 0.8
+
+
+def test_deep_detection_requires_repeats():
+    approved = []
+    p, s, now = make_processor(lambda d, i: approved.append(d),
+                               **{"deep_detection.level": 2})
+    s.models[0].overlap = 2.2        # → minDetections 3
+    p.submit(pred(0, 0.9, t=1000.0))
+    p.submit(pred(0, 0.9, t=1000.8))
+    out = p.flush(now=1013.0)
+    assert out == []                  # only 2/3 confirmations
+    assert p.stats.discard_reasons.get(
+        "false positive, matched 2/3 times") == 1
+    # now with 3 hits
+    for i in range(3):
+        p.submit(pred(0, 0.9, t=1020.0 + 0.8 * i))
+    assert len(p.flush(now=1033.0)) == 1
+
+
+def test_privacy_filter_ge_semantics():
+    # human detected at exactly the bird's start time must discard (>= not >)
+    p, _, _ = make_processor(**{"privacy_filter.enabled": True})
+    p.submit(pred(0, 0.9, t=1000.0))
+    p.submit(pred(2, 0.06, t=1000.0))        # human vocal, same timestamp
+    assert p.flush(now=1013.0) == []
+    assert p.stats.discard_reasons.get("privacy filter") == 1
+
+
+def test_privacy_filter_before_detection_passes():
+    p, _, _ = make_processor(**{"privacy_filter.enabled": True})
+    p.submit(pred(2, 0.9, t=999.0))          # human before detection start
+    p.submit(pred(0, 0.9, t=1000.0))
+    assert len(p.flush(now=1013.0)) == 1
+
+
+def test_privacy_confidence_floor():
+    p, _, _ = make_processor(**{"privacy_filter.enabled": True})
+    p.submit(pred(0, 0.9, t=1000.0))
+    p.submit(pred(2, 0.04, t=1001.0))        # below 0.05 floor: ignored
+    assert len(p.flush(now=1013.0)) == 1
+
+
+def test_human_never_stored_as_detection():
+    p, _, _ = make_processor()
+    p.submit(pred(2, 0.99))
+    assert p.pending_snapshot() == []
+
+
+def test_dog_bark_filter_window():
+    p, _, _ = make_processor(**{"dog_bark_filter.enabled": True})
+    p.submit(pred(3, 0.5, t=1000.0))          # dog bark
+    p.submit(pred(0, 0.9, t=1100.0))          # 100 s later, within 5 min
+    assert p.flush(now=1113.0) == []
+    assert p.stats.discard_reasons.get("recent dog bark") == 1
+    p.submit(pred(0, 0.9, t=1000.0 + 301.0))  # past the 5 min window
+    assert len(p.flush(now=1320.0)) == 1
+
+
+# -- dynamic thresholds ----------------------------------------------------------------
+
+def test_dynamic_threshold_learning_and_decay():
+    dt = DynamicThresholds(trigger=0.9, floor=0.2, valid_hours=1.0)
+    base = 0.8
+    t0 = 10_000.0
+    assert dt.adjust(base, M, "X", now=t0) == base
+    dt.learn(0.95, M, "X", now=t0)                     # level 1
+    assert dt.adjust(base, M, "X", now=t0) == pytest.approx(0.6)
+    dt.learn(0.99, M, "X", now=t0)                     # level 2
+    assert dt.adjust(base, M, "X", now=t0) == pytest.approx(0.4)
+    dt.learn(0.99, M, "X", now=t0)                     # level 3 (max)
+    dt.learn(0.99, M, "X", now=t0)                     # stays 3
+    assert dt.adjust(base, M, "X", now=t0) == pytest.approx(0.2)  # floored
+    # decay after expiry
+    assert dt.adjust(base, M, "X", now=t0 + 3601) < base
+    assert dt.adjust(base, M, "X", now=t0 + 5 * 3600) == base
+
+
+def test_dynamic_threshold_low_conf_does_not_learn():
+    dt = DynamicThresholds(trigger=0.9)
+    dt.learn(0.85, M, "X", now=0.0)
+    assert dt.adjust(0.8, M, "X", now=0.0) == 0.8
+
+
+def test_dynamic_threshold_clear():
+    dt = DynamicThresholds()
+    dt.learn(0.95, M, "X", now=0.0)
+    dt.learn(0.95, M, "Y", now=0.0)
+    assert dt.clear(scientific="X") == 1
+    assert dt.adjust(0.8, M, "X", now=0.0) == 0.8
+    assert dt.adjust(0.8, M, "Y", now=0.0) < 0.8
+
+
+# -- event tracker / job queue -----------------------------------------------------------
+
+def test_event_tracker_interval():
+    et = EventTracker(default_interval_seconds=15.0)
+    assert et.should_act("X", "log", now=0.0)
+    assert not et.should_act("X", "log", now=10.0)
+    assert et.should_act("X", "log", now=15.5)
+    assert et.should_act("X", "db", now=10.0)       # separate action kind
+
+
+def test_job_queue_runs_and_counts():
+    q = JobQueue(capacity=10, workers=2)
+    q.start()
+    done = []
+    for i in range(5):
+        q.enqueue(lambda i=i: done.append(i), f"job{i}")
+    q.stop(drain=True)
+    assert sorted(done) == [0, 1, 2, 3, 4]
+    assert q.stats.completed == 5
+
+
+def test_job_queue_retry_then_success():
+    q = JobQueue(capacity=10, workers=1)
+    attempts = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("transient")
+
+    q.start()
+    q.enqueue(flaky, "flaky",
+              retry=RetryConfig(enabled=True, max_retries=5,
+                                initial_delay=0.01, max_delay=0.02))
+    import time as _t
+    deadline = _t.monotonic() + 5
+    while len(attempts) < 3 and _t.monotonic() < deadline:
+        _t.sleep(0.02)
+    q.stop(drain=True)
+    assert len(attempts) == 3
+    assert q.stats.completed == 1
+    assert q.stats.retried == 2
+
+
+def test_job_queue_drop_when_full():
+    q = JobQueue(capacity=2, workers=1)   # not started: nothing drains
+    assert q.enqueue(lambda: None, "a")
+    assert q.enqueue(lambda: None, "b")
+    assert not q.enqueue(lambda: None, "c")
+    assert q.stats.dropped == 1

@@ -1,0 +1,295 @@
+"""Realtime core: streaming resampler continuity, engine fan-out, the
+batched device loop, results queue, and datastore."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from birdnet_go_tpu.audio.engine import AudioEngine
+from birdnet_go_tpu.audio.resampler import StreamingResampler
+from birdnet_go_tpu.audio.source import AudioSource, SourceType
+from birdnet_go_tpu.datastore.sqlite import Datastore
+from birdnet_go_tpu.models.registry import ModelSpec
+from birdnet_go_tpu.scheduler.loop import DeviceLoop, ModelBatcher
+from birdnet_go_tpu.scheduler.results_queue import ResultsQueue
+
+
+# -- streaming resampler ---------------------------------------------------------
+
+def test_streaming_matches_batch_resample():
+    from birdnet_go_tpu.ops.resample import ResampleConfig, polyphase_resample
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(48000).astype(np.float32) * 0.4
+    ref = np.asarray(polyphase_resample(jnp.asarray(x),
+                                        ResampleConfig(48000, 32000)))
+    rs = StreamingResampler(48000, 32000)
+    outs = []
+    pos = 0
+    # deliberately ragged chunk sizes
+    for n in (1000, 37, 4096, 12345, 1, 9999, 48000):
+        chunk = x[pos:pos + n]
+        pos += len(chunk)
+        outs.append(rs.process(chunk))
+        if pos >= len(x):
+            break
+    outs.append(rs.flush())
+    y = np.concatenate(outs)
+    n = min(len(y), len(ref))
+    assert n >= len(ref) - 2
+    np.testing.assert_allclose(y[:n], ref[:n], atol=5e-4)
+
+
+def test_streaming_identity_passthrough():
+    rs = StreamingResampler(48000, 48000)
+    x = np.ones(100, np.float32)
+    np.testing.assert_array_equal(rs.process(x), x)
+
+
+def test_streaming_upsample_length():
+    rs = StreamingResampler(32000, 48000)
+    total_out = 0
+    for _ in range(10):
+        total_out += len(rs.process(np.zeros(3200, np.float32)))
+    total_out += len(rs.flush())
+    assert abs(total_out - 48000) <= 2
+
+
+# -- engine fan-out ----------------------------------------------------------------
+
+SPEC_A = ModelSpec(model_id="A48", display_name="A", sample_rate=48000,
+                   clip_seconds=3.0, num_species=5)
+SPEC_B = ModelSpec(model_id="B32", display_name="B", sample_rate=32000,
+                   clip_seconds=5.0, num_species=5)
+SPEC_BAT = ModelSpec(model_id="BatX", display_name="Bat", sample_rate=48000,
+                     clip_seconds=3.0, num_species=5, raw_sample_rate=256000)
+
+
+def _src(sid="s1", rate=48000):
+    return AudioSource(source_id=sid, source_type=SourceType.FILE,
+                       display_name=sid, sample_rate=rate)
+
+
+def test_engine_windows_at_default_overlap():
+    eng = AudioEngine([SPEC_A])
+    eng.add_source(_src())
+    # 3 s clip, 50% overlap → first window after 1.5 s fresh (zero prefix),
+    # then one per 1.5 s
+    eng.ingest("s1", np.ones(72000, np.int16), timestamp=100.0)
+    ready = eng.collect_ready()
+    assert len(ready) == 1
+    model_id, w, sid, start = ready[0]
+    assert model_id == "A48" and sid == "s1"
+    assert len(w) == 144000
+    assert (w[:72000] == 0).all() and (w[72000:] == 1).all()
+    assert start == pytest.approx(100.0 - 3.0)
+    # nothing new until another 1.5 s arrives
+    assert eng.collect_ready() == []
+    eng.ingest("s1", np.full(72000, 2, np.int16), timestamp=101.5)
+    ready = eng.collect_ready()
+    assert len(ready) == 1
+    w = ready[0][1]
+    assert (w[:72000] == 1).all() and (w[72000:] == 2).all()
+
+
+def test_engine_multimodel_resample_fanout():
+    eng = AudioEngine([SPEC_A, SPEC_B])
+    eng.add_source(_src())
+    # 10 s of audio at 48 kHz: A (3s/1.5s hop) → windows; B needs 32 kHz
+    # resample and 5 s clips (2.5 s hop). Push 0.1 s extra to cover the
+    # streaming resampler's causal filter latency (~1 ms withheld).
+    for i in range(10):
+        eng.ingest("s1", np.ones(48000, np.int16))
+    eng.ingest("s1", np.ones(4800, np.int16))
+    ready = eng.collect_ready()
+    by_model = {}
+    for model_id, w, sid, start in ready:
+        by_model.setdefault(model_id, []).append(w)
+    # A: fresh windows every 1.5 s → floor(10/1.5) = 6
+    assert len(by_model["A48"]) == 6
+    # B: 10 s → 32000×10 samples → hop 2.5 s → 4 windows
+    assert len(by_model["B32"]) == 4
+    assert all(len(w) == 160000 for w in by_model["B32"])
+
+
+def test_engine_bat_raw_rate_no_resample():
+    eng = AudioEngine([SPEC_BAT])
+    eng.add_source(_src(rate=256000))
+    # 256 kHz source feeds the bat model unresampled: window = 144000 raw
+    # samples ≈ 0.5625 s of wall audio. 144000 raw samples = 2× the 72000
+    # fresh-read size → two windows (first with zero prefix).
+    eng.ingest("s1", np.ones(144000, np.int16))
+    ready = eng.collect_ready()
+    assert len(ready) == 2
+    assert all(len(r[1]) == 144000 for r in ready)
+    assert (ready[0][1][:72000] == 0).all()
+
+
+def test_engine_stream_health():
+    eng = AudioEngine([SPEC_A])
+    eng.add_source(_src())
+    eng.ingest("s1", np.zeros(4800, np.int16))
+    h = eng.stream_health()
+    assert "s1" in h
+    assert h["s1"]["capture_seconds_buffered"] == pytest.approx(0.1)
+
+
+# -- batched device loop --------------------------------------------------------------
+
+class _TinyClassifier:
+    """Classifier double for scheduler tests (tiny real JAX model)."""
+
+    def __init__(self):
+        from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+        from birdnet_go_tpu.models.efficientnet import (
+            BlockSpec,
+            EfficientNetConfig,
+        )
+        from birdnet_go_tpu.ops.melspec import MelConfig
+
+        m = BirdNETv24(num_species=7,
+                       mel=MelConfig(sample_rate=48000, n_fft=256, hop=8192,
+                                     n_mels=16),
+                       compute_dtype=jnp.float32)
+        m.net = EfficientNetConfig(blocks=(BlockSpec(1, 8, 3, 2, 1),),
+                                   embedding_dim=16, num_classes=7)
+        self.model = m
+        self.params = m.init(jax.random.PRNGKey(0))
+        self._range_mask = None
+
+
+def test_model_batcher_dispatch_and_harvest():
+    clf = _TinyClassifier()
+    results = []
+    b = ModelBatcher(clf, max_batch=4, top_k=3,
+                     on_result=lambda w, vals, idx: results.append(
+                         (w.source_id, w.start_time, vals, idx)))
+    pcm = np.zeros(144000, np.int16)
+    assert b.offer(pcm, "s1", 10.0)
+    assert b.offer(pcm, "s2", 11.0)
+    assert b.dispatch() == 2
+    assert results == []                 # still in flight
+    b.harvest()
+    assert len(results) == 2
+    assert results[0][0] == "s1" and results[1][1] == 11.0
+    assert results[0][2].shape == (3,)
+    assert b.stats.windows_processed == 2
+    assert b.stats.last_batch_fill == 0.5
+
+
+def test_model_batcher_overflow_defers():
+    clf = _TinyClassifier()
+    b = ModelBatcher(clf, max_batch=2, top_k=2)
+    pcm = np.zeros(144000, np.int16)
+    assert b.offer(pcm, "a", 0.0)
+    assert b.offer(pcm, "b", 0.0)
+    assert not b.offer(pcm, "c", 0.0)
+    assert b.stats.windows_deferred == 1
+
+
+def test_device_loop_end_to_end_tick():
+    clf = _TinyClassifier()
+    eng = AudioEngine([ModelSpec(model_id="BirdNET_V2.4", display_name="t",
+                                 sample_rate=48000, clip_seconds=3.0,
+                                 num_species=7)])
+    eng.add_source(_src())
+    results = []
+    b = ModelBatcher(clf, max_batch=4, top_k=3,
+                     on_result=lambda w, v, i: results.append(w))
+    loop = DeviceLoop(tick_seconds=0.01)
+    loop.add_batcher(b)
+    loop.add_provider(eng.collect_ready)
+    eng.ingest("s1", np.ones(144000, np.int16))   # 3 s → 1 full + partial
+    n = loop.run_tick()
+    assert n == 2                                  # 2 windows ready (1.5 s hop)
+    loop.run_tick()                                # harvests previous
+    loop.drain()
+    assert len(results) == 2
+
+
+# -- results queue ----------------------------------------------------------------------
+
+def test_results_queue_drop_accounting():
+    q = ResultsQueue(capacity=2)
+    assert q.put(1) and q.put(2)
+    assert not q.put(3)
+    assert q.dropped == 1 and q.enqueued == 2
+    assert q.get() == 1
+
+
+# -- datastore ----------------------------------------------------------------------------
+
+def _detection(sci="Turdus merula", common="Eurasian Blackbird", conf=0.9,
+               ts=1_700_000_000.0, source="s1"):
+    import datetime
+
+    from birdnet_go_tpu.analysis.results import Detection
+    from birdnet_go_tpu.taxonomy.labels import Species
+
+    return Detection(species=Species(sci, common), confidence=conf,
+                     begin_seconds=ts, end_seconds=ts + 12,
+                     model_id="BirdNET_V2.4", source_id=source,
+                     timestamp=datetime.datetime.fromtimestamp(ts),
+                     species_code="eurbla")
+
+
+def test_datastore_crud_and_contributions():
+    from birdnet_go_tpu.analysis.processor import ModelContribution
+
+    ds = Datastore(":memory:")
+    det_id = ds.insert_detection(
+        _detection(), clip_name="clip.wav",
+        contributions={"BirdNET_V2.4": ModelContribution("BirdNET_V2.4", 3, 0.9),
+                       "Perch_V2": ModelContribution("Perch_V2", 1, 0.7)})
+    row = ds.get_detection(det_id)
+    assert row["scientific_name"] == "Turdus merula"
+    assert row["clip_name"] == "clip.wav"
+    assert len(row["contributions"]) == 2
+    assert ds.count_detections() == 1
+    assert ds.delete_detection(det_id)
+    assert ds.get_detection(det_id) is None
+
+
+def test_datastore_lock_blocks_delete():
+    ds = Datastore(":memory:")
+    det_id = ds.insert_detection(_detection())
+    ds.lock_detection(det_id)
+    with pytest.raises(PermissionError):
+        ds.delete_detection(det_id)
+    ds.lock_detection(det_id, locked=False)
+    assert ds.delete_detection(det_id)
+
+
+def test_datastore_search_and_analytics():
+    ds = Datastore(":memory:")
+    for hour in (6, 6, 7, 18):
+        ts = 1_700_000_000.0 - 1_700_000_000.0 % 86400 + hour * 3600
+        ds.insert_detection(_detection(ts=ts))
+    ds.insert_detection(_detection(sci="Parus major", common="Great Tit",
+                                   conf=0.6))
+    assert len(ds.search_detections(species="Turdus merula")) == 4
+    assert len(ds.search_detections(min_confidence=0.8)) == 4
+    assert len(ds.search_detections(limit=2)) == 2
+    summary = ds.species_summary()
+    assert summary[0]["scientific_name"] == "Turdus merula"
+    assert summary[0]["count"] == 4
+    hist = ds.confidence_histogram()
+    assert sum(hist) == 5
+    dist = ds.hourly_distribution()
+    assert sum(dist) == 5
+    reviews = ds.review_detection(1, "correct", "confirmed by ear")
+    assert reviews == 1
+    with pytest.raises(ValueError):
+        ds.review_detection(1, "maybe")
+
+
+def test_datastore_dynamic_threshold_roundtrip():
+    from birdnet_go_tpu.analysis.dynamic_threshold import ThresholdState
+
+    ds = Datastore(":memory:")
+    state = {("BirdNET_V2.4", "Turdus merula"): ThresholdState(2, 5, 123.0)}
+    ds.save_dynamic_thresholds(state)
+    loaded = ds.load_dynamic_thresholds()
+    st = loaded[("BirdNET_V2.4", "Turdus merula")]
+    assert st.level == 2 and st.high_conf_count == 5 and st.expires_at == 123.0
