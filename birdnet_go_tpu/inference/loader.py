@@ -50,10 +50,70 @@ def build_model(model_id: str, **kwargs) -> Any:
                        f"known: {sorted(_FAMILIES)}") from None
 
 
+class ImportedModel:
+    """Adapter exposing an imported .tflite/.onnx graph through the native
+    model interface (spec/num_species/apply) so JaxClassifier and the
+    scheduler treat converted models exactly like native ones."""
+
+    def __init__(self, graph, model_id: str):
+        from birdnet_go_tpu.models.registry import MODEL_REGISTRY, ModelSpec
+
+        self.graph = graph
+        base = MODEL_REGISTRY.get(model_id)
+        self._probe_species(graph)
+        if base is not None:
+            self.spec = base
+            if self.num_species is None:
+                self.num_species = base.num_species
+        else:
+            self.spec = ModelSpec(
+                model_id=model_id, display_name=model_id,
+                sample_rate=48000, clip_seconds=3.0,
+                num_species=self.num_species or 0)
+
+    def _probe_species(self, graph) -> None:
+        self.num_species = None
+        try:
+            if hasattr(graph, "model"):         # tflite
+                out = graph.model.tensors[graph.model.outputs[0]]
+                if out.shape:
+                    self.num_species = int(out.shape[-1])
+        except Exception:
+            pass
+
+    def init(self, key):
+        return self.graph.params
+
+    def apply(self, params, pcm, train: bool = False):
+        outs = self.graph.apply(params, pcm)
+        logits = outs[0]
+        emb = outs[1] if len(outs) > 1 else logits
+        return {"logits": logits, "embedding": emb}
+
+    def __call__(self, params, pcm, train: bool = False):
+        return self.apply(params, pcm, train)
+
+
 def load_model(model_id: str, checkpoint: str | None = None, seed: int = 0,
                **kwargs) -> tuple[Any, Any]:
-    """Returns (model, params)."""
+    """Returns (model, params). `checkpoint` may be an orbax dir, a
+    .tflite flatbuffer, or a .onnx proto (imported via the converters)."""
     from birdnet_go_tpu.inference.checkpoint import load_params
+
+    if checkpoint and str(checkpoint).endswith(".tflite"):
+        from birdnet_go_tpu.inference.tflite_import import load_tflite
+
+        g = load_tflite(checkpoint)
+        model = ImportedModel(g, model_id)
+        log.info("imported %s from tflite %s", model_id, checkpoint)
+        return model, g.params
+    if checkpoint and str(checkpoint).endswith(".onnx"):
+        from birdnet_go_tpu.inference.onnx_import import load_onnx
+
+        g = load_onnx(checkpoint)
+        model = ImportedModel(g, model_id)
+        log.info("imported %s from onnx %s", model_id, checkpoint)
+        return model, g.params
 
     model = build_model(model_id, **kwargs)
     if checkpoint:

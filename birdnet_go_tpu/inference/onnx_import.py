@@ -1,0 +1,516 @@
+"""ONNX model → jittable JAX function + parameter pytree.
+
+Replaces the reference's ONNX Runtime C sessions (internal/inference/onnx
+via onnxruntime_go CGO: Perch v2, BirdNET v3.0, bat embedding+head,
+geomodel v3 range filter) with a graph-to-JAX compiler over a minimal
+protobuf wire reader (protowire.py — no onnx/protobuf runtime needed).
+
+Field numbers follow the public onnx.proto3:
+ModelProto{graph=7}; GraphProto{node=1, name=2, initializer=5, input=11,
+output=12}; NodeProto{input=1, output=2, name=3, op_type=4, attribute=5};
+TensorProto{dims=1, data_type=2, float_data=4, int32_data=5, string_data=6,
+int64_data=7, name=8, raw_data=9, double_data=10}; AttributeProto{name=1,
+f=2, i=3, s=4, t=5, floats=7, ints=8, type=20};
+ValueInfoProto{name=1, type=2}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import struct
+from typing import Any, Callable
+
+import numpy as np
+
+from birdnet_go_tpu.inference import protowire as pw
+
+log = logging.getLogger("birdnet_tpu.onnx")
+
+# TensorProto.DataType
+_DT_FLOAT, _DT_UINT8, _DT_INT8, _DT_INT32, _DT_INT64 = 1, 2, 3, 6, 7
+_DT_BOOL, _DT_FLOAT16, _DT_DOUBLE = 9, 10, 11
+_NP = {
+    _DT_FLOAT: np.float32, _DT_UINT8: np.uint8, _DT_INT8: np.int8,
+    _DT_INT32: np.int32, _DT_INT64: np.int64, _DT_BOOL: np.bool_,
+    _DT_FLOAT16: np.float16, _DT_DOUBLE: np.float64,
+}
+
+
+@dataclasses.dataclass
+class OnnxNode:
+    op_type: str
+    inputs: list[str]
+    outputs: list[str]
+    attrs: dict[str, Any]
+    name: str = ""
+
+
+@dataclasses.dataclass
+class OnnxGraphDef:
+    nodes: list[OnnxNode]
+    initializers: dict[str, np.ndarray]
+    inputs: list[str]                      # runtime inputs (non-initializer)
+    outputs: list[str]
+    name: str = ""
+
+
+def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
+    f = pw.decode_message(buf)
+    dims = [pw.signed(v) for v in f.get(1, [])]
+    dtype_code = f.get(2, [_DT_FLOAT])[0]
+    name = f.get(8, [b""])[0].decode()
+    np_dtype = _NP.get(dtype_code)
+    if np_dtype is None:
+        raise ValueError(f"unsupported tensor dtype {dtype_code}")
+    if 9 in f:                                     # raw_data
+        arr = np.frombuffer(f[9][0], dtype=np_dtype)
+    elif 4 in f and dtype_code == _DT_FLOAT:       # float_data (packed)
+        arr = np.asarray(pw.decode_packed_floats(f[4][0]), np.float32) \
+            if isinstance(f[4][0], bytes) else np.asarray(f[4], np.float32)
+    elif 7 in f:                                   # int64_data
+        vals = (pw.decode_packed_varints(f[7][0])
+                if isinstance(f[7][0], bytes) else f[7])
+        arr = np.asarray([pw.signed(v) for v in vals], np.int64)
+    elif 5 in f:                                   # int32_data
+        vals = (pw.decode_packed_varints(f[5][0])
+                if isinstance(f[5][0], bytes) else f[5])
+        arr = np.asarray([pw.signed(v, 32) for v in vals], np.int32)
+    elif 10 in f:                                  # double_data
+        arr = np.asarray(pw.decode_packed_doubles(f[10][0]), np.float64) \
+            if isinstance(f[10][0], bytes) else np.asarray(f[10], np.float64)
+    else:
+        arr = np.zeros(0, np_dtype)
+    if dims:
+        arr = arr.reshape(dims)
+    if arr.dtype == np.float16:
+        arr = arr.astype(np.float32)
+    return name, arr
+
+
+def _parse_attr(buf: bytes) -> tuple[str, Any]:
+    f = pw.decode_message(buf)
+    name = f.get(1, [b""])[0].decode()
+    atype = f.get(20, [0])[0]
+    if atype == 1:                                  # FLOAT
+        raw = f.get(2, [0])[0]
+        return name, struct.unpack("<f", struct.pack("<I", raw))[0]
+    if atype == 2:                                  # INT
+        return name, pw.signed(f.get(3, [0])[0])
+    if atype == 3:                                  # STRING
+        return name, f.get(4, [b""])[0].decode()
+    if atype == 4:                                  # TENSOR
+        return name, _parse_tensor(f.get(5, [b""])[0])[1]
+    if atype == 6:                                  # FLOATS
+        vals = f.get(7, [])
+        if len(vals) == 1 and isinstance(vals[0], bytes):
+            return name, pw.decode_packed_floats(vals[0])
+        return name, [struct.unpack("<f", struct.pack("<I", v))[0]
+                      for v in vals]
+    if atype == 7:                                  # INTS
+        vals = f.get(8, [])
+        if len(vals) == 1 and isinstance(vals[0], bytes) and len(vals[0]) > 9:
+            return name, [pw.signed(v)
+                          for v in pw.decode_packed_varints(vals[0])]
+        out = []
+        for v in vals:
+            if isinstance(v, bytes):
+                out.extend(pw.signed(x)
+                           for x in pw.decode_packed_varints(v))
+            else:
+                out.append(pw.signed(v))
+        return name, out
+    return name, None
+
+
+def parse_onnx(buf: bytes) -> OnnxGraphDef:
+    model = pw.decode_message(buf)
+    graph_raw = model.get(7)
+    if not graph_raw:
+        raise ValueError("not an ONNX model (no graph)")
+    g = pw.decode_message(graph_raw[0])
+    initializers = {}
+    for t in g.get(5, []):
+        name, arr = _parse_tensor(t)
+        initializers[name] = arr
+    nodes = []
+    for n in g.get(1, []):
+        nf = pw.decode_message(n)
+        attrs = dict(_parse_attr(a) for a in nf.get(5, []))
+        nodes.append(OnnxNode(
+            op_type=nf.get(4, [b""])[0].decode(),
+            inputs=[x.decode() for x in nf.get(1, [])],
+            outputs=[x.decode() for x in nf.get(2, [])],
+            attrs=attrs, name=nf.get(3, [b""])[0].decode()))
+
+    def _vi_names(field):
+        out = []
+        for vi in g.get(field, []):
+            vf = pw.decode_message(vi)
+            out.append(vf.get(1, [b""])[0].decode())
+        return out
+
+    inputs = [n for n in _vi_names(11) if n not in initializers]
+    outputs = _vi_names(12)
+    return OnnxGraphDef(nodes=nodes, initializers=initializers,
+                        inputs=inputs, outputs=outputs,
+                        name=g.get(2, [b""])[0].decode())
+
+
+# ---------------------------------------------------------------------------
+# Graph → JAX
+# ---------------------------------------------------------------------------
+
+
+def _auto_pad_to_str(attrs, default="NOTSET"):
+    ap = attrs.get("auto_pad", default)
+    return ap if isinstance(ap, str) else default
+
+
+class OnnxGraph:
+    """params pytree + pure apply(params, *inputs). NCHW stays NCHW —
+    XLA's layout assignment handles TPU-friendly layouts internally."""
+
+    def __init__(self, graph: OnnxGraphDef):
+        self.graph = graph
+        self.params = {k: v for k, v in graph.initializers.items()}
+        unsupported = sorted({n.op_type for n in graph.nodes
+                              if n.op_type not in _ONNX_OPS})
+        if unsupported:
+            raise NotImplementedError(
+                f"onnx ops not yet supported: {unsupported}")
+
+    def apply(self, params: dict[str, Any], *inputs):
+        import jax.numpy as jnp
+
+        g = self.graph
+        env: dict[str, Any] = {}
+        if len(inputs) != len(g.inputs):
+            raise ValueError(
+                f"expected {len(g.inputs)} inputs {g.inputs}, "
+                f"got {len(inputs)}")
+        for name, val in zip(g.inputs, inputs):
+            env[name] = jnp.asarray(val)
+
+        def value(name: str):
+            if name in env:
+                return env[name]
+            if name in params:
+                return jnp.asarray(params[name])
+            raise KeyError(f"tensor {name!r} undefined")
+
+        # Static (trace-time) constants for shape-like inputs: reshape
+        # shapes, slice indices, reduce axes must be Python ints, never
+        # tracers — they come from the graph's initializers.
+        def const(name: str) -> np.ndarray:
+            if name in g.initializers:
+                return g.initializers[name]
+            raise KeyError(
+                f"{name!r} must be a constant initializer (shape-like "
+                f"inputs cannot be runtime tensors)")
+
+        value.const = const
+
+        for node in g.nodes:
+            outs = _ONNX_OPS[node.op_type](node, value)
+            if not isinstance(outs, (tuple, list)):
+                outs = [outs]
+            for oname, oval in zip(node.outputs, outs):
+                env[oname] = oval
+        return [env[o] for o in g.outputs]
+
+    def jitted(self):
+        import jax
+
+        return jax.jit(self.apply)
+
+
+def _conv(node: OnnxNode, value):
+    import jax
+
+    x = value(node.inputs[0])                     # NCHW
+    w = value(node.inputs[1])                     # OIHW
+    a = node.attrs
+    spatial = x.ndim - 2
+    strides = tuple(a.get("strides", [1] * spatial))
+    dil = tuple(a.get("dilations", [1] * spatial))
+    groups = int(a.get("group", 1))
+    pads = a.get("pads")
+    auto = _auto_pad_to_str(a)
+    if auto in ("SAME_UPPER", "SAME_LOWER"):
+        padding = "SAME"
+    elif pads:
+        padding = [(int(pads[i]), int(pads[i + spatial]))
+                   for i in range(spatial)]
+    else:
+        padding = "VALID"
+    dn = ("NCHW", "OIHW", "NCHW") if spatial == 2 else ("NCW", "OIW", "NCW")
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding, rhs_dilation=dil,
+        dimension_numbers=dn, feature_group_count=groups,
+        preferred_element_type=x.dtype)
+    if len(node.inputs) > 2:
+        b = value(node.inputs[2])
+        y = y + b.reshape((1, -1) + (1,) * spatial)
+    return y
+
+
+def _gemm(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    a = value(node.inputs[0])
+    b = value(node.inputs[1])
+    attrs = node.attrs
+    if int(attrs.get("transA", 0)):
+        a = a.T
+    if int(attrs.get("transB", 0)):
+        b = b.T
+    y = jnp.dot(a, b, preferred_element_type=a.dtype) \
+        * attrs.get("alpha", 1.0)
+    if len(node.inputs) > 2:
+        y = y + value(node.inputs[2]) * attrs.get("beta", 1.0)
+    return y
+
+
+def _batchnorm(node: OnnxNode, value):
+    import jax
+
+    x = value(node.inputs[0])
+    scale = value(node.inputs[1])
+    bias = value(node.inputs[2])
+    mean = value(node.inputs[3])
+    var = value(node.inputs[4])
+    eps = node.attrs.get("epsilon", 1e-5)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    k = scale * jax.lax.rsqrt(var + eps)
+    return x * k.reshape(shape) + (bias - mean * k).reshape(shape)
+
+
+def _pool(kind: str):
+    def h(node: OnnxNode, value):
+        import jax
+        import jax.numpy as jnp
+
+        x = value(node.inputs[0])
+        a = node.attrs
+        spatial = x.ndim - 2
+        ks = tuple(a.get("kernel_shape", [1] * spatial))
+        strides = tuple(a.get("strides", ks))
+        pads = a.get("pads")
+        if pads and any(pads):
+            padding = [(0, 0), (0, 0)] + [
+                (int(pads[i]), int(pads[i + spatial]))
+                for i in range(spatial)]
+        else:
+            padding = [(0, 0)] * x.ndim
+        dims = (1, 1) + ks
+        strd = (1, 1) + strides
+        if kind == "max":
+            return jax.lax.reduce_window(x, -np.inf, jax.lax.max, dims,
+                                         strd, padding)
+        s = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strd, padding)
+        cnt = jax.lax.reduce_window(jnp.ones_like(x), 0.0, jax.lax.add,
+                                    dims, strd, padding)
+        return s / cnt
+
+    return h
+
+
+def _global_avg_pool(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    return jnp.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True)
+
+
+def _reshape(node: OnnxNode, value):
+    shape = np.asarray(value.const(node.inputs[1])).ravel().tolist()
+    x = value(node.inputs[0])
+    # ONNX semantics: 0 = copy input dim
+    shape = [x.shape[i] if s == 0 else int(s) for i, s in enumerate(shape)]
+    return x.reshape(shape)
+
+
+def _elementwise(fn):
+    def h(node: OnnxNode, value):
+        return fn(*[value(i) for i in node.inputs])
+
+    return h
+
+
+def _clip(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    lo = (value(node.inputs[1]) if len(node.inputs) > 1 and node.inputs[1]
+          else node.attrs.get("min", -np.inf))
+    hi = (value(node.inputs[2]) if len(node.inputs) > 2 and node.inputs[2]
+          else node.attrs.get("max", np.inf))
+    return jnp.clip(x, lo, hi)
+
+
+def _reduce_mean(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    axes = node.attrs.get("axes")
+    if axes is None and len(node.inputs) > 1:
+        axes = np.asarray(value.const(node.inputs[1])).ravel().tolist()
+    keep = bool(node.attrs.get("keepdims", 1))
+    return jnp.mean(x, axis=tuple(int(a) % x.ndim for a in axes)
+                    if axes else None, keepdims=keep)
+
+
+def _transpose(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    perm = node.attrs.get("perm", list(range(x.ndim))[::-1])
+    return jnp.transpose(x, perm)
+
+
+def _concat(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    return jnp.concatenate([value(i) for i in node.inputs],
+                           axis=int(node.attrs.get("axis", 0)))
+
+
+def _softmax(node: OnnxNode, value):
+    import jax
+
+    return jax.nn.softmax(value(node.inputs[0]),
+                          axis=int(node.attrs.get("axis", -1)))
+
+
+def _squeeze(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    axes = node.attrs.get("axes")
+    if axes is None and len(node.inputs) > 1:
+        axes = np.asarray(value.const(node.inputs[1])).ravel().tolist()
+    if not axes:
+        return jnp.squeeze(x)
+    return jnp.squeeze(x, axis=tuple(int(a) % x.ndim for a in axes))
+
+
+def _unsqueeze(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    axes = node.attrs.get("axes")
+    if axes is None and len(node.inputs) > 1:
+        axes = np.asarray(value.const(node.inputs[1])).ravel().tolist()
+    for a in sorted(int(a) for a in axes):
+        x = jnp.expand_dims(x, a)
+    return x
+
+
+def _flatten(node: OnnxNode, value):
+    x = value(node.inputs[0])
+    axis = int(node.attrs.get("axis", 1))
+    lead = int(np.prod(x.shape[:axis])) if axis else 1
+    return x.reshape(lead, -1)
+
+
+def _gather(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    idx = value(node.inputs[1]).astype(jnp.int32)
+    return jnp.take(x, idx, axis=int(node.attrs.get("axis", 0)))
+
+
+def _slice(node: OnnxNode, value):
+    x = value(node.inputs[0])
+    starts = np.asarray(value.const(node.inputs[1])).ravel()
+    ends = np.asarray(value.const(node.inputs[2])).ravel()
+    axes = (np.asarray(value.const(node.inputs[3])).ravel()
+            if len(node.inputs) > 3 else np.arange(len(starts)))
+    steps = (np.asarray(value.const(node.inputs[4])).ravel()
+             if len(node.inputs) > 4 else np.ones(len(starts), np.int64))
+    idx = [slice(None)] * x.ndim
+    for s, e, a, st in zip(starts, ends, axes, steps):
+        idx[int(a) % x.ndim] = slice(int(s), int(np.clip(e, -2**31, 2**31)),
+                                     int(st))
+    return x[tuple(idx)]
+
+
+def _pad_op(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    pads = (np.asarray(value.const(node.inputs[1])).ravel()
+            if len(node.inputs) > 1 else np.asarray(node.attrs.get("pads")))
+    n = x.ndim
+    width = [(int(pads[i]), int(pads[i + n])) for i in range(n)]
+    return jnp.pad(x, width)
+
+
+def _build_ops():
+    import jax
+    import jax.numpy as jnp
+
+    return {
+        "Conv": _conv,
+        "Gemm": _gemm,
+        "MatMul": _elementwise(
+            lambda a, b: jnp.matmul(a, b, preferred_element_type=a.dtype)),
+        "Add": _elementwise(lambda a, b: a + b),
+        "Sub": _elementwise(lambda a, b: a - b),
+        "Mul": _elementwise(lambda a, b: a * b),
+        "Div": _elementwise(lambda a, b: a / b),
+        "Pow": _elementwise(jnp.power),
+        "Sqrt": _elementwise(jnp.sqrt),
+        "Exp": _elementwise(jnp.exp),
+        "Log": _elementwise(jnp.log),
+        "Neg": _elementwise(jnp.negative),
+        "Abs": _elementwise(jnp.abs),
+        "Erf": _elementwise(jax.lax.erf),
+        "Relu": _elementwise(lambda x: jnp.maximum(x, 0.0)),
+        "LeakyRelu": lambda n, v: jnp.where(
+            v(n.inputs[0]) >= 0, v(n.inputs[0]),
+            n.attrs.get("alpha", 0.01) * v(n.inputs[0])),
+        "Sigmoid": _elementwise(jax.nn.sigmoid),
+        "Tanh": _elementwise(jnp.tanh),
+        "HardSwish": _elementwise(
+            lambda x: x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0),
+        "HardSigmoid": lambda n, v: jnp.clip(
+            n.attrs.get("alpha", 0.2) * v(n.inputs[0])
+            + n.attrs.get("beta", 0.5), 0.0, 1.0),
+        "Clip": _clip,
+        "Softmax": _softmax,
+        "BatchNormalization": _batchnorm,
+        "Conv1d": _conv,
+        "AveragePool": _pool("avg"),
+        "MaxPool": _pool("max"),
+        "GlobalAveragePool": _global_avg_pool,
+        "ReduceMean": _reduce_mean,
+        "Reshape": _reshape,
+        "Flatten": _flatten,
+        "Transpose": _transpose,
+        "Concat": _concat,
+        "Squeeze": _squeeze,
+        "Unsqueeze": _unsqueeze,
+        "Identity": _elementwise(lambda x: x),
+        "Dropout": lambda n, v: v(n.inputs[0]),
+        "Gather": _gather,
+        "Slice": _slice,
+        "Pad": _pad_op,
+        "Shape": lambda n, v: jnp.asarray(v(n.inputs[0]).shape, jnp.int64),
+        "Cast": lambda n, v: v(n.inputs[0]).astype(
+            _NP.get(int(n.attrs.get("to", 1)), np.float32)),
+    }
+
+
+_ONNX_OPS: dict[str, Callable] = _build_ops()
+
+
+def load_onnx(path_or_bytes) -> OnnxGraph:
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        buf = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            buf = f.read()
+    return OnnxGraph(parse_onnx(buf))

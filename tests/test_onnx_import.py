@@ -1,0 +1,155 @@
+"""ONNX importer tests against hand-encoded protobuf models."""
+
+import numpy as np
+import pytest
+
+from birdnet_go_tpu.inference.onnx_import import load_onnx, parse_onnx
+from tests import onnx_builder as ob
+
+
+def _mlp_model():
+    rng = np.random.default_rng(0)
+    w1 = rng.standard_normal((4, 8)).astype(np.float32)
+    b1 = rng.standard_normal(8).astype(np.float32)
+    w2 = rng.standard_normal((8, 3)).astype(np.float32)
+    nodes = [
+        ob.node("MatMul", ["x", "w1"], ["h0"]),
+        ob.node("Add", ["h0", "b1"], ["h1"]),
+        ob.node("Relu", ["h1"], ["h2"]),
+        ob.node("Gemm", ["h2", "w2"], ["h3"],
+                [ob.attr_float("alpha", 1.0)]),
+        ob.node("Sigmoid", ["h3"], ["y"]),
+    ]
+    inits = [ob.tensor_proto("w1", w1), ob.tensor_proto("b1", b1),
+             ob.tensor_proto("w2", w2)]
+    buf = ob.model(nodes, inits, inputs=["x"], outputs=["y"])
+    return buf, (w1, b1, w2)
+
+
+def test_parse_structure():
+    buf, _ = _mlp_model()
+    g = parse_onnx(buf)
+    assert g.name == "testgraph"
+    assert [n.op_type for n in g.nodes] == ["MatMul", "Add", "Relu", "Gemm",
+                                            "Sigmoid"]
+    assert g.inputs == ["x"]                  # initializers filtered out
+    assert g.outputs == ["y"]
+    assert set(g.initializers) == {"w1", "b1", "w2"}
+
+
+def test_mlp_numeric_parity():
+    buf, (w1, b1, w2) = _mlp_model()
+    g = load_onnx(buf)
+    x = np.array([[1.0, -0.5, 0.25, 2.0]], np.float32)
+    (y,) = g.jitted()(g.params, x)
+    h = np.maximum(x @ w1 + b1, 0.0)
+    ref = 1.0 / (1.0 + np.exp(-(h @ w2)))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_conv_bn_gap_parity():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((4, 2, 3, 3)).astype(np.float32)   # OIHW
+    scale = rng.uniform(0.5, 1.5, 4).astype(np.float32)
+    bias = rng.standard_normal(4).astype(np.float32)
+    mean = rng.standard_normal(4).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, 4).astype(np.float32)
+    nodes = [
+        ob.node("Conv", ["x", "w"], ["c"],
+                [ob.attr_ints("pads", [1, 1, 1, 1]),
+                 ob.attr_ints("strides", [1, 1]),
+                 ob.attr_ints("kernel_shape", [3, 3])]),
+        ob.node("BatchNormalization",
+                ["c", "scale", "bias", "mean", "var"], ["bn"],
+                [ob.attr_float("epsilon", 1e-5)]),
+        ob.node("Relu", ["bn"], ["r"]),
+        ob.node("GlobalAveragePool", ["r"], ["g"]),
+        ob.node("Flatten", ["g"], ["y"], [ob.attr_int("axis", 1)]),
+    ]
+    inits = [ob.tensor_proto(n, a) for n, a in
+             [("w", w), ("scale", scale), ("bias", bias),
+              ("mean", mean), ("var", var)]]
+    buf = ob.model(nodes, inits, inputs=["x"], outputs=["y"])
+    g = load_onnx(buf)
+
+    x = rng.standard_normal((2, 2, 6, 6)).astype(np.float32)
+    (y,) = g.jitted()(g.params, x)
+
+    # numpy reference
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    conv = np.zeros((2, 4, 6, 6), np.float32)
+    for n in range(2):
+        for o in range(4):
+            for i in range(6):
+                for j in range(6):
+                    conv[n, o, i, j] = np.sum(
+                        xp[n, :, i:i + 3, j:j + 3] * w[o])
+    bn = (conv - mean[None, :, None, None]) / np.sqrt(
+        var[None, :, None, None] + 1e-5) * scale[None, :, None, None] \
+        + bias[None, :, None, None]
+    ref = np.maximum(bn, 0).mean(axis=(2, 3))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_grouped_conv_and_pool():
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((4, 1, 3, 3)).astype(np.float32)  # depthwise g=4
+    nodes = [
+        ob.node("Conv", ["x", "w"], ["c"],
+                [ob.attr_ints("pads", [1, 1, 1, 1]),
+                 ob.attr_int("group", 4),
+                 ob.attr_ints("kernel_shape", [3, 3])]),
+        ob.node("MaxPool", ["c"], ["y"],
+                [ob.attr_ints("kernel_shape", [2, 2]),
+                 ob.attr_ints("strides", [2, 2])]),
+    ]
+    buf = ob.model(nodes, [ob.tensor_proto("w", w)], ["x"], ["y"])
+    g = load_onnx(buf)
+    x = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+    (y,) = g.jitted()(g.params, x)
+    assert np.asarray(y).shape == (1, 4, 2, 2)
+    # spot-check one channel against numpy
+    xp = np.pad(x[0, 0], 1)
+    conv0 = np.zeros((4, 4), np.float32)
+    for i in range(4):
+        for j in range(4):
+            conv0[i, j] = np.sum(xp[i:i + 3, j:j + 3] * w[0, 0])
+    ref0 = conv0.reshape(2, 2, 2, 2).max(axis=(1, 3))
+    np.testing.assert_allclose(np.asarray(y)[0, 0], ref0, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_slice_transpose_concat():
+    nodes = [
+        ob.node("Transpose", ["x"], ["t"], [ob.attr_ints("perm", [1, 0])]),
+        ob.node("Slice", ["t", "starts", "ends", "axes"], ["s"]),
+        ob.node("Concat", ["s", "s"], ["y"], [ob.attr_int("axis", 0)]),
+    ]
+    inits = [
+        ob.tensor_proto("starts", np.array([0], np.int64)),
+        ob.tensor_proto("ends", np.array([2], np.int64)),
+        ob.tensor_proto("axes", np.array([0], np.int64)),
+    ]
+    buf = ob.model(nodes, inits, ["x"], ["y"])
+    g = load_onnx(buf)
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    (y,) = g.jitted()(g.params, x)
+    ref = np.concatenate([x.T[:2], x.T[:2]], axis=0)
+    np.testing.assert_array_equal(np.asarray(y), ref)
+
+
+def test_unsupported_op_raises():
+    buf = ob.model([ob.node("LSTM", ["x"], ["y"])], [], ["x"], ["y"])
+    with pytest.raises(NotImplementedError, match="LSTM"):
+        load_onnx(buf)
+
+
+def test_fp16_initializer_upcast():
+    w = np.array([[1.5, -2.5]], np.float16)
+    nodes = [ob.node("MatMul", ["x", "w"], ["y"])]
+    buf = ob.model(nodes, [ob.tensor_proto("w", w.T.copy())], ["x"], ["y"])
+    g = load_onnx(buf)
+    assert g.params["w"].dtype == np.float32
+    x = np.array([[2.0, 1.0]], np.float32)
+    (y,) = g.jitted()(g.params, x)
+    np.testing.assert_allclose(np.asarray(y), [[1.5 * 2 + -2.5]], rtol=1e-3)
