@@ -1,12 +1,18 @@
 """Headline benchmark: realtime 48 kHz stream capacity per chip.
 
-Runs the full per-window device step of the flagship model (BirdNET v2.4:
-mel front end + CNN + sigmoid + top-K) at a production batch size and
-converts steady-state window throughput into concurrent-realtime-stream
-capacity: each realtime 48 kHz stream produces one 3 s window per 1.5 s
-(50% overlap — reference internal/classifier/model.go:40-54), so
+Runs the exact production per-window device step (the scheduler's
+ModelBatcher graph: int16 PCM → f32 → mel front end → BirdNET v2.4 CNN →
+sigmoid → top-K on device) at the production megabatch size and converts
+steady-state window throughput into concurrent-realtime-stream capacity:
+each realtime 48 kHz stream produces one 3 s window per 1.5 s (50%
+overlap — reference internal/classifier/model.go:40-54), so
 
     streams_per_chip = windows_per_second × 1.5
+
+The measurement loop runs on device (lax.scan with a cross-iteration data
+dependency) — the axon platform's block_until_ready does not actually
+block, and per-dispatch tunnel round-trips (~30 ms) would otherwise
+dominate; the pipelined scheduler amortizes dispatch the same way.
 
 Baseline: the reference sustains ~5 concurrent streams on a desktop AMD64
 CPU (~100 ms/window, ARCHITECTURE.md:1687; BASELINE.md). vs_baseline is
@@ -26,52 +32,45 @@ import numpy as np
 
 BASELINE_STREAMS = 5.0          # reference desktop AMD64 (ARCHITECTURE.md:1687)
 WINDOW_HOP_SECONDS = 1.5        # 3 s window, 50% overlap
-BATCH = 256
-WARMUP_ITERS = 3
-MEASURE_ITERS = 10
+BATCH = 1024                    # production megabatch (scheduler max_batch)
+MEASURE_ITERS = 8
 
 
 def main() -> None:
     from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+    from birdnet_go_tpu.ops.pcm import pcm16_to_float32
     from birdnet_go_tpu.ops.postprocess import sigmoid_confidence, top_k_results
 
     model = BirdNETv24()
-    params = model.init(jax.random.PRNGKey(0))
-    params = jax.device_put(params)
+    params = jax.device_put(model.init(jax.random.PRNGKey(0)))
 
-    def one_step(params, pcm):
+    def one_step(params, pcm_i16, bias):
+        # bias (scalar, derived from the previous iteration's output)
+        # creates the cross-iteration dependency without touching the
+        # int16 input path
+        pcm = pcm16_to_float32(pcm_i16) + bias
         out = model.apply(params, pcm)
         conf = sigmoid_confidence(out["logits"], 1.0)
         return top_k_results(conf, 10)
 
-    # The whole measurement runs as one on-device scan: each iteration's
-    # input is perturbed by the previous output (a true data dependency, so
-    # steps serialize on device and nothing can be cached or overlapped with
-    # host timing), and only the final [B, K] results cross back to the host.
-    # This measures pure device throughput, amortizing the host→device
-    # round-trip the way the real pipelined scheduler does.
-    import functools
-
-    @functools.partial(jax.jit, static_argnums=2)
-    def run(params, pcm, n_iters):
+    @jax.jit
+    def run(params, pcm_i16):
         def body(carry, _):
-            pcm_i, feedback = carry
-            vals, idx = one_step(params, pcm_i + feedback * 1e-9)
-            return (pcm_i, jnp.sum(vals)), None
+            vals, idx = one_step(params, pcm_i16, carry * 1e-9)
+            return jnp.sum(vals), None
 
-        (_, last), _ = jax.lax.scan(body, (pcm, jnp.float32(0.0)),
-                                    None, length=n_iters)
+        last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                               length=MEASURE_ITERS)
         return last
 
     rng = np.random.default_rng(0)
-    pcm_host = rng.standard_normal(
-        (BATCH, model.spec.clip_samples)).astype(np.float32) * 0.05
+    pcm_host = (rng.standard_normal((BATCH, model.spec.clip_samples))
+                * 0.05 * 32767).astype(np.int16)
     pcm = jax.device_put(jnp.asarray(pcm_host))
 
-    float(run(params, pcm, MEASURE_ITERS))  # compile + warmup (blocking)
-
+    float(run(params, pcm))                 # compile + warmup (blocking)
     t0 = time.perf_counter()
-    float(run(params, pcm, MEASURE_ITERS))  # blocking scalar fetch
+    float(run(params, pcm))                 # blocking scalar fetch
     elapsed = time.perf_counter() - t0
 
     windows_per_sec = BATCH * MEASURE_ITERS / elapsed

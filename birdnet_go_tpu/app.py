@@ -153,10 +153,18 @@ class Application:
 
     # -- lifecycle -----------------------------------------------------------------
 
-    def start(self) -> None:
+    def start(self, warmup: bool = True) -> None:
         self.control.start()
         self.jobqueue.start()
         self.flusher.start()
+        if warmup:
+            # Pre-compile every model's device step so the tick loop never
+            # stalls on first dispatch (XLA compile can take minutes).
+            for b in self.device_loop.batchers.values():
+                try:
+                    b.warmup()
+                except Exception:
+                    log.exception("warmup failed for %s", b.spec.model_id)
         self.device_loop.start()
         if self.api is not None:
             self.api.start()

@@ -86,6 +86,22 @@ class ModelBatcher:
 
         self._step = _step
 
+    def warmup(self) -> float:
+        """Compile the step ahead of live traffic (the first dispatch would
+        otherwise block the tick loop for the full XLA compile). Returns
+        compile+first-run seconds."""
+        jnp = self._jnp
+        t0 = time.monotonic()
+        vals, idx = self._step(
+            self.classifier.params, jnp.asarray(self._staged),
+            jnp.float32(self.sensitivity), self.top_k,
+            self.classifier._range_mask)
+        np.asarray(vals)               # full materialization = real barrier
+        dt = time.monotonic() - t0
+        log.info("%s warmed up: batch %d compiled in %.1fs",
+                 self.spec.model_id, self.max_batch, dt)
+        return dt
+
     # -- producer side -----------------------------------------------------------
 
     def offer(self, pcm_i16: np.ndarray, source_id: str,
