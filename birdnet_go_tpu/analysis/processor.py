@@ -293,6 +293,20 @@ class Processor:
                 window = self.settings.dog_bark_filter.remember_minutes * 60.0
                 if item.first_detected - last_dog < window:
                     return True, "recent dog bark"
+        if self.settings.daylight_filter.enabled \
+                and self.settings.location.latitude is not None:
+            sp = item.detection.species
+            sc = self.settings.species.config.get(sp.scientific, {})
+            if sc.get("daylight", True):       # nocturnal opt-out
+                import datetime as _dtm
+
+                from birdnet_go_tpu.utils.suncalc import is_daytime
+
+                when = _dtm.datetime.fromtimestamp(
+                    item.first_detected, tz=_dtm.timezone.utc)
+                if not is_daytime(when, self.settings.location.latitude,
+                                  self.settings.location.longitude):
+                    return True, "daylight filter"
         return False, ""
 
     # -- introspection ---------------------------------------------------------------

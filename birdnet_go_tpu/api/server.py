@@ -123,6 +123,9 @@ class ApiServer:
         # models / media
         r.add_get(f"{v2}/models", self.h_models)
         r.add_get(f"{v2}/media/audio/{{filename}}", self.h_media_audio)
+        r.add_get(f"{v2}/media/spectrogram/{{filename}}",
+                  self.h_media_spectrogram)
+        r.add_get(f"{v2}/spectrogram/{{id}}", self.h_spectrogram_by_id)
         return app
 
     # -- handlers: core ----------------------------------------------------------------
@@ -394,11 +397,53 @@ class ApiServer:
             })
         return _json(out)
 
-    async def h_media_audio(self, request):
-        name = request.match_info["filename"]
+    def _sandboxed_media(self, name: str) -> Path | None:
+        """securefs-style sandbox: never resolve outside the clip dir."""
         base = Path(self.ctx.settings.export.path).resolve()
         target = (base / name).resolve()
-        # securefs-style sandbox: never serve outside the clip dir
-        if not str(target).startswith(str(base)) or not target.is_file():
+        if not str(target).startswith(str(base)):
+            return None
+        return target
+
+    async def h_media_audio(self, request):
+        target = self._sandboxed_media(request.match_info["filename"])
+        if target is None or not target.is_file():
             return _json({"error": "not found"}, status=404)
+        return web.FileResponse(target)
+
+    async def h_media_spectrogram(self, request):
+        target = self._sandboxed_media(request.match_info["filename"])
+        if target is None or not target.is_file():
+            return _json({"error": "not found"}, status=404)
+        return web.FileResponse(target)
+
+    async def h_spectrogram_by_id(self, request):
+        """PNG for a detection; generated on cache miss from the clip WAV
+        (reference: GET /api/v2/spectrogram/:id, cache-miss path runs the
+        generator — here the shared STFT kernel instead of SoX)."""
+        import asyncio as _aio
+
+        row = self.ctx.datastore.get_detection(int(request.match_info["id"]))
+        if row is None or not row.get("clip_name"):
+            return _json({"error": "not found"}, status=404)
+        png_name = str(Path(row["clip_name"]).with_suffix(".png").name)
+        target = self._sandboxed_media(png_name)
+        if target is None:
+            return _json({"error": "not found"}, status=404)
+        if not target.is_file():
+            wav = self._sandboxed_media(row["clip_name"])
+            if wav is None or not wav.is_file():
+                return _json({"error": "clip not available"}, status=404)
+
+            def _render():
+                from birdnet_go_tpu.analysis.spectrogram import generate_png
+                from birdnet_go_tpu.audio.wav import read_wav
+
+                samples, info = read_wav(wav)
+                from birdnet_go_tpu.analysis.spectrogram import SIZES
+
+                width = SIZES.get(request.query.get("size", "md"), 800)
+                generate_png(samples, info.sample_rate, target, width=width)
+
+            await _aio.get_event_loop().run_in_executor(None, _render)
         return web.FileResponse(target)

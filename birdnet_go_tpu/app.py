@@ -54,6 +54,7 @@ class Application:
         self.processor: Processor | None = None
         self.flusher: FlushLoop | None = None
         self.jobqueue: JobQueue | None = None
+        self.prerenderer = None
         self.api = None
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
@@ -93,6 +94,9 @@ class Application:
 
         # 3. detection engine
         self.jobqueue = JobQueue()
+        from birdnet_go_tpu.analysis.spectrogram import PreRenderer
+
+        self.prerenderer = PreRenderer(workers=2)
         self.processor = Processor(
             s, self.labels, on_approved=self._on_approved,
             included_species=included)
@@ -156,6 +160,7 @@ class Application:
     def start(self, warmup: bool = True) -> None:
         self.control.start()
         self.jobqueue.start()
+        self.prerenderer.start()
         self.flusher.start()
         if warmup:
             # Pre-compile every model's device step so the tick loop never
@@ -183,6 +188,7 @@ class Application:
             self.datastore.save_dynamic_thresholds(
                 self.processor.dynamic.snapshot())
         self.jobqueue.stop()
+        self.prerenderer.stop()
         if self.api is not None:
             self.api.stop()
         self.control.stop()
@@ -227,6 +233,15 @@ class Application:
                     f"save clip {clip_name}",
                     retry=RetryConfig(enabled=True, max_retries=10,
                                       initial_delay=1.0, max_delay=10.0))
+                # spectrogram pre-render from the same wall-clock span
+                # (reference: DatabaseAction → PreRenderer.Submit)
+                png_name = Path(clip_name).with_suffix(".png").name
+                self.jobqueue.enqueue(
+                    functools.partial(self._prerender_clip, cb, clip_start,
+                                      clip_end, Path(s.export.path) / png_name),
+                    f"prerender {png_name}",
+                    retry=RetryConfig(enabled=True, max_retries=10,
+                                      initial_delay=1.0, max_delay=10.0))
 
         def _sse_broadcast(det_id: int) -> None:
             if self.api is not None:
@@ -249,6 +264,16 @@ class Application:
             f"composite {d.label}",
             retry=RetryConfig(enabled=True, max_retries=3,
                               initial_delay=2.0))
+
+    def _prerender_clip(self, capture_buffer, start: float, end: float,
+                        out_path: Path) -> None:
+        """Jobqueue job: wait for the span, then queue a PNG render."""
+        if time.time() < end:
+            raise RuntimeError("clip span not fully captured yet")
+        pcm = capture_buffer.read_segment(start, end)
+        samples = pcm.astype(np.float32) / 32768.0
+        self.prerenderer.submit(samples, capture_buffer.sample_rate,
+                                out_path)
 
     # -- range filter ---------------------------------------------------------------------
 

@@ -53,6 +53,15 @@ class DogBarkFilterSettings:
 
 
 @dataclasses.dataclass
+class DaylightFilterSettings:
+    """Discard detections outside civil daylight (processor.go
+    checkDaylightFilter); per-species opt-out via species config
+    {"daylight": false} for nocturnal species."""
+
+    enabled: bool = False
+
+
+@dataclasses.dataclass
 class DynamicThresholdSettings:
     enabled: bool = False
     trigger: float = 0.90             # defaults.go:205
@@ -124,6 +133,8 @@ class Settings:
         default_factory=PrivacyFilterSettings)
     dog_bark_filter: DogBarkFilterSettings = dataclasses.field(
         default_factory=DogBarkFilterSettings)
+    daylight_filter: DaylightFilterSettings = dataclasses.field(
+        default_factory=DaylightFilterSettings)
     dynamic_threshold: DynamicThresholdSettings = dataclasses.field(
         default_factory=DynamicThresholdSettings)
     deep_detection: DeepDetectionSettings = dataclasses.field(
