@@ -1,0 +1,90 @@
+"""New/yearly/seasonal first-detection tracking.
+
+Reference: internal/analysis/processor/species (species_tracker.go + 6
+files) — tracks the first time each species is ever seen, first this year,
+and first this (meteorological) season, synced with the datastore at
+startup; drives "new species" notifications and dashboard badges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import threading
+
+
+def season_of(when: _dt.date) -> str:
+    m = when.month
+    if m in (12, 1, 2):
+        return "winter"
+    if m in (3, 4, 5):
+        return "spring"
+    if m in (6, 7, 8):
+        return "summer"
+    return "autumn"
+
+
+@dataclasses.dataclass
+class FirstSeen:
+    lifetime: _dt.date | None = None
+    this_year: _dt.date | None = None
+    this_season: _dt.date | None = None
+
+
+@dataclasses.dataclass
+class NoveltyStatus:
+    is_new_lifetime: bool = False
+    is_new_this_year: bool = False
+    is_new_this_season: bool = False
+
+
+class SpeciesTracker:
+    def __init__(self, datastore=None):
+        self._first: dict[str, _dt.date] = {}
+        self._year: dict[tuple[str, int], _dt.date] = {}
+        self._season: dict[tuple[str, int, str], _dt.date] = {}
+        self._lock = threading.Lock()
+        if datastore is not None:
+            self.sync_from_datastore(datastore)
+
+    def sync_from_datastore(self, datastore) -> int:
+        """Load historical first-seen dates (startup sync)."""
+        n = 0
+        for row in datastore.new_species_first_seen():
+            d = _dt.date.fromisoformat(row["first_date"])
+            with self._lock:
+                sci = row["scientific_name"]
+                if sci not in self._first or d < self._first[sci]:
+                    self._first[sci] = d
+            n += 1
+        return n
+
+    def observe(self, scientific: str, when: _dt.date | None = None
+                ) -> NoveltyStatus:
+        """Record a detection; returns what's novel about it."""
+        when = when or _dt.date.today()
+        yk = (scientific, when.year)
+        sk = (scientific, when.year, season_of(when))
+        with self._lock:
+            status = NoveltyStatus(
+                is_new_lifetime=scientific not in self._first,
+                is_new_this_year=yk not in self._year,
+                is_new_this_season=sk not in self._season)
+            self._first.setdefault(scientific, when)
+            self._year.setdefault(yk, when)
+            self._season.setdefault(sk, when)
+        return status
+
+    def first_seen(self, scientific: str,
+                   when: _dt.date | None = None) -> FirstSeen:
+        when = when or _dt.date.today()
+        with self._lock:
+            return FirstSeen(
+                lifetime=self._first.get(scientific),
+                this_year=self._year.get((scientific, when.year)),
+                this_season=self._season.get(
+                    (scientific, when.year, season_of(when))))
+
+    def species_count(self) -> int:
+        with self._lock:
+            return len(self._first)

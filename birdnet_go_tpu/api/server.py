@@ -126,6 +126,12 @@ class ApiServer:
         r.add_get(f"{v2}/media/spectrogram/{{filename}}",
                   self.h_media_spectrogram)
         r.add_get(f"{v2}/spectrogram/{{id}}", self.h_spectrogram_by_id)
+        # observability
+        r.add_get("/metrics", self.h_metrics)
+        r.add_get(f"{v2}/system/errors", self.h_recent_errors)
+        r.add_get(f"{v2}/species/first-seen/{{scientific}}",
+                  self.h_species_first_seen)
+        r.add_get(f"{v2}/weather/hourly/{{date}}", self.h_weather_hourly)
         return app
 
     # -- handlers: core ----------------------------------------------------------------
@@ -396,6 +402,60 @@ class ApiServer:
                 "loaded": mid in self.ctx.device_loop.batchers,
             })
         return _json(out)
+
+    async def h_metrics(self, request):
+        """Prometheus text exposition (reference: observability endpoint)."""
+        from birdnet_go_tpu.utils.metrics import REGISTRY
+
+        self._update_runtime_metrics()
+        return web.Response(text=REGISTRY.render(),
+                            content_type="text/plain")
+
+    def _update_runtime_metrics(self) -> None:
+        from birdnet_go_tpu.utils.metrics import REGISTRY
+
+        p = self.ctx.processor
+        if p is not None:
+            g = REGISTRY.gauge("birdnet_detections_approved_total")
+            g.set(p.stats.detections_approved)
+            REGISTRY.gauge("birdnet_detections_discarded_total").set(
+                p.stats.detections_discarded)
+            REGISTRY.gauge("birdnet_results_processed_total").set(
+                p.stats.results_processed)
+        dl = self.ctx.device_loop
+        if dl is not None:
+            for model_id, b in dl.batchers.items():
+                REGISTRY.gauge("birdnet_windows_processed_total").set(
+                    b.stats.windows_processed, labels={"model": model_id})
+                REGISTRY.gauge("birdnet_batch_latency_ms").set(
+                    b.stats.last_latency_ms, labels={"model": model_id})
+                REGISTRY.gauge("birdnet_batch_fill_ratio").set(
+                    b.stats.last_batch_fill, labels={"model": model_id})
+                REGISTRY.gauge("birdnet_overruns_total").set(
+                    b.stats.overruns, labels={"model": model_id})
+        if self.ctx.jobqueue is not None:
+            st = self.ctx.jobqueue.stats
+            for k in ("enqueued", "completed", "failed", "dropped"):
+                REGISTRY.gauge(f"birdnet_jobqueue_{k}_total").set(
+                    getattr(st, k))
+
+    async def h_recent_errors(self, request):
+        from birdnet_go_tpu.utils.health import GLOBAL_ERROR_BUFFER
+
+        limit = min(int(request.query.get("limit", 50)), 256)
+        return _json(GLOBAL_ERROR_BUFFER.recent(limit))
+
+    async def h_species_first_seen(self, request):
+        tr = getattr(self.ctx, "species_tracker", None)
+        if tr is None:
+            return _json({"error": "tracker not active"}, status=404)
+        fs = tr.first_seen(request.match_info["scientific"])
+        return _json({"lifetime": fs.lifetime, "this_year": fs.this_year,
+                      "this_season": fs.this_season})
+
+    async def h_weather_hourly(self, request):
+        return _json(self.ctx.datastore.get_hourly_weather(
+            request.match_info["date"]))
 
     def _sandboxed_media(self, name: str) -> Path | None:
         """securefs-style sandbox: never resolve outside the clip dir."""

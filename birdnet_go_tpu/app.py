@@ -56,6 +56,12 @@ class Application:
         self.jobqueue: JobQueue | None = None
         self.prerenderer = None
         self.api = None
+        self.mqtt = None
+        self.birdweather = None
+        self.weather_poller = None
+        self.notifications = None
+        self.diskmanager = None
+        self.species_tracker = None
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
         self._sources: list = []
@@ -91,6 +97,9 @@ class Application:
 
         # 2. datastore
         self.datastore = Datastore(s.database.path)
+        from birdnet_go_tpu.analysis.species_tracker import SpeciesTracker
+
+        self.species_tracker = SpeciesTracker(self.datastore)
 
         # 3. detection engine
         self.jobqueue = JobQueue()
@@ -126,6 +135,66 @@ class Application:
 
             self.api = ApiServer(self, host=s.webserver.host,
                                  port=s.webserver.port)
+
+        # 6. integrations
+        self.mqtt = None
+        if s.mqtt.enabled:
+            from birdnet_go_tpu.integrations.mqtt import MqttClient
+
+            self.mqtt = MqttClient(
+                s.mqtt.host, s.mqtt.port, client_id="birdnet-tpu",
+                username=s.mqtt.username, password=s.mqtt.password,
+                tls=s.mqtt.tls)
+        self.birdweather = None
+        if s.birdweather.enabled and s.birdweather.station_token:
+            from birdnet_go_tpu.integrations.birdweather import (
+                BirdWeatherClient,
+                BirdWeatherConfig,
+            )
+
+            self.birdweather = BirdWeatherClient(BirdWeatherConfig(
+                station_token=s.birdweather.station_token,
+                latitude=s.location.latitude,
+                longitude=s.location.longitude))
+        self.weather_poller = None
+        if s.weather.provider != "none" and s.location.latitude is not None:
+            from birdnet_go_tpu.integrations.weather import (
+                OpenWeatherProvider,
+                WeatherPoller,
+                YrNoProvider,
+            )
+
+            if s.weather.provider == "openweather" \
+                    and s.weather.openweather_api_key:
+                provider = OpenWeatherProvider(
+                    s.location.latitude, s.location.longitude,
+                    s.weather.openweather_api_key)
+            else:
+                provider = YrNoProvider(s.location.latitude,
+                                        s.location.longitude)
+            self.weather_poller = WeatherPoller(
+                provider, self.datastore,
+                interval_seconds=s.weather.poll_interval_hours * 3600)
+        from birdnet_go_tpu.integrations.notification import (
+            NotificationService,
+            NotificationTarget,
+        )
+
+        self.notifications = NotificationService(
+            [NotificationTarget(**t) for t in s.notification.targets])
+        self.diskmanager = None
+        if s.retention.mode != "none":
+            from birdnet_go_tpu.utils.diskmanager import (
+                DiskManager,
+                RetentionPolicy,
+            )
+
+            self.diskmanager = DiskManager(
+                s.export.path,
+                RetentionPolicy(mode=s.retention.mode,
+                                max_age_days=s.retention.max_age_days,
+                                max_usage_percent=s.retention.max_usage_percent),
+                datastore=self.datastore)
 
         # control signals
         self.control.subscribe(ControlSignal.REBUILD_RANGE_FILTER,
@@ -171,6 +240,22 @@ class Application:
                 except Exception:
                     log.exception("warmup failed for %s", b.spec.model_id)
         self.device_loop.start()
+        if self.mqtt is not None:
+            self.mqtt.start()
+            if self.settings.mqtt.ha_discovery:
+                from birdnet_go_tpu.integrations.mqtt import (
+                    ha_discovery_payloads,
+                )
+
+                if self.mqtt.wait_connected(5):
+                    for topic, cfg in ha_discovery_payloads(
+                            self.settings.mqtt.topic).items():
+                        self.mqtt.publish(topic, cfg, retain=True)
+        if self.weather_poller is not None:
+            self.weather_poller.start()
+        if self.diskmanager is not None:
+            self.diskmanager.start(
+                self.settings.retention.check_interval_hours * 3600)
         if self.api is not None:
             self.api.start()
         for src in self._sources:
@@ -189,6 +274,12 @@ class Application:
                 self.processor.dynamic.snapshot())
         self.jobqueue.stop()
         self.prerenderer.stop()
+        if self.mqtt is not None:
+            self.mqtt.stop()
+        if self.weather_poller is not None:
+            self.weather_poller.stop()
+        if self.diskmanager is not None:
+            self.diskmanager.stop()
         if self.api is not None:
             self.api.stop()
         self.control.stop()
@@ -243,27 +334,63 @@ class Application:
                     retry=RetryConfig(enabled=True, max_retries=10,
                                       initial_delay=1.0, max_delay=10.0))
 
-        def _sse_broadcast(det_id: int) -> None:
+        payload = {
+            "scientific_name": d.species.scientific,
+            "common_name": d.species.common,
+            "confidence": d.confidence,
+            "model_id": d.model_id,
+            "source_id": d.source_id,
+            "timestamp": d.timestamp,
+            "clip_name": clip_name,
+        }
+
+        # DB → SSE → MQTT ordering (CompositeAction contract): the
+        # broadcast payloads carry the DB-assigned id.
+        def _broadcast(det_id: int) -> None:
+            msg = {"id": det_id, **payload}
             if self.api is not None:
-                self.api.sse.publish("detections", "detection", {
-                    "id": det_id,
-                    "scientific_name": d.species.scientific,
-                    "common_name": d.species.common,
-                    "confidence": d.confidence,
-                    "model_id": d.model_id,
-                    "source_id": d.source_id,
-                    "timestamp": d.timestamp,
-                    "clip_name": clip_name,
-                })
+                self.api.sse.publish("detections", "detection", msg)
+            if self.mqtt is not None:
+                self.mqtt.publish(
+                    f"{s.mqtt.topic}/detections", msg,
+                    retain=s.mqtt.retain)
 
         chain.append(actions_mod.DatabaseAction(
             d, self.datastore, contributions=item.contributions,
-            clip_name=clip_name, on_saved=_sse_broadcast))
+            clip_name=clip_name, on_saved=_broadcast))
         self.jobqueue.enqueue(
             actions_mod.CompositeAction(chain, f"detection {d.label}").execute,
             f"composite {d.label}",
             retry=RetryConfig(enabled=True, max_retries=3,
                               initial_delay=2.0))
+
+        if self.birdweather is not None:
+            ts_iso = (d.timestamp or _dt.datetime.now()).isoformat()
+            self.jobqueue.enqueue(
+                functools.partial(self.birdweather.post_detection, d, None,
+                                  ts_iso),
+                f"birdweather {d.species.common}",
+                retry=RetryConfig(enabled=True, max_retries=3,
+                                  initial_delay=5.0))
+
+        # new-species notification (species tracker)
+        if self.species_tracker is not None:
+            when = (d.timestamp or _dt.datetime.now()).date()
+            novelty = self.species_tracker.observe(d.species.scientific, when)
+            if novelty.is_new_lifetime and self.notifications is not None \
+                    and s.notification.notify_new_species:
+                from birdnet_go_tpu.integrations.notification import (
+                    Notification,
+                )
+
+                self.jobqueue.enqueue(
+                    functools.partial(self.notifications.notify, Notification(
+                        title="New species detected",
+                        message=(f"{d.species.common} "
+                                 f"({d.species.scientific}) — first ever "
+                                 f"detection, confidence {d.confidence:.2f}"),
+                        priority="high", payload=payload)),
+                    f"notify new species {d.species.common}")
 
     def _prerender_clip(self, capture_buffer, start: float, end: float,
                         out_path: Path) -> None:

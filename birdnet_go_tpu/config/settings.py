@@ -104,6 +104,47 @@ class RealtimeSettings:
 
 
 @dataclasses.dataclass
+class MqttSettings:
+    enabled: bool = False
+    host: str = "127.0.0.1"
+    port: int = 1883
+    username: str | None = None
+    password: str | None = None
+    topic: str = "birdnet"
+    retain: bool = False
+    tls: bool = False
+    ha_discovery: bool = True
+
+
+@dataclasses.dataclass
+class BirdWeatherSettings:
+    enabled: bool = False
+    station_token: str = ""
+
+
+@dataclasses.dataclass
+class WeatherSettings:
+    provider: str = "none"             # none|yrno|openweather
+    openweather_api_key: str = ""
+    poll_interval_hours: float = 1.0
+
+
+@dataclasses.dataclass
+class NotificationSettings:
+    # targets: [{"name","kind","url","body_template","min_interval_seconds"}]
+    targets: list[dict[str, Any]] = dataclasses.field(default_factory=list)
+    notify_new_species: bool = True
+
+
+@dataclasses.dataclass
+class RetentionSettings:
+    mode: str = "none"                 # none|age|usage
+    max_age_days: float = 30.0
+    max_usage_percent: float = 80.0
+    check_interval_hours: float = 1.0
+
+
+@dataclasses.dataclass
 class WebServerSettings:
     enabled: bool = True
     host: str = "0.0.0.0"
@@ -144,6 +185,14 @@ class Settings:
     realtime: RealtimeSettings = dataclasses.field(default_factory=RealtimeSettings)
     webserver: WebServerSettings = dataclasses.field(default_factory=WebServerSettings)
     database: DatabaseSettings = dataclasses.field(default_factory=DatabaseSettings)
+    mqtt: MqttSettings = dataclasses.field(default_factory=MqttSettings)
+    birdweather: BirdWeatherSettings = dataclasses.field(
+        default_factory=BirdWeatherSettings)
+    weather: WeatherSettings = dataclasses.field(default_factory=WeatherSettings)
+    notification: NotificationSettings = dataclasses.field(
+        default_factory=NotificationSettings)
+    retention: RetentionSettings = dataclasses.field(
+        default_factory=RetentionSettings)
     data_dir: str | None = None
 
     def validate(self) -> list[str]:

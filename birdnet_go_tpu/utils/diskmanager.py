@@ -1,0 +1,143 @@
+"""Clip retention: age- and usage-based cleanup + clip↔DB reconciliation.
+
+Reference: internal/diskmanager — deletes exported clips by age policy or
+when disk usage exceeds a threshold (oldest-first, optionally sparing
+locked/reviewed detections), and reconciles orphans between the clip
+directory and the datastore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import shutil
+import threading
+import time
+from pathlib import Path
+
+log = logging.getLogger("birdnet_tpu.diskmanager")
+
+_MEDIA_EXTS = {".wav", ".flac", ".mp3", ".m4a", ".opus", ".png"}
+
+
+@dataclasses.dataclass
+class RetentionPolicy:
+    mode: str = "age"                 # "age" | "usage" | "none"
+    max_age_days: float = 30.0
+    max_usage_percent: float = 80.0
+    min_clips_per_species: int = 0    # keep at least N newest per species
+
+
+@dataclasses.dataclass
+class CleanupResult:
+    scanned: int = 0
+    deleted: int = 0
+    freed_bytes: int = 0
+    spared_locked: int = 0
+
+
+class DiskManager:
+    def __init__(self, clip_dir: str | Path, policy: RetentionPolicy,
+                 datastore=None):
+        self.clip_dir = Path(clip_dir)
+        self.policy = policy
+        self.datastore = datastore
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- policies ------------------------------------------------------------------
+
+    def cleanup(self, now: float | None = None) -> CleanupResult:
+        if self.policy.mode == "none" or not self.clip_dir.is_dir():
+            return CleanupResult()
+        now = now or time.time()
+        files = [p for p in self.clip_dir.iterdir()
+                 if p.is_file() and p.suffix.lower() in _MEDIA_EXTS]
+        res = CleanupResult(scanned=len(files))
+        locked = self._locked_clip_names()
+        if self.policy.mode == "age":
+            cutoff = now - self.policy.max_age_days * 86400
+            victims = [p for p in files if p.stat().st_mtime < cutoff]
+        else:                                     # usage
+            usage = shutil.disk_usage(self.clip_dir)
+            used_pct = 100.0 * (usage.total - usage.free) / usage.total
+            if used_pct <= self.policy.max_usage_percent:
+                return res
+            # delete oldest-first until under threshold (estimate by bytes)
+            files.sort(key=lambda p: p.stat().st_mtime)
+            need = (used_pct - self.policy.max_usage_percent) / 100.0 \
+                * usage.total
+            victims = []
+            acc = 0
+            for p in files:
+                if acc >= need:
+                    break
+                victims.append(p)
+                acc += p.stat().st_size
+        for p in victims:
+            if p.name in locked:
+                res.spared_locked += 1
+                continue
+            try:
+                size = p.stat().st_size
+                p.unlink()
+                res.deleted += 1
+                res.freed_bytes += size
+            except OSError as e:
+                log.warning("failed deleting %s: %s", p, e)
+        return res
+
+    def _locked_clip_names(self) -> set[str]:
+        if self.datastore is None:
+            return set()
+        try:
+            rows = self.datastore.search_detections(limit=100000)
+            return {r["clip_name"] for r in rows
+                    if r.get("locked") and r.get("clip_name")}
+        except Exception:
+            return set()
+
+    # -- reconciliation ----------------------------------------------------------------
+
+    def reconcile(self) -> dict:
+        """Report clip↔DB orphans: files w/o detection rows and rows whose
+        clip file is missing."""
+        db_clips = set()
+        if self.datastore is not None:
+            db_clips = {r["clip_name"] for r in
+                        self.datastore.search_detections(limit=100000)
+                        if r.get("clip_name")}
+        fs_clips = {p.name for p in self.clip_dir.iterdir()
+                    if p.is_file() and p.suffix.lower() in _MEDIA_EXTS
+                    and p.suffix.lower() != ".png"} \
+            if self.clip_dir.is_dir() else set()
+        return {
+            "orphan_files": sorted(fs_clips - db_clips),
+            "missing_files": sorted(db_clips - fs_clips),
+        }
+
+    # -- background loop ---------------------------------------------------------------
+
+    def start(self, interval_seconds: float = 3600.0) -> None:
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self._run, args=(interval_seconds,), name="diskmanager",
+            daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            try:
+                res = self.cleanup()
+                if res.deleted:
+                    log.info("retention: deleted %d clips (%.1f MB)",
+                             res.deleted, res.freed_bytes / 1e6)
+            except Exception:
+                log.exception("cleanup failed")

@@ -1,0 +1,336 @@
+"""Integrations & cross-cutting infra: MQTT (real sockets against the
+embedded broker), BirdWeather/weather/notifications (mock transport),
+events bus, metrics, health, circuit breaker, disk manager."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from birdnet_go_tpu.integrations.mqtt import (
+    MiniBroker,
+    MqttClient,
+    ha_discovery_payloads,
+    _topic_matches,
+)
+from birdnet_go_tpu.utils.circuit import CircuitBreaker, CircuitOpenError
+from birdnet_go_tpu.utils.diskmanager import DiskManager, RetentionPolicy
+from birdnet_go_tpu.utils.events import Event, EventBus
+from birdnet_go_tpu.utils.health import CheckResult, HealthRegistry
+from birdnet_go_tpu.utils.metrics import MetricsRegistry
+
+
+# -- MQTT ------------------------------------------------------------------------
+
+@pytest.fixture()
+def broker():
+    b = MiniBroker()
+    b.start()
+    yield b
+    b.stop()
+
+
+def test_mqtt_publish_subscribe_roundtrip(broker):
+    sub = MqttClient("127.0.0.1", broker.port, client_id="sub")
+    sub.start()
+    assert sub.wait_connected(5)
+    got = []
+    sub.subscribe("birdnet/detections", lambda t, p: got.append((t, p)))
+    time.sleep(0.2)
+
+    pub = MqttClient("127.0.0.1", broker.port, client_id="pub")
+    pub.start()
+    assert pub.wait_connected(5)
+    assert pub.publish("birdnet/detections",
+                       {"common_name": "Great Tit", "confidence": 0.92})
+    deadline = time.time() + 5
+    while not got and time.time() < deadline:
+        time.sleep(0.05)
+    pub.stop()
+    sub.stop()
+    assert got, "subscriber never received the message"
+    topic, payload = got[0]
+    assert topic == "birdnet/detections"
+    assert json.loads(payload)["common_name"] == "Great Tit"
+    assert broker.messages[0][0] == "birdnet/detections"
+
+
+def test_mqtt_qos1_puback(broker):
+    pub = MqttClient("127.0.0.1", broker.port)
+    pub.start()
+    assert pub.wait_connected(5)
+    assert pub.publish("a/b", b"x", qos=1)
+    time.sleep(0.2)
+    pub.stop()
+    assert broker.messages == [("a/b", b"x")]
+
+
+def test_topic_wildcards():
+    assert _topic_matches("a/+/c", "a/b/c")
+    assert not _topic_matches("a/+/c", "a/b/d")
+    assert _topic_matches("a/#", "a/b/c/d")
+    assert _topic_matches("#", "anything/at/all")
+    assert not _topic_matches("a/b", "a/b/c")
+
+
+def test_ha_discovery_payloads():
+    p = ha_discovery_payloads()
+    assert any("last_detection/config" in k for k in p)
+    for cfg in p.values():
+        assert "state_topic" in cfg and "device" in cfg
+
+
+# -- events bus --------------------------------------------------------------------
+
+def test_event_bus_delivery_and_dedup():
+    bus = EventBus(dedup_window_seconds=10.0)
+    got = []
+    bus.subscribe("sink", lambda ev: got.append(ev))
+    assert bus.publish(Event("detection", {"x": 1}, dedup_key="k1"))
+    assert not bus.publish(Event("detection", {"x": 2}, dedup_key="k1"))
+    assert bus.publish(Event("detection", {"x": 3}, dedup_key="k2"))
+    deadline = time.time() + 5
+    while len(got) < 2 and time.time() < deadline:
+        time.sleep(0.02)
+    bus.stop()
+    assert [e.payload["x"] for e in got] == [1, 3]
+    assert bus.deduped == 1
+
+
+def test_event_bus_slow_consumer_drops():
+    bus = EventBus(queue_size=2)
+    bus.subscribe("slow", lambda ev: time.sleep(10))
+    for i in range(10):
+        bus.publish(Event("x", i))
+    bus._stopped.set()                # fast teardown, skip join
+    assert bus.dropped.get("slow", 0) > 0
+    assert "slow" in bus.slow_consumers
+
+
+# -- metrics ----------------------------------------------------------------------------
+
+def test_metrics_render_prometheus_text():
+    reg = MetricsRegistry()
+    c = reg.counter("bn_detections_total", "Total detections")
+    c.inc(labels={"model": "BirdNET_V2.4"})
+    c.inc(2, labels={"model": "Perch_V2"})
+    g = reg.gauge("bn_streams_active")
+    g.set(42)
+    h = reg.histogram("bn_latency_seconds", buckets=(0.1, 1.0))
+    h.observe(0.05)
+    h.observe(0.5)
+    text = reg.render()
+    assert "# TYPE bn_detections_total counter" in text
+    assert 'bn_detections_total{model="BirdNET_V2.4"} 1' in text
+    assert 'bn_detections_total{model="Perch_V2"} 2' in text
+    assert "bn_streams_active 42" in text
+    assert 'bn_latency_seconds_bucket{le="0.1"} 1' in text
+    assert 'bn_latency_seconds_bucket{le="+Inf"} 2' in text
+    assert "bn_latency_seconds_count 2" in text
+
+
+# -- health -----------------------------------------------------------------------------
+
+def test_health_registry():
+    reg = HealthRegistry()
+    reg.register("db", lambda: CheckResult("db", True, "ok"))
+    reg.register("bad", lambda: 1 / 0)
+    results = {r.name: r for r in reg.run_all()}
+    assert results["db"].healthy
+    assert not results["bad"].healthy
+    assert "ZeroDivisionError" in results["bad"].detail
+    assert not reg.overall()
+
+
+# -- circuit breaker ----------------------------------------------------------------------
+
+def test_circuit_breaker_opens_and_recovers():
+    cb = CircuitBreaker(failure_threshold=2, cooldown_seconds=0.1)
+    with pytest.raises(ValueError):
+        cb.call(lambda: (_ for _ in ()).throw(ValueError("boom")))
+    assert cb.state == "closed"
+    with pytest.raises(ValueError):
+        cb.call(lambda: (_ for _ in ()).throw(ValueError("boom")))
+    assert cb.state == "open"
+    with pytest.raises(CircuitOpenError):
+        cb.call(lambda: 42)
+    time.sleep(0.12)
+    assert cb.state == "half-open"
+    assert cb.call(lambda: 42) == 42
+    assert cb.state == "closed"
+
+
+# -- notification service ---------------------------------------------------------------------
+
+class _FakeResponse:
+    status_code = 200
+
+    def raise_for_status(self):
+        pass
+
+    def json(self):
+        return {}
+
+
+class _FakeSession:
+    def __init__(self):
+        self.requests = []
+
+    def request(self, method, url, content=None, headers=None):
+        self.requests.append((method, url, content, headers))
+        return _FakeResponse()
+
+    def get(self, url, **kw):
+        self.requests.append(("GET", url, None, kw))
+        return _FakeResponse()
+
+    def post(self, url, **kw):
+        self.requests.append(("POST", url, kw.get("content"), kw))
+        return _FakeResponse()
+
+
+def test_notification_webhook_template_and_rate_limit():
+    from birdnet_go_tpu.integrations.notification import (
+        Notification,
+        NotificationService,
+        NotificationTarget,
+    )
+
+    session = _FakeSession()
+    svc = NotificationService([NotificationTarget(
+        name="hook", kind="webhook", url="http://x/y",
+        body_template='{"text": "$title: $common_name ($confidence)"}',
+        min_interval_seconds=100.0)], session=session)
+    n = Notification(title="New species", message="m",
+                     payload={"common_name": "Great Tit",
+                              "confidence": 0.93})
+    assert svc.notify(n) == 1
+    body = session.requests[0][2].decode()
+    assert "Great Tit" in body and "0.93" in body
+    # rate limited second send
+    assert svc.notify(n) == 0
+    assert svc.suppressed == 1
+
+
+def test_notification_burst_protection():
+    from birdnet_go_tpu.integrations.notification import (
+        Notification,
+        NotificationService,
+        NotificationTarget,
+    )
+
+    svc = NotificationService([NotificationTarget(
+        name="hook", kind="webhook", url="http://x")],
+        session=_FakeSession(), burst_limit=3, burst_window_seconds=60)
+    n = Notification(title="t", message="m")
+    sent = sum(svc.notify(n) for _ in range(6))
+    assert sent == 3
+    assert svc.suppressed == 3
+
+
+# -- birdweather / weather ----------------------------------------------------------------------
+
+def test_birdweather_upload_and_detection():
+    from birdnet_go_tpu.integrations.birdweather import (
+        BirdWeatherClient,
+        BirdWeatherConfig,
+    )
+
+    class _BwSession(_FakeSession):
+        def post(self, url, content=None, json=None, headers=None):
+            self.requests.append(("POST", url, content or json, headers))
+            r = _FakeResponse()
+            r.json = lambda: {"soundscape": {"id": 77}}
+            return r
+
+    session = _BwSession()
+    client = BirdWeatherClient(BirdWeatherConfig(
+        station_token="tok123", latitude=60.0, longitude=24.0),
+        session=session)
+    pcm = (np.sin(np.linspace(0, 1000, 48000 * 3))
+           * 1000).astype(np.int16)
+    sid = client.upload_soundscape(pcm, 48000, "2026-08-16T12:00:00Z")
+    assert sid == 77
+    assert "stations/tok123/soundscapes" in session.requests[0][1]
+    # uploaded WAV is normalized: decode and check gain applied
+    import io
+
+    from birdnet_go_tpu.audio.wav import read_wav
+
+    y, info = read_wav(io.BytesIO(session.requests[0][2]))
+    assert info.sample_rate == 48000
+    assert np.abs(y).max() > np.abs(pcm).max() / 32768.0   # gained toward -23 LUFS
+
+    from tests.test_realtime_core import _detection
+
+    assert client.post_detection(_detection(), sid, "2026-08-16T12:00:00Z")
+    assert "detections" in session.requests[1][1]
+
+
+def test_weather_yrno_parse_and_poll():
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from birdnet_go_tpu.integrations.weather import WeatherPoller, YrNoProvider
+
+    class _YrSession(_FakeSession):
+        def get(self, url, params=None, headers=None):
+            assert "User-Agent" in headers        # met.no requires it
+            r = _FakeResponse()
+            r.json = lambda: {"properties": {"timeseries": [{
+                "time": "2026-08-16T12:00:00Z",
+                "data": {"instant": {"details": {
+                    "air_temperature": 18.5, "relative_humidity": 72.0,
+                    "wind_speed": 3.2}},
+                    "next_1_hours": {"summary": {"symbol_code": "cloudy"}}},
+            }]}}
+            return r
+
+    provider = YrNoProvider(60.17, 24.94, session=_YrSession())
+    ds = Datastore(":memory:")
+    poller = WeatherPoller(provider, ds)
+    assert poller.poll_once() == 1
+    rows = ds.get_hourly_weather("2026-08-16")
+    assert rows and rows[0]["temperature"] == 18.5
+    assert rows[0]["description"] == "cloudy"
+
+
+# -- disk manager ------------------------------------------------------------------------------------
+
+def test_diskmanager_age_policy_and_locked_spared(tmp_path):
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    old = tmp_path / "old.wav"
+    new = tmp_path / "new.wav"
+    locked = tmp_path / "locked.wav"
+    for p in (old, new, locked):
+        p.write_bytes(b"RIFF")
+    t_old = time.time() - 40 * 86400
+    import os
+
+    os.utime(old, (t_old, t_old))
+    os.utime(locked, (t_old, t_old))
+
+    ds = Datastore(":memory:")
+    det_id = ds.insert_detection(_detection(), clip_name="locked.wav")
+    ds.lock_detection(det_id)
+
+    dm = DiskManager(tmp_path, RetentionPolicy(mode="age", max_age_days=30),
+                     datastore=ds)
+    res = dm.cleanup()
+    assert res.deleted == 1
+    assert res.spared_locked == 1
+    assert not old.exists() and new.exists() and locked.exists()
+
+
+def test_diskmanager_reconcile(tmp_path):
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    (tmp_path / "orphan.wav").write_bytes(b"RIFF")
+    ds = Datastore(":memory:")
+    ds.insert_detection(_detection(), clip_name="missing.wav")
+    dm = DiskManager(tmp_path, RetentionPolicy(), datastore=ds)
+    rec = dm.reconcile()
+    assert rec["orphan_files"] == ["orphan.wav"]
+    assert rec["missing_files"] == ["missing.wav"]
