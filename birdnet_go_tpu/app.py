@@ -75,6 +75,16 @@ class Application:
         for w in warnings:
             log.warning("config: %s", w)
 
+        # memory policy (reference: analysis.ApplyMemoryPolicy at serve
+        # startup — GOMEMLIMIT + glibc arena cap)
+        try:
+            from birdnet_go_tpu import native
+
+            if native.available():
+                native.set_malloc_arena_max(2)
+        except Exception:
+            pass
+
         # 1. models (BirdNETAnalyzer service analogue)
         enabled = [m for m in s.models if m.enabled]
         specs = []
@@ -219,6 +229,14 @@ class Application:
             src = FfmpegSource(self.engine, cfg["url"],
                                source_id=cfg.get("id"),
                                transport=cfg.get("transport", "tcp"))
+        elif stype == "audio_card":
+            from birdnet_go_tpu.audio.capture import SoundcardSource
+
+            src = SoundcardSource(self.engine,
+                                  device=cfg.get("device", "default"),
+                                  source_id=cfg.get("id"),
+                                  rate=int(cfg.get("rate", 48000)),
+                                  channels=int(cfg.get("channels", 1)))
         else:
             log.warning("unknown source type %r", stype)
             return

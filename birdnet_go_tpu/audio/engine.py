@@ -27,6 +27,29 @@ from birdnet_go_tpu.models.registry import ModelSpec
 
 log = logging.getLogger("birdnet_tpu.engine")
 
+_NATIVE_BUFFERS = None     # resolved once: None=unprobed, False=unavailable
+
+
+def _make_analysis_buffer(overlap_samples: int, read_samples: int,
+                          capacity_samples: int):
+    """Prefer the C++ ring buffer on the hot path; fall back to Python."""
+    global _NATIVE_BUFFERS
+    if _NATIVE_BUFFERS is None:
+        try:
+            from birdnet_go_tpu import native
+
+            _NATIVE_BUFFERS = native if native.available() else False
+            if _NATIVE_BUFFERS:
+                log.info("using native C++ analysis ring buffers")
+        except Exception:
+            _NATIVE_BUFFERS = False
+    if _NATIVE_BUFFERS:
+        return _NATIVE_BUFFERS.NativeAnalysisBuffer(
+            overlap_samples, read_samples, capacity_samples)
+    return AnalysisBuffer(overlap_samples=overlap_samples,
+                          read_samples=read_samples,
+                          capacity_samples=capacity_samples)
+
 
 @dataclasses.dataclass
 class _ModelTap:
@@ -67,7 +90,7 @@ class _StreamState:
                 overlap_n = clip - hop
             else:
                 overlap_n = clip // 2          # BufferDimensions default
-            buf = AnalysisBuffer(
+            buf = _make_analysis_buffer(
                 overlap_samples=overlap_n, read_samples=clip - overlap_n,
                 capacity_samples=4 * clip)
             self.taps.append(_ModelTap(spec=spec, resampler=rs, buffer=buf))

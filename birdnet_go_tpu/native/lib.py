@@ -1,0 +1,193 @@
+"""ctypes loader + wrappers for libbirdnet_host.so."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger("birdnet_tpu.native")
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_LIB_PATH = _REPO_ROOT / "build" / "libbirdnet_host.so"
+_SRC_DIR = _REPO_ROOT / "native"
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+def build_native() -> bool:
+    """Compile native/birdnet_host.cpp with make/g++; returns success."""
+    try:
+        res = subprocess.run(["make", "-C", str(_SRC_DIR),
+                              f"BUILD_DIR={_REPO_ROOT / 'build'}"],
+                             capture_output=True, text=True, timeout=120)
+        if res.returncode != 0:
+            log.warning("native build failed: %s", res.stderr[-500:])
+            return False
+        return _LIB_PATH.is_file()
+    except (OSError, subprocess.TimeoutExpired) as e:
+        log.warning("native build unavailable: %s", e)
+        return False
+
+
+def _load():
+    global _lib, _build_attempted
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.is_file() and not _build_attempted:
+            _build_attempted = True
+            build_native()
+        if not _LIB_PATH.is_file():
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.bn_ring_create.restype = ctypes.c_void_p
+        lib.bn_ring_create.argtypes = [ctypes.c_int64] * 3
+        lib.bn_ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.bn_ring_write.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int16),
+                                      ctypes.c_int64]
+        lib.bn_ring_read.restype = ctypes.c_int64
+        lib.bn_ring_read.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int16)]
+        lib.bn_ring_read_batch.restype = ctypes.c_int64
+        lib.bn_ring_read_batch.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_int16),
+                                           ctypes.c_int64]
+        lib.bn_ring_available.restype = ctypes.c_int64
+        lib.bn_ring_available.argtypes = [ctypes.c_void_p]
+        lib.bn_ring_lost.restype = ctypes.c_int64
+        lib.bn_ring_lost.argtypes = [ctypes.c_void_p]
+        lib.bn_set_malloc_arena_max.restype = ctypes.c_int
+        lib.bn_set_malloc_arena_max.argtypes = [ctypes.c_int]
+        lib.bn_alsa_available.restype = ctypes.c_int
+        lib.bn_alsa_open.restype = ctypes.c_void_p
+        lib.bn_alsa_open.argtypes = [ctypes.c_char_p, ctypes.c_uint,
+                                     ctypes.c_uint, ctypes.c_uint]
+        lib.bn_alsa_read.restype = ctypes.c_long
+        lib.bn_alsa_read.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int16),
+                                     ctypes.c_ulong]
+        lib.bn_alsa_close.argtypes = [ctypes.c_void_p]
+        lib.bn_version.restype = ctypes.c_char_p
+        _lib = lib
+        log.info("native host library loaded: %s",
+                 lib.bn_version().decode())
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def alsa_available() -> bool:
+    lib = _load()
+    return bool(lib and lib.bn_alsa_available())
+
+
+def set_malloc_arena_max(arenas: int = 2) -> bool:
+    """Low-memory policy (reference: mempolicy glibc arena cap)."""
+    lib = _load()
+    if lib is None:
+        return False
+    return lib.bn_set_malloc_arena_max(arenas) == 1
+
+
+def _i16_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+class NativeAnalysisBuffer:
+    """Drop-in for audio.buffers.AnalysisBuffer backed by C++."""
+
+    def __init__(self, overlap_samples: int, read_samples: int,
+                 capacity_samples: int | None = None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.overlap = overlap_samples
+        self.read_size = read_samples
+        self.window_size = overlap_samples + read_samples
+        self._h = lib.bn_ring_create(overlap_samples, read_samples,
+                                     capacity_samples or 0)
+        if not self._h:
+            raise RuntimeError("bn_ring_create failed")
+
+    def write(self, samples: np.ndarray, now: float | None = None) -> None:
+        samples = np.ascontiguousarray(samples, np.int16)
+        self._lib.bn_ring_write(self._h, _i16_ptr(samples), len(samples))
+
+    def read(self) -> np.ndarray | None:
+        out = np.empty(self.window_size, np.int16)
+        n = self._lib.bn_ring_read(self._h, _i16_ptr(out))
+        return out if n else None
+
+    def read_batch(self, max_windows: int) -> np.ndarray:
+        """Drain up to max_windows windows → [n, window_size] int16."""
+        out = np.empty((max_windows, self.window_size), np.int16)
+        n = self._lib.bn_ring_read_batch(self._h, _i16_ptr(out), max_windows)
+        return out[:n]
+
+    def available(self) -> int:
+        return int(self._lib.bn_ring_available(self._h))
+
+    @property
+    def total_overwritten(self) -> int:
+        return int(self._lib.bn_ring_lost(self._h))
+
+    def overwrite_rate(self, window_seconds: float = 300.0,
+                       now: float | None = None) -> float:
+        # coarse: lifetime ratio (the Python impl keeps a sliding window)
+        avail = self.available()
+        lost = self.total_overwritten
+        total = max(avail + lost, 1)
+        return lost / total
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.bn_ring_destroy(self._h)
+        except Exception:
+            pass
+
+
+class AlsaCapture:
+    """Soundcard capture via the native ALSA shim (device enumeration and
+    format conversion happen ALSA-side through snd_pcm_set_params)."""
+
+    def __init__(self, device: str = "default", rate: int = 48000,
+                 channels: int = 1, latency_us: int = 100000):
+        lib = _load()
+        if lib is None or not lib.bn_alsa_available():
+            raise RuntimeError("ALSA unavailable")
+        self._lib = lib
+        self.rate = rate
+        self.channels = channels
+        self._pcm = lib.bn_alsa_open(device.encode(), rate, channels,
+                                     latency_us)
+        if not self._pcm:
+            raise RuntimeError(f"cannot open ALSA device {device!r}")
+
+    def read(self, frames: int) -> np.ndarray | None:
+        buf = np.empty(frames * self.channels, np.int16)
+        n = self._lib.bn_alsa_read(self._pcm, _i16_ptr(buf), frames)
+        if n < 0:
+            raise RuntimeError("ALSA read failed")
+        if n == 0:
+            return None
+        out = buf[:int(n) * self.channels]
+        if self.channels > 1:
+            out = out.reshape(-1, self.channels).mean(axis=1).astype(np.int16)
+        return out
+
+    def close(self) -> None:
+        if self._pcm:
+            self._lib.bn_alsa_close(self._pcm)
+            self._pcm = None
