@@ -142,9 +142,19 @@ def _choose_radix(n: int) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=16)
-def _rdft_matmul_consts(n_fft: int):
-    """Precompute DFT constants: stage-1 [A,A], stage-2 [A,B,J], bin map."""
-    a_sz, b_sz = _choose_radix(n_fft)
+def _rdft_matmul_consts(n_fft: int, a_sz: int | None = None):
+    """Precompute DFT constants: stage-1 [A,A], stage-2 [A,B,J], bin map.
+
+    `a_sz` overrides the radix split (the Pallas kernel uses A=16 so
+    B=128 matches the TPU lane width; the XLA path uses the FLOP-minimal
+    split).
+    """
+    if a_sz is not None:
+        if n_fft % a_sz:
+            raise ValueError(f"{a_sz} does not divide n_fft={n_fft}")
+        b_sz = n_fft // a_sz
+    else:
+        a_sz, b_sz = _choose_radix(n_fft)
     k_out = n_fft // 2 + 1
     j_sz = (k_out - 1) // a_sz + 1          # bins per residue group (padded)
     aa = np.arange(a_sz)
@@ -217,7 +227,8 @@ def _spectrum(frames: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _mel_filterbank_permuted_np(sample_rate: int, n_fft: int, n_mels: int,
-                                fmin: float, fmax: float) -> np.ndarray:
+                                fmin: float, fmax: float,
+                                a_sz: int | None = None) -> np.ndarray:
     """Mel filterbank with rows permuted into the (r, j) DFT output layout.
 
     fb_perm[r·J + j, m] = fb[r + A·j, m] (0 for padded positions), so
@@ -225,7 +236,7 @@ def _mel_filterbank_permuted_np(sample_rate: int, n_fft: int, n_mels: int,
     permutation is absorbed into a constant matrix instead of a gather.
     """
     fb = _mel_filterbank_np(sample_rate, n_fft, n_mels, fmin, fmax)
-    *_, bin_of, a_sz, b_sz, j_sz = _rdft_matmul_consts(n_fft)
+    *_, bin_of, a_sz, b_sz, j_sz = _rdft_matmul_consts(n_fft, a_sz)
     out = np.zeros((a_sz * j_sz, n_mels), np.float32)
     rr, jj = np.nonzero(bin_of >= 0)
     out[rr * j_sz + jj] = fb[bin_of[rr, jj]]

@@ -1,0 +1,196 @@
+"""Fused mel-spectrogram Pallas kernel (TPU).
+
+The XLA path (ops.melspec) materializes windowed frames in HBM
+([B, F, n_fft] f32 ≈ 2.3 MB/window) between the framing gather and the
+DFT matmuls. This kernel keeps everything in VMEM: each grid step DMAs a
+raw int16 PCM tile from HBM, converts + windows + runs a two-stage matmul
+DFT + mel projection on chip, and writes only the [F_tile, n_mels] mel
+rows back — HBM traffic drops from ~5 MB to ~0.4 MB per window.
+
+TPU-layout design (everything lane-aligned, no cross-lane reshapes):
+- radix split A=16, B=128 (lane width), so frame sample n = a·128 + b —
+  i.e. a frame IS 16 contiguous sublane rows of the [rows, 128] PCM tile.
+  Requires hop % 128 == 0 and n_fft % 128 == 0.
+- stage 1 per frame: war[16,16] @ x[16,128]  → s[r, b]   (unrolled over
+  the frame tile, accumulated into an [16·r, F, 128·b] scratch);
+- stage 2 per residue r: s_r[F,128] @ tw_r[128, 128·jpad] (j padded to
+  the lane width; padding columns are zero);
+- mel per residue: p_r[F,128] @ fb_r[128, n_mels], accumulated — the
+  (r, j) → bin permutation is absorbed into the per-r filterbank slabs.
+
+Grid: (batch, frame_tiles). Inputs are padded so the last tile's DMA
+stays in bounds; padded frames produce rows the caller slices off.
+`interpret=True` runs anywhere (CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from birdnet_go_tpu.ops.melspec import (
+    MelConfig,
+    _mel_filterbank_permuted_np,
+    _rdft_matmul_consts,
+    _window_fn,
+)
+
+_INT16_SCALE = 1.0 / 32768.0
+_A = 16                       # radix: B = n_fft // 16 must equal 128
+_LANE = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
+                   fmax: float):
+    war, wai, twr, twi, _, a_sz, b_sz, j_sz = _rdft_matmul_consts(n_fft, _A)
+    assert a_sz == _A and b_sz == _LANE
+    j_pad = _LANE
+    # tw3: [A, B, j_pad] zero-padded beyond j_sz
+    tw3r = np.zeros((a_sz, b_sz, j_pad), np.float32)
+    tw3i = np.zeros((a_sz, b_sz, j_pad), np.float32)
+    tw3r[:, :, :j_sz] = twr
+    tw3i[:, :, :j_sz] = twi
+    # fb3: [A, j_pad, n_mels] from the permuted filterbank (r-major, J=j_sz)
+    fbp = _mel_filterbank_permuted_np(sample_rate, n_fft, n_mels, fmin,
+                                      fmax, _A)            # [A*j_sz, m]
+    fb3 = np.zeros((a_sz, j_pad, n_mels), np.float32)
+    fb3[:, :j_sz, :] = fbp.reshape(a_sz, j_sz, n_mels)
+    return war, wai, tw3r, tw3i, fb3, j_sz
+
+
+def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig, tile_f: int = 32,
+                  interpret: bool = False) -> jnp.ndarray:
+    """int16 PCM [B, T] → mel [B, F, n_mels] (cfg.mag_scale applied)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if cfg.power != 2.0:
+        raise ValueError("fused kernel supports power spectrogram only")
+    if cfg.hop % _LANE or cfg.n_fft % _LANE or cfg.n_fft // _A != _LANE:
+        raise ValueError(
+            f"fused kernel needs hop%128==0 and n_fft==2048 "
+            f"(got hop={cfg.hop}, n_fft={cfg.n_fft})")
+
+    b, t = pcm_i16.shape
+    n_frames = cfg.num_frames(t)
+    n_tiles = math.ceil(n_frames / tile_f)
+    hop_rows = cfg.hop // _LANE
+    frame_rows = cfg.n_fft // _LANE                   # = 16
+    tile_rows = tile_f * hop_rows + (frame_rows - hop_rows)
+    tile_rows = -(-tile_rows // 16) * 16    # sublane-align the DMA (int16)
+    padded_rows = (n_tiles - 1) * tile_f * hop_rows + tile_rows
+    t_rows = math.ceil(t / _LANE)
+    if padded_rows > t_rows:
+        pcm_i16 = jnp.pad(pcm_i16,
+                          ((0, 0), (0, padded_rows * _LANE - t)))
+    elif t % _LANE:
+        pcm_i16 = jnp.pad(pcm_i16, ((0, 0), (0, _LANE - t % _LANE)))
+        padded_rows = max(padded_rows, t_rows)
+    pcm3 = pcm_i16[:, :padded_rows * _LANE].reshape(b, padded_rows, _LANE)
+
+    war, wai, tw3r, tw3i, fb3, j_sz = _kernel_consts(
+        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    win2 = _window_fn(cfg).reshape(frame_rows, _LANE)
+
+    def kernel(pcm_ref, win_ref, war_ref, wai_ref, twr_ref, twi_ref,
+               fb_ref, out_ref, sr_ref, si_ref):
+        bi = pl.program_id(0)
+        ft = pl.program_id(1)
+
+        def body(tile_ref, dma_sem):
+            start_row = ft * (tile_f * hop_rows)
+            dma = pltpu.make_async_copy(
+                pcm_ref.at[bi, pl.ds(start_row, tile_rows), :],
+                tile_ref, dma_sem)
+            dma.start()
+            dma.wait()
+
+            # stage 1 over the frame tile: frame i is rows
+            # [i·hop_rows, +frame_rows) of the tile — pure sublane slices
+            def s1(i, _):
+                x = (tile_ref[pl.ds(i * hop_rows, frame_rows), :]
+                     .astype(jnp.float32) * _INT16_SCALE * win_ref[:])
+                sr_ref[:, pl.ds(i, 1), :] = jnp.dot(
+                    war_ref[:], x,
+                    preferred_element_type=jnp.float32)[:, None, :]
+                si_ref[:, pl.ds(i, 1), :] = jnp.dot(
+                    wai_ref[:], x,
+                    preferred_element_type=jnp.float32)[:, None, :]
+                return 0
+
+            jax.lax.fori_loop(0, tile_f, s1, 0)
+
+            # stage 2 + mel, accumulated over residues r
+            def s2(r, mel):
+                sr_r = sr_ref[pl.ds(r, 1), :, :][0]
+                si_r = si_ref[pl.ds(r, 1), :, :][0]
+                twr_r = twr_ref[pl.ds(r, 1), :, :][0]
+                twi_r = twi_ref[pl.ds(r, 1), :, :][0]
+                re = (jnp.dot(sr_r, twr_r,
+                              preferred_element_type=jnp.float32)
+                      - jnp.dot(si_r, twi_r,
+                                preferred_element_type=jnp.float32))
+                im = (jnp.dot(sr_r, twi_r,
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(si_r, twr_r,
+                                preferred_element_type=jnp.float32))
+                power = re * re + im * im
+                fb_r = fb_ref[pl.ds(r, 1), :, :][0]
+                return mel + jnp.dot(power, fb_r,
+                                     preferred_element_type=jnp.float32)
+
+            mel = jax.lax.fori_loop(
+                0, _A, s2, jnp.zeros((tile_f, cfg.n_mels), jnp.float32))
+            if cfg.mag_scale == "log":
+                out_ref[0, :, :] = jnp.log(mel + cfg.log_offset)
+            elif cfg.mag_scale == "db":
+                out_ref[0, :, :] = 10.0 * jnp.log10(mel + cfg.log_offset)
+            elif cfg.mag_scale == "nonlinear":
+                out_ref[0, :, :] = jnp.power(jnp.maximum(mel, 0.0),
+                                             1.0 / 1.3)
+            else:
+                out_ref[0, :, :] = mel
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((tile_rows, _LANE), jnp.int16),
+            pltpu.SemaphoreType.DMA,
+        )
+
+    grid = (b, n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),            # pcm3 in HBM
+            pl.BlockSpec((frame_rows, _LANE), lambda bi, ft: (0, 0),
+                         memory_space=pltpu.VMEM),            # window
+            pl.BlockSpec((_A, _A), lambda bi, ft: (0, 0),
+                         memory_space=pltpu.VMEM),            # war
+            pl.BlockSpec((_A, _A), lambda bi, ft: (0, 0),
+                         memory_space=pltpu.VMEM),            # wai
+            pl.BlockSpec((_A, _LANE, _LANE), lambda bi, ft: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # twr
+            pl.BlockSpec((_A, _LANE, _LANE), lambda bi, ft: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # twi
+            pl.BlockSpec((_A, _LANE, cfg.n_mels), lambda bi, ft: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # fb3
+        ],
+        out_specs=pl.BlockSpec((1, tile_f, cfg.n_mels),
+                               lambda bi, ft: (bi, ft, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_f, cfg.n_mels),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_A, tile_f, _LANE), jnp.float32),     # sr
+            pltpu.VMEM((_A, tile_f, _LANE), jnp.float32),     # si
+        ],
+        interpret=interpret,
+    )(pcm3, jnp.asarray(win2), jnp.asarray(war), jnp.asarray(wai),
+      jnp.asarray(tw3r), jnp.asarray(tw3i), jnp.asarray(fb3))
+    return out[:, :n_frames, :]
