@@ -126,6 +126,10 @@ class ApiServer:
         r.add_get(f"{v2}/media/spectrogram/{{filename}}",
                   self.h_media_spectrogram)
         r.add_get(f"{v2}/spectrogram/{{id}}", self.h_spectrogram_by_id)
+        # embedded SPA (reference: frontend/ Svelte app via embed.go;
+        # here a no-build single-file dashboard)
+        r.add_get("/", self.h_index)
+        r.add_get("/ui", self.h_index)
         # observability
         r.add_get("/metrics", self.h_metrics)
         r.add_get(f"{v2}/system/errors", self.h_recent_errors)
@@ -402,6 +406,10 @@ class ApiServer:
                 "loaded": mid in self.ctx.device_loop.batchers,
             })
         return _json(out)
+
+    async def h_index(self, request):
+        path = Path(__file__).parent / "static" / "index.html"
+        return web.FileResponse(path)
 
     async def h_metrics(self, request):
         """Prometheus text exposition (reference: observability endpoint)."""
