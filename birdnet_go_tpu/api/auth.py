@@ -1,0 +1,60 @@
+"""API authentication middleware.
+
+Reference: internal/security + internal/api/auth — OAuth2/social/OIDC at
+full surface; here the core protections: bearer-token auth with
+constant-time comparison, local-subnet bypass (reference's
+binary authz model), and public-path allowlist (health/ping/SSE keepalive
+stay reachable for probes).
+"""
+
+from __future__ import annotations
+
+import hmac
+import ipaddress
+import secrets
+
+from aiohttp import web
+
+PUBLIC_PATHS = {"/api/v2/health", "/api/v2/ping", "/metrics"}
+
+_LOCAL_NETS = [
+    ipaddress.ip_network("127.0.0.0/8"),
+    ipaddress.ip_network("10.0.0.0/8"),
+    ipaddress.ip_network("172.16.0.0/12"),
+    ipaddress.ip_network("192.168.0.0/16"),
+    ipaddress.ip_network("::1/128"),
+]
+
+
+def generate_token() -> str:
+    return secrets.token_urlsafe(32)
+
+
+def is_local_address(addr: str) -> bool:
+    try:
+        ip = ipaddress.ip_address(addr)
+    except ValueError:
+        return False
+    return any(ip in net for net in _LOCAL_NETS)
+
+
+def auth_middleware(token: str, allow_local_bypass: bool = True):
+    """aiohttp middleware enforcing `Authorization: Bearer <token>`."""
+
+    @web.middleware
+    async def middleware(request, handler):
+        if request.path in PUBLIC_PATHS or request.path in ("/", "/ui"):
+            return await handler(request)
+        if allow_local_bypass and request.remote \
+                and is_local_address(request.remote):
+            return await handler(request)
+        header = request.headers.get("Authorization", "")
+        supplied = header.removeprefix("Bearer ").strip()
+        # also accept ?token= for SSE/EventSource clients (no headers)
+        if not supplied:
+            supplied = request.query.get("token", "")
+        if supplied and hmac.compare_digest(supplied, token):
+            return await handler(request)
+        return web.json_response({"error": "unauthorized"}, status=401)
+
+    return middleware

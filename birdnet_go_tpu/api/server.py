@@ -86,7 +86,16 @@ class ApiServer:
     # -- app/routes ----------------------------------------------------------------
 
     def build_app(self) -> web.Application:
-        app = web.Application()
+        middlewares = []
+        token = getattr(self.ctx.settings.webserver, "auth_token", None)
+        if token:
+            from birdnet_go_tpu.api.auth import auth_middleware
+
+            middlewares.append(auth_middleware(
+                token,
+                allow_local_bypass=self.ctx.settings.webserver
+                .allow_local_bypass))
+        app = web.Application(middlewares=middlewares)
         r = app.router
         v2 = "/api/v2"
         r.add_get(f"{v2}/health", self.h_health)

@@ -62,6 +62,9 @@ class Application:
         self.notifications = None
         self.diskmanager = None
         self.species_tracker = None
+        self.watchdog = None
+        self.quiet_hours = None
+        self.backup = None
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
         self._sources: list = []
@@ -124,11 +127,40 @@ class Application:
                 self.datastore.load_dynamic_thresholds())
         self.flusher = FlushLoop(self.processor)
 
-        # 4. audio pipeline
+        # 4. audio pipeline (+ liveness watchdog + quiet hours)
+        from birdnet_go_tpu.audio.liveness import (
+            LivenessConfig,
+            LivenessWatchdog,
+            SourceState,
+        )
+        from birdnet_go_tpu.audio.quiet_hours import QuietHoursScheduler
+
+        self.quiet_hours = QuietHoursScheduler(
+            lat=s.location.latitude, lon=s.location.longitude)
+
+        def _notify_source(sid: str, state: SourceState) -> None:
+            if self.notifications is not None:
+                from birdnet_go_tpu.integrations.notification import (
+                    Notification,
+                )
+
+                self.notifications.notify(Notification(
+                    title=f"Audio source {state.value}",
+                    message=f"source {sid} entered state {state.value}",
+                    priority="high"))
+
+        self.watchdog = LivenessWatchdog(
+            LivenessConfig(
+                silence_timeout_seconds=s.liveness.silence_timeout_seconds,
+                recovery_timeout_seconds=s.liveness.recovery_timeout_seconds,
+                max_recovery_attempts=s.liveness.max_recovery_attempts),
+            restart=self._restart_source,
+            notify=_notify_source,
+            is_quiet=self.quiet_hours.is_quiet)
         overlaps = {m.model_id: m.overlap for m in enabled}
         self.engine = AudioEngine(
             specs, capture_seconds=s.realtime.capture_buffer_seconds,
-            overlaps=overlaps)
+            overlaps=overlaps, on_ingest=self.watchdog.data_received)
         self.device_loop = DeviceLoop(tick_seconds=s.realtime.tick_ms / 1000)
         for ms in enabled:
             clf = self.classifiers[ms.model_id]
@@ -206,6 +238,16 @@ class Application:
                                 max_usage_percent=s.retention.max_usage_percent),
                 datastore=self.datastore)
 
+        # backup manager
+        if s.backup.enabled:
+            from birdnet_go_tpu.utils.backup import BackupConfig, BackupManager
+
+            self.backup = BackupManager(
+                BackupConfig(enabled=True, target_dir=s.backup.target_dir,
+                             keep=s.backup.keep,
+                             interval_hours=s.backup.interval_hours),
+                db_path=s.database.path)
+
         # control signals
         self.control.subscribe(ControlSignal.REBUILD_RANGE_FILTER,
                                lambda: self.rebuild_range_filter())
@@ -213,6 +255,18 @@ class Application:
         # sources from config
         for src_cfg in s.realtime.sources:
             self._add_source_from_config(src_cfg)
+
+    def _restart_source(self, source_id: str) -> None:
+        """Tiered recovery callback: stop/start the matching source."""
+        for src in self._sources:
+            if getattr(src, "source", None) is not None \
+                    and src.source.source_id == source_id:
+                log.info("watchdog restarting source %s", source_id)
+                try:
+                    src.stop()
+                finally:
+                    src.start()
+                return
 
     def _add_source_from_config(self, cfg: dict) -> None:
         stype = cfg.get("type", "file")
@@ -278,10 +332,20 @@ class Application:
             self.api.start()
         for src in self._sources:
             src.start()
+            if self.watchdog is not None and self.settings.liveness.enabled:
+                self.watchdog.track(src.source.source_id)
+        if self.watchdog is not None and self.settings.liveness.enabled:
+            self.watchdog.start(self.settings.liveness.check_interval_seconds)
+        if self.backup is not None:
+            self.backup.start()
         log.info("application started: %d model(s), %d source(s)",
                  len(self.classifiers), len(self._sources))
 
     def stop(self) -> None:
+        if self.watchdog is not None:
+            self.watchdog.stop()
+        if self.backup is not None:
+            self.backup.stop()
         for src in self._sources:
             src.stop()
         self.device_loop.stop()

@@ -101,13 +101,15 @@ class AudioEngine:
 
     def __init__(self, specs: list[ModelSpec],
                  capture_seconds: float = 120.0,
-                 overlaps: dict[str, float] | None = None):
+                 overlaps: dict[str, float] | None = None,
+                 on_ingest=None):
         self.specs = specs
         self.capture_seconds = capture_seconds
         self.overlaps = overlaps or {}
         self.registry = SourceRegistry()
         self._streams: dict[str, _StreamState] = {}
         self._lock = threading.Lock()
+        self.on_ingest = on_ingest          # liveness watchdog feed
 
     # -- sources -------------------------------------------------------------------
 
@@ -144,6 +146,8 @@ class AudioEngine:
             return
         ts = time.time() if timestamp is None else timestamp
         st.last_ingest = ts
+        if self.on_ingest is not None:
+            self.on_ingest(source_id)
         st.capture.write(pcm_i16, timestamp=ts)
         f32 = None
         for tap in st.taps:

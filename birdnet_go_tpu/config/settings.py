@@ -149,6 +149,25 @@ class WebServerSettings:
     enabled: bool = True
     host: str = "0.0.0.0"
     port: int = 8080
+    auth_token: str | None = None       # None = auth disabled
+    allow_local_bypass: bool = True     # local subnets skip auth
+
+
+@dataclasses.dataclass
+class BackupSettings:
+    enabled: bool = False
+    target_dir: str = "data/backups"
+    keep: int = 7
+    interval_hours: float = 24.0
+
+
+@dataclasses.dataclass
+class LivenessSettings:
+    enabled: bool = True
+    silence_timeout_seconds: float = 60.0
+    recovery_timeout_seconds: float = 30.0
+    max_recovery_attempts: int = 3
+    check_interval_seconds: float = 10.0
 
 
 @dataclasses.dataclass
@@ -193,6 +212,9 @@ class Settings:
         default_factory=NotificationSettings)
     retention: RetentionSettings = dataclasses.field(
         default_factory=RetentionSettings)
+    backup: BackupSettings = dataclasses.field(default_factory=BackupSettings)
+    liveness: LivenessSettings = dataclasses.field(
+        default_factory=LivenessSettings)
     data_dir: str | None = None
 
     def validate(self) -> list[str]:
