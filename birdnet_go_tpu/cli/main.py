@@ -57,6 +57,31 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--csv", action="store_true")
     common_model_flags(r)
 
+    t = sub.add_parser("train", help="train a custom classifier")
+    t.add_argument("dataset", help="directory-per-species WAV dataset root")
+    t.add_argument("--output", default="data/models/Custom",
+                   help="checkpoint output dir")
+    t.add_argument("--epochs", type=int, default=10)
+    t.add_argument("--batch-size", type=int, default=16)
+    t.add_argument("--learning-rate", type=float, default=1e-3)
+    t.add_argument("--tiny", action="store_true",
+                   help="tiny backbone (fast smoke runs / tests)")
+    common_model_flags(t)
+
+    imp = sub.add_parser("import", help="import BirdNET-Pi detections")
+    imp.add_argument("log", help="path to BirdDB.txt / detections CSV")
+    imp.add_argument("--database", default="data/birdnet.db")
+    imp.add_argument("--min-confidence", type=float, default=0.0)
+
+    mdl = sub.add_parser("model", help="model gallery: list/install/remove")
+    mdl.add_argument("action", choices=["list", "install", "remove"])
+    mdl.add_argument("model_id", nargs="?")
+    mdl.add_argument("--from-file", default=None,
+                     help="install from a local .tflite/.onnx artifact")
+
+    sup = sub.add_parser("support", help="write a scrubbed support bundle")
+    sup.add_argument("--output", default=".")
+
     s = sub.add_parser("serve", help="realtime analysis server")
     s.add_argument("--config", default=None, help="YAML config file")
     s.add_argument("--host", default="0.0.0.0")
@@ -79,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_rangefilter(args)
     if args.command == "serve":
         return _cmd_serve(args)
+    if args.command == "train":
+        return _cmd_train(args)
+    if args.command == "import":
+        return _cmd_import(args)
+    if args.command == "model":
+        return _cmd_model(args)
+    if args.command == "support":
+        return _cmd_support(args)
     return 2
 
 
@@ -249,6 +282,125 @@ def _cmd_serve(args) -> int:
         stop.wait()
     finally:
         app.stop()
+    return 0
+
+
+def _cmd_train(args) -> int:
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from birdnet_go_tpu.inference.checkpoint import save_params
+    from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+    from birdnet_go_tpu.ops.melspec import MelConfig
+    from birdnet_go_tpu.train.dataset import load_directory_dataset
+    from birdnet_go_tpu.train.trainer import init_train_state, make_train_step
+
+    ds = load_directory_dataset(args.dataset)
+    n_classes = len(ds.class_names)
+    print(f"dataset: {len(ds)} windows, {n_classes} classes: "
+          f"{ds.class_names}")
+
+    if args.tiny:
+        from birdnet_go_tpu.models.efficientnet import (
+            BlockSpec,
+            EfficientNetConfig,
+        )
+
+        model = BirdNETv24(
+            num_species=n_classes,
+            mel=MelConfig(sample_rate=48000, n_fft=512, hop=4096, n_mels=32),
+            compute_dtype=jnp.float32)
+        model.net = EfficientNetConfig(
+            blocks=(BlockSpec(1, 8, 3, 2, 1), BlockSpec(4, 16, 3, 2, 1)),
+            embedding_dim=32, num_classes=n_classes)
+    else:
+        model = BirdNETv24(num_species=n_classes)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adamw(args.learning_rate)
+    state = init_train_state(params, optimizer)
+    # BN in inference mode during training: batch-norm acts as a learnable
+    # affine, so the trained params behave identically at inference time
+    # (no running-stat updates needed — the standard fine-tuning recipe).
+    train_step = jax.jit(make_train_step(model.apply, optimizer,
+                                         train=False))
+
+    step = 0
+    for pcm, labels in ds.batches(args.batch_size, epochs=args.epochs):
+        state, metrics = train_step(state, jnp.asarray(pcm),
+                                    jnp.asarray(labels))
+        step += 1
+        if step % 10 == 1:
+            print(f"step {step}: loss={float(metrics['loss']):.4f} "
+                  f"grad_norm={float(metrics['grad_norm']):.3f}")
+    out = Path(args.output)
+    save_params(state.params, out)
+    (out / "labels.json").write_text(json.dumps(ds.class_names))
+    print(f"trained {step} steps; checkpoint + labels written to {out}")
+    return 0
+
+
+def _cmd_import(args) -> int:
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from birdnet_go_tpu.utils.imports import import_birdnet_pi
+
+    ds = Datastore(args.database)
+    res = import_birdnet_pi(ds, args.log,
+                            min_confidence=args.min_confidence)
+    print(f"scanned {res.scanned}, imported {res.imported}, "
+          f"skipped {res.skipped}, errors {res.errors}")
+    return 0 if res.errors == 0 else 1
+
+
+def _cmd_model(args) -> int:
+    from birdnet_go_tpu.models.catalog import (
+        ModelManager,
+        catalog_entries,
+        get_entry,
+    )
+
+    mgr = ModelManager()
+    if args.action == "list":
+        installed = {m["model_id"] for m in mgr.installed()}
+        print(f"{'model':<18} {'installed':<10} description")
+        for e in catalog_entries():
+            mark = "yes" if e.model_id in installed else "-"
+            print(f"{e.model_id:<18} {mark:<10} {e.description}")
+        return 0
+    if not args.model_id:
+        print("model id required", file=sys.stderr)
+        return 1
+    if args.action == "remove":
+        ok = mgr.remove(args.model_id)
+        print("removed" if ok else "not installed")
+        return 0 if ok else 1
+    # install
+    if args.from_file:
+        dest = mgr.install_from_file(args.model_id, args.from_file)
+        print(f"installed to {dest}")
+        return 0
+    entry = get_entry(args.model_id)
+    if entry is None:
+        print(f"unknown model {args.model_id}", file=sys.stderr)
+        return 1
+    try:
+        dest = mgr.install_from_url(entry)
+    except ValueError as e:
+        print(f"install failed: {e}", file=sys.stderr)
+        return 1
+    print(f"installed to {dest}")
+    return 0
+
+
+def _cmd_support(args) -> int:
+    from birdnet_go_tpu.utils.support import collect_support_bundle
+
+    bundle = collect_support_bundle()
+    out = Path(args.output) / bundle.name
+    out.write_bytes(bundle.data)
+    print(f"support bundle written to {out}")
     return 0
 
 

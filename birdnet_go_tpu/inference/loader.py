@@ -115,12 +115,20 @@ def load_model(model_id: str, checkpoint: str | None = None, seed: int = 0,
         log.info("imported %s from onnx %s", model_id, checkpoint)
         return model, g.params
 
+    installed = model_home() / model_id
+    if not checkpoint and installed.is_dir() and any(installed.iterdir()):
+        # gallery-installed artifacts take precedence: model.tflite/.onnx
+        for name in ("model.tflite", "model.onnx"):
+            artifact = installed / name
+            if artifact.is_file():
+                return load_model(model_id, checkpoint=str(artifact),
+                                  seed=seed, **kwargs)
+
     model = build_model(model_id, **kwargs)
     if checkpoint:
         params = load_params(checkpoint)
         log.info("loaded %s weights from %s", model_id, checkpoint)
         return model, params
-    installed = model_home() / model_id
     if installed.is_dir() and any(installed.iterdir()):
         params = load_params(installed)
         log.info("loaded %s weights from %s", model_id, installed)

@@ -1,0 +1,116 @@
+"""BirdNET-Pi data import.
+
+Reference: internal/imports (2.6k LoC) — discovers a BirdNET-Pi
+installation (its `BirdDB.txt`/CSV detection log and clip directory),
+stages the data, and writes detections into the datastore.
+
+BirdNET-Pi's detection log is semicolon/CSV with columns
+Date;Time;Sci_Name;Com_Name;Confidence[;Lat;Lon;Cutoff;Week;Sens;Overlap]
+(header optional, both ';' and ',' separators in the wild).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import datetime as _dt
+import logging
+from pathlib import Path
+
+from birdnet_go_tpu.analysis.results import Detection
+from birdnet_go_tpu.taxonomy.labels import Species
+
+log = logging.getLogger("birdnet_tpu.imports")
+
+
+@dataclasses.dataclass
+class ImportResult:
+    scanned: int = 0
+    imported: int = 0
+    skipped: int = 0
+    errors: int = 0
+
+
+def _sniff_delimiter(sample: str) -> str:
+    return ";" if sample.count(";") >= sample.count(",") else ","
+
+
+_HEADER_HINTS = ("date", "sci_name", "com_name", "confidence")
+
+
+def parse_birdnet_pi_log(path: str | Path) -> list[Detection]:
+    """Parse a BirdNET-Pi detection log into Detection records."""
+    path = Path(path)
+    text = path.read_text(encoding="utf-8", errors="replace")
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        return []
+    delim = _sniff_delimiter(lines[0])
+    rows = list(csv.reader(lines, delimiter=delim))
+    start = 0
+    first = [c.strip().lower() for c in rows[0]]
+    if any(h in first for h in _HEADER_HINTS):
+        start = 1
+    out = []
+    for row in rows[start:]:
+        if len(row) < 5:
+            continue
+        try:
+            date_s, time_s, sci, com, conf = (row[0].strip(), row[1].strip(),
+                                              row[2].strip(), row[3].strip(),
+                                              float(row[4]))
+            ts = _dt.datetime.strptime(f"{date_s} {time_s}",
+                                       "%Y-%m-%d %H:%M:%S")
+        except (ValueError, IndexError):
+            continue
+        out.append(Detection(
+            species=Species(sci, com), confidence=conf,
+            begin_seconds=ts.timestamp(), end_seconds=ts.timestamp() + 3.0,
+            model_id="BirdNET-Pi", source_id="birdnet-pi-import",
+            timestamp=ts))
+    return out
+
+
+def import_birdnet_pi(datastore, log_path: str | Path,
+                      min_confidence: float = 0.0,
+                      dedup: bool = True) -> ImportResult:
+    """Import a BirdNET-Pi log; dedup skips rows whose (timestamp, species)
+    already exist."""
+    res = ImportResult()
+    detections = parse_birdnet_pi_log(log_path)
+    res.scanned = len(detections)
+    existing: set[tuple[float, str]] = set()
+    if dedup:
+        for row in datastore.search_detections(limit=1000000):
+            existing.add((row["timestamp"], row["scientific_name"]))
+    for d in detections:
+        if d.confidence < min_confidence:
+            res.skipped += 1
+            continue
+        key = (d.timestamp.timestamp(), d.species.scientific)
+        if dedup and key in existing:
+            res.skipped += 1
+            continue
+        try:
+            datastore.insert_detection(d)
+            existing.add(key)
+            res.imported += 1
+        except Exception:
+            res.errors += 1
+            log.exception("import row failed")
+    return res
+
+
+def discover_birdnet_pi(mounts: list[str | Path]) -> list[Path]:
+    """Probe candidate mount points for BirdNET-Pi detection logs."""
+    found = []
+    for m in mounts:
+        base = Path(m)
+        if not base.is_dir():
+            continue
+        for candidate in ("BirdDB.txt", "BirdNET-Pi/BirdDB.txt",
+                          "birdnet/BirdDB.txt"):
+            p = base / candidate
+            if p.is_file():
+                found.append(p)
+    return found
