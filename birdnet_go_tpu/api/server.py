@@ -129,8 +129,13 @@ class ApiServer:
         r.add_get(f"{v2}/range/species/list", self.h_range_list)
         r.add_post(f"{v2}/range/rebuild", self.h_range_rebuild)
         r.add_post(f"{v2}/range/species/test", self.h_range_test)
+        r.add_get(f"{v2}/range/heatmap", self.h_range_heatmap)
         # models / media
         r.add_get(f"{v2}/models", self.h_models)
+        r.add_get(f"{v2}/models/catalog", self.h_models_catalog)
+        r.add_get(f"{v2}/models/installed", self.h_models_installed)
+        r.add_post(f"{v2}/models/load/{{id}}", self.h_model_load)
+        r.add_post(f"{v2}/models/unload/{{id}}", self.h_model_unload)
         r.add_get(f"{v2}/media/audio/{{filename}}", self.h_media_audio)
         r.add_get(f"{v2}/media/spectrogram/{{filename}}",
                   self.h_media_spectrogram)
@@ -398,6 +403,73 @@ class ApiServer:
                              self.ctx.settings.range_filter.threshold))
         return _json({"count": int((scores >= thr).sum()),
                       "threshold": thr})
+
+    async def h_range_heatmap(self, request):
+        """Batched geomodel over a lat/lon grid (the reference's only true
+        batched inference — classifier/heatmap_service.go; one vmapped
+        call here)."""
+        import numpy as np
+
+        q = request.query
+        try:
+            res = int(q.get("resolution", 24))
+            week = int(q.get("week", -1))
+            species_idx = int(q["species_index"]) if "species_index" in q \
+                else None
+        except ValueError as e:
+            return _json({"error": str(e)}, status=400)
+        res = min(max(res, 4), 90)
+        lats = np.linspace(-85, 85, res)
+        lons = np.linspace(-180, 180, 2 * res)
+        grid = np.stack(np.meshgrid(lats, lons, indexing="ij"), axis=-1)
+        coords = np.concatenate(
+            [grid.reshape(-1, 2),
+             np.full((grid.shape[0] * grid.shape[1], 1), float(week))],
+            axis=1)
+        import asyncio as _aio
+
+        def _run():
+            scores = self.ctx.range_filter_scores_batch(coords)
+            if species_idx is not None:
+                return scores[:, species_idx]
+            return scores.sum(axis=1)
+
+        flat = await _aio.get_event_loop().run_in_executor(None, _run)
+        return _json({
+            "lats": lats.tolist(), "lons": lons.tolist(),
+            "values": flat.reshape(res, 2 * res).tolist(),
+        })
+
+    async def h_models_catalog(self, request):
+        import dataclasses as dc
+
+        from birdnet_go_tpu.models.catalog import catalog_entries
+
+        return _json([dc.asdict(e) for e in catalog_entries()])
+
+    async def h_models_installed(self, request):
+        from birdnet_go_tpu.models.catalog import ModelManager
+
+        return _json(ModelManager().installed())
+
+    async def h_model_load(self, request):
+        import asyncio as _aio
+
+        model_id = request.match_info["id"]
+        try:
+            ok = await _aio.get_event_loop().run_in_executor(
+                None, self.ctx.load_model_runtime, model_id)
+        except KeyError as e:
+            return _json({"error": str(e)}, status=404)
+        if not ok:
+            return _json({"error": "already loaded"}, status=409)
+        return _json({"loaded": model_id})
+
+    async def h_model_unload(self, request):
+        ok = self.ctx.unload_model_runtime(request.match_info["id"])
+        if not ok:
+            return _json({"error": "not loaded"}, status=404)
+        return _json({"unloaded": request.match_info["id"]})
 
     # -- handlers: models/media ------------------------------------------------------------------------
 

@@ -88,12 +88,21 @@ class Application:
         except Exception:
             pass
 
-        # 1. models (BirdNETAnalyzer service analogue)
+        # 1. models (BirdNETAnalyzer service analogue). With >1 visible
+        # device the classifiers shard SPMD over a ("data","model") mesh.
+        import jax as _jax
+
+        self._mesh = None
+        if len(_jax.devices()) > 1:
+            from birdnet_go_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh()
+            log.info("multi-chip serving: mesh %s", dict(self._mesh.shape))
         enabled = [m for m in s.models if m.enabled]
         specs = []
         for ms in enabled:
             model, params = load_model(ms.model_id, checkpoint=ms.checkpoint)
-            clf = JaxClassifier(model, params)
+            clf = self._make_classifier(model, params)
             self.classifiers[ms.model_id] = clf
             self.labels[ms.model_id] = load_labels(
                 s.data_dir, locale=ms.locale, model_id=ms.model_id,
@@ -255,6 +264,55 @@ class Application:
         # sources from config
         for src_cfg in s.realtime.sources:
             self._add_source_from_config(src_cfg)
+
+    def _make_classifier(self, model, params):
+        if self._mesh is not None:
+            from birdnet_go_tpu.parallel.serving import ShardedClassifier
+
+            return ShardedClassifier(model, params, mesh=self._mesh)
+        return JaxClassifier(model, params)
+
+    # -- runtime model management (orchestrator LoadModel/UnloadModel) --------------
+
+    def load_model_runtime(self, model_id: str,
+                           checkpoint: str | None = None) -> bool:
+        """Load + register a model while serving (orchestrator.go:1578)."""
+        from birdnet_go_tpu.config.settings import ModelSettings
+
+        if model_id in self.classifiers:
+            return False
+        model, params = load_model(model_id, checkpoint=checkpoint)
+        clf = self._make_classifier(model, params)
+        self.classifiers[model_id] = clf
+        self.labels[model_id] = load_labels(
+            self.settings.data_dir, model_id=model_id,
+            expected_count=clf.num_species)
+        ms = next((m for m in self.settings.models
+                   if m.model_id == model_id), None)
+        if ms is None:
+            ms = ModelSettings(model_id=model_id)
+            self.settings.models.append(ms)
+        self.processor.labels_by_model[model_id] = self.labels[model_id]
+        self.processor._model_settings[model_id] = ms
+        if self.engine is not None:
+            self.engine.specs.append(model.spec)
+        batcher = ModelBatcher(
+            clf, max_batch=self.settings.realtime.max_batch,
+            sensitivity=ms.sensitivity,
+            on_result=functools.partial(self._on_window_result, model_id))
+        self.device_loop.add_batcher(batcher)
+        log.info("model %s loaded at runtime", model_id)
+        return True
+
+    def unload_model_runtime(self, model_id: str) -> bool:
+        """Unregister a model while serving (orchestrator.go:1689)."""
+        if model_id not in self.classifiers:
+            return False
+        self.device_loop.batchers.pop(model_id, None)
+        self.classifiers.pop(model_id, None)
+        # labels stay for any pending detections still flushing
+        log.info("model %s unloaded", model_id)
+        return True
 
     def _restart_source(self, source_id: str) -> None:
         """Tiered recovery callback: stop/start the matching source."""
@@ -510,10 +568,21 @@ class Application:
 
     def range_filter_scores(self, lat: float, lon: float,
                             week: int) -> np.ndarray:
+        if week <= 0:
+            week = birdnet_week(_dt.date.today())
+        return self._ensure_range_filter().predict(lat, lon, week)
+
+    def range_filter_scores_batch(self, coords: np.ndarray) -> np.ndarray:
+        """[N, 3] (lat, lon, week) grid → [N, S] (range heatmap)."""
+        coords = np.asarray(coords, np.float32)
+        week_default = float(birdnet_week(_dt.date.today()))
+        coords[:, 2] = np.where(coords[:, 2] <= 0, week_default,
+                                coords[:, 2])
+        return self._ensure_range_filter().predict_batch(coords)
+
+    def _ensure_range_filter(self) -> JaxRangeFilter:
         if self._range_filter is None:
             g, gparams = load_geomodel(
                 num_species=len(next(iter(self.labels.values()))))
             self._range_filter = JaxRangeFilter(g, gparams)
-        if week <= 0:
-            week = birdnet_week(_dt.date.today())
-        return self._range_filter.predict(lat, lon, week)
+        return self._range_filter
