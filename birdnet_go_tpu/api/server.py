@@ -116,6 +116,11 @@ class ApiServer:
         r.add_get(f"{v2}/analytics/heatmap", self.h_heatmap)
         r.add_get(f"{v2}/analytics/confidence", self.h_confidence)
         r.add_get(f"{v2}/analytics/species/first-seen", self.h_first_seen)
+        # live audio + levels (reference: HLS live audio + audio-level SSE;
+        # here a chunked streaming-WAV endpoint browsers play natively)
+        r.add_get(f"{v2}/audio/live/{{source}}", self.h_audio_live)
+        r.add_get(f"{v2}/streams/audio-level", self.h_audio_level_stream)
+        r.add_get(f"{v2}/sun/{{date}}", self.h_sun_times)
         # streams / system
         r.add_get(f"{v2}/streams/health", self.h_streams_health)
         r.add_get(f"{v2}/system/info", self.h_system_info)
@@ -256,6 +261,106 @@ class ApiServer:
         finally:
             self.sse.unsubscribe("detections", q)
         return resp
+
+    async def h_audio_live(self, request):
+        """Live listening: an endless chunked WAV whose body is filled from
+        the source's capture ring every 250 ms. Browsers play it directly
+        (<audio src=...>); covers the reference's HLS live-audio use case
+        without an external segmenter."""
+        import asyncio as _aio
+        import struct
+        import time as _time
+
+        source = request.match_info["source"]
+        cb = self.ctx.engine.capture_buffer(source)
+        if cb is None:
+            return _json({"error": "unknown source"}, status=404)
+        rate = cb.sample_rate
+        resp = web.StreamResponse(headers={
+            "Content-Type": "audio/wav",
+            "Cache-Control": "no-store",
+        })
+        await resp.prepare(request)
+        # WAV header with a maximal data length (streaming: no real end)
+        hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                       rate * 2, 2, 16)
+               + b"data" + struct.pack("<I", 0xFFFFFFFF))
+        await resp.write(hdr)
+        chunk_s = 0.25
+        cursor = _time.time() - chunk_s
+        try:
+            while True:
+                now = _time.time()
+                if now - cursor < chunk_s:
+                    await _aio.sleep(chunk_s - (now - cursor))
+                pcm = cb.read_segment(cursor, cursor + chunk_s)
+                cursor += chunk_s
+                await resp.write(pcm.astype("<i2").tobytes())
+        except (ConnectionResetError, _aio.CancelledError):
+            pass
+        return resp
+
+    async def h_audio_level_stream(self, request):
+        """SSE of per-source RMS/peak levels (reference:
+        GET /streams/audio-level)."""
+        import asyncio as _aio
+        import json as _json_mod
+        import time as _time
+
+        import numpy as np
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        try:
+            while True:
+                levels = {}
+                for src in self.ctx.engine.sources():
+                    cb = self.ctx.engine.capture_buffer(src.source_id)
+                    if cb is None:
+                        continue
+                    now = _time.time()
+                    pcm = cb.read_segment(now - 0.5, now).astype(np.float32) \
+                        / 32768.0
+                    if not len(pcm):
+                        continue
+                    rms = float(np.sqrt(np.mean(pcm ** 2)))
+                    peak = float(np.max(np.abs(pcm)))
+                    levels[src.source_id] = {
+                        "rms_db": round(20 * np.log10(rms + 1e-9), 1),
+                        "peak_db": round(20 * np.log10(peak + 1e-9), 1),
+                        "clipping": peak >= 0.999,
+                    }
+                from birdnet_go_tpu.api.sse import format_sse
+
+                await resp.write(format_sse(
+                    "audio-level", _json_mod.dumps(levels)))
+                await _aio.sleep(1.0)
+        except (ConnectionResetError, _aio.CancelledError):
+            pass
+        return resp
+
+    async def h_sun_times(self, request):
+        import datetime as dt
+
+        from birdnet_go_tpu.utils.suncalc import sun_times
+
+        loc = self.ctx.settings.location
+        if loc.latitude is None:
+            return _json({"error": "location not configured"}, status=400)
+        try:
+            date = dt.date.fromisoformat(request.match_info["date"])
+        except ValueError as e:
+            return _json({"error": str(e)}, status=400)
+        st = sun_times(date, loc.latitude, loc.longitude)
+        return _json({
+            "sunrise": st.sunrise, "sunset": st.sunset,
+            "civil_dawn": st.civil_dawn, "civil_dusk": st.civil_dusk,
+            "polar": st.polar,
+        })
 
     # -- handlers: analytics ----------------------------------------------------------------
 
