@@ -45,21 +45,22 @@ def main() -> None:
     params = jax.device_put(model.init(jax.random.PRNGKey(0)))
 
     def one_step(params, pcm_i16, bias):
-        # bias (scalar, derived from the previous iteration's output)
-        # creates the cross-iteration dependency without touching the
-        # int16 input path
-        pcm = pcm16_to_float32(pcm_i16) + bias
-        out = model.apply(params, pcm)
+        # bias (int16 scalar from the previous iteration's output) creates
+        # the cross-iteration dependency; the step is the production
+        # apply_int16 path (fused Pallas front end on TPU)
+        out = model.apply_int16(params, pcm_i16 + bias)
         conf = sigmoid_confidence(out["logits"], 1.0)
         return top_k_results(conf, 10)
 
     @jax.jit
     def run(params, pcm_i16):
         def body(carry, _):
-            vals, idx = one_step(params, pcm_i16, carry * 1e-9)
-            return jnp.sum(vals), None
+            vals, idx = one_step(params, pcm_i16, carry)
+            # value is always 0 at runtime but not symbolically foldable,
+            # so the data dependency between iterations survives
+            return (jnp.sum(vals) * 1e-9).astype(jnp.int16), None
 
-        last, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+        last, _ = jax.lax.scan(body, jnp.int16(0), None,
                                length=MEASURE_ITERS)
         return last
 

@@ -135,6 +135,12 @@ class ApiServer:
         r.add_post(f"{v2}/range/rebuild", self.h_range_rebuild)
         r.add_post(f"{v2}/range/species/test", self.h_range_test)
         r.add_get(f"{v2}/range/heatmap", self.h_range_heatmap)
+        # alerts
+        r.add_get(f"{v2}/alerts/rules", self.h_alert_rules)
+        r.add_post(f"{v2}/alerts/rules", self.h_alert_rule_create)
+        r.add_delete(f"{v2}/alerts/rules/{{id}}", self.h_alert_rule_delete)
+        r.add_post(f"{v2}/alerts/rules/{{id}}/test", self.h_alert_rule_test)
+        r.add_get(f"{v2}/alerts/history", self.h_alert_history)
         # models / media
         r.add_get(f"{v2}/models", self.h_models)
         r.add_get(f"{v2}/models/catalog", self.h_models_catalog)
@@ -544,6 +550,59 @@ class ApiServer:
             "lats": lats.tolist(), "lons": lons.tolist(),
             "values": flat.reshape(res, 2 * res).tolist(),
         })
+
+    async def h_alert_rules(self, request):
+        import dataclasses as dc
+
+        eng = self.ctx.alerting
+        if eng is None:
+            return _json([])
+        return _json([dc.asdict(r) for r in eng.list_rules()])
+
+    async def h_alert_rule_create(self, request):
+        from birdnet_go_tpu.analysis.alerting import AlertRule
+
+        eng = self.ctx.alerting
+        if eng is None:
+            return _json({"error": "alerting inactive"}, status=503)
+        body = await request.json()
+        try:
+            rule = AlertRule(**body)
+        except TypeError as e:
+            return _json({"error": str(e)}, status=400)
+        eng.add_rule(rule)
+        return _json({"created": rule.rule_id})
+
+    async def h_alert_rule_delete(self, request):
+        eng = self.ctx.alerting
+        if eng is None or not eng.remove_rule(request.match_info["id"]):
+            return _json({"error": "not found"}, status=404)
+        return _json({"deleted": request.match_info["id"]})
+
+    async def h_alert_rule_test(self, request):
+        eng = self.ctx.alerting
+        if eng is None:
+            return _json({"error": "alerting inactive"}, status=503)
+        sample = None
+        if request.can_read_body:
+            try:
+                sample = await request.json()
+            except Exception:
+                sample = None
+        try:
+            matched = eng.test_rule(request.match_info["id"], sample)
+        except KeyError:
+            return _json({"error": "not found"}, status=404)
+        return _json({"matched": matched})
+
+    async def h_alert_history(self, request):
+        import dataclasses as dc
+
+        eng = self.ctx.alerting
+        if eng is None:
+            return _json([])
+        limit = min(int(request.query.get("limit", 50)), 500)
+        return _json([dc.asdict(e) for e in eng.history[-limit:]])
 
     async def h_models_catalog(self, request):
         import dataclasses as dc

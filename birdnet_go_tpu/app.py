@@ -65,6 +65,7 @@ class Application:
         self.watchdog = None
         self.quiet_hours = None
         self.backup = None
+        self.alerting = None
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
         self._sources: list = []
@@ -246,6 +247,19 @@ class Application:
                                 max_age_days=s.retention.max_age_days,
                                 max_usage_percent=s.retention.max_usage_percent),
                 datastore=self.datastore)
+
+        # alerting rules engine (detection events → rules → notifications)
+        from birdnet_go_tpu.analysis.alerting import AlertingEngine, AlertRule
+
+        self.alerting = AlertingEngine(
+            notification_service=self.notifications)
+        for i, r in enumerate(s.alerting.rules):
+            try:
+                self.alerting.add_rule(AlertRule(
+                    rule_id=r.get("rule_id", f"rule{i}"), **{
+                        k: v for k, v in r.items() if k != "rule_id"}))
+            except TypeError as e:
+                log.warning("invalid alert rule %d: %s", i, e)
 
         # backup manager
         if s.backup.enabled:
@@ -513,10 +527,20 @@ class Application:
                 retry=RetryConfig(enabled=True, max_retries=3,
                                   initial_delay=5.0))
 
-        # new-species notification (species tracker)
+        # new-species notification (species tracker) + alerting rules
+        novelty = None
         if self.species_tracker is not None:
             when = (d.timestamp or _dt.datetime.now()).date()
             novelty = self.species_tracker.observe(d.species.scientific, when)
+        if getattr(self, "alerting", None) is not None \
+                and self.alerting.rules:
+            self.jobqueue.enqueue(
+                functools.partial(
+                    self.alerting.on_detection,
+                    {k: v for k, v in payload.items()},
+                    novelty.is_new_lifetime if novelty else False),
+                f"alert rules {d.species.common}")
+        if novelty is not None:
             if novelty.is_new_lifetime and self.notifications is not None \
                     and s.notification.notify_new_species:
                 from birdnet_go_tpu.integrations.notification import (

@@ -137,6 +137,12 @@ class NotificationSettings:
 
 
 @dataclasses.dataclass
+class AlertingSettings:
+    # rules: list of AlertRule field dicts (analysis/alerting.py)
+    rules: list[dict[str, Any]] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class RetentionSettings:
     mode: str = "none"                 # none|age|usage
     max_age_days: float = 30.0
@@ -212,6 +218,8 @@ class Settings:
         default_factory=NotificationSettings)
     retention: RetentionSettings = dataclasses.field(
         default_factory=RetentionSettings)
+    alerting: AlertingSettings = dataclasses.field(
+        default_factory=AlertingSettings)
     backup: BackupSettings = dataclasses.field(default_factory=BackupSettings)
     liveness: LivenessSettings = dataclasses.field(
         default_factory=LivenessSettings)

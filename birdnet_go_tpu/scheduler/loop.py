@@ -77,8 +77,10 @@ class ModelBatcher:
 
         @functools.partial(jax.jit, static_argnums=(3,))
         def _step(params, pcm_i16, sensitivity, k, mask):
-            pcm = pcm16_to_float32(pcm_i16)
-            out = self.model.apply(params, pcm)
+            if hasattr(self.model, "apply_int16"):
+                out = self.model.apply_int16(params, pcm_i16)
+            else:
+                out = self.model.apply(params, pcm16_to_float32(pcm_i16))
             conf = sigmoid_confidence(out["logits"], sensitivity)
             if mask is not None:
                 conf = conf * mask

@@ -92,9 +92,11 @@ def test_full_pipeline_detection_flow(tiny_app):
         time.sleep(0.1)
     assert app.processor.stats.results_processed >= 3
 
-    # force the pending detections to flush (threshold 0 → top-1 pends)
-    approved = app.processor.flush(now=time.time() + 1e6)
-    assert approved, "expected at least one approved detection"
+    # force a flush; the 1 s background flusher may already have approved
+    # some items (their 3 s deadline can pass during the wait above)
+    app.processor.flush(now=time.time() + 1e6)
+    assert app.processor.stats.detections_approved >= 1, \
+        "expected at least one approved detection"
 
     # actions run through the job queue → datastore
     deadline = time.time() + 10
