@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from birdnet_go_tpu.models import layers as L
 from birdnet_go_tpu.models import registry
+from birdnet_go_tpu.models.base import MelCnnModel
 from birdnet_go_tpu.models.efficientnet import (
     B0_BLOCKS,
     EfficientNetConfig,
@@ -29,7 +30,7 @@ from birdnet_go_tpu.models.efficientnet import (
 from birdnet_go_tpu.ops.melspec import MelConfig, melspec
 
 
-class BatClassifier:
+class BatClassifier(MelCnnModel):
     spec = registry.BAT
 
     def __init__(self, num_species: int | None = None,
@@ -66,6 +67,25 @@ class BatClassifier:
 
     def apply(self, params, pcm: jnp.ndarray, train: bool = False):
         emb = self.embed(params, pcm, train)
+        logits = L.apply_dense(params["head"], emb.astype(self.compute_dtype),
+                               self.compute_dtype)
+        return {"logits": logits.astype(jnp.float32), "embedding": emb}
+
+    def apply_int16(self, params, pcm_i16: jnp.ndarray, train: bool = False):
+        """Two-stage structure needs its own int16 path: the fused front
+        end feeds the embedding backbone, then the regional head."""
+        if self._fused_ok():
+            from birdnet_go_tpu.ops.pallas_melspec import melspec_fused
+
+            m = melspec_fused(pcm_i16, self.mel)
+            feats = m[..., None].astype(self.compute_dtype)
+            out = apply_efficientnet(params["backbone"], feats, self.net,
+                                     train=train,
+                                     compute_dtype=self.compute_dtype)
+            emb = out["embedding"]
+        else:
+            pcm = pcm_i16.astype(jnp.float32) * (1.0 / 32768.0)
+            emb = self.embed(params, pcm, train)
         logits = L.apply_dense(params["head"], emb.astype(self.compute_dtype),
                                self.compute_dtype)
         return {"logits": logits.astype(jnp.float32), "embedding": emb}

@@ -2,9 +2,10 @@
 
 The reference loads this as an embedded TFLite flatbuffer and feeds raw
 float32 PCM (internal/classifier/birdnet.go:71-121, analyze.go:25-110). Here
-the model is a native JAX graph: mel front end (ops.melspec) + EfficientNet-B0
-class CNN; parameters come from the TFLite importer
-(birdnet_go_tpu.inference.tflite_import) or fresh initialization.
+the model is a native JAX graph: mel front end (ops.melspec, or the fused
+Pallas kernel on TPU) + EfficientNet-B0 class CNN; parameters come from the
+TFLite importer (birdnet_go_tpu.inference.tflite_import) or fresh
+initialization.
 """
 
 from __future__ import annotations
@@ -13,20 +14,21 @@ import jax
 import jax.numpy as jnp
 
 from birdnet_go_tpu.models import registry
+from birdnet_go_tpu.models.base import MelCnnModel
 from birdnet_go_tpu.models.efficientnet import (
     B0_BLOCKS,
     EfficientNetConfig,
-    apply_efficientnet,
     init_efficientnet,
 )
-from birdnet_go_tpu.ops.melspec import MelConfig, melspec
+from birdnet_go_tpu.ops.melspec import MelConfig
 
 
-class BirdNETv24:
+class BirdNETv24(MelCnnModel):
     """Functional model wrapper: `init(key) -> params`, `apply(params, pcm)`.
 
     `apply` takes float32 PCM [B, 144000] in [-1, 1] and returns
-    {"logits": [B, 6522], "embedding": [B, 1280]}.
+    {"logits": [B, 6522], "embedding": [B, 1280]}; `apply_int16` is the
+    production int16 step (fused front end on TPU).
     """
 
     spec = registry.BIRDNET_V24
@@ -43,43 +45,5 @@ class BirdNETv24:
             num_classes=self.num_species)
         self.compute_dtype = compute_dtype
 
-    # None = auto (fused Pallas front end on TPU, XLA path elsewhere)
-    use_fused_frontend: bool | None = None
-
     def init(self, key: jax.Array):
         return init_efficientnet(key, self.net)
-
-    def features(self, pcm: jnp.ndarray) -> jnp.ndarray:
-        """PCM [B, T] → mel features NHWC [B, frames, mels, 1]."""
-        m = melspec(pcm, self.mel)
-        return m[..., None]
-
-    def apply(self, params, pcm: jnp.ndarray, train: bool = False):
-        feats = self.features(pcm).astype(self.compute_dtype)
-        return apply_efficientnet(params, feats, self.net, train=train,
-                                  compute_dtype=self.compute_dtype)
-
-    def _fused_ok(self) -> bool:
-        if self.use_fused_frontend is not None:
-            enabled = self.use_fused_frontend
-        else:
-            enabled = jax.devices()[0].platform != "cpu"
-        return (enabled and self.mel.n_fft == 2048
-                and self.mel.hop % 128 == 0 and self.mel.power == 2.0)
-
-    def apply_int16(self, params, pcm_i16: jnp.ndarray, train: bool = False):
-        """int16 PCM step: fused Pallas front end (mel in VMEM, ~1.5×
-        faster than the XLA path on TPU; detection-level deltas ≲0.002
-        confidence) when eligible, XLA path otherwise."""
-        if self._fused_ok():
-            from birdnet_go_tpu.ops.pallas_melspec import melspec_fused
-
-            m = melspec_fused(pcm_i16, self.mel)
-            feats = m[..., None].astype(self.compute_dtype)
-            return apply_efficientnet(params, feats, self.net, train=train,
-                                      compute_dtype=self.compute_dtype)
-        pcm = pcm_i16.astype(jnp.float32) * (1.0 / 32768.0)
-        return self.apply(params, pcm, train)
-
-    def __call__(self, params, pcm, train: bool = False):
-        return self.apply(params, pcm, train)

@@ -12,16 +12,16 @@ import jax
 import jax.numpy as jnp
 
 from birdnet_go_tpu.models import registry
+from birdnet_go_tpu.models.base import MelCnnModel
 from birdnet_go_tpu.models.efficientnet import (
     B1_BLOCKS,
     EfficientNetConfig,
-    apply_efficientnet,
     init_efficientnet,
 )
-from birdnet_go_tpu.ops.melspec import MelConfig, melspec
+from birdnet_go_tpu.ops.melspec import MelConfig
 
 
-class BirdNETv3:
+class BirdNETv3(MelCnnModel):
     spec = registry.BIRDNET_V3
 
     def __init__(self, num_species: int | None = None,
@@ -38,14 +38,3 @@ class BirdNETv3:
 
     def init(self, key: jax.Array):
         return init_efficientnet(key, self.net)
-
-    def features(self, pcm: jnp.ndarray) -> jnp.ndarray:
-        return melspec(pcm, self.mel)[..., None]
-
-    def apply(self, params, pcm: jnp.ndarray, train: bool = False):
-        feats = self.features(pcm).astype(self.compute_dtype)
-        return apply_efficientnet(params, feats, self.net, train=train,
-                                  compute_dtype=self.compute_dtype)
-
-    def __call__(self, params, pcm, train: bool = False):
-        return self.apply(params, pcm, train)

@@ -5,9 +5,9 @@ perch_onnx.go, orchestrator_perch_onnx.go); labels are remapped onto the
 BirdNET taxonomy for the range filter (mapped_range_filter.go:11). Native
 JAX: mel front end + EfficientNet-B1-class CNN.
 
-The 14,795-wide classifier head is the one matmul big enough to shard: under
-a device mesh it is tensor-parallel over the species axis (see
-birdnet_go_tpu.parallel).
+The 14,795-wide classifier head is the one matmul big enough to shard:
+under a device mesh it is tensor-parallel over the species axis
+(birdnet_go_tpu.parallel).
 """
 
 from __future__ import annotations
@@ -16,16 +16,16 @@ import jax
 import jax.numpy as jnp
 
 from birdnet_go_tpu.models import registry
+from birdnet_go_tpu.models.base import MelCnnModel
 from birdnet_go_tpu.models.efficientnet import (
     B1_BLOCKS,
     EfficientNetConfig,
-    apply_efficientnet,
     init_efficientnet,
 )
-from birdnet_go_tpu.ops.melspec import MelConfig, melspec
+from birdnet_go_tpu.ops.melspec import MelConfig
 
 
-class PerchV2:
+class PerchV2(MelCnnModel):
     spec = registry.PERCH_V2
 
     def __init__(self, num_species: int | None = None,
@@ -42,14 +42,3 @@ class PerchV2:
 
     def init(self, key: jax.Array):
         return init_efficientnet(key, self.net)
-
-    def features(self, pcm: jnp.ndarray) -> jnp.ndarray:
-        return melspec(pcm, self.mel)[..., None]
-
-    def apply(self, params, pcm: jnp.ndarray, train: bool = False):
-        feats = self.features(pcm).astype(self.compute_dtype)
-        return apply_efficientnet(params, feats, self.net, train=train,
-                                  compute_dtype=self.compute_dtype)
-
-    def __call__(self, params, pcm, train: bool = False):
-        return self.apply(params, pcm, train)

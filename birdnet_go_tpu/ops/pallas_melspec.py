@@ -86,16 +86,16 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig, tile_f: int = 32,
 
     b, t = pcm_i16.shape
     n_frames = cfg.num_frames(t)
-    n_tiles = math.ceil(n_frames / tile_f)
     hop_rows = cfg.hop // _LANE
     frame_rows = cfg.n_fft // _LANE                   # = 16
-    if tile_f % 2:
-        tile_f += 1                         # stage 1 processes frame pairs
-    # frame pair i2 reads rows [i2·2·hop_rows, +block_rows); both the start
-    # (2·hop_rows = 8) and the length are 8-row aligned for Mosaic's
-    # dynamic-slice tiling rules
-    block_rows = -(-(frame_rows + hop_rows) // 8) * 8
-    tile_rows = (tile_f // 2 - 1) * 2 * hop_rows + block_rows
+    # stage 1 reads frame GROUPS of g frames so every dynamic sublane
+    # slice start (i·g·hop_rows) is a multiple of 8 (Mosaic tiling rule):
+    # g = 8 / gcd(hop_rows, 8)
+    g = 8 // math.gcd(hop_rows, 8)
+    tile_f = -(-tile_f // g) * g
+    n_tiles = math.ceil(n_frames / tile_f)
+    block_rows = -(-((g - 1) * hop_rows + frame_rows) // 8) * 8
+    tile_rows = (tile_f // g - 1) * g * hop_rows + block_rows
     tile_rows = -(-tile_rows // 16) * 16    # sublane-align the DMA (int16)
     padded_rows = (n_tiles - 1) * tile_f * hop_rows + tile_rows
     t_rows = math.ceil(t / _LANE)
@@ -124,30 +124,25 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig, tile_f: int = 32,
             dma.start()
             dma.wait()
 
-            # stage 1, frame PAIRS: pair i2 reads an 8-row-aligned block;
-            # the two frames are static sub-slices of the loaded value.
+            # stage 1, frame GROUPS: group i reads an 8-row-aligned block;
+            # its g frames are static sub-slices of the loaded value.
             # Scratch is frame-major [tile_f, A, LANE] — dim 0 of a rank-3
             # ref is untiled, so per-frame dynamic writes are legal.
-            def s1(i2, _):
-                block = (tile_ref[pl.ds(i2 * 2 * hop_rows, block_rows), :]
+            def s1(i, _):
+                block = (tile_ref[pl.ds(i * g * hop_rows, block_rows), :]
                          .astype(jnp.float32) * _INT16_SCALE)
-                x0 = block[0:frame_rows, :] * win_ref[:]
-                x1 = block[hop_rows:hop_rows + frame_rows, :] * win_ref[:]
-                sr_ref[pl.ds(2 * i2, 1), :, :] = jnp.dot(
-                    war_ref[:], x0,
-                    preferred_element_type=jnp.float32)[None]
-                si_ref[pl.ds(2 * i2, 1), :, :] = jnp.dot(
-                    wai_ref[:], x0,
-                    preferred_element_type=jnp.float32)[None]
-                sr_ref[pl.ds(2 * i2 + 1, 1), :, :] = jnp.dot(
-                    war_ref[:], x1,
-                    preferred_element_type=jnp.float32)[None]
-                si_ref[pl.ds(2 * i2 + 1, 1), :, :] = jnp.dot(
-                    wai_ref[:], x1,
-                    preferred_element_type=jnp.float32)[None]
+                for j in range(g):
+                    x = (block[j * hop_rows:j * hop_rows + frame_rows, :]
+                         * win_ref[:])
+                    sr_ref[pl.ds(i * g + j, 1), :, :] = jnp.dot(
+                        war_ref[:], x,
+                        preferred_element_type=jnp.float32)[None]
+                    si_ref[pl.ds(i * g + j, 1), :, :] = jnp.dot(
+                        wai_ref[:], x,
+                        preferred_element_type=jnp.float32)[None]
                 return 0
 
-            jax.lax.fori_loop(0, tile_f // 2, s1, 0)
+            jax.lax.fori_loop(0, tile_f // g, s1, 0)
 
             # stage 2 + mel, statically unrolled over residues r (static
             # middle-dim indices avoid dynamic sublane slicing)
