@@ -81,13 +81,18 @@ class SaveAudioAction:
     description: str = "export audio clip"
 
     def execute(self) -> None:
-        from birdnet_go_tpu.audio.wav import write_wav
-
         if time.time() < self.end_time:
             raise RuntimeError("clip span not fully captured yet")
         pcm = self.capture_buffer.read_segment(self.start_time, self.end_time)
         out = Path(self.out_path)
         out.parent.mkdir(parents=True, exist_ok=True)
+        if out.suffix.lower() == ".flac":
+            from birdnet_go_tpu.audio.flac import write_flac
+
+            write_flac(out, pcm, self.sample_rate)   # atomic inside
+            return
+        from birdnet_go_tpu.audio.wav import write_wav
+
         tmp = out.with_suffix(out.suffix + ".tmp")
         with open(tmp, "wb") as f:
             write_wav(f, pcm, self.sample_rate)

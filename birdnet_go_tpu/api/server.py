@@ -158,6 +158,10 @@ class ApiServer:
         # observability
         r.add_get("/metrics", self.h_metrics)
         r.add_get(f"{v2}/system/errors", self.h_recent_errors)
+        r.add_get(f"{v2}/system/resources", self.h_resources)
+        r.add_get(f"{v2}/settings/schema", self.h_settings_schema)
+        r.add_get(f"{v2}/species/dictionary/{{locale}}", self.h_species_dict)
+        r.add_get(f"{v2}/detections/{{id}}/time-of-day", self.h_time_of_day)
         r.add_get(f"{v2}/species/first-seen/{{scientific}}",
                   self.h_species_first_seen)
         r.add_get(f"{v2}/weather/hourly/{{date}}", self.h_weather_hourly)
@@ -166,10 +170,22 @@ class ApiServer:
     # -- handlers: core ----------------------------------------------------------------
 
     async def h_health(self, request):
+        checks = []
+        healthy = True
+        registry = getattr(self.ctx, "health", None)
+        if registry is not None:
+            import asyncio as _aio
+            import dataclasses as dc
+
+            results = await _aio.get_event_loop().run_in_executor(
+                None, registry.run_all)
+            checks = [dc.asdict(r) for r in results]
+            healthy = all(r.healthy for r in results)
         return _json({
-            "status": "healthy",
+            "status": "healthy" if healthy else "degraded",
             "version": __version__,
             "uptime_seconds": round(time.time() - self.started_at, 1),
+            "checks": checks,
         })
 
     async def h_ping(self, request):
@@ -691,6 +707,57 @@ class ApiServer:
             for k in ("enqueued", "completed", "failed", "dropped"):
                 REGISTRY.gauge(f"birdnet_jobqueue_{k}_total").set(
                     getattr(st, k))
+
+    async def h_resources(self, request):
+        from birdnet_go_tpu.utils.sysmonitor import resources
+
+        return _json(resources(self.ctx.settings.export.path))
+
+    async def h_settings_schema(self, request):
+        from birdnet_go_tpu.config.schema import generate_schema
+
+        return _json(generate_schema())
+
+    async def h_species_dict(self, request):
+        """Locale name dictionary: scientific → localized common name
+        (reference: internal/speciesdict per-locale dictionaries)."""
+        from birdnet_go_tpu.taxonomy.labels import load_labels
+
+        locale = request.match_info["locale"]
+        labels = load_labels(self.ctx.settings.data_dir, locale=locale)
+        return _json({sp.scientific: sp.common for sp in labels.species})
+
+    async def h_time_of_day(self, request):
+        """Detection's position relative to the sun (dawn/day/dusk/night) —
+        reference: GET /detections/:id/time-of-day."""
+        import datetime as dt
+
+        row = self.ctx.datastore.get_detection(int(request.match_info["id"]))
+        if row is None:
+            return _json({"error": "not found"}, status=404)
+        loc = self.ctx.settings.location
+        if loc.latitude is None:
+            return _json({"error": "location not configured"}, status=400)
+        from birdnet_go_tpu.utils.suncalc import sun_times
+
+        when = dt.datetime.fromtimestamp(row["timestamp"], dt.timezone.utc)
+        st = sun_times(when.date(), loc.latitude, loc.longitude)
+        phase = "unknown"
+        if st.polar == "day":
+            phase = "day"
+        elif st.polar == "night":
+            phase = "night"
+        elif st.civil_dawn and st.sunrise and st.sunset and st.civil_dusk:
+            if st.civil_dawn <= when < st.sunrise:
+                phase = "dawn"
+            elif st.sunrise <= when < st.sunset:
+                phase = "day"
+            elif st.sunset <= when < st.civil_dusk:
+                phase = "dusk"
+            else:
+                phase = "night"
+        return _json({"id": row["id"], "phase": phase,
+                      "sunrise": st.sunrise, "sunset": st.sunset})
 
     async def h_recent_errors(self, request):
         from birdnet_go_tpu.utils.health import GLOBAL_ERROR_BUFFER

@@ -271,6 +271,49 @@ class Application:
                              interval_hours=s.backup.interval_hours),
                 db_path=s.database.path)
 
+        # health check registry (internal/health checks analogue)
+        from birdnet_go_tpu.utils.health import CheckResult, HealthRegistry
+
+        self.health = HealthRegistry()
+
+        def _check_database():
+            n = self.datastore.count_detections()
+            return CheckResult("database", True, f"{n} detections")
+
+        def _check_jobqueue():
+            st = self.jobqueue.stats
+            ok = st.dropped < max(st.enqueued, 1) * 0.1
+            return CheckResult("jobqueue", ok,
+                               f"enqueued={st.enqueued} dropped={st.dropped}")
+
+        def _check_streams():
+            h = self.engine.stream_health()
+            stale = [sid for sid, v in h.items()
+                     if v["last_ingest_age_s"] is not None
+                     and v["last_ingest_age_s"] >
+                     self.settings.liveness.silence_timeout_seconds]
+            return CheckResult("streams", not stale,
+                               f"{len(h)} sources, stale: {stale}" if stale
+                               else f"{len(h)} sources")
+
+        def _check_inference():
+            overruns = sum(b.stats.overruns
+                           for b in self.device_loop.batchers.values())
+            return CheckResult("inference", overruns == 0,
+                               f"overruns={overruns}")
+
+        def _check_range_filter():
+            inc = self.processor.included_species
+            return CheckResult(
+                "range_filter", True,
+                "inactive" if inc is None else f"{len(inc)} species")
+
+        self.health.register("database", _check_database)
+        self.health.register("jobqueue", _check_jobqueue)
+        self.health.register("streams", _check_streams)
+        self.health.register("inference", _check_inference)
+        self.health.register("range_filter", _check_range_filter)
+
         # control signals
         self.control.subscribe(ControlSignal.REBUILD_RANGE_FILTER,
                                lambda: self.rebuild_range_filter())
