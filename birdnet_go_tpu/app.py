@@ -66,6 +66,8 @@ class Application:
         self.quiet_hours = None
         self.backup = None
         self.alerting = None
+        self.events = None
+        self.health = None
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
         self._sources: list = []
@@ -247,6 +249,12 @@ class Application:
                                 max_age_days=s.retention.max_age_days,
                                 max_usage_percent=s.retention.max_usage_percent),
                 datastore=self.datastore)
+
+        # event bus (detection + error events; alerting and future
+        # consumers subscribe — internal/events analogue)
+        from birdnet_go_tpu.utils.events import EventBus
+
+        self.events = EventBus()
 
         # alerting rules engine (detection events → rules → notifications)
         from birdnet_go_tpu.analysis.alerting import AlertingEngine, AlertRule
@@ -471,6 +479,8 @@ class Application:
                 self.processor.dynamic.snapshot())
         self.jobqueue.stop()
         self.prerenderer.stop()
+        if self.events is not None:
+            self.events.stop()
         if self.mqtt is not None:
             self.mqtt.stop()
         if self.weather_poller is not None:
@@ -551,6 +561,10 @@ class Application:
                 self.mqtt.publish(
                     f"{s.mqtt.topic}/detections", msg,
                     retain=s.mqtt.retain)
+            if self.events is not None:
+                from birdnet_go_tpu.utils.events import Event
+
+                self.events.publish(Event("detection", msg))
 
         chain.append(actions_mod.DatabaseAction(
             d, self.datastore, contributions=item.contributions,
