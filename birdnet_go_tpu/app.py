@@ -399,7 +399,8 @@ class Application:
                                  speed=float(cfg.get("speed", 1.0)))
         elif stype == "tone":
             src = ToneSource(self.engine, source_id=cfg.get("id", "tone0"),
-                             freq_hz=float(cfg.get("freq", 1000.0)))
+                             freq_hz=float(cfg.get("freq", 1000.0)),
+                             speed=float(cfg.get("speed", 1.0)))
         elif stype in ("rtsp", "http"):
             from birdnet_go_tpu.audio.ffmpeg import FfmpegSource
 
