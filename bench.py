@@ -38,7 +38,6 @@ MEASURE_ITERS = 8
 
 def main() -> None:
     from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
-    from birdnet_go_tpu.ops.pcm import pcm16_to_float32
     from birdnet_go_tpu.ops.postprocess import sigmoid_confidence, top_k_results
 
     model = BirdNETv24()

@@ -16,10 +16,8 @@ import time
 from pathlib import Path
 from typing import Any, Callable, Protocol
 
-import numpy as np
-
 from birdnet_go_tpu.analysis.jobqueue import JobQueue, RetryConfig
-from birdnet_go_tpu.analysis.processor import Detection, PendingDetection
+from birdnet_go_tpu.analysis.processor import Detection
 
 log = logging.getLogger("birdnet_tpu.actions")
 

@@ -80,7 +80,7 @@ class Biquad:
         self._z2 = 0.0
 
     def process(self, x: np.ndarray) -> np.ndarray:
-        from scipy.signal import lfilter, lfiltic
+        from scipy.signal import lfilter
 
         c = self.c
         b = [c.b0, c.b1, c.b2]

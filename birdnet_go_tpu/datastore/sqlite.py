@@ -13,10 +13,9 @@ import datetime as _dt
 import sqlite3
 import threading
 from pathlib import Path
-from typing import Any, Iterable
+from typing import Any
 
 from birdnet_go_tpu.analysis.results import Detection
-from birdnet_go_tpu.taxonomy.labels import Species
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS detections (

@@ -16,7 +16,6 @@ import socket
 import ssl as ssl_mod
 import struct
 import threading
-import time
 from typing import Callable
 
 log = logging.getLogger("birdnet_tpu.mqtt")

@@ -14,7 +14,6 @@ import platform
 import re
 import tarfile
 import time
-from pathlib import Path
 from typing import Any
 
 _SECRET_KEYS = re.compile(
