@@ -48,3 +48,25 @@ def _fmt_t(seconds: float) -> str:
     """Times like '0.0', '3.0', '10.5' (trailing .0 kept, minimal digits)."""
     s = f"{seconds:.1f}"
     return s
+
+
+def format_csv(detections: list[Detection]) -> str:
+    """BirdNET-Analyzer-style CSV output (`--rtype csv` analogue)."""
+    out = io.StringIO()
+    out.write("Start (s),End (s),Scientific name,Common name,Confidence\n")
+    for d in detections:
+        common = d.species.common.replace('"', '""')
+        sci = d.species.scientific.replace('"', '""')
+        out.write(f'{_fmt_t(d.begin_seconds)},{_fmt_t(d.end_seconds)},'
+                  f'"{sci}","{common}",{d.confidence:.4f}\n')
+    return out.getvalue()
+
+
+def write_csv(detections: list[Detection], input_path: str | Path,
+              output_dir: str | Path = "output") -> Path:
+    input_path = Path(input_path)
+    out_dir = Path(output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / (input_path.stem + ".csv")
+    out_path.write_text(format_csv(detections), encoding="utf-8")
+    return out_path

@@ -120,6 +120,9 @@ class ApiServer:
         # here a chunked streaming-WAV endpoint browsers play natively)
         r.add_get(f"{v2}/audio/live/{{source}}", self.h_audio_live)
         r.add_get(f"{v2}/streams/audio-level", self.h_audio_level_stream)
+        r.add_get(f"{v2}/soundlevels/stream", self.h_soundlevels_stream)
+        r.add_post(f"{v2}/system/restart", self.h_restart)
+        r.add_get("/manifest.json", self.h_pwa_manifest)
         r.add_get(f"{v2}/sun/{{date}}", self.h_sun_times)
         # streams / system
         r.add_get(f"{v2}/streams/health", self.h_streams_health)
@@ -364,6 +367,55 @@ class ApiServer:
         except (ConnectionResetError, _aio.CancelledError):
             pass
         return resp
+
+    async def h_soundlevels_stream(self, request):
+        """SSE of 1/3-octave band levels (reference: /soundlevels/stream)."""
+        import asyncio as _aio
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        q = self.sse.subscribe("soundlevels")
+        try:
+            await resp.write(format_sse("connected", "{}"))
+            while True:
+                try:
+                    event, payload = await _aio.wait_for(q.get(), timeout=30)
+                    await resp.write(format_sse(event, payload))
+                except _aio.TimeoutError:
+                    await resp.write(b": keepalive\n\n")
+        except (ConnectionResetError, _aio.CancelledError):
+            pass
+        finally:
+            self.sse.unsubscribe("soundlevels", q)
+        return resp
+
+    async def h_restart(self, request):
+        """In-place restart (reference: internal/restart — re-exec or
+        container exit; here SIGTERM to self so supervisors restart us)."""
+        import asyncio as _aio
+        import os
+        import signal as _signal
+
+        async def _later():
+            await _aio.sleep(0.5)
+            os.kill(os.getpid(), _signal.SIGTERM)
+
+        _aio.get_event_loop().create_task(_later())
+        return _json({"restarting": True})
+
+    async def h_pwa_manifest(self, request):
+        return _json({
+            "name": "BirdNET-TPU",
+            "short_name": "BirdNET",
+            "start_url": "/",
+            "display": "standalone",
+            "background_color": "#0f1419",
+            "theme_color": "#0f1419",
+            "icons": [],
+        })
 
     async def h_sun_times(self, request):
         import datetime as dt

@@ -68,6 +68,7 @@ class Application:
         self.alerting = None
         self.events = None
         self.health = None
+        self.soundlevel = None
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
         self._sources: list = []
@@ -462,10 +463,21 @@ class Application:
             self.watchdog.start(self.settings.liveness.check_interval_seconds)
         if self.backup is not None:
             self.backup.start()
+        if self.api is not None or self.mqtt is not None:
+            from birdnet_go_tpu.analysis.soundlevel_worker import (
+                SoundLevelWorker,
+            )
+
+            self.soundlevel = SoundLevelWorker(
+                self.engine, sse=self.api.sse if self.api else None,
+                mqtt=self.mqtt, mqtt_topic=self.settings.mqtt.topic)
+            self.soundlevel.start()
         log.info("application started: %d model(s), %d source(s)",
                  len(self.classifiers), len(self._sources))
 
     def stop(self) -> None:
+        if self.soundlevel is not None:
+            self.soundlevel.stop()
         if self.watchdog is not None:
             self.watchdog.stop()
         if self.backup is not None:

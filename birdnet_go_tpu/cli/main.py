@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--batch-size", type=int, default=64)
     a.add_argument("--all-results", action="store_true",
                    help="emit every top-K result above threshold per window")
+    a.add_argument("--rtype", choices=["table", "csv", "both"],
+                   default="table",
+                   help="output format: Raven table (default), CSV, or both")
     common_model_flags(a)
 
     b = sub.add_parser("benchmark", help="device inference throughput")
@@ -177,13 +180,20 @@ def _cmd_analyze(args) -> int:
             print(f"{f}: {e}", file=sys.stderr)
             failures += 1
             continue
-        out = write_raven_table(report.detections, f, args.output)
+        outs = []
+        if args.rtype in ("table", "both"):
+            outs.append(write_raven_table(report.detections, f, args.output))
+        if args.rtype in ("csv", "both"):
+            from birdnet_go_tpu.analysis.raven import write_csv
+
+            outs.append(write_csv(report.detections, f, args.output))
         print(f"{f.name}: {report.duration_seconds:.0f}s audio, "
               f"{len(report.windows)} windows, "
               f"{len(report.detections)} detections in "
               f"{report.elapsed_seconds:.2f}s "
               f"({report.realtime_factor:.0f}x realtime)")
-        print(f"Output written to {out}")
+        for out in outs:
+            print(f"Output written to {out}")
     return 1 if failures else 0
 
 
