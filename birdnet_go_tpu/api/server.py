@@ -116,6 +116,10 @@ class ApiServer:
         r.add_get(f"{v2}/analytics/heatmap", self.h_heatmap)
         r.add_get(f"{v2}/analytics/confidence", self.h_confidence)
         r.add_get(f"{v2}/analytics/species/first-seen", self.h_first_seen)
+        r.add_get(f"{v2}/analytics/phenology/{{species}}", self.h_phenology)
+        r.add_get(f"{v2}/analytics/year-over-year", self.h_yoy)
+        r.add_get(f"{v2}/analytics/accumulation", self.h_accumulation)
+        r.add_get(f"{v2}/analytics/diversity", self.h_diversity)
         # live audio + levels (reference: HLS live audio + audio-level SSE;
         # here a chunked streaming-WAV endpoint browsers play natively)
         r.add_get(f"{v2}/audio/live/{{source}}", self.h_audio_live)
@@ -465,6 +469,29 @@ class ApiServer:
 
     async def h_first_seen(self, request):
         return _json(self.ctx.datastore.new_species_first_seen())
+
+    async def h_phenology(self, request):
+        year = request.query.get("year")
+        return _json(self.ctx.datastore.phenology(
+            request.match_info["species"],
+            int(year) if year else None))
+
+    async def h_yoy(self, request):
+        return _json(self.ctx.datastore.year_over_year(
+            request.query.get("species")))
+
+    def _date_range(self, q):
+        today = _dt.date.today()
+        return (q.get("from", (today - _dt.timedelta(days=365)).isoformat()),
+                q.get("to", today.isoformat()))
+
+    async def h_accumulation(self, request):
+        dfrom, dto = self._date_range(request.query)
+        return _json(self.ctx.datastore.species_accumulation(dfrom, dto))
+
+    async def h_diversity(self, request):
+        dfrom, dto = self._date_range(request.query)
+        return _json(self.ctx.datastore.diversity(dfrom, dto))
 
     # -- handlers: system/streams --------------------------------------------------------------
 

@@ -272,6 +272,74 @@ class Datastore:
                 out.setdefault(r["date"], [0] * 24)[r["hr"]] = r["n"]
         return out
 
+    def phenology(self, species: str, year: int | None = None
+                  ) -> list[dict[str, Any]]:
+        """Weekly detection counts for one species (phenology chart).
+
+        Weeks use the BirdNET 48-week year: (month−1)·4 + min((day−1)//7+1, 4).
+        """
+        clauses = ["scientific_name = ?"]
+        args: list[Any] = [species]
+        if year is not None:
+            clauses.append("substr(date, 1, 4) = ?")
+            args.append(str(year))
+        sql = ("SELECT date, COUNT(*) AS n FROM detections WHERE "
+               + " AND ".join(clauses) + " GROUP BY date")
+        weeks = [0] * 48
+        with self._lock:
+            for r in self._conn.execute(sql, args):
+                y, m, d = (int(x) for x in r["date"].split("-"))
+                week = (m - 1) * 4 + min((d - 1) // 7 + 1, 4)
+                weeks[week - 1] += r["n"]
+        return [{"week": i + 1, "count": c} for i, c in enumerate(weeks)]
+
+    def year_over_year(self, species: str | None = None
+                       ) -> dict[str, list[int]]:
+        """Per-year monthly counts (year-over-year comparison view)."""
+        clauses, args = [], []
+        if species:
+            clauses.append("scientific_name = ?")
+            args.append(species)
+        where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        sql = (f"SELECT substr(date, 1, 4) AS y,"
+               f" CAST(substr(date, 6, 2) AS INTEGER) AS m,"
+               f" COUNT(*) AS n FROM detections {where} GROUP BY y, m")
+        out: dict[str, list[int]] = {}
+        with self._lock:
+            for r in self._conn.execute(sql, args):
+                out.setdefault(r["y"], [0] * 12)[r["m"] - 1] = r["n"]
+        return out
+
+    def species_accumulation(self, date_from: str, date_to: str
+                             ) -> list[dict[str, Any]]:
+        """Cumulative distinct-species curve over a date range."""
+        sql = ("SELECT date, scientific_name FROM detections"
+               " WHERE date BETWEEN ? AND ? ORDER BY date")
+        seen: set[str] = set()
+        by_date: dict[str, int] = {}
+        with self._lock:
+            for r in self._conn.execute(sql, (date_from, date_to)):
+                seen.add(r["scientific_name"])
+                by_date[r["date"]] = len(seen)
+        return [{"date": d, "cumulative_species": n}
+                for d, n in sorted(by_date.items())]
+
+    def diversity(self, date_from: str, date_to: str) -> dict[str, float]:
+        """Shannon index + richness over a date range."""
+        import math
+
+        sql = ("SELECT scientific_name, COUNT(*) AS n FROM detections"
+               " WHERE date BETWEEN ? AND ? GROUP BY scientific_name")
+        with self._lock:
+            counts = [r["n"] for r in self._conn.execute(
+                sql, (date_from, date_to))]
+        total = sum(counts)
+        if not total:
+            return {"richness": 0, "shannon": 0.0, "detections": 0}
+        shannon = -sum((c / total) * math.log(c / total) for c in counts)
+        return {"richness": len(counts), "shannon": round(shannon, 4),
+                "detections": total}
+
     def new_species_first_seen(self) -> list[dict[str, Any]]:
         sql = ("SELECT scientific_name, common_name,"
                " MIN(date) AS first_date FROM detections"

@@ -130,6 +130,29 @@ def load_ebird_codes(data_dir: str | Path | None = None) -> dict[str, str] | Non
     return {k: v for k, v in raw.items() if "_" in k and "_" not in v}
 
 
+def genus_of(scientific: str) -> str:
+    """Genus = first token of the scientific name (fallback taxonomy —
+    reference: internal/classifier/genus.go provides richer family data;
+    the genus itself is derivable)."""
+    return scientific.split(" ")[0] if scientific else ""
+
+
+def load_genus_taxonomy(data_dir: str | Path | None = None
+                        ) -> dict[str, dict] | None:
+    """Genus → {family, order, ...} from genus_taxonomy.json when the data
+    dir is available (None otherwise; callers fall back to genus_of)."""
+    base = resolve_data_dir(str(data_dir) if data_dir else None)
+    if base is None:
+        return None
+    path = base / "genus_taxonomy.json"
+    if not path.is_file():
+        return None
+    raw = json.loads(path.read_text(encoding="utf-8"))
+    # file layout: {"genera": {"Turdus": {...}}, ...} or flat — accept both
+    genera = raw.get("genera", raw)
+    return genera if isinstance(genera, dict) else None
+
+
 def synthetic_labels(n: int, locale: str = "en_us") -> LabelSet:
     """Deterministic placeholder labels for tests / modelless runs."""
     species = [Species(f"Synthetica speciei{i:04d}", f"Synthetic Species {i:04d}")

@@ -1,0 +1,65 @@
+"""Extended analytics: phenology, year-over-year, accumulation, diversity,
+genus fallback."""
+
+import math
+
+import pytest
+
+from birdnet_go_tpu.datastore.sqlite import Datastore
+from birdnet_go_tpu.taxonomy.labels import genus_of
+from tests.test_realtime_core import _detection
+
+
+def _seed(ds):
+    import datetime
+
+    rows = [
+        ("Turdus merula", "2026-03-05"), ("Turdus merula", "2026-03-06"),
+        ("Turdus merula", "2026-06-20"), ("Parus major", "2026-03-05"),
+        ("Parus major", "2025-03-10"),
+    ]
+    for sci, date in rows:
+        ts = datetime.datetime.fromisoformat(date + "T08:00:00").timestamp()
+        ds.insert_detection(_detection(sci=sci, common=sci, ts=ts))
+
+
+def test_phenology_weeks():
+    ds = Datastore(":memory:")
+    _seed(ds)
+    ph = ds.phenology("Turdus merula", year=2026)
+    assert len(ph) == 48
+    # 2026-03-05/06 → week (3-1)*4 + 1 = 9; 2026-06-20 → (6-1)*4+3 = 23
+    by_week = {p["week"]: p["count"] for p in ph}
+    assert by_week[9] == 2
+    assert by_week[23] == 1
+    assert sum(by_week.values()) == 3
+
+
+def test_year_over_year():
+    ds = Datastore(":memory:")
+    _seed(ds)
+    yoy = ds.year_over_year("Parus major")
+    assert yoy["2025"][2] == 1           # March 2025
+    assert yoy["2026"][2] == 1
+    all_years = ds.year_over_year()
+    assert all_years["2026"][2] == 3
+
+
+def test_accumulation_and_diversity():
+    ds = Datastore(":memory:")
+    _seed(ds)
+    acc = ds.species_accumulation("2026-01-01", "2026-12-31")
+    assert acc[0]["cumulative_species"] == 2      # both species on 03-05
+    assert acc[-1]["cumulative_species"] == 2
+    div = ds.diversity("2026-01-01", "2026-12-31")
+    assert div["richness"] == 2 and div["detections"] == 4
+    p = [3 / 4, 1 / 4]
+    expected = -sum(x * math.log(x) for x in p)
+    assert abs(div["shannon"] - expected) < 1e-3
+    empty = ds.diversity("2030-01-01", "2030-12-31")
+    assert empty == {"richness": 0, "shannon": 0.0, "detections": 0}
+
+
+def test_genus_fallback():
+    assert genus_of("Turdus merula") == "Turdus"
+    assert genus_of("") == ""
