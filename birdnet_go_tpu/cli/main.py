@@ -198,30 +198,40 @@ def _cmd_analyze(args) -> int:
 
 
 def _cmd_benchmark(args) -> int:
+    """Inference latency/throughput stats (reference: cmd/benchmark +
+    cmd/perch-benchmark — warmup then mean/median/p95 per batch)."""
     import json
     import time
 
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
     clf = _load_classifier(args)
     clip = clf.model.spec.clip_samples
     rng = np.random.default_rng(0)
     pcm = rng.standard_normal((args.batch_size, clip)).astype(np.float32) * .05
-    clf.predict_topk(pcm)                      # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    for _ in range(2):
+        clf.predict_topk(pcm)                  # compile + warmup
+    lat = []
+    for i in range(args.iters):
+        # perturb so no layer can serve a cached execution
+        pcm[0, 0] = np.float32(i) * 1e-6
+        t0 = time.perf_counter()
         vals, _ = clf.predict_topk(pcm)
-    elapsed = time.perf_counter() - t0
-    wps = args.batch_size * args.iters / elapsed
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1000.0
+    wps = args.batch_size / np.mean(lat)
     hop = clf.model.spec.buffer_interval_seconds
     print(json.dumps({
         "model": args.model,
         "batch": args.batch_size,
-        "windows_per_second": round(wps, 1),
-        "window_latency_ms": round(1000 * elapsed / args.iters, 1),
-        "realtime_streams": round(wps * hop, 1),
+        "iters": args.iters,
+        "batch_latency_ms": {
+            "mean": round(float(np.mean(lat_ms)), 1),
+            "median": round(float(np.median(lat_ms)), 1),
+            "p95": round(float(np.percentile(lat_ms, 95)), 1),
+        },
+        "windows_per_second": round(float(wps), 1),
+        "realtime_streams": round(float(wps * hop), 1),
     }))
     return 0
 

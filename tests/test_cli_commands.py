@@ -1,0 +1,67 @@
+"""CLI command coverage: benchmark, model list, analyze --rtype csv."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from birdnet_go_tpu.cli import main as cli
+
+
+@pytest.fixture()
+def tiny_loader(monkeypatch):
+    from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+    from birdnet_go_tpu.models.efficientnet import BlockSpec, EfficientNetConfig
+    from birdnet_go_tpu.ops.melspec import MelConfig
+
+    def tiny(model_id, checkpoint=None, seed=0, **kw):
+        m = BirdNETv24(num_species=5,
+                       mel=MelConfig(sample_rate=48000, n_fft=256, hop=8192,
+                                     n_mels=16),
+                       compute_dtype=jnp.float32)
+        m.net = EfficientNetConfig(blocks=(BlockSpec(1, 8, 3, 2, 1),),
+                                   embedding_dim=16, num_classes=5)
+        return m, m.init(jax.random.PRNGKey(0))
+
+    from birdnet_go_tpu.inference import loader
+
+    monkeypatch.setattr(loader, "load_model", tiny)
+    return tiny
+
+
+def test_benchmark_command(tiny_loader, capsys):
+    rc = cli.main(["benchmark", "--batch-size", "4", "--iters", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batch"] == 4 and out["iters"] == 3
+    stats = out["batch_latency_ms"]
+    assert stats["mean"] > 0 and stats["p95"] >= stats["median"]
+    assert out["realtime_streams"] > 0
+
+
+def test_model_list_command(capsys):
+    rc = cli.main(["model", "list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "BirdNET_V2.4" in out and "Perch_V2" in out
+
+
+def test_analyze_rtype_csv(tiny_loader, tmp_path, capsys):
+    from birdnet_go_tpu.audio.wav import write_wav
+
+    rng = np.random.default_rng(0)
+    wav = tmp_path / "x.wav"
+    write_wav(wav, rng.standard_normal(48000 * 4).astype(np.float32) * 0.2,
+              48000)
+    rc = cli.main(["analyze", str(wav), "--threshold", "0.0",
+                   "--batch-size", "4", "--rtype", "both",
+                   "--output", str(tmp_path / "out")])
+    assert rc == 0
+    table = (tmp_path / "out" / "x.wav.txt").read_text()
+    csv_text = (tmp_path / "out" / "x.csv").read_text()
+    assert table.startswith("Selection\t")
+    assert csv_text.startswith("Start (s),End (s)")
+    assert len(csv_text.strip().splitlines()) == \
+        len(table.strip().splitlines())   # same detections, both formats
