@@ -45,7 +45,14 @@ def auth_middleware(token: str, allow_local_bypass: bool = True):
     async def middleware(request, handler):
         if request.path in PUBLIC_PATHS or request.path in ("/", "/ui"):
             return await handler(request)
-        if allow_local_bypass and request.remote \
+        # Local-subnet bypass honors only DIRECT connections: a request
+        # carrying proxy headers was forwarded (a reverse proxy on
+        # localhost/RFC1918 must not expose restart/settings/media
+        # unauthenticated through the bypass).
+        proxied = ("X-Forwarded-For" in request.headers
+                   or "X-Real-IP" in request.headers
+                   or "Forwarded" in request.headers)
+        if allow_local_bypass and not proxied and request.remote \
                 and is_local_address(request.remote):
             return await handler(request)
         header = request.headers.get("Authorization", "")

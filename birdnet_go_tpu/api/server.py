@@ -857,10 +857,14 @@ class ApiServer:
             request.match_info["date"]))
 
     def _sandboxed_media(self, name: str) -> Path | None:
-        """securefs-style sandbox: never resolve outside the clip dir."""
+        """securefs-style sandbox: never resolve outside the clip dir.
+
+        Uses Path.is_relative_to after resolve() — a raw string-prefix
+        check would admit sibling dirs sharing the prefix (/clips-evil
+        vs /clips) and symlinked escapes."""
         base = Path(self.ctx.settings.export.path).resolve()
         target = (base / name).resolve()
-        if not str(target).startswith(str(base)):
+        if target == base or not target.is_relative_to(base):
             return None
         return target
 

@@ -360,13 +360,24 @@ class Application:
             self.settings.models.append(ms)
         self.processor.labels_by_model[model_id] = self.labels[model_id]
         self.processor._model_settings[model_id] = ms
-        if self.engine is not None:
-            self.engine.specs.append(model.spec)
         batcher = ModelBatcher(
             clf, max_batch=self.settings.realtime.max_batch,
             sensitivity=ms.sensitivity,
             on_result=functools.partial(self._on_window_result, model_id))
+        # Warm up (XLA compile) BEFORE the batcher joins the device loop, so
+        # the first real dispatch never stalls the tick thread for minutes
+        # and starves the other models (reference defers warm-up the same
+        # way — orchestrator.go LoadModel).
+        try:
+            batcher.warmup()
+        except Exception:
+            log.exception("runtime warmup failed for %s", model_id)
         self.device_loop.add_batcher(batcher)
+        # Rewire existing streams last: every live source gets a resampler +
+        # AnalysisBuffer tap for the new spec (buffer_manager UpdateMonitors
+        # analogue) — without this the model would never receive windows.
+        if self.engine is not None:
+            self.engine.add_model(model.spec)
         log.info("model %s loaded at runtime", model_id)
         return True
 
@@ -374,6 +385,8 @@ class Application:
         """Unregister a model while serving (orchestrator.go:1689)."""
         if model_id not in self.classifiers:
             return False
+        if self.engine is not None:
+            self.engine.remove_model(model_id)
         self.device_loop.batchers.pop(model_id, None)
         self.classifiers.pop(model_id, None)
         # labels stay for any pending detections still flushing

@@ -56,6 +56,7 @@ class _ModelTap:
     spec: ModelSpec
     resampler: StreamingResampler | None      # None = no resample needed
     buffer: AnalysisBuffer
+    rate: int                                 # samples/s as stored in buffer
 
 
 class _StreamState:
@@ -67,33 +68,42 @@ class _StreamState:
         self.last_ingest = 0.0
         # samples already delivered per model (drives window start times)
         for spec in specs:
-            # Bat raw-rate trick: when the source captures at the model's
-            # raw_sample_rate, audio is fed UNRESAMPLED (slow-down trick,
-            # detection-pipeline.md:103-117). Otherwise resample to the
-            # model's consume rate.
-            if spec.raw_sample_rate and \
-                    source.sample_rate == spec.raw_sample_rate:
-                rs = None
-            elif source.sample_rate == spec.sample_rate:
-                rs = None
-            else:
-                rs = StreamingResampler(source.sample_rate, spec.sample_rate)
-            overlap_s = overlaps.get(spec.model_id, 0.0)
-            clip = spec.clip_samples
-            # AnalysisBuffer dims: default 50% overlap unless the user set
-            # an explicit overlap (scaled per model — overlap.go:8).
-            if overlap_s > 0:
-                from birdnet_go_tpu.ops.windows import window_hop_samples
+            self.add_tap(spec, overlaps)
 
-                hop = window_hop_samples(clip, overlap_s, spec.sample_rate,
-                                         clip_seconds=spec.clip_seconds)
-                overlap_n = clip - hop
-            else:
-                overlap_n = clip // 2          # BufferDimensions default
-            buf = _make_analysis_buffer(
-                overlap_samples=overlap_n, read_samples=clip - overlap_n,
-                capacity_samples=4 * clip)
-            self.taps.append(_ModelTap(spec=spec, resampler=rs, buffer=buf))
+    def add_tap(self, spec: ModelSpec, overlaps: dict[str, float]) -> None:
+        source = self.source
+        # Bat raw-rate trick: when the source captures at the model's
+        # raw_sample_rate, audio is fed UNRESAMPLED (slow-down trick,
+        # detection-pipeline.md:103-117). Otherwise resample to the
+        # model's consume rate.
+        if spec.raw_sample_rate and \
+                source.sample_rate == spec.raw_sample_rate:
+            rs = None
+        elif source.sample_rate == spec.sample_rate:
+            rs = None
+        else:
+            rs = StreamingResampler(source.sample_rate, spec.sample_rate)
+        # Buffer samples arrive at the source rate when fed unresampled
+        # (incl. the bat 256 kHz passthrough), else at the model rate —
+        # this rate drives wall-clock window timing in collect_ready.
+        rate = source.sample_rate if rs is None else spec.sample_rate
+        overlap_s = overlaps.get(spec.model_id, 0.0)
+        clip = spec.clip_samples
+        # AnalysisBuffer dims: default 50% overlap unless the user set
+        # an explicit overlap (scaled per model — overlap.go:8).
+        if overlap_s > 0:
+            from birdnet_go_tpu.ops.windows import window_hop_samples
+
+            hop = window_hop_samples(clip, overlap_s, spec.sample_rate,
+                                     clip_seconds=spec.clip_seconds)
+            overlap_n = clip - hop
+        else:
+            overlap_n = clip // 2          # BufferDimensions default
+        buf = _make_analysis_buffer(
+            overlap_samples=overlap_n, read_samples=clip - overlap_n,
+            capacity_samples=4 * clip)
+        self.taps.append(_ModelTap(spec=spec, resampler=rs, buffer=buf,
+                                   rate=rate))
 
 
 class AudioEngine:
@@ -125,6 +135,26 @@ class AudioEngine:
         self.registry.remove(source_id)
         with self._lock:
             self._streams.pop(source_id, None)
+
+    # -- runtime model management (orchestrator LoadModel rewires monitors) ----------
+
+    def add_model(self, spec: ModelSpec) -> None:
+        """Register a new model while serving: existing streams get a tap so
+        the model immediately receives windows (buffer_manager UpdateMonitors
+        analogue — a model loaded at runtime must not analyze nothing)."""
+        with self._lock:
+            if any(s.model_id == spec.model_id for s in self.specs):
+                return
+            self.specs.append(spec)
+            for st in self._streams.values():
+                st.add_tap(spec, self.overlaps)
+
+    def remove_model(self, model_id: str) -> None:
+        with self._lock:
+            self.specs = [s for s in self.specs if s.model_id != model_id]
+            for st in self._streams.values():
+                st.taps = [t for t in st.taps
+                           if t.spec.model_id != model_id]
 
     def capture_buffer(self, source_id: str) -> CaptureBuffer | None:
         with self._lock:
@@ -165,8 +195,11 @@ class AudioEngine:
 
     def collect_ready(self) -> list[tuple[str, np.ndarray, str, float]]:
         """Drain every ready window: [(model_id, pcm_i16, source_id,
-        start_time)]. start_time backdates by the window length from the
-        source's last-ingest wall clock (buffer_manager.go:490-492)."""
+        start_time)]. Each window's start is derived from the tap's
+        consumed-sample position relative to the last-ingest wall clock, so
+        windows drained in the same tick (startup backlog, stalled tick,
+        speed>1 file sources) carry distinct, correct spans — the reference
+        stamps each window at its own dispatch (buffer_manager.go:489-492)."""
         out = []
         with self._lock:
             streams = list(self._streams.values())
@@ -176,7 +209,12 @@ class AudioEngine:
                     w = tap.buffer.read()
                     if w is None:
                         break
-                    start = st.last_ingest - tap.spec.clip_seconds
+                    # The window's final sample sits `available()` samples
+                    # behind the write head (= last_ingest); the window spans
+                    # len(w) buffer samples at the tap's stored rate (source
+                    # rate for the bat raw passthrough, model rate otherwise).
+                    behind = (tap.buffer.available() + len(w)) / tap.rate
+                    start = st.last_ingest - behind
                     out.append((tap.spec.model_id, w,
                                 st.source.source_id, start))
         return out

@@ -101,12 +101,32 @@ def read_wav(path_or_file, mono: bool = True
 
 
 def _looks_float32(pcm: bytes) -> bool:
-    """Heuristic for mislabeled 32-bit chunks: float32 audio stays in [-4,4]."""
-    probe = np.frombuffer(pcm[:4096], dtype="<f4")
+    """Heuristic for mislabeled 32-bit chunks: float32 audio stays in [-4,4]
+    AND shows a plausible signal. Probes head/middle/tail of the data chunk
+    (a leading-silence int32 field recording must not pass on zeros alone)
+    and requires some samples with float-audio-like magnitude."""
+    n = len(pcm) & ~3
+    if n == 0:
+        return False
+    spans = [pcm[:4096]]
+    if n > 4096:
+        mid = (n // 2) & ~3
+        spans.append(pcm[mid:mid + 4096])
+        spans.append(pcm[n - 4096:n])
+    probe = np.frombuffer(b"".join(s[:len(s) & ~3] for s in spans),
+                          dtype="<f4")
     if probe.size == 0:
         return False
-    finite = np.isfinite(probe)
-    return bool(finite.all() and np.abs(probe).max() <= 4.0)
+    if not np.isfinite(probe).all():
+        return False
+    mags = np.abs(probe)
+    if mags.max() > 4.0:
+        return False
+    # Genuine float audio has samples in a sane dynamic range; int32 PCM
+    # reinterpreted as float yields either zeros (silence) or denormals /
+    # tiny magnitudes far below 1e-5.
+    plausible = (mags >= 1e-5) & (mags <= 4.0)
+    return bool(plausible.any())
 
 
 def write_wav(path_or_file, samples: np.ndarray, sample_rate: int) -> None:

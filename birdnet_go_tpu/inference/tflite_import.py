@@ -327,13 +327,14 @@ class TFLiteGraph:
         w = value(op.inputs[1])                  # [O, H, W, I] (TFLite layout)
         o = op.options
         # Conv2DOptions: padding=0, stride_w=1, stride_h=2,
-        # fused_activation_function=3, dilation_w=5, dilation_h=6
+        # fused_activation_function=3, dilation_w=4, dilation_h=5
+        # (only DepthwiseConv2DOptions shifts dilation to 5/6 behind depth_multiplier).
         pad = o.get_byte(0) if o else _PAD_SAME
         sw = o.get_int(1, 1) if o else 1
         sh = o.get_int(2, 1) if o else 1
         act = o.get_byte(3) if o else _ACT_NONE
-        dw = o.get_int(5, 1) if o else 1
-        dh = o.get_int(6, 1) if o else 1
+        dw = o.get_int(4, 1) if o else 1
+        dh = o.get_int(5, 1) if o else 1
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(sh, sw), padding=_padding_str(pad),
             rhs_dilation=(dh, dw),

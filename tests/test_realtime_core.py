@@ -126,6 +126,50 @@ def test_engine_bat_raw_rate_no_resample():
     assert (ready[0][1][:72000] == 0).all()
 
 
+def test_engine_backlog_windows_get_distinct_starts():
+    # ADVICE r1: windows drained in one tick must not share a start time.
+    eng = AudioEngine([SPEC_A])
+    eng.add_source(_src())
+    eng.ingest("s1", np.ones(288000, np.int16), timestamp=200.0)  # 6 s burst
+    ready = eng.collect_ready()
+    assert len(ready) == 4
+    starts = [r[3] for r in ready]
+    # Each window steps back by the 1.5 s hop; the newest ends at the
+    # write head (start = 200 − 3 s window).
+    assert starts == pytest.approx([192.5, 194.0, 195.5, 197.0])
+
+
+def test_engine_bat_raw_rate_wall_clock_starts():
+    # 256 kHz passthrough: 144000 raw samples ≈ 0.5625 s wall clock, so the
+    # window span must use the SOURCE rate, not the model's 48 kHz.
+    eng = AudioEngine([SPEC_BAT])
+    eng.add_source(_src(rate=256000))
+    eng.ingest("s1", np.ones(144000, np.int16), timestamp=50.0)
+    ready = eng.collect_ready()
+    assert len(ready) == 2
+    hop = 72000 / 256000.0
+    span = 144000 / 256000.0
+    assert ready[0][3] == pytest.approx(50.0 - hop - span)
+    assert ready[1][3] == pytest.approx(50.0 - span)
+
+
+def test_engine_add_remove_model_rewires_existing_streams():
+    # ADVICE r1: a model loaded at runtime must tap already-added sources.
+    eng = AudioEngine([SPEC_A])
+    eng.add_source(_src())
+    eng.add_model(SPEC_B)
+    for _ in range(6):
+        eng.ingest("s1", np.ones(48000, np.int16))
+    models = {r[0] for r in eng.collect_ready()}
+    assert models == {"A48", "B32"}
+    eng.add_model(SPEC_B)            # duplicate add is a no-op
+    assert sum(1 for s in eng.specs if s.model_id == "B32") == 1
+    eng.remove_model("B32")
+    for _ in range(6):
+        eng.ingest("s1", np.ones(48000, np.int16))
+    assert all(r[0] != "B32" for r in eng.collect_ready())
+
+
 def test_engine_stream_health():
     eng = AudioEngine([SPEC_A])
     eng.add_source(_src())

@@ -89,6 +89,38 @@ def test_conv_pool_pipeline_parity():
                                atol=1e-5)
 
 
+def test_dilated_conv_parity_vs_torch():
+    """Conv2DOptions dilation lives at field ids 4/5 (not 5/6 like depthwise).
+
+    Verified against torch's conv2d as an independent implementation
+    (ADVICE r1: dilated standard convs silently mis-imported)."""
+    torch = pytest.importorskip("torch")
+    mb = ModelBuilder()
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((3, 3, 3, 2)).astype(np.float32)  # OHWI
+    x_t = mb.add_tensor([1, 12, 10, 2], "input")
+    w_t = mb.add_tensor([3, 3, 3, 2], "w", w)
+    y_t = mb.add_tensor([1, 12, 10, 3], "out")
+    mb.add_op(Op.CONV_2D, [x_t, w_t, -1], [y_t],
+              lambda b: conv2d_options(b, padding=0, dilation_w=2,
+                                       dilation_h=3))
+    mb.inputs = [x_t]
+    mb.outputs = [y_t]
+    g = load_tflite(mb.finish())
+    x = rng.standard_normal((1, 12, 10, 2)).astype(np.float32)
+    (y,) = g.jitted()(g.params, x)
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))      # NCHW
+    wt = torch.from_numpy(np.transpose(w, (0, 3, 1, 2)))      # OIHW
+    # SAME padding with dilation: effective kernel (1 + (k-1)*d)
+    eff_h, eff_w = 1 + 2 * 3, 1 + 2 * 2
+    ph, pw = (eff_h - 1) // 2, (eff_w - 1) // 2
+    xt = torch.nn.functional.pad(xt, (pw, eff_w - 1 - pw, ph, eff_h - 1 - ph))
+    ref = torch.nn.functional.conv2d(xt, wt, dilation=(3, 2))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
+
+
 def test_depthwise_and_elementwise():
     mb = ModelBuilder()
     rng = np.random.default_rng(2)

@@ -73,12 +73,30 @@ def fully_connected_options(b, activation=0):
     return b.EndObject()
 
 
-def conv2d_options(b, padding=0, stride_w=1, stride_h=1, activation=0):
+def conv2d_options(b, padding=0, stride_w=1, stride_h=1, activation=0,
+                   dilation_w=1, dilation_h=1):
+    # TFLite Conv2DOptions: dilation_w_factor=4, dilation_h_factor=5.
     b.StartObject(7)
     b.PrependInt8Slot(0, padding, 0)
     b.PrependInt32Slot(1, stride_w, 0)
     b.PrependInt32Slot(2, stride_h, 0)
     b.PrependInt8Slot(3, activation, 0)
+    b.PrependInt32Slot(4, dilation_w, 1)
+    b.PrependInt32Slot(5, dilation_h, 1)
+    return b.EndObject()
+
+
+def dwconv2d_options(b, padding=0, stride_w=1, stride_h=1, depth_multiplier=1,
+                     activation=0, dilation_w=1, dilation_h=1):
+    # DepthwiseConv2DOptions: depth_multiplier=3, activation=4, dilation=5/6.
+    b.StartObject(7)
+    b.PrependInt8Slot(0, padding, 0)
+    b.PrependInt32Slot(1, stride_w, 0)
+    b.PrependInt32Slot(2, stride_h, 0)
+    b.PrependInt32Slot(3, depth_multiplier, 0)
+    b.PrependInt8Slot(4, activation, 0)
+    b.PrependInt32Slot(5, dilation_w, 1)
+    b.PrependInt32Slot(6, dilation_h, 1)
     return b.EndObject()
 
 
