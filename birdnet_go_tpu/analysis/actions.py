@@ -77,11 +77,20 @@ class SaveAudioAction:
     out_path: str | Path
     sample_rate: int = 48000
     description: str = "export audio clip"
+    # Fallback: the detection window's own PCM (queued through the pipeline,
+    # process.go:388-396 deep copy). Used when the CaptureBuffer ring has
+    # already overwritten the requested span (slow flush / long deadline).
+    fallback_pcm: Any = None          # np.ndarray | None
+    fallback_rate: int = 0
 
     def execute(self) -> None:
         if time.time() < self.end_time:
             raise RuntimeError("clip span not fully captured yet")
         pcm = self.capture_buffer.read_segment(self.start_time, self.end_time)
+        if not pcm.any() and self.fallback_pcm is not None \
+                and self.fallback_rate:
+            pcm = self.fallback_pcm
+            self.sample_rate = self.fallback_rate
         out = Path(self.out_path)
         out.parent.mkdir(parents=True, exist_ok=True)
         if out.suffix.lower() == ".flac":

@@ -44,6 +44,14 @@ class WindowPrediction:
     end_time: float
     indices: list[int]
     confidences: list[float]
+    # Window PCM (fresh array per window — the reference's deep copy at
+    # process.go:388-396); feeds clip-export fallback when the
+    # CaptureBuffer has lost the span.
+    pcm: "object" = None              # np.ndarray | None
+    pcm_rate: int = 0
+    # Ultrasonic-band CV computed on device for raw-rate (bat) models;
+    # None for ordinary models (processor.go:881-893).
+    ultrasonic_cv: float | None = None
 
 
 @dataclasses.dataclass
@@ -62,6 +70,10 @@ class PendingDetection:
     count: int = 0
     contributions: dict[str, ModelContribution] = dataclasses.field(
         default_factory=dict)
+    # PCM of the first contributing window (clip-export fallback when the
+    # CaptureBuffer ring has already overwritten the detection span).
+    pcm: "object" = None              # np.ndarray | None
+    pcm_rate: int = 0
 
     @property
     def best_model_id(self) -> str:
@@ -158,6 +170,18 @@ class Processor:
             return
         with self._lock:
             self.stats.results_processed += 1
+        # Ultrasonic CV validation (applyUltrasonicFilter,
+        # processor.go:881-893): a raw-rate window whose ultrasonic-band
+        # energy is too steady is broadband noise, not bat calls — every
+        # detection in the window is unlikely and discarded.
+        us = self.settings.ultrasonic_filter
+        if us.enabled and pred.ultrasonic_cv is not None \
+                and pred.ultrasonic_cv < us.cv_threshold:
+            with self._lock:
+                self.stats.detections_filtered += 1
+                self.stats.discard_reasons["ultrasonic filter"] = \
+                    self.stats.discard_reasons.get("ultrasonic filter", 0) + 1
+            return
         for conf, idx in zip(pred.confidences, pred.indices):
             if idx < 0 or idx >= len(labels):
                 continue
@@ -220,7 +244,8 @@ class Processor:
                                               - exp.pre_capture_seconds)
                 item = PendingDetection(
                     detection=det, source_id=pred.source_id,
-                    first_detected=pred.start_time, flush_deadline=deadline)
+                    first_detected=pred.start_time, flush_deadline=deadline,
+                    pcm=pred.pcm, pcm_rate=pred.pcm_rate)
                 self._pending[key] = item
                 self.stats.detections_pending += 1
             item.count += 1

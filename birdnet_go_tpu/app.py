@@ -531,7 +531,9 @@ class Application:
             model_id=model_id,
             start_time=w.start_time, end_time=w.end_time,
             indices=[int(i) for i in idx],
-            confidences=[float(v) for v in vals]))
+            confidences=[float(v) for v in vals],
+            pcm=w.pcm, pcm_rate=w.pcm_rate,
+            ultrasonic_cv=w.ultrasonic_cv))
 
     def _on_approved(self, d: Detection, item: PendingDetection) -> None:
         """Build + enqueue the action chain (getDefaultActions analogue)."""
@@ -553,7 +555,9 @@ class Application:
                         capture_buffer=cb, start_time=clip_start,
                         end_time=clip_end,
                         out_path=Path(s.export.path) / clip_name,
-                        sample_rate=cb.sample_rate).execute,
+                        sample_rate=cb.sample_rate,
+                        fallback_pcm=item.pcm,
+                        fallback_rate=item.pcm_rate).execute,
                     f"save clip {clip_name}",
                     retry=RetryConfig(enabled=True, max_retries=10,
                                       initial_delay=1.0, max_delay=10.0))

@@ -193,9 +193,9 @@ class AudioEngine:
 
     # -- window provider for the DeviceLoop ----------------------------------------------
 
-    def collect_ready(self) -> list[tuple[str, np.ndarray, str, float]]:
+    def collect_ready(self) -> list[tuple[str, np.ndarray, str, float, int]]:
         """Drain every ready window: [(model_id, pcm_i16, source_id,
-        start_time)]. Each window's start is derived from the tap's
+        start_time, pcm_rate)]. Each window's start is derived from the tap's
         consumed-sample position relative to the last-ingest wall clock, so
         windows drained in the same tick (startup backlog, stalled tick,
         speed>1 file sources) carry distinct, correct spans — the reference
@@ -216,7 +216,7 @@ class AudioEngine:
                     behind = (tap.buffer.available() + len(w)) / tap.rate
                     start = st.last_ingest - behind
                     out.append((tap.spec.model_id, w,
-                                st.source.source_id, start))
+                                st.source.source_id, start, tap.rate))
         return out
 
     # -- health ---------------------------------------------------------------------------

@@ -62,6 +62,17 @@ class DaylightFilterSettings:
 
 
 @dataclasses.dataclass
+class UltrasonicFilterSettings:
+    """Bat-detection CV validation (processor.go:881-893
+    applyUltrasonicFilter; defaults.go:106-108): a window whose
+    ultrasonic-band energy is too steady (low CV) is broadband noise,
+    not bat calls — its detections are discarded."""
+
+    enabled: bool = True
+    cv_threshold: float = 0.15
+
+
+@dataclasses.dataclass
 class DynamicThresholdSettings:
     enabled: bool = False
     trigger: float = 0.90             # defaults.go:205
@@ -201,6 +212,8 @@ class Settings:
         default_factory=DogBarkFilterSettings)
     daylight_filter: DaylightFilterSettings = dataclasses.field(
         default_factory=DaylightFilterSettings)
+    ultrasonic_filter: UltrasonicFilterSettings = dataclasses.field(
+        default_factory=UltrasonicFilterSettings)
     dynamic_threshold: DynamicThresholdSettings = dataclasses.field(
         default_factory=DynamicThresholdSettings)
     deep_detection: DeepDetectionSettings = dataclasses.field(

@@ -32,6 +32,14 @@ class PendingWindow:
     source_id: str
     start_time: float
     end_time: float
+    # Deep-copy discipline (process.go:388-396): AnalysisBuffer.read()
+    # returns a fresh array per window, so holding the reference here IS the
+    # reference's PCM copy — it feeds clip-export fallback and any host-side
+    # validation downstream.
+    pcm: np.ndarray | None = None
+    pcm_rate: int = 0
+    # On-device ultrasonic-band CV for raw-rate (bat) models; None otherwise.
+    ultrasonic_cv: float | None = None
 
 
 @dataclasses.dataclass
@@ -75,16 +83,34 @@ class ModelBatcher:
         self._inflight: tuple[Any, Any, list[PendingWindow], float] | None = None
         self._jnp = jnp
 
+        # Raw-rate (bat) models get the ultrasonic-CV validation computed ON
+        # DEVICE inside the same batched step — the FFT + reduction fuses
+        # into the megabatch instead of a per-detection host FFT like the
+        # reference (processor.go:881-893 applyUltrasonicFilter).
+        us_cfg = None
+        if self.spec.raw_sample_rate:
+            from birdnet_go_tpu.ops.ultrasonic import (
+                UltrasonicConfig,
+                ultrasonic_frame_cv,
+            )
+
+            us_cfg = UltrasonicConfig(sample_rate=self.spec.raw_sample_rate)
+            self._ultrasonic_cv = ultrasonic_frame_cv
+
         @functools.partial(jax.jit, static_argnums=(3,))
         def _step(params, pcm_i16, sensitivity, k, mask):
+            f32 = pcm16_to_float32(pcm_i16)
             if hasattr(self.model, "apply_int16"):
                 out = self.model.apply_int16(params, pcm_i16)
             else:
-                out = self.model.apply(params, pcm16_to_float32(pcm_i16))
+                out = self.model.apply(params, f32)
             conf = sigmoid_confidence(out["logits"], sensitivity)
             if mask is not None:
                 conf = conf * mask
-            return top_k_results(conf, k)
+            vals, idx = top_k_results(conf, k)
+            cv = (self._ultrasonic_cv(f32, us_cfg)
+                  if us_cfg is not None else None)
+            return vals, idx, cv
 
         self._step = _step
 
@@ -94,7 +120,7 @@ class ModelBatcher:
         compile+first-run seconds."""
         jnp = self._jnp
         t0 = time.monotonic()
-        vals, idx = self._step(
+        vals, idx, _cv = self._step(
             self.classifier.params, jnp.asarray(self._staged),
             jnp.float32(self.sensitivity), self.top_k,
             self.classifier._range_mask)
@@ -107,16 +133,18 @@ class ModelBatcher:
     # -- producer side -----------------------------------------------------------
 
     def offer(self, pcm_i16: np.ndarray, source_id: str,
-              start_time: float) -> bool:
+              start_time: float, pcm_rate: int = 0) -> bool:
         """Stage one ready window; False if this tick's batch is full."""
         n = len(self._meta)
         if n >= self.max_batch:
             self.stats.windows_deferred += 1
             return False
         self._staged[n, :] = pcm_i16
+        rate = pcm_rate or self.spec.sample_rate
         self._meta.append(PendingWindow(
             source_id=source_id, start_time=start_time,
-            end_time=start_time + self.spec.clip_seconds))
+            end_time=start_time + len(pcm_i16) / rate,
+            pcm=pcm_i16, pcm_rate=rate))
         return True
 
     # -- device loop --------------------------------------------------------------
@@ -131,11 +159,11 @@ class ModelBatcher:
             return 0
         jnp = self._jnp
         pcm = jnp.asarray(self._staged)      # fixed shape: no recompiles
-        vals, idx = self._step(
+        vals, idx, cv = self._step(
             self.classifier.params, pcm,
             jnp.float32(self.sensitivity), self.top_k,
             self.classifier._range_mask)
-        self._inflight = (vals, idx, self._meta, time.monotonic())
+        self._inflight = (vals, idx, cv, self._meta, time.monotonic())
         self._meta = []
         self.stats.batches_dispatched += 1
         self.stats.last_batch_fill = n / self.max_batch
@@ -147,10 +175,11 @@ class ModelBatcher:
         overlaps staging of batch i+1."""
         if self._inflight is None:
             return 0
-        vals, idx, meta, t0 = self._inflight
+        vals, idx, cv, meta, t0 = self._inflight
         self._inflight = None
         vals_np = np.asarray(vals)            # materialization = sync point
         idx_np = np.asarray(idx)
+        cv_np = np.asarray(cv) if cv is not None else None
         latency = time.monotonic() - t0
         self.stats.last_latency_ms = latency * 1000.0
         if latency > self.budget_seconds:
@@ -160,6 +189,8 @@ class ModelBatcher:
                         self.budget_seconds * 1000)
         for j, w in enumerate(meta):
             self.stats.windows_processed += 1
+            if cv_np is not None:
+                w.ultrasonic_cv = float(cv_np[j])
             if self.on_result is not None:
                 self.on_result(w, vals_np[j], idx_np[j])
         return len(meta)
@@ -189,10 +220,12 @@ class DeviceLoop:
     def run_tick(self) -> int:
         """One scheduling tick; returns windows dispatched."""
         for provider in self._providers:
-            for model_id, pcm, source_id, start_time in provider():
+            for item in provider():
+                model_id, pcm, source_id, start_time = item[:4]
+                rate = item[4] if len(item) > 4 else 0
                 b = self.batchers.get(model_id)
                 if b is not None:
-                    b.offer(pcm, source_id, start_time)
+                    b.offer(pcm, source_id, start_time, rate)
         dispatched = 0
         for b in self.batchers.values():
             dispatched += b.dispatch()

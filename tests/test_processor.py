@@ -273,3 +273,36 @@ def test_job_queue_drop_when_full():
     assert q.enqueue(lambda: None, "b")
     assert not q.enqueue(lambda: None, "c")
     assert q.stats.dropped == 1
+
+
+# -- ultrasonic CV filter (processor.go:881-893 applyUltrasonicFilter) -------------
+
+@pytest.mark.parametrize("cv,enabled,kept", [
+    (0.05, True, False),   # steady ultrasonic energy → unlikely → discarded
+    (0.149, True, False),  # just under the 0.15 default threshold
+    (0.151, True, True),   # strong frame-to-frame variation → bat-like
+    (0.05, False, True),   # filter disabled → passes
+    (None, True, True),    # ordinary (non-raw-rate) window carries no CV
+])
+def test_ultrasonic_filter_window_gate(cv, enabled, kept):
+    p, s, now = make_processor()
+    s.ultrasonic_filter.enabled = enabled
+    w = pred(0, 0.9)
+    w.ultrasonic_cv = cv
+    p.submit(w)
+    assert bool(p.pending_snapshot()) == kept
+    if not kept:
+        assert p.stats.discard_reasons.get("ultrasonic filter") == 1
+
+
+def test_pending_detection_carries_window_pcm():
+    import numpy as np
+
+    p, s, now = make_processor()
+    w = pred(0, 0.9)
+    w.pcm = np.full(16, 7, np.int16)
+    w.pcm_rate = 256000
+    p.submit(w)
+    item = p.pending_snapshot()[0]
+    assert item.pcm_rate == 256000
+    assert (item.pcm == 7).all()

@@ -79,7 +79,7 @@ def test_engine_windows_at_default_overlap():
     eng.ingest("s1", np.ones(72000, np.int16), timestamp=100.0)
     ready = eng.collect_ready()
     assert len(ready) == 1
-    model_id, w, sid, start = ready[0]
+    model_id, w, sid, start, rate = ready[0]
     assert model_id == "A48" and sid == "s1"
     assert len(w) == 144000
     assert (w[:72000] == 0).all() and (w[72000:] == 1).all()
@@ -104,7 +104,7 @@ def test_engine_multimodel_resample_fanout():
     eng.ingest("s1", np.ones(4800, np.int16))
     ready = eng.collect_ready()
     by_model = {}
-    for model_id, w, sid, start in ready:
+    for model_id, w, sid, start, rate in ready:
         by_model.setdefault(model_id, []).append(w)
     # A: fresh windows every 1.5 s → floor(10/1.5) = 6
     assert len(by_model["A48"]) == 6
@@ -220,6 +220,66 @@ def test_model_batcher_dispatch_and_harvest():
     assert results[0][2].shape == (3,)
     assert b.stats.windows_processed == 2
     assert b.stats.last_batch_fill == 0.5
+
+
+def test_model_batcher_bat_cv_computed_on_device():
+    """Raw-rate (bat) batchers compute the ultrasonic CV inside the jitted
+    step; windows come back annotated so the processor can gate them."""
+    import dataclasses as dc
+
+    clf = _TinyClassifier()
+    clf.model.spec = dc.replace(clf.model.spec, raw_sample_rate=256000)
+    results = []
+    b = ModelBatcher(clf, max_batch=2, top_k=2,
+                     on_result=lambda w, v, i: results.append(w))
+    rng = np.random.default_rng(3)
+    steady = (rng.standard_normal(144000) * 3000).astype(np.int16)
+    pulsed = np.zeros(144000, np.int16)
+    t = np.arange(2000)
+    for k in range(5):                 # 5 short 40 kHz chirps
+        s0 = k * 28000
+        pulsed[s0:s0 + 2000] = (8000 * np.sin(
+            2 * np.pi * 40000 * t / 256000)).astype(np.int16)
+    b.offer(steady, "s", 0.0, 256000)
+    b.offer(pulsed, "s", 1.0, 256000)
+    b.dispatch()
+    b.harvest()
+    cv_steady, cv_pulsed = (w.ultrasonic_cv for w in results)
+    assert cv_steady is not None and cv_pulsed is not None
+    assert cv_steady < 0.15 < cv_pulsed    # default threshold separates them
+    # ordinary model: no CV annotation
+    clf2 = _TinyClassifier()
+    out2 = []
+    b2 = ModelBatcher(clf2, max_batch=1, top_k=2,
+                      on_result=lambda w, v, i: out2.append(w))
+    b2.offer(steady, "s", 0.0)
+    b2.dispatch()
+    b2.harvest()
+    assert out2[0].ultrasonic_cv is None
+
+
+def test_save_audio_fallback_to_window_pcm(tmp_path):
+    """Clip export falls back to the detection window's queued PCM when the
+    CaptureBuffer has lost the span (reference keeps the PCM copy for
+    exactly this — process.go:388-396)."""
+    from birdnet_go_tpu.analysis.actions import SaveAudioAction
+    from birdnet_go_tpu.audio.buffers import CaptureBuffer
+    from birdnet_go_tpu.audio.wav import read_wav
+
+    cb = CaptureBuffer(48000, capacity_seconds=2.0)
+    # ring contains only recent audio; the requested span predates it
+    import time as _t
+
+    now = _t.time()
+    cb.write(np.ones(48000, np.int16), timestamp=now - 1)
+    fb = (np.sin(np.arange(4800) / 10.0) * 20000).astype(np.int16)
+    out = tmp_path / "clip.wav"
+    SaveAudioAction(capture_buffer=cb, start_time=now - 500,
+                    end_time=now - 488, out_path=out, sample_rate=48000,
+                    fallback_pcm=fb, fallback_rate=256000).execute()
+    x, info = read_wav(out)
+    assert info.sample_rate == 256000          # written at the window's rate
+    assert len(x) == 4800 and np.abs(x).max() > 0.1
 
 
 def test_model_batcher_overflow_defers():
