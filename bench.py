@@ -23,6 +23,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -32,8 +33,11 @@ import numpy as np
 
 BASELINE_STREAMS = 5.0          # reference desktop AMD64 (ARCHITECTURE.md:1687)
 WINDOW_HOP_SECONDS = 1.5        # 3 s window, 50% overlap
-BATCH = 1024                    # production megabatch (scheduler max_batch)
+BATCH = 1024                    # throughput megabatch
 MEASURE_ITERS = 8
+PROD_BATCH = 256                # scheduler default max_batch (latency probe)
+LATENCY_TRIALS = 12             # scan-length-differencing samples
+LATENCY_BATCHES = 6             # tunneled end-to-end diagnostic samples
 
 
 def main() -> None:
@@ -75,11 +79,76 @@ def main() -> None:
 
     windows_per_sec = BATCH * MEASURE_ITERS / elapsed
     streams = windows_per_sec * WINDOW_HOP_SECONDS
+
+    # Per-window latency at the PRODUCTION batch size (scheduler default
+    # max_batch=256): every window in a megabatch completes when the batch
+    # materializes, so the batch step time IS the per-window serving
+    # latency (north star: p50 <50 ms).
+    #
+    # This environment reaches the TPU through a remote tunnel (~30 ms
+    # fixed RTT, ~85 MB/s H2D — measured), which a production host with a
+    # locally-attached chip does not pay (PCIe H2D for the 74 MB int16
+    # megabatch is ~5 ms). To report the hardware's latency rather than
+    # the tunnel's, the probe times jitted scans of length 1 and length
+    # 1+K over the SAME production step with a cross-iteration data
+    # dependency: (t_long − t_short)/K isolates one on-device batch step,
+    # cancelling every fixed tunnel cost. The raw tunneled end-to-end
+    # p50 (ModelBatcher dispatch→harvest) is reported alongside as a
+    # transport diagnostic.
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_prod(params, pcm_i16, n):
+        def body(carry, _):
+            vals, idx = one_step(params, pcm_i16, carry)
+            return (jnp.sum(vals) * 1e-9).astype(jnp.int16), None
+
+        last, _ = jax.lax.scan(body, jnp.int16(0), None, length=n)
+        return last
+
+    pcm_prod = jax.device_put(jnp.asarray(pcm_host[:PROD_BATCH]))
+    k_iters = 8
+    float(run_prod(params, pcm_prod, 1))          # compile short
+    float(run_prod(params, pcm_prod, 1 + k_iters))  # compile long
+    slopes_ms = []
+    for _ in range(LATENCY_TRIALS):
+        t0 = time.perf_counter()
+        float(run_prod(params, pcm_prod, 1))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_prod(params, pcm_prod, 1 + k_iters))
+        t_long = time.perf_counter() - t0
+        slopes_ms.append(max(0.0, (t_long - t_short) / k_iters * 1000.0))
+    slopes_ms.sort()
+    p50 = slopes_ms[len(slopes_ms) // 2]
+    p95 = slopes_ms[min(len(slopes_ms) - 1, int(len(slopes_ms) * 0.95))]
+
+    # transport diagnostic: tunneled end-to-end through the ModelBatcher
+    from birdnet_go_tpu.inference.backend import JaxClassifier
+    from birdnet_go_tpu.scheduler.loop import ModelBatcher
+
+    clf = JaxClassifier(model, params)
+    batcher = ModelBatcher(clf, max_batch=PROD_BATCH)
+    batcher.warmup()
+    e2e_ms = []
+    for _ in range(LATENCY_BATCHES):
+        for j in range(PROD_BATCH):
+            batcher.offer(pcm_host[j], "bench", 0.0)
+        batcher.dispatch()
+        batcher.harvest()
+        e2e_ms.append(batcher.stats.last_latency_ms)
+    e2e_ms.sort()
+
     print(json.dumps({
         "metric": "realtime_48khz_streams_per_chip",
         "value": round(streams, 1),
         "unit": "streams",
         "vs_baseline": round(streams / BASELINE_STREAMS, 2),
+        "p50_window_latency_ms": round(p50, 1),
+        "p95_window_latency_ms": round(p95, 1),
+        "latency_batch_size": PROD_BATCH,
+        "p50_tunneled_e2e_ms": round(e2e_ms[len(e2e_ms) // 2], 1),
+        "latency_note": "p50/p95 = on-device batch step (tunnel RTT/H2D "
+                        "excluded via scan-length differencing); tunneled "
+                        "e2e includes the dev tunnel's ~85 MB/s H2D",
     }))
 
 

@@ -118,10 +118,15 @@ class Processor:
         self.clock = clock
         # range filter included set: scientific names; None = filter inactive
         self.included_species = included_species
+        # Learning cooldown = one detection window (export length −
+        # pre-capture, min 5 s) so a single event can't raise the level
+        # multiple times (dynamic_threshold.go LearnFromApprovedDetection).
         self.dynamic = DynamicThresholds(
             trigger=settings.dynamic_threshold.trigger,
             floor=settings.dynamic_threshold.min,
-            valid_hours=settings.dynamic_threshold.valid_hours)
+            valid_hours=settings.dynamic_threshold.valid_hours,
+            learning_cooldown_seconds=(settings.export.clip_length_seconds
+                                       - settings.export.pre_capture_seconds))
         self._pending: dict[str, PendingDetection] = {}
         self._last_human: dict[str, float] = {}
         self._last_dog: dict[str, float] = {}
@@ -131,23 +136,27 @@ class Processor:
 
     # -- configuration lookups -------------------------------------------------
 
-    def _base_threshold(self, model_id: str, sp: Species) -> float:
+    def _base_threshold(self, model_id: str, sp: Species
+                        ) -> tuple[float, bool]:
+        """(threshold, is_custom). A user-configured per-species threshold
+        is custom — dynamic adjustment never applies to it."""
         sc = self.settings.species.config.get(sp.scientific) \
             or self.settings.species.config.get(sp.label) \
             or self.settings.species.config.get(sp.common)
         if sc and "threshold" in sc:
-            return float(sc["threshold"])
+            return float(sc["threshold"]), True
         ms = self._model_settings.get(model_id)
         if ms is not None:
-            return ms.threshold
-        return 0.8
+            return ms.threshold, False
+        return 0.8, False
 
     def effective_threshold(self, model_id: str, sp: Species,
                             now: float | None = None) -> float:
-        base = self._base_threshold(model_id, sp)
+        base, is_custom = self._base_threshold(model_id, sp)
         if self.settings.dynamic_threshold.enabled:
             return self.dynamic.adjust(base, model_id, sp.scientific,
-                                       now=now or self.clock())
+                                       now=now or self.clock(),
+                                       is_custom=is_custom)
         return base
 
     def _deep_detection_params(self, model_id: str) -> tuple[int, float]:
@@ -287,8 +296,10 @@ class Processor:
                 approved.append((d, item))
         for d, item in approved:
             if self.settings.dynamic_threshold.enabled:
+                base, is_custom = self._base_threshold(d.model_id, d.species)
                 self.dynamic.learn(d.confidence, d.model_id,
-                                   d.species.scientific, now=now)
+                                   d.species.scientific, now=now,
+                                   is_custom=is_custom, base_threshold=base)
             if self.on_approved is not None:
                 try:
                     self.on_approved(d, item)

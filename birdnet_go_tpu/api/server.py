@@ -565,17 +565,31 @@ class ApiServer:
         else:
             setattr(self.ctx.settings, section, body)
         warnings = self.ctx.settings.validate()
-        signal = {
-            "range_filter": ControlSignal.REBUILD_RANGE_FILTER,
-            "species": ControlSignal.RELOAD_SPECIES_CONFIG,
-            "models": ControlSignal.RELOAD_THRESHOLDS,
-            "export": ControlSignal.RELOAD_EXPORT,
-            "privacy_filter": ControlSignal.RELOAD_PRIVACY,
-        }.get(section)
-        if signal is not None and self.ctx.control is not None:
-            self.ctx.control.send(signal)
+        signals = {
+            "range_filter": [ControlSignal.REBUILD_RANGE_FILTER],
+            "species": [ControlSignal.RELOAD_SPECIES_CONFIG],
+            "models": [ControlSignal.RELOAD_THRESHOLDS],
+            "export": [ControlSignal.RELOAD_EXPORT,
+                       ControlSignal.REBUILD_EXTENDED_CAPTURE],
+            "privacy_filter": [ControlSignal.RELOAD_PRIVACY],
+            "mqtt": [ControlSignal.RECONFIGURE_MQTT],
+            "birdweather": [ControlSignal.RECONFIGURE_BIRDWEATHER],
+            "weather": [ControlSignal.RECONFIGURE_WEATHER],
+            "notification": [ControlSignal.RECONFIGURE_NOTIFICATIONS],
+            "soundlevel": [ControlSignal.RECONFIGURE_SOUND_LEVEL],
+            "dynamic_threshold":
+                [ControlSignal.RECONFIGURE_DYNAMIC_THRESHOLDS],
+            "realtime": [ControlSignal.UPDATE_DETECTION_INTERVALS,
+                         ControlSignal.RECONFIGURE_SOURCES],
+            "location": [ControlSignal.REBUILD_RANGE_FILTER,
+                         ControlSignal.RECONFIGURE_QUIET_HOURS],
+        }.get(section, [])
+        if self.ctx.control is not None:
+            for signal in signals:
+                self.ctx.control.send(signal)
         return _json({"updated": section, "warnings": warnings,
-                      "signal": signal.value if signal else None})
+                      "signals": [s.value for s in signals],
+                      "signal": signals[0].value if signals else None})
 
     # -- handlers: range filter --------------------------------------------------------------------
 

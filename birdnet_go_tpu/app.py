@@ -72,7 +72,9 @@ class Application:
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
         self._sources: list = []
+        self._source_cfgs: dict[str, dict] = {}
         self._range_filter: JaxRangeFilter | None = None
+        self._started = False
 
     # -- assembly ---------------------------------------------------------------
 
@@ -128,6 +130,11 @@ class Application:
         self.species_tracker = SpeciesTracker(self.datastore)
 
         # 3. detection engine
+        from birdnet_go_tpu.analysis.eventtracker import EventTracker
+
+        self.event_tracker = EventTracker(
+            default_interval_seconds=s.realtime.interval_seconds,
+            species_config=s.species.config)
         self.jobqueue = JobQueue()
         from birdnet_go_tpu.analysis.spectrogram import PreRenderer
 
@@ -138,6 +145,9 @@ class Application:
         if s.dynamic_threshold.enabled:
             self.processor.dynamic.restore(
                 self.datastore.load_dynamic_thresholds())
+            # level transitions → threshold_events table (BG-59 analogue)
+            self.processor.dynamic.on_event = \
+                self.datastore.save_threshold_event
         self.flusher = FlushLoop(self.processor)
 
         # 4. audio pipeline (+ liveness watchdog + quiet hours)
@@ -231,12 +241,16 @@ class Application:
                 provider, self.datastore,
                 interval_seconds=s.weather.poll_interval_hours * 3600)
         from birdnet_go_tpu.integrations.notification import (
+            NotificationInbox,
             NotificationService,
             NotificationTarget,
         )
 
+        self.notification_inbox = NotificationInbox()
         self.notifications = NotificationService(
-            [NotificationTarget(**t) for t in s.notification.targets])
+            [NotificationTarget(**t) for t in s.notification.targets],
+            inbox=self.notification_inbox,
+            on_stored=self._on_notification_stored)
         self.diskmanager = None
         if s.retention.mode != "none":
             from birdnet_go_tpu.utils.diskmanager import (
@@ -323,13 +337,257 @@ class Application:
         self.health.register("inference", _check_inference)
         self.health.register("range_filter", _check_range_filter)
 
-        # control signals
-        self.control.subscribe(ControlSignal.REBUILD_RANGE_FILTER,
-                               lambda: self.rebuild_range_filter())
+        # control signals (full set — control_monitor.go:320-360)
+        self._wire_control_signals()
 
-        # sources from config
-        for src_cfg in s.realtime.sources:
-            self._add_source_from_config(src_cfg)
+        # sources from config (same normalized path as live reconfigure)
+        self._reconfigure_sources()
+
+    # -- control-signal handlers (hot reload without restart) -----------------------
+
+    def _wire_control_signals(self) -> None:
+        c = self.control
+        c.subscribe(ControlSignal.REBUILD_RANGE_FILTER,
+                    lambda: self.rebuild_range_filter())
+        c.subscribe(ControlSignal.RECONFIGURE_SOURCES,
+                    self._reconfigure_sources)
+        c.subscribe(ControlSignal.RELOAD_MODEL, self._reload_model_settings)
+        c.subscribe(ControlSignal.RELOAD_THRESHOLDS,
+                    self._reload_model_settings)
+        c.subscribe(ControlSignal.RELOAD_SPECIES_CONFIG,
+                    self._reload_species_config)
+        c.subscribe(ControlSignal.UPDATE_DETECTION_INTERVALS,
+                    self._update_detection_intervals)
+        c.subscribe(ControlSignal.RECONFIGURE_MQTT, self._reconfigure_mqtt)
+        c.subscribe(ControlSignal.RECONFIGURE_BIRDWEATHER,
+                    self._reconfigure_birdweather)
+        c.subscribe(ControlSignal.RECONFIGURE_WEATHER,
+                    self._reconfigure_weather)
+        c.subscribe(ControlSignal.RECONFIGURE_NOTIFICATIONS,
+                    self._reconfigure_notifications)
+        c.subscribe(ControlSignal.RECONFIGURE_SOUND_LEVEL,
+                    self._reconfigure_sound_level)
+        c.subscribe(ControlSignal.RECONFIGURE_DYNAMIC_THRESHOLDS,
+                    self._reconfigure_dynamic_thresholds)
+        c.subscribe(ControlSignal.RECALCULATE_DYNAMIC_THRESHOLDS,
+                    lambda: self.processor.dynamic.clear())
+        c.subscribe(ControlSignal.RECONFIGURE_QUIET_HOURS,
+                    self._reconfigure_quiet_hours)
+        c.subscribe(ControlSignal.QUIET_HOURS_STOP_SOUNDCARD,
+                    lambda: self._gate_soundcards(False))
+        c.subscribe(ControlSignal.QUIET_HOURS_START_SOUNDCARD,
+                    lambda: self._gate_soundcards(True))
+        c.subscribe(ControlSignal.RECONFIGURE_SPECIES_TRACKING,
+                    self._reconfigure_species_tracking)
+        # extended capture + telemetry: settings objects are shared, the
+        # consumers read them per use — signals just log the reload.
+        c.subscribe(ControlSignal.REBUILD_EXTENDED_CAPTURE,
+                    lambda: log.info("extended capture settings reloaded"))
+        c.subscribe(ControlSignal.RECONFIGURE_TELEMETRY,
+                    lambda: log.info("telemetry settings reloaded"))
+
+    def _reload_model_settings(self) -> None:
+        """Apply per-model sensitivity/threshold/overlap changes live."""
+        by_id = {m.model_id: m for m in self.settings.models}
+        for model_id, batcher in self.device_loop.batchers.items():
+            ms = by_id.get(model_id)
+            if ms is not None:
+                batcher.sensitivity = ms.sensitivity
+        self.processor._model_settings = by_id
+        log.info("model settings reloaded")
+
+    def _reload_species_config(self) -> None:
+        cfg = self.settings.species.config
+        self.event_tracker.species_config = {k.lower(): v
+                                             for k, v in cfg.items()}
+        # include/exclude lists are read per detection from the shared
+        # settings; the included set may need a rebuild
+        if self._range_filter is not None:
+            self.rebuild_range_filter()
+
+    def _update_detection_intervals(self) -> None:
+        self.event_tracker.default_interval = \
+            self.settings.realtime.interval_seconds
+        self._reload_species_config()
+
+    def _reconfigure_mqtt(self) -> None:
+        s = self.settings
+        if self.mqtt is not None:
+            try:
+                self.mqtt.stop()
+            except Exception:
+                pass
+            self.mqtt = None
+        if s.mqtt.enabled:
+            from birdnet_go_tpu.integrations.mqtt import MqttClient
+
+            self.mqtt = MqttClient(
+                s.mqtt.host, s.mqtt.port, client_id="birdnet-tpu",
+                username=s.mqtt.username, password=s.mqtt.password,
+                tls=s.mqtt.tls)
+            if self._started:
+                self.mqtt.start()
+        log.info("mqtt reconfigured (enabled=%s)", s.mqtt.enabled)
+
+    def _reconfigure_birdweather(self) -> None:
+        s = self.settings
+        self.birdweather = None
+        if s.birdweather.enabled and s.birdweather.station_token:
+            from birdnet_go_tpu.integrations.birdweather import (
+                BirdWeatherClient,
+                BirdWeatherConfig,
+            )
+
+            self.birdweather = BirdWeatherClient(BirdWeatherConfig(
+                station_token=s.birdweather.station_token,
+                latitude=s.location.latitude,
+                longitude=s.location.longitude))
+        log.info("birdweather reconfigured (enabled=%s)",
+                 s.birdweather.enabled)
+
+    def _reconfigure_weather(self) -> None:
+        s = self.settings
+        if self.weather_poller is not None:
+            self.weather_poller.stop()
+            self.weather_poller = None
+        if s.weather.provider != "none" and s.location.latitude is not None:
+            from birdnet_go_tpu.integrations.weather import (
+                OpenWeatherProvider,
+                WeatherPoller,
+                YrNoProvider,
+            )
+
+            if s.weather.provider == "openweather" \
+                    and s.weather.openweather_api_key:
+                provider = OpenWeatherProvider(
+                    s.location.latitude, s.location.longitude,
+                    s.weather.openweather_api_key)
+            else:
+                provider = YrNoProvider(s.location.latitude,
+                                        s.location.longitude)
+            self.weather_poller = WeatherPoller(
+                provider, self.datastore,
+                interval_seconds=s.weather.poll_interval_hours * 3600)
+            if self._started:
+                self.weather_poller.start()
+        log.info("weather reconfigured (provider=%s)", s.weather.provider)
+
+    def _reconfigure_notifications(self) -> None:
+        from birdnet_go_tpu.integrations.notification import (
+            NotificationService,
+            NotificationTarget,
+        )
+
+        # the inbox survives reconfiguration (history is user data)
+        self.notifications = NotificationService(
+            [NotificationTarget(**t)
+             for t in self.settings.notification.targets],
+            inbox=self.notification_inbox,
+            on_stored=self._on_notification_stored)
+        log.info("notifications reconfigured (%d targets)",
+                 len(self.settings.notification.targets))
+
+    def _on_notification_stored(self, stored) -> None:
+        """Inbox entry → notifications SSE channel (reference:
+        GET /notifications/stream)."""
+        if self.api is not None:
+            self.api.sse.publish("notifications", "notification",
+                                 stored.as_dict())
+
+    def _reconfigure_sound_level(self) -> None:
+        s = self.settings
+        if self.soundlevel is not None:
+            self.soundlevel.stop()
+            self.soundlevel = None
+        if s.soundlevel.enabled and self._started \
+                and (self.api is not None or self.mqtt is not None):
+            from birdnet_go_tpu.analysis.soundlevel_worker import (
+                SoundLevelWorker,
+            )
+
+            self.soundlevel = SoundLevelWorker(
+                self.engine, sse=self.api.sse if self.api else None,
+                mqtt=self.mqtt, mqtt_topic=s.mqtt.topic,
+                interval_seconds=s.soundlevel.interval_seconds)
+            self.soundlevel.start()
+        log.info("sound level publication reconfigured (enabled=%s)",
+                 s.soundlevel.enabled)
+
+    def _reconfigure_dynamic_thresholds(self) -> None:
+        dt = self.settings.dynamic_threshold
+        dyn = self.processor.dynamic
+        dyn.trigger = dt.trigger
+        dyn.floor = dt.min
+        dyn.valid_seconds = dt.valid_hours * 3600.0
+        log.info("dynamic thresholds reconfigured (trigger=%.2f)",
+                 dt.trigger)
+
+    def _reconfigure_quiet_hours(self) -> None:
+        from birdnet_go_tpu.audio.quiet_hours import QuietHoursScheduler
+
+        s = self.settings
+        self.quiet_hours = QuietHoursScheduler(
+            lat=s.location.latitude, lon=s.location.longitude)
+        if self.watchdog is not None:
+            self.watchdog.is_quiet = self.quiet_hours.is_quiet
+        log.info("quiet hours reconfigured")
+
+    def _gate_soundcards(self, start: bool) -> None:
+        """Quiet-hours capture gating: stop/start soundcard sources only."""
+        for src in self._sources:
+            if getattr(src, "source", None) is not None \
+                    and src.source.source_type.value == "audio_card":
+                try:
+                    (src.start if start else src.stop)()
+                except Exception:
+                    log.exception("soundcard gate failed")
+
+    def _reconfigure_species_tracking(self) -> None:
+        from birdnet_go_tpu.analysis.species_tracker import SpeciesTracker
+
+        self.species_tracker = SpeciesTracker(self.datastore)
+        log.info("species tracking reconfigured")
+
+    def _reconfigure_sources(self) -> None:
+        """Live source reconfigure: diff config against running sources,
+        stop removed/changed ones, start added ones (reference:
+        reconfigure_rtsp_sources / reconfigure_audio_sources)."""
+        want: dict[str, dict] = {}
+        for i, cfg in enumerate(self.settings.realtime.sources):
+            sid = cfg.get("id") or f"{cfg.get('type', 'file')}{i}"
+            want[sid] = dict(cfg, id=sid)
+        have = dict(self._source_cfgs)
+        for sid, cfg in have.items():
+            if sid not in want or want[sid] != cfg:
+                self._remove_source(sid)
+        for sid, cfg in want.items():
+            if sid not in self._source_cfgs:
+                src = self._add_source_from_config(cfg)
+                if src is not None and self._started:
+                    src.start()
+                    if self.watchdog is not None \
+                            and self.settings.liveness.enabled:
+                        self.watchdog.track(src.source.source_id)
+        log.info("sources reconfigured: %d running",
+                 len(self._source_cfgs))
+
+    def _remove_source(self, source_id: str) -> None:
+        for src in list(self._sources):
+            if getattr(src, "source", None) is not None \
+                    and src.source.source_id == source_id:
+                try:
+                    src.stop()
+                except Exception:
+                    pass
+                self._sources.remove(src)
+        self._source_cfgs.pop(source_id, None)
+        if self.engine is not None:
+            self.engine.remove_source(source_id)
+        if self.watchdog is not None:
+            try:
+                self.watchdog.untrack(source_id)
+            except Exception:
+                pass
 
     def _make_classifier(self, model, params):
         if self._mesh is not None:
@@ -431,12 +689,16 @@ class Application:
                                   channels=int(cfg.get("channels", 1)))
         else:
             log.warning("unknown source type %r", stype)
-            return
+            return None
         self._sources.append(src)
+        self._source_cfgs[src.source.source_id] = dict(
+            cfg, id=src.source.source_id)
+        return src
 
     # -- lifecycle -----------------------------------------------------------------
 
     def start(self, warmup: bool = True) -> None:
+        self._started = True
         self.control.start()
         self.jobqueue.start()
         self.prerenderer.start()
@@ -476,19 +738,22 @@ class Application:
             self.watchdog.start(self.settings.liveness.check_interval_seconds)
         if self.backup is not None:
             self.backup.start()
-        if self.api is not None or self.mqtt is not None:
+        if self.settings.soundlevel.enabled \
+                and (self.api is not None or self.mqtt is not None):
             from birdnet_go_tpu.analysis.soundlevel_worker import (
                 SoundLevelWorker,
             )
 
             self.soundlevel = SoundLevelWorker(
                 self.engine, sse=self.api.sse if self.api else None,
-                mqtt=self.mqtt, mqtt_topic=self.settings.mqtt.topic)
+                mqtt=self.mqtt, mqtt_topic=self.settings.mqtt.topic,
+                interval_seconds=self.settings.soundlevel.interval_seconds)
             self.soundlevel.start()
         log.info("application started: %d model(s), %d source(s)",
                  len(self.classifiers), len(self._sources))
 
     def stop(self) -> None:
+        self._started = False
         if self.soundlevel is not None:
             self.soundlevel.stop()
         if self.watchdog is not None:
@@ -536,13 +801,23 @@ class Application:
             ultrasonic_cv=w.ultrasonic_cv))
 
     def _on_approved(self, d: Detection, item: PendingDetection) -> None:
-        """Build + enqueue the action chain (getDefaultActions analogue)."""
+        """Build + enqueue the action chain (getDefaultActions analogue).
+
+        Every action kind is gated by its OWN per-species interval in the
+        event tracker (eventtracker.go TrackEvent) — a suppressed MQTT
+        publish must not suppress the database save and vice versa."""
+        from birdnet_go_tpu.analysis.eventtracker import EventType
+
         s = self.settings
+        tr = self.event_tracker
+        common, sci = d.species.common, d.species.scientific
         labels = self.labels.get(d.model_id)
         if labels is not None and not d.species_code:
             d.species_code = labels.code_for(d.species)
 
-        chain: list = [actions_mod.LogAction(d)]
+        chain: list = []
+        if tr.track(EventType.LOG_TO_FILE, common, sci):
+            chain.append(actions_mod.LogAction(d))
         clip_name = None
         if s.export.enabled and self.engine is not None:
             cb = self.engine.capture_buffer(d.source_id)
@@ -582,12 +857,15 @@ class Application:
         }
 
         # DB → SSE → MQTT ordering (CompositeAction contract): the
-        # broadcast payloads carry the DB-assigned id.
+        # broadcast payloads carry the DB-assigned id. SSE/MQTT have their
+        # own per-species gates.
         def _broadcast(det_id: int) -> None:
             msg = {"id": det_id, **payload}
-            if self.api is not None:
+            if self.api is not None \
+                    and tr.track(EventType.SSE_BROADCAST, common, sci):
                 self.api.sse.publish("detections", "detection", msg)
-            if self.mqtt is not None:
+            if self.mqtt is not None \
+                    and tr.track(EventType.MQTT_PUBLISH, common, sci):
                 self.mqtt.publish(
                     f"{s.mqtt.topic}/detections", msg,
                     retain=s.mqtt.retain)
@@ -596,16 +874,20 @@ class Application:
 
                 self.events.publish(Event("detection", msg))
 
-        chain.append(actions_mod.DatabaseAction(
-            d, self.datastore, contributions=item.contributions,
-            clip_name=clip_name, on_saved=_broadcast))
-        self.jobqueue.enqueue(
-            actions_mod.CompositeAction(chain, f"detection {d.label}").execute,
-            f"composite {d.label}",
-            retry=RetryConfig(enabled=True, max_retries=3,
-                              initial_delay=2.0))
+        if tr.track(EventType.DATABASE_SAVE, common, sci):
+            chain.append(actions_mod.DatabaseAction(
+                d, self.datastore, contributions=item.contributions,
+                clip_name=clip_name, on_saved=_broadcast))
+        if chain:
+            self.jobqueue.enqueue(
+                actions_mod.CompositeAction(chain,
+                                            f"detection {d.label}").execute,
+                f"composite {d.label}",
+                retry=RetryConfig(enabled=True, max_retries=3,
+                                  initial_delay=2.0))
 
-        if self.birdweather is not None:
+        if self.birdweather is not None \
+                and tr.track(EventType.BIRDWEATHER_SUBMIT, common, sci):
             ts_iso = (d.timestamp or _dt.datetime.now()).isoformat()
             self.jobqueue.enqueue(
                 functools.partial(self.birdweather.post_detection, d, None,

@@ -18,14 +18,31 @@ log = logging.getLogger("birdnet_tpu.control")
 
 
 class ControlSignal(str, enum.Enum):
-    RELOAD_MODEL = "reload_model"
+    """Full signal set mirroring control_monitor.go:320-360 (names adapted
+    to this codebase's vocabulary; the Go names are noted)."""
+
+    RELOAD_MODEL = "reload_model"                       # reload_birdnet
     REBUILD_RANGE_FILTER = "rebuild_range_filter"
-    RECONFIGURE_SOURCES = "reconfigure_sources"
+    RECONFIGURE_SOURCES = "reconfigure_sources"         # reconfigure_rtsp_sources + reconfigure_audio_sources
     RELOAD_SPECIES_CONFIG = "reload_species_config"
     RELOAD_THRESHOLDS = "reload_thresholds"
     RESTART_SERVER = "restart_server"
     RELOAD_EXPORT = "reload_export"
     RELOAD_PRIVACY = "reload_privacy"
+    RECONFIGURE_MQTT = "reconfigure_mqtt"
+    RECONFIGURE_BIRDWEATHER = "reconfigure_birdweather"
+    RECONFIGURE_WEATHER = "reconfigure_weather"         # reconfigure_ebird analogue slot
+    UPDATE_DETECTION_INTERVALS = "update_detection_intervals"
+    RECONFIGURE_SOUND_LEVEL = "reconfigure_sound_level"
+    RECONFIGURE_SPECIES_TRACKING = "reconfigure_species_tracking"
+    RECONFIGURE_NOTIFICATIONS = "reconfigure_notifications"  # reconfigure_push_notifications
+    RECONFIGURE_DYNAMIC_THRESHOLDS = "reconfigure_dynamic_thresholds"
+    RECALCULATE_DYNAMIC_THRESHOLDS = "recalculate_dynamic_thresholds"
+    RECONFIGURE_QUIET_HOURS = "reconfigure_quiet_hours"
+    QUIET_HOURS_STOP_SOUNDCARD = "quiet_hours_stop_soundcard"
+    QUIET_HOURS_START_SOUNDCARD = "quiet_hours_start_soundcard"
+    REBUILD_EXTENDED_CAPTURE = "rebuild_extended_capture"
+    RECONFIGURE_TELEMETRY = "reconfigure_telemetry"
 
 
 class ControlBus:

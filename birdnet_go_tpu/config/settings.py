@@ -115,6 +115,14 @@ class RealtimeSettings:
 
 
 @dataclasses.dataclass
+class SoundLevelSettings:
+    """1/3-octave sound-level publication (sound_level*.go)."""
+
+    enabled: bool = True
+    interval_seconds: float = 10.0
+
+
+@dataclasses.dataclass
 class MqttSettings:
     enabled: bool = False
     host: str = "127.0.0.1"
@@ -214,6 +222,8 @@ class Settings:
         default_factory=DaylightFilterSettings)
     ultrasonic_filter: UltrasonicFilterSettings = dataclasses.field(
         default_factory=UltrasonicFilterSettings)
+    soundlevel: SoundLevelSettings = dataclasses.field(
+        default_factory=SoundLevelSettings)
     dynamic_threshold: DynamicThresholdSettings = dataclasses.field(
         default_factory=DynamicThresholdSettings)
     deep_detection: DeepDetectionSettings = dataclasses.field(

@@ -60,7 +60,21 @@ CREATE TABLE IF NOT EXISTS dynamic_thresholds (
     level INTEGER NOT NULL,
     high_conf_count INTEGER NOT NULL,
     expires_at REAL NOT NULL,
+    last_learned_at REAL NOT NULL DEFAULT 0,
     PRIMARY KEY (model_id, scientific_name)
+);
+
+CREATE TABLE IF NOT EXISTS threshold_events (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    model_id TEXT NOT NULL,
+    scientific_name TEXT NOT NULL,
+    previous_level INTEGER NOT NULL,
+    new_level INTEGER NOT NULL,
+    previous_value REAL NOT NULL,
+    new_value REAL NOT NULL,
+    reason TEXT NOT NULL,              -- 'high_confidence' | 'expiry'
+    confidence REAL NOT NULL,
+    created_at REAL NOT NULL
 );
 
 CREATE TABLE IF NOT EXISTS hourly_weather (
@@ -87,7 +101,18 @@ class Datastore:
             self._conn.execute("PRAGMA busy_timeout=5000")
             self._conn.execute("PRAGMA foreign_keys=ON")
             self._conn.executescript(_SCHEMA)
+            self._automigrate()
             self._conn.commit()
+
+    def _automigrate(self) -> None:
+        """Column-level migrations for databases created by older builds
+        (GORM AutoMigrate analogue). Caller holds the lock."""
+        cols = {r[1] for r in self._conn.execute(
+            "PRAGMA table_info(dynamic_thresholds)")}
+        if "last_learned_at" not in cols:
+            self._conn.execute(
+                "ALTER TABLE dynamic_thresholds"
+                " ADD COLUMN last_learned_at REAL NOT NULL DEFAULT 0")
 
     def close(self) -> None:
         with self._lock:
@@ -356,10 +381,10 @@ class Datastore:
             for (model_id, sci), st in state.items():
                 self._conn.execute(
                     "INSERT INTO dynamic_thresholds (model_id,"
-                    " scientific_name, level, high_conf_count, expires_at)"
-                    " VALUES (?,?,?,?,?)",
+                    " scientific_name, level, high_conf_count, expires_at,"
+                    " last_learned_at) VALUES (?,?,?,?,?,?)",
                     (model_id, sci, st.level, st.high_conf_count,
-                     st.expires_at))
+                     st.expires_at, st.last_learned_at))
             self._conn.commit()
 
     def load_dynamic_thresholds(self) -> dict[tuple[str, str], Any]:
@@ -369,10 +394,35 @@ class Datastore:
             return {
                 (r["model_id"], r["scientific_name"]): ThresholdState(
                     level=r["level"], high_conf_count=r["high_conf_count"],
-                    expires_at=r["expires_at"])
+                    expires_at=r["expires_at"],
+                    last_learned_at=r["last_learned_at"])
                 for r in self._conn.execute(
                     "SELECT * FROM dynamic_thresholds")
             }
+
+    def save_threshold_event(self, ev: Any) -> None:
+        """Persist one level transition (datastore.SaveThresholdEvent)."""
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO threshold_events (model_id, scientific_name,"
+                " previous_level, new_level, previous_value, new_value,"
+                " reason, confidence, created_at) VALUES (?,?,?,?,?,?,?,?,?)",
+                (ev.model_id, ev.scientific, ev.previous_level, ev.new_level,
+                 ev.previous_value, ev.new_value, ev.reason, ev.confidence,
+                 ev.timestamp))
+            self._conn.commit()
+
+    def list_threshold_events(self, limit: int = 100,
+                              scientific: str | None = None) -> list[dict]:
+        q = "SELECT * FROM threshold_events"
+        args: list = []
+        if scientific:
+            q += " WHERE scientific_name = ?"
+            args.append(scientific)
+        q += " ORDER BY id DESC LIMIT ?"
+        args.append(limit)
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(q, args)]
 
     # -- weather ------------------------------------------------------------------------
 

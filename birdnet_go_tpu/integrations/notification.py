@@ -43,10 +43,91 @@ class Notification:
     payload: dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
+@dataclasses.dataclass
+class StoredNotification:
+    """Inbox entry (reference: notification store backing the CRUD API +
+    the notifications SSE stream)."""
+
+    id: int
+    title: str
+    message: str
+    priority: str
+    timestamp: float
+    read: bool = False
+    payload: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class NotificationInbox:
+    """Bounded in-memory notification store (oldest dropped at capacity)."""
+
+    def __init__(self, capacity: int = 500):
+        from collections import OrderedDict
+
+        self.capacity = capacity
+        self._items: "OrderedDict[int, StoredNotification]" = OrderedDict()
+        self._seq = 0
+        self._lock = threading.Lock()
+
+    def add(self, n: Notification, now: float | None = None
+            ) -> StoredNotification:
+        with self._lock:
+            self._seq += 1
+            sn = StoredNotification(
+                id=self._seq, title=n.title, message=n.message,
+                priority=n.priority, timestamp=now or time.time(),
+                payload=dict(n.payload))
+            self._items[sn.id] = sn
+            while len(self._items) > self.capacity:
+                self._items.popitem(last=False)
+            return sn
+
+    def list(self, limit: int = 100, unread_only: bool = False
+             ) -> list[dict]:
+        with self._lock:
+            out = [sn.as_dict() for sn in reversed(self._items.values())
+                   if not (unread_only and sn.read)]
+            return out[:limit]
+
+    def get(self, nid: int) -> dict | None:
+        with self._lock:
+            sn = self._items.get(nid)
+            return sn.as_dict() if sn else None
+
+    def mark_read(self, nid: int) -> bool:
+        with self._lock:
+            sn = self._items.get(nid)
+            if sn is None:
+                return False
+            sn.read = True
+            return True
+
+    def mark_all_read(self) -> int:
+        with self._lock:
+            n = 0
+            for sn in self._items.values():
+                if not sn.read:
+                    sn.read = True
+                    n += 1
+            return n
+
+    def delete(self, nid: int) -> bool:
+        with self._lock:
+            return self._items.pop(nid, None) is not None
+
+    def unread_count(self) -> int:
+        with self._lock:
+            return sum(1 for sn in self._items.values() if not sn.read)
+
+
 class NotificationService:
     def __init__(self, targets: list[NotificationTarget] | None = None,
                  session=None, burst_limit: int = 20,
-                 burst_window_seconds: float = 60.0):
+                 burst_window_seconds: float = 60.0,
+                 inbox: NotificationInbox | None = None,
+                 on_stored=None):
         import httpx
 
         self.targets = targets or []
@@ -57,6 +138,8 @@ class NotificationService:
         self.burst_limit = burst_limit
         self.burst_window = burst_window_seconds
         self._lock = threading.Lock()
+        self.inbox = inbox
+        self.on_stored = on_stored          # e.g. SSE broadcast hook
         self.sent = 0
         self.suppressed = 0
         self.failed = 0
@@ -66,7 +149,16 @@ class NotificationService:
         self._breakers[target.name] = CircuitBreaker()
 
     def notify(self, n: Notification) -> int:
-        """Dispatch to every eligible target; returns delivery count."""
+        """Dispatch to every eligible target; returns delivery count.
+        Every notification lands in the inbox (and SSE) even when no
+        push target is configured or the burst cap suppresses pushes."""
+        if self.inbox is not None:
+            stored = self.inbox.add(n)
+            if self.on_stored is not None:
+                try:
+                    self.on_stored(stored)
+                except Exception:
+                    log.exception("notification store hook failed")
         now = time.monotonic()
         with self._lock:
             # burst/DoS protection: global cap per window

@@ -59,3 +59,111 @@ def resources(clip_dir: str = ".") -> dict:
         "memory": memory_info(),
         "disk": disk_info(clip_dir),
     }
+
+
+def processes(limit: int = 20) -> list[dict]:
+    """Top processes by RSS from /proc (reference: GET /system/processes
+    via gopsutil). Pure stdlib; returns [] on non-Linux."""
+    procs = []
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return []
+    page = os.sysconf("SC_PAGE_SIZE")
+    hz = os.sysconf("SC_CLK_TCK")
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                stat = f.read()
+            # comm may contain spaces/parens: split around the last ')'
+            lparen = stat.index("(")
+            rparen = stat.rindex(")")
+            comm = stat[lparen + 1:rparen]
+            fields = stat[rparen + 2:].split()
+            utime, stime = int(fields[11]), int(fields[12])
+            rss_pages = int(fields[21])
+            procs.append({
+                "pid": int(pid),
+                "name": comm,
+                "cpu_seconds": round((utime + stime) / hz, 1),
+                "rss_bytes": rss_pages * page,
+            })
+        except (OSError, ValueError, IndexError):
+            continue
+    procs.sort(key=lambda p: p["rss_bytes"], reverse=True)
+    return procs[:limit]
+
+
+def disks() -> list[dict]:
+    """Usage for every real mounted filesystem (GET /system/disks)."""
+    out = []
+    seen = set()
+    try:
+        with open("/proc/mounts") as f:
+            mounts = [line.split()[:3] for line in f]
+    except OSError:
+        mounts = [("", "/", "")]
+    for dev, mountpoint, fstype in mounts:
+        if fstype in ("proc", "sysfs", "devpts", "tmpfs", "cgroup",
+                      "cgroup2", "overlay", "devtmpfs", "securityfs",
+                      "debugfs", "tracefs", "fusectl", "configfs",
+                      "pstore", "bpf", "mqueue", "hugetlbfs", "autofs",
+                      "binfmt_misc", "rpc_pipefs", "nsfs"):
+            continue
+        if mountpoint in seen:
+            continue
+        seen.add(mountpoint)
+        info = disk_info(mountpoint)
+        if info:
+            out.append({"mountpoint": mountpoint, "device": dev,
+                        "fstype": fstype, **info})
+    return out
+
+
+def cpu_temperature() -> dict:
+    """CPU temperature from /sys/class/thermal (GET /system/temperature/cpu).
+    Returns {"available": False} when no sensor exists (VMs, containers)."""
+    base = "/sys/class/thermal"
+    try:
+        zones = sorted(z for z in os.listdir(base)
+                       if z.startswith("thermal_zone"))
+    except OSError:
+        zones = []
+    for zone in zones:
+        try:
+            with open(f"{base}/{zone}/type") as f:
+                ztype = f.read().strip()
+            with open(f"{base}/{zone}/temp") as f:
+                millic = int(f.read().strip())
+            return {"available": True, "celsius": round(millic / 1000.0, 1),
+                    "sensor": ztype}
+        except (OSError, ValueError):
+            continue
+    return {"available": False}
+
+
+def audio_devices() -> list[dict]:
+    """ALSA card inventory from /proc/asound (GET /devices). The native
+    library's enumeration (when loaded) supplements with PCM device names."""
+    cards = []
+    try:
+        with open("/proc/asound/cards") as f:
+            text = f.read()
+    except OSError:
+        return []
+    import re
+
+    for m in re.finditer(r"^\s*(\d+)\s+\[(\S+)\s*\]:\s*(.*)$", text,
+                         re.MULTILINE):
+        idx, cid, desc = int(m.group(1)), m.group(2), m.group(3).strip()
+        devices = []
+        try:
+            with open(f"/proc/asound/card{idx}/pcm0c/info") as f:
+                for line in f:
+                    if line.startswith("name:"):
+                        devices.append(line.split(":", 1)[1].strip())
+        except OSError:
+            pass
+        cards.append({"index": idx, "id": cid, "description": desc,
+                      "alsa_name": f"hw:{idx},0", "capture_pcm": devices})
+    return cards

@@ -126,3 +126,71 @@ def test_species_tracker_datastore_sync():
 
     st = tr.observe("Turdus merula", datetime.date.today())
     assert not st.is_new_lifetime
+
+
+def test_control_signals_live_reconfigure(tiny_app):
+    """Full control-bus surface: live source add/remove, model settings,
+    dynamic thresholds, intervals, notifications (control_monitor.go)."""
+    from birdnet_go_tpu.config.control import ControlSignal
+
+    app = tiny_app
+
+    def send(sig):
+        app.control.send(sig)
+        app.control.drain_sync()
+
+    # live source reconfigure (reconfigure_rtsp_sources analogue)
+    app.settings.realtime.sources = [{"type": "tone", "id": "t1"}]
+    send(ControlSignal.RECONFIGURE_SOURCES)
+    assert "t1" in app._source_cfgs
+    assert any(s.source.source_id == "t1" for s in app._sources)
+    app.settings.realtime.sources = [
+        {"type": "tone", "id": "t1", "freq": 2000.0}]   # changed → replaced
+    send(ControlSignal.RECONFIGURE_SOURCES)
+    assert app._source_cfgs["t1"]["freq"] == 2000.0
+    app.settings.realtime.sources = []
+    send(ControlSignal.RECONFIGURE_SOURCES)
+    assert "t1" not in app._source_cfgs
+    assert app.engine.capture_buffer("t1") is None
+
+    # per-model sensitivity applied to the running batcher
+    app.settings.models[0].sensitivity = 1.2
+    send(ControlSignal.RELOAD_THRESHOLDS)
+    assert app.device_loop.batchers["BirdNET_V2.4"].sensitivity == 1.2
+
+    # dynamic threshold knobs
+    app.settings.dynamic_threshold.trigger = 0.8
+    app.settings.dynamic_threshold.min = 0.3
+    send(ControlSignal.RECONFIGURE_DYNAMIC_THRESHOLDS)
+    assert app.processor.dynamic.trigger == 0.8
+    assert app.processor.dynamic.floor == 0.3
+    app.processor.dynamic.learn(0.95, "BirdNET_V2.4", "X")
+    send(ControlSignal.RECALCULATE_DYNAMIC_THRESHOLDS)
+    assert app.processor.dynamic.entries() == []
+
+    # detection intervals + species config → event tracker
+    app.settings.realtime.interval_seconds = 30.0
+    app.settings.species.config["Parus major"] = {"interval": 99}
+    send(ControlSignal.UPDATE_DETECTION_INTERVALS)
+    assert app.event_tracker.default_interval == 30.0
+    assert app.event_tracker.species_config["parus major"]["interval"] == 99
+
+    # notifications rebuilt from settings
+    app.settings.notification.targets = [
+        {"name": "hook", "kind": "webhook", "url": "http://127.0.0.1:9/x"}]
+    send(ControlSignal.RECONFIGURE_NOTIFICATIONS)
+    assert len(app.notifications.targets) == 1
+
+
+def test_settings_patch_emits_new_signals(tiny_app):
+    app = tiny_app
+    app.start(warmup=False)
+    port = app.settings.webserver.port
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/settings/mqtt",
+        data=json.dumps({"enabled": False}).encode(),
+        headers={"Content-Type": "application/json"}, method="PATCH")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        body = json.loads(r.read())
+    assert body["signals"] == ["reconfigure_mqtt"]
+    app.stop()

@@ -191,27 +191,66 @@ def test_dog_bark_filter_window():
 
 # -- dynamic thresholds ----------------------------------------------------------------
 
-def test_dynamic_threshold_learning_and_decay():
-    dt = DynamicThresholds(trigger=0.9, floor=0.2, valid_hours=1.0)
+def test_dynamic_threshold_levels_cooldown_and_expiry():
+    """Mirrors dynamic_threshold.go: level = high-conf count (1/2/3+),
+    one learning per detection-window cooldown, full reset on expiry."""
+    dt = DynamicThresholds(trigger=0.9, floor=0.2, valid_hours=1.0,
+                           learning_cooldown_seconds=12.0)
     base = 0.8
     t0 = 10_000.0
     assert dt.adjust(base, M, "X", now=t0) == base
-    dt.learn(0.95, M, "X", now=t0)                     # level 1
+    dt.learn(0.95, M, "X", now=t0)                     # 1st → level 1
     assert dt.adjust(base, M, "X", now=t0) == pytest.approx(0.6)
-    dt.learn(0.99, M, "X", now=t0)                     # level 2
-    assert dt.adjust(base, M, "X", now=t0) == pytest.approx(0.4)
-    dt.learn(0.99, M, "X", now=t0)                     # level 3 (max)
-    dt.learn(0.99, M, "X", now=t0)                     # stays 3
-    assert dt.adjust(base, M, "X", now=t0) == pytest.approx(0.2)  # floored
-    # decay after expiry
-    assert dt.adjust(base, M, "X", now=t0 + 3601) < base
-    assert dt.adjust(base, M, "X", now=t0 + 5 * 3600) == base
+    dt.learn(0.99, M, "X", now=t0 + 1)                 # within cooldown
+    assert dt.adjust(base, M, "X", now=t0 + 1) == pytest.approx(0.6)
+    dt.learn(0.99, M, "X", now=t0 + 13)                # 2nd → level 2
+    assert dt.adjust(base, M, "X", now=t0 + 13) == pytest.approx(0.4)
+    dt.learn(0.99, M, "X", now=t0 + 26)                # 3rd → level 3
+    dt.learn(0.99, M, "X", now=t0 + 40)                # stays 3
+    assert dt.adjust(base, M, "X", now=t0 + 40) == pytest.approx(0.2)
+    # expiry → FULL reset to base (reference resets, not gradual decay)
+    assert dt.adjust(base, M, "X", now=t0 + 40 + 3601) == base
+
+
+def test_dynamic_threshold_timer_extends_during_cooldown():
+    # every approved high-conf detection extends expiry even if the level
+    # can't move yet (LearnFromApprovedDetection always extends the timer)
+    dt = DynamicThresholds(trigger=0.9, valid_hours=1.0,
+                           learning_cooldown_seconds=12.0)
+    dt.learn(0.95, M, "X", now=0.0)
+    dt.learn(0.95, M, "X", now=5.0)      # cooldown: timer → 3605
+    assert dt.adjust(0.8, M, "X", now=3603.0) == pytest.approx(0.6)
+    assert dt.adjust(0.8, M, "X", now=3606.0) == 0.8
 
 
 def test_dynamic_threshold_low_conf_does_not_learn():
     dt = DynamicThresholds(trigger=0.9)
     dt.learn(0.85, M, "X", now=0.0)
     assert dt.adjust(0.8, M, "X", now=0.0) == 0.8
+    dt.learn(0.90, M, "X", now=0.0)      # == trigger: strictly-above rule
+    assert dt.adjust(0.8, M, "X", now=0.0) == 0.8
+
+
+def test_dynamic_threshold_custom_species_exempt():
+    dt = DynamicThresholds(trigger=0.9)
+    dt.learn(0.95, M, "X", now=0.0, is_custom=True)    # refuses to learn
+    assert dt.adjust(0.8, M, "X", now=0.0) == 0.8
+    dt.learn(0.95, M, "X", now=0.0)
+    # a custom threshold is returned unchanged even with learned state
+    assert dt.adjust(0.7, M, "X", now=0.0, is_custom=True) == 0.7
+    assert dt.adjust(0.8, M, "X", now=0.0) == pytest.approx(0.6)
+
+
+def test_dynamic_threshold_events_emitted():
+    events = []
+    dt = DynamicThresholds(trigger=0.9, floor=0.2, valid_hours=1.0,
+                           on_event=events.append)
+    dt.learn(0.95, M, "X", now=0.0, base_threshold=0.8)
+    assert events[-1].reason == "high_confidence"
+    assert events[-1].new_level == 1
+    assert events[-1].new_value == pytest.approx(0.6)
+    dt.adjust(0.8, M, "X", now=7200.0)                 # expired
+    assert events[-1].reason == "expiry" and events[-1].new_level == 0
 
 
 def test_dynamic_threshold_clear():
@@ -226,11 +265,60 @@ def test_dynamic_threshold_clear():
 # -- event tracker / job queue -----------------------------------------------------------
 
 def test_event_tracker_interval():
+    from birdnet_go_tpu.analysis.eventtracker import EventType
+
     et = EventTracker(default_interval_seconds=15.0)
-    assert et.should_act("X", "log", now=0.0)
-    assert not et.should_act("X", "log", now=10.0)
-    assert et.should_act("X", "log", now=15.5)
-    assert et.should_act("X", "db", now=10.0)       # separate action kind
+    assert et.track(EventType.LOG_TO_FILE, "X", now=0.0)
+    assert not et.track(EventType.LOG_TO_FILE, "X", now=10.0)
+    assert et.track(EventType.LOG_TO_FILE, "X", now=15.5)
+    # independent per-action state (eventtracker.go: one handler per type)
+    assert et.track(EventType.DATABASE_SAVE, "X", now=10.0)
+    assert et.track(EventType.MQTT_PUBLISH, "X", now=10.0)
+    # unknown event types refused (reference: missing handler → false)
+    assert not et.track("bogus", "X", now=0.0)
+
+
+def test_event_tracker_species_interval_and_names():
+    from birdnet_go_tpu.analysis.eventtracker import EventType
+
+    et = EventTracker(default_interval_seconds=15.0, species_config={
+        "Turdus merula": {"interval": 60},
+        "Parus major": {"interval": -5},          # negative → default
+    })
+    t = EventType.LOG_TO_FILE
+    # scientific-name lookup, case-insensitive keying
+    assert et.track(t, common="", scientific="Turdus merula", now=0.0)
+    assert not et.track(t, common="", scientific="TURDUS MERULA", now=30.0)
+    assert et.track(t, common="", scientific="Turdus merula", now=61.0)
+    assert et.track(t, scientific="Parus major", now=0.0)
+    assert et.track(t, scientific="Parus major", now=16.0)   # default 15 s
+    # no species key at all → always allowed
+    assert et.track(t, now=0.0) and et.track(t, now=0.0)
+
+
+def test_event_tracker_cleanup_and_reset():
+    from birdnet_go_tpu.analysis.eventtracker import EventType
+
+    et = EventTracker(default_interval_seconds=1000.0)
+    assert et.track(EventType.LOG_TO_FILE, "X", now=0.0)
+    et.reset_event("X", EventType.LOG_TO_FILE)
+    assert et.track(EventType.LOG_TO_FILE, "X", now=1.0)
+    assert et.cleanup(stale_after_seconds=10.0, now=100.0) == 1
+    assert et.track(EventType.LOG_TO_FILE, "X", now=101.0)
+
+
+def test_log_deduplicator():
+    from birdnet_go_tpu.analysis.eventtracker import LogDeduplicator
+
+    now = [0.0]
+    d = LogDeduplicator(health_check_interval=60.0, clock=lambda: now[0])
+    assert d.should_log("s1", 5, 2) == (True, "first_log")
+    assert d.should_log("s1", 5, 2) == (False, "deduplicated")
+    assert d.should_log("s1", 6, 2) == (True, "values_changed")
+    now[0] = 61.0
+    assert d.should_log("s1", 6, 2) == (True, "health_check")
+    assert LogDeduplicator(enabled=False).should_log("x", 1) \
+        == (True, "dedup_disabled")
 
 
 def test_job_queue_runs_and_counts():
