@@ -1,0 +1,714 @@
+"""Extended /api/v2 route groups (mixin for ApiServer).
+
+Covers the reference surface beyond the core groups in server.py
+(internal/api/v2/api.go:610-680): notifications CRUD + SSE, dynamic
+thresholds, spectrogram generate/status, system processes/disks/
+temperature, audio devices, stream tests, quiet hours, detection comments,
+weather daily/moon, species/taxonomy, import jobs, model install/remove,
+support dump, and filesystem listing.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import datetime as _dt
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+from aiohttp import web
+
+log = logging.getLogger("birdnet_tpu.api")
+
+
+def _json(data: Any, status: int = 200) -> web.Response:
+    return web.json_response(data, status=status, dumps=lambda d: json.dumps(
+        d, default=str))
+
+
+class ExtendedHandlers:
+    """Mixin: self.ctx is the Application, self.sse the broadcaster."""
+
+    def register_ext_routes(self, r, v2: str) -> None:
+        # notifications (CRUD + stream — internal/notification API)
+        r.add_get(f"{v2}/notifications", self.h_notifications)
+        r.add_get(f"{v2}/notifications/unread/count", self.h_notif_unread)
+        r.add_get(f"{v2}/notifications/stream", self.h_notifications_stream)
+        r.add_post(f"{v2}/notifications/test", self.h_notif_test)
+        r.add_put(f"{v2}/notifications/read-all", self.h_notif_read_all)
+        r.add_get(f"{v2}/notifications/{{id}}", self.h_notif_get)
+        r.add_put(f"{v2}/notifications/{{id}}/read", self.h_notif_read)
+        r.add_delete(f"{v2}/notifications/{{id}}", self.h_notif_delete)
+        # dynamic thresholds
+        r.add_get(f"{v2}/dynamic-thresholds", self.h_dyn_list)
+        r.add_get(f"{v2}/dynamic-thresholds/stats", self.h_dyn_stats)
+        r.add_get(f"{v2}/dynamic-thresholds/events", self.h_dyn_events)
+        r.add_delete(f"{v2}/dynamic-thresholds", self.h_dyn_clear_all)
+        r.add_delete(f"{v2}/dynamic-thresholds/{{species}}",
+                     self.h_dyn_clear_one)
+        # spectrogram job API
+        r.add_post(f"{v2}/spectrogram/{{id}}/generate", self.h_spec_generate)
+        r.add_get(f"{v2}/spectrogram/{{id}}/status", self.h_spec_status)
+        # system detail
+        r.add_get(f"{v2}/system/processes", self.h_sys_processes)
+        r.add_get(f"{v2}/system/disks", self.h_sys_disks)
+        r.add_get(f"{v2}/system/temperature/cpu", self.h_sys_temp)
+        r.add_get(f"{v2}/system/jobs", self.h_sys_jobs)
+        r.add_get(f"{v2}/system/control/signals", self.h_control_signals)
+        r.add_post(f"{v2}/system/control", self.h_control_send)
+        r.add_get(f"{v2}/system/diagnostics", self.h_diagnostics)
+        # devices / streams
+        r.add_get(f"{v2}/devices", self.h_devices)
+        r.add_post(f"{v2}/streams/test", self.h_stream_test)
+        r.add_get(f"{v2}/streams/health/{{source}}", self.h_stream_health_one)
+        r.add_post(f"{v2}/restart-source/{{id}}", self.h_restart_source)
+        r.add_get(f"{v2}/quiet-hours/status", self.h_quiet_hours)
+        # detections extras
+        r.add_get(f"{v2}/detections/new", self.h_detections_new)
+        r.add_get(f"{v2}/detections/{{id}}/comments", self.h_comments_list)
+        r.add_post(f"{v2}/detections/{{id}}/comments", self.h_comment_add)
+        r.add_put(f"{v2}/comments/{{id}}", self.h_comment_update)
+        r.add_delete(f"{v2}/comments/{{id}}", self.h_comment_delete)
+        r.add_get(f"{v2}/detections/{{id}}/reviews", self.h_reviews_list)
+        r.add_delete(f"{v2}/detections/{{id}}/lock", self.h_unlock)
+        r.add_get(f"{v2}/audio/{{id}}", self.h_audio_by_id)
+        # analytics extras
+        r.add_get(f"{v2}/analytics/dawn-onset", self.h_dawn_onset)
+        r.add_get(f"{v2}/analytics/dawn-chorus", self.h_dawn_chorus)
+        r.add_get(f"{v2}/analytics/database/stats", self.h_db_stats)
+        r.add_get(f"{v2}/analytics/dashboard/kpis", self.h_dashboard_kpis)
+        # weather
+        r.add_get(f"{v2}/weather/daily/{{date}}", self.h_weather_daily)
+        r.add_get(f"{v2}/weather/sun/{{date}}", self.h_weather_sun)
+        r.add_get(f"{v2}/weather/moon/{{date}}", self.h_weather_moon)
+        # species / taxonomy
+        r.add_get(f"{v2}/species", self.h_species_detected)
+        r.add_get(f"{v2}/species/all", self.h_species_all)
+        r.add_get(f"{v2}/species/search", self.h_species_search)
+        r.add_get(f"{v2}/species/taxonomy", self.h_species_taxonomy)
+        r.add_get(f"{v2}/taxonomy/tree", self.h_taxonomy_tree)
+        # imports
+        r.add_post(f"{v2}/imports/birdnet-pi", self.h_import_start)
+        r.add_get(f"{v2}/imports/jobs", self.h_import_jobs)
+        r.add_get(f"{v2}/imports/jobs/{{id}}", self.h_import_job)
+        r.add_post(f"{v2}/imports/jobs/{{id}}/cancel", self.h_import_cancel)
+        # models install
+        r.add_post(f"{v2}/models/install/{{id}}", self.h_model_install)
+        r.add_get(f"{v2}/models/install/{{id}}/progress",
+                  self.h_model_install_progress)
+        r.add_delete(f"{v2}/models/installed/{{id}}", self.h_model_remove)
+        # support / filesystem
+        r.add_get(f"{v2}/support/dump", self.h_support_dump)
+        r.add_get(f"{v2}/filesystem/clips", self.h_fs_clips)
+        # settings whole-document replace
+        r.add_put(f"{v2}/settings", self.h_put_settings)
+
+    # -- shared SSE pump -----------------------------------------------------------
+
+    async def _sse_stream(self, request, channel: str):
+        from birdnet_go_tpu.api.sse import format_sse
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        })
+        await resp.prepare(request)
+        q = self.sse.subscribe(channel)
+        try:
+            await resp.write(format_sse("connected", "{}"))
+            while True:
+                try:
+                    event, payload = await asyncio.wait_for(q.get(),
+                                                            timeout=30)
+                    await resp.write(format_sse(event, payload))
+                except asyncio.TimeoutError:
+                    await resp.write(b": keepalive\n\n")
+        except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        finally:
+            self.sse.unsubscribe(channel, q)
+        return resp
+
+    # -- notifications ----------------------------------------------------------------
+
+    @property
+    def _inbox(self):
+        return self.ctx.notification_inbox
+
+    async def h_notifications(self, request):
+        limit = min(int(request.query.get("limit", 100)), 500)
+        unread = request.query.get("unread", "") in ("1", "true")
+        return _json({"notifications": self._inbox.list(limit, unread),
+                      "unread": self._inbox.unread_count()})
+
+    async def h_notif_unread(self, request):
+        return _json({"count": self._inbox.unread_count()})
+
+    async def h_notif_get(self, request):
+        n = self._inbox.get(int(request.match_info["id"]))
+        if n is None:
+            return _json({"error": "not found"}, status=404)
+        return _json(n)
+
+    async def h_notif_read(self, request):
+        if not self._inbox.mark_read(int(request.match_info["id"])):
+            return _json({"error": "not found"}, status=404)
+        return _json({"read": True})
+
+    async def h_notif_read_all(self, request):
+        return _json({"marked": self._inbox.mark_all_read()})
+
+    async def h_notif_delete(self, request):
+        if not self._inbox.delete(int(request.match_info["id"])):
+            return _json({"error": "not found"}, status=404)
+        return _json({"deleted": True})
+
+    async def h_notifications_stream(self, request):
+        return await self._sse_stream(request, "notifications")
+
+    async def h_notif_test(self, request):
+        from birdnet_go_tpu.integrations.notification import Notification
+
+        body = await request.json() if request.can_read_body else {}
+        n = Notification(
+            title=body.get("title", "Test notification"),
+            message=body.get("message",
+                             "This is a test from the notifications API"),
+            priority=body.get("priority", "normal"))
+        delivered = await asyncio.get_event_loop().run_in_executor(
+            None, self.ctx.notifications.notify, n)
+        return _json({"delivered": delivered,
+                      "stored": self._inbox.unread_count() > 0})
+
+    # -- dynamic thresholds ---------------------------------------------------------------
+
+    async def h_dyn_list(self, request):
+        return _json({"thresholds": self.ctx.processor.dynamic.entries()})
+
+    async def h_dyn_stats(self, request):
+        return _json(self.ctx.processor.dynamic.stats())
+
+    async def h_dyn_events(self, request):
+        limit = min(int(request.query.get("limit", 100)), 1000)
+        return _json({"events": self.ctx.datastore.list_threshold_events(
+            limit=limit, scientific=request.query.get("species"))})
+
+    async def h_dyn_clear_all(self, request):
+        return _json({"cleared": self.ctx.processor.dynamic.clear()})
+
+    async def h_dyn_clear_one(self, request):
+        n = self.ctx.processor.dynamic.clear(
+            scientific=request.match_info["species"])
+        return _json({"cleared": n})
+
+    # -- spectrogram job API -------------------------------------------------------------
+
+    async def h_spec_generate(self, request):
+        """Force (re)generation of a detection's spectrogram PNG."""
+        det_id = int(request.match_info["id"])
+        row = self.ctx.datastore.get_detection(det_id)
+        if row is None or not row.get("clip_name"):
+            return _json({"error": "not found"}, status=404)
+        wav = self._sandboxed_media(row["clip_name"])
+        if wav is None or not wav.is_file():
+            return _json({"error": "clip not available"}, status=404)
+        png = wav.with_suffix(".png")
+
+        def _render():
+            from birdnet_go_tpu.analysis.spectrogram import generate_png
+            from birdnet_go_tpu.audio.wav import read_wav
+
+            samples, info = read_wav(wav)
+            generate_png(samples, info.sample_rate, png)
+
+        await asyncio.get_event_loop().run_in_executor(None, _render)
+        return _json({"generated": True, "path": png.name})
+
+    async def h_spec_status(self, request):
+        det_id = int(request.match_info["id"])
+        row = self.ctx.datastore.get_detection(det_id)
+        if row is None:
+            return _json({"error": "not found"}, status=404)
+        status = "unavailable"
+        if row.get("clip_name"):
+            png = self._sandboxed_media(
+                str(Path(row["clip_name"]).with_suffix(".png").name))
+            wav = self._sandboxed_media(row["clip_name"])
+            if png is not None and png.is_file():
+                status = "ready"
+            elif wav is not None and wav.is_file():
+                status = "pending"
+        pr = getattr(self.ctx, "prerenderer", None)
+        return _json({
+            "id": det_id, "status": status,
+            "queue_depth": pr.queue_depth() if pr and
+            hasattr(pr, "queue_depth") else None,
+        })
+
+    # -- system detail ----------------------------------------------------------------------
+
+    async def h_sys_processes(self, request):
+        from birdnet_go_tpu.utils.sysmonitor import processes
+
+        limit = min(int(request.query.get("limit", 20)), 100)
+        return _json({"processes": processes(limit)})
+
+    async def h_sys_disks(self, request):
+        from birdnet_go_tpu.utils.sysmonitor import disks
+
+        return _json({"disks": disks()})
+
+    async def h_sys_temp(self, request):
+        from birdnet_go_tpu.utils.sysmonitor import cpu_temperature
+
+        return _json(cpu_temperature())
+
+    async def h_sys_jobs(self, request):
+        import dataclasses as dc
+
+        return _json(dc.asdict(self.ctx.jobqueue.stats))
+
+    async def h_control_signals(self, request):
+        from birdnet_go_tpu.config.control import ControlSignal
+
+        return _json({"signals": [s.value for s in ControlSignal]})
+
+    async def h_control_send(self, request):
+        from birdnet_go_tpu.config.control import ControlSignal
+
+        body = await request.json()
+        try:
+            sig = ControlSignal(body.get("signal", ""))
+        except ValueError:
+            return _json({"error": "unknown signal"}, status=400)
+        self.ctx.control.send(sig)
+        return _json({"sent": sig.value})
+
+    async def h_diagnostics(self, request):
+        import platform
+        import sys
+
+        import jax
+
+        return _json({
+            "python": sys.version.split()[0],
+            "platform": platform.platform(),
+            "jax_backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "models_loaded": list(self.ctx.classifiers),
+            "sources": len(self.ctx._sources),
+            "uptime_seconds": round(time.time() - self.started_at, 1),
+        })
+
+    # -- devices / streams --------------------------------------------------------------------
+
+    async def h_devices(self, request):
+        from birdnet_go_tpu.utils.sysmonitor import audio_devices
+
+        devices = audio_devices()
+        try:
+            from birdnet_go_tpu import native
+
+            alsa = native.alsa_available()
+        except Exception:
+            alsa = False
+        return _json({"devices": devices, "alsa_available": alsa})
+
+    async def h_stream_test(self, request):
+        """Connectivity probe for a stream URL (POST /streams/test): DNS +
+        TCP reach of the RTSP/HTTP endpoint, without starting FFmpeg."""
+        import socket
+        from urllib.parse import urlparse
+
+        body = await request.json()
+        url = body.get("url", "")
+        u = urlparse(url)
+        if u.scheme not in ("rtsp", "rtsps", "http", "https"):
+            return _json({"ok": False, "error": "unsupported scheme"},
+                         status=400)
+        port = u.port or {"rtsp": 554, "rtsps": 322,
+                          "http": 80, "https": 443}[u.scheme]
+
+        def _probe():
+            t0 = time.monotonic()
+            with socket.create_connection((u.hostname, port), timeout=5):
+                return (time.monotonic() - t0) * 1000.0
+
+        try:
+            ms = await asyncio.get_event_loop().run_in_executor(None, _probe)
+            return _json({"ok": True, "connect_ms": round(ms, 1)})
+        except OSError as e:
+            return _json({"ok": False, "error": str(e)})
+
+    async def h_stream_health_one(self, request):
+        sid = request.match_info["source"]
+        h = self.ctx.engine.stream_health().get(sid)
+        if h is None:
+            return _json({"error": "unknown source"}, status=404)
+        return _json({"source_id": sid, **h})
+
+    async def h_restart_source(self, request):
+        sid = request.match_info["id"]
+        if sid not in self.ctx._source_cfgs:
+            return _json({"error": "unknown source"}, status=404)
+        await asyncio.get_event_loop().run_in_executor(
+            None, self.ctx._restart_source, sid)
+        return _json({"restarted": sid})
+
+    async def h_quiet_hours(self, request):
+        qh = self.ctx.quiet_hours
+        now = _dt.datetime.now()
+        out = {}
+        for src in self.ctx.engine.sources():
+            out[src.source_id] = qh.is_quiet(src.source_id, now) \
+                if qh is not None else False
+        return _json({"time": now.isoformat(), "sources": out})
+
+    # -- detections extras -------------------------------------------------------------------
+
+    async def h_detections_new(self, request):
+        since = float(request.query.get("since", time.time() - 3600))
+        limit = min(int(request.query.get("limit", 100)), 1000)
+        rows = self.ctx.datastore.detections_since(since, limit)
+        return _json({"detections": rows, "count": len(rows)})
+
+    async def h_comments_list(self, request):
+        return _json({"comments": self.ctx.datastore.list_comments(
+            int(request.match_info["id"]))})
+
+    async def h_comment_add(self, request):
+        body = await request.json()
+        text = (body.get("text") or "").strip()
+        if not text:
+            return _json({"error": "empty comment"}, status=400)
+        try:
+            cid = self.ctx.datastore.add_comment(
+                int(request.match_info["id"]), text)
+        except KeyError:
+            return _json({"error": "detection not found"}, status=404)
+        return _json({"comment_id": cid})
+
+    async def h_comment_update(self, request):
+        body = await request.json()
+        ok = self.ctx.datastore.update_comment(
+            int(request.match_info["id"]), (body.get("text") or "").strip())
+        if not ok:
+            return _json({"error": "not found"}, status=404)
+        return _json({"updated": True})
+
+    async def h_comment_delete(self, request):
+        if not self.ctx.datastore.delete_comment(
+                int(request.match_info["id"])):
+            return _json({"error": "not found"}, status=404)
+        return _json({"deleted": True})
+
+    async def h_reviews_list(self, request):
+        return _json({"reviews": self.ctx.datastore.get_reviews(
+            int(request.match_info["id"]))})
+
+    async def h_unlock(self, request):
+        ok = self.ctx.datastore.lock_detection(
+            int(request.match_info["id"]), False)
+        if not ok:
+            return _json({"error": "not found"}, status=404)
+        return _json({"locked": False})
+
+    async def h_audio_by_id(self, request):
+        """Clip audio by DETECTION id (GET /audio/:id)."""
+        row = self.ctx.datastore.get_detection(int(request.match_info["id"]))
+        if row is None or not row.get("clip_name"):
+            return _json({"error": "not found"}, status=404)
+        target = self._sandboxed_media(row["clip_name"])
+        if target is None or not target.is_file():
+            return _json({"error": "clip not available"}, status=404)
+        return web.FileResponse(target)
+
+    # -- analytics extras -----------------------------------------------------------------------
+
+    def _dawn_rows(self, request):
+        q = request.query
+        return self.ctx.datastore.first_detection_per_day(
+            species=q.get("species"), date_from=q.get("from"),
+            date_to=q.get("to"))
+
+    async def h_dawn_onset(self, request):
+        """Minutes-after-civil-dawn of each species' first daily detection
+        (reference: dawn-onset analytics)."""
+        from birdnet_go_tpu.utils.suncalc import sun_times
+
+        lat = self.ctx.settings.location.latitude
+        lon = self.ctx.settings.location.longitude
+        if lat is None:
+            return _json({"error": "location not configured"}, status=400)
+        out = []
+        for row in self._dawn_rows(request):
+            d = _dt.date.fromisoformat(row["date"])
+            st = sun_times(d, lat, lon)
+            if st.civil_dawn is None:
+                continue
+            hh, mm, ss = (int(x) for x in row["first_time"].split(":"))
+            first = _dt.datetime.combine(d, _dt.time(hh, mm, ss),
+                                         tzinfo=st.civil_dawn.tzinfo)
+            offset = (first - st.civil_dawn).total_seconds() / 60.0
+            out.append({**row, "minutes_after_dawn": round(offset, 1)})
+        return _json({"dawn_onset": out})
+
+    async def h_dawn_chorus(self, request):
+        """Detections per minute-of-day histogram around dawn."""
+        rows = self.ctx.datastore.hourly_distribution(
+            date=request.query.get("date"))
+        return _json({"hourly": rows})
+
+    async def h_db_stats(self, request):
+        ds = self.ctx.datastore
+        return _json({
+            "detections": ds.count_detections(),
+            "species": len(ds.species_summary()),
+            "path": ds.path,
+        })
+
+    async def h_dashboard_kpis(self, request):
+        ds = self.ctx.datastore
+        today = _dt.date.today().isoformat()
+        today_rows = ds.search_detections(date_from=today, limit=1000)
+        return _json({
+            "detections_total": ds.count_detections(),
+            "detections_today": len(today_rows),
+            "species_today": len({r["scientific_name"]
+                                  for r in today_rows}),
+            "species_total": len(ds.species_summary()),
+            "sources_active": len(self.ctx.engine.sources()),
+            "models_loaded": list(self.ctx.classifiers),
+        })
+
+    # -- weather -----------------------------------------------------------------------------------
+
+    async def h_weather_daily(self, request):
+        rows = self.ctx.datastore.get_hourly_weather(
+            request.match_info["date"])
+        if not rows:
+            return _json({"date": request.match_info["date"],
+                          "available": False})
+        temps = [r["temperature"] for r in rows
+                 if r.get("temperature") is not None]
+        return _json({
+            "date": request.match_info["date"], "available": True,
+            "temp_min": min(temps) if temps else None,
+            "temp_max": max(temps) if temps else None,
+            "hours": rows,
+        })
+
+    async def h_weather_sun(self, request):
+        return await self.h_sun_times(request)
+
+    async def h_weather_moon(self, request):
+        from birdnet_go_tpu.utils.suncalc import moon_phase
+
+        d = _dt.date.fromisoformat(request.match_info["date"])
+        return _json({"date": d.isoformat(), **moon_phase(d)})
+
+    # -- species / taxonomy -----------------------------------------------------------------------
+
+    def _primary_labels(self):
+        return next(iter(self.ctx.labels.values()), None)
+
+    async def h_species_detected(self, request):
+        return _json({"species": self.ctx.datastore.species_summary(
+            date_from=request.query.get("from"),
+            date_to=request.query.get("to"))})
+
+    async def h_species_all(self, request):
+        labels = self._primary_labels()
+        if labels is None:
+            return _json({"species": []})
+        limit = min(int(request.query.get("limit", 20000)), 20000)
+        offset = int(request.query.get("offset", 0))
+        out = [{"scientific_name": sp.scientific, "common_name": sp.common,
+                "code": labels.code_for(sp)}
+               for sp in list(labels.species)[offset:offset + limit]]
+        return _json({"species": out, "total": len(labels)})
+
+    async def h_species_search(self, request):
+        q = request.query.get("q", "").lower()
+        if len(q) < 2:
+            return _json({"error": "query too short"}, status=400)
+        labels = self._primary_labels()
+        if labels is None:
+            return _json({"species": []})
+        out = [{"scientific_name": sp.scientific, "common_name": sp.common}
+               for sp in labels.species
+               if q in sp.scientific.lower() or q in sp.common.lower()]
+        return _json({"species": out[:50]})
+
+    async def h_species_taxonomy(self, request):
+        from birdnet_go_tpu.taxonomy.labels import (
+            genus_of,
+            load_genus_taxonomy,
+        )
+
+        name = request.query.get("name", "")
+        if not name:
+            return _json({"error": "name required"}, status=400)
+        genus = genus_of(name)
+        tax = load_genus_taxonomy(self.ctx.settings.data_dir) or {}
+        info = tax.get(genus) or tax.get(genus.lower()) or {}
+        return _json({"scientific_name": name, "genus": genus,
+                      **(info if isinstance(info, dict) else
+                         {"family": info})})
+
+    async def h_taxonomy_tree(self, request):
+        """Genus → species tree over the primary model's label set."""
+        labels = self._primary_labels()
+        if labels is None:
+            return _json({"tree": {}})
+        from birdnet_go_tpu.taxonomy.labels import genus_of
+
+        tree: dict[str, list[dict]] = {}
+        for sp in labels.species:
+            tree.setdefault(genus_of(sp.scientific), []).append(
+                {"scientific_name": sp.scientific,
+                 "common_name": sp.common})
+        return _json({"genera": len(tree), "tree": tree})
+
+    # -- imports -----------------------------------------------------------------------------------
+
+    @property
+    def _import_mgr(self):
+        if getattr(self, "_import_mgr_obj", None) is None:
+            from birdnet_go_tpu.utils.imports import ImportJobManager
+
+            self._import_mgr_obj = ImportJobManager(self.ctx.datastore)
+        return self._import_mgr_obj
+
+    async def h_import_start(self, request):
+        body = await request.json()
+        path = body.get("path", "")
+        if not Path(path).is_file():
+            return _json({"error": f"no such file: {path}"}, status=400)
+        job = self._import_mgr.submit(
+            path, min_confidence=float(body.get("min_confidence", 0.0)))
+        return _json({"job": job.as_dict()}, status=202)
+
+    async def h_import_jobs(self, request):
+        return _json({"jobs": self._import_mgr.list()})
+
+    async def h_import_job(self, request):
+        job = self._import_mgr.get(int(request.match_info["id"]))
+        if job is None:
+            return _json({"error": "not found"}, status=404)
+        return _json(job.as_dict())
+
+    async def h_import_cancel(self, request):
+        if not self._import_mgr.cancel(int(request.match_info["id"])):
+            return _json({"error": "not found"}, status=404)
+        return _json({"cancelled": True})
+
+    # -- model install -------------------------------------------------------------------------------
+
+    @property
+    def _install_progress(self) -> dict:
+        if getattr(self, "_install_progress_obj", None) is None:
+            self._install_progress_obj = {}
+        return self._install_progress_obj
+
+    async def h_model_install(self, request):
+        from birdnet_go_tpu.models.catalog import ModelManager, get_entry
+
+        model_id = request.match_info["id"]
+        entry = get_entry(model_id)
+        if entry is None:
+            return _json({"error": "unknown model"}, status=404)
+        progress = self._install_progress
+        progress[model_id] = {"status": "running", "error": ""}
+
+        def _install():
+            try:
+                ModelManager().install_from_url(entry)
+                progress[model_id] = {"status": "completed", "error": ""}
+            except Exception as e:  # noqa: BLE001
+                progress[model_id] = {"status": "failed", "error": str(e)}
+            self.sse.publish("models", "install",
+                             {"model_id": model_id, **progress[model_id]})
+
+        asyncio.get_event_loop().run_in_executor(None, _install)
+        return _json({"installing": model_id}, status=202)
+
+    async def h_model_install_progress(self, request):
+        model_id = request.match_info["id"]
+        p = self._install_progress.get(model_id)
+        if p is None:
+            return _json({"error": "no install in progress"}, status=404)
+        return _json({"model_id": model_id, **p})
+
+    async def h_model_remove(self, request):
+        from birdnet_go_tpu.models.catalog import ModelManager
+
+        if not ModelManager().remove(request.match_info["id"]):
+            return _json({"error": "not installed"}, status=404)
+        return _json({"removed": True})
+
+    # -- support / filesystem ---------------------------------------------------------------------------
+
+    async def h_support_dump(self, request):
+        from birdnet_go_tpu.utils.support import collect_support_bundle
+
+        bundle = await asyncio.get_event_loop().run_in_executor(
+            None, collect_support_bundle, self.ctx)
+        return web.Response(
+            body=bundle.data,
+            headers={"Content-Type": "application/zip",
+                     "Content-Disposition":
+                     f'attachment; filename="{bundle.name}"'})
+
+    async def h_fs_clips(self, request):
+        base = Path(self.ctx.settings.export.path)
+        if not base.is_dir():
+            return _json({"files": []})
+        files = []
+        for p in sorted(base.iterdir()):
+            if p.is_file():
+                st = p.stat()
+                files.append({"name": p.name, "size_bytes": st.st_size,
+                              "modified": st.st_mtime})
+        return _json({"files": files, "count": len(files)})
+
+    # -- settings PUT -------------------------------------------------------------------------------------
+
+    async def h_put_settings(self, request):
+        """Whole-document settings update: merges every provided section
+        (reference: PUT /settings with section merge + signals)."""
+        import dataclasses
+
+        from birdnet_go_tpu.config.control import ControlSignal
+        from birdnet_go_tpu.config.settings import (
+            ModelSettings,
+            _merge_dataclass,
+        )
+
+        body = await request.json()
+        updated = []
+        for section, value in body.items():
+            if not hasattr(self.ctx.settings, section):
+                continue
+            target = getattr(self.ctx.settings, section)
+            if section == "models" and isinstance(value, list):
+                self.ctx.settings.models = [
+                    _merge_dataclass(ModelSettings(), v) for v in value]
+            elif dataclasses.is_dataclass(target) and isinstance(value,
+                                                                 dict):
+                _merge_dataclass(target, value)
+            else:
+                setattr(self.ctx.settings, section, value)
+            updated.append(section)
+        warnings = self.ctx.settings.validate()
+        if self.ctx.control is not None and updated:
+            # a full-document write may touch anything: fire the broad set
+            for sig in (ControlSignal.RELOAD_THRESHOLDS,
+                        ControlSignal.RELOAD_SPECIES_CONFIG,
+                        ControlSignal.UPDATE_DETECTION_INTERVALS,
+                        ControlSignal.RECONFIGURE_SOURCES):
+                self.ctx.control.send(sig)
+        return _json({"updated": updated, "warnings": warnings})

@@ -21,6 +21,7 @@ from typing import Any
 
 from aiohttp import web
 
+from birdnet_go_tpu.api.handlers_ext import ExtendedHandlers
 from birdnet_go_tpu.api.sse import SseBroadcaster, format_sse
 from birdnet_go_tpu.version import __version__
 
@@ -32,7 +33,7 @@ def _json(data: Any, status: int = 200) -> web.Response:
         d, default=str))
 
 
-class ApiServer:
+class ApiServer(ExtendedHandlers):
     """HTTP server bound to an Application (birdnet_go_tpu.app)."""
 
     def __init__(self, app_ctx: Any, host: str = "0.0.0.0", port: int = 8080):
@@ -98,6 +99,9 @@ class ApiServer:
         app = web.Application(middlewares=middlewares)
         r = app.router
         v2 = "/api/v2"
+        # Extended groups FIRST: static segments like /detections/new must
+        # register before the dynamic /detections/{id} below.
+        self.register_ext_routes(r, v2)
         r.add_get(f"{v2}/health", self.h_health)
         r.add_get(f"{v2}/ping", self.h_ping)
         # detections
@@ -263,9 +267,14 @@ class ApiServer:
             species=body.get("species"),
             date_from=body.get("from"), date_to=body.get("to"),
             source_id=body.get("source"),
+            model_id=body.get("model"),
             min_confidence=body.get("min_confidence"),
+            max_confidence=body.get("max_confidence"),
+            hour_from=body.get("hour_from"), hour_to=body.get("hour_to"),
+            verified=body.get("verified"), locked=body.get("locked"),
             limit=min(int(body.get("limit", 100)), 1000),
-            offset=int(body.get("offset", 0)))
+            offset=int(body.get("offset", 0)),
+            order=body.get("order", "desc"))
         return _json({"detections": rows, "count": len(rows)})
 
     async def h_detections_stream(self, request):

@@ -89,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--config", default=None, help="YAML config file")
     s.add_argument("--host", default="0.0.0.0")
     s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--no-warmup", action="store_true",
+                   help="skip XLA pre-compilation (first dispatch compiles)")
     common_model_flags(s)
 
     return p
@@ -293,7 +295,7 @@ def _cmd_serve(args) -> int:
 
     app = Application(settings)
     app.setup()
-    app.start()
+    app.start(warmup=not getattr(args, "no_warmup", False))
     stop = threading.Event()
     signal.signal(signal.SIGINT, lambda *a: stop.set())
     signal.signal(signal.SIGTERM, lambda *a: stop.set())

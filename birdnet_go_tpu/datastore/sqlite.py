@@ -64,6 +64,14 @@ CREATE TABLE IF NOT EXISTS dynamic_thresholds (
     PRIMARY KEY (model_id, scientific_name)
 );
 
+CREATE TABLE IF NOT EXISTS comments (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    detection_id INTEGER NOT NULL REFERENCES detections(id) ON DELETE CASCADE,
+    text TEXT NOT NULL,
+    created_at REAL NOT NULL,
+    updated_at REAL NOT NULL
+);
+
 CREATE TABLE IF NOT EXISTS threshold_events (
     id INTEGER PRIMARY KEY AUTOINCREMENT,
     model_id TEXT NOT NULL,
@@ -199,8 +207,17 @@ class Datastore:
                           date_to: str | None = None,
                           source_id: str | None = None,
                           min_confidence: float | None = None,
+                          max_confidence: float | None = None,
+                          model_id: str | None = None,
+                          hour_from: int | None = None,
+                          hour_to: int | None = None,
+                          verified: str | None = None,
+                          locked: bool | None = None,
                           limit: int = 100, offset: int = 0,
                           order: str = "desc") -> list[dict[str, Any]]:
+        """Advanced search (datastore/interfaces.go search filters):
+        confidence band, time-of-day window, verification state
+        ('correct' | 'false_positive' | 'unreviewed'), lock state, model."""
         clauses, args = [], []
         if species:
             clauses.append("(scientific_name = ? OR common_name LIKE ?)")
@@ -211,8 +228,26 @@ class Datastore:
             clauses.append("date <= ?"); args.append(date_to)
         if source_id:
             clauses.append("source_id = ?"); args.append(source_id)
+        if model_id:
+            clauses.append("model_id = ?"); args.append(model_id)
         if min_confidence is not None:
             clauses.append("confidence >= ?"); args.append(min_confidence)
+        if max_confidence is not None:
+            clauses.append("confidence <= ?"); args.append(max_confidence)
+        if hour_from is not None:
+            clauses.append("CAST(substr(time, 1, 2) AS INTEGER) >= ?")
+            args.append(hour_from)
+        if hour_to is not None:
+            clauses.append("CAST(substr(time, 1, 2) AS INTEGER) <= ?")
+            args.append(hour_to)
+        if locked is not None:
+            clauses.append("locked = ?"); args.append(1 if locked else 0)
+        if verified == "unreviewed":
+            clauses.append("id NOT IN (SELECT detection_id FROM reviews)")
+        elif verified in ("correct", "false_positive"):
+            clauses.append(
+                "id IN (SELECT detection_id FROM reviews WHERE verdict = ?)")
+            args.append(verified)
         where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
         direction = "DESC" if order.lower() != "asc" else "ASC"
         sql = (f"SELECT * FROM detections {where} ORDER BY timestamp"
@@ -223,6 +258,81 @@ class Datastore:
 
     def recent_detections(self, limit: int = 10) -> list[dict[str, Any]]:
         return self.search_detections(limit=limit)
+
+    def detections_since(self, since_unix: float, limit: int = 100
+                         ) -> list[dict[str, Any]]:
+        """New detections after a timestamp (GET /detections/new)."""
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                "SELECT * FROM detections WHERE timestamp > ?"
+                " ORDER BY timestamp ASC LIMIT ?", (since_unix, limit))]
+
+    # -- comments (NoteComment CRUD, datastore/interfaces.go) ------------------------
+
+    def add_comment(self, det_id: int, text: str) -> int:
+        import time as _t
+
+        now = _t.time()
+        with self._lock:
+            exists = self._conn.execute(
+                "SELECT 1 FROM detections WHERE id = ?",
+                (det_id,)).fetchone()
+            if exists is None:
+                raise KeyError(f"detection {det_id} not found")
+            cur = self._conn.execute(
+                "INSERT INTO comments (detection_id, text, created_at,"
+                " updated_at) VALUES (?,?,?,?)", (det_id, text, now, now))
+            self._conn.commit()
+            return int(cur.lastrowid)
+
+    def list_comments(self, det_id: int) -> list[dict[str, Any]]:
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                "SELECT * FROM comments WHERE detection_id = ?"
+                " ORDER BY id", (det_id,))]
+
+    def update_comment(self, comment_id: int, text: str) -> bool:
+        import time as _t
+
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE comments SET text = ?, updated_at = ? WHERE id = ?",
+                (text, _t.time(), comment_id))
+            self._conn.commit()
+            return cur.rowcount > 0
+
+    def delete_comment(self, comment_id: int) -> bool:
+        with self._lock:
+            cur = self._conn.execute(
+                "DELETE FROM comments WHERE id = ?", (comment_id,))
+            self._conn.commit()
+            return cur.rowcount > 0
+
+    def get_reviews(self, det_id: int) -> list[dict[str, Any]]:
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                "SELECT * FROM reviews WHERE detection_id = ?"
+                " ORDER BY id", (det_id,))]
+
+    def first_detection_per_day(self, species: str | None = None,
+                                date_from: str | None = None,
+                                date_to: str | None = None
+                                ) -> list[dict[str, Any]]:
+        """Earliest detection time per day (dawn-onset/dawn-chorus input:
+        the handler converts to minutes-after-civil-dawn via suncalc)."""
+        clauses, args = [], []
+        if species:
+            clauses.append("scientific_name = ?"); args.append(species)
+        if date_from:
+            clauses.append("date >= ?"); args.append(date_from)
+        if date_to:
+            clauses.append("date <= ?"); args.append(date_to)
+        where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        sql = (f"SELECT date, MIN(time) AS first_time, scientific_name,"
+               f" common_name FROM detections {where}"
+               f" GROUP BY date, scientific_name ORDER BY date")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(sql, args)]
 
     def count_detections(self) -> int:
         with self._lock:

@@ -114,3 +114,103 @@ def discover_birdnet_pi(mounts: list[str | Path]) -> list[Path]:
             if p.is_file():
                 found.append(p)
     return found
+
+
+@dataclasses.dataclass
+class ImportJob:
+    """One asynchronous import (reference: api/v2 imports job API)."""
+
+    id: int
+    path: str
+    status: str = "pending"       # pending|running|completed|failed|cancelled
+    scanned: int = 0
+    imported: int = 0
+    skipped: int = 0
+    errors: int = 0
+    error: str = ""
+    started_at: float = 0.0
+    finished_at: float = 0.0
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class ImportJobManager:
+    """Threaded import jobs with progress + cancel (POST /imports/birdnet-pi,
+    GET /imports/jobs[/:id], POST /imports/jobs/:id/cancel)."""
+
+    def __init__(self, datastore):
+        import threading
+
+        self.datastore = datastore
+        self._jobs: dict[int, ImportJob] = {}
+        self._cancel: dict[int, "threading.Event"] = {}
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._threading = threading
+
+    def submit(self, path: str | Path,
+               min_confidence: float = 0.0) -> ImportJob:
+        import time as _t
+
+        with self._lock:
+            self._seq += 1
+            job = ImportJob(id=self._seq, path=str(path))
+            self._jobs[job.id] = job
+            cancel = self._threading.Event()
+            self._cancel[job.id] = cancel
+
+        def _run():
+            job.status = "running"
+            job.started_at = _t.time()
+            try:
+                detections = parse_birdnet_pi_log(path)
+                job.scanned = len(detections)
+                existing = {(r["timestamp"], r["scientific_name"])
+                            for r in self.datastore.search_detections(
+                                limit=1000000)}
+                for d in detections:
+                    if cancel.is_set():
+                        job.status = "cancelled"
+                        break
+                    if d.confidence < min_confidence:
+                        job.skipped += 1
+                        continue
+                    key = (d.timestamp.timestamp(), d.species.scientific)
+                    if key in existing:
+                        job.skipped += 1
+                        continue
+                    try:
+                        self.datastore.insert_detection(d)
+                        existing.add(key)
+                        job.imported += 1
+                    except Exception:
+                        job.errors += 1
+                else:
+                    job.status = "completed"
+            except Exception as e:  # noqa: BLE001
+                job.status = "failed"
+                job.error = str(e)
+            finally:
+                job.finished_at = _t.time()
+
+        t = self._threading.Thread(target=_run, name=f"import-{job.id}",
+                                   daemon=True)
+        t.start()
+        return job
+
+    def get(self, job_id: int) -> ImportJob | None:
+        with self._lock:
+            return self._jobs.get(job_id)
+
+    def list(self) -> list[dict]:
+        with self._lock:
+            return [j.as_dict() for j in self._jobs.values()]
+
+    def cancel(self, job_id: int) -> bool:
+        with self._lock:
+            ev = self._cancel.get(job_id)
+            if ev is None:
+                return False
+            ev.set()
+            return True

@@ -96,3 +96,25 @@ def is_daytime(when: _dt.datetime, lat: float, lon: float,
     if end < start:                      # dusk past midnight UTC
         return when >= start or when <= end
     return start <= when <= end
+
+
+def moon_phase(date: _dt.date) -> dict:
+    """Moon phase for a date (reference: GET /weather/moon/:date).
+
+    Conway-style synodic approximation anchored at the 2000-01-06 18:14 UT
+    new moon; accuracy ~1 day, ample for a UI phase icon."""
+    anchor = _dt.datetime(2000, 1, 6, 18, 14, tzinfo=_dt.timezone.utc)
+    when = _dt.datetime(date.year, date.month, date.day, 12,
+                        tzinfo=_dt.timezone.utc)
+    synodic = 29.53058867
+    age = ((when - anchor).total_seconds() / 86400.0) % synodic
+    fraction = age / synodic
+    names = ["new_moon", "waxing_crescent", "first_quarter",
+             "waxing_gibbous", "full_moon", "waning_gibbous",
+             "last_quarter", "waning_crescent"]
+    idx = int((fraction * 8 + 0.5)) % 8
+    import math
+
+    illum = (1 - math.cos(2 * math.pi * fraction)) / 2
+    return {"age_days": round(age, 1), "phase": names[idx],
+            "illumination": round(illum, 3), "fraction": round(fraction, 3)}

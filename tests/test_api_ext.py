@@ -1,0 +1,193 @@
+"""Extended API surface: notifications, dynamic thresholds, system detail,
+comments, imports, taxonomy, weather extras (handlers_ext.py)."""
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from tests.test_app_integration import tiny_app  # fixture
+from tests.test_realtime_core import _detection
+
+M = "BirdNET_V2.4"
+
+
+def _req(port, path, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2{path}", data=data,
+        headers={"Content-Type": "application/json"}, method=method)
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture()
+def served(tiny_app):
+    tiny_app.start(warmup=False)
+    yield tiny_app, tiny_app.settings.webserver.port
+    tiny_app.stop()
+
+
+def test_notifications_crud_and_test_endpoint(served):
+    app, port = served
+    out = _req(port, "/notifications/test", "POST",
+               {"title": "Hi", "message": "msg", "priority": "high"})
+    assert "delivered" in out
+    lst = _req(port, "/notifications")
+    assert lst["unread"] == 1
+    nid = lst["notifications"][0]["id"]
+    assert lst["notifications"][0]["title"] == "Hi"
+    one = _req(port, f"/notifications/{nid}")
+    assert one["priority"] == "high"
+    assert _req(port, f"/notifications/{nid}/read", "PUT")["read"]
+    assert _req(port, "/notifications/unread/count")["count"] == 0
+    _req(port, "/notifications/test", "POST", {})
+    assert _req(port, "/notifications/read-all", "PUT")["marked"] == 1
+    assert _req(port, f"/notifications/{nid}", "DELETE")["deleted"]
+    with pytest.raises(urllib.error.HTTPError):
+        _req(port, f"/notifications/{nid}")
+
+
+def test_dynamic_threshold_endpoints(served):
+    app, port = served
+    app.processor.dynamic.learn(0.95, M, "Turdus merula", now=time.time())
+    lst = _req(port, "/dynamic-thresholds")
+    assert lst["thresholds"][0]["scientific_name"] == "Turdus merula"
+    assert lst["thresholds"][0]["level"] == 1
+    stats = _req(port, "/dynamic-thresholds/stats")
+    assert stats["species_tracked"] == 1
+    assert _req(port, "/dynamic-thresholds/Turdus%20merula",
+                "DELETE")["cleared"] == 1
+    assert _req(port, "/dynamic-thresholds")["thresholds"] == []
+    assert "events" in _req(port, "/dynamic-thresholds/events")
+
+
+def test_system_detail_and_control(served):
+    app, port = served
+    procs = _req(port, "/system/processes?limit=5")["processes"]
+    assert procs and procs[0]["rss_bytes"] > 0
+    disks = _req(port, "/system/disks")["disks"]
+    assert any(d["mountpoint"] == "/" for d in disks)
+    assert "available" in _req(port, "/system/temperature/cpu")
+    diag = _req(port, "/system/diagnostics")
+    assert M in diag["models_loaded"]
+    sigs = _req(port, "/system/control/signals")["signals"]
+    assert "rebuild_range_filter" in sigs and len(sigs) >= 20
+    sent = _req(port, "/system/control", "POST",
+                {"signal": "update_detection_intervals"})
+    assert sent["sent"] == "update_detection_intervals"
+    with pytest.raises(urllib.error.HTTPError):
+        _req(port, "/system/control", "POST", {"signal": "nope"})
+
+
+def test_devices_and_stream_probe(served):
+    app, port = served
+    d = _req(port, "/devices")
+    assert "devices" in d and "alsa_available" in d
+    out = _req(port, "/streams/test", "POST",
+               {"url": f"http://127.0.0.1:{port}/api/v2/ping"})
+    assert out["ok"] is True and out["connect_ms"] >= 0
+    with pytest.raises(urllib.error.HTTPError):
+        _req(port, "/streams/test", "POST", {"url": "ftp://x/"})
+    qh = _req(port, "/quiet-hours/status")
+    assert "sources" in qh
+
+
+def test_detection_comments_reviews_new(served):
+    app, port = served
+    det_id = app.datastore.insert_detection(_detection())
+    cid = _req(port, f"/detections/{det_id}/comments", "POST",
+               {"text": "great catch"})["comment_id"]
+    comments = _req(port, f"/detections/{det_id}/comments")["comments"]
+    assert comments[0]["text"] == "great catch"
+    assert _req(port, f"/comments/{cid}", "PUT",
+                {"text": "edited"})["updated"]
+    assert _req(port, f"/detections/{det_id}/comments"
+                )["comments"][0]["text"] == "edited"
+    assert _req(port, f"/comments/{cid}", "DELETE")["deleted"]
+    # reviews listing + unlock
+    _req(port, f"/detections/{det_id}/review", "POST",
+         {"verdict": "correct"})
+    assert _req(port, f"/detections/{det_id}/reviews"
+                )["reviews"][0]["verdict"] == "correct"
+    _req(port, f"/detections/{det_id}/lock", "POST", {"locked": True})
+    assert _req(port, f"/detections/{det_id}/lock", "DELETE")["locked"] \
+        is False
+    # /detections/new
+    new = _req(port, f"/detections/new?since={0}")
+    assert new["count"] >= 1
+
+
+def test_advanced_search_filters(served):
+    app, port = served
+    det_id = app.datastore.insert_detection(_detection(conf=0.9))
+    app.datastore.insert_detection(_detection(sci="Parus major",
+                                              common="Great Tit", conf=0.6))
+    app.datastore.review_detection(det_id, "correct")
+    rows = _req(port, "/detections/search", "POST",
+                {"verified": "correct"})
+    assert rows["count"] == 1
+    rows = _req(port, "/detections/search", "POST",
+                {"verified": "unreviewed"})
+    assert rows["count"] == 1
+    assert rows["detections"][0]["scientific_name"] == "Parus major"
+    rows = _req(port, "/detections/search", "POST",
+                {"max_confidence": 0.7})
+    assert rows["count"] == 1
+
+
+def test_species_taxonomy_weather(served):
+    app, port = served
+    allsp = _req(port, "/species/all")
+    assert allsp["total"] == 6
+    found = _req(port, "/species/search?q=tu")
+    assert "species" in found
+    tree = _req(port, "/taxonomy/tree")
+    assert tree["genera"] >= 1
+    moon = _req(port, "/weather/moon/2026-08-16")
+    assert 0 <= moon["illumination"] <= 1
+    kpis = _req(port, "/analytics/dashboard/kpis")
+    assert "detections_total" in kpis
+    stats = _req(port, "/analytics/database/stats")
+    assert stats["detections"] >= 0
+
+
+def test_import_jobs_flow(served, tmp_path):
+    app, port = served
+    logf = tmp_path / "BirdDB.txt"
+    logf.write_text(
+        "Date;Time;Sci_Name;Com_Name;Confidence\n"
+        "2026-01-02;07:31:00;Turdus merula;Eurasian Blackbird;0.91\n"
+        "2026-01-02;07:32:00;Parus major;Great Tit;0.81\n")
+    job = _req(port, "/imports/birdnet-pi", "POST",
+               {"path": str(logf)})["job"]
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        j = _req(port, f"/imports/jobs/{job['id']}")
+        if j["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.1)
+    assert j["status"] == "completed" and j["imported"] == 2
+    assert _req(port, "/imports/jobs")["jobs"]
+    with pytest.raises(urllib.error.HTTPError):
+        _req(port, "/imports/birdnet-pi", "POST", {"path": "/nope"})
+
+
+def test_filesystem_and_put_settings(served):
+    app, port = served
+    from pathlib import Path
+
+    clips = Path(app.settings.export.path)
+    clips.mkdir(parents=True, exist_ok=True)
+    (clips / "a.wav").write_bytes(b"x" * 10)
+    fs = _req(port, "/filesystem/clips")
+    assert fs["count"] == 1 and fs["files"][0]["size_bytes"] == 10
+    out = _req(port, "/settings", "PUT", {
+        "realtime": {"interval_seconds": 22.0},
+        "dog_bark_filter": {"enabled": True},
+    })
+    assert set(out["updated"]) == {"realtime", "dog_bark_filter"}
+    assert app.settings.realtime.interval_seconds == 22.0
+    assert app.settings.dog_bark_filter.enabled is True
