@@ -22,6 +22,13 @@ from typing import Any
 from aiohttp import web
 
 from birdnet_go_tpu.api.handlers_ext import ExtendedHandlers
+from birdnet_go_tpu.api.security import (
+    AuthHandlers,
+    SecurityManager,
+    gzip_middleware,
+    secure_headers_middleware,
+    security_middleware,
+)
 from birdnet_go_tpu.api.sse import SseBroadcaster, format_sse
 from birdnet_go_tpu.version import __version__
 
@@ -33,7 +40,28 @@ def _json(data: Any, status: int = 200) -> web.Response:
         d, default=str))
 
 
-class ApiServer(ExtendedHandlers):
+_SECRET_KEY_HINTS = ("password", "secret", "token", "api_key")
+
+
+def _scrub_secrets(obj):
+    """Settings responses never echo credentials (reference: secrets
+    redaction in the settings API / support bundles)."""
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            if isinstance(v, str) and v \
+                    and any(h in k.lower() for h in _SECRET_KEY_HINTS) \
+                    and not k.lower().endswith("_file"):
+                out[k] = "***"
+            else:
+                out[k] = _scrub_secrets(v)
+        return out
+    if isinstance(obj, list):
+        return [_scrub_secrets(v) for v in obj]
+    return obj
+
+
+class ApiServer(ExtendedHandlers, AuthHandlers):
     """HTTP server bound to an Application (birdnet_go_tpu.app)."""
 
     def __init__(self, app_ctx: Any, host: str = "0.0.0.0", port: int = 8080):
@@ -87,18 +115,21 @@ class ApiServer(ExtendedHandlers):
     # -- app/routes ----------------------------------------------------------------
 
     def build_app(self) -> web.Application:
+        ws = self.ctx.settings.webserver
         middlewares = []
-        token = getattr(self.ctx.settings.webserver, "auth_token", None)
-        if token:
-            from birdnet_go_tpu.api.auth import auth_middleware
-
-            middlewares.append(auth_middleware(
-                token,
-                allow_local_bypass=self.ctx.settings.webserver
-                .allow_local_bypass))
+        self.security = SecurityManager(self.ctx.settings)
+        if self.security.enabled:
+            middlewares.append(security_middleware(
+                self.security,
+                allow_local_bypass=ws.allow_local_bypass))
+        if getattr(ws, "secure_headers", True):
+            middlewares.append(secure_headers_middleware)
+        if getattr(ws, "gzip", True):
+            middlewares.append(gzip_middleware)
         app = web.Application(middlewares=middlewares)
         r = app.router
         v2 = "/api/v2"
+        self.register_auth_routes(r, v2)
         # Extended groups FIRST: static segments like /detections/new must
         # register before the dynamic /detections/{id} below.
         self.register_ext_routes(r, v2)
@@ -553,7 +584,7 @@ class ApiServer(ExtendedHandlers):
     async def h_get_settings(self, request):
         import dataclasses
 
-        return _json(dataclasses.asdict(self.ctx.settings))
+        return _json(_scrub_secrets(dataclasses.asdict(self.ctx.settings)))
 
     async def h_patch_settings(self, request):
         """Section merge + control signal (reference: settings PATCH →

@@ -174,8 +174,18 @@ class WebServerSettings:
     enabled: bool = True
     host: str = "0.0.0.0"
     port: int = 8080
-    auth_token: str | None = None       # None = auth disabled
+    auth_token: str | None = None       # static bearer token (optional)
     allow_local_bypass: bool = True     # local subnets skip auth
+    # Basic-auth + OAuth2 flow (internal/security): setting a password
+    # enables the login page, session cookies with CSRF, and the
+    # authorization-code/client-credentials token endpoints.
+    password: str | None = None
+    session_hours: float = 24.0 * 7
+    oauth_client_id: str = "birdnet-client"
+    oauth_client_secret: str | None = None
+    token_file: str = "data/tokens.json"
+    gzip: bool = True
+    secure_headers: bool = True
 
 
 @dataclasses.dataclass
