@@ -197,6 +197,9 @@ class ApiServer(ExtendedHandlers, AuthHandlers):
         # here a no-build single-file dashboard)
         r.add_get("/", self.h_index)
         r.add_get("/ui", self.h_index)
+        r.add_get("/ui/{tail:.*}", self.h_index)     # SPA deep links
+        r.add_static("/static/", Path(__file__).parent / "static",
+                     append_version=False)
         # observability
         r.add_get("/metrics", self.h_metrics)
         r.add_get(f"{v2}/system/errors", self.h_recent_errors)

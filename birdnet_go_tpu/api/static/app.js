@@ -1,0 +1,205 @@
+/* BirdNET-TPU SPA shell: API client, hash router, i18n, DOM helpers.
+   No build step — plain ES modules served from /static/. */
+
+export const API = "/api/v2";
+
+// ---------------------------------------------------------------- api client
+
+let csrf = sessionStorage.getItem("csrf") || "";
+
+export async function api(path, { method = "GET", body, raw = false } = {}) {
+  const headers = {};
+  if (body !== undefined) headers["Content-Type"] = "application/json";
+  if (csrf && method !== "GET") headers["X-CSRF-Token"] = csrf;
+  const resp = await fetch(API + path, {
+    method, headers,
+    body: body !== undefined ? JSON.stringify(body) : undefined,
+  });
+  if (resp.status === 401) {
+    location.href = "/login";
+    throw new Error("unauthorized");
+  }
+  if (raw) return resp;
+  const data = await resp.json().catch(() => ({}));
+  if (!resp.ok) throw Object.assign(new Error(data.error || resp.statusText),
+                                    { status: resp.status, data });
+  return data;
+}
+
+// ------------------------------------------------------------------- helpers
+
+/** Element builder. Children are appended; strings become text nodes
+    (untrusted data never goes through innerHTML). */
+export function el(tag, attrs = {}, ...children) {
+  const node = document.createElement(tag);
+  for (const [k, v] of Object.entries(attrs)) {
+    if (k === "class") node.className = v;
+    else if (k.startsWith("on") && typeof v === "function")
+      node.addEventListener(k.slice(2), v);
+    else if (v !== undefined && v !== null) node.setAttribute(k, v);
+  }
+  for (const c of children.flat()) {
+    if (c === null || c === undefined) continue;
+    node.append(c.nodeType ? c : document.createTextNode(String(c)));
+  }
+  return node;
+}
+
+export function clear(node) { while (node.firstChild) node.removeChild(node.firstChild); return node; }
+
+export function fmtTime(unixOrIso) {
+  const d = typeof unixOrIso === "number" ? new Date(unixOrIso * 1000)
+        : new Date(unixOrIso);
+  return d.toLocaleString(undefined, { dateStyle: "medium", timeStyle: "short" });
+}
+
+export function fmtNum(n) {
+  if (n === null || n === undefined) return "–";
+  if (Math.abs(n) >= 1e6) return (n / 1e6).toFixed(1) + "M";
+  if (Math.abs(n) >= 1e4) return (n / 1e3).toFixed(1) + "K";
+  return Number(n).toLocaleString();
+}
+
+export function confMeter(c) {
+  const pct = Math.round(c * 100);
+  const bar = el("div", { class: "meter" }, el("div", { style: `width:${pct}%` }));
+  return el("span", { class: "conf" }, bar, `${pct}%`);
+}
+
+let toastTimer = null;
+export function toast(msg, isError = false) {
+  document.querySelectorAll(".toast").forEach((t) => t.remove());
+  const t = el("div", { class: "toast" + (isError ? " err" : "") }, msg);
+  document.body.append(t);
+  clearTimeout(toastTimer);
+  toastTimer = setTimeout(() => t.remove(), 4000);
+}
+
+// ---------------------------------------------------------------------- i18n
+
+const MESSAGES = {
+  en: {
+    dashboard: "Dashboard", detections: "Detections", analytics: "Analytics",
+    species: "Species", models: "Models", notifications: "Notifications",
+    settings: "Settings", system: "System", imports: "Import",
+    search: "Search", review: "Review", delete: "Delete", lock: "Lock",
+    unlock: "Unlock", correct: "Correct", false_positive: "False positive",
+    confidence: "Confidence", date: "Date", time: "Time", source: "Source",
+    apply: "Apply", save: "Save", today: "Today", last7: "Last 7 days",
+    last30: "Last 30 days", all_time: "All time", live_audio: "Live audio",
+    recent_detections: "Recent detections", no_data: "No data yet",
+    logout: "Sign out",
+  },
+  de: {
+    dashboard: "Übersicht", detections: "Erkennungen", analytics: "Analysen",
+    species: "Arten", models: "Modelle", notifications: "Meldungen",
+    settings: "Einstellungen", system: "System", imports: "Import",
+    search: "Suchen", review: "Prüfen", delete: "Löschen", lock: "Sperren",
+    unlock: "Entsperren", correct: "Korrekt", false_positive: "Fehlalarm",
+    confidence: "Konfidenz", date: "Datum", time: "Zeit", source: "Quelle",
+    apply: "Anwenden", save: "Speichern", today: "Heute",
+    last7: "Letzte 7 Tage", last30: "Letzte 30 Tage", all_time: "Gesamt",
+    live_audio: "Live-Audio", recent_detections: "Neueste Erkennungen",
+    no_data: "Noch keine Daten", logout: "Abmelden",
+  },
+  fr: {
+    dashboard: "Tableau de bord", detections: "Détections",
+    analytics: "Analyses", species: "Espèces", models: "Modèles",
+    notifications: "Notifications", settings: "Paramètres",
+    system: "Système", imports: "Import", search: "Rechercher",
+    review: "Vérifier", delete: "Supprimer", lock: "Verrouiller",
+    unlock: "Déverrouiller", correct: "Correct",
+    false_positive: "Faux positif", confidence: "Confiance", date: "Date",
+    time: "Heure", source: "Source", apply: "Appliquer",
+    save: "Enregistrer", today: "Aujourd'hui", last7: "7 derniers jours",
+    last30: "30 derniers jours", all_time: "Tout", live_audio: "Audio direct",
+    recent_detections: "Détections récentes", no_data: "Pas de données",
+    logout: "Déconnexion",
+  },
+  es: {
+    dashboard: "Panel", detections: "Detecciones", analytics: "Análisis",
+    species: "Especies", models: "Modelos", notifications: "Avisos",
+    settings: "Ajustes", system: "Sistema", imports: "Importar",
+    search: "Buscar", review: "Revisar", delete: "Borrar",
+    lock: "Bloquear", unlock: "Desbloquear", correct: "Correcto",
+    false_positive: "Falso positivo", confidence: "Confianza",
+    date: "Fecha", time: "Hora", source: "Fuente", apply: "Aplicar",
+    save: "Guardar", today: "Hoy", last7: "Últimos 7 días",
+    last30: "Últimos 30 días", all_time: "Todo", live_audio: "Audio en vivo",
+    recent_detections: "Detecciones recientes", no_data: "Sin datos",
+    logout: "Salir",
+  },
+};
+
+export let lang = localStorage.getItem("lang")
+  || (navigator.language || "en").slice(0, 2);
+if (!MESSAGES[lang]) lang = "en";
+export const t = (key) => (MESSAGES[lang] && MESSAGES[lang][key])
+  || MESSAGES.en[key] || key;
+export function setLang(code) {
+  localStorage.setItem("lang", code);
+  location.reload();
+}
+export const LANGS = Object.keys(MESSAGES);
+
+// -------------------------------------------------------------------- router
+
+const routes = {};
+export function route(name, loader) { routes[name] = loader; }
+
+export async function navigate() {
+  const hash = (location.hash || "#/dashboard").slice(2);
+  const [name, ...rest] = hash.split("/");
+  const outlet = document.getElementById("outlet");
+  document.querySelectorAll("nav.sidebar a[data-route]").forEach((a) => {
+    a.classList.toggle("active", a.dataset.route === name);
+  });
+  const loader = routes[name] || routes.dashboard;
+  clear(outlet);
+  try {
+    await loader(outlet, rest);
+  } catch (e) {
+    outlet.append(el("div", { class: "card" },
+      el("h2", {}, "Error"), el("p", { class: "sub" }, e.message)));
+  }
+}
+
+// ------------------------------------------------------------ SSE helper
+
+export function subscribe(path, onEvent) {
+  const es = new EventSource(API + path);
+  es.onmessage = (ev) => onEvent("message", ev.data);
+  for (const kind of ["detection", "notification", "audiolevel",
+                      "soundlevel", "install"]) {
+    es.addEventListener(kind, (ev) => onEvent(kind, ev.data));
+  }
+  return es;
+}
+
+// ------------------------------------------------------------------- startup
+
+export async function boot() {
+  // auth status drives the logout button visibility
+  try {
+    const st = await api("/auth/status");
+    if (st.security_enabled && !st.authenticated) {
+      location.href = "/login";
+      return;
+    }
+    document.getElementById("logout").style.display =
+      st.security_enabled ? "" : "none";
+  } catch (e) { /* open server */ }
+  // unread notifications badge (live via SSE)
+  const badge = document.getElementById("notif-badge");
+  const refreshBadge = async () => {
+    try {
+      const { count } = await api("/notifications/unread/count");
+      badge.textContent = count > 0 ? String(count) : "";
+      badge.style.display = count > 0 ? "" : "none";
+    } catch (e) { badge.style.display = "none"; }
+  };
+  refreshBadge();
+  subscribe("/notifications/stream", refreshBadge);
+  window.addEventListener("hashchange", navigate);
+  await navigate();
+}

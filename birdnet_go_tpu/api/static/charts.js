@@ -1,0 +1,280 @@
+/* SVG chart components following the dataviz mark specs:
+   bars ≤24px with 4px rounded data-end (square baseline), 2px lines,
+   hairline solid gridlines one step off-surface, ≥8px markers with 2px
+   surface ring, per-mark hover tooltips (bars/cells) and a crosshair
+   tooltip on lines. Labels/values wear text tokens, never series color. */
+
+import { el, fmtNum } from "./app.js";
+
+const NS = "http://www.w3.org/2000/svg";
+
+function svgEl(tag, attrs = {}) {
+  const node = document.createElementNS(NS, tag);
+  for (const [k, v] of Object.entries(attrs)) node.setAttribute(k, v);
+  return node;
+}
+
+function niceTicks(max, n = 4) {
+  if (max <= 0) return [0, 1];
+  const step = Math.pow(10, Math.floor(Math.log10(max / n)));
+  const err = max / n / step;
+  const mult = err >= 7.5 ? 10 : err >= 3.5 ? 5 : err >= 1.5 ? 2 : 1;
+  const s = step * mult;
+  const ticks = [];
+  for (let v = 0; v <= max + s * 0.001; v += s) ticks.push(v);
+  return ticks;
+}
+
+function chartFrame(width, height, pad) {
+  const svg = svgEl("svg", {
+    viewBox: `0 0 ${width} ${height}`,
+    role: "img", preserveAspectRatio: "xMidYMid meet",
+  });
+  const wrap = el("div", { class: "chart" });
+  const tip = el("div", { class: "tooltip" });
+  wrap.append(svg, tip);
+  return { wrap, svg, tip, plotW: width - pad.l - pad.r,
+           plotH: height - pad.t - pad.b };
+}
+
+function showTip(wrap, tip, x, y, rows) {
+  tip.replaceChildren(...rows.map(([lbl, val]) => el("div", {},
+    el("span", { class: "val" }, val), " ",
+    el("span", { class: "lbl" }, lbl))));
+  tip.style.display = "block";
+  const r = wrap.getBoundingClientRect();
+  const tw = tip.offsetWidth, th = tip.offsetHeight;
+  let px = x - r.left + 12, py = y - r.top - th - 8;
+  if (px + tw > r.width) px = x - r.left - tw - 12;
+  if (py < 0) py = y - r.top + 12;
+  tip.style.left = px + "px";
+  tip.style.top = py + "px";
+}
+
+function grid(svg, pad, plotW, plotH, ticks, max, fmt = fmtNum) {
+  for (const v of ticks) {
+    const y = pad.t + plotH - (v / max) * plotH;
+    svg.append(svgEl("line", {
+      x1: pad.l, x2: pad.l + plotW, y1: y, y2: y,
+      stroke: "var(--border)", "stroke-width": 1 }));
+    const lbl = svgEl("text", {
+      x: pad.l - 6, y: y + 3.5, "text-anchor": "end",
+      "font-size": 10.5, fill: "var(--text-muted)" });
+    lbl.textContent = fmt(v);
+    svg.append(lbl);
+  }
+}
+
+/** Vertical bar chart: data = [{label, value}]. Sequential single-hue. */
+export function barChart(data, { height = 180, color = "var(--seq-400)",
+                                 xLabelEvery = 1, fmt = fmtNum } = {}) {
+  const pad = { l: 42, r: 8, t: 8, b: 22 };
+  const width = 640;
+  const { wrap, svg, tip, plotW, plotH } = chartFrame(width, height, pad);
+  if (!data.length) { wrap.append(el("div", { class: "empty" }, "No data")); return wrap; }
+  const max = Math.max(...data.map((d) => d.value), 1);
+  const ticks = niceTicks(max);
+  grid(svg, pad, plotW, plotH, ticks, ticks[ticks.length - 1], fmt);
+  const band = plotW / data.length;
+  const bw = Math.min(24, band - 2);             // ≤24px, 2px surface gap
+  data.forEach((d, i) => {
+    const h = Math.max(0, (d.value / ticks[ticks.length - 1]) * plotH);
+    const x = pad.l + i * band + (band - bw) / 2;
+    const y = pad.t + plotH - h;
+    const r = Math.min(4, bw / 2, h);            // rounded data-end only
+    const path = svgEl("path", {
+      d: `M${x},${pad.t + plotH} V${y + r} Q${x},${y} ${x + r},${y}`
+        + ` H${x + bw - r} Q${x + bw},${y} ${x + bw},${y + r}`
+        + ` V${pad.t + plotH} Z`,
+      fill: color });
+    // hit target wider than the mark
+    const hit = svgEl("rect", {
+      x: pad.l + i * band, y: pad.t, width: band, height: plotH,
+      fill: "transparent" });
+    hit.addEventListener("pointermove", (ev) => {
+      path.setAttribute("opacity", "0.8");
+      showTip(wrap, tip, ev.clientX, ev.clientY,
+              [[d.label, fmt(d.value)]]);
+    });
+    hit.addEventListener("pointerleave", () => {
+      path.removeAttribute("opacity");
+      tip.style.display = "none";
+    });
+    svg.append(path, hit);
+    if (i % xLabelEvery === 0) {
+      const lbl = svgEl("text", {
+        x: x + bw / 2, y: height - 7, "text-anchor": "middle",
+        "font-size": 10.5, fill: "var(--text-muted)" });
+      lbl.textContent = d.label;
+      svg.append(lbl);
+    }
+  });
+  return wrap;
+}
+
+/** Horizontal bars for ranked categories: data = [{label, value}]. */
+export function hBarChart(data, { color = "var(--seq-400)",
+                                  fmt = fmtNum } = {}) {
+  const rowH = 26, pad = { l: 150, r: 52, t: 4, b: 4 };
+  const width = 640, height = pad.t + pad.b + data.length * rowH;
+  const { wrap, svg, tip } = chartFrame(width, height, pad);
+  if (!data.length) { wrap.append(el("div", { class: "empty" }, "No data")); return wrap; }
+  const plotW = width - pad.l - pad.r;
+  const max = Math.max(...data.map((d) => d.value), 1);
+  data.forEach((d, i) => {
+    const w = Math.max(2, (d.value / max) * plotW);
+    const y = pad.t + i * rowH + (rowH - 16) / 2;
+    const r = Math.min(4, w);
+    const bar = svgEl("path", {
+      d: `M${pad.l},${y} H${pad.l + w - r} Q${pad.l + w},${y} `
+        + `${pad.l + w},${y + r > y + 8 ? y + 8 : y + 4}`
+        + ` V${y + 16 - 4} Q${pad.l + w},${y + 16} ${pad.l + w - r},${y + 16}`
+        + ` H${pad.l} Z`,
+      fill: color });
+    const name = svgEl("text", {
+      x: pad.l - 8, y: y + 12, "text-anchor": "end", "font-size": 11.5,
+      fill: "var(--text-secondary)" });
+    name.textContent = d.label.length > 22 ? d.label.slice(0, 21) + "…" : d.label;
+    const val = svgEl("text", {
+      x: pad.l + w + 6, y: y + 12, "font-size": 11,
+      fill: "var(--text-primary)", "font-weight": 600 });
+    val.textContent = fmt(d.value);
+    const hit = svgEl("rect", { x: 0, y: pad.t + i * rowH, width, height: rowH,
+                                fill: "transparent" });
+    hit.addEventListener("pointermove", (ev) =>
+      showTip(wrap, tip, ev.clientX, ev.clientY, [[d.label, fmt(d.value)]]));
+    hit.addEventListener("pointerleave", () => tip.style.display = "none");
+    svg.append(bar, name, val, hit);
+  });
+  return wrap;
+}
+
+/** Line chart with crosshair tooltip. series = [{name, color, points:
+    [{x label, y}]}] — all series share x positions. */
+export function lineChart(series, { height = 200, fmt = fmtNum } = {}) {
+  const pad = { l: 42, r: 10, t: 10, b: 22 };
+  const width = 640;
+  const { wrap, svg, tip, plotW, plotH } = chartFrame(width, height, pad);
+  const n = series[0]?.points.length || 0;
+  if (!n) { wrap.append(el("div", { class: "empty" }, "No data")); return wrap; }
+  const max = Math.max(...series.flatMap((s) => s.points.map((p) => p.y)), 1);
+  const ticks = niceTicks(max);
+  const top = ticks[ticks.length - 1];
+  grid(svg, pad, plotW, plotH, ticks, top, fmt);
+  const xAt = (i) => pad.l + (n === 1 ? plotW / 2 : (i / (n - 1)) * plotW);
+  const yAt = (v) => pad.t + plotH - (v / top) * plotH;
+  for (const s of series) {
+    const dAttr = s.points.map((p, i) =>
+      `${i === 0 ? "M" : "L"}${xAt(i).toFixed(1)},${yAt(p.y).toFixed(1)}`).join(" ");
+    if (s.area) {
+      svg.append(svgEl("path", {
+        d: `${dAttr} L${xAt(n - 1)},${pad.t + plotH} L${xAt(0)},${pad.t + plotH} Z`,
+        fill: s.color, opacity: 0.1 }));
+    }
+    svg.append(svgEl("path", {
+      d: dAttr, fill: "none", stroke: s.color, "stroke-width": 2,
+      "stroke-linejoin": "round", "stroke-linecap": "round" }));
+    // end marker: ≥8px with 2px surface ring
+    const last = s.points[n - 1];
+    svg.append(svgEl("circle", { cx: xAt(n - 1), cy: yAt(last.y), r: 6,
+                                 fill: "var(--surface-1)" }));
+    svg.append(svgEl("circle", { cx: xAt(n - 1), cy: yAt(last.y), r: 4,
+                                 fill: s.color }));
+  }
+  // x labels (sparse)
+  const every = Math.ceil(n / 8);
+  series[0].points.forEach((p, i) => {
+    if (i % every !== 0 && i !== n - 1) return;
+    const lbl = svgEl("text", { x: xAt(i), y: height - 7,
+      "text-anchor": "middle", "font-size": 10.5, fill: "var(--text-muted)" });
+    lbl.textContent = p.x;
+    svg.append(lbl);
+  });
+  // crosshair + one tooltip for every series at the snapped X
+  const cross = svgEl("line", { y1: pad.t, y2: pad.t + plotH,
+    stroke: "var(--text-muted)", "stroke-width": 1, visibility: "hidden" });
+  svg.append(cross);
+  const hit = svgEl("rect", { x: pad.l, y: pad.t, width: plotW, height: plotH,
+                              fill: "transparent" });
+  hit.addEventListener("pointermove", (ev) => {
+    const box = svg.getBoundingClientRect();
+    const fx = (ev.clientX - box.left) * (width / box.width);
+    const i = Math.max(0, Math.min(n - 1,
+      Math.round((fx - pad.l) / (plotW / Math.max(1, n - 1)))));
+    cross.setAttribute("x1", xAt(i));
+    cross.setAttribute("x2", xAt(i));
+    cross.setAttribute("visibility", "visible");
+    showTip(wrap, tip, ev.clientX, ev.clientY,
+            [[series[0].points[i].x, ""]].concat(
+              series.map((s) => [s.name, fmt(s.points[i].y)])));
+  });
+  hit.addEventListener("pointerleave", () => {
+    cross.setAttribute("visibility", "hidden");
+    tip.style.display = "none";
+  });
+  svg.append(hit);
+  if (series.length >= 2) {
+    const legend = el("div", { class: "legend" }, series.map((s) =>
+      el("span", {}, el("span", { class: "key",
+                                  style: `background:${s.color}` }), s.name)));
+    wrap.append(legend);
+  }
+  return wrap;
+}
+
+/** Heatmap grid: rows × cols with sequential fill.
+    data = {rows: [label], cols: [label], values: [[v]]}. */
+export function heatmap(data, { fmt = fmtNum } = {}) {
+  const cell = 17, gap = 2;
+  const pad = { l: 78, t: 4, r: 4, b: 20 };
+  const width = pad.l + data.cols.length * (cell + gap) + pad.r;
+  const height = pad.t + data.rows.length * (cell + gap) + pad.b;
+  const { wrap, svg, tip } = chartFrame(width, height, pad);
+  const max = Math.max(...data.values.flat(), 1);
+  const ramp = ["var(--seq-150)", "var(--seq-250)", "var(--seq-400)",
+                "var(--seq-550)", "var(--seq-700)"];
+  data.rows.forEach((rl, ri) => {
+    const name = svgEl("text", { x: pad.l - 6, y: pad.t + ri * (cell + gap) + cell - 4,
+      "text-anchor": "end", "font-size": 10.5, fill: "var(--text-secondary)" });
+    name.textContent = rl.length > 12 ? rl.slice(0, 11) + "…" : rl;
+    svg.append(name);
+    data.cols.forEach((cl, ci) => {
+      const v = data.values[ri][ci] || 0;
+      const idx = v === 0 ? -1
+        : Math.min(ramp.length - 1, Math.floor((v / max) * ramp.length));
+      const rect = svgEl("rect", {
+        x: pad.l + ci * (cell + gap), y: pad.t + ri * (cell + gap),
+        width: cell, height: cell, rx: 3,
+        fill: idx < 0 ? "var(--surface-2)" : ramp[idx] });
+      rect.addEventListener("pointermove", (ev) =>
+        showTip(wrap, tip, ev.clientX, ev.clientY, [[`${rl} · ${cl}`, fmt(v)]]));
+      rect.addEventListener("pointerleave", () => tip.style.display = "none");
+      svg.append(rect);
+    });
+  });
+  data.cols.forEach((cl, ci) => {
+    if (ci % Math.ceil(data.cols.length / 12) !== 0) return;
+    const lbl = svgEl("text", { x: pad.l + ci * (cell + gap) + cell / 2,
+      y: height - 6, "text-anchor": "middle", "font-size": 10,
+      fill: "var(--text-muted)" });
+    lbl.textContent = cl;
+    svg.append(lbl);
+  });
+  return wrap;
+}
+
+/** 12-point sparkline for stat tiles (de-emphasis hue). */
+export function sparkline(values, { width = 110, height = 30 } = {}) {
+  const svg = svgEl("svg", { viewBox: `0 0 ${width} ${height}`,
+                             style: `width:${width}px;height:${height}px` });
+  if (!values.length) return svg;
+  const max = Math.max(...values, 1);
+  const pts = values.map((v, i) =>
+    `${(i / Math.max(1, values.length - 1)) * (width - 6) + 3},`
+    + `${height - 3 - (v / max) * (height - 8)}`);
+  svg.append(svgEl("path", { d: "M" + pts.join(" L"), fill: "none",
+    stroke: "var(--seq-250)", "stroke-width": 2, "stroke-linecap": "round" }));
+  const [lx, ly] = pts[pts.length - 1].split(",");
+  svg.append(svgEl("circle", { cx: lx, cy: ly, r: 3, fill: "var(--seq-400)" }));
+  return svg;
+}

@@ -1,0 +1,142 @@
+/* Analytics: species ranking, daily trend, hour×date heatmap, confidence
+   histogram, diversity, accumulation, new species, dawn onset. */
+
+import { api, el, fmtNum, t } from "../app.js";
+import { barChart, hBarChart, heatmap, lineChart } from "../charts.js";
+
+export async function analyticsView(outlet) {
+  outlet.append(el("h1", {}, t("analytics")));
+
+  // one filter row scoping everything below
+  const range = el("select", {},
+    el("option", { value: "30" }, t("last30")),
+    el("option", { value: "7" }, t("last7")),
+    el("option", { value: "90" }, "Last 90 days"),
+    el("option", { value: "365" }, "Last year"));
+  outlet.append(el("div", { class: "filters" }, range,
+    el("button", { class: "primary", onclick: render }, t("apply"))));
+
+  const grid = el("div", {});
+  outlet.append(grid);
+  await render();
+
+  async function render() {
+    grid.replaceChildren();
+    const days = Number(range.value);
+    const from = iso(days - 1), to = iso(0);
+
+    const card = (title, node) =>
+      el("div", { class: "card" }, el("h2", {}, title), node);
+
+    // top species (horizontal bars — ranked magnitude, sequential hue)
+    try {
+      const res = await api(`/analytics/summary?from=${from}&to=${to}`);
+      const rows = (Array.isArray(res) ? res : res.species || res.summary || [])
+        .slice(0, 12);
+      grid.append(card("Top species", hBarChart(rows.map((r) => ({
+        label: r.common_name || r.scientific_name, value: r.count })))));
+    } catch (e) { grid.append(card("Top species", err(e))); }
+
+    const two = el("div", { class: "grid cols-2" });
+    grid.append(two);
+
+    // daily trend
+    try {
+      const res = await api(`/analytics/daily?from=${from}&to=${to}`);
+      const rows = Array.isArray(res) ? res : res.daily || [];
+      two.append(card("Detections per day", lineChart([{
+        name: "detections", color: "var(--series-1)", area: true,
+        points: rows.map((r) => ({ x: (r.date || "").slice(5),
+                                   y: r.count ?? r.total ?? 0 })),
+      }])));
+    } catch (e) { two.append(card("Detections per day", err(e))); }
+
+    // confidence histogram
+    try {
+      const res = await api("/analytics/confidence");
+      const bins = Array.isArray(res) ? res : res.bins || res.histogram || [];
+      two.append(card("Confidence distribution", barChart(bins.map((v, i) => ({
+        label: `${(i / bins.length).toFixed(1)}`, value: v })),
+        { xLabelEvery: 2, height: 170 })));
+    } catch (e) { two.append(card("Confidence distribution", err(e))); }
+
+    // date × hour heatmap ({date: int[24]} from the API)
+    try {
+      const res = await api(`/analytics/heatmap?from=${from}&to=${to}`);
+      const dates = Object.keys(res).sort().slice(-21);
+      grid.append(card("Activity heatmap (date × hour)", dates.length
+        ? heatmap({ rows: dates.map((d) => d.slice(5)),
+                    cols: [...Array(24).keys()].map(String),
+                    values: dates.map((d) => res[d]) })
+        : el("div", { class: "empty" }, t("no_data"))));
+    } catch (e) { grid.append(card("Activity heatmap", err(e))); }
+
+    const three = el("div", { class: "grid cols-2" });
+    grid.append(three);
+
+    // accumulation curve
+    try {
+      const res = await api(`/analytics/accumulation?from=${from}&to=${to}`);
+      const rows = Array.isArray(res) ? res : res.accumulation || [];
+      three.append(card("Species accumulation", lineChart([{
+        name: "cumulative species", color: "var(--series-3)",
+        points: rows.map((r) => ({ x: (r.date || "").slice(5),
+                                   y: r.cumulative_species ?? r.species
+                                     ?? r.count ?? 0 })),
+      }])));
+    } catch (e) { three.append(card("Species accumulation", err(e))); }
+
+    // diversity tiles ({richness, shannon, detections})
+    try {
+      const d = await api(`/analytics/diversity?from=${from}&to=${to}`);
+      three.append(el("div", { class: "card" },
+        el("h2", {}, "Diversity"),
+        el("div", { class: "grid cols-2" },
+          tile("Species richness", d.richness),
+          tile("Shannon index", round2(d.shannon)),
+          tile("Detections", fmtNum(d.detections)))));
+    } catch (e) { three.append(card("Diversity", err(e))); }
+
+    // new species + dawn onset
+    const four = el("div", { class: "grid cols-2" });
+    grid.append(four);
+    try {
+      const res = await api("/analytics/species/first-seen");
+      const rows = (Array.isArray(res) ? res : res.species || []).slice(0, 10);
+      four.append(el("div", { class: "card" },
+        el("h2", {}, "Newest species"),
+        table(["Species", "First seen"], rows.map((r) => [
+          r.common_name || r.scientific_name, r.first_date || "–"]))));
+    } catch (e) { four.append(card("Newest species", err(e))); }
+    try {
+      const res = await api(`/analytics/dawn-onset?from=${from}&to=${to}`);
+      const rows = (res.dawn_onset || []).slice(-10);
+      four.append(el("div", { class: "card" },
+        el("h2", {}, "Dawn onset (min after civil dawn)"),
+        rows.length
+          ? table(["Date", "Species", "Δ dawn (min)"], rows.map((r) => [
+              r.date, r.common_name || r.scientific_name,
+              String(r.minutes_after_dawn)]))
+          : el("div", { class: "empty" }, "Needs a configured location")));
+    } catch (e) { four.append(card("Dawn onset", err(e))); }
+  }
+
+  function tile(label, value) {
+    return el("div", { class: "stat" },
+      el("div", { class: "label" }, label),
+      el("div", { class: "value" }, value ?? "–"));
+  }
+}
+
+function iso(daysAgo) {
+  return new Date(Date.now() - daysAgo * 86400e3).toISOString().slice(0, 10);
+}
+function round2(v) { return v == null ? null : Math.round(v * 100) / 100; }
+function err(e) { return el("div", { class: "empty" }, e.message); }
+
+function table(headers, rows) {
+  return el("table", { class: "data" },
+    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
+    el("tbody", {}, rows.map((r) =>
+      el("tr", {}, r.map((c) => el("td", {}, c))))));
+}

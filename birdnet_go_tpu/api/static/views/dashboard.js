@@ -1,0 +1,178 @@
+/* Dashboard: KPI row, recent detection cards with spectrograms, live audio
+   + client-side live spectrogram (WebAudio AnalyserNode over the chunked
+   live-WAV stream — same pattern the reference's SPA uses over HLS),
+   daily activity, stream health. */
+
+import { api, el, clear, fmtNum, fmtTime, confMeter, t, subscribe } from "../app.js";
+import { barChart, sparkline } from "../charts.js";
+
+export async function dashboardView(outlet) {
+  outlet.append(el("h1", {}, t("dashboard")));
+  const kpiRow = el("div", { class: "grid cols-4" });
+  const liveCard = el("div", { class: "card" });
+  const activityCard = el("div", { class: "card" });
+  const cardsWrap = el("div", {},
+    el("h2", {}, t("recent_detections")),
+    el("div", { class: "det-cards", id: "det-cards" }));
+  const healthCard = el("div", { class: "card" });
+  outlet.append(kpiRow, el("div", { class: "grid cols-2" },
+                           liveCard, activityCard), cardsWrap, healthCard);
+
+  // KPI row
+  try {
+    const [kpis, daily] = await Promise.all([
+      api("/analytics/dashboard/kpis"),
+      api(`/analytics/daily?from=${isoDaysAgo(13)}&to=${isoDaysAgo(0)}`),
+    ]);
+    const byDay = Array.isArray(daily) ? daily : (daily.daily || []);
+    const counts = byDay.map((d) => d.count ?? d.total ?? 0);
+    kpiRow.append(
+      stat("Detections today", kpis.detections_today,
+           `${fmtNum(kpis.detections_total)} total`, counts),
+      stat("Species today", kpis.species_today,
+           `${fmtNum(kpis.species_total)} all time`),
+      stat("Active sources", kpis.sources_active),
+      stat("Models", kpis.models_loaded.length,
+           kpis.models_loaded.join(", ")));
+  } catch (e) { kpiRow.append(el("div", { class: "empty" }, e.message)); }
+
+  // live audio + analyser spectrogram
+  await renderLive(liveCard);
+
+  // daily activity bars
+  try {
+    const byHour = await api("/analytics/hourly");   // bare int[24]
+    activityCard.append(el("h2", {}, "Activity by hour"),
+      barChart(byHour.map((v, h) => ({ label: String(h), value: v })),
+               { xLabelEvery: 3, height: 170 }));
+  } catch (e) { activityCard.append(el("div", { class: "empty" }, e.message)); }
+
+  await renderCards();
+  subscribe("/detections/stream", () => renderCards());
+
+  async function renderCards() {
+    const host = document.getElementById("det-cards");
+    if (!host) return;
+    try {
+      const recent = await api("/detections/recent?limit=8");
+      const rows = Array.isArray(recent) ? recent : (recent.detections || []);
+      clear(host);
+      if (!rows.length) host.append(el("div", { class: "empty" }, t("no_data")));
+      for (const d of rows) {
+        const img = el("img", { class: "spec", loading: "lazy", alt: "",
+          src: `/api/v2/spectrogram/${d.id}?size=sm` });
+        img.addEventListener("error", () => img.remove());
+        host.append(el("div", { class: "det-card" },
+          d.clip_name ? img : null,
+          el("div", { class: "body" },
+            el("div", { class: "common" }, d.common_name || d.scientific_name),
+            el("div", { class: "sci" }, d.scientific_name),
+            el("div", { class: "meta" },
+              confMeter(d.confidence), " · ", fmtTime(d.timestamp)),
+            el("div", { class: "row", style: "margin-top:6px" },
+              d.clip_name ? el("audio", { controls: "", preload: "none",
+                style: "width:100%;height:28px",
+                src: `/api/v2/audio/${d.id}` }) : null))));
+      }
+    } catch (e) { /* keep previous render */ }
+  }
+
+  // stream health
+  try {
+    const health = await api("/streams/health");
+    const entries = Object.entries(health.sources || health);
+    healthCard.append(el("h2", {}, "Sources"));
+    if (!entries.length) {
+      healthCard.append(el("div", { class: "empty" }, "No audio sources configured"));
+    } else {
+      const tbl = el("table", { class: "data" },
+        el("thead", {}, el("tr", {},
+          el("th", {}, t("source")), el("th", {}, "Status"),
+          el("th", { class: "num" }, "Buffered (s)"),
+          el("th", { class: "num" }, "Last audio (s ago)"))));
+      const tb = el("tbody");
+      for (const [sid, h] of entries) {
+        const age = h.last_ingest_age_s;
+        const ok = age !== null && age !== undefined && age < 30;
+        tb.append(el("tr", {},
+          el("td", {}, sid),
+          el("td", {}, el("span", { class: "pill " + (ok ? "good" : "bad") },
+                          ok ? "live" : "silent")),
+          el("td", { class: "num" },
+             (h.capture_seconds_buffered ?? 0).toFixed(1)),
+          el("td", { class: "num" }, age == null ? "–" : age.toFixed(1))));
+      }
+      tbl.append(tb);
+      healthCard.append(tbl);
+    }
+  } catch (e) { healthCard.append(el("div", { class: "empty" }, e.message)); }
+
+  function stat(label, value, hint, trend) {
+    return el("div", { class: "stat" },
+      el("div", { class: "label" }, label),
+      el("div", { class: "value" }, fmtNum(value)),
+      hint ? el("div", { class: "hint" }, hint) : null,
+      trend && trend.length ? sparkline(trend.slice(-12)) : null);
+  }
+}
+
+function isoDaysAgo(n) {
+  const d = new Date(Date.now() - n * 86400e3);
+  return d.toISOString().slice(0, 10);
+}
+
+async function renderLive(card) {
+  card.append(el("h2", {}, t("live_audio")));
+  let sources = [];
+  try {
+    const health = await api("/streams/health");
+    sources = Object.keys(health.sources || health);
+  } catch (e) { /* none */ }
+  if (!sources.length) {
+    card.append(el("div", { class: "empty" }, "No live sources"));
+    return;
+  }
+  const sel = el("select", {}, sources.map((s) => el("option", { value: s }, s)));
+  const playBtn = el("button", { class: "primary" }, "▶ Listen");
+  const canvas = el("canvas", { class: "livespec", width: 800, height: 160 });
+  card.append(el("div", { class: "row", style: "margin-bottom:8px" },
+                 sel, playBtn), canvas);
+
+  let audio = null, ctx = null, raf = 0;
+  playBtn.addEventListener("click", async () => {
+    if (audio) { stop(); return; }
+    playBtn.textContent = "■ Stop";
+    audio = new Audio(`/api/v2/audio/live/${encodeURIComponent(sel.value)}`);
+    audio.crossOrigin = "anonymous";
+    ctx = new (window.AudioContext || window.webkitAudioContext)();
+    const src = ctx.createMediaElementSource(audio);
+    const analyser = ctx.createAnalyser();
+    analyser.fftSize = 1024;
+    src.connect(analyser);
+    analyser.connect(ctx.destination);
+    await audio.play().catch(() => stop());
+    const bins = new Uint8Array(analyser.frequencyBinCount);
+    const g = canvas.getContext("2d");
+    const draw = () => {
+      analyser.getByteFrequencyData(bins);
+      // scroll left one column, paint the new column (waterfall)
+      g.drawImage(canvas, -2, 0);
+      for (let y = 0; y < canvas.height; y++) {
+        const bin = Math.floor((1 - y / canvas.height) * bins.length * 0.8);
+        const v = bins[bin] / 255;
+        g.fillStyle = `rgba(${Math.round(40 + 200 * v)},`
+          + `${Math.round(90 + 120 * v)},${Math.round(190 + 65 * v)},`
+          + `${v < 0.04 ? 0.08 : 0.25 + 0.75 * v})`;
+        g.fillRect(canvas.width - 2, y, 2, 1);
+      }
+      raf = requestAnimationFrame(draw);
+    };
+    draw();
+  });
+  function stop() {
+    playBtn.textContent = "▶ Listen";
+    cancelAnimationFrame(raf);
+    if (audio) { audio.pause(); audio.src = ""; audio = null; }
+    if (ctx) { ctx.close(); ctx = null; }
+  }
+}

@@ -1,0 +1,213 @@
+/* Detections browser: advanced search filters, paging, per-row review /
+   lock / delete / comments / audio, and bulk actions over a selection. */
+
+import { api, el, clear, fmtTime, confMeter, toast, t } from "../app.js";
+
+export async function detectionsView(outlet) {
+  outlet.append(el("h1", {}, t("detections")));
+
+  const state = { limit: 50, offset: 0, filters: {} };
+
+  // ---- filter row (date range first) ----
+  const range = el("select", {},
+    el("option", { value: "7" }, t("last7")),
+    el("option", { value: "1" }, t("today")),
+    el("option", { value: "30" }, t("last30")),
+    el("option", { value: "" }, t("all_time")));
+  const species = el("input", { placeholder: t("species"), size: 18 });
+  const minConf = el("input", { placeholder: "min conf", size: 7,
+                                type: "number", step: "0.05", min: 0, max: 1 });
+  const verified = el("select", {},
+    el("option", { value: "" }, "any review"),
+    el("option", { value: "correct" }, t("correct")),
+    el("option", { value: "false_positive" }, t("false_positive")),
+    el("option", { value: "unreviewed" }, "unreviewed"));
+  const applyBtn = el("button", { class: "primary" }, t("apply"));
+  outlet.append(el("div", { class: "filters" },
+    range, species, minConf, verified, applyBtn));
+
+  // ---- bulk bar ----
+  const bulkInfo = el("span", { class: "sub" }, "");
+  const bulkBar = el("div", { class: "row", style: "margin-bottom:8px" },
+    el("button", { class: "small", onclick: () => bulk("review", "correct") },
+       "✓ " + t("correct")),
+    el("button", { class: "small",
+                   onclick: () => bulk("review", "false_positive") },
+       "✗ " + t("false_positive")),
+    el("button", { class: "small danger", onclick: () => bulk("delete") },
+       t("delete")),
+    bulkInfo);
+  bulkBar.style.display = "none";
+  outlet.append(bulkBar);
+
+  const tableCard = el("div", { class: "card" });
+  const pager = el("div", { class: "row" });
+  outlet.append(tableCard, pager);
+
+  applyBtn.addEventListener("click", () => { state.offset = 0; load(); });
+  await load();
+
+  function currentFilters() {
+    const f = {};
+    if (range.value) f.from = isoDaysAgo(Number(range.value) - 1);
+    if (species.value.trim()) f.species = species.value.trim();
+    if (minConf.value) f.min_confidence = Number(minConf.value);
+    if (verified.value) f.verified = verified.value;
+    return f;
+  }
+
+  function selectedIds() {
+    return [...tableCard.querySelectorAll("input.sel:checked")]
+      .map((c) => Number(c.value));
+  }
+
+  async function bulk(action, verdict) {
+    const ids = selectedIds();
+    if (!ids.length) return;
+    let ok = 0, failed = 0;
+    for (const id of ids) {
+      try {
+        if (action === "delete") await api(`/detections/${id}`, { method: "DELETE" });
+        else await api(`/detections/${id}/review`,
+                       { method: "POST", body: { verdict } });
+        ok++;
+      } catch (e) { failed++; }
+    }
+    toast(`${action}: ${ok} ok${failed ? `, ${failed} failed` : ""}`,
+          failed > 0);
+    load();
+  }
+
+  async function load() {
+    const body = { ...currentFilters(), limit: state.limit,
+                   offset: state.offset };
+    const { detections, count } = await api("/detections/search",
+                                            { method: "POST", body });
+    clear(tableCard);
+    if (!detections.length) {
+      tableCard.append(el("div", { class: "empty" }, t("no_data")));
+      bulkBar.style.display = "none";
+      return;
+    }
+    const selAll = el("input", { type: "checkbox" });
+    selAll.addEventListener("change", () => {
+      tableCard.querySelectorAll("input.sel").forEach(
+        (c) => { c.checked = selAll.checked; });
+      syncBulk();
+    });
+    const tbl = el("table", { class: "data" },
+      el("thead", {}, el("tr", {},
+        el("th", {}, selAll),
+        el("th", {}, t("date")),
+        el("th", {}, t("species")),
+        el("th", {}, t("confidence")),
+        el("th", {}, t("source")),
+        el("th", {}, "Audio"),
+        el("th", {}, ""))));
+    const tb = el("tbody");
+    for (const d of detections) tb.append(row(d));
+    tbl.append(tb);
+    tableCard.append(tbl);
+    // pager
+    clear(pager);
+    pager.append(
+      el("button", { class: "small", disabled: state.offset === 0 ? "" : null,
+        onclick: () => { state.offset = Math.max(0, state.offset - state.limit); load(); } },
+        "‹ Prev"),
+      el("span", { class: "sub" },
+         ` ${state.offset + 1}–${state.offset + detections.length} `),
+      el("button", { class: "small",
+        disabled: count < state.limit ? "" : null,
+        onclick: () => { state.offset += state.limit; load(); } }, "Next ›"));
+    syncBulk();
+  }
+
+  function syncBulk() {
+    const n = selectedIds().length;
+    bulkBar.style.display = n ? "" : "none";
+    bulkInfo.textContent = `${n} selected`;
+  }
+
+  function row(d) {
+    const sel = el("input", { class: "sel", type: "checkbox", value: d.id });
+    sel.addEventListener("change", syncBulk);
+    const actions = el("td", {}, el("div", { class: "row" },
+      el("button", { class: "small", title: t("correct"),
+        onclick: () => review(d.id, "correct") }, "✓"),
+      el("button", { class: "small", title: t("false_positive"),
+        onclick: () => review(d.id, "false_positive") }, "✗"),
+      el("button", { class: "small",
+        title: d.locked ? t("unlock") : t("lock"),
+        onclick: () => toggleLock(d) }, d.locked ? "🔓" : "🔒"),
+      el("button", { class: "small", title: "Comments",
+        onclick: (ev) => comments(ev.target.closest("tr"), d.id) }, "💬"),
+      el("button", { class: "small danger", title: t("delete"),
+        onclick: () => del(d.id) }, "🗑")));
+    return el("tr", {},
+      el("td", {}, sel),
+      el("td", {}, fmtTime(d.timestamp)),
+      el("td", {}, el("span", {},
+        el("strong", {}, d.common_name || ""), " ",
+        el("span", { class: "sub", style: "font-style:italic" },
+           d.scientific_name))),
+      el("td", {}, confMeter(d.confidence)),
+      el("td", {}, d.source_id),
+      el("td", {}, d.clip_name
+        ? el("audio", { controls: "", preload: "none",
+                        style: "height:26px;width:200px",
+                        src: `/api/v2/audio/${d.id}` })
+        : el("span", { class: "sub" }, "–")),
+      actions);
+  }
+
+  async function review(id, verdict) {
+    await api(`/detections/${id}/review`, { method: "POST",
+                                            body: { verdict } });
+    toast(`${t("review")}: ${verdict}`);
+  }
+
+  async function toggleLock(d) {
+    if (d.locked) await api(`/detections/${d.id}/lock`, { method: "DELETE" });
+    else await api(`/detections/${d.id}/lock`,
+                   { method: "POST", body: { locked: true } });
+    d.locked = !d.locked;
+    load();
+  }
+
+  async function del(id) {
+    try {
+      await api(`/detections/${id}`, { method: "DELETE" });
+      toast("Deleted");
+      load();
+    } catch (e) {
+      toast(e.status === 409 ? "Detection is locked" : e.message, true);
+    }
+  }
+
+  async function comments(tr, id) {
+    const existing = tr.nextElementSibling;
+    if (existing && existing.classList.contains("comment-row")) {
+      existing.remove();
+      return;
+    }
+    const { comments } = await api(`/detections/${id}/comments`);
+    const input = el("input", { placeholder: "Add a comment…", size: 40 });
+    const list = el("div", {}, comments.map((c) =>
+      el("div", { class: "sub" }, `• ${c.text}`)));
+    const addBtn = el("button", { class: "small primary", onclick: async () => {
+      if (!input.value.trim()) return;
+      await api(`/detections/${id}/comments`,
+                { method: "POST", body: { text: input.value.trim() } });
+      input.value = "";
+      tr.nextElementSibling.remove();
+      comments(tr, id);
+    } }, "Add");
+    const cell = el("td", { colspan: 7 },
+      el("div", { class: "row" }, input, addBtn), list);
+    tr.after(el("tr", { class: "comment-row" }, cell));
+  }
+}
+
+function isoDaysAgo(n) {
+  return new Date(Date.now() - n * 86400e3).toISOString().slice(0, 10);
+}

@@ -1,0 +1,258 @@
+/* Remaining views: notifications inbox, models gallery, species/taxonomy
+   + range filter, and BirdNET-Pi import jobs. */
+
+import { api, el, clear, fmtNum, fmtTime, toast, t, subscribe } from "../app.js";
+
+// ------------------------------------------------------------- notifications
+
+export async function notificationsView(outlet) {
+  outlet.append(el("h1", {}, t("notifications")));
+  outlet.append(el("div", { class: "row", style: "margin-bottom:10px" },
+    el("button", { onclick: async () => {
+      await api("/notifications/read-all", { method: "PUT" });
+      render();
+    } }, "Mark all read"),
+    el("button", { onclick: async () => {
+      await api("/notifications/test", { method: "POST", body: {} });
+      toast("Test notification sent");
+      render();
+    } }, "Send test")));
+  const list = el("div", { class: "card" });
+  outlet.append(list);
+  await render();
+  subscribe("/notifications/stream", render);
+
+  async function render() {
+    const { notifications } = await api("/notifications?limit=100");
+    clear(list);
+    if (!notifications.length) {
+      list.append(el("div", { class: "empty" }, t("no_data")));
+      return;
+    }
+    for (const n of notifications) {
+      list.append(el("div", { class: "notif" + (n.read ? "" : " unread") },
+        el("span", { class: "pill " + prio(n.priority) }, n.priority),
+        el("span", {},
+          el("div", { class: "title" }, n.title),
+          el("div", { class: "sub" }, n.message)),
+        el("span", { class: "time" }, fmtTime(n.timestamp)),
+        el("button", { class: "small", title: "mark read",
+          onclick: async () => {
+            await api(`/notifications/${n.id}/read`, { method: "PUT" });
+            render();
+          } }, "✓"),
+        el("button", { class: "small danger", onclick: async () => {
+          await api(`/notifications/${n.id}`, { method: "DELETE" });
+          render();
+        } }, "🗑")));
+    }
+  }
+  function prio(p) {
+    return p === "critical" ? "bad" : p === "high" ? "warn" : "info";
+  }
+}
+
+// -------------------------------------------------------------------- models
+
+export async function modelsView(outlet) {
+  outlet.append(el("h1", {}, t("models")));
+  const loadedCard = el("div", { class: "card" });
+  const catalogCard = el("div", { class: "card" });
+  outlet.append(loadedCard, catalogCard);
+  await render();
+
+  async function render() {
+    const [models, catalog, installed] = await Promise.all([
+      api("/models"), api("/models/catalog"), api("/models/installed")]);
+    const all = Array.isArray(models) ? models : models.models || [];
+    clear(loadedCard);
+    loadedCard.append(el("h2", {}, "Registry"));
+    loadedCard.append(table(
+      ["Model", "Species", "Rate", "Clip", "State", ""],
+      all.map((m) => [
+        m.display_name || m.model_id, fmtNum(m.num_species),
+        `${(m.sample_rate || 0) / 1000} kHz`,
+        `${m.clip_seconds || "?"} s`,
+        el("span", { class: "pill " + (m.loaded ? "good" : "") },
+           m.loaded ? "loaded" : "idle"),
+        m.loaded
+          ? el("button", { class: "small danger", onclick: async () => {
+              await api(`/models/unload/${m.model_id}`, { method: "POST" });
+              toast("Unloaded");
+              render();
+            } }, "Unload")
+          : el("button", { class: "small", onclick: async () => {
+              await api(`/models/load/${m.model_id}`, { method: "POST" });
+              toast("Loaded");
+              render();
+            } }, "Load")])));
+    clear(catalogCard);
+    catalogCard.append(el("h2", {}, "Catalog"));
+    const installedIds = new Set(
+      (installed || []).map((i) => i.model_id || i.id));
+    catalogCard.append(table(
+      ["Model", "Description", "Size", ""],
+      (Array.isArray(catalog) ? catalog : []).map((c) => [
+        c.model_id || c.id, c.description || "",
+        c.size_mb ? `${c.size_mb} MB` : "–",
+        installedIds.has(c.model_id || c.id)
+          ? el("div", { class: "row" },
+              el("button", { class: "small", onclick: async () => {
+                await api(`/models/load/${c.model_id || c.id}`,
+                          { method: "POST" });
+                toast("Model loaded");
+                render();
+              } }, "Load"),
+              el("button", { class: "small danger", onclick: async () => {
+                await api(`/models/installed/${c.model_id || c.id}`,
+                          { method: "DELETE" });
+                render();
+              } }, "Remove"))
+          : el("button", { class: "small primary", onclick: async () => {
+              await api(`/models/install/${c.model_id || c.id}`,
+                        { method: "POST" });
+              toast("Installing…");
+              poll(c.model_id || c.id);
+            } }, "Install")])));
+  }
+
+  async function poll(id) {
+    for (let i = 0; i < 120; i++) {
+      await new Promise((r) => setTimeout(r, 2000));
+      try {
+        const p = await api(`/models/install/${id}/progress`);
+        if (p.status !== "running") {
+          toast(`Install ${p.status}${p.error ? `: ${p.error}` : ""}`,
+                p.status === "failed");
+          render();
+          return;
+        }
+      } catch (e) { return; }
+    }
+  }
+}
+
+// ------------------------------------------------------------------- species
+
+export async function speciesView(outlet) {
+  outlet.append(el("h1", {}, t("species")));
+  const search = el("input", { placeholder: t("search") + "…", size: 26 });
+  const results = el("div", { class: "card" });
+  const rangeCard = el("div", { class: "card" });
+  outlet.append(el("div", { class: "filters" }, search), results, rangeCard);
+
+  search.addEventListener("input", debounce(async () => {
+    const q = search.value.trim();
+    clear(results);
+    if (q.length < 2) { renderDetected(); return; }
+    const { species } = await api(`/species/search?q=${encodeURIComponent(q)}`);
+    results.append(table(["Common name", "Scientific", "Taxonomy"],
+      species.map((s) => [s.common_name,
+        el("em", {}, s.scientific_name),
+        el("button", { class: "small", onclick: async (ev) => {
+          const info = await api(`/species/taxonomy?name=${
+            encodeURIComponent(s.scientific_name)}`);
+          toast(`${info.genus}${info.family ? " · " + info.family : ""}`);
+        } }, "ℹ")])));
+  }, 250));
+
+  await renderDetected();
+  async function renderDetected() {
+    const { species } = await api("/species");
+    clear(results);
+    results.append(el("h2", {}, "Detected species"));
+    if (!species.length) {
+      results.append(el("div", { class: "empty" }, t("no_data")));
+    } else {
+      results.append(table(
+        ["Species", "Count", "Max conf", "First seen", "Last seen"],
+        species.slice(0, 50).map((s) => [
+          el("span", {}, el("strong", {}, s.common_name || ""), " ",
+             el("em", { class: "sub" }, s.scientific_name)),
+          fmtNum(s.count), `${Math.round((s.max_confidence || 0) * 100)}%`,
+          s.first_seen ? fmtTime(s.first_seen) : "–",
+          s.last_seen ? fmtTime(s.last_seen) : "–"])));
+    }
+  }
+
+  // range filter
+  try {
+    const st = await api("/range/status");
+    rangeCard.append(el("h2", {}, "Range filter"),
+      el("p", { class: "sub" }, st.enabled
+        ? `${st.included_count} species included at `
+          + `(${st.latitude}, ${st.longitude}), threshold ${st.threshold}`
+        : "Disabled — set a location to enable"),
+      el("div", { class: "row" },
+        el("button", { onclick: async () => {
+          const out = await api("/range/rebuild", { method: "POST" });
+          toast(`Rebuilt: ${out.included ?? out.count ?? "ok"}`);
+        } }, "Rebuild now")));
+  } catch (e) { rangeCard.append(el("div", { class: "empty" }, e.message)); }
+}
+
+// ------------------------------------------------------------------- imports
+
+export async function importsView(outlet) {
+  outlet.append(el("h1", {}, t("imports")));
+  const path = el("input", { placeholder: "/path/to/BirdDB.txt", size: 40 });
+  const jobsCard = el("div", { class: "card" });
+  outlet.append(el("div", { class: "card" },
+    el("h2", {}, "BirdNET-Pi import"),
+    el("p", { class: "sub" },
+       "Import detections from a BirdNET-Pi BirdDB.txt log."),
+    el("div", { class: "row" }, path,
+      el("button", { class: "primary", onclick: start }, "Start import"))),
+    jobsCard);
+  await renderJobs();
+
+  async function start() {
+    try {
+      await api("/imports/birdnet-pi",
+                { method: "POST", body: { path: path.value.trim() } });
+      toast("Import started");
+      renderJobs();
+      const timer = setInterval(async () => {
+        const { jobs } = await api("/imports/jobs");
+        renderJobs();
+        if (!jobs.some((j) => j.status === "running"
+                        || j.status === "pending")) clearInterval(timer);
+      }, 1000);
+    } catch (e) { toast(e.message, true); }
+  }
+
+  async function renderJobs() {
+    const { jobs } = await api("/imports/jobs");
+    clear(jobsCard);
+    jobsCard.append(el("h2", {}, "Jobs"));
+    if (!jobs.length) {
+      jobsCard.append(el("div", { class: "empty" }, t("no_data")));
+      return;
+    }
+    jobsCard.append(table(
+      ["#", "Path", "Status", "Imported", "Skipped", "Errors", ""],
+      jobs.map((j) => [String(j.id), j.path,
+        el("span", { class: "pill " + (j.status === "completed" ? "good"
+          : j.status === "failed" ? "bad" : "info") }, j.status),
+        String(j.imported), String(j.skipped), String(j.errors),
+        (j.status === "running" || j.status === "pending")
+          ? el("button", { class: "small danger", onclick: async () => {
+              await api(`/imports/jobs/${j.id}/cancel`, { method: "POST" });
+              renderJobs();
+            } }, "Cancel") : ""])));
+  }
+}
+
+// -------------------------------------------------------------------- shared
+
+function debounce(fn, ms) {
+  let h = null;
+  return (...a) => { clearTimeout(h); h = setTimeout(() => fn(...a), ms); };
+}
+
+function table(headers, rows) {
+  return el("table", { class: "data" },
+    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
+    el("tbody", {}, rows.map((r) => el("tr", {},
+      r.map((c) => el("td", {}, c))))));
+}

@@ -1,0 +1,113 @@
+/* Settings UI: form sections generated from GET /settings, PATCHed per
+   section (server merges + emits the matching hot-reload control signals). */
+
+import { api, el, toast, t, setLang, lang, LANGS } from "../app.js";
+
+const SECTION_ORDER = [
+  "location", "models", "realtime", "export", "range_filter",
+  "privacy_filter", "dog_bark_filter", "daylight_filter",
+  "ultrasonic_filter", "dynamic_threshold", "deep_detection", "species",
+  "soundlevel", "webserver", "database", "mqtt", "birdweather", "weather",
+  "notification", "alerting", "retention", "backup", "liveness",
+];
+
+export async function settingsView(outlet) {
+  outlet.append(el("h1", {}, t("settings")));
+  outlet.append(el("div", { class: "row", style: "margin-bottom:12px" },
+    el("span", { class: "sub" }, "Language"),
+    el("select", { onchange: (e) => setLang(e.target.value) },
+      LANGS.map((c) => el("option",
+        { value: c, selected: c === lang ? "" : null }, c))),
+    el("button", { class: "right",
+      onclick: () => document.documentElement.dataset.theme =
+        document.documentElement.dataset.theme === "dark" ? "light" : "dark" },
+      "◐ Theme")));
+
+  const settings = await api("/settings");
+  const host = el("div");
+  outlet.append(host);
+
+  const sections = SECTION_ORDER.filter((s) => s in settings)
+    .concat(Object.keys(settings).filter(
+      (s) => !SECTION_ORDER.includes(s) && typeof settings[s] === "object"
+        && settings[s] !== null));
+
+  for (const name of sections) {
+    const value = settings[name];
+    if (Array.isArray(value) && name !== "models") continue;
+    host.append(sectionCard(name, value));
+  }
+
+  function sectionCard(name, value) {
+    const body = el("div");
+    const details = el("details", { class: "settings-section card" },
+      el("summary", {}, name.replaceAll("_", " ")), body);
+    if (name === "models") {
+      value.forEach((m, i) => {
+        const sub = el("div", { class: "card" },
+          el("h2", {}, m.model_id || `model ${i}`));
+        for (const [k, v] of Object.entries(m)) {
+          if (k === "model_id") continue;
+          sub.append(fieldRow(`${i}.${k}`, k, v));
+        }
+        body.append(sub);
+      });
+    } else {
+      for (const [k, v] of Object.entries(value)) {
+        if (v !== null && typeof v === "object" && !Array.isArray(v)) continue;
+        body.append(fieldRow(k, k, v));
+      }
+    }
+    body.append(el("div", { class: "row", style: "margin-top:8px" },
+      el("button", { class: "primary", onclick: save }, t("save"))));
+    return details;
+
+    async function save() {
+      const patch = {};
+      body.querySelectorAll("[data-key]").forEach((inp) => {
+        const key = inp.dataset.key;
+        let v;
+        if (inp.type === "checkbox") v = inp.checked;
+        else if (inp.dataset.type === "number")
+          v = inp.value === "" ? null : Number(inp.value);
+        else if (inp.dataset.type === "json") {
+          try { v = JSON.parse(inp.value || "null"); } catch (e) { return; }
+        } else v = inp.value === "" ? null : inp.value;
+        if (name === "models") {
+          const [idx, field] = key.split(".");
+          patch.models = patch.models || value.map((m) => ({ ...m }));
+          patch.models[Number(idx)][field] = v;
+        } else {
+          patch[key] = v;
+        }
+      });
+      try {
+        const out = name === "models"
+          ? await api("/settings", { method: "PUT", body: patch })
+          : await api(`/settings/${name}`, { method: "PATCH", body: patch });
+        const sigs = out.signals || [];
+        toast(`Saved ${name}`
+          + (sigs.length ? ` → ${sigs.join(", ")}` : ""));
+        (out.warnings || []).forEach((w) => toast(w, true));
+      } catch (e) { toast(e.message, true); }
+    }
+  }
+
+  function fieldRow(key, label, v) {
+    let input;
+    if (typeof v === "boolean") {
+      input = el("input", { type: "checkbox", "data-key": key });
+      input.checked = v;
+    } else if (typeof v === "number") {
+      input = el("input", { type: "number", step: "any", "data-key": key,
+                            "data-type": "number", value: v });
+    } else if (Array.isArray(v) || (v !== null && typeof v === "object")) {
+      input = el("input", { "data-key": key, "data-type": "json",
+                            value: JSON.stringify(v) });
+    } else {
+      input = el("input", { "data-key": key, value: v ?? "" });
+    }
+    return el("div", { class: "field-row" },
+      el("label", {}, label.replaceAll("_", " ")), input);
+  }
+}

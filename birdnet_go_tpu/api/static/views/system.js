@@ -1,0 +1,141 @@
+/* System page: health checks, resources, processes, disks, temperature,
+   inference + scheduler status, recent errors, control signals, restart,
+   support bundle, devices. */
+
+import { api, el, fmtNum, toast, t } from "../app.js";
+
+export async function systemView(outlet) {
+  outlet.append(el("h1", {}, t("system")));
+
+  const actions = el("div", { class: "row", style: "margin-bottom:14px" },
+    el("a", { class: "btn", href: "/api/v2/support/dump" }, "⬇ Support bundle"),
+    el("button", { class: "danger", onclick: restart }, "⟳ Restart server"));
+  outlet.append(actions);
+
+  const grid = el("div", { class: "grid cols-2" });
+  outlet.append(grid);
+
+  const card = (title, node) =>
+    el("div", { class: "card" }, el("h2", {}, title), node);
+
+  // health checks
+  try {
+    const h = await api("/health");
+    grid.append(card(`Health — ${h.status}`, table(
+      ["Check", "State", "Detail"],
+      h.checks.map((c) => [c.name,
+        el("span", { class: "pill " + (c.healthy ? "good" : "bad") },
+           c.healthy ? "ok" : "failing"), c.detail]))));
+  } catch (e) { grid.append(card("Health", err(e))); }
+
+  // resources
+  try {
+    const r = await api("/system/resources");
+    const temp = await api("/system/temperature/cpu");
+    grid.append(card("Resources", el("div", { class: "grid cols-2" },
+      tile("Load (1m)", r.cpu?.load_1m),
+      tile("Memory used", r.memory?.used_percent != null
+           ? r.memory.used_percent + "%" : "–"),
+      tile("Disk used", r.disk?.used_percent != null
+           ? r.disk.used_percent + "%" : "–"),
+      tile("CPU temp", temp.available ? temp.celsius + " °C" : "n/a"))));
+  } catch (e) { grid.append(card("Resources", err(e))); }
+
+  // inference status (list of per-model batcher stats)
+  try {
+    const inf = await api("/system/inference");
+    const models = Array.isArray(inf) ? inf : inf.models || [];
+    grid.append(card("Inference", table(
+      ["Model", "Backend", "Batch", "Windows", "Latency (ms)"],
+      models.map((m) => [
+        m.model_id || "?", m.backend || "jax",
+        String(m.batch_size ?? "–"), fmtNum(m.windows_processed ?? 0),
+        String(m.last_latency_ms != null
+               ? Math.round(m.last_latency_ms) : "–")]))));
+  } catch (e) { grid.append(card("Inference", err(e))); }
+
+  // scheduler: {ticks, processor:{...}, jobqueue:{...}}
+  try {
+    const s = await api("/system/scheduler");
+    grid.append(card("Scheduler", el("div", { class: "grid cols-2" },
+      tile("Ticks", fmtNum(s.ticks)),
+      tile("Results processed", fmtNum(s.processor?.results_processed)),
+      tile("Approved", fmtNum(s.processor?.approved)),
+      tile("Discarded", fmtNum(s.processor?.discarded)),
+      tile("Jobs completed", fmtNum(s.jobqueue?.completed)),
+      tile("Jobs dropped", fmtNum(s.jobqueue?.dropped)))));
+  } catch (e) { grid.append(card("Scheduler", err(e))); }
+
+  // processes + disks
+  try {
+    const { processes } = await api("/system/processes?limit=8");
+    grid.append(card("Top processes", table(
+      ["PID", "Name", "RSS", "CPU s"],
+      processes.map((p) => [String(p.pid), p.name,
+        fmtNum(Math.round(p.rss_bytes / 1048576)) + " MB",
+        String(p.cpu_seconds)]))));
+  } catch (e) { grid.append(card("Processes", err(e))); }
+  try {
+    const { disks } = await api("/system/disks");
+    grid.append(card("Disks", table(
+      ["Mount", "FS", "Used"],
+      disks.map((d) => [d.mountpoint, d.fstype,
+                        `${d.used_percent}%`]))));
+  } catch (e) { grid.append(card("Disks", err(e))); }
+
+  // devices
+  try {
+    const { devices, alsa_available } = await api("/devices");
+    grid.append(card(`Audio devices (ALSA ${alsa_available ? "✓" : "–"})`,
+      devices.length ? table(["#", "ID", "Description", "PCM"],
+        devices.map((d) => [String(d.index), d.id, d.description,
+                            d.alsa_name])) :
+        el("div", { class: "empty" }, "No sound cards found")));
+  } catch (e) { grid.append(card("Audio devices", err(e))); }
+
+  // errors
+  try {
+    const errs = await api("/system/errors");
+    const rows = errs.errors || errs;
+    grid.append(card("Recent errors", rows.length
+      ? table(["Time", "Level", "Message"], rows.slice(0, 12).map((r) =>
+          [String(r.time || r.timestamp || ""), r.level || "",
+           r.message || ""]))
+      : el("div", { class: "empty" }, "No recent errors")));
+  } catch (e) { grid.append(card("Recent errors", err(e))); }
+
+  // control signals
+  try {
+    const { signals } = await api("/system/control/signals");
+    const sel = el("select", {}, signals.map((s) =>
+      el("option", { value: s }, s)));
+    grid.append(card("Control bus", el("div", { class: "row" }, sel,
+      el("button", { class: "primary", onclick: async () => {
+        await api("/system/control", { method: "POST",
+                                       body: { signal: sel.value } });
+        toast(`Signal sent: ${sel.value}`);
+      } }, "Send signal"))));
+  } catch (e) { grid.append(card("Control bus", err(e))); }
+
+  async function restart() {
+    if (!confirm("Restart the server?")) return;
+    try {
+      await api("/system/restart", { method: "POST" });
+      toast("Restarting…");
+    } catch (e) { toast(e.message, true); }
+  }
+
+  function tile(label, value) {
+    return el("div", { class: "stat" },
+      el("div", { class: "label" }, label),
+      el("div", { class: "value", style: "font-size:20px" }, value ?? "–"));
+  }
+}
+
+function err(e) { return el("div", { class: "empty" }, e.message); }
+function table(headers, rows) {
+  return el("table", { class: "data" },
+    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
+    el("tbody", {}, rows.map((r) => el("tr", {},
+      r.map((c) => el("td", {}, c))))));
+}
