@@ -89,6 +89,10 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/species/search", self.h_species_search)
         r.add_get(f"{v2}/species/taxonomy", self.h_species_taxonomy)
         r.add_get(f"{v2}/taxonomy/tree", self.h_taxonomy_tree)
+        # species images (imageprovider)
+        r.add_get(f"{v2}/media/species-image", self.h_species_image)
+        r.add_get(f"{v2}/species/thumbnail", self.h_species_thumbnail)
+        r.add_get(f"{v2}/media/species-image/stats", self.h_image_stats)
         # imports
         r.add_post(f"{v2}/imports/birdnet-pi", self.h_import_start)
         r.add_get(f"{v2}/imports/jobs", self.h_import_jobs)
@@ -572,6 +576,38 @@ class ExtendedHandlers:
                 {"scientific_name": sp.scientific,
                  "common_name": sp.common})
         return _json({"genera": len(tree), "tree": tree})
+
+    # -- species images (imageprovider) -----------------------------------------------------
+
+    async def h_species_image(self, request):
+        """Image metadata for a species (GET /media/species-image?name=)."""
+        svc = getattr(self.ctx, "images", None)
+        name = request.query.get("name", "")
+        if svc is None or not name:
+            return _json({"error": "image provider disabled" if not name
+                          else "name required"}, status=404 if svc is None
+                         else 400)
+        info = await asyncio.get_event_loop().run_in_executor(
+            None, svc.get_image, name)
+        if info is None:
+            return _json({"error": "no image"}, status=404)
+        return _json(info.as_dict())
+
+    async def h_species_thumbnail(self, request):
+        """302 to the cached thumbnail (dashboard <img> consumer)."""
+        svc = getattr(self.ctx, "images", None)
+        name = request.query.get("name", "")
+        if svc is None or not name:
+            return _json({"error": "unavailable"}, status=404)
+        info = await asyncio.get_event_loop().run_in_executor(
+            None, svc.get_image, name)
+        if info is None or not (info.thumbnail_url or info.url):
+            return _json({"error": "no image"}, status=404)
+        raise web.HTTPFound(info.thumbnail_url or info.url)
+
+    async def h_image_stats(self, request):
+        svc = getattr(self.ctx, "images", None)
+        return _json(svc.stats() if svc else {"enabled": False})
 
     # -- imports -----------------------------------------------------------------------------------
 

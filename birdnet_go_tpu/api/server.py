@@ -30,6 +30,7 @@ from birdnet_go_tpu.api.security import (
     security_middleware,
 )
 from birdnet_go_tpu.api.sse import SseBroadcaster, format_sse
+from birdnet_go_tpu.api.terminal import TerminalHandlers
 from birdnet_go_tpu.version import __version__
 
 log = logging.getLogger("birdnet_tpu.api")
@@ -61,7 +62,7 @@ def _scrub_secrets(obj):
     return obj
 
 
-class ApiServer(ExtendedHandlers, AuthHandlers):
+class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
     """HTTP server bound to an Application (birdnet_go_tpu.app)."""
 
     def __init__(self, app_ctx: Any, host: str = "0.0.0.0", port: int = 8080):
@@ -130,6 +131,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers):
         r = app.router
         v2 = "/api/v2"
         self.register_auth_routes(r, v2)
+        self.register_terminal_routes(r, v2)
         # Extended groups FIRST: static segments like /detections/new must
         # register before the dynamic /detections/{id} below.
         self.register_ext_routes(r, v2)

@@ -59,11 +59,18 @@ export async function dashboardView(outlet) {
       clear(host);
       if (!rows.length) host.append(el("div", { class: "empty" }, t("no_data")));
       for (const d of rows) {
+        // species photo first (imageprovider); falls back to spectrogram
         const img = el("img", { class: "spec", loading: "lazy", alt: "",
-          src: `/api/v2/spectrogram/${d.id}?size=sm` });
-        img.addEventListener("error", () => img.remove());
+          src: `/api/v2/species/thumbnail?name=${
+            encodeURIComponent(d.scientific_name)}` });
+        img.addEventListener("error", () => {
+          if (d.clip_name && !img.dataset.fell) {
+            img.dataset.fell = "1";
+            img.src = `/api/v2/spectrogram/${d.id}?size=sm`;
+          } else img.remove();
+        });
         host.append(el("div", { class: "det-card" },
-          d.clip_name ? img : null,
+          img,
           el("div", { class: "body" },
             el("div", { class: "common" }, d.common_name || d.scientific_name),
             el("div", { class: "sci" }, d.scientific_name),

@@ -117,6 +117,38 @@ export async function systemView(outlet) {
       } }, "Send signal"))));
   } catch (e) { grid.append(card("Control bus", err(e))); }
 
+  // browser terminal (WS ↔ PTY)
+  const termCard = el("div", { class: "card" }, el("h2", {}, "Terminal"));
+  const termOut = el("pre", { style: "background:#03060c;color:#d8e2f0;"
+    + "padding:10px;border-radius:8px;height:240px;overflow:auto;"
+    + "font-size:12px;margin:0 0 8px" });
+  const termIn = el("input", { placeholder: "command… (Enter to run)",
+                               style: "width:100%" });
+  let sock = null;
+  const connectBtn = el("button", { onclick: () => {
+    if (sock) { sock.close(); sock = null; connectBtn.textContent = "Connect"; return; }
+    const proto = location.protocol === "https:" ? "wss" : "ws";
+    sock = new WebSocket(`${proto}://${location.host}/api/v2/system/ws`);
+    sock.binaryType = "arraybuffer";
+    sock.onmessage = (ev) => {
+      const text = new TextDecoder().decode(ev.data)
+        .replace(/\x1b\[[0-9;?]*[a-zA-Z]|\x1b\][^\x07]*\x07/g, "");
+      termOut.append(text);
+      termOut.scrollTop = termOut.scrollHeight;
+    };
+    sock.onclose = () => { connectBtn.textContent = "Connect"; sock = null; };
+    connectBtn.textContent = "Disconnect";
+  } }, "Connect");
+  termIn.addEventListener("keydown", (ev) => {
+    if (ev.key === "Enter" && sock) {
+      sock.send(termIn.value + "\n");
+      termIn.value = "";
+    }
+  });
+  termCard.append(el("div", { class: "row", style: "margin-bottom:8px" },
+                     connectBtn), termOut, termIn);
+  grid.append(termCard);
+
   async function restart() {
     if (!confirm("Restart the server?")) return;
     try {

@@ -129,6 +129,28 @@ class Application:
 
         self.species_tracker = SpeciesTracker(self.datastore)
 
+        # species images (dashboard cards + thumbnail endpoint)
+        self.images = None
+        if s.imageprovider.enabled:
+            from birdnet_go_tpu.integrations.imageprovider import (
+                AvicommonsProvider,
+                ImageProviderService,
+                WikipediaProvider,
+            )
+
+            providers = []
+            for name in s.imageprovider.providers:
+                try:
+                    if name == "avicommons":
+                        providers.append(AvicommonsProvider(
+                            dataset_path=s.imageprovider.avicommons_dataset))
+                    elif name == "wikimedia":
+                        providers.append(WikipediaProvider())
+                except Exception:
+                    log.exception("image provider %s unavailable", name)
+            self.images = ImageProviderService(providers,
+                                               datastore=self.datastore)
+
         # 3. detection engine
         from birdnet_go_tpu.analysis.eventtracker import EventTracker
 

@@ -115,6 +115,16 @@ class RealtimeSettings:
 
 
 @dataclasses.dataclass
+class ImageProviderSettings:
+    """Species images for the dashboard (internal/imageprovider)."""
+
+    enabled: bool = True
+    providers: list[str] = dataclasses.field(
+        default_factory=lambda: ["avicommons", "wikimedia"])
+    avicommons_dataset: str | None = None   # path to latest.json when present
+
+
+@dataclasses.dataclass
 class SoundLevelSettings:
     """1/3-octave sound-level publication (sound_level*.go)."""
 
@@ -234,6 +244,8 @@ class Settings:
         default_factory=UltrasonicFilterSettings)
     soundlevel: SoundLevelSettings = dataclasses.field(
         default_factory=SoundLevelSettings)
+    imageprovider: ImageProviderSettings = dataclasses.field(
+        default_factory=ImageProviderSettings)
     dynamic_threshold: DynamicThresholdSettings = dataclasses.field(
         default_factory=DynamicThresholdSettings)
     deep_detection: DeepDetectionSettings = dataclasses.field(

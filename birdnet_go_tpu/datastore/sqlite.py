@@ -64,6 +64,16 @@ CREATE TABLE IF NOT EXISTS dynamic_thresholds (
     PRIMARY KEY (model_id, scientific_name)
 );
 
+CREATE TABLE IF NOT EXISTS image_cache (
+    scientific_name TEXT PRIMARY KEY,   -- lowercased key
+    url TEXT NOT NULL DEFAULT '',       -- '' = negative cache entry
+    thumbnail_url TEXT NOT NULL DEFAULT '',
+    author TEXT NOT NULL DEFAULT '',
+    license TEXT NOT NULL DEFAULT '',
+    provider TEXT NOT NULL DEFAULT '',
+    cached_at REAL NOT NULL
+);
+
 CREATE TABLE IF NOT EXISTS comments (
     id INTEGER PRIMARY KEY AUTOINCREMENT,
     detection_id INTEGER NOT NULL REFERENCES detections(id) ON DELETE CASCADE,
@@ -307,6 +317,40 @@ class Datastore:
                 "DELETE FROM comments WHERE id = ?", (comment_id,))
             self._conn.commit()
             return cur.rowcount > 0
+
+    # -- image cache (datastore ImageCache, interfaces.go:181-183) -------------------
+
+    def get_image_cache(self, scientific_lower: str) -> dict | None:
+        with self._lock:
+            r = self._conn.execute(
+                "SELECT * FROM image_cache WHERE scientific_name = ?",
+                (scientific_lower,)).fetchone()
+            return dict(r) if r else None
+
+    def get_image_cache_batch(self, names: list[str]) -> dict[str, dict]:
+        if not names:
+            return {}
+        ph = ",".join("?" * len(names))
+        with self._lock:
+            return {r["scientific_name"]: dict(r) for r in self._conn.execute(
+                f"SELECT * FROM image_cache WHERE scientific_name IN ({ph})",
+                [n.lower() for n in names])}
+
+    def save_image_cache(self, scientific_lower: str, **fields) -> None:
+        cols = ["url", "thumbnail_url", "author", "license", "provider",
+                "cached_at"]
+        vals = [fields.get(c, "" if c != "cached_at" else 0.0) for c in cols]
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO image_cache (scientific_name, url,"
+                " thumbnail_url, author, license, provider, cached_at)"
+                " VALUES (?,?,?,?,?,?,?) ON CONFLICT(scientific_name)"
+                " DO UPDATE SET url=excluded.url,"
+                " thumbnail_url=excluded.thumbnail_url,"
+                " author=excluded.author, license=excluded.license,"
+                " provider=excluded.provider, cached_at=excluded.cached_at",
+                [scientific_lower, *vals])
+            self._conn.commit()
 
     def get_reviews(self, det_id: int) -> list[dict[str, Any]]:
         with self._lock:

@@ -191,3 +191,41 @@ def test_filesystem_and_put_settings(served):
     assert set(out["updated"]) == {"realtime", "dog_bark_filter"}
     assert app.settings.realtime.interval_seconds == 22.0
     assert app.settings.dog_bark_filter.enabled is True
+
+
+def test_terminal_ws_pty_roundtrip(served):
+    """WS ↔ PTY bridge: run a command, read its output (system/ws)."""
+    import asyncio
+
+    import aiohttp
+
+    app, port = served
+
+    async def drive():
+        async with aiohttp.ClientSession() as sess:
+            async with sess.ws_connect(
+                    f"http://127.0.0.1:{port}/api/v2/system/ws") as ws:
+                await ws.send_str("echo tpu$((40+2))\n")
+                buf = ""
+                for _ in range(60):
+                    msg = await ws.receive(timeout=5)
+                    if msg.type == aiohttp.WSMsgType.BINARY:
+                        buf += msg.data.decode(errors="replace")
+                    if "tpu42" in buf:
+                        return True
+                return False
+
+    assert asyncio.new_event_loop().run_until_complete(drive())
+
+
+def test_terminal_refuses_proxied_without_auth(served):
+    app, port = served
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/system/ws",
+        headers={"X-Forwarded-For": "203.0.113.5"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=5)
+    assert e.value.code == 403
