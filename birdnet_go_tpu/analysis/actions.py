@@ -91,19 +91,13 @@ class SaveAudioAction:
                 and self.fallback_rate:
             pcm = self.fallback_pcm
             self.sample_rate = self.fallback_rate
+        from birdnet_go_tpu.audio.encode import encode_clip
+
         out = Path(self.out_path)
         out.parent.mkdir(parents=True, exist_ok=True)
-        if out.suffix.lower() == ".flac":
-            from birdnet_go_tpu.audio.flac import write_flac
-
-            write_flac(out, pcm, self.sample_rate)   # atomic inside
-            return
-        from birdnet_go_tpu.audio.wav import write_wav
-
-        tmp = out.with_suffix(out.suffix + ".tmp")
-        with open(tmp, "wb") as f:
-            write_wav(f, pcm, self.sample_rate)
-        tmp.rename(out)               # atomic temp-file+rename (reference)
+        # format by suffix: native wav/flac, ffmpeg-gated aac/opus/mp3
+        # (falls back to FLAC when ffmpeg is absent); atomic temp+rename
+        encode_clip(pcm, self.sample_rate, out)
 
 
 @dataclasses.dataclass

@@ -89,6 +89,16 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/species/search", self.h_species_search)
         r.add_get(f"{v2}/species/taxonomy", self.h_species_taxonomy)
         r.add_get(f"{v2}/taxonomy/tree", self.h_taxonomy_tree)
+        # HLS live audio (fMP4/FLAC segments — audio_hls.go contract)
+        r.add_post(f"{v2}/audio/hls/{{source}}/start", self.h_hls_start)
+        r.add_post(f"{v2}/audio/hls/{{source}}/heartbeat",
+                   self.h_hls_heartbeat)
+        r.add_post(f"{v2}/audio/hls/{{source}}/stop", self.h_hls_stop)
+        r.add_get(f"{v2}/audio/hls/{{source}}/playlist.m3u8",
+                  self.h_hls_playlist)
+        r.add_get(f"{v2}/audio/hls/{{source}}/init.mp4", self.h_hls_init)
+        r.add_get(f"{v2}/audio/hls/{{source}}/{{seg}}.m4s",
+                  self.h_hls_segment)
         # species images (imageprovider)
         r.add_get(f"{v2}/media/species-image", self.h_species_image)
         r.add_get(f"{v2}/species/thumbnail", self.h_species_thumbnail)
@@ -576,6 +586,55 @@ class ExtendedHandlers:
                 {"scientific_name": sp.scientific,
                  "common_name": sp.common})
         return _json({"genera": len(tree), "tree": tree})
+
+    # -- HLS live audio (hlsmux) ----------------------------------------------------------
+
+    async def h_hls_start(self, request):
+        sid = request.match_info["source"]
+        s = self.ctx.hls.start_session(sid)
+        if s is None:
+            return _json({"error": "unknown source"}, status=404)
+        base = f"/api/v2/audio/hls/{sid}"
+        return _json({"playlist": f"{base}/playlist.m3u8",
+                      "codec": "flac (fMP4)",
+                      "segment_seconds": s.segment_seconds})
+
+    async def h_hls_heartbeat(self, request):
+        if not self.ctx.hls.heartbeat(request.match_info["source"]):
+            return _json({"error": "no session"}, status=404)
+        return _json({"ok": True})
+
+    async def h_hls_stop(self, request):
+        return _json({"stopped": self.ctx.hls.stop_session(
+            request.match_info["source"])})
+
+    def _hls_session(self, request):
+        return self.ctx.hls.get(request.match_info["source"])
+
+    async def h_hls_playlist(self, request):
+        s = self._hls_session(request)
+        if s is None:
+            return _json({"error": "no session"}, status=404)
+        return web.Response(text=s.playlist(),
+                            content_type="application/vnd.apple.mpegurl")
+
+    async def h_hls_init(self, request):
+        s = self._hls_session(request)
+        if s is None:
+            return _json({"error": "no session"}, status=404)
+        return web.Response(body=s.init, content_type="video/mp4")
+
+    async def h_hls_segment(self, request):
+        s = self._hls_session(request)
+        if s is None:
+            return _json({"error": "no session"}, status=404)
+        name = request.match_info["seg"]
+        if not name.startswith("seg"):
+            return _json({"error": "bad segment"}, status=400)
+        seg = s.segment(int(name[3:]))
+        if seg is None:
+            return _json({"error": "segment expired"}, status=404)
+        return web.Response(body=seg, content_type="video/iso.segment")
 
     # -- species images (imageprovider) -----------------------------------------------------
 

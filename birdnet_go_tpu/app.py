@@ -206,6 +206,9 @@ class Application:
         self.engine = AudioEngine(
             specs, capture_seconds=s.realtime.capture_buffer_seconds,
             overlaps=overlaps, on_ingest=self.watchdog.data_received)
+        from birdnet_go_tpu.audio.hlsmux import HlsManager
+
+        self.hls = HlsManager(self.engine)
         self.device_loop = DeviceLoop(tick_seconds=s.realtime.tick_ms / 1000)
         for ms in enabled:
             clf = self.classifiers[ms.model_id]
@@ -776,6 +779,8 @@ class Application:
 
     def stop(self) -> None:
         self._started = False
+        if getattr(self, "hls", None) is not None:
+            self.hls.stop()
         if self.soundlevel is not None:
             self.soundlevel.stop()
         if self.watchdog is not None:

@@ -93,13 +93,36 @@ def _decode_flac_verbatim(blob: bytes) -> tuple[np.ndarray, int, bytes]:
 
 
 def test_flac_roundtrip_lossless():
+    # White noise is incompressible: the encoder falls back to VERBATIM,
+    # which this INDEPENDENT spec-level reader understands.
     rng = np.random.default_rng(0)
-    pcm = (rng.standard_normal(10000) * 8000).astype(np.int16)
+    pcm = (rng.standard_normal(10000) * 20000).astype(np.int16)
     blob = encode_flac(pcm, 48000)
     decoded, rate, md5 = _decode_flac_verbatim(blob)
     assert rate == 48000
     np.testing.assert_array_equal(decoded, pcm)
     assert md5 == hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+
+
+def test_flac_fixed_prediction_compresses_and_roundtrips():
+    """Tonal audio must come out smaller than raw (FIXED+Rice subframes)
+    and reconstruct bit-exactly via the full decoder (MD5-verified)."""
+    from birdnet_go_tpu.audio.flac import decode_flac
+
+    rng = np.random.default_rng(1)
+    t = np.arange(48000 * 3) / 48000.0
+    pcm = (3000 * np.sin(2 * np.pi * 1500 * t)
+           + 150 * rng.standard_normal(len(t))).astype(np.int16)
+    blob = encode_flac(pcm, 48000)
+    assert len(blob) < 0.8 * len(pcm) * 2          # real compression
+    decoded, rate = decode_flac(blob)
+    assert rate == 48000
+    np.testing.assert_array_equal(decoded, pcm)
+    # edge lengths round-trip too
+    for n in (1, 5, 4095, 4097):
+        x = (rng.standard_normal(n) * 500).astype(np.int16)
+        np.testing.assert_array_equal(decode_flac(encode_flac(x, 24000))[0],
+                                      x)
 
 
 def test_flac_constant_blocks_and_odd_rates():
@@ -123,6 +146,8 @@ def test_save_audio_action_flac(tmp_path):
     from birdnet_go_tpu.analysis.actions import SaveAudioAction
     from birdnet_go_tpu.audio.buffers import CaptureBuffer
 
+    from birdnet_go_tpu.audio.flac import decode_flac
+
     cb = CaptureBuffer(sample_rate=8000, capacity_seconds=5.0)
     now = time.time() - 3
     cb.write((np.arange(16000) % 256 - 128).astype(np.int16), timestamp=now)
@@ -132,7 +157,7 @@ def test_save_audio_action_flac(tmp_path):
                              sample_rate=8000)
     action.execute()
     blob = (tmp_path / "clip.flac").read_bytes()
-    decoded, rate, _ = _decode_flac_verbatim(blob)
+    decoded, rate = decode_flac(blob)
     assert rate == 8000 and len(decoded) == 16000
 
 
