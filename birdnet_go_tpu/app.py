@@ -123,8 +123,16 @@ class Application:
             self._range_filter = JaxRangeFilter(g, gparams)
             included = self._compute_included_species()
 
-        # 2. datastore
-        self.datastore = Datastore(s.database.path)
+        # 2. datastore (sqlite default; mysql via the wire-level driver)
+        if s.database.type == "mysql":
+            from birdnet_go_tpu.datastore.mysql import MySQLDatastore
+
+            self.datastore = MySQLDatastore(
+                host=s.database.host, port=s.database.port,
+                user=s.database.user, password=s.database.password,
+                database=s.database.name)
+        else:
+            self.datastore = Datastore(s.database.path)
         from birdnet_go_tpu.analysis.species_tracker import SpeciesTracker
 
         self.species_tracker = SpeciesTracker(self.datastore)

@@ -217,8 +217,14 @@ class LivenessSettings:
 
 @dataclasses.dataclass
 class DatabaseSettings:
-    type: str = "sqlite"
+    type: str = "sqlite"               # sqlite | mysql
     path: str = "data/birdnet.db"
+    # MySQL (wire-level driver, datastore/mysql.py)
+    host: str = "127.0.0.1"
+    port: int = 3306
+    user: str = "birdnet"
+    password: str = ""
+    name: str = "birdnet"
 
 
 @dataclasses.dataclass
