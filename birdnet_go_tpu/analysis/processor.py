@@ -191,10 +191,18 @@ class Processor:
                 self.stats.discard_reasons["ultrasonic filter"] = \
                     self.stats.discard_reasons.get("ultrasonic filter", 0) + 1
             return
+        from birdnet_go_tpu.taxonomy.openfauna import canonical_name
+
         for conf, idx in zip(pred.confidences, pred.indices):
             if idx < 0 or idx >= len(labels):
                 continue
             sp = labels[idx]
+            # Canonicalize legacy taxonomy (openfauna aliases) so models
+            # trained on different label vintages merge into ONE pending
+            # entry (cross-model consensus keys on scientific name).
+            canon = canonical_name(sp.scientific)
+            if canon != sp.scientific:
+                sp = Species(canon, sp.common)
             self._process_one(pred, sp, float(conf), labels)
 
     def _process_one(self, pred: WindowPrediction, sp: Species,

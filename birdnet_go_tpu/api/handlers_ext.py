@@ -62,6 +62,9 @@ class ExtendedHandlers:
         # devices / streams
         r.add_get(f"{v2}/devices", self.h_devices)
         r.add_post(f"{v2}/streams/test", self.h_stream_test)
+        r.add_post(f"{v2}/streams/analyze-channels",
+                   self.h_analyze_channels)
+        r.add_post(f"{v2}/streams/probe", self.h_stream_probe)
         r.add_get(f"{v2}/streams/health/{{source}}", self.h_stream_health_one)
         r.add_post(f"{v2}/restart-source/{{id}}", self.h_restart_source)
         r.add_get(f"{v2}/quiet-hours/status", self.h_quiet_hours)
@@ -116,6 +119,16 @@ class ExtendedHandlers:
         # support / filesystem
         r.add_get(f"{v2}/support/dump", self.h_support_dump)
         r.add_get(f"{v2}/filesystem/clips", self.h_fs_clips)
+        # aux: update check, telemetry stats, profiling, succession, ebird,
+        # openfauna metadata, speciesdict locales
+        r.add_get(f"{v2}/system/update-check", self.h_update_check)
+        r.add_get(f"{v2}/system/telemetry", self.h_telemetry_stats)
+        r.add_get(f"{v2}/debug/profile", self.h_debug_profile)
+        r.add_get(f"{v2}/analytics/succession", self.h_succession)
+        r.add_get(f"{v2}/ebird/taxonomy", self.h_ebird_taxonomy)
+        r.add_get(f"{v2}/ebird/observations", self.h_ebird_observations)
+        r.add_get(f"{v2}/species/info", self.h_species_info)
+        r.add_get(f"{v2}/species/locales", self.h_species_locales)
         # settings whole-document replace
         r.add_put(f"{v2}/settings", self.h_put_settings)
 
@@ -322,14 +335,18 @@ class ExtendedHandlers:
     async def h_devices(self, request):
         from birdnet_go_tpu.utils.sysmonitor import audio_devices
 
-        devices = audio_devices()
+        devices = audio_devices()      # /proc/asound cards + USB identity
+        alsa = False
+        pcms: list = []
         try:
             from birdnet_go_tpu import native
 
             alsa = native.alsa_available()
+            pcms = native.alsa_list_devices()   # snd_device_name_hint
         except Exception:
-            alsa = False
-        return _json({"devices": devices, "alsa_available": alsa})
+            pass
+        return _json({"devices": devices, "pcms": pcms,
+                      "alsa_available": alsa})
 
     async def h_stream_test(self, request):
         """Connectivity probe for a stream URL (POST /streams/test): DNS +
@@ -356,6 +373,28 @@ class ExtendedHandlers:
             return _json({"ok": True, "connect_ms": round(ms, 1)})
         except OSError as e:
             return _json({"ok": False, "error": str(e)})
+
+    async def h_stream_probe(self, request):
+        """Full ffprobe stream inventory (ffmpeg/probe.go)."""
+        from birdnet_go_tpu.audio.ffmpeg import probe_stream
+
+        body = await request.json()
+        out = await asyncio.get_event_loop().run_in_executor(
+            None, probe_stream, body.get("url", ""),
+            body.get("transport", "tcp"))
+        return _json(out, status=200 if out.get("ok") else 503)
+
+    async def h_analyze_channels(self, request):
+        """Per-channel RMS so the UI can pick the mic channel."""
+        from birdnet_go_tpu.audio.ffmpeg import analyze_channels
+
+        body = await request.json()
+        out = await asyncio.get_event_loop().run_in_executor(
+            None, lambda: analyze_channels(
+                body.get("url", ""),
+                seconds=float(body.get("seconds", 3.0)),
+                channels=int(body.get("channels", 2))))
+        return _json(out, status=200 if out.get("ok") else 503)
 
     async def h_stream_health_one(self, request):
         sid = request.match_info["source"]
@@ -769,6 +808,97 @@ class ExtendedHandlers:
                 files.append({"name": p.name, "size_bytes": st.st_size,
                               "modified": st.st_mtime})
         return _json({"files": files, "count": len(files)})
+
+    # -- aux: update / telemetry / profiling / taxonomy chain ---------------------------
+
+    async def h_update_check(self, request):
+        from birdnet_go_tpu.utils.update import check_for_update
+
+        out = await asyncio.get_event_loop().run_in_executor(
+            None, check_for_update)
+        return _json(out)
+
+    async def h_telemetry_stats(self, request):
+        from birdnet_go_tpu.utils import telemetry
+
+        return _json(telemetry.stats())
+
+    async def h_debug_profile(self, request):
+        """CPU profile of the running process for N seconds (reference:
+        token-gated pprof endpoints; here behind the auth middleware)."""
+        import cProfile
+        import io
+        import pstats
+
+        seconds = min(float(request.query.get("seconds", 5)), 60.0)
+        prof = cProfile.Profile()
+        prof.enable()
+        await asyncio.sleep(seconds)
+        prof.disable()
+        buf = io.StringIO()
+        pstats.Stats(prof, stream=buf).sort_stats("cumulative") \
+            .print_stats(40)
+        return web.Response(text=buf.getvalue(),
+                            content_type="text/plain")
+
+    async def h_succession(self, request):
+        q = request.query
+        return _json({"succession": self.ctx.datastore.succession(
+            date_from=q.get("from"), date_to=q.get("to"),
+            top_n=min(int(q.get("top", 10)), 50))})
+
+    @property
+    def _ebird(self):
+        if getattr(self, "_ebird_client", None) is None:
+            from birdnet_go_tpu.integrations.ebird import EBirdClient
+
+            self._ebird_client = EBirdClient(
+                api_token=self.ctx.settings.ebird.api_token)
+        return self._ebird_client
+
+    async def h_ebird_taxonomy(self, request):
+        if not self.ctx.settings.ebird.enabled:
+            return _json({"error": "ebird integration disabled"},
+                         status=503)
+        rows = await asyncio.get_event_loop().run_in_executor(
+            None, lambda: self._ebird.taxonomy(
+                species_code=request.query.get("species"),
+                scientific=request.query.get("scientific")))
+        return _json({"taxonomy": rows})
+
+    async def h_ebird_observations(self, request):
+        s = self.ctx.settings
+        if not s.ebird.enabled:
+            return _json({"error": "ebird integration disabled"},
+                         status=503)
+        if s.location.latitude is None:
+            return _json({"error": "location not configured"}, status=400)
+        rows = await asyncio.get_event_loop().run_in_executor(
+            None, lambda: self._ebird.recent_observations(
+                s.location.latitude, s.location.longitude,
+                dist_km=int(request.query.get("dist", 25))))
+        return _json({"observations": rows})
+
+    async def h_species_info(self, request):
+        """Alias resolution + class/order/family metadata (openfauna)."""
+        from birdnet_go_tpu.taxonomy.openfauna import (
+            canonical_name,
+            species_metadata,
+        )
+
+        name = request.query.get("name", "")
+        if not name:
+            return _json({"error": "name required"}, status=400)
+        canon = canonical_name(name)
+        meta = dict(species_metadata(canon) or {})
+        meta.pop("scientific_name", None)      # don't shadow the echo
+        return _json({"scientific_name": name, "canonical_name": canon,
+                      "aliased": canon != name, **meta})
+
+    async def h_species_locales(self, request):
+        from birdnet_go_tpu.taxonomy.speciesdict import available_locales
+
+        return _json({"locales": available_locales()})
 
     # -- settings PUT -------------------------------------------------------------------------------------
 

@@ -857,11 +857,24 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         return _json(generate_schema())
 
     async def h_species_dict(self, request):
-        """Locale name dictionary: scientific → localized common name
-        (reference: internal/speciesdict per-locale dictionaries)."""
-        from birdnet_go_tpu.taxonomy.labels import load_labels
+        """Locale name dictionary: scientific → localized common name.
+        Served PRECOMPRESSED when the speciesdict dataset is present
+        (reference: internal/speciesdict ships gzip blobs verbatim);
+        otherwise assembled from the label files."""
+        from birdnet_go_tpu.taxonomy.speciesdict import compressed_dictionary
 
         locale = request.match_info["locale"]
+        blob = compressed_dictionary(locale)
+        if blob is not None and "gzip" in request.headers.get(
+                "Accept-Encoding", "gzip"):
+            return web.Response(
+                body=blob,
+                headers={"Content-Type": "application/json",
+                         "Content-Encoding": "gzip",
+                         "Vary": "Accept-Encoding",
+                         "Cache-Control": "public, max-age=86400"})
+        from birdnet_go_tpu.taxonomy.labels import load_labels
+
         labels = load_labels(self.ctx.settings.data_dir, locale=locale)
         return _json({sp.scientific: sp.common for sp in labels.species})
 

@@ -267,6 +267,15 @@ class Application:
                 provider = OpenWeatherProvider(
                     s.location.latitude, s.location.longitude,
                     s.weather.openweather_api_key)
+            elif s.weather.provider == "wunderground" \
+                    and s.weather.wunderground_api_key:
+                from birdnet_go_tpu.integrations.weather import (
+                    WundergroundProvider,
+                )
+
+                provider = WundergroundProvider(
+                    s.weather.wunderground_station_id,
+                    s.weather.wunderground_api_key)
             else:
                 provider = YrNoProvider(s.location.latitude,
                                         s.location.longitude)
@@ -297,6 +306,11 @@ class Application:
                                 max_age_days=s.retention.max_age_days,
                                 max_usage_percent=s.retention.max_usage_percent),
                 datastore=self.datastore)
+
+        # telemetry (opt-in, scrubbed; no-op without a DSN)
+        from birdnet_go_tpu.utils import telemetry as _telemetry
+
+        _telemetry.configure(s.telemetry.dsn, enabled=s.telemetry.enabled)
 
         # event bus (detection + error events; alerting and future
         # consumers subscribe — internal/events analogue)
@@ -417,7 +431,7 @@ class Application:
         c.subscribe(ControlSignal.REBUILD_EXTENDED_CAPTURE,
                     lambda: log.info("extended capture settings reloaded"))
         c.subscribe(ControlSignal.RECONFIGURE_TELEMETRY,
-                    lambda: log.info("telemetry settings reloaded"))
+                    self._reconfigure_telemetry)
 
     def _reload_model_settings(self) -> None:
         """Apply per-model sensitivity/threshold/overlap changes live."""
@@ -495,6 +509,15 @@ class Application:
                 provider = OpenWeatherProvider(
                     s.location.latitude, s.location.longitude,
                     s.weather.openweather_api_key)
+            elif s.weather.provider == "wunderground" \
+                    and s.weather.wunderground_api_key:
+                from birdnet_go_tpu.integrations.weather import (
+                    WundergroundProvider,
+                )
+
+                provider = WundergroundProvider(
+                    s.weather.wunderground_station_id,
+                    s.weather.wunderground_api_key)
             else:
                 provider = YrNoProvider(s.location.latitude,
                                         s.location.longitude)
@@ -554,6 +577,13 @@ class Application:
         dyn.valid_seconds = dt.valid_hours * 3600.0
         log.info("dynamic thresholds reconfigured (trigger=%.2f)",
                  dt.trigger)
+
+    def _reconfigure_telemetry(self) -> None:
+        from birdnet_go_tpu.utils import telemetry
+
+        t = self.settings.telemetry
+        telemetry.configure(t.dsn, enabled=t.enabled)
+        log.info("telemetry reconfigured (enabled=%s)", t.enabled)
 
     def _reconfigure_quiet_hours(self) -> None:
         from birdnet_go_tpu.audio.quiet_hours import QuietHoursScheduler

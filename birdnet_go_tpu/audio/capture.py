@@ -11,9 +11,53 @@ from __future__ import annotations
 import logging
 import threading
 
+import numpy as np
+
 from birdnet_go_tpu.audio.source import AudioSource, SourceType
 
 log = logging.getLogger("birdnet_tpu.capture")
+
+
+def convert_to_s16(raw: bytes, fmt: str = "s16le",
+                   channels: int = 1) -> np.ndarray:
+    """Host-side sample-format conversion to mono int16
+    (capture.go:579-720: S24/S32/F32→S16 in the device callback — devices
+    whose native format isn't S16 convert here, not in ALSA).
+
+    Formats: s16le, s24_3le (packed 3-byte), s24le (4-byte container),
+    s32le, f32le. Multi-channel input is averaged to mono."""
+    if fmt == "s16le":
+        x = np.frombuffer(raw[:len(raw) - len(raw) % 2],
+                          dtype="<i2").astype(np.float32)
+        scale = 1.0
+    elif fmt == "s24_3le":
+        n = len(raw) // 3
+        b = np.frombuffer(raw[:n * 3], np.uint8).reshape(n, 3)
+        as32 = (b[:, 0].astype(np.uint32)
+                | (b[:, 1].astype(np.uint32) << 8)
+                | (b[:, 2].astype(np.uint32) << 16))
+        signed = as32.astype(np.int32)
+        signed = np.where(signed >= 1 << 23, signed - (1 << 24), signed)
+        x = signed.astype(np.float32)
+        scale = 1.0 / 256.0
+    elif fmt == "s24le":                # 24-bit in 32-bit container
+        x = np.frombuffer(raw[:len(raw) - len(raw) % 4],
+                          dtype="<i4").astype(np.float32)
+        scale = 1.0 / 256.0
+    elif fmt == "s32le":
+        x = np.frombuffer(raw[:len(raw) - len(raw) % 4],
+                          dtype="<i4").astype(np.float32)
+        scale = 1.0 / 65536.0
+    elif fmt == "f32le":
+        x = np.frombuffer(raw[:len(raw) - len(raw) % 4],
+                          dtype="<f4").astype(np.float32)
+        scale = 32767.0
+    else:
+        raise ValueError(f"unsupported capture format {fmt!r}")
+    if channels > 1:
+        n = len(x) // channels
+        x = x[:n * channels].reshape(n, channels).mean(axis=1)
+    return np.clip(x * scale, -32768, 32767).astype(np.int16)
 
 
 class SoundcardSource:

@@ -35,19 +35,102 @@ def ffmpeg_available() -> bool:
 
 
 def build_ffmpeg_args(url: str, sample_rate: int = 48000,
-                      transport: str = "tcp") -> list[str]:
-    """Raw-PCM-to-stdout command (audio-only media mode)."""
+                      transport: str = "tcp",
+                      media_mode: str = "audio_only",
+                      channels: int = 1) -> list[str]:
+    """Raw-PCM-to-stdout command.
+
+    media_mode (stream.go:960-968): 'audio_only' asks RTSP to SETUP only
+    the audio track (-allowed_media_types audio); some cameras refuse that,
+    so 'full' pulls the whole stream and discards video host-side."""
     args = ["ffmpeg", "-hide_banner", "-loglevel", "error", "-nostdin"]
     if url.startswith("rtsp://"):
         args += ["-rtsp_transport", transport]
+        if media_mode == "audio_only":
+            args += ["-allowed_media_types", "audio"]
     args += [
         "-i", url,
-        "-vn",                        # audio-only
+        "-vn",                        # never decode video
         "-f", "s16le", "-acodec", "pcm_s16le",
-        "-ac", "1", "-ar", str(sample_rate),
+        "-ac", str(channels), "-ar", str(sample_rate),
         "pipe:1",
     ]
     return args
+
+
+def probe_stream(url: str, transport: str = "tcp", timeout: float = 15.0,
+                 run=subprocess.run) -> dict:
+    """Stream probe (ffmpeg/probe.go): codecs, rates, track inventory.
+    Uses ffprobe's JSON output; `run` is injectable for tests."""
+    import json
+
+    ffprobe = shutil.which("ffprobe")
+    if ffprobe is None:
+        return {"ok": False, "error": "ffprobe not available"}
+    cmd = [ffprobe, "-hide_banner", "-loglevel", "error",
+           "-print_format", "json", "-show_streams", "-show_format"]
+    if url.startswith("rtsp://"):
+        cmd += ["-rtsp_transport", transport]
+    cmd += [url]
+    try:
+        proc = run(cmd, capture_output=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": "probe timed out"}
+    if proc.returncode != 0:
+        return {"ok": False,
+                "error": proc.stderr.decode(errors="replace")[:300]}
+    try:
+        info = json.loads(proc.stdout)
+    except ValueError:
+        return {"ok": False, "error": "unparseable probe output"}
+    streams = info.get("streams", [])
+    audio = [s for s in streams if s.get("codec_type") == "audio"]
+    video = [s for s in streams if s.get("codec_type") == "video"]
+    out = {
+        "ok": True,
+        "has_audio": bool(audio),
+        "has_video": bool(video),
+        "container": info.get("format", {}).get("format_name", ""),
+    }
+    if audio:
+        a = audio[0]
+        out.update({
+            "audio_codec": a.get("codec_name", ""),
+            "sample_rate": int(a.get("sample_rate", 0) or 0),
+            "channels": int(a.get("channels", 0) or 0),
+        })
+    return out
+
+
+def analyze_channels(url: str, seconds: float = 3.0, channels: int = 2,
+                     sample_rate: int = 48000, transport: str = "tcp",
+                     run=subprocess.run) -> dict:
+    """Per-channel RMS analysis (streams/analyze-channels endpoint): pulls
+    a short multi-channel capture and reports level per channel so the UI
+    can pick the microphone channel on stereo cameras."""
+    if not ffmpeg_available():
+        return {"ok": False, "error": "ffmpeg not available"}
+    cmd = build_ffmpeg_args(url, sample_rate, transport,
+                            media_mode="audio_only", channels=channels)
+    cmd.insert(-1, "-t")
+    cmd.insert(-1, str(seconds))
+    try:
+        proc = run(cmd, capture_output=True, timeout=seconds + 20)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": "capture timed out"}
+    if proc.returncode != 0 or not proc.stdout:
+        return {"ok": False,
+                "error": proc.stderr.decode(errors="replace")[:300]}
+    pcm = np.frombuffer(
+        proc.stdout[:len(proc.stdout) - len(proc.stdout) % (2 * channels)],
+        dtype="<i2").reshape(-1, channels).astype(np.float32) / 32768.0
+    rms = np.sqrt(np.mean(pcm ** 2, axis=0))
+    db = 20 * np.log10(np.maximum(rms, 1e-7))
+    best = int(np.argmax(rms))
+    return {"ok": True, "channels": channels,
+            "rms_dbfs": [round(float(v), 1) for v in db],
+            "best_channel": best,
+            "silent": [bool(v < -65) for v in db]}
 
 
 class FfmpegSource:
@@ -70,6 +153,11 @@ class FfmpegSource:
         self.restarts = 0
         self.bytes_received = 0
         self.last_data = 0.0
+        # Reactive media-mode fallback (stream.go:960-968): start in
+        # audio-only; cameras that refuse audio-only SETUP show up as
+        # repeated quick exits with no data → retry pulling the full stream.
+        self.media_mode = "audio_only"
+        self._quick_exits = 0
 
     def start(self) -> None:
         if not ffmpeg_available():
@@ -105,6 +193,7 @@ class FfmpegSource:
         backoff = 1.0
         while not self._stop.is_set():
             started = time.monotonic()
+            bytes_before = self.bytes_received
             try:
                 self._run_once()
             except Exception as e:
@@ -112,17 +201,30 @@ class FfmpegSource:
             if self._stop.is_set():
                 return
             ran = time.monotonic() - started
+            got_data = self.bytes_received > bytes_before
             if ran < _QUICK_EXIT_SECONDS:
                 backoff = min(backoff * 2, _MAX_BACKOFF)
+                if not got_data:
+                    self._quick_exits += 1
+                    if self._quick_exits >= 2 \
+                            and self.media_mode == "audio_only" \
+                            and self.url.startswith("rtsp"):
+                        self.media_mode = "full"
+                        backoff = 1.0          # retry promptly in new mode
+                        log.info("stream %s: audio-only SETUP keeps "
+                                 "failing; falling back to full-stream "
+                                 "media mode", self.source.source_id)
             else:
                 backoff = 1.0
+                self._quick_exits = 0
             self.restarts += 1
             log.info("restarting stream %s in %.0fs (restart #%d)",
                      self.source.source_id, backoff, self.restarts)
             self._stop.wait(backoff)
 
     def _run_once(self) -> None:
-        args = build_ffmpeg_args(self.url, self.sample_rate, self.transport)
+        args = build_ffmpeg_args(self.url, self.sample_rate, self.transport,
+                                 media_mode=self.media_mode)
         self._proc = subprocess.Popen(
             args, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             bufsize=0)

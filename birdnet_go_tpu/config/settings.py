@@ -115,6 +115,23 @@ class RealtimeSettings:
 
 
 @dataclasses.dataclass
+class EBirdSettings:
+    """eBird API v2 client (internal/ebird)."""
+
+    enabled: bool = False
+    api_token: str = ""
+
+
+@dataclasses.dataclass
+class TelemetrySettings:
+    """Opt-in scrubbed error reporting (internal/telemetry); OFF by
+    default — a DSN must be set AND enabled flipped on."""
+
+    enabled: bool = False
+    dsn: str = ""
+
+
+@dataclasses.dataclass
 class ImageProviderSettings:
     """Species images for the dashboard (internal/imageprovider)."""
 
@@ -153,8 +170,10 @@ class BirdWeatherSettings:
 
 @dataclasses.dataclass
 class WeatherSettings:
-    provider: str = "none"             # none|yrno|openweather
+    provider: str = "none"             # none|yrno|openweather|wunderground
     openweather_api_key: str = ""
+    wunderground_station_id: str = ""
+    wunderground_api_key: str = ""
     poll_interval_hours: float = 1.0
 
 
@@ -252,6 +271,9 @@ class Settings:
         default_factory=SoundLevelSettings)
     imageprovider: ImageProviderSettings = dataclasses.field(
         default_factory=ImageProviderSettings)
+    ebird: EBirdSettings = dataclasses.field(default_factory=EBirdSettings)
+    telemetry: TelemetrySettings = dataclasses.field(
+        default_factory=TelemetrySettings)
     dynamic_threshold: DynamicThresholdSettings = dataclasses.field(
         default_factory=DynamicThresholdSettings)
     deep_detection: DeepDetectionSettings = dataclasses.field(

@@ -519,6 +519,36 @@ class Datastore:
         return {"richness": len(counts), "shannon": round(shannon, 4),
                 "detections": total}
 
+    def succession(self, date_from: str | None = None,
+                   date_to: str | None = None, top_n: int = 10
+                   ) -> list[dict[str, Any]]:
+        """Monthly species composition (succession analytics): per month,
+        the top-N species and their share of that month's detections."""
+        clauses, args = [], []
+        if date_from:
+            clauses.append("date >= ?"); args.append(date_from)
+        if date_to:
+            clauses.append("date <= ?"); args.append(date_to)
+        where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        sql = (f"SELECT substr(date, 1, 7) AS month, scientific_name,"
+               f" common_name, COUNT(*) AS count FROM detections {where}"
+               f" GROUP BY month, scientific_name ORDER BY month, count DESC")
+        months: dict[str, list[dict]] = {}
+        totals: dict[str, int] = {}
+        with self._lock:
+            for r in self._conn.execute(sql, args):
+                m = r["month"]
+                totals[m] = totals.get(m, 0) + r["count"]
+                if len(months.setdefault(m, [])) < top_n:
+                    months[m].append(dict(r))
+        out = []
+        for m in sorted(months):
+            for row in months[m]:
+                row["share"] = round(row["count"] / max(totals[m], 1), 4)
+            out.append({"month": m, "total": totals[m],
+                        "species": months[m]})
+        return out
+
     def new_species_first_seen(self) -> list[dict[str, Any]]:
         sql = ("SELECT scientific_name, common_name,"
                " MIN(date) AS first_date FROM detections"

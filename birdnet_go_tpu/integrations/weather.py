@@ -93,6 +93,38 @@ class OpenWeatherProvider:
             description=(d.get("weather") or [{}])[0].get("description", ""))]
 
 
+class WundergroundProvider:
+    """Weather Underground PWS observations (provider_wunderground.go) —
+    reads a personal weather station's current conditions."""
+
+    BASE = "https://api.weather.com/v2/pws/observations/current"
+
+    def __init__(self, station_id: str, api_key: str, session=None):
+        import httpx
+
+        self.station_id = station_id
+        self.api_key = api_key
+        self.session = session or httpx.Client(timeout=20.0)
+
+    def fetch(self) -> list[WeatherObservation]:
+        r = self.session.get(self.BASE, params={
+            "stationId": self.station_id, "apiKey": self.api_key,
+            "units": "m", "format": "json", "numericPrecision": "decimal"})
+        r.raise_for_status()
+        obs = (r.json().get("observations") or [{}])[0]
+        metric = obs.get("metric", {})
+        return [WeatherObservation(
+            time_unix=float(obs.get("epoch", time.time())),
+            temperature=metric.get("temp"),
+            humidity=obs.get("humidity"),
+            pressure=metric.get("pressure"),
+            wind_speed=(metric.get("windSpeed") / 3.6
+                        if metric.get("windSpeed") is not None else None),
+            wind_deg=obs.get("winddir"),
+            clouds=None,
+            description=f"PWS {self.station_id}")]
+
+
 class WeatherPoller:
     """Hourly polling loop writing observations into the datastore."""
 

@@ -8,6 +8,7 @@ toolchain or library is unavailable (`available()` gates usage).
 from birdnet_go_tpu.native.lib import (
     available,
     alsa_available,
+    alsa_list_devices,
     build_native,
     NativeAnalysisBuffer,
     AlsaCapture,
@@ -17,6 +18,7 @@ from birdnet_go_tpu.native.lib import (
 __all__ = [
     "available",
     "alsa_available",
+    "alsa_list_devices",
     "build_native",
     "NativeAnalysisBuffer",
     "AlsaCapture",

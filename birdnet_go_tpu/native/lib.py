@@ -75,6 +75,10 @@ def _load():
                                      ctypes.POINTER(ctypes.c_int16),
                                      ctypes.c_ulong]
         lib.bn_alsa_close.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "bn_alsa_list_devices"):
+            lib.bn_alsa_list_devices.restype = ctypes.c_long
+            lib.bn_alsa_list_devices.argtypes = [ctypes.c_char_p,
+                                                 ctypes.c_long]
         lib.bn_version.restype = ctypes.c_char_p
         _lib = lib
         log.info("native host library loaded: %s",
@@ -89,6 +93,26 @@ def available() -> bool:
 def alsa_available() -> bool:
     lib = _load()
     return bool(lib and lib.bn_alsa_available())
+
+
+def alsa_list_devices() -> list[dict]:
+    """Capture-capable PCM devices via snd_device_name_hint
+    (DeviceManager enumeration role, device.go:95). [] without ALSA."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn_alsa_list_devices") \
+            or not lib.bn_alsa_available():
+        return []
+    buf = ctypes.create_string_buffer(65536)
+    n = lib.bn_alsa_list_devices(buf, len(buf))
+    if n <= 0:
+        return []
+    out = []
+    for line in buf.raw[:n].decode(errors="replace").splitlines():
+        name, _, desc = line.partition("\t")
+        if name:
+            out.append({"name": name,
+                        "description": desc.replace("\n", " — ")})
+    return out
 
 
 def set_malloc_arena_max(arenas: int = 2) -> bool:

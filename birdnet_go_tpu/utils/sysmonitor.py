@@ -164,6 +164,34 @@ def audio_devices() -> list[dict]:
                         devices.append(line.split(":", 1)[1].strip())
         except OSError:
             pass
-        cards.append({"index": idx, "id": cid, "description": desc,
-                      "alsa_name": f"hw:{idx},0", "capture_pcm": devices})
+        card = {"index": idx, "id": cid, "description": desc,
+                "alsa_name": f"hw:{idx},0", "capture_pcm": devices}
+        card.update(usb_identity(idx))
+        cards.append(card)
     return cards
+
+
+def usb_identity(card_index: int) -> dict:
+    """USB vendor/product fingerprint for a sound card (reference:
+    usb_linux.go — re-match a configured device after replug/reorder by
+    identity, not index). {} for non-USB cards."""
+    import os.path
+
+    base = f"/sys/class/sound/card{card_index}/device"
+    out = {}
+    # walk up to the USB device directory (it has idVendor/idProduct)
+    node = os.path.realpath(base)
+    for _ in range(4):
+        if os.path.isfile(f"{node}/idVendor"):
+            for key, name in (("idVendor", "usb_vendor"),
+                              ("idProduct", "usb_product"),
+                              ("serial", "usb_serial"),
+                              ("product", "usb_name")):
+                try:
+                    with open(f"{node}/{key}") as f:
+                        out[name] = f.read().strip()
+                except OSError:
+                    pass
+            break
+        node = os.path.dirname(node)
+    return out

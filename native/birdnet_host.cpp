@@ -13,6 +13,8 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <new>
@@ -248,6 +250,75 @@ BN_API long bn_alsa_read(void* pcm, int16_t* buf, unsigned long frames) {
 BN_API void bn_alsa_close(void* pcm) {
     auto& l = alsa::lib();
     if (l.ok && pcm) l.close(pcm);
+}
+
+// ---------------------------------------------------------------------------
+// Device enumeration via snd_device_name_hint (reference: DeviceManager,
+// device.go:95 — list capture-capable PCMs so the UI can offer them).
+// Emits newline-separated "name\tdescription" pairs into the caller's
+// buffer; resolved lazily like the capture symbols so absence degrades.
+// ---------------------------------------------------------------------------
+
+namespace alsa {
+
+typedef int (*hint_fn)(int, const char*, void***);
+typedef char* (*hint_get_fn)(const void*, const char*);
+typedef int (*hint_free_fn)(void**);
+
+struct HintLib {
+    hint_fn hint = nullptr;
+    hint_get_fn get = nullptr;
+    hint_free_fn free_hints = nullptr;
+    bool ok = false;
+};
+
+static HintLib& hints() {
+    static HintLib h;
+    static std::once_flag once;
+    std::call_once(once, [] {
+        auto& l = lib();
+        if (!l.handle) return;
+        h.hint = reinterpret_cast<hint_fn>(
+            dlsym(l.handle, "snd_device_name_hint"));
+        h.get = reinterpret_cast<hint_get_fn>(
+            dlsym(l.handle, "snd_device_name_get_hint"));
+        h.free_hints = reinterpret_cast<hint_free_fn>(
+            dlsym(l.handle, "snd_device_name_free_hint"));
+        h.ok = h.hint && h.get && h.free_hints;
+    });
+    return h;
+}
+
+}  // namespace alsa
+
+BN_API long bn_alsa_list_devices(char* out, long cap) {
+    auto& h = alsa::hints();
+    if (!h.ok || !out || cap <= 0) return -1;
+    void** list = nullptr;
+    if (h.hint(-1, "pcm", &list) < 0 || !list) return -1;
+    long written = 0;
+    for (void** p = list; *p != nullptr; ++p) {
+        char* name = h.get(*p, "NAME");
+        char* desc = h.get(*p, "DESC");
+        char* ioid = h.get(*p, "IOID");
+        // capture-capable: IOID null (both) or "Input"
+        bool capture = (ioid == nullptr) || (std::strcmp(ioid, "Input") == 0);
+        if (capture && name) {
+            const char* d = desc ? desc : "";
+            long need = static_cast<long>(std::strlen(name) + std::strlen(d))
+                        + 2;
+            if (written + need >= cap) { capture = false; }
+            else {
+                written += std::snprintf(out + written, cap - written,
+                                         "%s\t%s\n", name, d);
+            }
+        }
+        std::free(name);
+        std::free(desc);
+        std::free(ioid);
+    }
+    h.free_hints(list);
+    return written;
 }
 
 BN_API const char* bn_version() { return "birdnet_host 0.1.0"; }
