@@ -119,6 +119,13 @@ class ExtendedHandlers:
         # support / filesystem
         r.add_get(f"{v2}/support/dump", self.h_support_dump)
         r.add_get(f"{v2}/filesystem/clips", self.h_fs_clips)
+        # range filter extras (range/species/{count,csv,scores})
+        r.add_get(f"{v2}/range/species/count", self.h_range_count)
+        r.add_get(f"{v2}/range/species/csv", self.h_range_csv)
+        r.add_get(f"{v2}/range/species/scores", self.h_range_scores)
+        # alert rules import/export
+        r.add_get(f"{v2}/alerts/rules/export", self.h_alerts_export)
+        r.add_post(f"{v2}/alerts/rules/import", self.h_alerts_import)
         # aux: update check, telemetry stats, profiling, succession, ebird,
         # openfauna metadata, speciesdict locales
         r.add_get(f"{v2}/system/update-check", self.h_update_check)
@@ -808,6 +815,71 @@ class ExtendedHandlers:
                 files.append({"name": p.name, "size_bytes": st.st_size,
                               "modified": st.st_mtime})
         return _json({"files": files, "count": len(files)})
+
+    # -- range filter extras --------------------------------------------------------------
+
+    async def h_range_count(self, request):
+        inc = self.ctx.processor.included_species
+        return _json({"count": len(inc) if inc is not None else None,
+                      "enabled": inc is not None})
+
+    async def h_range_csv(self, request):
+        inc = sorted(self.ctx.processor.included_species or [])
+        body = "scientific_name\n" + "\n".join(inc) + ("\n" if inc else "")
+        return web.Response(text=body, content_type="text/csv", headers={
+            "Content-Disposition":
+                'attachment; filename="range_species.csv"'})
+
+    async def h_range_scores(self, request):
+        """Per-species occurrence scores at the configured location
+        (GET /range/species/scores?limit=)."""
+        s = self.ctx.settings
+        if s.location.latitude is None:
+            return _json({"error": "location not configured"}, status=400)
+        import numpy as np
+
+        scores = await asyncio.get_event_loop().run_in_executor(
+            None, self.ctx.range_filter_scores,
+            s.location.latitude, s.location.longitude, -1)
+        labels = self._primary_labels()
+        limit = min(int(request.query.get("limit", 100)), 5000)
+        order = np.argsort(np.asarray(scores))[::-1][:limit]
+        out = [{"scientific_name": labels[int(i)].scientific
+                if labels and i < len(labels) else f"#{int(i)}",
+                "score": round(float(scores[int(i)]), 4)}
+               for i in order]
+        return _json({"scores": out,
+                      "threshold": s.range_filter.threshold})
+
+    # -- alert rules import/export ----------------------------------------------------------
+
+    async def h_alerts_export(self, request):
+        import dataclasses as dc
+
+        eng = self.ctx.alerting
+        rules = [dc.asdict(r) for r in eng.list_rules()] if eng else []
+        return web.Response(
+            text=json.dumps({"version": 1, "rules": rules}, indent=2,
+                            default=str),
+            content_type="application/json",
+            headers={"Content-Disposition":
+                     'attachment; filename="alert_rules.json"'})
+
+    async def h_alerts_import(self, request):
+        from birdnet_go_tpu.analysis.alerting import AlertRule
+
+        eng = self.ctx.alerting
+        if eng is None:
+            return _json({"error": "alerting inactive"}, status=503)
+        body = await request.json()
+        imported, failed = 0, 0
+        for raw in body.get("rules", []):
+            try:
+                eng.add_rule(AlertRule(**raw))
+                imported += 1
+            except TypeError:
+                failed += 1
+        return _json({"imported": imported, "failed": failed})
 
     # -- aux: update / telemetry / profiling / taxonomy chain ---------------------------
 

@@ -97,6 +97,20 @@ export async function analyticsView(outlet) {
           tile("Detections", fmtNum(d.detections)))));
     } catch (e) { three.append(card("Diversity", err(e))); }
 
+    // succession: monthly composition (top species share per month)
+    try {
+      const { succession } = await api(
+        `/analytics/succession?from=${from}&to=${to}&top=5`);
+      if (succession.length) {
+        grid.append(card("Species succession (monthly top-5 share)",
+          table(["Month", "Total", "Top species"],
+            succession.map((m) => [m.month, fmtNum(m.total),
+              m.species.map((s) =>
+                `${s.common_name || s.scientific_name} `
+                + `${Math.round(s.share * 100)}%`).join(" · ")]))));
+      }
+    } catch (e) { /* optional */ }
+
     // new species + dawn onset
     const four = el("div", { class: "grid cols-2" });
     grid.append(four);

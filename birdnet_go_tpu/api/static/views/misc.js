@@ -150,9 +150,12 @@ export async function speciesView(outlet) {
       species.map((s) => [s.common_name,
         el("em", {}, s.scientific_name),
         el("button", { class: "small", onclick: async (ev) => {
-          const info = await api(`/species/taxonomy?name=${
+          const info = await api(`/species/info?name=${
             encodeURIComponent(s.scientific_name)}`);
-          toast(`${info.genus}${info.family ? " · " + info.family : ""}`);
+          toast(`${info.canonical_name}`
+            + `${info.family ? " · " + info.family : ""}`
+            + `${info.order ? " · " + info.order : ""}`
+            + `${info.aliased ? " (renamed)" : ""}`);
         } }, "ℹ")])));
   }, 250));
 

@@ -117,6 +117,17 @@ export async function systemView(outlet) {
       } }, "Send signal"))));
   } catch (e) { grid.append(card("Control bus", err(e))); }
 
+  // update check + telemetry
+  try {
+    const [upd, tel] = await Promise.all([
+      api("/system/update-check"), api("/system/telemetry")]);
+    grid.append(card("Maintenance", el("div", { class: "grid cols-2" },
+      tile("Version", upd.current),
+      tile("Latest", upd.latest || "unknown"),
+      tile("Update", upd.update_available ? "available" : "up to date"),
+      tile("Telemetry", tel.enabled ? "on" : "off"))));
+  } catch (e) { /* optional */ }
+
   // browser terminal (WS ↔ PTY)
   const termCard = el("div", { class: "card" }, el("h2", {}, "Terminal"));
   const termOut = el("pre", { style: "background:#03060c;color:#d8e2f0;"

@@ -63,6 +63,136 @@ class LocalTarget:
         (self.dir / name).unlink(missing_ok=True)
 
 
+class FtpTarget:
+    """FTP target via stdlib ftplib (reference: backup FTP target)."""
+
+    def __init__(self, host: str, user: str = "anonymous",
+                 password: str = "", directory: str = "/",
+                 port: int = 21, tls: bool = False, timeout: float = 30.0):
+        self.host, self.port = host, port
+        self.user, self.password = user, password
+        self.directory = directory
+        self.tls = tls
+        self.timeout = timeout
+
+    def _connect(self):
+        import ftplib
+
+        ftp = (ftplib.FTP_TLS if self.tls else ftplib.FTP)(timeout=self.timeout)
+        ftp.connect(self.host, self.port)
+        ftp.login(self.user, self.password)
+        if self.tls:
+            ftp.prot_p()
+        if self.directory and self.directory != "/":
+            ftp.cwd(self.directory)
+        return ftp
+
+    def store(self, name: str, data: bytes) -> None:
+        ftp = self._connect()
+        try:
+            ftp.storbinary(f"STOR {name}.tmp", io.BytesIO(data))
+            ftp.rename(f"{name}.tmp", name)     # atomic-ish publish
+        finally:
+            ftp.quit()
+
+    def list(self) -> list[str]:
+        ftp = self._connect()
+        try:
+            return sorted(n for n in ftp.nlst() if n.endswith(".gz"))
+        finally:
+            ftp.quit()
+
+    def delete(self, name: str) -> None:
+        ftp = self._connect()
+        try:
+            ftp.delete(name)
+        finally:
+            ftp.quit()
+
+
+class S3Target:
+    """S3-compatible target with from-scratch SigV4 signing (reference:
+    backup S3 target; no AWS SDK in this image)."""
+
+    def __init__(self, bucket: str, access_key: str, secret_key: str,
+                 region: str = "us-east-1", prefix: str = "backups/",
+                 endpoint: str | None = None, session=None,
+                 clock=time.time):
+        import httpx
+
+        self.bucket = bucket
+        self.access_key, self.secret_key = access_key, secret_key
+        self.region = region
+        self.prefix = prefix
+        self.endpoint = (endpoint
+                         or f"https://{bucket}.s3.{region}.amazonaws.com")
+        self.session = session or httpx.Client(timeout=60.0)
+        self.clock = clock
+
+    # SigV4 (https://docs.aws.amazon.com/general/latest/gr/sigv4.html)
+    def _sign(self, method: str, path: str, payload: bytes,
+              query: str = "") -> dict[str, str]:
+        import hmac
+        from urllib.parse import urlparse
+
+        host = urlparse(self.endpoint).netloc
+        now = _dt.datetime.fromtimestamp(self.clock(), _dt.timezone.utc)
+        amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = now.strftime("%Y%m%d")
+        payload_hash = hashlib.sha256(payload).hexdigest()
+        headers = {
+            "host": host,
+            "x-amz-content-sha256": payload_hash,
+            "x-amz-date": amz_date,
+        }
+        signed = ";".join(sorted(headers))
+        canonical = "\n".join([
+            method, path, query,
+            "".join(f"{k}:{headers[k]}\n" for k in sorted(headers)),
+            signed, payload_hash])
+        scope = f"{datestamp}/{self.region}/s3/aws4_request"
+        to_sign = "\n".join(["AWS4-HMAC-SHA256", amz_date, scope,
+                             hashlib.sha256(canonical.encode()).hexdigest()])
+
+        def _hmac(key: bytes, msg: str) -> bytes:
+            return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+        k = _hmac(("AWS4" + self.secret_key).encode(), datestamp)
+        k = _hmac(k, self.region)
+        k = _hmac(k, "s3")
+        k = _hmac(k, "aws4_request")
+        signature = hmac.new(k, to_sign.encode(), hashlib.sha256).hexdigest()
+        headers["Authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope},"
+            f" SignedHeaders={signed}, Signature={signature}")
+        return headers
+
+    def _request(self, method: str, name: str = "", query: str = "",
+                 payload: bytes = b""):
+        path = "/" + self.prefix + name if name else "/"
+        headers = self._sign(method, path, payload, query)
+        url = self.endpoint + path + (f"?{query}" if query else "")
+        r = self.session.request(method, url, content=payload or None,
+                                 headers=headers)
+        r.raise_for_status()
+        return r
+
+    def store(self, name: str, data: bytes) -> None:
+        self._request("PUT", name, payload=data)
+
+    def list(self) -> list[str]:
+        import re
+
+        r = self._request("GET", query="list-type=2&prefix="
+                          + self.prefix.replace("/", "%2F"))
+        keys = re.findall(r"<Key>([^<]+)</Key>", r.text)
+        return sorted(k[len(self.prefix):] for k in keys
+                      if k.endswith(".gz"))
+
+    def delete(self, name: str) -> None:
+        self._request("DELETE", name)
+
+
 def snapshot_sqlite(db_path: str) -> bytes:
     """Consistent online snapshot via the sqlite backup API (works while
     the live connection keeps writing — the WAL equivalent of the

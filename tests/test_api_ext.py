@@ -229,3 +229,30 @@ def test_terminal_refuses_proxied_without_auth(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=5)
     assert e.value.code == 403
+
+
+def test_range_extras_and_alert_import_export(served):
+    app, port = served
+    # range count (no location configured → disabled)
+    out = _req(port, "/range/species/count")
+    assert "enabled" in out
+    # CSV export
+    import urllib.request
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/range/species/csv",
+            timeout=10) as r:
+        assert "text/csv" in r.headers["Content-Type"]
+        assert r.read().startswith(b"scientific_name")
+    # alert rules roundtrip: create → export → wipe → import
+    _req(port, "/alerts/rules", "POST", {
+        "rule_id": "r1", "name": "owls", "species": ["Strix aluco"]})
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/alerts/rules/export",
+            timeout=10) as r:
+        doc = json.loads(r.read())
+    assert doc["version"] == 1 and len(doc["rules"]) == 1
+    _req(port, "/alerts/rules/r1", "DELETE")
+    out = _req(port, "/alerts/rules/import", "POST", doc)
+    assert out["imported"] == 1 and out["failed"] == 0
+    assert any(r["rule_id"] == "r1" for r in _req(port, "/alerts/rules"))

@@ -78,9 +78,11 @@ def test_ui_consumes_every_api_group():
         "/system/inference", "/system/scheduler", "/system/restart",
         "/support/dump", "/devices", "/streams/health",
         "/range/status", "/range/rebuild",
-        "/species", "/species/search", "/species/taxonomy",
+        "/species", "/species/search",
         "/settings", "/audio/live/", "/spectrogram/",
         "/auth/logout", "/auth/status", "/health",
+        "/analytics/succession", "/system/update-check",
+        "/system/telemetry", "/species/info",
         "/detections/", "/comments",
     ]
     missing = [c for c in consumed if c not in js]
