@@ -737,11 +737,23 @@ class Application:
                              freq_hz=float(cfg.get("freq", 1000.0)),
                              speed=float(cfg.get("speed", 1.0)))
         elif stype in ("rtsp", "http"):
-            from birdnet_go_tpu.audio.ffmpeg import FfmpegSource
+            from birdnet_go_tpu.audio.ffmpeg import (
+                FfmpegSource,
+                ffmpeg_available,
+            )
 
-            src = FfmpegSource(self.engine, cfg["url"],
-                               source_id=cfg.get("id"),
-                               transport=cfg.get("transport", "tcp"))
+            if stype == "rtsp" and (cfg.get("client") == "native"
+                                    or not ffmpeg_available()):
+                # native RTSP/RTP client: uncompressed + G.711 audio works
+                # without the ffmpeg binary (audio/rtsp.py)
+                from birdnet_go_tpu.audio.rtsp import RtspSource
+
+                src = RtspSource(self.engine, cfg["url"],
+                                 source_id=cfg.get("id"))
+            else:
+                src = FfmpegSource(self.engine, cfg["url"],
+                                   source_id=cfg.get("id"),
+                                   transport=cfg.get("transport", "tcp"))
         elif stype == "audio_card":
             from birdnet_go_tpu.audio.capture import SoundcardSource
 
