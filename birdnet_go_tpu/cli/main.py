@@ -85,6 +85,15 @@ def build_parser() -> argparse.ArgumentParser:
     sup = sub.add_parser("support", help="write a scrubbed support bundle")
     sup.add_argument("--output", default=".")
 
+    n = sub.add_parser("notify", help="send a test notification")
+    n.add_argument("--config", default=None, help="YAML config file")
+    n.add_argument("--title", default="Test notification")
+    n.add_argument("--message", default="CLI test notification")
+    n.add_argument("--priority", default="normal")
+
+    gs = sub.add_parser("gen-schema",
+                        help="print the configuration JSON schema")
+
     s = sub.add_parser("serve", help="realtime analysis server")
     s.add_argument("--config", default=None, help="YAML config file")
     s.add_argument("--host", default="0.0.0.0")
@@ -117,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_model(args)
     if args.command == "support":
         return _cmd_support(args)
+    if args.command == "notify":
+        return _cmd_notify(args)
+    if args.command == "gen-schema":
+        return _cmd_gen_schema(args)
     return 2
 
 
@@ -428,3 +441,33 @@ def _cmd_support(args) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _cmd_notify(args) -> int:
+    """Send a test notification through the configured targets
+    (reference: cmd/notify)."""
+    from birdnet_go_tpu.config.settings import load_settings
+    from birdnet_go_tpu.integrations.notification import (
+        Notification,
+        NotificationService,
+        NotificationTarget,
+    )
+
+    settings = load_settings(args.config)
+    svc = NotificationService(
+        [NotificationTarget(**t) for t in settings.notification.targets])
+    n = Notification(title=args.title, message=args.message,
+                     priority=args.priority)
+    delivered = svc.notify(n)
+    print(f"delivered to {delivered}/{len(svc.targets)} target(s)")
+    return 0 if delivered or not svc.targets else 1
+
+
+def _cmd_gen_schema(args) -> int:
+    """Print the config JSON schema (reference: cmd/gen-schema)."""
+    import json
+
+    from birdnet_go_tpu.config.schema import generate_schema
+
+    print(json.dumps(generate_schema(), indent=2))
+    return 0

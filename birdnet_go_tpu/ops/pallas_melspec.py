@@ -71,7 +71,8 @@ def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
     return war, wai, tw3r, tw3i, fb3, j_sz
 
 
-def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig, tile_f: int = 32,
+def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
+                  tile_f: int | None = None,
                   interpret: bool = False) -> jnp.ndarray:
     """int16 PCM [B, T] → mel [B, F, n_mels] (cfg.mag_scale applied)."""
     from jax.experimental import pallas as pl
@@ -86,6 +87,13 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig, tile_f: int = 32,
 
     b, t = pcm_i16.shape
     n_frames = cfg.num_frames(t)
+    if tile_f is None:
+        # One tile per window when it fits: the stage-2 dots become
+        # [n_frames, 128] @ [128, ·] — tall MXU shapes instead of M=32
+        # slivers. Measured on v5e (3 s/48 kHz window, batch 1024):
+        # 29.7 ms vs 45.7 ms for tile_f=32 (1.54×). Cap by the f32
+        # scratch budget (2 × tile_f × A × LANE × 4 B ≤ ~8 MB VMEM).
+        tile_f = min(n_frames, 512)
     hop_rows = cfg.hop // _LANE
     frame_rows = cfg.n_fft // _LANE                   # = 16
     # stage 1 reads frame GROUPS of g frames so every dynamic sublane

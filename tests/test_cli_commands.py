@@ -65,3 +65,18 @@ def test_analyze_rtype_csv(tiny_loader, tmp_path, capsys):
     assert csv_text.startswith("Start (s),End (s)")
     assert len(csv_text.strip().splitlines()) == \
         len(table.strip().splitlines())   # same detections, both formats
+
+
+def test_cli_notify_and_gen_schema(capsys):
+    import json
+
+    from birdnet_go_tpu.cli.main import main
+
+    assert main(["gen-schema"]) == 0
+    out = capsys.readouterr().out
+    schema = json.loads(out)
+    assert schema["type"] == "object"
+    assert "webserver" in schema["properties"]
+
+    assert main(["notify", "--message", "hello"]) == 0
+    assert "delivered" in capsys.readouterr().out
