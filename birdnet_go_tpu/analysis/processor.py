@@ -128,6 +128,10 @@ class Processor:
             learning_cooldown_seconds=(settings.export.clip_length_seconds
                                        - settings.export.pre_capture_seconds))
         self._pending: dict[str, PendingDetection] = {}
+        # pending-broadcast hook (pending_broadcast.go): called with the
+        # serializable snapshot whenever it CHANGES (deduplicated)
+        self.on_pending: Callable[[list[dict]], None] | None = None
+        self._last_pending_sig: tuple = ()
         self._last_human: dict[str, float] = {}
         self._last_dog: dict[str, float] = {}
         self._lock = threading.Lock()
@@ -359,6 +363,38 @@ class Processor:
         with self._lock:
             return list(self._pending.values())
 
+    def pending_as_dicts(self) -> list[dict]:
+        """Serializable pending view (the SSE broadcast payload)."""
+        with self._lock:
+            return [{
+                "scientific_name": it.detection.species.scientific,
+                "common_name": it.detection.species.common,
+                "source_id": it.source_id,
+                "count": it.count,
+                "confidence": round(it.detection.confidence, 4),
+                "first_detected": it.first_detected,
+                "flush_deadline": it.flush_deadline,
+                "models": sorted(it.contributions),
+            } for it in self._pending.values()]
+
+    def broadcast_pending(self) -> bool:
+        """Invoke on_pending when the snapshot changed since the last call
+        (the reference broadcasts deduplicated snapshots on the flusher
+        tick — pending_broadcast.go:173-251)."""
+        if self.on_pending is None:
+            return False
+        snap = self.pending_as_dicts()
+        sig = tuple(sorted((d["scientific_name"], d["source_id"],
+                            d["count"]) for d in snap))
+        if sig == self._last_pending_sig:
+            return False
+        self._last_pending_sig = sig
+        try:
+            self.on_pending(snap)
+        except Exception:
+            log.exception("pending broadcast failed")
+        return True
+
     def set_included_species(self, included: set[str] | None) -> None:
         """Swap the range-filter inclusion set (rebuild_range_filter)."""
         with self._lock:
@@ -392,5 +428,6 @@ class FlushLoop:
         while not self._stop.wait(self.interval):
             try:
                 self.processor.flush()
+                self.processor.broadcast_pending()
             except Exception:
                 log.exception("flush cycle failed")

@@ -69,6 +69,9 @@ class ExtendedHandlers:
         r.add_post(f"{v2}/restart-source/{{id}}", self.h_restart_source)
         r.add_get(f"{v2}/quiet-hours/status", self.h_quiet_hours)
         # detections extras
+        r.add_get(f"{v2}/detections/pending", self.h_pending)
+        r.add_get(f"{v2}/detections/pending/stream", self.h_pending_stream)
+        r.add_get(f"{v2}/streams/health/stream", self.h_streams_health_sse)
         r.add_get(f"{v2}/detections/new", self.h_detections_new)
         r.add_get(f"{v2}/detections/{{id}}/comments", self.h_comments_list)
         r.add_post(f"{v2}/detections/{{id}}/comments", self.h_comment_add)
@@ -428,6 +431,31 @@ class ExtendedHandlers:
         return _json({"time": now.isoformat(), "sources": out})
 
     # -- detections extras -------------------------------------------------------------------
+
+    async def h_pending(self, request):
+        return _json({"pending": self.ctx.processor.pending_as_dicts()})
+
+    async def h_pending_stream(self, request):
+        return await self._sse_stream(request, "pending")
+
+    async def h_streams_health_sse(self, request):
+        """Periodic stream-health pushes (GET /streams/health/stream)."""
+        from birdnet_go_tpu.api.sse import format_sse
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        try:
+            while True:
+                health = self.ctx.engine.stream_health()
+                await resp.write(format_sse("health", json.dumps(
+                    health, default=str)))
+                await asyncio.sleep(5.0)
+        except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        return resp
 
     async def h_detections_new(self, request):
         since = float(request.query.get("since", time.time() - 3600))

@@ -170,7 +170,7 @@ export function subscribe(path, onEvent) {
   const es = new EventSource(API + path);
   es.onmessage = (ev) => onEvent("message", ev.data);
   for (const kind of ["detection", "notification", "audiolevel",
-                      "soundlevel", "install"]) {
+                      "soundlevel", "install", "pending", "health"]) {
     es.addEventListener(kind, (ev) => onEvent(kind, ev.data));
   }
   return es;

@@ -9,14 +9,45 @@ import { barChart, sparkline } from "../charts.js";
 export async function dashboardView(outlet) {
   outlet.append(el("h1", {}, t("dashboard")));
   const kpiRow = el("div", { class: "grid cols-4" });
+  const hearingCard = el("div", { class: "card" });
   const liveCard = el("div", { class: "card" });
   const activityCard = el("div", { class: "card" });
   const cardsWrap = el("div", {},
     el("h2", {}, t("recent_detections")),
     el("div", { class: "det-cards", id: "det-cards" }));
   const healthCard = el("div", { class: "card" });
-  outlet.append(kpiRow, el("div", { class: "grid cols-2" },
+  outlet.append(kpiRow, hearingCard, el("div", { class: "grid cols-2" },
                            liveCard, activityCard), cardsWrap, healthCard);
+
+  // "currently hearing": live pending-consensus entries (SSE channel fed
+  // by the processor's pending-broadcast — not-yet-approved detections)
+  hearingCard.append(el("h2", {}, "Currently hearing"));
+  const hearingBody = el("div", { class: "row" },
+    el("span", { class: "empty", style: "padding:4px" }, "Listening…"));
+  hearingCard.append(hearingBody);
+  const renderPending = (items) => {
+    clear(hearingBody);
+    if (!items.length) {
+      hearingBody.append(el("span", { class: "empty", style: "padding:4px" },
+                            "Nothing right now"));
+      return;
+    }
+    for (const p of items.slice(0, 10)) {
+      hearingBody.append(el("span", { class: "pill info",
+        title: `${p.source_id} · ${p.models.join("+")}` },
+        `${p.common_name || p.scientific_name} ×${p.count} `
+        + `${Math.round(p.confidence * 100)}%`));
+    }
+  };
+  try {
+    const { pending } = await api("/detections/pending");
+    renderPending(pending);
+  } catch (e) { /* optional */ }
+  subscribe("/detections/pending/stream", (kind, data) => {
+    if (kind === "pending") {
+      try { renderPending(JSON.parse(data)); } catch (e) { /* ignore */ }
+    }
+  });
 
   // KPI row
   try {

@@ -178,6 +178,10 @@ class Application:
             # level transitions → threshold_events table (BG-59 analogue)
             self.processor.dynamic.on_event = \
                 self.datastore.save_threshold_event
+        # pending-detection SSE broadcasts (pending_broadcast.go)
+        self.processor.on_pending = lambda snap: (
+            self.api.sse.publish("pending", "pending", snap)
+            if self.api is not None else None)
         self.flusher = FlushLoop(self.processor)
 
         # 4. audio pipeline (+ liveness watchdog + quiet hours)

@@ -256,3 +256,31 @@ def test_range_extras_and_alert_import_export(served):
     out = _req(port, "/alerts/rules/import", "POST", doc)
     assert out["imported"] == 1 and out["failed"] == 0
     assert any(r["rule_id"] == "r1" for r in _req(port, "/alerts/rules"))
+
+
+def test_pending_snapshot_and_broadcast(served):
+    app, port = served
+    from birdnet_go_tpu.analysis.processor import WindowPrediction
+
+    events = []
+    app.processor.on_pending = events.append
+    now = time.time()
+    app.processor.submit(WindowPrediction(
+        source_id="s1", model_id=M, start_time=now, end_time=now + 3,
+        indices=[0], confidences=[0.9]))
+    out = _req(port, "/detections/pending")
+    assert out["pending"] and out["pending"][0]["count"] == 1
+    assert app.processor.broadcast_pending() is True
+    assert app.processor.broadcast_pending() is False   # deduplicated
+    assert events and events[0][0]["source_id"] == "s1"
+
+
+def test_streams_health_sse(served):
+    app, port = served
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/streams/health/stream")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        chunk = r.read(200)
+    assert b"event: health" in chunk

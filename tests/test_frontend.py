@@ -81,6 +81,7 @@ def test_ui_consumes_every_api_group():
         "/species", "/species/search",
         "/settings", "/audio/live/", "/spectrogram/",
         "/auth/logout", "/auth/status", "/health",
+        "/detections/pending", "/detections/pending/stream",
         "/analytics/succession", "/system/update-check",
         "/system/telemetry", "/species/info",
         "/detections/", "/comments",
