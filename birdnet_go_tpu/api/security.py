@@ -238,6 +238,41 @@ def security_middleware(manager: SecurityManager,
 
 
 @web.middleware
+async def http_metrics_middleware(request, handler):
+    """Per-request Prometheus metrics (reference: observability http
+    domain): count + latency by method/status, with the path template
+    (not the raw path — label cardinality stays bounded)."""
+    import time as _t
+
+    from birdnet_go_tpu.utils.metrics import REGISTRY
+
+    t0 = _t.monotonic()
+    try:
+        resp = await handler(request)
+        status = resp.status
+        return resp
+    except web.HTTPException as e:
+        status = e.status
+        raise
+    except Exception:
+        status = 500
+        raise
+    finally:
+        route = request.match_info.route
+        tmpl = getattr(getattr(route, "resource", None),
+                       "canonical", None) or "unmatched"
+        labels = {"method": request.method, "route": tmpl,
+                  "status": str(status)}
+        REGISTRY.counter("http_requests_total",
+                         "HTTP requests").inc(labels=labels)
+        REGISTRY.histogram(
+            "http_request_duration_seconds",
+            "HTTP request latency").observe(
+                _t.monotonic() - t0,
+                labels={"method": request.method, "route": tmpl})
+
+
+@web.middleware
 async def secure_headers_middleware(request, handler):
     """Baseline secure headers (reference: Echo secure middleware)."""
     resp = await handler(request)

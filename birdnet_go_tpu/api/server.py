@@ -26,6 +26,7 @@ from birdnet_go_tpu.api.security import (
     AuthHandlers,
     SecurityManager,
     gzip_middleware,
+    http_metrics_middleware,
     secure_headers_middleware,
     security_middleware,
 )
@@ -123,6 +124,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             middlewares.append(security_middleware(
                 self.security,
                 allow_local_bypass=ws.allow_local_bypass))
+        middlewares.append(http_metrics_middleware)
         if getattr(ws, "secure_headers", True):
             middlewares.append(secure_headers_middleware)
         if getattr(ws, "gzip", True):

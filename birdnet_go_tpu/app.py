@@ -83,6 +83,9 @@ class Application:
         warnings = s.validate()
         for w in warnings:
             log.warning("config: %s", w)
+        self._config_warnings = warnings    # surfaced as notifications
+                                            # once the inbox exists
+                                            # (main.go:212-227)
 
         # memory policy (reference: analysis.ApplyMemoryPolicy at serve
         # startup — GOMEMLIMIT + glibc arena cap)
@@ -287,6 +290,7 @@ class Application:
                 provider, self.datastore,
                 interval_seconds=s.weather.poll_interval_hours * 3600)
         from birdnet_go_tpu.integrations.notification import (
+            Notification,
             NotificationInbox,
             NotificationService,
             NotificationTarget,
@@ -297,6 +301,12 @@ class Application:
             [NotificationTarget(**t) for t in s.notification.targets],
             inbox=self.notification_inbox,
             on_stored=self._on_notification_stored)
+        # config validation warnings land in the inbox so the UI shows
+        # them (reference surfaces them as notifications, main.go:212-227)
+        for w in getattr(self, "_config_warnings", []):
+            self.notification_inbox.add(Notification(
+                title="Configuration warning", message=w,
+                priority="high"))
         self.diskmanager = None
         if s.retention.mode != "none":
             from birdnet_go_tpu.utils.diskmanager import (

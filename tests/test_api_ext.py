@@ -284,3 +284,55 @@ def test_streams_health_sse(served):
     with urllib.request.urlopen(req, timeout=10) as r:
         chunk = r.read(200)
     assert b"event: health" in chunk
+
+
+def test_http_metrics_and_config_warning_notifications(served):
+    app, port = served
+    _req(port, "/ping")
+    import urllib.request
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics",
+                                timeout=10) as r:
+        text = r.read().decode()
+    assert "http_requests_total" in text
+    assert 'route="/api/v2/ping"' in text
+    assert "http_request_duration_seconds" in text
+
+
+def test_config_warnings_surface_as_notifications(tmp_path, monkeypatch):
+    from birdnet_go_tpu.app import Application
+    from birdnet_go_tpu.config.settings import ModelSettings, Settings
+    import birdnet_go_tpu.app as app_mod
+    from birdnet_go_tpu.inference import loader as _ldr
+    from tests.test_app_integration import tiny_app as _f  # noqa: F401
+
+    # reuse the tiny model loader via monkeypatching
+    import jax
+    import jax.numpy as jnp
+
+    from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+    from birdnet_go_tpu.models.efficientnet import (
+        BlockSpec,
+        EfficientNetConfig,
+    )
+    from birdnet_go_tpu.ops.melspec import MelConfig
+
+    def tiny(model_id, checkpoint=None, seed=0, **kw):
+        m = BirdNETv24(num_species=4,
+                       mel=MelConfig(sample_rate=48000, n_fft=256, hop=8192,
+                                     n_mels=16), compute_dtype=jnp.float32)
+        m.net = EfficientNetConfig(blocks=(BlockSpec(1, 8, 3, 2, 1),),
+                                   embedding_dim=8, num_classes=4)
+        return m, m.init(jax.random.PRNGKey(0))
+
+    monkeypatch.setattr(app_mod, "load_model", tiny)
+    s = Settings()
+    s.models = [ModelSettings(model_id="BirdNET_V2.4",
+                              sensitivity=9.0)]     # invalid → warning
+    s.database.path = str(tmp_path / "w.db")
+    s.webserver.enabled = False
+    app = Application(s)
+    app.setup()
+    notes = app.notification_inbox.list()
+    assert any("sensitivity" in n["message"] for n in notes)
+    assert notes[0]["title"] == "Configuration warning"
