@@ -108,6 +108,10 @@ class DynamicThresholds:
                 self._emit(model_id, scientific, prev_level, 0, prev_value,
                            base_threshold, "expiry", 0.0, now)
             if st.level == 0:
+                if st.high_conf_count == 0:
+                    # fully-reset entries are dropped — the map must not
+                    # grow without bound over months of expiries
+                    self._state.pop((model_id, scientific), None)
                 return base_threshold
             return max(self.floor, base_threshold * st.current_multiplier())
 

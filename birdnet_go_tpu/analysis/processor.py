@@ -140,15 +140,28 @@ class Processor:
 
     # -- configuration lookups -------------------------------------------------
 
+    @staticmethod
+    def _name_variants(sp: Species) -> list[str]:
+        """Every name a user/config may know this species by: canonical
+        scientific, label, common, and LEGACY taxonomy aliases (detections
+        are canonicalized at submit, but configs/range sets may still use
+        the old names — openfauna reverse map)."""
+        from birdnet_go_tpu.taxonomy.openfauna import legacy_names_for
+
+        names = [sp.scientific, sp.label, sp.common]
+        names += legacy_names_for(sp.scientific)
+        return names
+
     def _base_threshold(self, model_id: str, sp: Species
                         ) -> tuple[float, bool]:
         """(threshold, is_custom). A user-configured per-species threshold
         is custom — dynamic adjustment never applies to it."""
-        sc = self.settings.species.config.get(sp.scientific) \
-            or self.settings.species.config.get(sp.label) \
-            or self.settings.species.config.get(sp.common)
-        if sc and "threshold" in sc:
-            return float(sc["threshold"]), True
+        cfg = self.settings.species.config
+        cfg_l = {k.lower(): v for k, v in cfg.items()} if cfg else {}
+        for name in self._name_variants(sp):
+            sc = cfg.get(name) or cfg_l.get(name.lower())
+            if sc and "threshold" in sc:
+                return float(sc["threshold"]), True
         ms = self._model_settings.get(model_id)
         if ms is not None:
             return ms.threshold, False
@@ -234,18 +247,18 @@ class Processor:
         self._merge_pending(pred, sp, conf)
 
     def _should_filter(self, model_id: str, sp: Species, conf: float) -> bool:
-        # exclusion list (config species.exclude; scientific or label match)
+        names = self._name_variants(sp)
+        # exclusion list (config species.exclude; any known name matches)
         excl = self.settings.species.exclude
-        if excl and (sp.scientific in excl or sp.label in excl
-                     or sp.common in excl):
+        if excl and any(n in excl for n in names):
             return True
         if conf < self.effective_threshold(model_id, sp):
             return True
         # range filter inclusion (config include list always passes)
-        if sp.scientific in self.settings.species.include:
+        if any(n in self.settings.species.include for n in names):
             return False
         if self.included_species is not None \
-                and sp.scientific not in self.included_species:
+                and not any(n in self.included_species for n in names):
             return True
         return False
 

@@ -256,10 +256,10 @@ class ExtendedHandlers:
 
         def _render():
             from birdnet_go_tpu.analysis.spectrogram import generate_png
-            from birdnet_go_tpu.audio.wav import read_wav
+            from birdnet_go_tpu.audio.encode import load_clip_audio
 
-            samples, info = read_wav(wav)
-            generate_png(samples, info.sample_rate, png)
+            samples, rate = load_clip_audio(wav)
+            generate_png(samples, rate, png)
 
         await asyncio.get_event_loop().run_in_executor(None, _render)
         return _json({"generated": True, "path": png.name})
@@ -561,13 +561,11 @@ class ExtendedHandlers:
     async def h_dashboard_kpis(self, request):
         ds = self.ctx.datastore
         today = _dt.date.today().isoformat()
-        today_rows = ds.search_detections(date_from=today, limit=1000)
         return _json({
             "detections_total": ds.count_detections(),
-            "detections_today": len(today_rows),
-            "species_today": len({r["scientific_name"]
-                                  for r in today_rows}),
-            "species_total": len(ds.species_summary()),
+            "detections_today": ds.count_detections(date_from=today),
+            "species_today": ds.count_species(date_from=today),
+            "species_total": ds.count_species(),
             "sources_active": len(self.ctx.engine.sources()),
             "models_loaded": list(self.ctx.classifiers),
         })
@@ -1013,7 +1011,9 @@ class ExtendedHandlers:
             _merge_dataclass,
         )
 
-        body = await request.json()
+        from birdnet_go_tpu.api.server import _strip_masked
+
+        body = _strip_masked(await request.json())
         updated = []
         for section, value in body.items():
             if not hasattr(self.ctx.settings, section):

@@ -369,8 +369,14 @@ class AuthHandlers:
                 sec.settings.webserver.oauth_client_id:
             return web.json_response({"error": "unknown client"},
                                      status=400)
-        code = sec.issue_auth_code(client_id)
         redirect = request.query.get("redirect_uri")
+        if redirect and redirect not in \
+                sec.settings.webserver.oauth_redirect_uris:
+            # never bounce an auth code to an unregistered target — codes
+            # exchange into bearer tokens (open-redirect exfiltration)
+            return web.json_response(
+                {"error": "redirect_uri not registered"}, status=400)
+        code = sec.issue_auth_code(client_id)
         if redirect:
             sep = "&" if "?" in redirect else "?"
             raise web.HTTPFound(f"{redirect}{sep}code={code}")

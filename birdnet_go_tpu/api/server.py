@@ -45,6 +45,17 @@ def _json(data: Any, status: int = 200) -> web.Response:
 _SECRET_KEY_HINTS = ("password", "secret", "token", "api_key")
 
 
+def _strip_masked(obj):
+    """Drop "***" sentinel values from inbound settings bodies — the UI
+    round-trips GET /settings (which masks credentials), so a save must
+    never overwrite a real secret with the mask."""
+    if isinstance(obj, dict):
+        return {k: _strip_masked(v) for k, v in obj.items() if v != "***"}
+    if isinstance(obj, list):
+        return [_strip_masked(v) for v in obj]
+    return obj
+
+
 def _scrub_secrets(obj):
     """Settings responses never echo credentials (reference: secrets
     redaction in the settings API / support bundles)."""
@@ -605,7 +616,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         if not hasattr(self.ctx.settings, section):
             return _json({"error": f"unknown section {section!r}"},
                          status=404)
-        body = await request.json()
+        body = _strip_masked(await request.json())
         target = getattr(self.ctx.settings, section)
         if dataclasses.is_dataclass(target):
             _merge_dataclass(target, body)
@@ -973,14 +984,15 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
                 return _json({"error": "clip not available"}, status=404)
 
             def _render():
-                from birdnet_go_tpu.analysis.spectrogram import generate_png
-                from birdnet_go_tpu.audio.wav import read_wav
+                from birdnet_go_tpu.analysis.spectrogram import (
+                    SIZES,
+                    generate_png,
+                )
+                from birdnet_go_tpu.audio.encode import load_clip_audio
 
-                samples, info = read_wav(wav)
-                from birdnet_go_tpu.analysis.spectrogram import SIZES
-
+                samples, rate = load_clip_audio(wav)
                 width = SIZES.get(request.query.get("size", "md"), 800)
-                generate_png(samples, info.sample_rate, target, width=width)
+                generate_png(samples, rate, target, width=width)
 
             await _aio.get_event_loop().run_in_executor(None, _render)
         return web.FileResponse(target)

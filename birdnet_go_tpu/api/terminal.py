@@ -31,9 +31,23 @@ class TerminalHandlers:
         r.add_get(f"{v2}/system/ws", self.h_terminal_ws)
 
     async def h_terminal_ws(self, request):
+        # Cross-site WebSocket hijacking guard: browsers send cookies and
+        # apply NO same-origin policy to WS handshakes, so a malicious page
+        # could otherwise open a shell with the victim's session (or their
+        # local-subnet position). A browser always sends Origin — it must
+        # match the request host; non-browser clients (no Origin) pass.
+        origin = request.headers.get("Origin")
+        if origin:
+            from urllib.parse import urlparse
+
+            if urlparse(origin).netloc != request.host:
+                return web.json_response(
+                    {"error": "cross-origin terminal access denied"},
+                    status=403)
         sec = getattr(self, "security", None)
         secured = sec is not None and sec.enabled
         proxied = ("X-Forwarded-For" in request.headers
+                   or "X-Real-IP" in request.headers
                    or "Forwarded" in request.headers)
         if not secured and (proxied or not request.remote
                             or not is_local_address(request.remote)):
@@ -104,9 +118,40 @@ class TerminalHandlers:
                 os.close(master)
             except OSError:
                 pass
-            try:
-                os.kill(pid, signal.SIGHUP)
-                os.waitpid(pid, os.WNOHANG)
-            except (ProcessLookupError, ChildProcessError):
-                pass
+            _reap_child(pid)
         return ws
+
+
+def _reap_child(pid: int) -> None:
+    """SIGHUP the shell, then reap it off-thread (a single WNOHANG right
+    after the signal races the shell's exit and leaks a zombie)."""
+    import threading
+
+    try:
+        os.kill(pid, signal.SIGHUP)
+    except ProcessLookupError:
+        pass
+
+    def waiter():
+        deadline = 5.0
+        step = 0.05
+        waited = 0.0
+        while waited < deadline:
+            try:
+                done, _ = os.waitpid(pid, os.WNOHANG)
+            except ChildProcessError:
+                return
+            if done:
+                return
+            import time as _t
+
+            _t.sleep(step)
+            waited += step
+        try:
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+        except (ProcessLookupError, ChildProcessError):
+            pass
+
+    threading.Thread(target=waiter, name=f"pty-reap-{pid}",
+                     daemon=True).start()

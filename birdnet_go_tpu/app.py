@@ -909,11 +909,21 @@ class Application:
         chain: list = []
         if tr.track(EventType.LOG_TO_FILE, common, sci):
             chain.append(actions_mod.LogAction(d))
+        # the database gate decides ONCE: a suppressed save must not leave
+        # orphan clip/PNG files on disk either (the reference ties clip
+        # export to the database action)
+        db_allowed = tr.track(EventType.DATABASE_SAVE, common, sci)
         clip_name = None
-        if s.export.enabled and self.engine is not None:
+        if db_allowed and s.export.enabled and self.engine is not None:
             cb = self.engine.capture_buffer(d.source_id)
             if cb is not None:
-                clip_name = actions_mod.clip_filename(d, s.export.format)
+                # name the clip with the suffix the encoder will REALLY
+                # produce (aac→.m4a; lossy→flac fallback without ffmpeg)
+                from birdnet_go_tpu.audio.encode import resolve_format
+
+                _, suffix = resolve_format(s.export.format)
+                clip_name = actions_mod.clip_filename(
+                    d, suffix.lstrip("."))
                 clip_start = d.begin_seconds - s.export.pre_capture_seconds
                 clip_end = clip_start + s.export.clip_length_seconds
                 self.jobqueue.enqueue(
@@ -965,7 +975,7 @@ class Application:
 
                 self.events.publish(Event("detection", msg))
 
-        if tr.track(EventType.DATABASE_SAVE, common, sci):
+        if db_allowed:
             chain.append(actions_mod.DatabaseAction(
                 d, self.datastore, contributions=item.contributions,
                 clip_name=clip_name, on_saved=_broadcast))
@@ -1040,6 +1050,11 @@ class Application:
                     for i in np.nonzero(scores >= s.range_filter.threshold)[0]
                     if i < len(primary)}
         included.update(s.species.include)
+        # detections are canonicalized (openfauna) before the range check,
+        # so the set must contain the canonical form of every label too
+        from birdnet_go_tpu.taxonomy.openfauna import canonical_name
+
+        included |= {canonical_name(n) for n in included}
         return included
 
     def rebuild_range_filter(self) -> int:

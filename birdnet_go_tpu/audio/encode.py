@@ -42,6 +42,40 @@ def supported_formats() -> list[str]:
     return out
 
 
+def resolve_format(fmt: str) -> tuple[str, str]:
+    """(actual format, file suffix) the encoder will REALLY produce for a
+    configured export format — callers must name clips with this suffix
+    BEFORE recording them in the database, or rows point at files that
+    don't exist (aac writes .m4a; lossy without ffmpeg falls back to
+    flac)."""
+    fmt = (fmt or "wav").lower()
+    if fmt in ("", "wav"):
+        return "wav", ".wav"
+    if fmt == "flac":
+        return "flac", ".flac"
+    if fmt in _FFMPEG_FORMATS:
+        if ffmpeg_available():
+            return fmt, _FFMPEG_FORMATS[fmt][0][0]
+        return "flac", ".flac"
+    raise ValueError(f"unsupported clip format {fmt!r}")
+
+
+def load_clip_audio(path: str | Path) -> tuple[np.ndarray, int]:
+    """Decode a stored clip → (float32 samples [-1,1], sample_rate).
+    Understands the formats this codebase writes natively (WAV, FLAC);
+    used by spectrogram (re)generation."""
+    path = Path(path)
+    if path.suffix.lower() == ".flac":
+        from birdnet_go_tpu.audio.flac import decode_flac
+
+        pcm, rate = decode_flac(path.read_bytes())
+        return pcm.astype(np.float32) / 32768.0, rate
+    from birdnet_go_tpu.audio.wav import read_wav
+
+    samples, info = read_wav(path)
+    return samples, info.sample_rate
+
+
 def encode_clip(pcm_i16: np.ndarray, sample_rate: int, out_path: str | Path,
                 fmt: str | None = None) -> Path:
     """Write PCM to out_path in `fmt` (default: by file suffix). Returns the

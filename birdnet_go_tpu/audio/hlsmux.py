@@ -55,12 +55,16 @@ def init_segment(sample_rate: int) -> bytes:
     streaminfo = streaminfo_block(sample_rate, 0)
     dfla = full_box(b"dfLa", 0, 0,
                     bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo)
+    # SampleEntry rate is 16.16 fixed point — rates ≥ 65536 Hz (the bat
+    # 256 kHz capture) can't be represented; per ISO/IEC 14496-12 the
+    # authoritative rate is the mdhd timescale, so clamp the entry field.
+    entry_rate = min(sample_rate, 0xFFFF)
     flac_entry = box(b"fLaC",
                      b"\x00" * 6 + struct.pack(">H", 1)      # data ref idx
                      + b"\x00" * 8                            # reserved
                      + struct.pack(">HH", 1, 16)              # ch, bits
                      + b"\x00" * 4
-                     + struct.pack(">I", sample_rate << 16)   # rate 16.16
+                     + struct.pack(">I", entry_rate << 16)    # rate 16.16
                      + dfla)
     stsd = full_box(b"stsd", 0, 0, struct.pack(">I", 1) + flac_entry)
     stts = full_box(b"stts", 0, 0, struct.pack(">I", 0))

@@ -439,10 +439,6 @@ def _cmd_support(args) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    sys.exit(main())
-
-
 def _cmd_notify(args) -> int:
     """Send a test notification through the configured targets
     (reference: cmd/notify)."""
@@ -471,3 +467,7 @@ def _cmd_gen_schema(args) -> int:
 
     print(json.dumps(generate_schema(), indent=2))
     return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

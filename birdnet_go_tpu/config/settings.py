@@ -212,6 +212,9 @@ class WebServerSettings:
     session_hours: float = 24.0 * 7
     oauth_client_id: str = "birdnet-client"
     oauth_client_secret: str | None = None
+    # authorization-code redirect targets; a redirect_uri not in this
+    # allowlist is refused (open-redirect / code-exfiltration guard)
+    oauth_redirect_uris: list[str] = dataclasses.field(default_factory=list)
     token_file: str = "data/tokens.json"
     gzip: bool = True
     secure_headers: bool = True

@@ -27,6 +27,13 @@ _ON_CONFLICT = re.compile(
     r"ON CONFLICT\s*\(([^)]+)\)\s*DO UPDATE SET", re.IGNORECASE)
 
 
+# columns that participate in keys/indexes in the schema — MySQL refuses
+# TEXT in a key specification without a length, so these become VARCHAR
+_KEY_COLUMNS = ("model_id", "scientific_name", "date", "source_id")
+_KEY_COL_RE = re.compile(
+    r"\b(" + "|".join(_KEY_COLUMNS) + r")\s+TEXT\b")
+
+
 def translate_sql(sql: str) -> str:
     """SQLite dialect → MySQL dialect for the statements this codebase uses."""
     out = sql.replace("AUTOINCREMENT", "AUTO_INCREMENT")
@@ -34,8 +41,12 @@ def translate_sql(sql: str) -> str:
     # sqlite upsert → MySQL upsert
     out = _ON_CONFLICT.sub("ON DUPLICATE KEY UPDATE", out)
     out = _EXCLUDED.sub(r"VALUES(\1)", out)
-    # TEXT primary keys need a length in MySQL; use VARCHAR instead
+    # TEXT cannot be a key in MySQL without a prefix length: give every
+    # key-participating column (PKs, composite PKs, indexed columns) a
+    # bounded VARCHAR instead
     out = out.replace("TEXT PRIMARY KEY", "VARCHAR(191) PRIMARY KEY")
+    if "CREATE TABLE" in out.upper():
+        out = _KEY_COL_RE.sub(r"\1 VARCHAR(191)", out)
     return out
 
 

@@ -378,10 +378,24 @@ class Datastore:
         with self._lock:
             return [dict(r) for r in self._conn.execute(sql, args)]
 
-    def count_detections(self) -> int:
+    def count_detections(self, date_from: str | None = None) -> int:
+        sql = "SELECT COUNT(*) FROM detections"
+        args: list = []
+        if date_from:
+            sql += " WHERE date >= ?"
+            args.append(date_from)
         with self._lock:
-            (n,) = self._conn.execute(
-                "SELECT COUNT(*) FROM detections").fetchone()
+            (n,) = self._conn.execute(sql, args).fetchone()
+            return int(n)
+
+    def count_species(self, date_from: str | None = None) -> int:
+        sql = "SELECT COUNT(DISTINCT scientific_name) FROM detections"
+        args: list = []
+        if date_from:
+            sql += " WHERE date >= ?"
+            args.append(date_from)
+        with self._lock:
+            (n,) = self._conn.execute(sql, args).fetchone()
             return int(n)
 
     # -- analytics ----------------------------------------------------------------

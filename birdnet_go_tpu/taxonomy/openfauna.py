@@ -63,14 +63,23 @@ def load_aliases(explicit: str | None = None) -> dict[str, str]:
         if base is None:
             _aliases = {}
             return _aliases
+        global _reverse
         try:
             raw = json.loads((base / "aliases.json").read_text())
             _aliases = {k.strip().lower(): v for k, v in raw.items()
                         if isinstance(v, str)}
+            # reverse map keeps the dataset-case legacy names — consumers
+            # compare against label sets / user config verbatim
+            _reverse = {}
+            for k, v in raw.items():
+                if isinstance(v, str):
+                    _reverse.setdefault(v.strip().lower(), []).append(
+                        k.strip())
             log.info("openfauna: %d taxonomic aliases loaded", len(_aliases))
         except (OSError, ValueError):
             log.exception("openfauna alias load failed")
             _aliases = {}
+            _reverse = {}
         return _aliases
 
 
@@ -80,6 +89,17 @@ def canonical_name(scientific: str) -> str:
     if not scientific:
         return scientific
     return load_aliases().get(scientific.strip().lower(), scientific)
+
+
+_reverse: dict[str, list[str]] | None = None
+
+
+def legacy_names_for(canonical: str) -> list[str]:
+    """Legacy scientific names (dataset case) that map to a canonical
+    name — needed wherever user config or model label sets may still use
+    the OLD taxonomy (per-species thresholds, include/exclude, ranges)."""
+    load_aliases()
+    return (_reverse or {}).get(canonical.strip().lower(), [])
 
 
 def species_metadata(scientific: str) -> dict | None:
@@ -108,7 +128,8 @@ def species_metadata(scientific: str) -> dict | None:
 
 def reset_cache() -> None:
     """Testing hook."""
-    global _aliases, _metadata
+    global _aliases, _metadata, _reverse
     with _lock:
         _aliases = None
         _metadata = None
+        _reverse = None
