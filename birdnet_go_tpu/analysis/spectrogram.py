@@ -150,6 +150,10 @@ class PreRenderer:
         self.rendered = 0
         self.dropped = 0
 
+    def queue_depth(self) -> int:
+        """Pending render jobs (the /spectrogram/:id/status probe)."""
+        return self._queue.qsize()
+
     def start(self) -> None:
         if self._threads:
             return

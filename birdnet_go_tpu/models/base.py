@@ -43,8 +43,11 @@ class MelCnnModel:
         if self._fused_ok():
             from birdnet_go_tpu.ops.pallas_melspec import melspec_fused
 
-            m = melspec_fused(pcm_i16, self.mel)
-            feats = m[..., None].astype(self.compute_dtype)
+            # the kernel emits the CNN's compute dtype directly (halves
+            # the mel→backbone HBM round trip vs writing f32 then casting)
+            m = melspec_fused(pcm_i16, self.mel,
+                              out_dtype=self.compute_dtype)
+            feats = m[..., None]
             return apply_efficientnet(params, feats, self.net, train=train,
                                       compute_dtype=self.compute_dtype)
         pcm = pcm_i16.astype(jnp.float32) * (1.0 / 32768.0)

@@ -73,8 +73,12 @@ def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
 
 def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
                   tile_f: int | None = None,
-                  interpret: bool = False) -> jnp.ndarray:
-    """int16 PCM [B, T] → mel [B, F, n_mels] (cfg.mag_scale applied)."""
+                  interpret: bool = False,
+                  out_dtype=jnp.float32) -> jnp.ndarray:
+    """int16 PCM [B, T] → mel [B, F, n_mels] (cfg.mag_scale applied).
+
+    `out_dtype=bfloat16` writes the CNN's input dtype directly — halves
+    the mel→backbone HBM round trip (the consumer casts to bf16 anyway)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -172,14 +176,14 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
                 mel = mel + jnp.dot(power, fb_ref[r],
                                     preferred_element_type=jnp.float32)
             if cfg.mag_scale == "log":
-                out_ref[0, :, :] = jnp.log(mel + cfg.log_offset)
+                scaled = jnp.log(mel + cfg.log_offset)
             elif cfg.mag_scale == "db":
-                out_ref[0, :, :] = 10.0 * jnp.log10(mel + cfg.log_offset)
+                scaled = 10.0 * jnp.log10(mel + cfg.log_offset)
             elif cfg.mag_scale == "nonlinear":
-                out_ref[0, :, :] = jnp.power(jnp.maximum(mel, 0.0),
-                                             1.0 / 1.3)
+                scaled = jnp.power(jnp.maximum(mel, 0.0), 1.0 / 1.3)
             else:
-                out_ref[0, :, :] = mel
+                scaled = mel
+            out_ref[0, :, :] = scaled.astype(out_ref.dtype)
 
         pl.run_scoped(
             body,
@@ -210,7 +214,7 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
                                lambda bi, ft: (bi, ft, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_f, cfg.n_mels),
-                                       jnp.float32),
+                                       out_dtype),
         scratch_shapes=[
             pltpu.VMEM((tile_f, _A, _LANE), jnp.float32),     # sr (f-major)
             pltpu.VMEM((tile_f, _A, _LANE), jnp.float32),     # si
