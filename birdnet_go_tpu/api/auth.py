@@ -60,7 +60,7 @@ def auth_middleware(token: str, allow_local_bypass: bool = True):
         # also accept ?token= for SSE/EventSource clients (no headers)
         if not supplied:
             supplied = request.query.get("token", "")
-        if supplied and hmac.compare_digest(supplied, token):
+        if supplied and hmac.compare_digest(supplied.encode(), token.encode()):
             return await handler(request)
         return web.json_response({"error": "unauthorized"}, status=401)
 

@@ -94,7 +94,8 @@ class SecurityManager:
 
     def check_password(self, password: str) -> bool:
         configured = self.settings.webserver.password
-        return bool(configured) and hmac.compare_digest(password, configured)
+        return bool(configured) and hmac.compare_digest(
+            password.encode(), configured.encode())
 
     def create_session(self) -> tuple[str, str]:
         sid = secrets.token_urlsafe(32)
@@ -140,7 +141,7 @@ class SecurityManager:
         if not ws.oauth_client_secret:
             return None
         if client_id != ws.oauth_client_id or not hmac.compare_digest(
-                client_secret, ws.oauth_client_secret):
+                client_secret.encode(), ws.oauth_client_secret.encode()):
             return None
         return self.issue_token(subject=f"client:{client_id}")
 
@@ -155,7 +156,7 @@ class SecurityManager:
 
     def check_token(self, token: str) -> bool:
         static = self.settings.webserver.auth_token
-        if static and hmac.compare_digest(token, static):
+        if static and hmac.compare_digest(token.encode(), static.encode()):
             return True
         entry = self._tokens.get(_digest(token, self._salt))
         if entry is None:
@@ -227,7 +228,8 @@ def security_middleware(manager: SecurityManager,
         if session is not None:
             if request.method in ("POST", "PUT", "PATCH", "DELETE"):
                 supplied = request.headers.get("X-CSRF-Token", "")
-                if not hmac.compare_digest(supplied, session["csrf"]):
+                if not hmac.compare_digest(supplied.encode(),
+                                           session["csrf"].encode()):
                     return web.json_response({"error": "CSRF token missing"},
                                              status=403)
             return await handler(request)

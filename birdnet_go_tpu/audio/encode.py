@@ -76,6 +76,11 @@ def load_clip_audio(path: str | Path) -> tuple[np.ndarray, int]:
     return samples, info.sample_rate
 
 
+# suffix → format (a .m4a file is AAC, .ogg is opus, …)
+_SUFFIX_FMT = {"m4a": "aac", "aac": "aac", "opus": "opus", "ogg": "opus",
+               "mp3": "mp3", "wav": "wav", "flac": "flac"}
+
+
 def encode_clip(pcm_i16: np.ndarray, sample_rate: int, out_path: str | Path,
                 fmt: str | None = None) -> Path:
     """Write PCM to out_path in `fmt` (default: by file suffix). Returns the
@@ -83,6 +88,7 @@ def encode_clip(pcm_i16: np.ndarray, sample_rate: int, out_path: str | Path,
     FLAC because FFmpeg is absent."""
     out = Path(out_path)
     fmt = (fmt or out.suffix.lstrip(".")).lower()
+    fmt = _SUFFIX_FMT.get(fmt, fmt)
     if fmt in ("", "wav"):
         from birdnet_go_tpu.audio.wav import write_wav
 

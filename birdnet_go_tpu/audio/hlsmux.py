@@ -261,13 +261,19 @@ class HlsManager:
             self._thread = None
 
     def _ensure_thread(self) -> None:
-        if self._thread is None or not self._thread.is_alive():
-            self._stop.clear()
-            self._thread = threading.Thread(target=self._run,
-                                            name="hls-segmenter", daemon=True)
-            self._thread.start()
+        # under the lock: a racing start_session during the old thread's
+        # exit window must not be left untended
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._stop.clear()
+                self._thread = threading.Thread(
+                    target=self._run, name="hls-segmenter", daemon=True)
+                self._thread.start()
 
     def _run(self) -> None:
+        # the thread idles when no sessions exist (cheap: one wakeup per
+        # quarter segment) instead of exiting — a self-exit races
+        # start_session's is_alive() check and strands new sessions
         while not self._stop.wait(self.segment_seconds / 4):
             now = time.time()
             with self._lock:
@@ -281,6 +287,3 @@ class HlsManager:
                     s.tick(now)
                 except Exception:
                     log.exception("HLS segment cut failed for %s", sid)
-            with self._lock:
-                if not self._sessions:
-                    return                      # thread exits when idle

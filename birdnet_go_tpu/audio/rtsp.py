@@ -244,16 +244,22 @@ class RtspSource:
             self._request(sock, "PLAY", self._clean_url, cseq,
                           {"Session": session, "Range": "npt=0.000-"})
 
-            # (re)register the source at the SDP rate (AudioSource is
-            # immutable — rebuild it)
+            # Register the source at the SDP rate (AudioSource is
+            # immutable — rebuild it). On RECONNECT with an unchanged rate
+            # the existing engine stream is reused: tearing it down would
+            # orphan the CaptureBuffer that live HLS sessions and pending
+            # clip exports hold, and would discard the capture pre-roll.
             import dataclasses as _dc
 
-            if self._registered:
+            if self._registered \
+                    and self.source.sample_rate != audio["rate"]:
                 self.engine.remove_source(self.source.source_id)
-            self.source = _dc.replace(self.source,
-                                      sample_rate=audio["rate"])
-            self.engine.add_source(self.source)
-            self._registered = True
+                self._registered = False
+            if not self._registered:
+                self.source = _dc.replace(self.source,
+                                          sample_rate=audio["rate"])
+                self.engine.add_source(self.source)
+                self._registered = True
             log.info("rtsp %s: %s/%d Hz/%dch via TCP-interleaved",
                      self.source.source_id, self.codec, audio["rate"],
                      audio["channels"])

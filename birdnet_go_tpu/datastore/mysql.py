@@ -38,15 +38,21 @@ def translate_sql(sql: str) -> str:
     """SQLite dialect → MySQL dialect for the statements this codebase uses."""
     out = sql.replace("AUTOINCREMENT", "AUTO_INCREMENT")
     out = out.replace("AS INTEGER)", "AS SIGNED)")
-    # sqlite upsert → MySQL upsert
+    # sqlite upsert dialects → MySQL upserts
     out = _ON_CONFLICT.sub("ON DUPLICATE KEY UPDATE", out)
     out = _EXCLUDED.sub(r"VALUES(\1)", out)
+    out = re.sub(r"^\s*INSERT OR REPLACE INTO", "REPLACE INTO", out,
+                 flags=re.IGNORECASE)
     # TEXT cannot be a key in MySQL without a prefix length: give every
     # key-participating column (PKs, composite PKs, indexed columns) a
     # bounded VARCHAR instead
     out = out.replace("TEXT PRIMARY KEY", "VARCHAR(191) PRIMARY KEY")
     if "CREATE TABLE" in out.upper():
         out = _KEY_COL_RE.sub(r"\1 VARCHAR(191)", out)
+        # MySQL refuses DEFAULT on TEXT columns (error 1101); every insert
+        # in this codebase supplies these columns explicitly, so the
+        # default is only a sqlite nicety — drop it for MySQL
+        out = re.sub(r"TEXT NOT NULL DEFAULT ''", "TEXT NOT NULL", out)
     return out
 
 

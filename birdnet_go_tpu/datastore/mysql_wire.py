@@ -23,6 +23,7 @@ import threading
 log = logging.getLogger("birdnet_tpu.mysql")
 
 CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_FOUND_ROWS = 0x00000002
 CLIENT_CONNECT_WITH_DB = 0x00000008
 CLIENT_PROTOCOL_41 = 0x00000200
 CLIENT_TRANSACTIONS = 0x00002000
@@ -155,7 +156,10 @@ class MySQLConnection:
                 endp = greeting.find(b"\x00", pos)
                 plugin = greeting[pos:endp if endp >= 0 else None].decode()
 
-        caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
+        # CLIENT_FOUND_ROWS: report MATCHED rows like sqlite3's rowcount,
+        # so "did this UPDATE hit a row" checks agree across both engines
+        caps = (CLIENT_LONG_PASSWORD | CLIENT_FOUND_ROWS
+                | CLIENT_PROTOCOL_41
                 | CLIENT_TRANSACTIONS | CLIENT_SECURE_CONNECTION
                 | CLIENT_PLUGIN_AUTH)
         if self.database:

@@ -244,12 +244,19 @@ class Datastore:
             clauses.append("confidence >= ?"); args.append(min_confidence)
         if max_confidence is not None:
             clauses.append("confidence <= ?"); args.append(max_confidence)
-        if hour_from is not None:
-            clauses.append("CAST(substr(time, 1, 2) AS INTEGER) >= ?")
-            args.append(hour_from)
-        if hour_to is not None:
-            clauses.append("CAST(substr(time, 1, 2) AS INTEGER) <= ?")
-            args.append(hour_to)
+        if hour_from is not None and hour_to is not None \
+                and hour_from > hour_to:
+            # overnight window (e.g. 22→4, the owl/bat band): wraps midnight
+            clauses.append("(CAST(substr(time, 1, 2) AS INTEGER) >= ?"
+                           " OR CAST(substr(time, 1, 2) AS INTEGER) <= ?)")
+            args += [hour_from, hour_to]
+        else:
+            if hour_from is not None:
+                clauses.append("CAST(substr(time, 1, 2) AS INTEGER) >= ?")
+                args.append(hour_from)
+            if hour_to is not None:
+                clauses.append("CAST(substr(time, 1, 2) AS INTEGER) <= ?")
+                args.append(hour_to)
         if locked is not None:
             clauses.append("locked = ?"); args.append(1 if locked else 0)
         if verified == "unreviewed":
@@ -372,8 +379,9 @@ class Datastore:
         if date_to:
             clauses.append("date <= ?"); args.append(date_to)
         where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        # MAX(common_name): portable under MySQL's ONLY_FULL_GROUP_BY
         sql = (f"SELECT date, MIN(time) AS first_time, scientific_name,"
-               f" common_name FROM detections {where}"
+               f" MAX(common_name) AS common_name FROM detections {where}"
                f" GROUP BY date, scientific_name ORDER BY date")
         with self._lock:
             return [dict(r) for r in self._conn.execute(sql, args)]
@@ -408,7 +416,8 @@ class Datastore:
         if date_to:
             clauses.append("date <= ?"); args.append(date_to)
         where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
-        sql = (f"SELECT scientific_name, common_name, COUNT(*) AS count,"
+        sql = (f"SELECT scientific_name,"
+               f" MAX(common_name) AS common_name, COUNT(*) AS count,"
                f" MAX(confidence) AS max_confidence,"
                f" AVG(confidence) AS avg_confidence,"
                f" MIN(timestamp) AS first_seen, MAX(timestamp) AS last_seen"
@@ -545,7 +554,8 @@ class Datastore:
             clauses.append("date <= ?"); args.append(date_to)
         where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
         sql = (f"SELECT substr(date, 1, 7) AS month, scientific_name,"
-               f" common_name, COUNT(*) AS count FROM detections {where}"
+               f" MAX(common_name) AS common_name, COUNT(*) AS count"
+               f" FROM detections {where}"
                f" GROUP BY month, scientific_name ORDER BY month, count DESC")
         months: dict[str, list[dict]] = {}
         totals: dict[str, int] = {}
@@ -564,7 +574,7 @@ class Datastore:
         return out
 
     def new_species_first_seen(self) -> list[dict[str, Any]]:
-        sql = ("SELECT scientific_name, common_name,"
+        sql = ("SELECT scientific_name, MAX(common_name) AS common_name,"
                " MIN(date) AS first_date FROM detections"
                " GROUP BY scientific_name ORDER BY first_date DESC")
         with self._lock:

@@ -207,6 +207,11 @@ class DeviceLoop:
         # window providers: callables returning iterable of
         # (model_id, pcm_i16, source_id, start_time)
         self._providers: list[Callable[[], list]] = []
+        # windows that didn't fit a tick's megabatch: the provider already
+        # consumed them from the AnalysisBuffer, so they MUST be retried
+        # next tick, not dropped (bounded; beyond the cap they're counted)
+        self._backlog: dict[str, list] = {}
+        self.windows_dropped = 0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.ticks = 0
@@ -219,13 +224,24 @@ class DeviceLoop:
 
     def run_tick(self) -> int:
         """One scheduling tick; returns windows dispatched."""
+        items = []
+        for model_id, backlog in self._backlog.items():
+            items.extend(backlog)           # retry last tick's overflow first
+        self._backlog = {}
         for provider in self._providers:
-            for item in provider():
-                model_id, pcm, source_id, start_time = item[:4]
-                rate = item[4] if len(item) > 4 else 0
-                b = self.batchers.get(model_id)
-                if b is not None:
-                    b.offer(pcm, source_id, start_time, rate)
+            items.extend(provider())
+        for item in items:
+            model_id, pcm, source_id, start_time = item[:4]
+            rate = item[4] if len(item) > 4 else 0
+            b = self.batchers.get(model_id)
+            if b is None:
+                continue
+            if not b.offer(pcm, source_id, start_time, rate):
+                q = self._backlog.setdefault(model_id, [])
+                if len(q) < 4 * b.max_batch:
+                    q.append(item)
+                else:                       # overload: drop WITH accounting
+                    self.windows_dropped += 1
         dispatched = 0
         for b in self.batchers.values():
             dispatched += b.dispatch()

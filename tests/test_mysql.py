@@ -110,6 +110,7 @@ class FakeMySQLServer(threading.Thread):
         seq = self._send(conn, greeting, 0)
         resp, seq_in = self._read_packet(conn)
         caps, _, _ = struct.unpack("<IIB", resp[:9])
+        self.client_caps = caps
         pos = 32
         end = resp.index(b"\x00", pos)
         user = resp[pos:end].decode()
