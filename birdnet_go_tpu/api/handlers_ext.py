@@ -141,6 +141,13 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/species/locales", self.h_species_locales)
         # settings whole-document replace
         r.add_put(f"{v2}/settings", self.h_put_settings)
+        # TLS certificate management (internal/api/v2/tls — get/upload/
+        # delete/generate/download)
+        r.add_get(f"{v2}/tls/certificate", self.h_tls_get)
+        r.add_post(f"{v2}/tls/certificate", self.h_tls_upload)
+        r.add_delete(f"{v2}/tls/certificate", self.h_tls_delete)
+        r.add_post(f"{v2}/tls/certificate/generate", self.h_tls_generate)
+        r.add_get(f"{v2}/tls/certificate/download", self.h_tls_download)
 
     # -- shared SSE pump -----------------------------------------------------------
 
@@ -1037,3 +1044,86 @@ class ExtendedHandlers:
                         ControlSignal.RECONFIGURE_SOURCES):
                 self.ctx.control.send(sig)
         return _json({"updated": updated, "warnings": warnings})
+
+    # -- TLS certificate management (internal/api/v2/tls/tls.go) -------------------------
+
+    @property
+    def _tls_mgr(self):
+        from birdnet_go_tpu.utils.tlscert import TLSManager
+
+        return TLSManager(self.ctx.settings.webserver.tls_dir)
+
+    def _tls_restart_note(self):
+        """Certificate writes take effect on the next server start
+        (tls.go reasonTLSCertRestart → restart banner)."""
+        try:
+            from birdnet_go_tpu.integrations.notification import Notification
+
+            self.ctx.notification_inbox.add(Notification(
+                title="Restart required",
+                message="TLS certificate changed — restart the web server"
+                        " for it to take effect",
+                priority="high", payload={"reason": "tlsCertificate"}))
+        except Exception:
+            pass
+
+    async def h_tls_get(self, request):
+        info = self._tls_mgr.info()
+        if info.get("installed"):
+            info["mode"] = "enabled" \
+                if self.ctx.settings.webserver.tls_enabled else "installed"
+        return _json(info)
+
+    async def h_tls_upload(self, request):
+        from birdnet_go_tpu.utils.tlscert import validate_key_pair
+
+        body = await request.json()
+        cert = (body.get("certificate") or "").strip()
+        key = (body.get("privateKey") or "").strip()
+        if not cert or not key:
+            return _json({"error": "certificate and private key are"
+                          " required"}, status=400)
+        try:
+            validate_key_pair(cert, key)
+            self._tls_mgr.save(cert, key)
+        except ValueError as e:
+            return _json({"error": str(e)}, status=400)
+        self._tls_restart_note()
+        return _json({"installed": True, "restartRequired": True})
+
+    async def h_tls_delete(self, request):
+        if not self._tls_mgr.delete():
+            return _json({"error": "no certificate installed"}, status=404)
+        self._tls_restart_note()
+        return _json({"deleted": True, "restartRequired": True})
+
+    async def h_tls_generate(self, request):
+        from birdnet_go_tpu.utils.tlscert import (
+            collect_sans,
+            generate_self_signed,
+            parse_validity,
+        )
+
+        body = await request.json() if request.can_read_body else {}
+        try:
+            validity = parse_validity(body.get("validity"))
+        except ValueError as e:
+            return _json({"error": str(e)}, status=400)
+        ws = self.ctx.settings.webserver
+        cert, key = generate_self_signed(
+            validity=validity, sans=collect_sans(ws.host, ws.base_url))
+        self._tls_mgr.save(cert, key)
+        self._tls_restart_note()
+        info = self._tls_mgr.info()
+        info["restartRequired"] = True
+        return _json(info)
+
+    async def h_tls_download(self, request):
+        mgr = self._tls_mgr
+        if not mgr.exists():
+            return _json({"error": "no certificate installed"}, status=404)
+        return web.Response(
+            body=mgr.cert_path().read_bytes(),
+            content_type="application/x-pem-file",
+            headers={"Content-Disposition":
+                     'attachment; filename="cert.pem"'})

@@ -119,11 +119,30 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         app = self.build_app()
         self._runner = web.AppRunner(app)
         loop.run_until_complete(self._runner.setup())
-        site = web.TCPSite(self._runner, self.host, self.port)
+        ssl_ctx = self._ssl_context()
+        site = web.TCPSite(self._runner, self.host, self.port,
+                           ssl_context=ssl_ctx)
         loop.run_until_complete(site.start())
-        log.info("API listening on %s:%d", self.host, self.port)
+        log.info("API listening on %s://%s:%d",
+                 "https" if ssl_ctx else "http", self.host, self.port)
         self._started.set()
         loop.run_forever()
+
+    def _ssl_context(self):
+        """HTTPS when webserver.tls_enabled: load the installed certificate
+        or auto-generate a self-signed pair (internal/tls generate.go)."""
+        ws = self.ctx.settings.webserver
+        if not getattr(ws, "tls_enabled", False):
+            return None
+        from birdnet_go_tpu.utils.tlscert import TLSManager
+
+        mgr = TLSManager(ws.tls_dir)
+        try:
+            mgr.ensure_self_signed(host=ws.host, base_url=ws.base_url)
+            return mgr.ssl_context()
+        except Exception:
+            log.exception("TLS setup failed — serving plain HTTP")
+            return None
 
     # -- app/routes ----------------------------------------------------------------
 
@@ -561,6 +580,8 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
 
         import jax
 
+        from birdnet_go_tpu.utils.sysinfo import environment_summary
+
         return _json({
             "version": __version__,
             "platform": platform.platform(),
@@ -568,6 +589,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             "devices": [str(d) for d in jax.devices()],
             "uptime_seconds": round(time.time() - self.started_at, 1),
             "sources": [s.source_id for s in self.ctx.engine.sources()],
+            **environment_summary(),
         })
 
     async def h_inference_status(self, request):

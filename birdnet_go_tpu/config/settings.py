@@ -218,6 +218,12 @@ class WebServerSettings:
     token_file: str = "data/tokens.json"
     gzip: bool = True
     secure_headers: bool = True
+    # HTTPS (internal/tls): when enabled and no certificate is installed
+    # under tls_dir, a self-signed EC P-256 pair is generated at startup
+    # with SANs from host/base_url/interfaces (sans.go CollectSANs).
+    tls_enabled: bool = False
+    tls_dir: str = "data/tls"
+    base_url: str = ""                  # public URL, feeds certificate SANs
 
 
 @dataclasses.dataclass

@@ -30,10 +30,10 @@ class BirdWeatherConfig:
 
 class BirdWeatherClient:
     def __init__(self, config: BirdWeatherConfig, session=None):
-        import httpx
+        from birdnet_go_tpu.utils.httpclient import shared_client
 
         self.config = config
-        self.session = session or httpx.Client(timeout=30.0)
+        self.session = session or shared_client()
         self.breaker = CircuitBreaker(failure_threshold=5,
                                       cooldown_seconds=120.0)
         self.uploads = 0

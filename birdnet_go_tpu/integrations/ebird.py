@@ -22,9 +22,9 @@ CACHE_TTL_SECONDS = 6 * 3600.0
 class EBirdClient:
     def __init__(self, api_token: str = "", session=None,
                  clock=time.time):
-        import httpx
+        from birdnet_go_tpu.utils.httpclient import shared_client
 
-        self.session = session or httpx.Client(timeout=15.0)
+        self.session = session or shared_client()
         self.api_token = api_token
         self.clock = clock
         self.breaker = CircuitBreaker()

@@ -48,10 +48,11 @@ class WikipediaProvider:
     name = "wikimedia"
 
     def __init__(self, session=None, rate_per_second: float = 1.0):
-        import httpx
+        from birdnet_go_tpu.utils.httpclient import HttpClient
 
-        self.session = session or httpx.Client(
-            timeout=15.0, headers={"User-Agent": USER_AGENT})
+        # dedicated pool: Wikimedia requires the provider's own UA policy
+        self.session = session or HttpClient(timeout=15.0,
+                                             user_agent=USER_AGENT)
         self.breaker = CircuitBreaker()
         self._min_interval = 1.0 / rate_per_second
         self._last_call = 0.0

@@ -128,10 +128,10 @@ class NotificationService:
                  burst_window_seconds: float = 60.0,
                  inbox: NotificationInbox | None = None,
                  on_stored=None):
-        import httpx
+        from birdnet_go_tpu.utils.httpclient import shared_client
 
         self.targets = targets or []
-        self.session = session or httpx.Client(timeout=15.0)
+        self.session = session or shared_client()
         self._breakers = {t.name: CircuitBreaker() for t in self.targets}
         self._last_sent: dict[str, float] = {}
         self._burst: list[float] = []

@@ -34,10 +34,10 @@ class YrNoProvider:
 
     def __init__(self, lat: float, lon: float, session=None,
                  user_agent: str = "birdnet-tpu/0.1 bioacoustics-station"):
-        import httpx
+        from birdnet_go_tpu.utils.httpclient import shared_client
 
         self.lat, self.lon = lat, lon
-        self.session = session or httpx.Client(timeout=20.0)
+        self.session = session or shared_client()
         self.user_agent = user_agent
 
     def fetch(self) -> list[WeatherObservation]:
@@ -70,11 +70,11 @@ class OpenWeatherProvider:
     BASE = "https://api.openweathermap.org/data/2.5/weather"
 
     def __init__(self, lat: float, lon: float, api_key: str, session=None):
-        import httpx
+        from birdnet_go_tpu.utils.httpclient import shared_client
 
         self.lat, self.lon = lat, lon
         self.api_key = api_key
-        self.session = session or httpx.Client(timeout=20.0)
+        self.session = session or shared_client()
 
     def fetch(self) -> list[WeatherObservation]:
         r = self.session.get(self.BASE, params={
@@ -100,11 +100,11 @@ class WundergroundProvider:
     BASE = "https://api.weather.com/v2/pws/observations/current"
 
     def __init__(self, station_id: str, api_key: str, session=None):
-        import httpx
+        from birdnet_go_tpu.utils.httpclient import shared_client
 
         self.station_id = station_id
         self.api_key = api_key
-        self.session = session or httpx.Client(timeout=20.0)
+        self.session = session or shared_client()
 
     def fetch(self) -> list[WeatherObservation]:
         r = self.session.get(self.BASE, params={
