@@ -24,7 +24,7 @@ log = logging.getLogger("birdnet_tpu.notification")
 @dataclasses.dataclass
 class NotificationTarget:
     name: str
-    kind: str                          # "webhook" | "ntfy" | "command"
+    kind: str                          # "webhook" | "ntfy" | "command" | "push"
     url: str = ""
     method: str = "POST"
     headers: dict[str, str] = dataclasses.field(default_factory=dict)
@@ -196,6 +196,17 @@ class NotificationService:
                 breaker.call(self._post, t.url, n.message.encode(),
                              {"Title": n.title, "Priority": n.priority,
                               **t.headers})
+            elif t.kind == "push" or "://" in t.url \
+                    and not t.url.startswith(("http://", "https://")):
+                # shoutrrr-style provider URL (discord://, telegram://, …)
+                from birdnet_go_tpu.integrations.push_urls import (
+                    build_push_requests,
+                )
+
+                for req in build_push_requests(t.url, n.title, n.message,
+                                               n.priority):
+                    breaker.call(self._post, req.url, req.body,
+                                 {**req.headers, **t.headers}, req.method)
             else:                                   # generic webhook
                 body = string.Template(
                     t.body_template or '{"title": "$title", '
