@@ -1,0 +1,88 @@
+"""Periodic pipeline throughput logging.
+
+Reference: internal/analysis/processor/pipeline_stats.go — a stats logger
+that periodically emits one line summarizing the hot path (windows
+analyzed, queue pressure, drops) so operators can read health from the
+log stream without scraping /metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+
+log = logging.getLogger("birdnet_tpu.pipeline")
+
+
+class PipelineStatsLogger:
+    """One INFO line per interval with per-model deltas; silent while the
+    pipeline is idle (no windows since the last line)."""
+
+    def __init__(self, device_loop, processor=None,
+                 interval_seconds: float = 60.0):
+        self.device_loop = device_loop
+        self.processor = processor
+        self.interval = interval_seconds
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._last: dict[str, tuple[int, int, int]] = {}
+        self._last_dropped = 0
+        self.lines_emitted = 0
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run,
+                                        name="pipeline-stats", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def tick(self, now: float | None = None) -> str | None:
+        """Compute + log one summary line; returns it (None when idle)."""
+        parts = []
+        total_windows = 0
+        for model_id, b in self.device_loop.batchers.items():
+            s = b.stats
+            prev = self._last.get(model_id, (0, 0, 0))
+            dw = s.windows_processed - prev[0]
+            d_over = s.overruns - prev[1]
+            d_def = s.windows_deferred - prev[2]
+            self._last[model_id] = (s.windows_processed, s.overruns,
+                                    s.windows_deferred)
+            total_windows += dw
+            if dw or d_over or d_def:
+                parts.append(
+                    f"{model_id}: {dw / self.interval:.1f} win/s"
+                    f" fill={s.last_batch_fill:.0%}"
+                    f" lat={s.last_latency_ms:.0f}ms"
+                    + (f" overruns+{d_over}" if d_over else "")
+                    + (f" deferred+{d_def}" if d_def else ""))
+        dropped = getattr(self.device_loop, "windows_dropped", 0)
+        d_drop = dropped - self._last_dropped
+        self._last_dropped = dropped
+        if d_drop:
+            parts.append(f"dropped+{d_drop}")
+        if self.processor is not None:
+            pending = len(getattr(self.processor, "pending", {}) or {})
+            if pending:
+                parts.append(f"pending={pending}")
+        if not parts or total_windows == 0 and not d_drop:
+            return None                   # idle: don't spam the log
+        line = "pipeline: " + " | ".join(parts)
+        log.info(line)
+        self.lines_emitted += 1
+        return line
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            try:
+                self.tick()
+            except Exception:
+                log.exception("pipeline stats tick failed")

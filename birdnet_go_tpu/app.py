@@ -69,6 +69,7 @@ class Application:
         self.events = None
         self.health = None
         self.soundlevel = None
+        self.pipeline_stats = None
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
         self._sources: list = []
@@ -80,6 +81,16 @@ class Application:
 
     def setup(self) -> None:
         s = self.settings
+        # WARN+ log records feed the health error ring (/system/errors)
+        # even when the app is embedded without the CLI's logging setup
+        # (reference wires the slog tee in main.go:139-150)
+        import logging as _logging
+
+        from birdnet_go_tpu.utils.health import GLOBAL_ERROR_BUFFER
+
+        root_logger = _logging.getLogger()
+        if GLOBAL_ERROR_BUFFER not in root_logger.handlers:
+            root_logger.addHandler(GLOBAL_ERROR_BUFFER)
         warnings = s.validate()
         for w in warnings:
             log.warning("config: %s", w)
@@ -838,11 +849,18 @@ class Application:
                 mqtt=self.mqtt, mqtt_topic=self.settings.mqtt.topic,
                 interval_seconds=self.settings.soundlevel.interval_seconds)
             self.soundlevel.start()
+        from birdnet_go_tpu.analysis.pipeline_stats import PipelineStatsLogger
+
+        self.pipeline_stats = PipelineStatsLogger(self.device_loop,
+                                                  self.processor)
+        self.pipeline_stats.start()
         log.info("application started: %d model(s), %d source(s)",
                  len(self.classifiers), len(self._sources))
 
     def stop(self) -> None:
         self._started = False
+        if getattr(self, "pipeline_stats", None) is not None:
+            self.pipeline_stats.stop()
         if getattr(self, "hls", None) is not None:
             self.hls.stop()
         if self.soundlevel is not None:

@@ -107,9 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    logging.basicConfig(
-        level=logging.DEBUG if args.debug else logging.INFO,
-        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    from birdnet_go_tpu.utils.logsetup import configure_logging
+
+    # stderr + WARN+→error-ring; serve re-runs this with the loaded
+    # settings to add the rotating file handler and module levels
+    configure_logging(None, debug=args.debug)
     if args.command == "analyze":
         return _cmd_analyze(args)
     if args.command == "benchmark":
@@ -305,6 +307,9 @@ def _cmd_serve(args) -> int:
         settings.data_dir = args.data_dir
     settings.webserver.host = args.host
     settings.webserver.port = args.port
+    from birdnet_go_tpu.utils.logsetup import configure_logging
+
+    configure_logging(settings, debug=args.debug)
 
     app = Application(settings)
     app.setup()

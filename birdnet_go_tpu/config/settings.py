@@ -235,6 +235,18 @@ class BackupSettings:
 
 
 @dataclasses.dataclass
+class LogSettings:
+    """Structured logging (internal/logger: buffered rotating file writers,
+    per-module levels, WARN+ teed into the health error ring)."""
+
+    level: str = "info"                 # debug|info|warning|error
+    path: str = ""                      # "" = stderr only
+    max_size_mb: float = 10.0           # rotate when the file exceeds this
+    keep: int = 3                       # rotated generations retained
+    module_levels: dict[str, str] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
 class LivenessSettings:
     enabled: bool = True
     silence_timeout_seconds: float = 60.0
@@ -305,6 +317,7 @@ class Settings:
     backup: BackupSettings = dataclasses.field(default_factory=BackupSettings)
     liveness: LivenessSettings = dataclasses.field(
         default_factory=LivenessSettings)
+    log: LogSettings = dataclasses.field(default_factory=LogSettings)
     data_dir: str | None = None
 
     def validate(self) -> list[str]:

@@ -1,0 +1,136 @@
+"""Logging configuration (rotating files, module levels, WARN+ → error
+ring) and the periodic pipeline stats logger.
+
+Reference: internal/logger (rotation, module children), main.go:139-150
+(slog tee into the health ring), processor/pipeline_stats.go."""
+
+import logging
+
+import pytest
+
+from birdnet_go_tpu.analysis.pipeline_stats import PipelineStatsLogger
+from birdnet_go_tpu.config.settings import Settings
+from birdnet_go_tpu.utils.health import GLOBAL_ERROR_BUFFER
+from birdnet_go_tpu.utils.logsetup import configure_logging
+
+
+@pytest.fixture()
+def clean_root():
+    root = logging.getLogger()
+    before = list(root.handlers)
+    level = root.level
+    yield root
+    root.handlers = before
+    root.setLevel(level)
+
+
+def test_rotating_file_handler_and_levels(tmp_path, clean_root):
+    s = Settings()
+    s.log.path = str(tmp_path / "logs" / "birdnet.log")
+    s.log.max_size_mb = 0.001              # ~1 KB: force rotation
+    s.log.keep = 2
+    s.log.module_levels = {"scheduler": "error", "birdnet_tpu.api": "debug"}
+    configure_logging(s)
+    log = logging.getLogger("birdnet_tpu.test")
+    for i in range(200):
+        log.info("filler line %04d — with enough text to exceed the cap", i)
+    for h in logging.getLogger().handlers:
+        h.flush()
+    logdir = tmp_path / "logs"
+    files = sorted(p.name for p in logdir.iterdir())
+    assert "birdnet.log" in files
+    assert any(".log.1" in f for f in files), files   # rotated generation
+    assert len(files) <= 3                             # keep=2 + active
+    # module level overrides
+    assert logging.getLogger("birdnet_tpu.scheduler").level == logging.ERROR
+    assert logging.getLogger("birdnet_tpu.api").level == logging.DEBUG
+
+
+def test_reconfigure_replaces_owned_handlers(clean_root):
+    configure_logging(Settings())
+    n1 = len(logging.getLogger().handlers)
+    configure_logging(Settings())          # reload: no handler stacking
+    assert len(logging.getLogger().handlers) == n1
+
+
+def test_warnings_reach_error_ring(clean_root):
+    configure_logging(Settings())
+    marker = "ring-tee-check-xyzzy"
+    logging.getLogger("birdnet_tpu.somewhere").warning(marker)
+    assert any(marker in e["message"]
+               for e in GLOBAL_ERROR_BUFFER.recent(50))
+
+
+def test_app_setup_attaches_error_ring(clean_root, tmp_path):
+    """Embedded apps (no CLI logging setup) still get /system/errors data:
+    Application.setup attaches the ring handler itself."""
+    root = logging.getLogger()
+    root.handlers = [h for h in root.handlers
+                     if h is not GLOBAL_ERROR_BUFFER]
+    from birdnet_go_tpu.app import Application
+    from birdnet_go_tpu.config.settings import Settings
+
+    s = Settings()
+    s.models = []                          # no classifiers needed
+    s.database.path = str(tmp_path / "t.db")
+    s.webserver.enabled = False
+    s.export.enabled = False
+    app = Application(s)
+    app.setup()
+    try:
+        assert GLOBAL_ERROR_BUFFER in root.handlers
+    finally:
+        app.stop()
+
+
+class _Stats:
+    def __init__(self):
+        self.windows_processed = 0
+        self.overruns = 0
+        self.windows_deferred = 0
+        self.last_batch_fill = 0.5
+        self.last_latency_ms = 12.0
+
+
+class _B:
+    def __init__(self):
+        self.stats = _Stats()
+
+
+class _Loop:
+    def __init__(self):
+        self.batchers = {"M1": _B()}
+        self.windows_dropped = 0
+
+
+def test_pipeline_stats_lines_and_idle_suppression(caplog):
+    loop = _Loop()
+    psl = PipelineStatsLogger(loop, interval_seconds=10.0)
+    assert psl.tick() is None              # idle: nothing processed yet
+    loop.batchers["M1"].stats.windows_processed = 500
+    with caplog.at_level(logging.INFO, logger="birdnet_tpu.pipeline"):
+        line = psl.tick()
+    assert line is not None
+    assert "M1: 50.0 win/s" in line and "fill=50%" in line
+    assert psl.tick() is None              # no new work since: idle again
+    loop.batchers["M1"].stats.overruns = 2
+    loop.batchers["M1"].stats.windows_processed = 600
+    loop.windows_dropped = 7
+    line = psl.tick()
+    assert "overruns+2" in line and "dropped+7" in line
+
+
+def test_pipeline_stats_thread_runs():
+    import time
+
+    loop = _Loop()
+    psl = PipelineStatsLogger(loop, interval_seconds=0.05)
+    loop.batchers["M1"].stats.windows_processed = 10
+    psl.start()
+    try:
+        deadline = time.time() + 3
+        while psl.lines_emitted == 0 and time.time() < deadline:
+            time.sleep(0.02)
+        assert psl.lines_emitted >= 1
+    finally:
+        psl.stop()
