@@ -201,6 +201,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         r.add_get(f"{v2}/streams/health", self.h_streams_health)
         r.add_get(f"{v2}/system/info", self.h_system_info)
         r.add_get(f"{v2}/system/inference", self.h_inference_status)
+        r.add_get(f"{v2}/system/inference/spans", self.h_inference_spans)
         r.add_get(f"{v2}/system/scheduler", self.h_scheduler_stats)
         # settings
         r.add_get(f"{v2}/settings", self.h_get_settings)
@@ -591,6 +592,14 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             "sources": [s.source_id for s in self.ctx.engine.sources()],
             **environment_summary(),
         })
+
+    async def h_inference_spans(self, request):
+        """Per-dispatch prediction spans (classifier/tracing.go role)."""
+        from birdnet_go_tpu.utils.tracing import GLOBAL_SPANS
+
+        limit = min(int(request.query.get("limit", 50)), 500)
+        return _json({"summary": GLOBAL_SPANS.summary(),
+                      "spans": GLOBAL_SPANS.recent(limit)})
 
     async def h_inference_status(self, request):
         out = []

@@ -182,6 +182,12 @@ class ModelBatcher:
         cv_np = np.asarray(cv) if cv is not None else None
         latency = time.monotonic() - t0
         self.stats.last_latency_ms = latency * 1000.0
+        # prediction span (tracing.go startPredictSpan analogue): one span
+        # per device batch, ring-buffered for /system/inference/spans
+        from birdnet_go_tpu.utils.tracing import GLOBAL_SPANS
+
+        GLOBAL_SPANS.record(self.spec.model_id, len(meta),
+                            len(meta) / self.max_batch, latency * 1000.0)
         if latency > self.budget_seconds:
             self.stats.overruns += 1
             log.warning("%s batch latency %.0f ms exceeds realtime budget"

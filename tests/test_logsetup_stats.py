@@ -134,3 +134,38 @@ def test_pipeline_stats_thread_runs():
         assert psl.lines_emitted >= 1
     finally:
         psl.stop()
+
+
+def test_predict_spans_recorded_and_summarized():
+    from birdnet_go_tpu.utils.tracing import SpanRecorder, predict_span
+
+    rec = SpanRecorder(capacity=4)
+    for i in range(6):                     # ring keeps the newest 4
+        with predict_span("M1", batch=8, fill=0.75, recorder=rec):
+            pass
+    with pytest.raises(ValueError):
+        with predict_span("M1", batch=8, recorder=rec):
+            raise ValueError("boom")       # span records failure, re-raises
+    assert rec.total == 7
+    s = rec.summary()
+    assert s["count"] == 4 and s["errors"] == 1
+    assert s["p50_ms"] >= 0 and s["by_model"] == {"M1": 4}
+    last = rec.recent(1)[0]
+    assert last["ok"] is False and "boom" in last["error"]
+
+
+def test_batcher_harvest_emits_span():
+    import numpy as np
+
+    from birdnet_go_tpu.scheduler.loop import ModelBatcher
+    from birdnet_go_tpu.utils.tracing import GLOBAL_SPANS
+    from tests.test_realtime_core import _TinyClassifier
+
+    before = GLOBAL_SPANS.total
+    b = ModelBatcher(_TinyClassifier(), max_batch=2, top_k=2)
+    b.offer(np.zeros(144000, np.int16), "s1", 0.0)
+    b.dispatch()
+    b.harvest()
+    assert GLOBAL_SPANS.total == before + 1
+    span = GLOBAL_SPANS.recent(1)[0]
+    assert span["batch"] == 1 and span["ok"] and span["fill"] == 0.5
