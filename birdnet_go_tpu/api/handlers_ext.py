@@ -148,6 +148,43 @@ class ExtendedHandlers:
         r.add_delete(f"{v2}/tls/certificate", self.h_tls_delete)
         r.add_post(f"{v2}/tls/certificate/generate", self.h_tls_generate)
         r.add_get(f"{v2}/tls/certificate/download", self.h_tls_download)
+        # on-demand clip generation + clip processing (media.go)
+        r.add_post(f"{v2}/audio/{{id}}/clip", self.h_audio_clip_generate)
+        r.add_post(f"{v2}/audio/{{id}}/process", self.h_audio_process)
+        # integrations test group (integrations/*.go)
+        r.add_get(f"{v2}/integrations/mqtt/status", self.h_mqtt_status)
+        r.add_post(f"{v2}/integrations/mqtt/test", self.h_mqtt_test)
+        r.add_post(f"{v2}/integrations/mqtt/homeassistant/discovery",
+                   self.h_mqtt_ha_discovery)
+        r.add_post(f"{v2}/integrations/birdweather/test",
+                   self.h_birdweather_test)
+        r.add_post(f"{v2}/integrations/ebird/test", self.h_ebird_test)
+        r.add_post(f"{v2}/integrations/weather/test", self.h_weather_test)
+        # app bootstrap + SSE/control introspection
+        r.add_get(f"{v2}/app/config", self.h_app_config)
+        r.add_post(f"{v2}/app/wizard/dismiss", self.h_wizard_dismiss)
+        r.add_get(f"{v2}/control/actions", self.h_control_actions)
+        r.add_get(f"{v2}/sse/status", self.h_sse_status)
+        # system extras
+        r.add_get(f"{v2}/system/audio/active", self.h_sys_audio_active)
+        r.add_get(f"{v2}/system/audio/sources", self.h_sys_audio_sources)
+        r.add_get(f"{v2}/system/audio/equalizer/config",
+                  self.h_eq_config_get)
+        r.add_put(f"{v2}/system/audio/equalizer/config",
+                  self.h_eq_config_put)
+        r.add_get(f"{v2}/system/network-interfaces",
+                  self.h_network_interfaces)
+        r.add_get(f"{v2}/system/restart-status", self.h_restart_status)
+        r.add_get(f"{v2}/system/database/overview", self.h_db_overview)
+        r.add_post(f"{v2}/system/database/backup", self.h_db_backup_run)
+        r.add_get(f"{v2}/system/database/backup/jobs",
+                  self.h_db_backup_jobs)
+        r.add_get(f"{v2}/system/events/operational",
+                  self.h_events_operational)
+        r.add_post(f"{v2}/system/diagnostics/run", self.h_diagnostics_run)
+        # imports validation + POST-form support bundle
+        r.add_post(f"{v2}/imports/validate", self.h_import_validate)
+        r.add_post(f"{v2}/support/generate", self.h_support_dump)
 
     # -- shared SSE pump -----------------------------------------------------------
 
@@ -1056,6 +1093,9 @@ class ExtendedHandlers:
     def _tls_restart_note(self):
         """Certificate writes take effect on the next server start
         (tls.go reasonTLSCertRestart → restart banner)."""
+        reasons = getattr(self.ctx, "restart_required", None)
+        if reasons is not None and "tlsCertificate" not in reasons:
+            reasons.append("tlsCertificate")
         try:
             from birdnet_go_tpu.integrations.notification import Notification
 
@@ -1127,3 +1167,323 @@ class ExtendedHandlers:
             content_type="application/x-pem-file",
             headers={"Content-Disposition":
                      'attachment; filename="cert.pem"'})
+
+    # -- on-demand clip + processing (media.go clip extraction / ProcessAudioByID) --------
+
+    async def h_audio_clip_generate(self, request):
+        status, payload = await asyncio.get_event_loop().run_in_executor(
+            None, self.ctx.export_clip_for_detection,
+            int(request.match_info["id"]))
+        return _json(payload, status=status)
+
+    async def h_audio_process(self, request):
+        """Normalize / apply gain to a detection's stored clip and return
+        WAV (media.go ProcessAudioRequest {normalize, gain_db})."""
+        import io
+
+        import numpy as np
+
+        from birdnet_go_tpu.audio.encode import load_clip_audio
+        from birdnet_go_tpu.audio.wav import write_wav
+
+        row = self.ctx.datastore.get_detection(int(request.match_info["id"]))
+        if row is None or not row.get("clip_name"):
+            return _json({"error": "not found"}, status=404)
+        target = self._sandboxed_media(row["clip_name"])
+        if target is None or not target.is_file():
+            return _json({"error": "clip not available"}, status=404)
+        body = await request.json() if request.can_read_body else {}
+        gain_db = float(body.get("gain_db", 0.0))
+        do_norm = bool(body.get("normalize", False))
+
+        def _process():
+            samples, rate = load_clip_audio(target)
+            if do_norm:
+                from birdnet_go_tpu.audio.audionorm import normalize
+
+                samples = normalize(samples, rate)
+            if gain_db:
+                samples = samples * (10.0 ** (gain_db / 20.0))
+            pcm = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
+            buf = io.BytesIO()
+            write_wav(buf, pcm, rate)
+            return buf.getvalue()
+
+        data = await asyncio.get_event_loop().run_in_executor(None, _process)
+        return web.Response(body=data, content_type="audio/wav")
+
+    # -- integrations test group ------------------------------------------------------------
+
+    async def h_mqtt_status(self, request):
+        m = self.ctx.mqtt
+        s = self.ctx.settings.mqtt
+        return _json({"enabled": s.enabled, "host": s.host, "port": s.port,
+                      "topic": s.topic,
+                      "connected": bool(m and m.is_connected())})
+
+    async def h_mqtt_test(self, request):
+        """Publish a test message through the live client, or a transient
+        one built from settings when MQTT isn't running."""
+        s = self.ctx.settings.mqtt
+
+        def _test() -> tuple[bool, str]:
+            m = self.ctx.mqtt
+            transient = False
+            if m is None:
+                from birdnet_go_tpu.integrations.mqtt import MqttClient
+
+                m = MqttClient(s.host, s.port, username=s.username,
+                               password=s.password, tls=s.tls)
+                m.start()
+                transient = True
+            try:
+                if not m.wait_connected(5):
+                    return False, "broker not reachable"
+                m.publish(f"{s.topic}/test",
+                          {"message": "birdnet test", "ok": True})
+                return True, "test message published"
+            finally:
+                if transient:
+                    m.stop()
+
+        ok, detail = await asyncio.get_event_loop().run_in_executor(None,
+                                                                    _test)
+        return _json({"success": ok, "message": detail},
+                     status=200 if ok else 502)
+
+    async def h_mqtt_ha_discovery(self, request):
+        if self.ctx.mqtt is None or not self.ctx.mqtt.is_connected():
+            return _json({"error": "MQTT not connected"}, status=502)
+        from birdnet_go_tpu.integrations.mqtt import ha_discovery_payloads
+
+        payloads = ha_discovery_payloads(self.ctx.settings.mqtt.topic)
+        for topic, cfg in payloads.items():
+            self.ctx.mqtt.publish(topic, cfg, retain=True)
+        return _json({"published": len(payloads)})
+
+    async def h_birdweather_test(self, request):
+        bw = self.ctx.birdweather
+        if bw is None:
+            return _json({"error": "BirdWeather not configured"},
+                         status=503)
+        ok = await asyncio.get_event_loop().run_in_executor(None, bw.probe)
+        return _json({"success": ok}, status=200 if ok else 502)
+
+    async def h_ebird_test(self, request):
+        if not self.ctx.settings.ebird.enabled:
+            return _json({"error": "ebird integration disabled"},
+                         status=503)
+
+        def _probe():
+            try:
+                rows = self._ebird.taxonomy(species_code="houspa")
+                return bool(rows), f"{len(rows)} taxonomy rows"
+            except Exception as e:  # noqa: BLE001
+                return False, str(e)
+
+        ok, detail = await asyncio.get_event_loop().run_in_executor(None,
+                                                                    _probe)
+        return _json({"success": ok, "message": detail},
+                     status=200 if ok else 502)
+
+    async def h_weather_test(self, request):
+        poller = self.ctx.weather_poller
+        if poller is None:
+            return _json({"error": "weather provider not configured"},
+                         status=503)
+
+        def _probe():
+            try:
+                obs = poller.provider.fetch()
+                return True, f"{len(obs)} observations"
+            except Exception as e:  # noqa: BLE001
+                return False, str(e)
+
+        ok, detail = await asyncio.get_event_loop().run_in_executor(None,
+                                                                    _probe)
+        return _json({"success": ok, "message": detail},
+                     status=200 if ok else 502)
+
+    # -- app bootstrap / introspection ---------------------------------------------------------
+
+    def _wizard_flag(self) -> Path:
+        base = Path(self.ctx.settings.data_dir or "data")
+        return base / ".wizard_dismissed"
+
+    async def h_app_config(self, request):
+        """Frontend bootstrap config (GET /app/config)."""
+        s = self.ctx.settings
+        from birdnet_go_tpu.version import __version__
+
+        return _json({
+            "version": __version__,
+            "locale": s.models[0].locale if s.models else "en",
+            "security_enabled": bool(s.webserver.password
+                                     or s.webserver.auth_token),
+            "models": [m.model_id for m in s.models],
+            "location_configured": s.location.latitude is not None,
+            "wizard_dismissed": self._wizard_flag().exists(),
+            "tls": bool(getattr(s.webserver, "tls_enabled", False)),
+        })
+
+    async def h_wizard_dismiss(self, request):
+        flag = self._wizard_flag()
+        flag.parent.mkdir(parents=True, exist_ok=True)
+        flag.write_text("")
+        return _json({"dismissed": True})
+
+    async def h_control_actions(self, request):
+        """Available control actions with descriptions (control.go)."""
+        from birdnet_go_tpu.config.control import ControlSignal
+
+        return _json({"actions": [
+            {"action": sig.value,
+             "description": sig.name.replace("_", " ").lower()}
+            for sig in ControlSignal]})
+
+    async def h_sse_status(self, request):
+        counts = {ch: self.sse.client_count(ch)
+                  for ch in ("detections", "notifications", "pending",
+                             "health", "soundlevels", "audio-level")}
+        return _json({"channels": counts,
+                      "total": self.sse.client_count()})
+
+    # -- system extras -----------------------------------------------------------------------
+
+    async def h_sys_audio_active(self, request):
+        eng = self.ctx.engine
+        health = eng.stream_health() if eng else {}
+        return _json({"active": [
+            {"source_id": sid, **info} for sid, info in health.items()]})
+
+    async def h_sys_audio_sources(self, request):
+        eng = self.ctx.engine
+        return _json({"sources": [
+            {"source_id": s.source_id, "type": s.source_type.value,
+             "display_name": s.display_name, "sample_rate": s.sample_rate}
+            for s in (eng.sources() if eng else [])]})
+
+    async def h_eq_config_get(self, request):
+        eq = self.ctx.settings.audio_filters
+        return _json({"enabled": eq.enabled, "filters": eq.filters})
+
+    async def h_eq_config_put(self, request):
+        """Hot-swap the per-stream equalizer chains (builder.go swap)."""
+        body = await request.json()
+        eq = self.ctx.settings.audio_filters
+        if "enabled" in body:
+            eq.enabled = bool(body["enabled"])
+        if "filters" in body:
+            if not isinstance(body["filters"], list):
+                return _json({"error": "filters must be a list"},
+                             status=400)
+            # validate designs before swapping anything live
+            from birdnet_go_tpu.audio.equalizer import FilterChain
+
+            try:
+                FilterChain.from_config(48000, body["filters"])
+            except (KeyError, ValueError) as e:
+                return _json({"error": f"bad filter spec: {e}"}, status=400)
+            eq.filters = body["filters"]
+        if self.ctx.engine is not None:
+            self.ctx.engine.set_equalizer(eq.filters if eq.enabled else None)
+        return _json({"enabled": eq.enabled, "filters": eq.filters})
+
+    async def h_network_interfaces(self, request):
+        import socket
+
+        out = []
+        for _idx, name in socket.if_nameindex():
+            entry = {"name": name}
+            try:
+                entry["mac"] = Path(
+                    f"/sys/class/net/{name}/address").read_text().strip()
+                entry["state"] = Path(
+                    f"/sys/class/net/{name}/operstate").read_text().strip()
+            except OSError:
+                pass
+            out.append(entry)
+        return _json({"interfaces": out})
+
+    async def h_restart_status(self, request):
+        reasons = getattr(self.ctx, "restart_required", [])
+        return _json({"restart_required": bool(reasons),
+                      "reasons": list(reasons)})
+
+    async def h_db_overview(self, request):
+        ds = self.ctx.datastore
+        import os
+
+        overview = {
+            "engine": "mysql" if str(ds.path).startswith("mysql")
+            else "sqlite",
+            "path": str(ds.path),
+            "detections": ds.count_detections(),
+            "species": len(ds.species_summary()),
+            "integrity": ds.integrity_check(),
+        }
+        if not str(ds.path).startswith("mysql") \
+                and os.path.isfile(str(ds.path)):
+            overview["size_bytes"] = os.path.getsize(str(ds.path))
+        return _json(overview)
+
+    async def h_db_backup_run(self, request):
+        mgr = self.ctx.backup
+        if mgr is None:
+            return _json({"error": "backup not configured"}, status=503)
+        name = await asyncio.get_event_loop().run_in_executor(None,
+                                                              mgr.run_once)
+        return _json({"backup": name, "runs": mgr.runs})
+
+    async def h_db_backup_jobs(self, request):
+        mgr = self.ctx.backup
+        if mgr is None:
+            return _json({"jobs": [], "configured": False})
+        return _json({"configured": True, "runs": mgr.runs,
+                      "history": list(getattr(mgr, "history", []))})
+
+    async def h_events_operational(self, request):
+        bus = self.ctx.events
+        if bus is None:
+            return _json({"events": []})
+        limit = min(int(request.query.get("limit", 50)), 200)
+        return _json({"events": bus.recent(limit,
+                                           kind=request.query.get("kind"))})
+
+    async def h_diagnostics_run(self, request):
+        """Run every registered health check NOW and return the results
+        (system/diagnostics/run)."""
+        import dataclasses as dc
+
+        reg = self.ctx.health
+        if reg is None:
+            return _json({"error": "health registry not running"},
+                         status=503)
+        results = await asyncio.get_event_loop().run_in_executor(
+            None, reg.run_all)
+        return _json({"checks": [dc.asdict(r) for r in results],
+                      "healthy": all(r.healthy for r in results)})
+
+    async def h_import_validate(self, request):
+        """Parse a BirdNET-Pi export without inserting anything
+        (import/validate)."""
+        from birdnet_go_tpu.utils.imports import parse_birdnet_pi_log
+
+        body = await request.json()
+        path = body.get("path", "")
+        if not path or not Path(path).is_file():
+            return _json({"valid": False, "error": "file not found"},
+                         status=400)
+
+        def _validate():
+            try:
+                rows = parse_birdnet_pi_log(path)
+                return {"valid": True, "detections": len(rows),
+                        "species": len({d.species.scientific
+                                        for d in rows})}
+            except Exception as e:  # noqa: BLE001
+                return {"valid": False, "error": str(e)}
+
+        out = await asyncio.get_event_loop().run_in_executor(None,
+                                                             _validate)
+        return _json(out, status=200 if out["valid"] else 422)

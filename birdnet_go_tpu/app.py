@@ -70,6 +70,9 @@ class Application:
         self.health = None
         self.soundlevel = None
         self.pipeline_stats = None
+        # reasons a restart is needed before config changes take effect
+        # (internal/restart MarkRestartRequired; /system/restart-status)
+        self.restart_required: list[str] = []
         self.classifiers: dict[str, JaxClassifier] = {}
         self.labels = {}
         self._sources: list = []
@@ -229,9 +232,11 @@ class Application:
             notify=_notify_source,
             is_quiet=self.quiet_hours.is_quiet)
         overlaps = {m.model_id: m.overlap for m in enabled}
+        eq = s.audio_filters
         self.engine = AudioEngine(
             specs, capture_seconds=s.realtime.capture_buffer_seconds,
-            overlaps=overlaps, on_ingest=self.watchdog.data_received)
+            overlaps=overlaps, on_ingest=self.watchdog.data_received,
+            eq_specs=eq.filters if eq.enabled else None)
         from birdnet_go_tpu.audio.hlsmux import HlsManager
 
         self.hls = HlsManager(self.engine)
@@ -1043,6 +1048,44 @@ class Application:
                                  f"detection, confidence {d.confidence:.2f}"),
                         priority="high", payload=payload)),
                     f"notify new species {d.species.common}")
+
+    def export_clip_for_detection(self, det_id: int) -> tuple[int, dict]:
+        """On-demand clip (re)export for a stored detection — the
+        POST /audio/:id/clip contract: returns (http_status, payload).
+        Pulls from the source's CaptureBuffer when the span is still in
+        the ring; 410 once it has been overwritten."""
+        from birdnet_go_tpu.audio.encode import encode_clip, resolve_format
+
+        row = self.datastore.get_detection(det_id)
+        if row is None:
+            return 404, {"error": "not found"}
+        s = self.settings
+        clip_dir = Path(s.export.path)
+        existing = row.get("clip_name") or ""
+        if existing and (clip_dir / existing).is_file():
+            return 200, {"clip_name": existing, "status": "exists"}
+        if self.engine is None:
+            return 409, {"error": "audio engine not running"}
+        cb = self.engine.capture_buffer(row["source_id"])
+        if cb is None:
+            return 409, {"error": f"source {row['source_id']} not live"}
+        start = float(row["begin_time"]) - s.export.pre_capture_seconds
+        end = start + s.export.clip_length_seconds
+        win = cb.window()
+        if win is None or start < win[0]:
+            return 410, {"error": "audio no longer in the capture buffer"}
+        pcm = cb.read_segment(start, min(end, win[1]))
+        if not len(pcm):
+            return 410, {"error": "audio no longer in the capture buffer"}
+        fmt, suffix = resolve_format(s.export.format)
+        sci = str(row["scientific_name"]).replace(" ", "_").lower()
+        conf_pct = int(round(float(row["confidence"]) * 100))
+        clip_name = f"{sci}_{conf_pct}p_{det_id}{suffix}"
+        clip_dir.mkdir(parents=True, exist_ok=True)
+        out = encode_clip(pcm, cb.sample_rate, clip_dir / clip_name, fmt)
+        self.datastore.set_clip_name(det_id, out.name)
+        return 200, {"clip_name": out.name, "status": "generated",
+                     "duration_seconds": len(pcm) / cb.sample_rate}
 
     def _prerender_clip(self, capture_buffer, start: float, end: float,
                         out_path: Path) -> None:

@@ -155,6 +155,18 @@ class CaptureBuffer:
                 self._ring[:end - self.capacity] = samples[k:]
             self._wpos += n
 
+    def window(self) -> tuple[float, float] | None:
+        """(earliest, latest) wall-clock seconds still held in the ring;
+        None before the first write. Lets on-demand clip export answer
+        'is that audio still here?' instead of silently zero-filling."""
+        with self._lock:
+            if self._t0 is None:
+                return None
+            latest = self._t0 + self._wpos / self.sample_rate
+            earliest = self._t0 + max(0, self._wpos - self.capacity) \
+                / self.sample_rate
+            return earliest, latest
+
     def read_segment(self, start_time: float, end_time: float) -> np.ndarray:
         """PCM for [start_time, end_time) seconds; zero-filled where absent."""
         if end_time <= start_time:

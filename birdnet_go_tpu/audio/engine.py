@@ -61,11 +61,20 @@ class _ModelTap:
 
 class _StreamState:
     def __init__(self, source: AudioSource, specs: list[ModelSpec],
-                 capture_seconds: float, overlaps: dict[str, float]):
+                 capture_seconds: float, overlaps: dict[str, float],
+                 eq_specs: list[dict] | None = None):
         self.source = source
         self.capture = CaptureBuffer(source.sample_rate, capture_seconds)
         self.taps: list[_ModelTap] = []
         self.last_ingest = 0.0
+        # per-stream equalizer chain at the SOURCE rate, applied before
+        # any consumer (the router's processing path — equalizer.go);
+        # swapped atomically by replacing the chain object
+        self.eq = None
+        if eq_specs:
+            from birdnet_go_tpu.audio.equalizer import FilterChain
+
+            self.eq = FilterChain.from_config(source.sample_rate, eq_specs)
         # samples already delivered per model (drives window start times)
         for spec in specs:
             self.add_tap(spec, overlaps)
@@ -112,10 +121,11 @@ class AudioEngine:
     def __init__(self, specs: list[ModelSpec],
                  capture_seconds: float = 120.0,
                  overlaps: dict[str, float] | None = None,
-                 on_ingest=None):
+                 on_ingest=None, eq_specs: list[dict] | None = None):
         self.specs = specs
         self.capture_seconds = capture_seconds
         self.overlaps = overlaps or {}
+        self.eq_specs = eq_specs or []
         self.registry = SourceRegistry()
         self._streams: dict[str, _StreamState] = {}
         self._lock = threading.Lock()
@@ -127,7 +137,8 @@ class AudioEngine:
         self.registry.add(source)
         with self._lock:
             self._streams[source.source_id] = _StreamState(
-                source, self.specs, self.capture_seconds, self.overlaps)
+                source, self.specs, self.capture_seconds, self.overlaps,
+                eq_specs=self.eq_specs)
         log.info("source added: %s (%s @ %d Hz)", source.source_id,
                  source.source_type.value, source.sample_rate)
 
@@ -156,6 +167,20 @@ class AudioEngine:
                 st.taps = [t for t in st.taps
                            if t.spec.model_id != model_id]
 
+    def set_equalizer(self, eq_specs: list[dict] | None) -> None:
+        """Hot-swap the equalizer chain on every live stream (builder.go:
+        chains are immutable; the swap is a reference replacement). Biquad
+        state resets — one filter-length transient, same as the reference's
+        rebuild."""
+        from birdnet_go_tpu.audio.equalizer import FilterChain
+
+        with self._lock:
+            self.eq_specs = eq_specs or []
+            for st in self._streams.values():
+                st.eq = (FilterChain.from_config(st.source.sample_rate,
+                                                 self.eq_specs)
+                         if self.eq_specs else None)
+
     def capture_buffer(self, source_id: str) -> CaptureBuffer | None:
         with self._lock:
             st = self._streams.get(source_id)
@@ -178,6 +203,12 @@ class AudioEngine:
         st.last_ingest = ts
         if self.on_ingest is not None:
             self.on_ingest(source_id)
+        eq = st.eq
+        if eq is not None:
+            # equalize BEFORE any consumer (capture, HLS, analysis) — the
+            # reference filters in the router path ahead of fan-out
+            y = eq.process(pcm_i16.astype(np.float32))
+            pcm_i16 = np.clip(y, -32768, 32767).astype(np.int16)
         st.capture.write(pcm_i16, timestamp=ts)
         f32 = None
         for tap in st.taps:

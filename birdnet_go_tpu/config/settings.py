@@ -235,6 +235,16 @@ class BackupSettings:
 
 
 @dataclasses.dataclass
+class AudioFilterSettings:
+    """Per-stream equalizer applied ahead of every consumer
+    (audiocore/equalizer builder.go; RBJ biquad chains)."""
+
+    enabled: bool = False
+    # [{"type": "highpass", "frequency": 300, "q": 0.7071, "gain": 0.0}]
+    filters: list[dict[str, Any]] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class LogSettings:
     """Structured logging (internal/logger: buffered rotating file writers,
     per-module levels, WARN+ teed into the health error ring)."""
@@ -318,6 +328,8 @@ class Settings:
     liveness: LivenessSettings = dataclasses.field(
         default_factory=LivenessSettings)
     log: LogSettings = dataclasses.field(default_factory=LogSettings)
+    audio_filters: AudioFilterSettings = dataclasses.field(
+        default_factory=AudioFilterSettings)
     data_dir: str | None = None
 
     def validate(self) -> list[str]:

@@ -164,6 +164,27 @@ class Datastore:
             self._conn.commit()
             return int(det_id)
 
+    def integrity_check(self) -> dict[str, Any]:
+        """Database doctor: PRAGMA integrity_check + table inventory
+        (the MySQL engine overrides this with SHOW TABLE STATUS)."""
+        with self._lock:
+            ok = self._conn.execute(
+                "PRAGMA integrity_check").fetchone()[0] == "ok"
+            tables = self._conn.execute(
+                "SELECT COUNT(*) FROM sqlite_master WHERE type='table'"
+            ).fetchone()[0]
+        return {"tables": int(tables), "engine_ok": bool(ok)}
+
+    def set_clip_name(self, det_id: int, clip_name: str) -> bool:
+        """Attach a (re)generated clip to an existing detection
+        (POST /audio/:id/clip — on-demand export)."""
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE detections SET clip_name = ? WHERE id = ?",
+                (clip_name, det_id))
+            self._conn.commit()
+            return cur.rowcount > 0
+
     def get_detection(self, det_id: int) -> dict[str, Any] | None:
         with self._lock:
             row = self._conn.execute(

@@ -41,6 +41,10 @@ class EventBus:
         self.deduped = 0
         self.dropped: dict[str, int] = {}
         self.slow_consumers: set[str] = set()
+        # rolling operational history for /system/events/operational
+        from collections import deque
+
+        self._history: "deque[Event]" = deque(maxlen=200)
 
     def subscribe(self, name: str, handler: Callable[[Event], None],
                   kinds: set[str] | None = None) -> None:
@@ -92,7 +96,19 @@ class EventBus:
                     self.dropped[name] = self.dropped.get(name, 0) + 1
                     self.slow_consumers.add(name)
         self.published += 1
+        with self._lock:
+            self._history.append(event)
         return delivered
+
+    def recent(self, limit: int = 50, kind: str | None = None) -> list[dict]:
+        """Newest-last operational event history (the observability event
+        buffer the reference's System Health page reads)."""
+        with self._lock:
+            evs = list(self._history)
+        if kind:
+            evs = [e for e in evs if e.kind == kind]
+        return [{"kind": e.kind, "timestamp": e.timestamp,
+                 "payload": e.payload} for e in evs[-limit:]]
 
     def stop(self) -> None:
         self._stopped.set()
