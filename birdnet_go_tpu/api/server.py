@@ -231,6 +231,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         # embedded SPA (reference: frontend/ Svelte app via embed.go;
         # here a no-build single-file dashboard)
         r.add_get("/", self.h_index)
+        r.add_get("/sw.js", self.h_service_worker)   # PWA worker, root scope
         r.add_get("/ui", self.h_index)
         r.add_get("/ui/{tail:.*}", self.h_index)     # SPA deep links
         r.add_static("/static/", Path(__file__).parent / "static",
@@ -853,6 +854,14 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
     async def h_index(self, request):
         path = Path(__file__).parent / "static" / "index.html"
         return web.FileResponse(path)
+
+    async def h_service_worker(self, request):
+        """PWA service worker served at '/' so its scope covers the app
+        (reference: frontend PWA via internal/api/pwa.go)."""
+        path = Path(__file__).parent / "static" / "sw.js"
+        return web.FileResponse(path, headers={
+            "Content-Type": "application/javascript",
+            "Cache-Control": "no-cache"})
 
     async def h_metrics(self, request):
         """Prometheus text exposition (reference: observability endpoint)."""

@@ -1,6 +1,8 @@
 /* BirdNET-TPU SPA shell: API client, hash router, i18n, DOM helpers.
    No build step — plain ES modules served from /static/. */
 
+import { MESSAGES } from "/static/i18n.js";
+
 export const API = "/api/v2";
 
 // ---------------------------------------------------------------- api client
@@ -77,60 +79,6 @@ export function toast(msg, isError = false) {
 
 // ---------------------------------------------------------------------- i18n
 
-const MESSAGES = {
-  en: {
-    dashboard: "Dashboard", detections: "Detections", analytics: "Analytics",
-    species: "Species", models: "Models", notifications: "Notifications",
-    settings: "Settings", system: "System", imports: "Import",
-    search: "Search", review: "Review", delete: "Delete", lock: "Lock",
-    unlock: "Unlock", correct: "Correct", false_positive: "False positive",
-    confidence: "Confidence", date: "Date", time: "Time", source: "Source",
-    apply: "Apply", save: "Save", today: "Today", last7: "Last 7 days",
-    last30: "Last 30 days", all_time: "All time", live_audio: "Live audio",
-    recent_detections: "Recent detections", no_data: "No data yet",
-    logout: "Sign out",
-  },
-  de: {
-    dashboard: "Übersicht", detections: "Erkennungen", analytics: "Analysen",
-    species: "Arten", models: "Modelle", notifications: "Meldungen",
-    settings: "Einstellungen", system: "System", imports: "Import",
-    search: "Suchen", review: "Prüfen", delete: "Löschen", lock: "Sperren",
-    unlock: "Entsperren", correct: "Korrekt", false_positive: "Fehlalarm",
-    confidence: "Konfidenz", date: "Datum", time: "Zeit", source: "Quelle",
-    apply: "Anwenden", save: "Speichern", today: "Heute",
-    last7: "Letzte 7 Tage", last30: "Letzte 30 Tage", all_time: "Gesamt",
-    live_audio: "Live-Audio", recent_detections: "Neueste Erkennungen",
-    no_data: "Noch keine Daten", logout: "Abmelden",
-  },
-  fr: {
-    dashboard: "Tableau de bord", detections: "Détections",
-    analytics: "Analyses", species: "Espèces", models: "Modèles",
-    notifications: "Notifications", settings: "Paramètres",
-    system: "Système", imports: "Import", search: "Rechercher",
-    review: "Vérifier", delete: "Supprimer", lock: "Verrouiller",
-    unlock: "Déverrouiller", correct: "Correct",
-    false_positive: "Faux positif", confidence: "Confiance", date: "Date",
-    time: "Heure", source: "Source", apply: "Appliquer",
-    save: "Enregistrer", today: "Aujourd'hui", last7: "7 derniers jours",
-    last30: "30 derniers jours", all_time: "Tout", live_audio: "Audio direct",
-    recent_detections: "Détections récentes", no_data: "Pas de données",
-    logout: "Déconnexion",
-  },
-  es: {
-    dashboard: "Panel", detections: "Detecciones", analytics: "Análisis",
-    species: "Especies", models: "Modelos", notifications: "Avisos",
-    settings: "Ajustes", system: "Sistema", imports: "Importar",
-    search: "Buscar", review: "Revisar", delete: "Borrar",
-    lock: "Bloquear", unlock: "Desbloquear", correct: "Correcto",
-    false_positive: "Falso positivo", confidence: "Confianza",
-    date: "Fecha", time: "Hora", source: "Fuente", apply: "Aplicar",
-    save: "Guardar", today: "Hoy", last7: "Últimos 7 días",
-    last30: "Últimos 30 días", all_time: "Todo", live_audio: "Audio en vivo",
-    recent_detections: "Detecciones recientes", no_data: "Sin datos",
-    logout: "Salir",
-  },
-};
-
 export let lang = localStorage.getItem("lang")
   || (navigator.language || "en").slice(0, 2);
 if (!MESSAGES[lang]) lang = "en";
@@ -200,6 +148,10 @@ export async function boot() {
   };
   refreshBadge();
   subscribe("/notifications/stream", refreshBadge);
+  // PWA: installable + offline shell
+  if ("serviceWorker" in navigator) {
+    navigator.serviceWorker.register("/sw.js").catch(() => {});
+  }
   window.addEventListener("hashchange", navigate);
   await navigate();
 }

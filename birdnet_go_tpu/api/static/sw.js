@@ -1,0 +1,41 @@
+/* PWA service worker: pre-cache the app shell, cache-first for static
+   assets, network-only for /api (live data must never be stale). */
+
+const CACHE = "birdnet-tpu-v1";
+const SHELL = [
+  "/", "/static/app.css", "/static/app.js", "/static/i18n.js",
+  "/static/charts.js",
+  "/static/views/dashboard.js", "/static/views/detections.js",
+  "/static/views/analytics.js", "/static/views/settings.js",
+  "/static/views/system.js", "/static/views/misc.js",
+  "/static/views/alerts.js", "/static/views/range.js",
+];
+
+self.addEventListener("install", (ev) => {
+  ev.waitUntil(caches.open(CACHE)
+    .then((c) => c.addAll(SHELL))
+    .then(() => self.skipWaiting()));
+});
+
+self.addEventListener("activate", (ev) => {
+  ev.waitUntil(caches.keys().then((keys) => Promise.all(
+    keys.filter((k) => k !== CACHE).map((k) => caches.delete(k))))
+    .then(() => self.clients.claim()));
+});
+
+self.addEventListener("fetch", (ev) => {
+  const url = new URL(ev.request.url);
+  if (ev.request.method !== "GET" || url.pathname.startsWith("/api/")
+      || url.pathname === "/sw.js") return;   // live data: straight through
+  if (url.pathname.startsWith("/static/") || SHELL.includes(url.pathname)) {
+    ev.respondWith(
+      caches.match(ev.request).then((hit) => hit || fetch(ev.request)
+        .then((resp) => {
+          if (resp.ok) {
+            const copy = resp.clone();
+            caches.open(CACHE).then((c) => c.put(ev.request, copy));
+          }
+          return resp;
+        })));
+  }
+});

@@ -1,0 +1,173 @@
+/* Alerts: rule editor (conditions + throttle + action), per-rule test,
+   import/export, and the fired-alert history.
+   Consumes /api/v2/alerts/* (reference: internal/alerting rules engine). */
+
+import { api, el, clear, fmtTime, toast, t } from "../app.js";
+
+export async function alertsView(outlet) {
+  outlet.append(el("h1", {}, t("alerts")));
+
+  const rulesCard = el("div", { class: "card" });
+  const formCard = el("div", { class: "card" });
+  const historyCard = el("div", { class: "card" });
+  outlet.append(rulesCard, formCard, historyCard);
+
+  await renderRules();
+  renderForm();
+  await renderHistory();
+
+  // ---- rules table ----
+  async function renderRules() {
+    const rules = await api("/alerts/rules");
+    clear(rulesCard);
+    rulesCard.append(el("div", { class: "row" },
+      el("h2", { style: "margin:0" }, "Rules"),
+      el("span", { class: "spacer" }),
+      el("a", { class: "btn small", href: "/api/v2/alerts/rules/export",
+                download: "alert-rules.json" }, "⬇ Export"),
+      importButton()));
+    if (!rules.length) {
+      rulesCard.append(el("div", { class: "empty" },
+        "No alert rules — create one below"));
+      return;
+    }
+    rulesCard.append(table(
+      ["Rule", "Conditions", "Throttle", "Priority", ""],
+      rules.map((r) => [
+        el("span", {},
+          el("strong", {}, r.name || r.rule_id), " ",
+          el("span", { class: "pill " + (r.enabled ? "good" : "") },
+             r.enabled ? "on" : "off")),
+        conditionSummary(r),
+        `${Math.round(r.min_interval_seconds / 60)} min`,
+        el("span", { class: "pill " + prioClass(r.priority) }, r.priority),
+        el("div", { class: "row" },
+          el("button", { class: "small", title: "Fire a test detection",
+            onclick: async () => {
+              try {
+                const out = await api(`/alerts/rules/${r.rule_id}/test`,
+                                      { method: "POST", body: {} });
+                const hit = out.matched ?? out.fired;
+                toast(hit ? `Fired: ${out.message || "matched"}`
+                          : "Rule did not match the test detection", !hit);
+                renderHistory();
+              } catch (e) { toast(e.message, true); }
+            } }, "▶ Test"),
+          el("button", { class: "small danger", onclick: async () => {
+            await api(`/alerts/rules/${r.rule_id}`, { method: "DELETE" });
+            toast("Rule deleted");
+            renderRules();
+          } }, "🗑"))])));
+  }
+
+  function conditionSummary(r) {
+    const parts = [];
+    if (r.species && r.species.length) parts.push(r.species.join(", "));
+    if (r.min_confidence > 0)
+      parts.push(`conf ≥ ${Math.round(r.min_confidence * 100)}%`);
+    if (r.sources && r.sources.length)
+      parts.push(`src: ${r.sources.join(",")}`);
+    if (r.only_new_species) parts.push("new species only");
+    if (r.active_window) parts.push(r.active_window);
+    return parts.length ? parts.join(" · ") : "any detection";
+  }
+
+  function importButton() {
+    const file = el("input", { type: "file", accept: ".json",
+                               style: "display:none" });
+    file.addEventListener("change", async () => {
+      if (!file.files.length) return;
+      try {
+        const text = await file.files[0].text();
+        const out = await api("/alerts/rules/import",
+                              { method: "POST", body: JSON.parse(text) });
+        toast(`Imported ${out.imported ?? 0} rule(s)`);
+        renderRules();
+      } catch (e) { toast(e.message, true); }
+      file.value = "";
+    });
+    return el("span", {}, file,
+      el("button", { class: "small", onclick: () => file.click() },
+         "⬆ Import"));
+  }
+
+  // ---- create form ----
+  function renderForm() {
+    const name = el("input", { placeholder: "Rule name", size: 22 });
+    const species = el("input",
+      { placeholder: "Species globs (comma sep, empty = any)", size: 34 });
+    const minConf = el("input", { type: "number", step: "0.05", min: 0,
+                                  max: 1, value: "0.8", size: 6 });
+    const interval = el("input", { type: "number", min: 0, value: "300",
+                                   size: 7, title: "min seconds between fires" });
+    const window_ = el("input", { placeholder: "HH:MM-HH:MM (optional)",
+                                  size: 18 });
+    const newOnly = el("input", { type: "checkbox" });
+    const priority = el("select", {},
+      ["low", "normal", "high", "critical"].map((p) =>
+        el("option", { value: p, selected: p === "normal" ? "" : null }, p)));
+    const template = el("input", {
+      value: "{common_name} detected ({confidence:.0%})", size: 40 });
+    formCard.append(el("h2", {}, "New rule"),
+      el("div", { class: "field-row" }, el("label", {}, "name"), name),
+      el("div", { class: "field-row" }, el("label", {}, "species"), species),
+      el("div", { class: "field-row" },
+        el("label", {}, "min confidence"), minConf),
+      el("div", { class: "field-row" },
+        el("label", {}, "throttle (s)"), interval),
+      el("div", { class: "field-row" },
+        el("label", {}, "active window"), window_),
+      el("div", { class: "field-row" },
+        el("label", {}, "new species only"), newOnly),
+      el("div", { class: "field-row" }, el("label", {}, "priority"), priority),
+      el("div", { class: "field-row" }, el("label", {}, "message"), template),
+      el("div", { class: "row", style: "margin-top:8px" },
+        el("button", { class: "primary", onclick: create }, "Create rule")));
+
+    async function create() {
+      if (!name.value.trim()) { toast("Name required", true); return; }
+      const body = {
+        rule_id: name.value.trim().toLowerCase().replace(/\W+/g, "-"),
+        name: name.value.trim(),
+        species: species.value.split(",").map((s) => s.trim())
+          .filter(Boolean),
+        min_confidence: Number(minConf.value) || 0,
+        min_interval_seconds: Number(interval.value) || 0,
+        active_window: window_.value.trim(),
+        only_new_species: newOnly.checked,
+        priority: priority.value,
+        message_template: template.value,
+      };
+      try {
+        await api("/alerts/rules", { method: "POST", body });
+        toast("Rule created");
+        renderRules();
+      } catch (e) { toast(e.message, true); }
+    }
+  }
+
+  // ---- history ----
+  async function renderHistory() {
+    const hist = await api("/alerts/history?limit=50");
+    clear(historyCard);
+    historyCard.append(el("h2", {}, "History"));
+    if (!hist.length) {
+      historyCard.append(el("div", { class: "empty" }, t("no_data")));
+      return;
+    }
+    historyCard.append(table(["Time", "Rule", "Message"],
+      hist.slice().reverse().map((e) => [
+        fmtTime(e.fired_at), e.rule_id, e.message])));
+  }
+}
+
+function prioClass(p) {
+  return p === "critical" ? "bad" : p === "high" ? "warn" : "info";
+}
+
+function table(headers, rows) {
+  return el("table", { class: "data" },
+    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
+    el("tbody", {}, rows.map((r) =>
+      el("tr", {}, r.map((c) => el("td", {}, c))))));
+}

@@ -16,8 +16,12 @@ export async function dashboardView(outlet) {
     el("h2", {}, t("recent_detections")),
     el("div", { class: "det-cards", id: "det-cards" }));
   const healthCard = el("div", { class: "card" });
+  const weatherCard = el("div", { class: "card" });
   outlet.append(kpiRow, hearingCard, el("div", { class: "grid cols-2" },
-                           liveCard, activityCard), cardsWrap, healthCard);
+                           liveCard, activityCard), cardsWrap,
+                el("div", { class: "grid cols-2" },
+                   healthCard, weatherCard));
+  renderWeather(weatherCard);
 
   // "currently hearing": live pending-consensus entries (SSE channel fed
   // by the processor's pending-broadcast — not-yet-approved detections)
@@ -157,6 +161,48 @@ export async function dashboardView(outlet) {
 function isoDaysAgo(n) {
   const d = new Date(Date.now() - n * 86400e3);
   return d.toISOString().slice(0, 10);
+}
+
+async function renderWeather(card) {
+  card.append(el("h2", {}, t("weather")));
+  const today = isoDaysAgo(0);
+  const body = el("div", { class: "grid cols-2" });
+  card.append(body);
+  try {
+    const [sun, moon] = await Promise.all([
+      api(`/weather/sun/${today}`), api(`/weather/moon/${today}`)]);
+    const hhmm = (iso) => iso ? String(iso).slice(11, 16) : "–";
+    body.append(
+      wtile("Sunrise", hhmm(sun.sunrise)),
+      wtile("Sunset", hhmm(sun.sunset)),
+      wtile("Civil dawn", hhmm(sun.civil_dawn)),
+      wtile("Moon", moon.phase
+        ? `${moon.phase.replaceAll("_", " ")} `
+          + `${Math.round((moon.illumination ?? 0) * 100)}%`
+        : "–"));
+  } catch (e) {
+    body.append(el("div", { class: "empty" }, "Set a location for sun/moon"));
+  }
+  try {
+    const w = await api(`/weather/daily/${today}`);
+    if (w.available) {
+      const last = (w.hours || []).slice(-1)[0] || {};
+      body.append(
+        wtile("Temp now", last.temperature != null
+              ? `${last.temperature} °C` : "–"),
+        wtile("Range", w.temp_min != null
+              ? `${w.temp_min}–${w.temp_max} °C` : "–"),
+        wtile("Wind", last.wind_speed != null
+              ? `${last.wind_speed} m/s` : "–"),
+        wtile("Humidity", last.humidity != null
+              ? `${last.humidity}%` : "–"));
+    }
+  } catch (e) { /* weather polling not configured */ }
+  function wtile(label, value) {
+    return el("div", { class: "stat" },
+      el("div", { class: "label" }, label),
+      el("div", { class: "value", style: "font-size:20px" }, value));
+  }
 }
 
 async function renderLive(card) {

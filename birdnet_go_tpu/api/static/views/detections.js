@@ -139,6 +139,8 @@ export async function detectionsView(outlet) {
       el("button", { class: "small",
         title: d.locked ? t("unlock") : t("lock"),
         onclick: () => toggleLock(d) }, d.locked ? "🔓" : "🔒"),
+      el("button", { class: "small", title: "Spectrogram",
+        onclick: (ev) => spectro(ev.target.closest("tr"), d.id) }, "∿"),
       el("button", { class: "small", title: "Comments",
         onclick: (ev) => comments(ev.target.closest("tr"), d.id) }, "💬"),
       el("button", { class: "small danger", title: t("delete"),
@@ -182,6 +184,23 @@ export async function detectionsView(outlet) {
     } catch (e) {
       toast(e.status === 409 ? "Detection is locked" : e.message, true);
     }
+  }
+
+  function spectro(tr, id) {
+    const existing = tr.nextElementSibling;
+    if (existing && existing.classList.contains("spectro-row")) {
+      existing.remove();
+      return;
+    }
+    const img = el("img", { alt: "spectrogram",
+      style: "max-width:100%;border-radius:8px",
+      src: `/api/v2/spectrogram/${id}?size=lg` });
+    img.addEventListener("error", () => {
+      img.replaceWith(el("div", { class: "empty" },
+        "No spectrogram (clip not saved)"));
+    });
+    tr.after(el("tr", { class: "spectro-row" },
+      el("td", { colspan: 7 }, img)));
   }
 
   async function comments(tr, id) {

@@ -196,7 +196,7 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # pcm3 in HBM
+            pl.BlockSpec(memory_space=pl.ANY),            # pcm3 in HBM
             pl.BlockSpec((frame_rows, _LANE), lambda bi, ft: (0, 0),
                          memory_space=pltpu.VMEM),            # window
             pl.BlockSpec((_A, _A), lambda bi, ft: (0, 0),

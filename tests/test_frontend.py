@@ -37,11 +37,15 @@ def test_shell_and_assets_served(served):
     for asset, want in [("/static/app.css", "text/css"),
                         ("/static/app.js", "javascript"),
                         ("/static/charts.js", "javascript"),
+                        ("/static/i18n.js", "javascript"),
+                        ("/sw.js", "javascript"),
                         ("/static/views/dashboard.js", "javascript"),
                         ("/static/views/detections.js", "javascript"),
                         ("/static/views/analytics.js", "javascript"),
                         ("/static/views/settings.js", "javascript"),
                         ("/static/views/system.js", "javascript"),
+                        ("/static/views/alerts.js", "javascript"),
+                        ("/static/views/range.js", "javascript"),
                         ("/static/views/misc.js", "javascript")]:
         status, ctype, body = _get(port, asset)
         assert status == 200 and want in ctype, asset
@@ -51,6 +55,7 @@ def test_shell_and_assets_served(served):
 def test_every_view_is_routed():
     shell = (STATIC / "index.html").read_text()
     for view in ("dashboard", "detections", "analytics", "species",
+                 "range", "alerts",
                  "notifications", "models", "imports", "system", "settings"):
         assert f'route("{view}"' in shell, view
         assert f'data-route="{view}"' in shell, view
@@ -85,6 +90,13 @@ def test_ui_consumes_every_api_group():
         "/analytics/succession", "/system/update-check",
         "/system/telemetry", "/species/info",
         "/detections/", "/comments",
+        # round-2 additions: alerts, range, weather, PWA
+        "/alerts/rules", "/alerts/history", "/alerts/rules/export",
+        "/alerts/rules/import",
+        "/range/species/list", "/range/species/count",
+        "/range/species/csv", "/range/species/scores",
+        "/range/species/test", "/range/heatmap",
+        "/weather/sun/", "/weather/moon/", "/weather/daily/",
     ]
     missing = [c for c in consumed if c not in js]
     assert not missing, f"UI consumers missing for: {missing}"
@@ -102,10 +114,27 @@ def test_js_modules_are_balanced():
         for o, c in (("{", "}"), ("(", ")"), ("[", "]")):
             assert stripped.count(o) == stripped.count(c), \
                 f"{p.name}: unbalanced {o}{c}"
-        assert "export" in src, p.name
+        if p.name != "sw.js":   # service worker is a classic script
+            assert "export" in src, p.name
 
 
 def test_login_page_served_when_secured(served):
     app, port = served
     status, ctype, body = _get(port, "/login")
     assert status == 200 and b"password" in body.lower()
+
+
+def test_i18n_has_15_locales_with_full_key_parity():
+    """Reference ships 15 UI languages; every locale must translate every
+    key the English catalogue defines (frontend/src/lib/i18n)."""
+    import json
+    src = (STATIC / "i18n.js").read_text()
+    locales = re.findall(r"^  (\w+): \{", src, flags=re.M)
+    assert len(locales) >= 15, locales
+    # every locale block contains every English key
+    en_keys = set(re.findall(r"(\w+):", src.split("de: {")[0]))
+    for loc in locales:
+        block = src.split(f"  {loc}: {{")[1].split("\n  }")[0]
+        missing = [k for k in en_keys
+                   if k not in ("en", "MESSAGES") and f"{k}:" not in block]
+        assert not missing, f"{loc} missing {missing}"
