@@ -5,9 +5,11 @@
 
 import { api, el, clear, fmtNum, fmtTime, confMeter, t, subscribe } from "../app.js";
 import { barChart, sparkline } from "../charts.js";
+import { maybeShowWizard } from "./onboarding.js";
 
 export async function dashboardView(outlet) {
   outlet.append(el("h1", {}, t("dashboard")));
+  maybeShowWizard();   // first-run setup (no-op once configured/dismissed)
   const kpiRow = el("div", { class: "grid cols-4" });
   const hearingCard = el("div", { class: "card" });
   const liveCard = el("div", { class: "card" });

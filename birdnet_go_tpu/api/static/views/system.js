@@ -3,6 +3,7 @@
    support bundle, devices. */
 
 import { api, el, fmtNum, toast, t } from "../app.js";
+import { renderAdminPanels } from "./admin.js";
 
 export async function systemView(outlet) {
   outlet.append(el("h1", {}, t("system")));
@@ -159,6 +160,10 @@ export async function systemView(outlet) {
   termCard.append(el("div", { class: "row", style: "margin-bottom:8px" },
                      connectBtn), termOut, termIn);
   grid.append(termCard);
+
+  // maintenance panels: thresholds, database, TLS, audio, integrations,
+  // network, operational events
+  await renderAdminPanels(grid);
 
   async function restart() {
     if (!confirm("Restart the server?")) return;

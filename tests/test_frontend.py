@@ -46,6 +46,8 @@ def test_shell_and_assets_served(served):
                         ("/static/views/system.js", "javascript"),
                         ("/static/views/alerts.js", "javascript"),
                         ("/static/views/range.js", "javascript"),
+                        ("/static/views/admin.js", "javascript"),
+                        ("/static/views/onboarding.js", "javascript"),
                         ("/static/views/misc.js", "javascript")]:
         status, ctype, body = _get(port, asset)
         assert status == 200 and want in ctype, asset
@@ -97,6 +99,22 @@ def test_ui_consumes_every_api_group():
         "/range/species/csv", "/range/species/scores",
         "/range/species/test", "/range/heatmap",
         "/weather/sun/", "/weather/moon/", "/weather/daily/",
+        # admin panels + onboarding
+        "/dynamic-thresholds", "/dynamic-thresholds/stats",
+        "/system/database/overview", "/system/database/backup",
+        "/system/database/backup/jobs",
+        "/tls/certificate", "/tls/certificate/generate",
+        "/tls/certificate/download",
+        "/system/audio/sources", "/system/audio/equalizer/config",
+        "/quiet-hours/status",
+        "/integrations/mqtt/status", "/integrations/mqtt/test",
+        "/integrations/birdweather/test", "/integrations/ebird/test",
+        "/integrations/weather/test",
+        "/integrations/mqtt/homeassistant/discovery",
+        "/system/network-interfaces", "/sse/status",
+        "/system/restart-status", "/system/events/operational",
+        "/system/diagnostics", "/system/diagnostics/run",
+        "/app/config", "/app/wizard/dismiss",
     ]
     missing = [c for c in consumed if c not in js]
     assert not missing, f"UI consumers missing for: {missing}"
