@@ -176,6 +176,71 @@ export async function renderAdminPanels(grid) {
     grid.append(card("Network & streams", body));
   } catch (e) { /* ignore */ }
 
+  // ---- stream tools: connectivity test, probe, per-source restart ----
+  {
+    const body = el("div");
+    try {
+      const { active } = await api("/system/audio/active");
+      if (active.length) {
+        body.append(table(["Source", "Buffered (s)", ""],
+          active.map((a) => [a.source_id,
+            (a.capture_seconds_buffered ?? 0).toFixed(1),
+            el("button", { class: "small", onclick: async () => {
+              try {
+                await api(`/restart-source/${
+                  encodeURIComponent(a.source_id)}`,
+                  { method: "POST", body: {} });
+                toast(`Restarted ${a.source_id}`);
+              } catch (e) { toast(e.message, true); }
+            } }, "⟳ restart")])));
+      }
+    } catch (e) { /* no engine */ }
+    const url = el("input", { placeholder: "rtsp://… or http://…", size: 30 });
+    const out = el("span", { class: "sub" });
+    body.append(el("div", { class: "row", style: "margin-top:8px" }, url,
+      el("button", { class: "small", onclick: async () => {
+        try {
+          const r = await api("/streams/test",
+                              { method: "POST", body: { url: url.value } });
+          out.textContent = r.ok ? `reachable (${r.latency_ms ?? "?"} ms)`
+                                 : `unreachable: ${r.error || ""}`;
+        } catch (e) { out.textContent = e.message; }
+      } }, "Test"),
+      el("button", { class: "small", onclick: async () => {
+        try {
+          const r = await api("/streams/probe",
+                              { method: "POST", body: { url: url.value } });
+          out.textContent = r.ok
+            ? `streams: ${(r.streams || []).map((s) =>
+                `${s.codec_type}/${s.codec_name}`).join(", ")}`
+            : `probe failed: ${r.error || ""}`;
+        } catch (e) { out.textContent = e.message; }
+      } }, "Probe")), out);
+    grid.append(card("Stream tools", body));
+  }
+
+  // ---- clips on disk + background jobs ----
+  try {
+    const [{ files, count }, jobs] = await Promise.all([
+      api("/filesystem/clips"), api("/system/jobs")]);
+    const body = el("div", {},
+      el("p", { class: "sub" },
+        `${count} file(s) in the export dir · jobqueue: `
+        + `${jobs.completed ?? jobs.jobqueue?.completed ?? 0} done, `
+        + `${jobs.failed ?? jobs.jobqueue?.failed ?? 0} failed`));
+    if (files.length) {
+      body.append(table(["Clip", "Size", "Modified"],
+        files.slice(-10).reverse().map((f) => [
+          el("a", { href: `/api/v2/media/audio/${encodeURIComponent(f.name)}`,
+                    download: f.name }, f.name),
+          `${(f.size_bytes / 1024).toFixed(0)} KB`, fmtTime(f.modified)])));
+    }
+    body.append(el("div", { class: "row", style: "margin-top:6px" },
+      el("a", { class: "btn small", href: "/api/v2/debug/profile" },
+         "⬇ CPU profile")));
+    grid.append(card("Clips & jobs", body));
+  } catch (e) { /* ignore */ }
+
   // ---- operational events + diagnostics ----
   try {
     const { events } = await api("/system/events/operational?limit=10");

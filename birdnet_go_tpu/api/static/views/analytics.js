@@ -122,6 +122,22 @@ export async function analyticsView(outlet) {
         table(["Species", "First seen"], rows.map((r) => [
           r.common_name || r.scientific_name, r.first_date || "–"]))));
     } catch (e) { four.append(card("Newest species", err(e))); }
+    // dawn chorus: today's hour-of-day activity histogram
+    try {
+      const { hourly } = await api("/analytics/dawn-chorus");
+      four.append(card("Dawn chorus (today by hour)",
+        barChart((hourly || []).map((v, h) => ({ label: String(h), value: v })),
+                 { xLabelEvery: 3, height: 150 })));
+    } catch (e) { /* optional */ }
+    // database stats
+    try {
+      const db = await api("/analytics/database/stats");
+      four.append(el("div", { class: "card" },
+        el("h2", {}, "Database"),
+        el("div", { class: "grid cols-2" },
+          tile("Detections", fmtNum(db.detections)),
+          tile("Species", fmtNum(db.species)))));
+    } catch (e) { /* optional */ }
     try {
       const res = await api(`/analytics/dawn-onset?from=${from}&to=${to}`);
       const rows = (res.dawn_onset || []).slice(-10);

@@ -85,7 +85,21 @@ export async function dashboardView(outlet) {
   } catch (e) { activityCard.append(el("div", { class: "empty" }, e.message)); }
 
   await renderCards();
-  subscribe("/detections/stream", () => renderCards());
+  const loadedAt = Date.now() / 1000;
+  subscribe("/detections/stream", async () => {
+    renderCards();
+    // "N new since you opened the page" pill on the section header
+    try {
+      const { count } = await api(`/detections/new?since=${loadedAt}`);
+      const h2 = cardsWrap.querySelector("h2");
+      let pill = h2.querySelector(".pill");
+      if (!pill) {
+        pill = el("span", { class: "pill info", style: "margin-left:8px" });
+        h2.append(pill);
+      }
+      pill.textContent = `${count} new`;
+    } catch (e) { /* ignore */ }
+  });
 
   async function renderCards() {
     const host = document.getElementById("det-cards");
@@ -220,15 +234,36 @@ async function renderLive(card) {
   }
   const sel = el("select", {}, sources.map((s) => el("option", { value: s }, s)));
   const playBtn = el("button", { class: "primary" }, "▶ Listen");
+  const useHls = el("label", { class: "sub", title:
+    "fMP4 HLS segments (Safari native; others fall back to chunked WAV)" },
+    el("input", { type: "checkbox", id: "use-hls" }), " HLS");
   const canvas = el("canvas", { class: "livespec", width: 800, height: 160 });
   card.append(el("div", { class: "row", style: "margin-bottom:8px" },
-                 sel, playBtn), canvas);
+                 sel, playBtn, useHls), canvas);
 
-  let audio = null, ctx = null, raf = 0;
+  let audio = null, ctx = null, raf = 0, hlsTimer = 0;
   playBtn.addEventListener("click", async () => {
     if (audio) { stop(); return; }
     playBtn.textContent = "■ Stop";
-    audio = new Audio(`/api/v2/audio/live/${encodeURIComponent(sel.value)}`);
+    const src = encodeURIComponent(sel.value);
+    let mediaUrl = `/api/v2/audio/live/${src}`;
+    if (document.getElementById("use-hls").checked) {
+      // HLS session: start + keepalive heartbeats (reference audio_hls.go)
+      try {
+        await api(`/audio/hls/${src}/start`, { method: "POST", body: {} });
+        hlsTimer = setInterval(() => api(`/audio/hls/${src}/heartbeat`,
+          { method: "POST", body: {} }).catch(() => {}), 5000);
+        mediaUrl = `/api/v2/audio/hls/${src}/playlist.m3u8`;
+      } catch (e) { /* fall back to chunked WAV */ }
+    }
+    audio = new Audio(mediaUrl);
+    audio.addEventListener("error", () => {
+      // HLS unsupported by this browser → chunked-WAV fallback
+      if (audio && mediaUrl.includes("playlist.m3u8")) {
+        audio.src = `/api/v2/audio/live/${src}`;
+        audio.play().catch(() => stop());
+      }
+    });
     audio.crossOrigin = "anonymous";
     ctx = new (window.AudioContext || window.webkitAudioContext)();
     const src = ctx.createMediaElementSource(audio);
@@ -258,6 +293,12 @@ async function renderLive(card) {
   function stop() {
     playBtn.textContent = "▶ Listen";
     cancelAnimationFrame(raf);
+    if (hlsTimer) {
+      clearInterval(hlsTimer);
+      hlsTimer = 0;
+      api(`/audio/hls/${encodeURIComponent(sel.value)}/stop`,
+          { method: "POST", body: {} }).catch(() => {});
+    }
     if (audio) { audio.pause(); audio.src = ""; audio = null; }
     if (ctx) { ctx.close(); ctx = null; }
   }

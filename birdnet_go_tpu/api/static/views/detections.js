@@ -199,8 +199,21 @@ export async function detectionsView(outlet) {
       img.replaceWith(el("div", { class: "empty" },
         "No spectrogram (clip not saved)"));
     });
+    const meta = el("span", { class: "sub" });
+    api(`/detections/${id}/time-of-day`).then((tod) => {
+      meta.textContent = tod.phase ? `☀ ${tod.phase}` : "";
+    }).catch(() => {});
+    const regen = el("button", { class: "small", onclick: async () => {
+      try {
+        await api(`/spectrogram/${id}/generate`, { method: "POST", body: {} });
+        img.src = `/api/v2/spectrogram/${id}?size=lg&_=${Date.now()}`;
+        toast("Spectrogram regenerated");
+      } catch (e) { toast(e.message, true); }
+    } }, "↻ Regenerate");
     tr.after(el("tr", { class: "spectro-row" },
-      el("td", { colspan: 7 }, img)));
+      el("td", { colspan: 7 },
+        el("div", { class: "row", style: "margin-bottom:6px" }, regen, meta),
+        img)));
   }
 
   async function comments(tr, id) {
@@ -209,10 +222,15 @@ export async function detectionsView(outlet) {
       existing.remove();
       return;
     }
-    const { comments } = await api(`/detections/${id}/comments`);
+    const [{ comments }, { reviews }] = await Promise.all([
+      api(`/detections/${id}/comments`),
+      api(`/detections/${id}/reviews`).catch(() => ({ reviews: [] }))]);
     const input = el("input", { placeholder: "Add a comment…", size: 40 });
-    const list = el("div", {}, comments.map((c) =>
-      el("div", { class: "sub" }, `• ${c.text}`)));
+    const list = el("div", {},
+      reviews.map((r) => el("div", { class: "sub" },
+        `✓ ${r.verdict}${r.comment ? ` — ${r.comment}` : ""}`)),
+      comments.map((c) =>
+        el("div", { class: "sub" }, `• ${c.text}`)));
     const addBtn = el("button", { class: "small primary", onclick: async () => {
       if (!input.value.trim()) return;
       await api(`/detections/${id}/comments`,

@@ -138,8 +138,12 @@ export async function speciesView(outlet) {
   outlet.append(el("h1", {}, t("species")));
   const search = el("input", { placeholder: t("search") + "…", size: 26 });
   const results = el("div", { class: "card" });
-  const rangeCard = el("div", { class: "card" });
-  outlet.append(el("div", { class: "filters" }, search), results, rangeCard);
+  const treeCard = el("div", { class: "card" });
+  const extrasCard = el("div", { class: "card" });
+  outlet.append(el("div", { class: "filters" }, search), results,
+                treeCard, extrasCard);
+  renderTree(treeCard);
+  renderExtras(extrasCard);
 
   search.addEventListener("input", debounce(async () => {
     const q = search.value.trim();
@@ -178,20 +182,76 @@ export async function speciesView(outlet) {
     }
   }
 
-  // range filter
+}
+
+// genus → species taxonomy tree (GET /taxonomy/tree)
+async function renderTree(card) {
+  card.append(el("h2", {}, "Taxonomy"));
   try {
-    const st = await api("/range/status");
-    rangeCard.append(el("h2", {}, "Range filter"),
-      el("p", { class: "sub" }, st.enabled
-        ? `${st.included_count} species included at `
-          + `(${st.latitude}, ${st.longitude}), threshold ${st.threshold}`
-        : "Disabled — set a location to enable"),
-      el("div", { class: "row" },
-        el("button", { onclick: async () => {
-          const out = await api("/range/rebuild", { method: "POST" });
-          toast(`Rebuilt: ${out.included ?? out.count ?? "ok"}`);
-        } }, "Rebuild now")));
-  } catch (e) { rangeCard.append(el("div", { class: "empty" }, e.message)); }
+    const { tree, genera, species } = await api("/taxonomy/tree");
+    card.append(el("p", { class: "sub" },
+      `${genera ?? Object.keys(tree).length} genera · `
+      + `${species ?? "?"} species in the primary model`));
+    const host = el("div", { style: "max-height:320px;overflow:auto" });
+    const names = Object.keys(tree).sort();
+    for (const genus of names.slice(0, 500)) {
+      const kids = tree[genus];
+      host.append(el("details", {},
+        el("summary", {}, `${genus} (${kids.length})`),
+        el("div", { class: "chip-wrap", style: "padding:6px 0 6px 16px" },
+          kids.slice(0, 60).map((s) => el("span", { class: "pill",
+            title: s.scientific_name },
+            s.common_name || s.scientific_name)))));
+    }
+    card.append(host);
+  } catch (e) { card.append(el("div", { class: "empty" }, e.message)); }
+}
+
+// dictionaries, first-seen lookup, eBird neighbourhood observations
+async function renderExtras(card) {
+  card.append(el("h2", {}, "Name dictionaries"));
+  try {
+    const { locales } = await api("/species/locales");
+    const sel = el("select", {}, (locales || []).map((l) =>
+      el("option", { value: l }, l)));
+    card.append(el("div", { class: "row" }, sel,
+      el("a", { class: "btn small", id: "dict-dl",
+        href: `/api/v2/species/dictionary/${locales?.[0] || "en"}` },
+        "⬇ Download dictionary")));
+    sel.addEventListener("change", () => {
+      document.getElementById("dict-dl").href =
+        `/api/v2/species/dictionary/${sel.value}`;
+    });
+  } catch (e) { card.append(el("div", { class: "empty" }, e.message)); }
+
+  // first-seen lookup (lifetime / this year / this season)
+  {
+    const q = el("input", { placeholder: "Scientific name…", size: 26 });
+    const out = el("span", { class: "sub" });
+    card.append(el("h2", { style: "margin-top:14px" }, "First seen"),
+      el("div", { class: "row" }, q,
+        el("button", { class: "small", onclick: async () => {
+          try {
+            const fs = await api(`/species/first-seen/${
+              encodeURIComponent(q.value.trim())}`);
+            const d = (v) => v ? fmtTime(v) : "never";
+            out.textContent = `lifetime ${d(fs.lifetime)} · year `
+              + `${d(fs.this_year)} · season ${d(fs.this_season)}`;
+          } catch (e) { out.textContent = e.message; }
+        } }, t("search"))), out);
+  }
+
+  // eBird recent observations near the station (when integration enabled)
+  try {
+    const obs = await api("/ebird/observations");
+    const rows = obs.observations || [];
+    card.append(el("h2", { style: "margin-top:14px" }, "Nearby (eBird)"),
+      rows.length
+        ? table(["Species", "Where", "When"], rows.slice(0, 10).map((o) => [
+            o.comName || o.common_name || o.sciName,
+            o.locName || o.location || "", o.obsDt || o.date || ""]))
+        : el("div", { class: "empty" }, "No recent observations"));
+  } catch (e) { /* integration disabled */ }
 }
 
 // ------------------------------------------------------------------- imports
@@ -205,9 +265,20 @@ export async function importsView(outlet) {
     el("p", { class: "sub" },
        "Import detections from a BirdNET-Pi BirdDB.txt log."),
     el("div", { class: "row" }, path,
+      el("button", { onclick: validate }, "Validate"),
       el("button", { class: "primary", onclick: start }, "Start import"))),
     jobsCard);
   await renderJobs();
+
+  async function validate() {
+    try {
+      const out = await api("/imports/validate",
+        { method: "POST", body: { path: path.value.trim() } });
+      toast(out.valid
+        ? `Looks good: ${out.rows ?? "?"} row(s) found`
+        : `Invalid: ${out.error || "unrecognized format"}`, !out.valid);
+    } catch (e) { toast(e.message, true); }
+  }
 
   async function start() {
     try {

@@ -24,6 +24,11 @@ export async function settingsView(outlet) {
       "◐ Theme")));
 
   const settings = await api("/settings");
+  // JSON schema (types + defaults) drives tooltips and default hints
+  let schema = {};
+  try {
+    schema = (await api("/settings/schema")).properties || {};
+  } catch (e) { /* optional */ }
   const host = el("div");
   outlet.append(host);
 
@@ -42,20 +47,23 @@ export async function settingsView(outlet) {
     const body = el("div");
     const details = el("details", { class: "settings-section card" },
       el("summary", {}, name.replaceAll("_", " ")), body);
+    const props = name === "models"
+      ? (schema.models?.items?.properties || {})
+      : (schema[name]?.properties || {});
     if (name === "models") {
       value.forEach((m, i) => {
         const sub = el("div", { class: "card" },
           el("h2", {}, m.model_id || `model ${i}`));
         for (const [k, v] of Object.entries(m)) {
           if (k === "model_id") continue;
-          sub.append(fieldRow(`${i}.${k}`, k, v));
+          sub.append(fieldRow(`${i}.${k}`, k, v, props[k]));
         }
         body.append(sub);
       });
     } else {
       for (const [k, v] of Object.entries(value)) {
         if (v !== null && typeof v === "object" && !Array.isArray(v)) continue;
-        body.append(fieldRow(k, k, v));
+        body.append(fieldRow(k, k, v, props[k]));
       }
     }
     body.append(el("div", { class: "row", style: "margin-top:8px" },
@@ -93,7 +101,7 @@ export async function settingsView(outlet) {
     }
   }
 
-  function fieldRow(key, label, v) {
+  function fieldRow(key, label, v, spec) {
     let input;
     if (typeof v === "boolean") {
       input = el("input", { type: "checkbox", "data-key": key });
@@ -107,7 +115,12 @@ export async function settingsView(outlet) {
     } else {
       input = el("input", { "data-key": key, value: v ?? "" });
     }
+    const hint = spec
+      ? `${spec.type || ""}${spec.default !== undefined
+          ? ` · default ${JSON.stringify(spec.default)}` : ""}`
+      : "";
+    if (hint) input.title = hint;
     return el("div", { class: "field-row" },
-      el("label", {}, label.replaceAll("_", " ")), input);
+      el("label", { title: hint }, label.replaceAll("_", " ")), input);
   }
 }

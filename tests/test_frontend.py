@@ -115,6 +115,16 @@ def test_ui_consumes_every_api_group():
         "/system/restart-status", "/system/events/operational",
         "/system/diagnostics", "/system/diagnostics/run",
         "/app/config", "/app/wizard/dismiss",
+        # species/taxonomy + stream tools + misc consumers
+        "/taxonomy/tree", "/species/locales", "/species/dictionary/",
+        "/species/first-seen/", "/ebird/observations",
+        "/detections/new", "/system/audio/active",
+        "/streams/test", "/streams/probe", "/restart-source/",
+        "/filesystem/clips", "/system/jobs", "/media/audio/",
+        "/debug/profile", "/spectrogram/",
+        "/detections/", "/settings/schema",
+        "/imports/validate", "/analytics/dawn-chorus",
+        "/analytics/database/stats", "/audio/hls/",
     ]
     missing = [c for c in consumed if c not in js]
     assert not missing, f"UI consumers missing for: {missing}"
