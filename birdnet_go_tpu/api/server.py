@@ -384,19 +384,37 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         if cb is None:
             return _json({"error": "unknown source"}, status=404)
         rate = cb.sample_rate
+
+        # ?format=opus → live Ogg Opus via the persistent native encoder
+        # (native/codecs.cpp): ~16× less bandwidth than PCM WAV, playable
+        # natively by Chrome/Firefox. Falls back to WAV when libopus is
+        # absent or the rate is not Opus-valid (256 kHz bat sources).
+        want_opus = request.query.get("format") == "opus"
+        streamer = None
+        if want_opus:
+            try:
+                from birdnet_go_tpu.audio.opusogg import OggOpusStreamer
+
+                streamer = OggOpusStreamer(rate)
+            except RuntimeError:
+                streamer = None
         resp = web.StreamResponse(headers={
-            "Content-Type": "audio/wav",
+            "Content-Type": "audio/ogg" if streamer else "audio/wav",
             "Cache-Control": "no-store",
         })
         await resp.prepare(request)
-        # WAV header with a maximal data length (streaming: no real end)
-        hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
-               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
-                                       rate * 2, 2, 16)
-               + b"data" + struct.pack("<I", 0xFFFFFFFF))
-        await resp.write(hdr)
+        if streamer is None:
+            # WAV header with a maximal data length (streaming: no real end)
+            hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                           rate * 2, 2, 16)
+                   + b"data" + struct.pack("<I", 0xFFFFFFFF))
+            await resp.write(hdr)
+        else:
+            await resp.write(streamer.header_pages())
         chunk_s = 0.25
         cursor = _time.time() - chunk_s
+        loop = _aio.get_event_loop()
         try:
             while True:
                 now = _time.time()
@@ -404,9 +422,18 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
                     await _aio.sleep(chunk_s - (now - cursor))
                 pcm = cb.read_segment(cursor, cursor + chunk_s)
                 cursor += chunk_s
-                await resp.write(pcm.astype("<i2").tobytes())
+                if streamer is not None:
+                    data = await loop.run_in_executor(
+                        None, streamer.feed, pcm)
+                    if data:
+                        await resp.write(data)
+                else:
+                    await resp.write(pcm.astype("<i2").tobytes())
         except (ConnectionResetError, _aio.CancelledError):
             pass
+        finally:
+            if streamer is not None:
+                streamer.close()
         return resp
 
     async def h_audio_level_stream(self, request):

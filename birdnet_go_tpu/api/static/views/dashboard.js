@@ -234,20 +234,25 @@ async function renderLive(card) {
   }
   const sel = el("select", {}, sources.map((s) => el("option", { value: s }, s)));
   const playBtn = el("button", { class: "primary" }, "▶ Listen");
-  const useHls = el("label", { class: "sub", title:
-    "fMP4 HLS segments (Safari native; others fall back to chunked WAV)" },
-    el("input", { type: "checkbox", id: "use-hls" }), " HLS");
+  const codecSel = el("select", { id: "live-codec", title:
+    "WAV = uncompressed · Opus = ~16× less bandwidth (native encoder) · "
+    + "HLS = fMP4 segments (Safari)" },
+    el("option", { value: "wav" }, "WAV"),
+    el("option", { value: "opus" }, "Opus"),
+    el("option", { value: "hls" }, "HLS"));
   const canvas = el("canvas", { class: "livespec", width: 800, height: 160 });
   card.append(el("div", { class: "row", style: "margin-bottom:8px" },
-                 sel, playBtn, useHls), canvas);
+                 sel, playBtn, codecSel), canvas);
 
   let audio = null, ctx = null, raf = 0, hlsTimer = 0;
   playBtn.addEventListener("click", async () => {
     if (audio) { stop(); return; }
     playBtn.textContent = "■ Stop";
     const src = encodeURIComponent(sel.value);
+    const codec = document.getElementById("live-codec").value;
     let mediaUrl = `/api/v2/audio/live/${src}`;
-    if (document.getElementById("use-hls").checked) {
+    if (codec === "opus") mediaUrl += "?format=opus";
+    if (codec === "hls") {
       // HLS session: start + keepalive heartbeats (reference audio_hls.go)
       try {
         await api(`/audio/hls/${src}/start`, { method: "POST", body: {} });

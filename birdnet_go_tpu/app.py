@@ -944,7 +944,8 @@ class Application:
                 # produce (aac→.m4a; lossy→flac fallback without ffmpeg)
                 from birdnet_go_tpu.audio.encode import resolve_format
 
-                _, suffix = resolve_format(s.export.format)
+                _, suffix = resolve_format(s.export.format,
+                                           cb.sample_rate)
                 clip_name = actions_mod.clip_filename(
                     d, suffix.lstrip("."))
                 clip_start = d.begin_seconds - s.export.pre_capture_seconds
@@ -1077,7 +1078,7 @@ class Application:
         pcm = cb.read_segment(start, min(end, win[1]))
         if not len(pcm):
             return 410, {"error": "audio no longer in the capture buffer"}
-        fmt, suffix = resolve_format(s.export.format)
+        fmt, suffix = resolve_format(s.export.format, cb.sample_rate)
         sci = str(row["scientific_name"]).replace(" ", "_").lower()
         conf_pct = int(round(float(row["confidence"]) * 100))
         clip_name = f"{sci}_{conf_pct}p_{det_id}{suffix}"

@@ -1,10 +1,12 @@
-"""Clip encoding front end: native WAV/FLAC, FFmpeg-gated AAC/Opus/MP3.
+"""Clip encoding front end: native WAV/FLAC/Opus/MP3, FFmpeg-gated AAC.
 
 Reference: internal/conf/native_encoders.go + audiocore/aac/opus — the
-reference's DEFAULT path for lossy formats is an FFmpeg subprocess, with
-native encoders behind a feature gate. Mirrored here: WAV and FLAC (with
-real fixed-predictor compression) are native; aac/opus/mp3 shell out to
-ffmpeg when the binary exists and otherwise fall back to native FLAC so a
+reference ships native Go encoders (go-opus→libopus, LAME-free AAC) behind
+a feature gate with FFmpeg as default. Here Opus (.opus, RFC 7845 Ogg) and
+MP3 run through dlopen'd system codecs in native/codecs.cpp — preferred
+over FFmpeg because they need no subprocess — WAV and FLAC (real
+fixed-predictor compression) are pure-native, and AAC shells out to ffmpeg
+when the binary exists. Every lossy path falls back to native FLAC so a
 clip is never lost to a missing encoder.
 """
 
@@ -35,18 +37,34 @@ def ffmpeg_available() -> bool:
     return _which("ffmpeg") is not None
 
 
+def _native_codec_available(fmt: str) -> bool:
+    from birdnet_go_tpu.audio import opusogg
+
+    if fmt == "opus":
+        return opusogg.opus_available()
+    if fmt == "mp3":
+        return opusogg.mp3_available()
+    return False
+
+
+# Opus only accepts these input rates; other rates (e.g. the 256 kHz bat
+# clips) keep FLAC/ffmpeg so no ultrasonic content is resampled away.
+_OPUS_RATES = (8000, 12000, 16000, 24000, 48000)
+
+
 def supported_formats() -> list[str]:
     out = ["wav", "flac"]
-    if ffmpeg_available():
-        out += list(_FFMPEG_FORMATS)
+    for fmt in _FFMPEG_FORMATS:
+        if _native_codec_available(fmt) or ffmpeg_available():
+            out.append(fmt)
     return out
 
 
-def resolve_format(fmt: str) -> tuple[str, str]:
+def resolve_format(fmt: str, sample_rate: int = 48000) -> tuple[str, str]:
     """(actual format, file suffix) the encoder will REALLY produce for a
     configured export format — callers must name clips with this suffix
     BEFORE recording them in the database, or rows point at files that
-    don't exist (aac writes .m4a; lossy without ffmpeg falls back to
+    don't exist (aac writes .m4a; lossy without any encoder falls back to
     flac)."""
     fmt = (fmt or "wav").lower()
     if fmt in ("", "wav"):
@@ -54,6 +72,9 @@ def resolve_format(fmt: str) -> tuple[str, str]:
     if fmt == "flac":
         return "flac", ".flac"
     if fmt in _FFMPEG_FORMATS:
+        rate_ok = fmt != "opus" or sample_rate in _OPUS_RATES
+        if rate_ok and _native_codec_available(fmt):
+            return fmt, _FFMPEG_FORMATS[fmt][0][0]
         if ffmpeg_available():
             return fmt, _FFMPEG_FORMATS[fmt][0][0]
         return "flac", ".flac"
@@ -102,10 +123,21 @@ def encode_clip(pcm_i16: np.ndarray, sample_rate: int, out_path: str | Path,
 
         return write_flac(out, pcm_i16, sample_rate)
     if fmt in _FFMPEG_FORMATS:
+        from birdnet_go_tpu.audio import opusogg
+
+        if fmt == "opus" and sample_rate in _OPUS_RATES \
+                and opusogg.opus_available():
+            if out.suffix.lower() not in (".opus", ".ogg"):
+                out = out.with_suffix(".opus")
+            return opusogg.encode_ogg_opus(pcm_i16, sample_rate, out)
+        if fmt == "mp3" and opusogg.mp3_available():
+            if out.suffix.lower() != ".mp3":
+                out = out.with_suffix(".mp3")
+            return opusogg.encode_mp3(pcm_i16, sample_rate, out)
         if ffmpeg_available():
             return _ffmpeg_encode(pcm_i16, sample_rate, out, fmt)
         fallback = out.with_suffix(".flac")
-        log.warning("ffmpeg not found: %s export falls back to FLAC (%s)",
+        log.warning("no %s encoder available: export falls back to FLAC (%s)",
                     fmt, fallback.name)
         from birdnet_go_tpu.audio.flac import write_flac
 

@@ -79,6 +79,36 @@ def _load():
             lib.bn_alsa_list_devices.restype = ctypes.c_long
             lib.bn_alsa_list_devices.argtypes = [ctypes.c_char_p,
                                                  ctypes.c_long]
+        # native lossy codecs (codecs.cpp: dlopen libopus / libmp3lame)
+        if hasattr(lib, "bn_opus_available"):
+            lib.bn_opus_available.restype = ctypes.c_int
+            lib.bn_opus_encode.restype = ctypes.c_int64
+            lib.bn_opus_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.bn_opus_decode.restype = ctypes.c_int64
+            lib.bn_opus_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+            lib.bn_opus_stream_create.restype = ctypes.c_void_p
+            lib.bn_opus_stream_create.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.bn_opus_stream_encode.restype = ctypes.c_int64
+            lib.bn_opus_stream_encode.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.bn_opus_stream_destroy.argtypes = [ctypes.c_void_p]
+            lib.bn_mp3_available.restype = ctypes.c_int
+            lib.bn_mp3_encode.restype = ctypes.c_int64
+            lib.bn_mp3_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int64]
         lib.bn_version.restype = ctypes.c_char_p
         _lib = lib
         log.info("native host library loaded: %s",

@@ -1,0 +1,366 @@
+// Native lossy audio codecs for clip export and streaming.
+//
+// Replaces the reference's native encoder stack (SURVEY.md §2.2 "Clip
+// encoders": internal/audiocore/opus/encode.go via go-opus→libopus, and the
+// FFmpeg mp3 path) with dlopen'd system codecs — the same graceful-absence
+// pattern as the ALSA shim and the reference's OpenVINO backend
+// (internal/inference/openvino/backend_openvino.go): when the library is
+// missing every entry point reports unavailable and the Python layer falls
+// back to native FLAC.
+//
+// C ABI only — consumed from Python via ctypes.
+//
+// Packet framing: encoders emit a stream of length-prefixed packets
+// [u32 LE length][payload]… so Python can mux containers (Ogg Opus) without
+// callbacks across the FFI boundary.
+
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+#include <dlfcn.h>
+
+#define BN_API extern "C" __attribute__((visibility("default")))
+
+// ---------------------------------------------------------------------------
+// libopus via dlopen
+// ---------------------------------------------------------------------------
+
+// Constants from opus_defines.h (stable public ABI).
+static const int OPUS_APPLICATION_AUDIO = 2049;
+static const int OPUS_SET_BITRATE_REQUEST = 4002;
+static const int OPUS_SET_COMPLEXITY_REQUEST = 4010;
+static const int OPUS_GET_LOOKAHEAD_REQUEST = 4027;
+
+typedef void* (*opus_enc_create_fn)(int32_t, int, int, int*);
+typedef int (*opus_enc_ctl_fn)(void*, int, ...);
+typedef int32_t (*opus_encode_fn)(void*, const int16_t*, int,
+                                  unsigned char*, int32_t);
+typedef void (*opus_enc_destroy_fn)(void*);
+typedef void* (*opus_dec_create_fn)(int32_t, int, int*);
+typedef int (*opus_decode_fn)(void*, const unsigned char*, int32_t,
+                              int16_t*, int, int);
+typedef void (*opus_dec_destroy_fn)(void*);
+
+struct OpusLib {
+    void* handle = nullptr;
+    bool tried = false;
+    opus_enc_create_fn enc_create = nullptr;
+    opus_enc_ctl_fn enc_ctl = nullptr;
+    opus_encode_fn encode = nullptr;
+    opus_enc_destroy_fn enc_destroy = nullptr;
+    opus_dec_create_fn dec_create = nullptr;
+    opus_decode_fn decode = nullptr;
+    opus_dec_destroy_fn dec_destroy = nullptr;
+    std::mutex mu;
+};
+
+static OpusLib& opuslib() {
+    static OpusLib l;
+    std::lock_guard<std::mutex> g(l.mu);
+    if (!l.tried) {
+        l.tried = true;
+        l.handle = dlopen("libopus.so.0", RTLD_NOW | RTLD_LOCAL);
+        if (!l.handle) l.handle = dlopen("libopus.so", RTLD_NOW | RTLD_LOCAL);
+        if (l.handle) {
+            l.enc_create = (opus_enc_create_fn)dlsym(l.handle,
+                                                     "opus_encoder_create");
+            l.enc_ctl = (opus_enc_ctl_fn)dlsym(l.handle, "opus_encoder_ctl");
+            l.encode = (opus_encode_fn)dlsym(l.handle, "opus_encode");
+            l.enc_destroy = (opus_enc_destroy_fn)dlsym(l.handle,
+                                                       "opus_encoder_destroy");
+            l.dec_create = (opus_dec_create_fn)dlsym(l.handle,
+                                                     "opus_decoder_create");
+            l.decode = (opus_decode_fn)dlsym(l.handle, "opus_decode");
+            l.dec_destroy = (opus_dec_destroy_fn)dlsym(l.handle,
+                                                       "opus_decoder_destroy");
+            if (!l.enc_create || !l.enc_ctl || !l.encode || !l.enc_destroy ||
+                !l.dec_create || !l.decode || !l.dec_destroy) {
+                dlclose(l.handle);
+                l.handle = nullptr;
+            }
+        }
+    }
+    return l;
+}
+
+BN_API int bn_opus_available() { return opuslib().handle ? 1 : 0; }
+
+// Encode mono/stereo int16 PCM into length-prefixed Opus packets.
+//  pcm       : interleaved int16, n_frames per channel
+//  rate      : 8000/12000/16000/24000/48000 (Opus-valid rates only)
+//  bitrate   : target bits/s (e.g. 64000)
+//  out       : caller buffer for [u32 len][packet]... frames
+//  preskip   : out — encoder lookahead in samples at `rate`
+//  n_packets : out — number of packets written
+// Returns bytes written to out, -1 unavailable, -2 bad args, -3 out full,
+// -4 encoder error.
+BN_API int64_t bn_opus_encode(const int16_t* pcm, int64_t n_frames, int rate,
+                              int channels, int bitrate, unsigned char* out,
+                              int64_t out_cap, int32_t* n_packets,
+                              int32_t* preskip) {
+    OpusLib& l = opuslib();
+    if (!l.handle) return -1;
+    if (!pcm || n_frames <= 0 || (channels != 1 && channels != 2)) return -2;
+    if (rate != 8000 && rate != 12000 && rate != 16000 && rate != 24000 &&
+        rate != 48000) return -2;
+    int err = 0;
+    void* enc = l.enc_create(rate, channels, OPUS_APPLICATION_AUDIO, &err);
+    if (!enc || err != 0) return -4;
+    l.enc_ctl(enc, OPUS_SET_BITRATE_REQUEST, (int32_t)bitrate);
+    l.enc_ctl(enc, OPUS_SET_COMPLEXITY_REQUEST, (int32_t)8);
+    int32_t look = 0;
+    l.enc_ctl(enc, OPUS_GET_LOOKAHEAD_REQUEST, &look);
+    if (preskip) *preskip = look;
+
+    const int frame = rate / 50;              // 20 ms frames
+    unsigned char pkt[4000];                  // max recommended packet size
+    int64_t written = 0;
+    int32_t packets = 0;
+    // zero-padded tail frame keeps total sample accounting simple: the
+    // muxer trims via Ogg granule positions (audiocore/opus/encode.go role)
+    std::vector<int16_t> scratch((size_t)frame * channels);
+    for (int64_t off = 0; off < n_frames; off += frame) {
+        const int16_t* src;
+        int64_t have = n_frames - off;
+        if (have >= frame) {
+            src = pcm + off * channels;
+        } else {
+            std::memset(scratch.data(), 0, scratch.size() * sizeof(int16_t));
+            std::memcpy(scratch.data(), pcm + off * channels,
+                        (size_t)have * channels * sizeof(int16_t));
+            src = scratch.data();
+        }
+        int32_t n = l.encode(enc, src, frame, pkt, (int32_t)sizeof(pkt));
+        if (n < 0) { l.enc_destroy(enc); return -4; }
+        if (written + 4 + n > out_cap) { l.enc_destroy(enc); return -3; }
+        out[written + 0] = (unsigned char)(n & 0xff);
+        out[written + 1] = (unsigned char)((n >> 8) & 0xff);
+        out[written + 2] = (unsigned char)((n >> 16) & 0xff);
+        out[written + 3] = (unsigned char)((n >> 24) & 0xff);
+        std::memcpy(out + written + 4, pkt, (size_t)n);
+        written += 4 + n;
+        packets++;
+    }
+    l.enc_destroy(enc);
+    if (n_packets) *n_packets = packets;
+    return written;
+}
+
+// Decode length-prefixed Opus packets back to interleaved int16 PCM.
+// Returns frames (per channel) written, or negative error.
+BN_API int64_t bn_opus_decode(const unsigned char* packets,
+                              int64_t packets_len, int rate, int channels,
+                              int16_t* out, int64_t out_cap_frames) {
+    OpusLib& l = opuslib();
+    if (!l.handle) return -1;
+    if (!packets || (channels != 1 && channels != 2)) return -2;
+    int err = 0;
+    void* dec = l.dec_create(rate, channels, &err);
+    if (!dec || err != 0) return -4;
+    const int max_frame = rate * 60 / 1000;   // max 60 ms packets
+    int64_t frames = 0;
+    int64_t off = 0;
+    while (off + 4 <= packets_len) {
+        uint32_t n = (uint32_t)packets[off] | ((uint32_t)packets[off + 1] << 8)
+            | ((uint32_t)packets[off + 2] << 16)
+            | ((uint32_t)packets[off + 3] << 24);
+        off += 4;
+        if (off + (int64_t)n > packets_len) break;
+        if (frames + max_frame > out_cap_frames) { l.dec_destroy(dec); return -3; }
+        int got = l.decode(dec, packets + off, (int32_t)n,
+                           out + frames * channels, max_frame, 0);
+        if (got < 0) { l.dec_destroy(dec); return -4; }
+        frames += got;
+        off += n;
+    }
+    l.dec_destroy(dec);
+    return frames;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming Opus encoder: persistent state across chunks so a live HTTP
+// stream has no per-chunk lookahead resets (no clicks at chunk joins).
+// Partial 20 ms frames carry over inside the handle.
+// ---------------------------------------------------------------------------
+
+struct OpusStream {
+    void* enc;
+    int rate;
+    int channels;
+    std::vector<int16_t> carry;   // < one frame of samples (interleaved)
+};
+
+BN_API void* bn_opus_stream_create(int rate, int channels, int bitrate,
+                                   int32_t* preskip) {
+    OpusLib& l = opuslib();
+    if (!l.handle) return nullptr;
+    if ((channels != 1 && channels != 2) ||
+        (rate != 8000 && rate != 12000 && rate != 16000 && rate != 24000 &&
+         rate != 48000)) return nullptr;
+    int err = 0;
+    void* enc = l.enc_create(rate, channels, OPUS_APPLICATION_AUDIO, &err);
+    if (!enc || err != 0) return nullptr;
+    l.enc_ctl(enc, OPUS_SET_BITRATE_REQUEST, (int32_t)bitrate);
+    l.enc_ctl(enc, OPUS_SET_COMPLEXITY_REQUEST, (int32_t)6);
+    int32_t look = 0;
+    l.enc_ctl(enc, OPUS_GET_LOOKAHEAD_REQUEST, &look);
+    if (preskip) *preskip = look;
+    auto* s = new OpusStream{enc, rate, channels, {}};
+    return s;
+}
+
+// Feed PCM; emits length-prefixed packets for every complete 20 ms frame.
+// Returns bytes written to out (0 when not enough audio yet), or negative
+// error like bn_opus_encode.
+BN_API int64_t bn_opus_stream_encode(void* handle, const int16_t* pcm,
+                                     int64_t n_frames, unsigned char* out,
+                                     int64_t out_cap, int32_t* n_packets) {
+    OpusLib& l = opuslib();
+    auto* s = (OpusStream*)handle;
+    if (!s || !l.handle) return -1;
+    if (n_frames < 0) return -2;
+    const int frame = s->rate / 50;
+    s->carry.insert(s->carry.end(), pcm,
+                    pcm + (size_t)n_frames * s->channels);
+    unsigned char pkt[4000];
+    int64_t written = 0;
+    int32_t packets = 0;
+    size_t off = 0;
+    const size_t frame_sz = (size_t)frame * s->channels;
+    while (s->carry.size() - off >= frame_sz) {
+        int32_t n = l.encode(s->enc, s->carry.data() + off, frame, pkt,
+                             (int32_t)sizeof(pkt));
+        if (n < 0) return -4;
+        if (written + 4 + n > out_cap) return -3;
+        out[written + 0] = (unsigned char)(n & 0xff);
+        out[written + 1] = (unsigned char)((n >> 8) & 0xff);
+        out[written + 2] = (unsigned char)((n >> 16) & 0xff);
+        out[written + 3] = (unsigned char)((n >> 24) & 0xff);
+        std::memcpy(out + written + 4, pkt, (size_t)n);
+        written += 4 + n;
+        packets++;
+        off += frame_sz;
+    }
+    s->carry.erase(s->carry.begin(), s->carry.begin() + (long)off);
+    if (n_packets) *n_packets = packets;
+    return written;
+}
+
+BN_API void bn_opus_stream_destroy(void* handle) {
+    auto* s = (OpusStream*)handle;
+    if (!s) return;
+    opuslib().enc_destroy(s->enc);
+    delete s;
+}
+
+// ---------------------------------------------------------------------------
+// libmp3lame via dlopen
+// ---------------------------------------------------------------------------
+
+typedef void* (*lame_init_fn)();
+typedef int (*lame_set_i_fn)(void*, int);
+typedef int (*lame_init_params_fn)(void*);
+typedef int (*lame_enc_buf_fn)(void*, const int16_t*, const int16_t*, int,
+                               unsigned char*, int);
+typedef int (*lame_enc_interleaved_fn)(void*, int16_t*, int, unsigned char*,
+                                       int);
+typedef int (*lame_flush_fn)(void*, unsigned char*, int);
+typedef int (*lame_close_fn)(void*);
+
+struct LameLib {
+    void* handle = nullptr;
+    bool tried = false;
+    lame_init_fn init = nullptr;
+    lame_set_i_fn set_in_samplerate = nullptr;
+    lame_set_i_fn set_num_channels = nullptr;
+    lame_set_i_fn set_brate = nullptr;
+    lame_set_i_fn set_quality = nullptr;
+    lame_init_params_fn init_params = nullptr;
+    lame_enc_buf_fn encode_buffer = nullptr;
+    lame_enc_interleaved_fn encode_interleaved = nullptr;
+    lame_flush_fn flush = nullptr;
+    lame_close_fn close = nullptr;
+    std::mutex mu;
+};
+
+static LameLib& lamelib() {
+    static LameLib l;
+    std::lock_guard<std::mutex> g(l.mu);
+    if (!l.tried) {
+        l.tried = true;
+        l.handle = dlopen("libmp3lame.so.0", RTLD_NOW | RTLD_LOCAL);
+        if (!l.handle)
+            l.handle = dlopen("libmp3lame.so", RTLD_NOW | RTLD_LOCAL);
+        if (l.handle) {
+            l.init = (lame_init_fn)dlsym(l.handle, "lame_init");
+            l.set_in_samplerate =
+                (lame_set_i_fn)dlsym(l.handle, "lame_set_in_samplerate");
+            l.set_num_channels =
+                (lame_set_i_fn)dlsym(l.handle, "lame_set_num_channels");
+            l.set_brate = (lame_set_i_fn)dlsym(l.handle, "lame_set_brate");
+            l.set_quality = (lame_set_i_fn)dlsym(l.handle, "lame_set_quality");
+            l.init_params =
+                (lame_init_params_fn)dlsym(l.handle, "lame_init_params");
+            l.encode_buffer =
+                (lame_enc_buf_fn)dlsym(l.handle, "lame_encode_buffer");
+            l.encode_interleaved = (lame_enc_interleaved_fn)dlsym(
+                l.handle, "lame_encode_buffer_interleaved");
+            l.flush = (lame_flush_fn)dlsym(l.handle, "lame_encode_flush");
+            l.close = (lame_close_fn)dlsym(l.handle, "lame_close");
+            if (!l.init || !l.set_in_samplerate || !l.set_num_channels ||
+                !l.set_brate || !l.init_params || !l.encode_buffer ||
+                !l.flush || !l.close) {
+                dlclose(l.handle);
+                l.handle = nullptr;
+            }
+        }
+    }
+    return l;
+}
+
+BN_API int bn_mp3_available() { return lamelib().handle ? 1 : 0; }
+
+// Encode int16 PCM to a complete MP3 stream. Returns bytes written,
+// -1 unavailable, -2 bad args, -3 out full, -4 encoder error.
+BN_API int64_t bn_mp3_encode(const int16_t* pcm, int64_t n_frames, int rate,
+                             int channels, int bitrate_kbps,
+                             unsigned char* out, int64_t out_cap) {
+    LameLib& l = lamelib();
+    if (!l.handle) return -1;
+    if (!pcm || n_frames <= 0 || (channels != 1 && channels != 2)) return -2;
+    void* gfp = l.init();
+    if (!gfp) return -4;
+    l.set_in_samplerate(gfp, rate);
+    l.set_num_channels(gfp, channels);
+    l.set_brate(gfp, bitrate_kbps);
+    l.set_quality(gfp, 2);
+    if (l.init_params(gfp) < 0) { l.close(gfp); return -4; }
+    int64_t written = 0;
+    const int chunk = 4608;                   // multiple of MP3 granule
+    for (int64_t off = 0; off < n_frames; off += chunk) {
+        int n = (int)((n_frames - off) < chunk ? (n_frames - off) : chunk);
+        int cap = (int)(out_cap - written);
+        if (cap <= 0) { l.close(gfp); return -3; }
+        int got;
+        if (channels == 1) {
+            got = l.encode_buffer(gfp, pcm + off, nullptr, n,
+                                  out + written, cap);
+        } else if (l.encode_interleaved) {
+            got = l.encode_interleaved(gfp, (int16_t*)(pcm + off * 2), n,
+                                       out + written, cap);
+        } else {
+            l.close(gfp);
+            return -4;
+        }
+        if (got < 0) { l.close(gfp); return got == -1 ? -3 : -4; }
+        written += got;
+    }
+    int cap = (int)(out_cap - written);
+    int got = l.flush(gfp, out + written, cap > 0 ? cap : 0);
+    if (got < 0) { l.close(gfp); return -3; }
+    written += got;
+    l.close(gfp);
+    return written;
+}

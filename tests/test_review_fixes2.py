@@ -24,9 +24,14 @@ def test_encode_clip_accepts_m4a_suffix_without_ffmpeg(tmp_path, monkeypatch):
     monkeypatch.setattr(encode, "_which", lambda n: None)
     pcm = (np.sin(np.arange(9600) / 9.0) * 3000).astype(np.int16)
     out = encode.encode_clip(pcm, 48000, tmp_path / "clip.m4a")
-    assert out.suffix == ".flac" and out.exists()   # ffmpeg-less fallback
+    assert out.suffix == ".flac" and out.exists()   # no native AAC → FLAC
     out = encode.encode_clip(pcm, 48000, tmp_path / "clip.ogg")
-    assert out.suffix == ".flac"                    # ogg→opus→fallback
+    from birdnet_go_tpu.audio import opusogg
+
+    if opusogg.opus_available():
+        assert out.suffix == ".ogg" and out.exists()   # native libopus
+    else:
+        assert out.suffix == ".flac"                   # full fallback
 
 
 def test_encode_clip_m4a_with_ffmpeg_present(tmp_path, monkeypatch):
