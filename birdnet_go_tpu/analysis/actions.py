@@ -50,6 +50,7 @@ class DatabaseAction:
     store: Any                        # datastore.Datastore
     contributions: dict[str, Any] | None = None
     clip_name: str | None = None
+    results: list | None = None       # best window's top-K (Note.Results)
     assigned_id: int | None = None
     on_saved: Callable[[int], None] | None = None
     description: str = "save detection to datastore"
@@ -57,7 +58,7 @@ class DatabaseAction:
     def execute(self) -> None:
         self.assigned_id = self.store.insert_detection(
             self.detection, clip_name=self.clip_name,
-            contributions=self.contributions)
+            contributions=self.contributions, results=self.results)
         if self.on_saved:
             self.on_saved(self.assigned_id)
 

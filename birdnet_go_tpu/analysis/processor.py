@@ -74,6 +74,10 @@ class PendingDetection:
     # CaptureBuffer ring has already overwritten the detection span).
     pcm: "object" = None              # np.ndarray | None
     pcm_rate: int = 0
+    # full top-K of the window holding the best confidence, decoded to
+    # (scientific, common, confidence) — persisted as the detection's
+    # secondary results (reference: Note.Results, datastore/model.go)
+    topk: list = dataclasses.field(default_factory=list)
 
     @property
     def best_model_id(self) -> str:
@@ -244,7 +248,7 @@ class Processor:
             with self._lock:
                 self.stats.detections_filtered += 1
             return
-        self._merge_pending(pred, sp, conf)
+        self._merge_pending(pred, sp, conf, labels)
 
     def _should_filter(self, model_id: str, sp: Species, conf: float) -> bool:
         names = self._name_variants(sp)
@@ -263,7 +267,7 @@ class Processor:
         return False
 
     def _merge_pending(self, pred: WindowPrediction, sp: Species,
-                       conf: float) -> None:
+                       conf: float, labels: LabelSet = None) -> None:
         key = f"{pred.source_id}:{sp.scientific}"
         exp = self.settings.export
         with self._lock:
@@ -288,9 +292,16 @@ class Processor:
             c.count += 1
             if conf > c.max_confidence:
                 c.max_confidence = conf
-            if conf > item.detection.confidence:
+            improved = conf > item.detection.confidence
+            if improved:
                 item.detection.confidence = conf
                 item.detection.model_id = pred.model_id
+            if labels is not None and (improved or not item.topk):
+                # decode the best window's top-K (Note.Results parity)
+                item.topk = [
+                    (labels[i].scientific, labels[i].common, float(c))
+                    for c, i in zip(pred.confidences, pred.indices)
+                    if 0 <= i < len(labels)]
 
     # -- flush --------------------------------------------------------------------
 

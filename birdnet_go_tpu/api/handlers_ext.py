@@ -78,6 +78,7 @@ class ExtendedHandlers:
         r.add_put(f"{v2}/comments/{{id}}", self.h_comment_update)
         r.add_delete(f"{v2}/comments/{{id}}", self.h_comment_delete)
         r.add_get(f"{v2}/detections/{{id}}/reviews", self.h_reviews_list)
+        r.add_get(f"{v2}/detections/{{id}}/results", self.h_results_list)
         r.add_delete(f"{v2}/detections/{{id}}/lock", self.h_unlock)
         r.add_get(f"{v2}/audio/{{id}}", self.h_audio_by_id)
         # analytics extras
@@ -536,6 +537,12 @@ class ExtendedHandlers:
                 int(request.match_info["id"])):
             return _json({"error": "not found"}, status=404)
         return _json({"deleted": True})
+
+    async def h_results_list(self, request):
+        """Secondary predictions stored with a detection — the full top-K
+        of the window that produced it (reference: Note.Results)."""
+        return _json({"results": self.ctx.datastore.get_results(
+            int(request.match_info["id"]))})
 
     async def h_reviews_list(self, request):
         return _json({"reviews": self.ctx.datastore.get_reviews(

@@ -203,6 +203,17 @@ export async function detectionsView(outlet) {
     api(`/detections/${id}/time-of-day`).then((tod) => {
       meta.textContent = tod.phase ? `☀ ${tod.phase}` : "";
     }).catch(() => {});
+    // secondary predictions: the window's other top-K candidates
+    const others = el("div", { class: "chip-wrap",
+                              style: "margin-bottom:6px" });
+    api(`/detections/${id}/results`).then(({ results }) => {
+      for (const r of (results || []).slice(1, 8)) {
+        others.append(el("span", { class: "pill",
+          title: r.scientific_name },
+          `${r.common_name || r.scientific_name} `
+          + `${Math.round(r.confidence * 100)}%`));
+      }
+    }).catch(() => {});
     const regen = el("button", { class: "small", onclick: async () => {
       try {
         await api(`/spectrogram/${id}/generate`, { method: "POST", body: {} });
@@ -213,7 +224,7 @@ export async function detectionsView(outlet) {
     tr.after(el("tr", { class: "spectro-row" },
       el("td", { colspan: 7 },
         el("div", { class: "row", style: "margin-bottom:6px" }, regen, meta),
-        img)));
+        others, img)));
   }
 
   async function comments(tr, id) {

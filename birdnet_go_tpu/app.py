@@ -1002,7 +1002,8 @@ class Application:
         if db_allowed:
             chain.append(actions_mod.DatabaseAction(
                 d, self.datastore, contributions=item.contributions,
-                clip_name=clip_name, on_saved=_broadcast))
+                clip_name=clip_name, results=item.topk,
+                on_saved=_broadcast))
         if chain:
             self.jobqueue.enqueue(
                 actions_mod.CompositeAction(chain,

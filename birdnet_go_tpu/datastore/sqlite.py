@@ -46,6 +46,27 @@ CREATE TABLE IF NOT EXISTS model_contributions (
 );
 CREATE INDEX IF NOT EXISTS idx_mc_det ON model_contributions(detection_id);
 
+-- per-detection secondary predictions: the full top-K of the window that
+-- produced the stored detection (reference: Note.Results children,
+-- datastore/model.go + GetNoteResults)
+CREATE TABLE IF NOT EXISTS results (
+    detection_id INTEGER NOT NULL REFERENCES detections(id) ON DELETE CASCADE,
+    result_rank INTEGER NOT NULL,      -- 'rank' is reserved in MySQL 8
+    scientific_name TEXT NOT NULL,
+    common_name TEXT NOT NULL DEFAULT '',
+    confidence REAL NOT NULL
+);
+CREATE INDEX IF NOT EXISTS idx_results_det ON results(detection_id);
+
+-- per-day rollups (reference: DailyEvents table, Save/GetDailyEvents)
+CREATE TABLE IF NOT EXISTS daily_events (
+    date TEXT PRIMARY KEY,
+    detections INTEGER NOT NULL DEFAULT 0,
+    species INTEGER NOT NULL DEFAULT 0,
+    first_detection TEXT NOT NULL DEFAULT '',
+    last_detection TEXT NOT NULL DEFAULT ''
+);
+
 CREATE TABLE IF NOT EXISTS reviews (
     id INTEGER PRIMARY KEY AUTOINCREMENT,
     detection_id INTEGER NOT NULL REFERENCES detections(id) ON DELETE CASCADE,
@@ -139,7 +160,8 @@ class Datastore:
     # -- detections ------------------------------------------------------------
 
     def insert_detection(self, d: Detection, clip_name: str | None = None,
-                         contributions: dict[str, Any] | None = None) -> int:
+                         contributions: dict[str, Any] | None = None,
+                         results: list[tuple] | None = None) -> int:
         ts = (d.timestamp.timestamp() if d.timestamp else d.begin_seconds)
         when = _dt.datetime.fromtimestamp(ts)
         with self._lock:
@@ -161,8 +183,83 @@ class Datastore:
                         " VALUES (?,?,?,?)",
                         (det_id, model_id, getattr(c, "count", 0),
                          getattr(c, "max_confidence", 0.0)))
+            if results:
+                # full top-K of the detecting window (Note.Results parity)
+                for rank, (sci, common, conf) in enumerate(results, 1):
+                    self._conn.execute(
+                        "INSERT INTO results (detection_id, result_rank,"
+                        " scientific_name, common_name, confidence)"
+                        " VALUES (?,?,?,?,?)",
+                        (det_id, rank, sci, common, float(conf)))
             self._conn.commit()
             return int(det_id)
+
+    def get_results(self, det_id: int) -> list[dict[str, Any]]:
+        """Secondary predictions stored with a detection
+        (GetNoteResults, datastore/interfaces.go)."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT result_rank AS rank, scientific_name,"
+                " common_name, confidence"
+                " FROM results WHERE detection_id = ? ORDER BY result_rank",
+                (det_id,)).fetchall()
+        return [dict(r) for r in rows]
+
+    def optimize(self) -> None:
+        """VACUUM + ANALYZE (reference: datastore Optimize / 'database
+        doctor' maintenance)."""
+        with self._lock:
+            self._conn.commit()
+            self._conn.execute("VACUUM")
+            self._conn.execute("ANALYZE")
+
+    def save_daily_events(self, date: str) -> dict[str, Any]:
+        """Recompute + upsert the per-day rollup (SaveDailyEvents)."""
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT COUNT(*) AS n, COUNT(DISTINCT scientific_name) AS s,"
+                " MIN(time) AS first, MAX(time) AS last"
+                " FROM detections WHERE date = ?", (date,)).fetchone()
+            ev = {"date": date, "detections": int(row["n"] or 0),
+                  "species": int(row["s"] or 0),
+                  "first_detection": row["first"] or "",
+                  "last_detection": row["last"] or ""}
+            self._conn.execute(
+                "INSERT INTO daily_events (date, detections, species,"
+                " first_detection, last_detection) VALUES (?,?,?,?,?)"
+                " ON CONFLICT(date) DO UPDATE SET detections=excluded"
+                ".detections, species=excluded.species, first_detection="
+                "excluded.first_detection, last_detection="
+                "excluded.last_detection", (date, ev["detections"],
+                                            ev["species"],
+                                            ev["first_detection"],
+                                            ev["last_detection"]))
+            self._conn.commit()
+        return ev
+
+    def get_daily_events(self, date: str) -> dict[str, Any] | None:
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT * FROM daily_events WHERE date = ?",
+                (date,)).fetchone()
+        return dict(row) if row else None
+
+    def latest_hourly_weather(self) -> dict[str, Any] | None:
+        """Most recent stored observation (LatestHourlyWeather)."""
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT * FROM hourly_weather ORDER BY time DESC LIMIT 1"
+            ).fetchone()
+        return dict(row) if row else None
+
+    def locked_clip_names(self) -> list[str]:
+        """Clip files protected from retention (GetLockedNotesClipPaths —
+        consumed by the diskmanager's reconcile pass)."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT clip_name FROM detections"
+                " WHERE locked = 1 AND clip_name != ''").fetchall()
+        return [r["clip_name"] for r in rows]
 
     def integrity_check(self) -> dict[str, Any]:
         """Database doctor: PRAGMA integrity_check + table inventory

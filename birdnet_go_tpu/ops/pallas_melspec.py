@@ -11,24 +11,28 @@ TPU-layout design (everything lane-aligned, no cross-lane reshapes):
 - radix split A=16, B=128 (lane width), so frame sample n = a·128 + b —
   i.e. a frame IS 16 contiguous sublane rows of the [rows, 128] PCM tile.
   Requires hop % 128 == 0 and n_fft % 128 == 0.
-- stage 1 per frame: war[16,16] @ x[16,128]  → s[r, b]   (unrolled over
-  the frame tile, accumulated into an [16·r, F, 128·b] scratch);
-- stage 2 per residue r: s_r[F,128] @ tw_r[128, 128·jpad] (j padded to
-  the lane width; padding columns are zero);
-- mel per residue: p_r[F,128] @ fb_r[128, n_mels], accumulated — the
+- stage 1 runs per GROUP of G=8 frames as ONE block-diagonal matmul:
+  wblk[G·16, G·16] @ xg[G·16, 128] — the [16,16] DFT-over-a matrix
+  repeated down the diagonal. One [128,128]@[128,128] MXU dot (×re/im)
+  replaces 2·G=16 tiny [16,16]@[16,128] dots whose pass latency dominated
+  the kernel (v1 measured 34.6 ms/1024-batch; tiny-dot stage 1 was ~60%).
+- stage 2 per residue r: one packed dot [F, 256] @ [256, 2·J2] computing
+  re|im together from the adjacent sr|si scratch halves. J2 is trimmed to
+  the mel filterbank's actual bin support (bin = r + 16·j; fmax=15 kHz →
+  j ≤ 41 → J2=64), halving stage-2/mel work vs the padded J=128 of v1
+  (whose j>64 columns were all zeros anyway).
+- mel per residue: power[F, J2] @ fb_r[J2, n_mels], accumulated — the
   (r, j) → bin permutation is absorbed into the per-r filterbank slabs.
 
 Grid: (batch, frame_tiles). Inputs are padded so the last tile's DMA
 stays in bounds; padded frames produce rows the caller slices off.
 `interpret=True` runs anywhere (CPU tests).
 
-Measured on TPU v5e (batch 256 × 3 s windows): 16.1 ms vs 24.2 ms for the
-XLA melspec path (1.5×). In-kernel MXU matmuls run at hardware precision
-(bf16-class for f32 inputs), giving ~7e-2 max-rel vs the HIGHEST-precision
-XLA path on raw mel values; at the detection level this is ≲0.002
-confidence delta and 98.75% top-10 overlap — inside float tolerance for
-the bf16 CNN it feeds. Enabled automatically on TPU via
-BirdNETv24.apply_int16.
+Numerics: in-kernel MXU matmuls run at hardware precision (bf16-class for
+f32 inputs), giving ~7e-2 max-rel vs the HIGHEST-precision XLA path on raw
+mel values; at the detection level this is ≲0.002 confidence delta and
+98.75% top-10 overlap — inside float tolerance for the bf16 CNN it feeds.
+Enabled automatically on TPU via BirdNETv24.apply_int16.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ from birdnet_go_tpu.ops.melspec import (
 _INT16_SCALE = 1.0 / 32768.0
 _A = 16                       # radix: B = n_fft // 16 must equal 128
 _LANE = 128
+_G = 8                        # frames per stage-1 block-diagonal dot
 
 
 @functools.lru_cache(maxsize=8)
@@ -57,18 +62,35 @@ def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
                    fmax: float):
     war, wai, twr, twi, _, a_sz, b_sz, j_sz = _rdft_matmul_consts(n_fft, _A)
     assert a_sz == _A and b_sz == _LANE
-    j_pad = _LANE
-    # tw3: [A, B, j_pad] zero-padded beyond j_sz
-    tw3r = np.zeros((a_sz, b_sz, j_pad), np.float32)
-    tw3i = np.zeros((a_sz, b_sz, j_pad), np.float32)
-    tw3r[:, :, :j_sz] = twr
-    tw3i[:, :, :j_sz] = twi
-    # fb3: [A, j_pad, n_mels] from the permuted filterbank (r-major, J=j_sz)
+
+    # permuted filterbank [A*j_sz, m] → decide the j support actually used
     fbp = _mel_filterbank_permuted_np(sample_rate, n_fft, n_mels, fmin,
-                                      fmax, _A)            # [A*j_sz, m]
-    fb3 = np.zeros((a_sz, j_pad, n_mels), np.float32)
-    fb3[:, :j_sz, :] = fbp.reshape(a_sz, j_sz, n_mels)
-    return war, wai, tw3r, tw3i, fb3, j_sz
+                                      fmax, _A).reshape(a_sz, j_sz, n_mels)
+    used = np.nonzero(fbp.any(axis=(0, 2)))[0]
+    j_need = int(used[-1]) + 1 if len(used) else 1
+    # J2: filterbank support rounded to a sublane multiple, capped at j_sz.
+    # 48 kHz / fmax 15 kHz → 41 → 48; full-band configs fall back to 128.
+    j2 = min(-(-j_need // 8) * 8, -(-j_sz // 8) * 8)
+
+    # stage-1 block-diagonal [G*A, G*A]: war/wai repeated down the diagonal
+    wblk_r = np.zeros((_G * a_sz, _G * a_sz), np.float32)
+    wblk_i = np.zeros((_G * a_sz, _G * a_sz), np.float32)
+    for gi in range(_G):
+        wblk_r[gi * a_sz:(gi + 1) * a_sz, gi * a_sz:(gi + 1) * a_sz] = war
+        wblk_i[gi * a_sz:(gi + 1) * a_sz, gi * a_sz:(gi + 1) * a_sz] = wai
+
+    # stage-2 packed twiddles [A, 2B, 2*j2]:
+    #   [sr | si] @ [[twr, twi], [-twi, twr]] = [re | im]
+    twp = np.zeros((a_sz, 2 * b_sz, 2 * j2), np.float32)
+    twp[:, :b_sz, :j2] = twr[:, :, :j2]
+    twp[:, :b_sz, j2:] = twi[:, :, :j2]
+    twp[:, b_sz:, :j2] = -twi[:, :, :j2]
+    twp[:, b_sz:, j2:] = twr[:, :, :j2]
+
+    # fb2 [A, j2, m] (zero rows beyond the real j_sz)
+    fb2 = np.zeros((a_sz, j2, n_mels), np.float32)
+    fb2[:, :min(j2, j_sz), :] = fbp[:, :min(j2, j_sz), :]
+    return wblk_r, wblk_i, twp, fb2, j2
 
 
 def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
@@ -93,21 +115,19 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
     n_frames = cfg.num_frames(t)
     if tile_f is None:
         # One tile per window when it fits: the stage-2 dots become
-        # [n_frames, 128] @ [128, ·] — tall MXU shapes instead of M=32
-        # slivers. Measured on v5e (3 s/48 kHz window, batch 1024):
-        # 29.7 ms vs 45.7 ms for tile_f=32 (1.54×). Cap by the f32
-        # scratch budget (2 × tile_f × A × LANE × 4 B ≤ ~8 MB VMEM).
+        # [n_frames, 256] @ [256, ·] — tall MXU shapes instead of M=32
+        # slivers. Cap by the f32 scratch budget
+        # (tile_f × A × 2·LANE × 4 B ≤ ~8 MB VMEM).
         tile_f = min(n_frames, 512)
     hop_rows = cfg.hop // _LANE
     frame_rows = cfg.n_fft // _LANE                   # = 16
-    # stage 1 reads frame GROUPS of g frames so every dynamic sublane
-    # slice start (i·g·hop_rows) is a multiple of 8 (Mosaic tiling rule):
-    # g = 8 / gcd(hop_rows, 8)
-    g = 8 // math.gcd(hop_rows, 8)
-    tile_f = -(-tile_f // g) * g
+    # stage 1 reads frame GROUPS of G frames; group start row
+    # i·G·hop_rows is always a multiple of 8 (Mosaic sublane rule) since
+    # G=8. The group's G frames are static sub-slices of the loaded block.
+    tile_f = -(-tile_f // _G) * _G
     n_tiles = math.ceil(n_frames / tile_f)
-    block_rows = -(-((g - 1) * hop_rows + frame_rows) // 8) * 8
-    tile_rows = (tile_f // g - 1) * g * hop_rows + block_rows
+    block_rows = -(-((_G - 1) * hop_rows + frame_rows) // 8) * 8
+    tile_rows = (tile_f // _G - 1) * _G * hop_rows + block_rows
     tile_rows = -(-tile_rows // 16) * 16    # sublane-align the DMA (int16)
     padded_rows = (n_tiles - 1) * tile_f * hop_rows + tile_rows
     t_rows = math.ceil(t / _LANE)
@@ -119,12 +139,13 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
         padded_rows = max(padded_rows, t_rows)
     pcm3 = pcm_i16[:, :padded_rows * _LANE].reshape(b, padded_rows, _LANE)
 
-    war, wai, tw3r, tw3i, fb3, j_sz = _kernel_consts(
+    wblk_r, wblk_i, twp, fb2, j2 = _kernel_consts(
         cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
     win2 = _window_fn(cfg).reshape(frame_rows, _LANE)
+    ga = _G * _A                                      # 128
 
-    def kernel(pcm_ref, win_ref, war_ref, wai_ref, twr_ref, twi_ref,
-               fb_ref, out_ref, sr_ref, si_ref):
+    def kernel(pcm_ref, win_ref, wbr_ref, wbi_ref, twp_ref, fb_ref,
+               out_ref, s_ref, xg_ref):
         bi = pl.program_id(0)
         ft = pl.program_id(1)
 
@@ -136,43 +157,39 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
             dma.start()
             dma.wait()
 
-            # stage 1, frame GROUPS: group i reads an 8-row-aligned block;
-            # its g frames are static sub-slices of the loaded value.
-            # Scratch is frame-major [tile_f, A, LANE] — dim 0 of a rank-3
-            # ref is untiled, so per-frame dynamic writes are legal.
+            # stage 1 per group: gather + window G frames into xg
+            # [G·16, 128], then one block-diagonal dot per re/im.
+            # Scratch s is frame-major [tile_f, A, 2·LANE] with sr in
+            # lanes [:128] and si in [128:] — dim 0 of a rank-3 ref is
+            # untiled, so per-group dynamic writes are legal.
             def s1(i, _):
-                block = (tile_ref[pl.ds(i * g * hop_rows, block_rows), :]
+                block = (tile_ref[pl.ds(i * _G * hop_rows, block_rows), :]
                          .astype(jnp.float32) * _INT16_SCALE)
-                for j in range(g):
-                    x = (block[j * hop_rows:j * hop_rows + frame_rows, :]
-                         * win_ref[:])
-                    sr_ref[pl.ds(i * g + j, 1), :, :] = jnp.dot(
-                        war_ref[:], x,
-                        preferred_element_type=jnp.float32)[None]
-                    si_ref[pl.ds(i * g + j, 1), :, :] = jnp.dot(
-                        wai_ref[:], x,
-                        preferred_element_type=jnp.float32)[None]
+                for j in range(_G):
+                    xg_ref[j * frame_rows:(j + 1) * frame_rows, :] = (
+                        block[j * hop_rows:j * hop_rows + frame_rows, :]
+                        * win_ref[:])
+                xg = xg_ref[:]
+                sr = jnp.dot(wbr_ref[:], xg,
+                             preferred_element_type=jnp.float32)
+                si = jnp.dot(wbi_ref[:], xg,
+                             preferred_element_type=jnp.float32)
+                s_ref[pl.ds(i * _G, _G), :, :] = jnp.concatenate(
+                    [sr.reshape(_G, _A, _LANE), si.reshape(_G, _A, _LANE)],
+                    axis=2)
                 return 0
 
-            jax.lax.fori_loop(0, tile_f // g, s1, 0)
+            jax.lax.fori_loop(0, tile_f // _G, s1, 0)
 
             # stage 2 + mel, statically unrolled over residues r (static
-            # middle-dim indices avoid dynamic sublane slicing)
-            sr_all = sr_ref[:]            # [tile_f, A, LANE]
-            si_all = si_ref[:]
+            # middle-dim indices avoid dynamic sublane slicing): one
+            # packed dot yields re|im, then power @ filterbank slab.
+            s_all = s_ref[:]              # [tile_f, A, 2·LANE]
             mel = jnp.zeros((tile_f, cfg.n_mels), jnp.float32)
             for r in range(_A):
-                sr_r = sr_all[:, r, :]
-                si_r = si_all[:, r, :]
-                re = (jnp.dot(sr_r, twr_ref[r],
-                              preferred_element_type=jnp.float32)
-                      - jnp.dot(si_r, twi_ref[r],
-                                preferred_element_type=jnp.float32))
-                im = (jnp.dot(sr_r, twi_ref[r],
-                              preferred_element_type=jnp.float32)
-                      + jnp.dot(si_r, twr_ref[r],
-                                preferred_element_type=jnp.float32))
-                power = re * re + im * im
+                reim = jnp.dot(s_all[:, r, :], twp_ref[r],
+                               preferred_element_type=jnp.float32)
+                power = reim[:, :j2] ** 2 + reim[:, j2:] ** 2
                 mel = mel + jnp.dot(power, fb_ref[r],
                                     preferred_element_type=jnp.float32)
             if cfg.mag_scale == "log":
@@ -199,16 +216,14 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
             pl.BlockSpec(memory_space=pl.ANY),            # pcm3 in HBM
             pl.BlockSpec((frame_rows, _LANE), lambda bi, ft: (0, 0),
                          memory_space=pltpu.VMEM),            # window
-            pl.BlockSpec((_A, _A), lambda bi, ft: (0, 0),
-                         memory_space=pltpu.VMEM),            # war
-            pl.BlockSpec((_A, _A), lambda bi, ft: (0, 0),
-                         memory_space=pltpu.VMEM),            # wai
-            pl.BlockSpec((_A, _LANE, _LANE), lambda bi, ft: (0, 0, 0),
-                         memory_space=pltpu.VMEM),            # twr
-            pl.BlockSpec((_A, _LANE, _LANE), lambda bi, ft: (0, 0, 0),
-                         memory_space=pltpu.VMEM),            # twi
-            pl.BlockSpec((_A, _LANE, cfg.n_mels), lambda bi, ft: (0, 0, 0),
-                         memory_space=pltpu.VMEM),            # fb3
+            pl.BlockSpec((ga, ga), lambda bi, ft: (0, 0),
+                         memory_space=pltpu.VMEM),            # wblk_r
+            pl.BlockSpec((ga, ga), lambda bi, ft: (0, 0),
+                         memory_space=pltpu.VMEM),            # wblk_i
+            pl.BlockSpec((_A, 2 * _LANE, 2 * j2), lambda bi, ft: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # twp
+            pl.BlockSpec((_A, j2, cfg.n_mels), lambda bi, ft: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # fb2
         ],
         out_specs=pl.BlockSpec((1, tile_f, cfg.n_mels),
                                lambda bi, ft: (bi, ft, 0),
@@ -216,10 +231,10 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_f, cfg.n_mels),
                                        out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_f, _A, _LANE), jnp.float32),     # sr (f-major)
-            pltpu.VMEM((tile_f, _A, _LANE), jnp.float32),     # si
+            pltpu.VMEM((tile_f, _A, 2 * _LANE), jnp.float32),  # sr|si
+            pltpu.VMEM((ga, _LANE), jnp.float32),              # xg
         ],
         interpret=interpret,
-    )(pcm3, jnp.asarray(win2), jnp.asarray(war), jnp.asarray(wai),
-      jnp.asarray(tw3r), jnp.asarray(tw3i), jnp.asarray(fb3))
+    )(pcm3, jnp.asarray(win2), jnp.asarray(wblk_r), jnp.asarray(wblk_i),
+      jnp.asarray(twp), jnp.asarray(fb2))
     return out[:, :n_frames, :]

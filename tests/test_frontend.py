@@ -123,7 +123,7 @@ def test_ui_consumes_every_api_group():
         "/filesystem/clips", "/system/jobs", "/media/audio/",
         "/debug/profile", "/spectrogram/",
         "/detections/", "/settings/schema",
-        "/imports/validate", "/analytics/dawn-chorus",
+        "/imports/validate", "/analytics/dawn-chorus", "/results",
         "/analytics/database/stats", "/audio/hls/",
     ]
     missing = [c for c in consumed if c not in js]

@@ -394,3 +394,62 @@ def test_pending_detection_carries_window_pcm():
     item = p.pending_snapshot()[0]
     assert item.pcm_rate == 256000
     assert (item.pcm == 7).all()
+
+
+# -- secondary results (Note.Results parity) ---------------------------------------
+
+def test_best_window_topk_captured_for_persistence():
+    """The pending entry must carry the FULL top-K of whichever window
+    holds the best confidence (reference: Note.Results children persisted
+    by DatabaseAction, datastore/model.go)."""
+    approved = []
+    p, s, now = make_processor(approved_sink=lambda d, item:
+                               approved.append((d, item)))
+    # window 1: blackbird 0.7 with tit 0.3 second place
+    w1 = WindowPrediction(source_id="src1", model_id=M, start_time=1000.0,
+                          end_time=1003.0, indices=[0, 4],
+                          confidences=[0.7, 0.3])
+    p.submit(w1)
+    # window 2 improves the best: blackbird 0.9, owl 0.2 second
+    w2 = WindowPrediction(source_id="src1", model_id=M, start_time=1001.5,
+                          end_time=1004.5, indices=[0, 1],
+                          confidences=[0.9, 0.2])
+    p.submit(w2)
+    key = "src1:Turdus merula"
+    item = p._pending[key]
+    assert item.detection.confidence == 0.9
+    # top-K reflects window 2 (the best window), including the owl
+    assert item.topk[0] == ("Turdus merula", "Eurasian Blackbird", 0.9)
+    assert item.topk[1][0] == "Strix aluco"
+    # a later weaker window must NOT overwrite the best window's top-K
+    w3 = WindowPrediction(source_id="src1", model_id=M, start_time=1003.0,
+                          end_time=1006.0, indices=[0, 4],
+                          confidences=[0.6, 0.5])
+    p.submit(w3)
+    assert item.topk[1][0] == "Strix aluco"
+
+
+def test_results_persisted_and_served():
+    """insert_detection(results=...) stores ranked secondary predictions
+    retrievable via get_results (GetNoteResults)."""
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    ds = Datastore(":memory:")
+    det_id = ds.insert_detection(
+        _detection(),
+        results=[("Turdus merula", "Eurasian Blackbird", 0.9),
+                 ("Strix aluco", "Tawny Owl", 0.2)])
+    rows = ds.get_results(det_id)
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert rows[1]["scientific_name"] == "Strix aluco"
+    assert rows[1]["confidence"] == pytest.approx(0.2)
+    # daily events rollup + latest weather + locked clips round out the
+    # datastore interface breadth (SaveDailyEvents/LatestHourlyWeather/
+    # GetLockedNotesClipPaths)
+    date = rows and ds.get_detection(det_id)["date"]
+    ev = ds.save_daily_events(date)
+    assert ev["detections"] == 1 and ds.get_daily_events(date) == ev
+    assert ds.latest_hourly_weather() is None
+    assert ds.locked_clip_names() == []
+    ds.optimize()   # VACUUM/ANALYZE must not raise
