@@ -92,3 +92,52 @@ def test_live_audio_unknown_source_404(tiny_app):
             f"http://127.0.0.1:{port}/api/v2/audio/live/ghost", timeout=5)
     assert e.value.code == 404
     app.stop()
+
+
+def test_live_opus_stream(tiny_app):
+    """?format=opus streams a valid Ogg Opus stream when libopus is
+    present (native/codecs.cpp streaming encoder), falling back to WAV
+    when it is not."""
+    from birdnet_go_tpu.audio import opusogg
+
+    app = tiny_app
+    app.start(warmup=False)
+    port = app.settings.webserver.port
+
+    from birdnet_go_tpu.audio.sources_file import ToneSource
+
+    tone = ToneSource(app.engine, source_id="mic2", freq_hz=880.0,
+                      amplitude=0.5)
+    app.engine.add_source(tone.source)
+    tone.push_seconds(2.0)
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", "/api/v2/audio/live/mic2?format=opus")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    if not opusogg.opus_available():
+        assert resp.getheader("Content-Type") == "audio/wav"
+        conn.close()
+        return
+    assert resp.getheader("Content-Type") == "audio/ogg"
+    body = b""
+    deadline = time.time() + 8
+    while len(body) < 4000 and time.time() < deadline:
+        tone.push_seconds(0.25)
+        body += resp.read1(65536)
+    conn.close()
+    # must start with CRC-valid header pages; audio pages decodable
+    pages = []
+    try:
+        pages = opusogg.parse_ogg_pages(body)
+    except ValueError:
+        # last page may be truncated mid-stream — parse the prefix
+        for cut in range(len(body) - 1, 0, -1):
+            if body[:cut].endswith(b"OggS"):
+                pages = opusogg.parse_ogg_pages(body[:cut - 4])
+                break
+    assert pages and pages[0]["packets"][0][:8] == b"OpusHead"
+    audio_packets = [p for pg in pages[2:] for p in pg["packets"]]
+    assert audio_packets, "no audio pages streamed"
+    pcm = opusogg.decode_opus_packets(audio_packets, 48000)
+    assert len(pcm) >= 960
