@@ -60,6 +60,32 @@ def convert_to_s16(raw: bytes, fmt: str = "s16le",
     return np.clip(x * scale, -32768, 32767).astype(np.int16)
 
 
+def resolve_device(spec: str) -> str:
+    """Resolve a device spec to a concrete ALSA name at open time.
+
+    `usb:VENDOR[:PRODUCT[:SERIAL]]` re-matches a card by USB identity —
+    the reference's replug/reorder-safe matching (usb_linux.go +
+    device.go:95: a configured device keeps working when the kernel
+    reassigns card indices). Anything else passes through verbatim
+    (hw:N,M / plughw / default)."""
+    if not spec.startswith("usb:"):
+        return spec
+    parts = spec.split(":")[1:]
+    from birdnet_go_tpu.utils.sysmonitor import audio_devices
+
+    for card in audio_devices():
+        if card.get("usb_vendor") != parts[0]:
+            continue
+        if len(parts) > 1 and parts[1] \
+                and card.get("usb_product") != parts[1]:
+            continue
+        if len(parts) > 2 and parts[2] \
+                and card.get("usb_serial") != parts[2]:
+            continue
+        return card["alsa_name"]
+    raise RuntimeError(f"no sound card matches USB identity {spec!r}")
+
+
 class SoundcardSource:
     def __init__(self, engine, device: str = "default",
                  source_id: str | None = None, rate: int = 48000,
@@ -84,8 +110,11 @@ class SoundcardSource:
         if not native.alsa_available():
             raise RuntimeError(
                 "ALSA capture unavailable (no libasound on this host)")
+        # usb: specs re-resolve at every (re)start, so a replugged card
+        # that moved indices is found again by identity
         self._capture = native.AlsaCapture(
-            device=self.device, rate=self.rate, channels=self.channels)
+            device=resolve_device(self.device), rate=self.rate,
+            channels=self.channels)
         self.engine.add_source(self.source)
         self._stop.clear()
         self._thread = threading.Thread(

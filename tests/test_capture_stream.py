@@ -213,3 +213,27 @@ def test_usb_identity_probe():
 
     out = usb_identity(99)                     # nonexistent card → {}
     assert out == {}
+
+
+def test_resolve_device_usb_identity(monkeypatch):
+    """usb:VID[:PID[:SERIAL]] specs re-match a card by identity, not index
+    (reference usb_linux.go: replug-safe device selection)."""
+    from birdnet_go_tpu.audio import capture
+    from birdnet_go_tpu.utils import sysmonitor
+
+    cards = [
+        {"index": 0, "id": "PCH", "alsa_name": "hw:0,0"},
+        {"index": 3, "id": "Mic", "alsa_name": "hw:3,0",
+         "usb_vendor": "0d8c", "usb_product": "0014",
+         "usb_serial": "ABC123"},
+    ]
+    monkeypatch.setattr(sysmonitor, "audio_devices", lambda: cards)
+    assert capture.resolve_device("usb:0d8c") == "hw:3,0"
+    assert capture.resolve_device("usb:0d8c:0014") == "hw:3,0"
+    assert capture.resolve_device("usb:0d8c:0014:ABC123") == "hw:3,0"
+    assert capture.resolve_device("hw:1,0") == "hw:1,0"   # passthrough
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="identity"):
+        capture.resolve_device("usb:ffff")
+    with _pt.raises(RuntimeError, match="identity"):
+        capture.resolve_device("usb:0d8c:9999")
