@@ -368,7 +368,8 @@ class Application:
             self.backup = BackupManager(
                 BackupConfig(enabled=True, target_dir=s.backup.target_dir,
                              keep=s.backup.keep,
-                             interval_hours=s.backup.interval_hours),
+                             interval_hours=s.backup.interval_hours,
+                             passphrase=getattr(s.backup, "passphrase", "")),
                 db_path=s.database.path)
 
         # health check registry (internal/health checks analogue)

@@ -232,6 +232,7 @@ class BackupSettings:
     target_dir: str = "data/backups"
     keep: int = 7
     interval_hours: float = 24.0
+    passphrase: str = ""        # non-empty → AES-256-GCM encrypted archives
 
 
 @dataclasses.dataclass

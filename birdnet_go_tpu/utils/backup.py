@@ -33,6 +33,47 @@ class BackupConfig:
     keep: int = 7
     include_config: str | None = None      # path to config.yaml
     interval_hours: float = 24.0
+    # passphrase → AES-256-GCM encrypted archives (reference:
+    # internal/backup encryption of archives before upload)
+    passphrase: str = ""
+
+
+_ENC_MAGIC = b"BNBK1\0"
+
+
+def encrypt_backup(data: bytes, passphrase: str) -> bytes:
+    """AES-256-GCM with a scrypt-derived key. Layout:
+    magic(6) | salt(16) | nonce(12) | ciphertext+tag."""
+    import os
+
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    from cryptography.hazmat.primitives.kdf.scrypt import Scrypt
+
+    salt = os.urandom(16)
+    key = Scrypt(salt=salt, length=32, n=2 ** 14, r=8, p=1).derive(
+        passphrase.encode())
+    nonce = os.urandom(12)
+    ct = AESGCM(key).encrypt(nonce, data, _ENC_MAGIC)
+    return _ENC_MAGIC + salt + nonce + ct
+
+
+def decrypt_backup(blob: bytes, passphrase: str) -> bytes:
+    """Inverse of encrypt_backup; raises ValueError on wrong passphrase
+    or tampered data (GCM tag)."""
+    from cryptography.exceptions import InvalidTag
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    from cryptography.hazmat.primitives.kdf.scrypt import Scrypt
+
+    if not blob.startswith(_ENC_MAGIC):
+        raise ValueError("not an encrypted backup")
+    salt = blob[6:22]
+    nonce = blob[22:34]
+    key = Scrypt(salt=salt, length=32, n=2 ** 14, r=8, p=1).derive(
+        passphrase.encode())
+    try:
+        return AESGCM(key).decrypt(nonce, blob[34:], _ENC_MAGIC)
+    except InvalidTag as e:
+        raise ValueError("wrong passphrase or corrupted archive") from e
 
 
 class Target(Protocol):
@@ -57,7 +98,7 @@ class LocalTarget:
         if not self.dir.is_dir():
             return []
         return sorted(p.name for p in self.dir.iterdir()
-                      if p.suffix == ".gz")
+                      if p.suffix in (".gz", ".enc"))
 
     def delete(self, name: str) -> None:
         (self.dir / name).unlink(missing_ok=True)
@@ -98,7 +139,8 @@ class FtpTarget:
     def list(self) -> list[str]:
         ftp = self._connect()
         try:
-            return sorted(n for n in ftp.nlst() if n.endswith(".gz"))
+            return sorted(n for n in ftp.nlst()
+                          if n.endswith((".gz", ".enc")))
         finally:
             ftp.quit()
 
@@ -187,7 +229,7 @@ class S3Target:
                           + self.prefix.replace("/", "%2F"))
         keys = re.findall(r"<Key>([^<]+)</Key>", r.text)
         return sorted(k[len(self.prefix):] for k in keys
-                      if k.endswith(".gz"))
+                      if k.endswith((".gz", ".enc")))
 
     def delete(self, name: str) -> None:
         self._request("DELETE", name)
@@ -238,7 +280,11 @@ class BackupManager:
                 add("config.yaml",
                     Path(self.config.include_config).read_bytes())
             add("manifest.json", json.dumps(manifest, indent=2).encode())
-        self.target.store(name, buf.getvalue())
+        payload = buf.getvalue()
+        if self.config.passphrase:
+            payload = encrypt_backup(payload, self.config.passphrase)
+            name += ".enc"
+        self.target.store(name, payload)
         self.runs += 1
         self._apply_retention()
         log.info("backup written: %s (%d bytes)", name, buf.tell())

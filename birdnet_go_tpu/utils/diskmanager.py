@@ -88,12 +88,12 @@ class DiskManager:
         return res
 
     def _locked_clip_names(self) -> set[str]:
+        """Clips protected from retention (GetLockedNotesClipPaths —
+        one indexed query rather than scanning every detection row)."""
         if self.datastore is None:
             return set()
         try:
-            rows = self.datastore.search_detections(limit=100000)
-            return {r["clip_name"] for r in rows
-                    if r.get("locked") and r.get("clip_name")}
+            return set(self.datastore.locked_clip_names())
         except Exception:
             return set()
 

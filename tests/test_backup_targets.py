@@ -228,3 +228,48 @@ def test_s3_target_sigv4_structure():
     assert t.list() == ["a.tar.gz"]
     t.delete("a.tar.gz")
     assert sess.requests[-1][0] == "DELETE"
+
+
+def test_encrypted_backup_roundtrip(tmp_path):
+    """passphrase → AES-256-GCM archives; decrypt restores the tarball,
+    a wrong passphrase or bit-flip fails the GCM tag (reference:
+    internal/backup encryption)."""
+    import io
+    import sqlite3
+    import tarfile
+
+    import pytest
+
+    from birdnet_go_tpu.utils.backup import (
+        BackupConfig,
+        BackupManager,
+        decrypt_backup,
+        encrypt_backup,
+    )
+
+    db = tmp_path / "d.db"
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (x)")
+    conn.execute("INSERT INTO t VALUES (42)")
+    conn.commit()
+    conn.close()
+    mgr = BackupManager(
+        BackupConfig(enabled=True, target_dir=str(tmp_path / "bk"),
+                     passphrase="hunter2"), db_path=str(db))
+    name = mgr.run_once()
+    assert name.endswith(".tar.gz.enc")
+    blob = (tmp_path / "bk" / name).read_bytes()
+    assert blob[:5] == b"BNBK1"          # not a plaintext tarball
+    plain = decrypt_backup(blob, "hunter2")
+    with tarfile.open(fileobj=io.BytesIO(plain), mode="r:gz") as tar:
+        assert "database.sql" in tar.getnames()
+        assert "manifest.json" in tar.getnames()
+    with pytest.raises(ValueError, match="passphrase|corrupted"):
+        decrypt_backup(blob, "wrong")
+    tampered = blob[:-1] + bytes([blob[-1] ^ 1])
+    with pytest.raises(ValueError):
+        decrypt_backup(tampered, "hunter2")
+    # retention sees .enc archives
+    assert mgr.target.list() == [name]
+    # plaintext round-trip helper symmetry
+    assert decrypt_backup(encrypt_backup(b"x", "p"), "p") == b"x"
