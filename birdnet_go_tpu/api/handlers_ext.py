@@ -85,6 +85,8 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/analytics/dawn-onset", self.h_dawn_onset)
         r.add_get(f"{v2}/analytics/dawn-chorus", self.h_dawn_chorus)
         r.add_get(f"{v2}/analytics/database/stats", self.h_db_stats)
+        r.add_get(f"{v2}/analytics/daily-events/{{date}}",
+                  self.h_daily_events)
         r.add_get(f"{v2}/analytics/dashboard/kpis", self.h_dashboard_kpis)
         # weather
         r.add_get(f"{v2}/weather/daily/{{date}}", self.h_weather_daily)
@@ -537,6 +539,15 @@ class ExtendedHandlers:
                 int(request.match_info["id"])):
             return _json({"error": "not found"}, status=404)
         return _json({"deleted": True})
+
+    async def h_daily_events(self, request):
+        """Per-day rollup (reference: GetDailyEvents) — maintained on every
+        detection insert, recomputed on demand when absent."""
+        date = request.match_info["date"]
+        ev = self.ctx.datastore.get_daily_events(date)
+        if ev is None:
+            ev = self.ctx.datastore.save_daily_events(date)
+        return _json(ev)
 
     async def h_results_list(self, request):
         """Secondary predictions stored with a detection — the full top-K

@@ -28,14 +28,18 @@ self.addEventListener("fetch", (ev) => {
   if (ev.request.method !== "GET" || url.pathname.startsWith("/api/")
       || url.pathname === "/sw.js") return;   // live data: straight through
   if (url.pathname.startsWith("/static/") || SHELL.includes(url.pathname)) {
-    ev.respondWith(
-      caches.match(ev.request).then((hit) => hit || fetch(ev.request)
-        .then((resp) => {
-          if (resp.ok) {
-            const copy = resp.clone();
-            caches.open(CACHE).then((c) => c.put(ev.request, copy));
-          }
-          return resp;
-        })));
+    // stale-while-revalidate: serve the cache instantly but ALWAYS
+    // refetch in the background so server upgrades reach clients on the
+    // next load (there is no build step to bump the cache name).
+    ev.respondWith(caches.match(ev.request).then((hit) => {
+      const refresh = fetch(ev.request).then((resp) => {
+        if (resp.ok) {
+          const copy = resp.clone();
+          caches.open(CACHE).then((c) => c.put(ev.request, copy));
+        }
+        return resp;
+      });
+      return hit ? (refresh.catch(() => {}), hit) : refresh;
+    }));
   }
 });

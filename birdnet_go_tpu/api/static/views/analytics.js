@@ -129,14 +129,18 @@ export async function analyticsView(outlet) {
         barChart((hourly || []).map((v, h) => ({ label: String(h), value: v })),
                  { xLabelEvery: 3, height: 150 })));
     } catch (e) { /* optional */ }
-    // database stats
+    // database stats + today's rollup (daily events)
     try {
-      const db = await api("/analytics/database/stats");
+      const [db, ev] = await Promise.all([
+        api("/analytics/database/stats"),
+        api(`/analytics/daily-events/${iso(0)}`)]);
       four.append(el("div", { class: "card" },
         el("h2", {}, "Database"),
         el("div", { class: "grid cols-2" },
           tile("Detections", fmtNum(db.detections)),
-          tile("Species", fmtNum(db.species)))));
+          tile("Species", fmtNum(db.species)),
+          tile("First today", ev.first_detection || "–"),
+          tile("Last today", ev.last_detection || "–"))));
     } catch (e) { /* optional */ }
     try {
       const res = await api(`/analytics/dawn-onset?from=${from}&to=${to}`);

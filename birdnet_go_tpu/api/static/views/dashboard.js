@@ -248,24 +248,24 @@ async function renderLive(card) {
   playBtn.addEventListener("click", async () => {
     if (audio) { stop(); return; }
     playBtn.textContent = "■ Stop";
-    const src = encodeURIComponent(sel.value);
+    const srcId = encodeURIComponent(sel.value);
     const codec = document.getElementById("live-codec").value;
-    let mediaUrl = `/api/v2/audio/live/${src}`;
+    let mediaUrl = `/api/v2/audio/live/${srcId}`;
     if (codec === "opus") mediaUrl += "?format=opus";
     if (codec === "hls") {
       // HLS session: start + keepalive heartbeats (reference audio_hls.go)
       try {
-        await api(`/audio/hls/${src}/start`, { method: "POST", body: {} });
-        hlsTimer = setInterval(() => api(`/audio/hls/${src}/heartbeat`,
+        await api(`/audio/hls/${srcId}/start`, { method: "POST", body: {} });
+        hlsTimer = setInterval(() => api(`/audio/hls/${srcId}/heartbeat`,
           { method: "POST", body: {} }).catch(() => {}), 5000);
-        mediaUrl = `/api/v2/audio/hls/${src}/playlist.m3u8`;
+        mediaUrl = `/api/v2/audio/hls/${srcId}/playlist.m3u8`;
       } catch (e) { /* fall back to chunked WAV */ }
     }
     audio = new Audio(mediaUrl);
     audio.addEventListener("error", () => {
       // HLS unsupported by this browser → chunked-WAV fallback
       if (audio && mediaUrl.includes("playlist.m3u8")) {
-        audio.src = `/api/v2/audio/live/${src}`;
+        audio.src = `/api/v2/audio/live/${srcId}`;
         audio.play().catch(() => stop());
       }
     });

@@ -31,7 +31,7 @@ export async function rangeView(outlet) {
       el("div", { class: "row", style: "margin-top:8px" },
         el("button", { class: "primary", onclick: async () => {
           const out = await api("/range/rebuild", { method: "POST" });
-          toast(`Rebuilt: ${out.included ?? out.count ?? "ok"} species`);
+          toast(`Rebuilt: ${out.included_count ?? "ok"} species`);
         } }, "Rebuild now"),
         el("a", { class: "btn small", href: "/api/v2/range/species/csv",
                   download: "range-species.csv" }, "⬇ CSV")));

@@ -22,25 +22,26 @@ from birdnet_go_tpu.native import lib as native
 # ---------------------------------------------------------------- Ogg CRC32
 
 # Ogg uses CRC-32 poly 0x04c11db7, no reflection, zero init/xor.
-_CRC_TABLE: list[int] = []
+# Built eagerly at import: lazy init from the jobqueue worker and the
+# live-stream executor concurrently would interleave appends.
+def _build_crc_table() -> tuple[int, ...]:
+    out = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            r &= 0xFFFFFFFF
+        out.append(r)
+    return tuple(out)
 
 
-def _crc_table() -> list[int]:
-    if not _CRC_TABLE:
-        for i in range(256):
-            r = i << 24
-            for _ in range(8):
-                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
-                r &= 0xFFFFFFFF
-            _CRC_TABLE.append(r)
-    return _CRC_TABLE
+_CRC_TABLE = _build_crc_table()
 
 
 def ogg_crc(data: bytes) -> int:
-    table = _crc_table()
     crc = 0
     for b in data:
-        crc = ((crc << 8) & 0xFFFFFFFF) ^ table[((crc >> 24) & 0xFF) ^ b]
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
     return crc
 
 

@@ -191,19 +191,48 @@ class Datastore:
                         " scientific_name, common_name, confidence)"
                         " VALUES (?,?,?,?,?)",
                         (det_id, rank, sci, common, float(conf)))
+            self._upsert_daily_events(when.strftime("%Y-%m-%d"))
             self._conn.commit()
             return int(det_id)
+
+    def _upsert_daily_events(self, date: str) -> dict[str, Any]:
+        """Keep the per-day rollup current on every insert (reference:
+        DailyEvents maintained alongside Note saves). Caller holds the
+        lock."""
+        row = self._conn.execute(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT scientific_name) AS s,"
+            " MIN(time) AS first, MAX(time) AS last"
+            " FROM detections WHERE date = ?", (date,)).fetchone()
+        ev = {"date": date, "detections": int(row["n"] or 0),
+              "species": int(row["s"] or 0),
+              "first_detection": row["first"] or "",
+              "last_detection": row["last"] or ""}
+        self._conn.execute(
+            "INSERT INTO daily_events (date, detections, species,"
+            " first_detection, last_detection) VALUES (?,?,?,?,?)"
+            " ON CONFLICT(date) DO UPDATE SET detections=excluded"
+            ".detections, species=excluded.species, first_detection="
+            "excluded.first_detection, last_detection="
+            "excluded.last_detection", (date, ev["detections"],
+                                        ev["species"],
+                                        ev["first_detection"],
+                                        ev["last_detection"]))
+        return ev
 
     def get_results(self, det_id: int) -> list[dict[str, Any]]:
         """Secondary predictions stored with a detection
         (GetNoteResults, datastore/interfaces.go)."""
         with self._lock:
             rows = self._conn.execute(
-                "SELECT result_rank AS rank, scientific_name,"
+                "SELECT result_rank, scientific_name,"
                 " common_name, confidence"
                 " FROM results WHERE detection_id = ? ORDER BY result_rank",
                 (det_id,)).fetchall()
-        return [dict(r) for r in rows]
+        # alias host-side: `AS rank` would hit MySQL 8's reserved word
+        return [{"rank": r["result_rank"],
+                 "scientific_name": r["scientific_name"],
+                 "common_name": r["common_name"],
+                 "confidence": r["confidence"]} for r in rows]
 
     def optimize(self) -> None:
         """VACUUM + ANALYZE (reference: datastore Optimize / 'database
@@ -214,26 +243,10 @@ class Datastore:
             self._conn.execute("ANALYZE")
 
     def save_daily_events(self, date: str) -> dict[str, Any]:
-        """Recompute + upsert the per-day rollup (SaveDailyEvents)."""
+        """Recompute + upsert the per-day rollup (SaveDailyEvents);
+        insert_detection keeps it current automatically."""
         with self._lock:
-            row = self._conn.execute(
-                "SELECT COUNT(*) AS n, COUNT(DISTINCT scientific_name) AS s,"
-                " MIN(time) AS first, MAX(time) AS last"
-                " FROM detections WHERE date = ?", (date,)).fetchone()
-            ev = {"date": date, "detections": int(row["n"] or 0),
-                  "species": int(row["s"] or 0),
-                  "first_detection": row["first"] or "",
-                  "last_detection": row["last"] or ""}
-            self._conn.execute(
-                "INSERT INTO daily_events (date, detections, species,"
-                " first_detection, last_detection) VALUES (?,?,?,?,?)"
-                " ON CONFLICT(date) DO UPDATE SET detections=excluded"
-                ".detections, species=excluded.species, first_detection="
-                "excluded.first_detection, last_detection="
-                "excluded.last_detection", (date, ev["detections"],
-                                            ev["species"],
-                                            ev["first_detection"],
-                                            ev["last_detection"]))
+            ev = self._upsert_daily_events(date)
             self._conn.commit()
         return ev
 

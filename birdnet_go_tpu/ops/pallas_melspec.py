@@ -81,11 +81,14 @@ def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
 
     # stage-2 packed twiddles [A, 2B, 2*j2]:
     #   [sr | si] @ [[twr, twi], [-twi, twr]] = [re | im]
+    # j2 may exceed the real j_sz when the filterbank uses the top DFT
+    # bins (fmax near Nyquist) — clamp the copy, leave padding zero.
+    js = min(j2, j_sz)
     twp = np.zeros((a_sz, 2 * b_sz, 2 * j2), np.float32)
-    twp[:, :b_sz, :j2] = twr[:, :, :j2]
-    twp[:, :b_sz, j2:] = twi[:, :, :j2]
-    twp[:, b_sz:, :j2] = -twi[:, :, :j2]
-    twp[:, b_sz:, j2:] = twr[:, :, :j2]
+    twp[:, :b_sz, :js] = twr[:, :, :js]
+    twp[:, :b_sz, j2:j2 + js] = twi[:, :, :js]
+    twp[:, b_sz:, :js] = -twi[:, :, :js]
+    twp[:, b_sz:, j2:j2 + js] = twr[:, :, :js]
 
     # fb2 [A, j2, m] (zero rows beyond the real j_sz)
     fb2 = np.zeros((a_sz, j2, n_mels), np.float32)

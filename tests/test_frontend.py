@@ -124,7 +124,8 @@ def test_ui_consumes_every_api_group():
         "/debug/profile", "/spectrogram/",
         "/detections/", "/settings/schema",
         "/imports/validate", "/analytics/dawn-chorus", "/results",
-        "/analytics/database/stats", "/audio/hls/",
+        "/analytics/database/stats", "/analytics/daily-events/",
+        "/audio/hls/",
     ]
     missing = [c for c in consumed if c not in js]
     assert not missing, f"UI consumers missing for: {missing}"

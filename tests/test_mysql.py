@@ -186,8 +186,13 @@ class FakeMySQLServer(threading.Thread):
         if m:
             body = out[m.end():]
             body = re.sub(r"VALUES\((\w+)\)", r"excluded.\1", body)
+            # conflict target = the table's PK (MySQL infers it; sqlite
+            # needs it spelled out)
+            tm = re.search(r"INSERT INTO (\w+)", out, re.IGNORECASE)
+            pk = {"daily_events": "date"}.get(
+                tm.group(1) if tm else "", "scientific_name")
             out = (out[:m.start()]
-                   + "ON CONFLICT(scientific_name) DO UPDATE SET" + body)
+                   + f"ON CONFLICT({pk}) DO UPDATE SET" + body)
         return out
 
     def _rows(self, conn, cols, rows):

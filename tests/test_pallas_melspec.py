@@ -43,3 +43,17 @@ def test_fused_rejects_unsupported_config():
     with pytest.raises(ValueError):
         melspec_fused(jnp.zeros((1, 48000), jnp.int16),
                       MelConfig(n_fft=2048, hop=500), interpret=True)
+
+
+def test_fused_fullband_fmax_parity_interpret():
+    """fmax at Nyquist pushes the filterbank to the top DFT bins; the
+    packed-twiddle copy must clamp to the real j extent instead of
+    crashing (j2 > j_sz), and parity must still hold."""
+    cfg = MelConfig(sample_rate=48000, n_fft=2048, hop=512, n_mels=96,
+                    fmax=24000.0, mag_scale="nonlinear")
+    rng = np.random.default_rng(3)
+    pcm16 = (rng.standard_normal((1, 48000)) * 0.1 * 32767).astype(np.int16)
+    ref = np.asarray(melspec(jnp.asarray(pcm16, jnp.float32) / 32768.0, cfg))
+    got = np.asarray(melspec_fused(jnp.asarray(pcm16), cfg, interpret=True))
+    rel = np.abs(ref - got) / (np.abs(ref) + 1e-3)
+    assert rel.max() < 1e-3
