@@ -87,7 +87,7 @@ async function database(slot, card) {
           toast(`Backup written: ${out.backup}`);
         } catch (e) { toast(e.message, true); }
       } }, "Backup now")));
-  slot.append(card("Database", body));
+  slot.append(card(t("database"), body));
 }
 
 // ---- TLS ----
@@ -176,7 +176,7 @@ async function integrations(slot, card) {
     testBtn("Test weather", "/integrations/weather/test"),
     testBtn("HA discovery",
             "/integrations/mqtt/homeassistant/discovery")));
-  slot.append(card("Integrations", body));
+  slot.append(card(t("integrations"), body));
 }
 
 // ---- stream tools: connectivity test, probe, per-source restart ----
@@ -241,7 +241,7 @@ async function clipsJobs(slot, card) {
   body.append(el("div", { class: "row", style: "margin-top:6px" },
     el("a", { class: "btn small", href: "/api/v2/debug/profile" },
        "⬇ CPU profile")));
-  slot.append(card("Clips & jobs", body));
+  slot.append(card("Clips · " + t("jobs"), body));
 }
 
 // ---- network + SSE + restart status ----
@@ -260,7 +260,7 @@ async function network(slot, card) {
     body.append(el("p", { class: "pill warn" },
       `Restart required: ${rs.reasons.join(", ")}`));
   }
-  slot.append(card("Network & streams", body));
+  slot.append(card(t("network"), body));
 }
 
 // ---- operational events + diagnostics ----
@@ -273,7 +273,7 @@ async function opsEvents(slot, card) {
                             { method: "POST", body: {} });
       toast(out.healthy ? "All diagnostics healthy"
                         : "Some checks failing", !out.healthy);
-    } }, "Run diagnostics"),
+    } }, t("run_diagnostics")),
     el("a", { class: "btn small", href: "/api/v2/system/diagnostics" },
        "⬇ Diagnostics report")));
   body.append(events.length

@@ -21,7 +21,7 @@ export async function alertsView(outlet) {
     const rules = await api("/alerts/rules");
     clear(rulesCard);
     rulesCard.append(el("div", { class: "row" },
-      el("h2", { style: "margin:0" }, "Rules"),
+      el("h2", { style: "margin:0" }, t("rules")),
       el("span", { class: "spacer" }),
       el("a", { class: "btn small", href: "/api/v2/alerts/rules/export",
                 download: "alert-rules.json" }, "⬇ Export"),
@@ -32,7 +32,7 @@ export async function alertsView(outlet) {
       return;
     }
     rulesCard.append(table(
-      ["Rule", "Conditions", "Throttle", "Priority", ""],
+      ["Rule", t("conditions"), "Throttle", t("priority"), ""],
       rules.map((r) => [
         el("span", {},
           el("strong", {}, r.name || r.rule_id), " ",
@@ -108,7 +108,7 @@ export async function alertsView(outlet) {
         el("option", { value: p, selected: p === "normal" ? "" : null }, p)));
     const template = el("input", {
       value: "{common_name} detected ({confidence:.0%})", size: 40 });
-    formCard.append(el("h2", {}, "New rule"),
+    formCard.append(el("h2", {}, t("new_rule")),
       el("div", { class: "field-row" }, el("label", {}, "name"), name),
       el("div", { class: "field-row" }, el("label", {}, "species"), species),
       el("div", { class: "field-row" },
@@ -150,7 +150,7 @@ export async function alertsView(outlet) {
   async function renderHistory() {
     const hist = await api("/alerts/history?limit=50");
     clear(historyCard);
-    historyCard.append(el("h2", {}, "History"));
+    historyCard.append(el("h2", {}, t("history")));
     if (!hist.length) {
       historyCard.append(el("div", { class: "empty" }, t("no_data")));
       return;

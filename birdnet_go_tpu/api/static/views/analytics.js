@@ -33,9 +33,9 @@ export async function analyticsView(outlet) {
       const res = await api(`/analytics/summary?from=${from}&to=${to}`);
       const rows = (Array.isArray(res) ? res : res.species || res.summary || [])
         .slice(0, 12);
-      grid.append(card("Top species", hBarChart(rows.map((r) => ({
+      grid.append(card(t("top_species"), hBarChart(rows.map((r) => ({
         label: r.common_name || r.scientific_name, value: r.count })))));
-    } catch (e) { grid.append(card("Top species", err(e))); }
+    } catch (e) { grid.append(card(t("top_species"), err(e))); }
 
     const two = el("div", { class: "grid cols-2" });
     grid.append(two);
@@ -44,32 +44,32 @@ export async function analyticsView(outlet) {
     try {
       const res = await api(`/analytics/daily?from=${from}&to=${to}`);
       const rows = Array.isArray(res) ? res : res.daily || [];
-      two.append(card("Detections per day", lineChart([{
+      two.append(card(t("detections_per_day"), lineChart([{
         name: "detections", color: "var(--series-1)", area: true,
         points: rows.map((r) => ({ x: (r.date || "").slice(5),
                                    y: r.count ?? r.total ?? 0 })),
       }])));
-    } catch (e) { two.append(card("Detections per day", err(e))); }
+    } catch (e) { two.append(card(t("detections_per_day"), err(e))); }
 
     // confidence histogram
     try {
       const res = await api("/analytics/confidence");
       const bins = Array.isArray(res) ? res : res.bins || res.histogram || [];
-      two.append(card("Confidence distribution", barChart(bins.map((v, i) => ({
+      two.append(card(t("confidence_dist"), barChart(bins.map((v, i) => ({
         label: `${(i / bins.length).toFixed(1)}`, value: v })),
         { xLabelEvery: 2, height: 170 })));
-    } catch (e) { two.append(card("Confidence distribution", err(e))); }
+    } catch (e) { two.append(card(t("confidence_dist"), err(e))); }
 
     // date × hour heatmap ({date: int[24]} from the API)
     try {
       const res = await api(`/analytics/heatmap?from=${from}&to=${to}`);
       const dates = Object.keys(res).sort().slice(-21);
-      grid.append(card("Activity heatmap (date × hour)", dates.length
+      grid.append(card(t("heatmap") + " (date × hour)", dates.length
         ? heatmap({ rows: dates.map((d) => d.slice(5)),
                     cols: [...Array(24).keys()].map(String),
                     values: dates.map((d) => res[d]) })
         : el("div", { class: "empty" }, t("no_data"))));
-    } catch (e) { grid.append(card("Activity heatmap", err(e))); }
+    } catch (e) { grid.append(card(t("heatmap"), err(e))); }
 
     const three = el("div", { class: "grid cols-2" });
     grid.append(three);
@@ -78,31 +78,31 @@ export async function analyticsView(outlet) {
     try {
       const res = await api(`/analytics/accumulation?from=${from}&to=${to}`);
       const rows = Array.isArray(res) ? res : res.accumulation || [];
-      three.append(card("Species accumulation", lineChart([{
+      three.append(card(t("accumulation"), lineChart([{
         name: "cumulative species", color: "var(--series-3)",
         points: rows.map((r) => ({ x: (r.date || "").slice(5),
                                    y: r.cumulative_species ?? r.species
                                      ?? r.count ?? 0 })),
       }])));
-    } catch (e) { three.append(card("Species accumulation", err(e))); }
+    } catch (e) { three.append(card(t("accumulation"), err(e))); }
 
     // diversity tiles ({richness, shannon, detections})
     try {
       const d = await api(`/analytics/diversity?from=${from}&to=${to}`);
       three.append(el("div", { class: "card" },
-        el("h2", {}, "Diversity"),
+        el("h2", {}, t("diversity")),
         el("div", { class: "grid cols-2" },
           tile("Species richness", d.richness),
           tile("Shannon index", round2(d.shannon)),
           tile("Detections", fmtNum(d.detections)))));
-    } catch (e) { three.append(card("Diversity", err(e))); }
+    } catch (e) { three.append(card(t("diversity"), err(e))); }
 
     // succession: monthly composition (top species share per month)
     try {
       const { succession } = await api(
         `/analytics/succession?from=${from}&to=${to}&top=5`);
       if (succession.length) {
-        grid.append(card("Species succession (monthly top-5 share)",
+        grid.append(card("Succession (monthly top-5 share)",
           table(["Month", "Total", "Top species"],
             succession.map((m) => [m.month, fmtNum(m.total),
               m.species.map((s) =>
@@ -118,14 +118,14 @@ export async function analyticsView(outlet) {
       const res = await api("/analytics/species/first-seen");
       const rows = (Array.isArray(res) ? res : res.species || []).slice(0, 10);
       four.append(el("div", { class: "card" },
-        el("h2", {}, "Newest species"),
+        el("h2", {}, t("newest_species")),
         table(["Species", "First seen"], rows.map((r) => [
           r.common_name || r.scientific_name, r.first_date || "–"]))));
-    } catch (e) { four.append(card("Newest species", err(e))); }
+    } catch (e) { four.append(card(t("newest_species"), err(e))); }
     // dawn chorus: today's hour-of-day activity histogram
     try {
       const { hourly } = await api("/analytics/dawn-chorus");
-      four.append(card("Dawn chorus (today by hour)",
+      four.append(card(t("dawn_chorus") + " (today by hour)",
         barChart((hourly || []).map((v, h) => ({ label: String(h), value: v })),
                  { xLabelEvery: 3, height: 150 })));
     } catch (e) { /* optional */ }
@@ -135,7 +135,7 @@ export async function analyticsView(outlet) {
         api("/analytics/database/stats"),
         api(`/analytics/daily-events/${iso(0)}`)]);
       four.append(el("div", { class: "card" },
-        el("h2", {}, "Database"),
+        el("h2", {}, t("database")),
         el("div", { class: "grid cols-2" },
           tile("Detections", fmtNum(db.detections)),
           tile("Species", fmtNum(db.species)),
@@ -146,13 +146,13 @@ export async function analyticsView(outlet) {
       const res = await api(`/analytics/dawn-onset?from=${from}&to=${to}`);
       const rows = (res.dawn_onset || []).slice(-10);
       four.append(el("div", { class: "card" },
-        el("h2", {}, "Dawn onset (min after civil dawn)"),
+        el("h2", {}, t("dawn_onset") + " (min after civil dawn)"),
         rows.length
           ? table(["Date", "Species", "Δ dawn (min)"], rows.map((r) => [
               r.date, r.common_name || r.scientific_name,
               String(r.minutes_after_dawn)]))
           : el("div", { class: "empty" }, "Needs a configured location")));
-    } catch (e) { four.append(card("Dawn onset", err(e))); }
+    } catch (e) { four.append(card(t("dawn_onset"), err(e))); }
   }
 
   function tile(label, value) {

@@ -27,7 +27,7 @@ export async function dashboardView(outlet) {
 
   // "currently hearing": live pending-consensus entries (SSE channel fed
   // by the processor's pending-broadcast — not-yet-approved detections)
-  hearingCard.append(el("h2", {}, "Currently hearing"));
+  hearingCard.append(el("h2", {}, t("currently_hearing")));
   const hearingBody = el("div", { class: "row" },
     el("span", { class: "empty", style: "padding:4px" }, "Listening…"));
   hearingCard.append(hearingBody);
@@ -79,7 +79,7 @@ export async function dashboardView(outlet) {
   // daily activity bars
   try {
     const byHour = await api("/analytics/hourly");   // bare int[24]
-    activityCard.append(el("h2", {}, "Activity by hour"),
+    activityCard.append(el("h2", {}, t("activity_by_hour")),
       barChart(byHour.map((v, h) => ({ label: String(h), value: v })),
                { xLabelEvery: 3, height: 170 }));
   } catch (e) { activityCard.append(el("div", { class: "empty" }, e.message)); }
@@ -139,7 +139,7 @@ export async function dashboardView(outlet) {
   try {
     const health = await api("/streams/health");
     const entries = Object.entries(health.sources || health);
-    healthCard.append(el("h2", {}, "Sources"));
+    healthCard.append(el("h2", {}, t("sources")));
     if (!entries.length) {
       healthCard.append(el("div", { class: "empty" }, "No audio sources configured"));
     } else {
@@ -233,7 +233,7 @@ async function renderLive(card) {
     return;
   }
   const sel = el("select", {}, sources.map((s) => el("option", { value: s }, s)));
-  const playBtn = el("button", { class: "primary" }, "▶ Listen");
+  const playBtn = el("button", { class: "primary" }, "▶ " + t("listen"));
   const codecSel = el("select", { id: "live-codec", title:
     "WAV = uncompressed · Opus = ~16× less bandwidth (native encoder) · "
     + "HLS = fMP4 segments (Safari)" },

@@ -66,7 +66,7 @@ export async function modelsView(outlet) {
       api("/models"), api("/models/catalog"), api("/models/installed")]);
     const all = Array.isArray(models) ? models : models.models || [];
     clear(loadedCard);
-    loadedCard.append(el("h2", {}, "Registry"));
+    loadedCard.append(el("h2", {}, t("registry")));
     loadedCard.append(table(
       ["Model", "Species", "Rate", "Clip", "State", ""],
       all.map((m) => [
@@ -87,7 +87,7 @@ export async function modelsView(outlet) {
               render();
             } }, "Load")])));
     clear(catalogCard);
-    catalogCard.append(el("h2", {}, "Catalog"));
+    catalogCard.append(el("h2", {}, t("catalog")));
     const installedIds = new Set(
       (installed || []).map((i) => i.model_id || i.id));
     catalogCard.append(table(
@@ -167,7 +167,7 @@ export async function speciesView(outlet) {
   async function renderDetected() {
     const { species } = await api("/species");
     clear(results);
-    results.append(el("h2", {}, "Detected species"));
+    results.append(el("h2", {}, t("detected_species")));
     if (!species.length) {
       results.append(el("div", { class: "empty" }, t("no_data")));
     } else {
@@ -186,7 +186,7 @@ export async function speciesView(outlet) {
 
 // genus → species taxonomy tree (GET /taxonomy/tree)
 async function renderTree(card) {
-  card.append(el("h2", {}, "Taxonomy"));
+  card.append(el("h2", {}, t("taxonomy")));
   try {
     const { tree, genera, species } = await api("/taxonomy/tree");
     card.append(el("p", { class: "sub" },
@@ -228,7 +228,7 @@ async function renderExtras(card) {
   {
     const q = el("input", { placeholder: "Scientific name…", size: 26 });
     const out = el("span", { class: "sub" });
-    card.append(el("h2", { style: "margin-top:14px" }, "First seen"),
+    card.append(el("h2", { style: "margin-top:14px" }, t("first_seen")),
       el("div", { class: "row" }, q,
         el("button", { class: "small", onclick: async () => {
           try {
@@ -298,7 +298,7 @@ export async function importsView(outlet) {
   async function renderJobs() {
     const { jobs } = await api("/imports/jobs");
     clear(jobsCard);
-    jobsCard.append(el("h2", {}, "Jobs"));
+    jobsCard.append(el("h2", {}, t("jobs")));
     if (!jobs.length) {
       jobsCard.append(el("div", { class: "empty" }, t("no_data")));
       return;

@@ -21,7 +21,7 @@ export async function rangeView(outlet) {
   let status = {};
   try {
     status = await api("/range/status");
-    statusCard.append(el("h2", {}, "Status"),
+    statusCard.append(el("h2", {}, t("status")),
       el("div", { class: "grid cols-4" },
         tile("Enabled", status.enabled ? "yes" : "no"),
         tile("Included species", fmtNum(status.included_count)),
@@ -32,7 +32,7 @@ export async function rangeView(outlet) {
         el("button", { class: "primary", onclick: async () => {
           const out = await api("/range/rebuild", { method: "POST" });
           toast(`Rebuilt: ${out.included_count ?? "ok"} species`);
-        } }, "Rebuild now"),
+        } }, t("rebuild")),
         el("a", { class: "btn small", href: "/api/v2/range/species/csv",
                   download: "range-species.csv" }, "⬇ CSV")));
   } catch (e) { statusCard.append(el("div", { class: "empty" }, e.message)); }
@@ -40,7 +40,7 @@ export async function rangeView(outlet) {
   // ---- occurrence heatmap ----
   const week = el("input", { type: "range", min: 1, max: 48, value: 24,
                              style: "width:180px" });
-  const weekLabel = el("span", { class: "sub" }, "week 24");
+  const weekLabel = el("span", { class: "sub" }, t("week") + " 24");
   const resolution = el("select", {},
     [["16", "coarse"], ["24", "medium"], ["36", "fine"]].map(([v, n]) =>
       el("option", { value: v, selected: v === "24" ? "" : null }, n)));
@@ -54,7 +54,7 @@ export async function rangeView(outlet) {
       mapStatus),
     canvas);
   week.addEventListener("input",
-    () => { weekLabel.textContent = `week ${week.value}`; });
+    () => { weekLabel.textContent = `${t("week")} ${week.value}`; });
 
   async function drawMap() {
     mapStatus.textContent = "computing…";

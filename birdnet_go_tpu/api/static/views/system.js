@@ -10,7 +10,7 @@ export async function systemView(outlet) {
 
   const actions = el("div", { class: "row", style: "margin-bottom:14px" },
     el("a", { class: "btn", href: "/api/v2/support/dump" }, "⬇ Support bundle"),
-    el("button", { class: "danger", onclick: restart }, "⟳ Restart server"));
+    el("button", { class: "danger", onclick: restart }, "⟳ " + t("restart_server")));
   outlet.append(actions);
 
   const grid = el("div", { class: "grid cols-2" });
@@ -22,67 +22,67 @@ export async function systemView(outlet) {
   // health checks
   try {
     const h = await api("/health");
-    grid.append(card(`Health — ${h.status}`, table(
+    grid.append(card(`${t("health")} — ${h.status}`, table(
       ["Check", "State", "Detail"],
       h.checks.map((c) => [c.name,
         el("span", { class: "pill " + (c.healthy ? "good" : "bad") },
            c.healthy ? "ok" : "failing"), c.detail]))));
-  } catch (e) { grid.append(card("Health", err(e))); }
+  } catch (e) { grid.append(card(t("health"), err(e))); }
 
   // resources
   try {
     const r = await api("/system/resources");
     const temp = await api("/system/temperature/cpu");
-    grid.append(card("Resources", el("div", { class: "grid cols-2" },
+    grid.append(card(t("resources"), el("div", { class: "grid cols-2" },
       tile("Load (1m)", r.cpu?.load_1m),
       tile("Memory used", r.memory?.used_percent != null
            ? r.memory.used_percent + "%" : "–"),
       tile("Disk used", r.disk?.used_percent != null
            ? r.disk.used_percent + "%" : "–"),
       tile("CPU temp", temp.available ? temp.celsius + " °C" : "n/a"))));
-  } catch (e) { grid.append(card("Resources", err(e))); }
+  } catch (e) { grid.append(card(t("resources"), err(e))); }
 
   // inference status (list of per-model batcher stats)
   try {
     const inf = await api("/system/inference");
     const models = Array.isArray(inf) ? inf : inf.models || [];
-    grid.append(card("Inference", table(
+    grid.append(card(t("inference"), table(
       ["Model", "Backend", "Batch", "Windows", "Latency (ms)"],
       models.map((m) => [
         m.model_id || "?", m.backend || "jax",
         String(m.batch_size ?? "–"), fmtNum(m.windows_processed ?? 0),
         String(m.last_latency_ms != null
                ? Math.round(m.last_latency_ms) : "–")]))));
-  } catch (e) { grid.append(card("Inference", err(e))); }
+  } catch (e) { grid.append(card(t("inference"), err(e))); }
 
   // scheduler: {ticks, processor:{...}, jobqueue:{...}}
   try {
     const s = await api("/system/scheduler");
-    grid.append(card("Scheduler", el("div", { class: "grid cols-2" },
+    grid.append(card(t("scheduler"), el("div", { class: "grid cols-2" },
       tile("Ticks", fmtNum(s.ticks)),
       tile("Results processed", fmtNum(s.processor?.results_processed)),
       tile("Approved", fmtNum(s.processor?.approved)),
       tile("Discarded", fmtNum(s.processor?.discarded)),
       tile("Jobs completed", fmtNum(s.jobqueue?.completed)),
       tile("Jobs dropped", fmtNum(s.jobqueue?.dropped)))));
-  } catch (e) { grid.append(card("Scheduler", err(e))); }
+  } catch (e) { grid.append(card(t("scheduler"), err(e))); }
 
   // processes + disks
   try {
     const { processes } = await api("/system/processes?limit=8");
-    grid.append(card("Top processes", table(
+    grid.append(card(t("processes"), table(
       ["PID", "Name", "RSS", "CPU s"],
       processes.map((p) => [String(p.pid), p.name,
         fmtNum(Math.round(p.rss_bytes / 1048576)) + " MB",
         String(p.cpu_seconds)]))));
-  } catch (e) { grid.append(card("Processes", err(e))); }
+  } catch (e) { grid.append(card(t("processes"), err(e))); }
   try {
     const { disks } = await api("/system/disks");
-    grid.append(card("Disks", table(
+    grid.append(card(t("disks"), table(
       ["Mount", "FS", "Used"],
       disks.map((d) => [d.mountpoint, d.fstype,
                         `${d.used_percent}%`]))));
-  } catch (e) { grid.append(card("Disks", err(e))); }
+  } catch (e) { grid.append(card(t("disks"), err(e))); }
 
   // devices
   try {
@@ -92,18 +92,18 @@ export async function systemView(outlet) {
         devices.map((d) => [String(d.index), d.id, d.description,
                             d.alsa_name])) :
         el("div", { class: "empty" }, "No sound cards found")));
-  } catch (e) { grid.append(card("Audio devices", err(e))); }
+  } catch (e) { grid.append(card(t("devices"), err(e))); }
 
   // errors
   try {
     const errs = await api("/system/errors");
     const rows = errs.errors || errs;
-    grid.append(card("Recent errors", rows.length
+    grid.append(card(t("errors"), rows.length
       ? table(["Time", "Level", "Message"], rows.slice(0, 12).map((r) =>
           [String(r.time || r.timestamp || ""), r.level || "",
            r.message || ""]))
       : el("div", { class: "empty" }, "No recent errors")));
-  } catch (e) { grid.append(card("Recent errors", err(e))); }
+  } catch (e) { grid.append(card(t("errors"), err(e))); }
 
   // control signals
   try {
@@ -130,7 +130,7 @@ export async function systemView(outlet) {
   } catch (e) { /* optional */ }
 
   // browser terminal (WS ↔ PTY)
-  const termCard = el("div", { class: "card" }, el("h2", {}, "Terminal"));
+  const termCard = el("div", { class: "card" }, el("h2", {}, t("terminal")));
   const termOut = el("pre", { style: "background:#03060c;color:#d8e2f0;"
     + "padding:10px;border-radius:8px;height:240px;overflow:auto;"
     + "font-size:12px;margin:0 0 8px" });
