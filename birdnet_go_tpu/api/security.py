@@ -40,7 +40,8 @@ log = logging.getLogger("birdnet_tpu.security")
 
 PUBLIC_PATHS = {"/api/v2/health", "/api/v2/ping", "/metrics",
                 "/api/v2/auth/login", "/api/v2/auth/status",
-                "/api/v2/oauth2/token", "/manifest.json"}
+                "/api/v2/auth/oidc/login", "/api/v2/auth/oidc/callback",
+                "/api/v2/oauth2/token", "/manifest.json", "/sw.js"}
 PUBLIC_PREFIXES = ("/ui", "/login", "/static/")
 
 SESSION_COOKIE = "birdnet_session"
@@ -323,7 +324,78 @@ class AuthHandlers:
         r.add_post(f"{v2}/oauth2/token", self.h_oauth_token)
         r.add_post(f"{v2}/auth/tokens", self.h_token_create)
         r.add_delete(f"{v2}/auth/tokens", self.h_token_revoke)
+        r.add_get(f"{v2}/auth/oidc/login", self.h_oidc_login)
+        r.add_get(f"{v2}/auth/oidc/callback", self.h_oidc_callback)
         r.add_get("/login", self.h_login_page)
+
+    # -- OIDC / SSO (reference: social + OIDC login) ------------------------------
+
+    _oidc = None
+
+    def _oidc_client(self):
+        """Lazy relying-party client from webserver.oidc_* settings."""
+        if self._oidc is not None:
+            return self._oidc
+        ws = self.ctx.settings.webserver
+        issuer = getattr(ws, "oidc_issuer", "")
+        if not issuer:
+            return None
+        from birdnet_go_tpu.api.oidc import OidcClient
+
+        base = (ws.base_url.rstrip("/")
+                or f"http://{ws.host}:{ws.port}")
+        self._oidc = OidcClient(
+            issuer=issuer,
+            client_id=getattr(ws, "oidc_client_id", ""),
+            client_secret=getattr(ws, "oidc_client_secret", "") or "",
+            redirect_uri=f"{base}/api/v2/auth/oidc/callback",
+            allowed=getattr(ws, "oidc_allowed", []) or [])
+        return self._oidc
+
+    async def h_oidc_login(self, request):
+        """Kick off the authorization-code flow: 302 to the provider."""
+        client = self._oidc_client()
+        if client is None:
+            return web.json_response({"error": "OIDC not configured"},
+                                     status=404)
+        import asyncio as _aio
+
+        try:
+            _, url = await _aio.get_event_loop().run_in_executor(
+                None, client.begin)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=502)
+        raise web.HTTPFound(url)
+
+    async def h_oidc_callback(self, request):
+        """Provider redirect target: verify + allowlist → session cookie."""
+        client = self._oidc_client()
+        sec = self.security
+        if client is None or sec is None:
+            return web.json_response({"error": "OIDC not configured"},
+                                     status=404)
+        state = request.query.get("state", "")
+        code = request.query.get("code", "")
+        if err := request.query.get("error"):
+            return web.json_response({"error": f"provider: {err}"},
+                                     status=401)
+        import asyncio as _aio
+
+        from birdnet_go_tpu.api.oidc import OidcError
+
+        try:
+            claims = await _aio.get_event_loop().run_in_executor(
+                None, client.complete, state, code)
+        except OidcError as e:
+            return web.json_response({"error": str(e)}, status=401)
+        sid, _csrf = sec.create_session()
+        log.info("OIDC login: %s", claims.get("email") or claims.get("sub"))
+        resp = web.HTTPFound("/")
+        resp.set_cookie(SESSION_COOKIE, sid, httponly=True,
+                        samesite="Lax",
+                        max_age=int(sec.settings.webserver.session_hours
+                                    * 3600))
+        raise resp
 
     async def h_auth_login(self, request):
         sec = self.security
@@ -432,7 +504,15 @@ class AuthHandlers:
         return web.json_response({"revoked": True})
 
     async def h_login_page(self, request):
-        return web.Response(text=_LOGIN_PAGE, content_type="text/html")
+        page = _LOGIN_PAGE
+        if getattr(self.ctx.settings.webserver, "oidc_issuer", ""):
+            page = page.replace(
+                "<p class=\"err\" id=\"err\"></p>",
+                "<p class=\"err\" id=\"err\"></p>"
+                "<a href=\"/api/v2/auth/oidc/login\" "
+                "style=\"display:block;text-align:center;margin-top:.6rem;"
+                "color:#7dd3fc\">Sign in with SSO</a>")
+        return web.Response(text=page, content_type="text/html")
 
 
 _LOGIN_PAGE = """<!doctype html>

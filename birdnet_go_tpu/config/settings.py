@@ -224,6 +224,12 @@ class WebServerSettings:
     tls_enabled: bool = False
     tls_dir: str = "data/tls"
     base_url: str = ""                  # public URL, feeds certificate SANs
+    # OIDC / SSO login (reference: social + OIDC providers): point at any
+    # OpenID Connect issuer; allowed = emails or "@domain" entries
+    oidc_issuer: str = ""
+    oidc_client_id: str = ""
+    oidc_client_secret: str | None = None
+    oidc_allowed: list[str] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
