@@ -11,11 +11,12 @@ TPU-layout design (everything lane-aligned, no cross-lane reshapes):
 - radix split A=16, B=128 (lane width), so frame sample n = a·128 + b —
   i.e. a frame IS 16 contiguous sublane rows of the [rows, 128] PCM tile.
   Requires hop % 128 == 0 and n_fft % 128 == 0.
-- stage 1 runs per GROUP of G=8 frames as ONE block-diagonal matmul:
+- stage 1 runs per GROUP of G=16 frames as ONE block-diagonal matmul:
   wblk[G·16, G·16] @ xg[G·16, 128] — the [16,16] DFT-over-a matrix
-  repeated down the diagonal. One [128,128]@[128,128] MXU dot (×re/im)
-  replaces 2·G=16 tiny [16,16]@[16,128] dots whose pass latency dominated
-  the kernel (v1 measured 34.6 ms/1024-batch; tiny-dot stage 1 was ~60%).
+  repeated down the diagonal. One [256,256]@[256,128] MXU dot (×re/im)
+  replaces 2·G=32 tiny [16,16]@[16,128] dots whose pass latency dominated
+  the kernel (v1: 34.6 ms/1024-batch; measured G sweep: 8→22.2, 16→17.0,
+  32→19.3 ms — FLOPs grow ∝G while loop overhead shrinks, G=16 optimal).
 - stage 2 per residue r: one packed dot [F, 256] @ [256, 2·J2] computing
   re|im together from the adjacent sr|si scratch halves. J2 is trimmed to
   the mel filterbank's actual bin support (bin = r + 16·j; fmax=15 kHz →
@@ -54,7 +55,7 @@ from birdnet_go_tpu.ops.melspec import (
 _INT16_SCALE = 1.0 / 32768.0
 _A = 16                       # radix: B = n_fft // 16 must equal 128
 _LANE = 128
-_G = 8                        # frames per stage-1 block-diagonal dot
+_G = 16                       # frames per stage-1 block-diagonal dot
 
 
 @functools.lru_cache(maxsize=8)
@@ -125,8 +126,8 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
     hop_rows = cfg.hop // _LANE
     frame_rows = cfg.n_fft // _LANE                   # = 16
     # stage 1 reads frame GROUPS of G frames; group start row
-    # i·G·hop_rows is always a multiple of 8 (Mosaic sublane rule) since
-    # G=8. The group's G frames are static sub-slices of the loaded block.
+    # i·G·hop_rows is always a multiple of 8 (Mosaic sublane rule). The
+    # group's G frames are static sub-slices of the loaded block.
     tile_f = -(-tile_f // _G) * _G
     n_tiles = math.ceil(n_frames / tile_f)
     block_rows = -(-((_G - 1) * hop_rows + frame_rows) // 8) * 8
@@ -145,7 +146,7 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
     wblk_r, wblk_i, twp, fb2, j2 = _kernel_consts(
         cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
     win2 = _window_fn(cfg).reshape(frame_rows, _LANE)
-    ga = _G * _A                                      # 128
+    ga = _G * _A
 
     def kernel(pcm_ref, win_ref, wbr_ref, wbi_ref, twp_ref, fb_ref,
                out_ref, s_ref, xg_ref):
