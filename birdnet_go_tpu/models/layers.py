@@ -38,12 +38,16 @@ def init_conv(key, kh, kw, cin, cout, groups: int = 1) -> Params:
 def apply_conv(p: Params, x, stride=1, groups: int = 1, padding="SAME",
                compute_dtype=jnp.bfloat16):
     s = (stride, stride) if isinstance(stride, int) else stride
+    # f32 MXU accumulation, but the materialized activation is
+    # compute_dtype: the backbone is HBM-bound (see ARCHITECTURE.md
+    # throughput anatomy), and f32 buffers between convs double the
+    # traffic for no accuracy the bf16 CNN can use.
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype), p["w"].astype(compute_dtype),
         window_strides=s, padding=padding,
         dimension_numbers=_CONV_DIMNUMS, feature_group_count=groups,
         preferred_element_type=jnp.float32,
-    )
+    ).astype(compute_dtype)
 
 
 def init_depthwise(key, k, c) -> Params:
@@ -60,7 +64,7 @@ def apply_depthwise(p: Params, x, stride=1, padding="SAME",
         window_strides=s, padding=padding,
         dimension_numbers=_CONV_DIMNUMS, feature_group_count=c,
         preferred_element_type=jnp.float32,
-    )
+    ).astype(compute_dtype)
 
 
 # -- batch norm ---------------------------------------------------------------
