@@ -114,6 +114,7 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/media/species-image/stats", self.h_image_stats)
         # imports
         r.add_post(f"{v2}/imports/birdnet-pi", self.h_import_start)
+        r.add_post(f"{v2}/imports/birdnet-go", self.h_import_birdnet_go)
         r.add_get(f"{v2}/imports/jobs", self.h_import_jobs)
         r.add_get(f"{v2}/imports/jobs/{{id}}", self.h_import_job)
         r.add_post(f"{v2}/imports/jobs/{{id}}/cancel", self.h_import_cancel)
@@ -811,6 +812,24 @@ class ExtendedHandlers:
 
             self._import_mgr_obj = ImportJobManager(self.ctx.datastore)
         return self._import_mgr_obj
+
+    async def h_import_birdnet_go(self, request):
+        """Migrate a reference BirdNET-Go SQLite database in place:
+        detections + results + reviews + comments + locks
+        (POST /imports/birdnet-go {path})."""
+        from birdnet_go_tpu.utils.imports import import_birdnet_go_db
+
+        body = await request.json()
+        path = body.get("path", "")
+        if not Path(path).is_file():
+            return _json({"error": f"no such file: {path}"}, status=400)
+        try:
+            res = await asyncio.get_event_loop().run_in_executor(
+                None, import_birdnet_go_db, self.ctx.datastore, path)
+        except ValueError as e:
+            return _json({"error": str(e)}, status=400)
+        return _json({"scanned": res.scanned, "imported": res.imported,
+                      "skipped": res.skipped, "errors": res.errors})
 
     async def h_import_start(self, request):
         body = await request.json()

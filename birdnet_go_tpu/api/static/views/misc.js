@@ -267,6 +267,24 @@ export async function importsView(outlet) {
     el("div", { class: "row" }, path,
       el("button", { onclick: validate }, "Validate"),
       el("button", { class: "primary", onclick: start }, "Start import"))),
+    el("div", { class: "card" },
+      el("h2", {}, "BirdNET-Go migration"),
+      el("p", { class: "sub" },
+         "Import a full BirdNET-Go database (detections, secondary "
+         + "results, reviews, comments, locks)."),
+      (() => {
+        const db = el("input", { placeholder: "/path/to/birdnet.db",
+                                 size: 40 });
+        return el("div", { class: "row" }, db,
+          el("button", { class: "primary", onclick: async () => {
+            try {
+              const out = await api("/imports/birdnet-go",
+                { method: "POST", body: { path: db.value.trim() } });
+              toast(`Imported ${out.imported} / ${out.scanned}`
+                + ` (${out.skipped} skipped, ${out.errors} errors)`);
+            } catch (e) { toast(e.message, true); }
+          } }, "Migrate"));
+      })()),
     jobsCard);
   await renderJobs();
 

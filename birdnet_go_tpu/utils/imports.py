@@ -214,3 +214,106 @@ class ImportJobManager:
                 return False
             ev.set()
             return True
+
+
+# -- legacy BirdNET-Go database import ----------------------------------------------
+
+def parse_birdnet_go_db(db_path: str | Path) -> list[dict]:
+    """Read the reference's GORM SQLite schema (datastore/model.go: notes +
+    note_reviews/note_comments/note_locks/results) into normalized rows so
+    a reference deployment can switch to this framework with its history.
+
+    Returns dicts: {detection: Detection, results: [(sci, common, conf)],
+    review: str|None, comments: [str], locked: bool}."""
+    import sqlite3
+
+    conn = sqlite3.connect(f"file:{Path(db_path)}?mode=ro", uri=True)
+    conn.row_factory = sqlite3.Row
+    try:
+        tables = {r[0] for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        if "notes" not in tables:
+            raise ValueError("not a BirdNET-Go database (no notes table)")
+        out = []
+        for n in conn.execute(
+                "SELECT id, date, time, scientific_name, common_name,"
+                " species_code, confidence, clip_name FROM notes"):
+            try:
+                when = _dt.datetime.strptime(
+                    f"{n['date']} {n['time']}", "%Y-%m-%d %H:%M:%S")
+            except (ValueError, TypeError):
+                continue
+            det = Detection(
+                species=Species(n["scientific_name"] or "",
+                                n["common_name"] or ""),
+                confidence=float(n["confidence"] or 0.0),
+                begin_seconds=0.0, end_seconds=3.0,
+                model_id="BirdNET_V2.4",           # legacy DB is v2.4-only
+                source_id="import:birdnet-go",
+                timestamp=when,
+                species_code=n["species_code"] or "")
+            entry = {"detection": det, "results": [], "review": None,
+                     "comments": [], "locked": False}
+            nid = n["id"]
+            if "results" in tables:
+                for r in conn.execute(
+                        "SELECT species, confidence FROM results"
+                        " WHERE note_id = ? ORDER BY confidence DESC",
+                        (nid,)):
+                    # label format "Scientific_Common" (detection/species.go)
+                    sci, _, common = (r["species"] or "").partition("_")
+                    entry["results"].append(
+                        (sci, common, float(r["confidence"] or 0.0)))
+            if "note_reviews" in tables:
+                row = conn.execute(
+                    "SELECT verified FROM note_reviews WHERE note_id = ?",
+                    (nid,)).fetchone()
+                if row and row["verified"]:
+                    entry["review"] = row["verified"]
+            if "note_comments" in tables:
+                entry["comments"] = [
+                    r["entry"] for r in conn.execute(
+                        "SELECT entry FROM note_comments WHERE note_id = ?"
+                        " ORDER BY created_at", (nid,))]
+            if "note_locks" in tables:
+                entry["locked"] = conn.execute(
+                    "SELECT 1 FROM note_locks WHERE note_id = ?",
+                    (nid,)).fetchone() is not None
+            out.append(entry)
+        return out
+    finally:
+        conn.close()
+
+
+def import_birdnet_go_db(datastore, db_path: str | Path,
+                         dedup: bool = True) -> ImportResult:
+    """Full-fidelity migration from a reference BirdNET-Go database:
+    detections + secondary results + review verdicts + comments + locks."""
+    res = ImportResult()
+    rows = parse_birdnet_go_db(db_path)
+    res.scanned = len(rows)
+    existing: set[tuple[float, str]] = set()
+    if dedup:
+        for row in datastore.search_detections(limit=1000000):
+            existing.add((row["timestamp"], row["scientific_name"]))
+    for entry in rows:
+        d = entry["detection"]
+        key = (d.timestamp.timestamp(), d.species.scientific)
+        if dedup and key in existing:
+            res.skipped += 1
+            continue
+        try:
+            det_id = datastore.insert_detection(
+                d, clip_name=None, results=entry["results"] or None)
+            if entry["review"]:
+                datastore.review_detection(det_id, entry["review"])
+            for text in entry["comments"]:
+                datastore.add_comment(det_id, text)
+            if entry["locked"]:
+                datastore.lock_detection(det_id, True)
+            existing.add(key)
+            res.imported += 1
+        except Exception:
+            res.errors += 1
+            log.exception("birdnet-go row import failed")
+    return res

@@ -231,3 +231,87 @@ def test_train_cli_end_to_end(tmp_path):
     # class order: ["hightone", "lowtone"]
     assert logits[0, 1] > logits[0, 0]      # low tone → "lowtone"
     assert logits[1, 0] > logits[1, 1]      # high tone → "hightone"
+
+
+# -- legacy BirdNET-Go database migration ------------------------------------------
+
+def _make_legacy_db(path):
+    """Build a miniature of the reference's GORM schema
+    (datastore/model.go: notes + results/note_reviews/note_comments/
+    note_locks)."""
+    import sqlite3
+
+    conn = sqlite3.connect(path)
+    conn.executescript("""
+    CREATE TABLE notes (id INTEGER PRIMARY KEY, source_node TEXT,
+      date TEXT, time TEXT, scientific_name TEXT, common_name TEXT,
+      species_code TEXT, confidence REAL, latitude REAL, longitude REAL,
+      threshold REAL, sensitivity REAL, clip_name TEXT);
+    CREATE TABLE results (id INTEGER PRIMARY KEY, note_id INTEGER,
+      species TEXT, confidence REAL);
+    CREATE TABLE note_reviews (id INTEGER PRIMARY KEY, note_id INTEGER,
+      verified TEXT, created_at TEXT, updated_at TEXT);
+    CREATE TABLE note_comments (id INTEGER PRIMARY KEY, note_id INTEGER,
+      entry TEXT, created_at TEXT, updated_at TEXT);
+    CREATE TABLE note_locks (id INTEGER PRIMARY KEY, note_id INTEGER,
+      locked_at TEXT);
+    """)
+    conn.execute(
+        "INSERT INTO notes VALUES (1,'','2024-05-01','04:55:00',"
+        "'Turdus merula','Eurasian Blackbird','eurbla',0.91,60.1,24.9,"
+        "0.8,1.0,'blackbird.wav')")
+    conn.execute(
+        "INSERT INTO notes VALUES (2,'','2024-05-01','05:10:00',"
+        "'Strix aluco','Tawny Owl','tawowl1',0.72,60.1,24.9,0.8,1.0,'')")
+    conn.execute("INSERT INTO results VALUES (1,1,"
+                 "'Turdus merula_Eurasian Blackbird',0.91)")
+    conn.execute("INSERT INTO results VALUES (2,1,"
+                 "'Turdus philomelos_Song Thrush',0.12)")
+    conn.execute("INSERT INTO note_reviews VALUES (1,1,'correct','','')")
+    conn.execute("INSERT INTO note_comments VALUES (1,1,'great song','','')")
+    conn.execute("INSERT INTO note_locks VALUES (1,1,'2024-05-01')")
+    conn.commit()
+    conn.close()
+
+
+def test_birdnet_go_db_migration(tmp_path):
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from birdnet_go_tpu.utils.imports import import_birdnet_go_db
+
+    legacy = tmp_path / "legacy.db"
+    _make_legacy_db(legacy)
+    ds = Datastore(":memory:")
+    res = import_birdnet_go_db(ds, legacy)
+    assert res.scanned == 2 and res.imported == 2 and res.errors == 0
+
+    rows = ds.search_detections(order="asc")
+    assert [r["scientific_name"] for r in rows] == [
+        "Turdus merula", "Strix aluco"]
+    blackbird = rows[0]
+    assert blackbird["locked"] == 1
+    # secondary results carried over, label "Sci_Common" split correctly
+    results = ds.get_results(blackbird["id"])
+    assert results[1]["scientific_name"] == "Turdus philomelos"
+    assert results[1]["common_name"] == "Song Thrush"
+    # review + comment carried over
+    assert ds.get_reviews(blackbird["id"])[0]["verdict"] == "correct"
+    assert ds.list_comments(blackbird["id"])[0]["text"] == "great song"
+    # re-import is a no-op (dedup on timestamp+species)
+    res2 = import_birdnet_go_db(ds, legacy)
+    assert res2.imported == 0 and res2.skipped == 2
+
+
+def test_birdnet_go_db_migration_rejects_foreign_db(tmp_path):
+    import sqlite3
+
+    import pytest
+
+    from birdnet_go_tpu.utils.imports import parse_birdnet_go_db
+
+    other = tmp_path / "foreign.db"
+    conn = sqlite3.connect(other)
+    conn.execute("CREATE TABLE stuff (x)")
+    conn.commit()
+    conn.close()
+    with pytest.raises(ValueError, match="notes"):
+        parse_birdnet_go_db(other)

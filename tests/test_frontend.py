@@ -123,7 +123,8 @@ def test_ui_consumes_every_api_group():
         "/filesystem/clips", "/system/jobs", "/media/audio/",
         "/debug/profile", "/spectrogram/",
         "/detections/", "/settings/schema",
-        "/imports/validate", "/analytics/dawn-chorus", "/results",
+        "/imports/validate", "/imports/birdnet-go",
+        "/analytics/dawn-chorus", "/results",
         "/analytics/database/stats", "/analytics/daily-events/",
         "/audio/hls/",
     ]
