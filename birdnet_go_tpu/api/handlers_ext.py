@@ -98,6 +98,11 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/species/search", self.h_species_search)
         r.add_get(f"{v2}/species/taxonomy", self.h_species_taxonomy)
         r.add_get(f"{v2}/taxonomy/tree", self.h_taxonomy_tree)
+        r.add_get(f"{v2}/taxonomy/genus/{{genus}}", self.h_taxonomy_genus)
+        r.add_get(f"{v2}/taxonomy/family/{{family}}",
+                  self.h_taxonomy_family)
+        r.add_get(f"{v2}/species/{{code}}/thumbnail",
+                  self.h_species_code_thumbnail)
         # HLS live audio (fMP4/FLAC segments — audio_hls.go contract)
         r.add_post(f"{v2}/audio/hls/{{source}}/start", self.h_hls_start)
         r.add_post(f"{v2}/audio/hls/{{source}}/heartbeat",
@@ -540,6 +545,69 @@ class ExtendedHandlers:
                 int(request.match_info["id"])):
             return _json({"error": "not found"}, status=404)
         return _json({"deleted": True})
+
+    async def h_taxonomy_genus(self, request):
+        """Genus detail: family/order (when genus_taxonomy.json is
+        installed) + that genus's species in the primary model
+        (reference: taxonomy tree/genus endpoints)."""
+        from birdnet_go_tpu.taxonomy.labels import (
+            genus_of,
+            load_genus_taxonomy,
+        )
+
+        genus = request.match_info["genus"]
+        tax = load_genus_taxonomy(self.ctx.settings.data_dir) or {}
+        info = tax.get(genus) or tax.get(genus.lower()) or {}
+        labels = self._primary_labels()
+        species = [{"scientific_name": sp.scientific,
+                    "common_name": sp.common}
+                   for sp in (labels.species if labels else [])
+                   if genus_of(sp.scientific).lower() == genus.lower()]
+        if not info and not species:
+            return _json({"error": "unknown genus"}, status=404)
+        return _json({"genus": genus, **info, "species": species})
+
+    async def h_taxonomy_family(self, request):
+        """Family → member genera (needs genus_taxonomy.json data)."""
+        from birdnet_go_tpu.taxonomy.labels import load_genus_taxonomy
+
+        family = request.match_info["family"].lower()
+        tax = load_genus_taxonomy(self.ctx.settings.data_dir)
+        if not tax:
+            return _json({"error": "taxonomy data not installed"},
+                         status=404)
+        # data file keys are lowercase (genus_taxonomy.json); present
+        # genus names in their conventional capitalized form
+        genera = sorted(g.capitalize() for g, v in tax.items()
+                        if isinstance(v, dict)
+                        and str(v.get("family", "")).lower() == family)
+        if not genera:
+            return _json({"error": "unknown family"}, status=404)
+        return _json({"family": request.match_info["family"],
+                      "genera": genera})
+
+    async def h_species_code_thumbnail(self, request):
+        """eBird-code addressed thumbnail (reference:
+        GET /species/:code/thumbnail) — resolves the code through the
+        primary label set, then serves like /species/thumbnail."""
+        code = request.match_info["code"].lower()
+        labels = self._primary_labels()
+        name = None
+        if labels is not None and labels.codes:
+            for label, c in labels.codes.items():
+                if str(c).lower() == code:
+                    name = label.split("_")[0]
+                    break
+        if name is None:
+            return _json({"error": "unknown species code"}, status=404)
+        svc = getattr(self.ctx, "images", None)
+        if svc is None:
+            return _json({"error": "image provider disabled"}, status=404)
+        info = await asyncio.get_event_loop().run_in_executor(
+            None, svc.get_image, name)
+        if info is None or not (info.thumbnail_url or info.url):
+            return _json({"error": "no image"}, status=404)
+        raise web.HTTPFound(info.thumbnail_url or info.url)
 
     async def h_daily_events(self, request):
         """Per-day rollup (reference: GetDailyEvents) — maintained on every

@@ -22,9 +22,26 @@ export async function detectionsView(outlet) {
     el("option", { value: "correct" }, t("correct")),
     el("option", { value: "false_positive" }, t("false_positive")),
     el("option", { value: "unreviewed" }, "unreviewed"));
+  const sourceSel = el("select", {}, el("option", { value: "" },
+                                        "any " + t("source")));
+  const modelSel = el("select", {}, el("option", { value: "" },
+                                       "any model"));
+  // populate source/model dropdowns from the running config
+  api("/system/audio/sources").then(({ sources }) => {
+    for (const s of sources || []) {
+      sourceSel.append(el("option", { value: s.source_id },
+                          s.display_name || s.source_id));
+    }
+  }).catch(() => {});
+  api("/models").then((res) => {
+    const all = Array.isArray(res) ? res : res.models || [];
+    for (const m of all) {
+      modelSel.append(el("option", { value: m.model_id }, m.model_id));
+    }
+  }).catch(() => {});
   const applyBtn = el("button", { class: "primary" }, t("apply"));
   outlet.append(el("div", { class: "filters" },
-    range, species, minConf, verified, applyBtn));
+    range, species, minConf, verified, sourceSel, modelSel, applyBtn));
 
   // ---- bulk bar ----
   const bulkInfo = el("span", { class: "sub" }, "");
@@ -53,6 +70,8 @@ export async function detectionsView(outlet) {
     if (species.value.trim()) f.species = species.value.trim();
     if (minConf.value) f.min_confidence = Number(minConf.value);
     if (verified.value) f.verified = verified.value;
+    if (sourceSel.value) f.source = sourceSel.value;
+    if (modelSel.value) f.model = modelSel.value;
     return f;
   }
 

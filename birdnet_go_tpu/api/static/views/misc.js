@@ -196,12 +196,22 @@ async function renderTree(card) {
     const names = Object.keys(tree).sort();
     for (const genus of names.slice(0, 500)) {
       const kids = tree[genus];
-      host.append(el("details", {},
-        el("summary", {}, `${genus} (${kids.length})`),
+      const meta = el("span", { class: "sub", style: "margin-left:8px" });
+      const det = el("details", {},
+        el("summary", {}, `${genus} (${kids.length})`, meta),
         el("div", { class: "chip-wrap", style: "padding:6px 0 6px 16px" },
           kids.slice(0, 60).map((s) => el("span", { class: "pill",
             title: s.scientific_name },
-            s.common_name || s.scientific_name)))));
+            s.common_name || s.scientific_name))));
+      det.addEventListener("toggle", async () => {
+        if (!det.open || meta.textContent) return;
+        try {
+          const g = await api(`/taxonomy/genus/${encodeURIComponent(genus)}`);
+          meta.textContent = [g.family, g.order]
+            .filter(Boolean).join(" · ");
+        } catch (e) { /* no taxonomy data */ }
+      });
+      host.append(det);
     }
     card.append(host);
   } catch (e) { card.append(el("div", { class: "empty" }, e.message)); }

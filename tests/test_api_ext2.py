@@ -200,3 +200,32 @@ def test_on_demand_clip_and_processing(served, tmp_path):  # noqa: F811
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(port, "/audio/999999/clip", "POST", {})
     assert e.value.code == 404
+
+
+def test_taxonomy_genus_family_and_code_thumbnail(served):  # noqa: F811
+    """Genus/family endpoints and code-addressed thumbnails (reference:
+    taxonomy tree/family/genus + GET /species/:code/thumbnail)."""
+    app, port = served
+    # genus detail: species from the primary (synthetic) label set
+    labels = next(iter(app.labels.values()))
+    genus = labels.species[0].scientific.split(" ")[0]
+    body = _req(port, f"/taxonomy/genus/{genus}")
+    assert any(s["scientific_name"] == labels.species[0].scientific
+               for s in body["species"])
+    # family lookup works when genus_taxonomy.json is resolvable, and
+    # 404s cleanly otherwise
+    from birdnet_go_tpu.taxonomy.labels import load_genus_taxonomy
+
+    if load_genus_taxonomy(None):
+        fam = _req(port, "/taxonomy/family/Turdidae")
+        assert "Turdus" in fam["genera"]
+    else:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _req(port, "/taxonomy/family/Turdidae")
+        assert exc.value.code == 404
+    for path in ("/taxonomy/genus/Nosuchgenus",
+                 "/taxonomy/family/Nosuchfamily",
+                 "/species/xyz123/thumbnail"):    # synthetic: no codes
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _req(port, path)
+        assert exc.value.code == 404, path

@@ -116,7 +116,8 @@ def test_ui_consumes_every_api_group():
         "/system/diagnostics", "/system/diagnostics/run",
         "/app/config", "/app/wizard/dismiss",
         # species/taxonomy + stream tools + misc consumers
-        "/taxonomy/tree", "/species/locales", "/species/dictionary/",
+        "/taxonomy/tree", "/taxonomy/genus/",
+        "/species/locales", "/species/dictionary/",
         "/species/first-seen/", "/ebird/observations",
         "/detections/new", "/system/audio/active",
         "/streams/test", "/streams/probe", "/restart-source/",
