@@ -76,6 +76,41 @@ export async function dashboardView(outlet) {
   // live audio + analyser spectrogram
   await renderLive(liveCard);
 
+  // live 1/3-octave sound levels (SSE soundlevels channel — IEC 61260
+  // bands from the shared on-device spectrum)
+  {
+    const slCanvas = el("canvas", { width: 760, height: 90,
+      style: "width:100%;margin-top:8px;display:none" });
+    liveCard.append(slCanvas);
+    subscribe("/soundlevels/stream", (kind, data) => {
+      if (kind !== "soundlevel") return;
+      try {
+        const bySource = JSON.parse(data);
+        const first = Object.values(bySource)[0];
+        if (!first || !first.levels_db) return;
+        slCanvas.style.display = "";
+        const g = slCanvas.getContext("2d");
+        g.clearRect(0, 0, slCanvas.width, slCanvas.height);
+        const n = first.levels_db.length;
+        const bw = slCanvas.width / n;
+        for (let i = 0; i < n; i++) {
+          // map −90..0 dB → bar height
+          const v = Math.max(0, (first.levels_db[i] + 90) / 90);
+          const h = v * (slCanvas.height - 14);
+          g.fillStyle = `hsl(${200 - 140 * v}, 75%, 55%)`;
+          g.fillRect(i * bw + 1, slCanvas.height - 12 - h, bw - 2, h);
+        }
+        g.fillStyle = "#8aa0b8";
+        g.font = "9px sans-serif";
+        for (let i = 0; i < n; i += 4) {
+          const hz = first.bands_hz[i];
+          g.fillText(hz >= 1000 ? `${(hz / 1000).toFixed(0)}k` : `${hz}`,
+                     i * bw + 1, slCanvas.height - 2);
+        }
+      } catch (e) { /* ignore */ }
+    });
+  }
+
   // daily activity bars
   try {
     const byHour = await api("/analytics/hourly");   // bare int[24]
