@@ -87,6 +87,7 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/analytics/database/stats", self.h_db_stats)
         r.add_get(f"{v2}/analytics/daily-events/{{date}}",
                   self.h_daily_events)
+        r.add_get(f"{v2}/analytics/trends", self.h_trends)
         r.add_get(f"{v2}/analytics/dashboard/kpis", self.h_dashboard_kpis)
         # weather
         r.add_get(f"{v2}/weather/daily/{{date}}", self.h_weather_daily)
@@ -608,6 +609,11 @@ class ExtendedHandlers:
         if info is None or not (info.thumbnail_url or info.url):
             return _json({"error": "no image"}, status=404)
         raise web.HTTPFound(info.thumbnail_url or info.url)
+
+    async def h_trends(self, request):
+        """Period-over-period trend (reference: GetDetectionTrends)."""
+        days = min(max(int(request.query.get("days", 30)), 1), 365)
+        return _json(self.ctx.datastore.detection_trends(days))
 
     async def h_daily_events(self, request):
         """Per-day rollup (reference: GetDailyEvents) — maintained on every

@@ -28,6 +28,22 @@ export async function analyticsView(outlet) {
     const card = (title, node) =>
       el("div", { class: "card" }, el("h2", {}, title), node);
 
+    // period-over-period trend tiles (GetDetectionTrends parity)
+    try {
+      const tr = await api(`/analytics/trends?days=${days}`);
+      const arrow = (pct) => pct == null ? ""
+        : ` ${pct >= 0 ? "▲" : "▼"} ${Math.abs(pct)}%`;
+      grid.append(el("div", { class: "grid cols-2" },
+        el("div", { class: "stat" },
+          el("div", { class: "label" }, `Detections (${days}d vs prior)`),
+          el("div", { class: "value" },
+             `${fmtNum(tr.detections)}${arrow(tr.detections_change_pct)}`)),
+        el("div", { class: "stat" },
+          el("div", { class: "label" }, `Species (${days}d vs prior)`),
+          el("div", { class: "value" },
+             `${fmtNum(tr.species)}${arrow(tr.species_change_pct)}`))));
+    } catch (e) { /* optional */ }
+
     // top species (horizontal bars — ranked magnitude, sequential hue)
     try {
       const res = await api(`/analytics/summary?from=${from}&to=${to}`);

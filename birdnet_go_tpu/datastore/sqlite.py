@@ -257,6 +257,41 @@ class Datastore:
                 (date,)).fetchone()
         return dict(row) if row else None
 
+    def detection_trends(self, days: int = 30) -> dict[str, Any]:
+        """Windowed trend comparison (GetDetectionTrends): this period vs
+        the previous period of equal length — detections, active species,
+        and per-day counts for sparklines."""
+        now = _dt.date.today()
+        cur_from = (now - _dt.timedelta(days=days - 1)).isoformat()
+        prev_from = (now - _dt.timedelta(days=2 * days - 1)).isoformat()
+        prev_to = (now - _dt.timedelta(days=days)).isoformat()
+        with self._lock:
+            def _window(frm, to):
+                row = self._conn.execute(
+                    "SELECT COUNT(*) AS n,"
+                    " COUNT(DISTINCT scientific_name) AS s"
+                    " FROM detections WHERE date >= ? AND date <= ?",
+                    (frm, to)).fetchone()
+                return int(row["n"] or 0), int(row["s"] or 0)
+
+            cur_n, cur_s = _window(cur_from, now.isoformat())
+            prev_n, prev_s = _window(prev_from, prev_to)
+            daily = {r["date"]: r["n"] for r in self._conn.execute(
+                "SELECT date, COUNT(*) AS n FROM detections"
+                " WHERE date >= ? GROUP BY date", (cur_from,))}
+        series = []
+        for i in range(days):
+            d = (now - _dt.timedelta(days=days - 1 - i)).isoformat()
+            series.append({"date": d, "count": daily.get(d, 0)})
+        def _pct(cur, prev):
+            return None if prev == 0 else round((cur - prev) / prev * 100, 1)
+        return {"days": days,
+                "detections": cur_n, "detections_prev": prev_n,
+                "detections_change_pct": _pct(cur_n, prev_n),
+                "species": cur_s, "species_prev": prev_s,
+                "species_change_pct": _pct(cur_s, prev_s),
+                "daily": series}
+
     def latest_hourly_weather(self) -> dict[str, Any] | None:
         """Most recent stored observation (LatestHourlyWeather)."""
         with self._lock:

@@ -63,3 +63,29 @@ def test_accumulation_and_diversity():
 def test_genus_fallback():
     assert genus_of("Turdus merula") == "Turdus"
     assert genus_of("") == ""
+
+
+def test_detection_trends_period_over_period():
+    """GetDetectionTrends parity: current window vs the previous window
+    of equal length, with a per-day series for sparklines."""
+    import datetime as dt
+
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    ds = Datastore(":memory:")
+    noon = dt.datetime.now().replace(hour=12, minute=0,
+                                     second=0).timestamp()
+    # 3 detections in the current 7-day window, 1 in the previous one
+    for off in (0, 1, 2):
+        ds.insert_detection(_detection(ts=noon - off * 86400))
+    ds.insert_detection(_detection(ts=noon - 9 * 86400))
+    tr = ds.detection_trends(days=7)
+    assert tr["detections"] == 3 and tr["detections_prev"] == 1
+    assert tr["detections_change_pct"] == 200.0
+    assert len(tr["daily"]) == 7
+    assert tr["daily"][-1]["count"] == 1          # today
+    # zero previous window → change is None, not a division crash
+    ds2 = Datastore(":memory:")
+    ds2.insert_detection(_detection(ts=noon))
+    assert ds2.detection_trends(days=7)["detections_change_pct"] is None

@@ -127,6 +127,7 @@ def test_ui_consumes_every_api_group():
         "/imports/validate", "/imports/birdnet-go",
         "/analytics/dawn-chorus", "/results",
         "/analytics/database/stats", "/analytics/daily-events/",
+        "/analytics/trends",
         "/audio/hls/",
     ]
     missing = [c for c in consumed if c not in js]
