@@ -349,16 +349,67 @@ def _clip(node: OnnxNode, value):
     return jnp.clip(x, lo, hi)
 
 
-def _reduce_mean(node: OnnxNode, value):
+def _reduce(jnp_fn):
+    """Shared Reduce* handler (axes attr or opset-18 axes input)."""
+    def h(node: OnnxNode, value):
+        x = value(node.inputs[0])
+        axes = node.attrs.get("axes")
+        if axes is None and len(node.inputs) > 1:
+            axes = np.asarray(value.const(node.inputs[1])).ravel().tolist()
+        keep = bool(node.attrs.get("keepdims", 1))
+        return jnp_fn(x, axis=tuple(int(a) % x.ndim for a in axes)
+                      if axes else None, keepdims=keep)
+
+    return h
+
+
+def _layernorm(node: OnnxNode, value):
+    """LayerNormalization (transformer graphs, e.g. ViT-style encoders)."""
+    import jax
     import jax.numpy as jnp
 
     x = value(node.inputs[0])
-    axes = node.attrs.get("axes")
-    if axes is None and len(node.inputs) > 1:
-        axes = np.asarray(value.const(node.inputs[1])).ravel().tolist()
-    keep = bool(node.attrs.get("keepdims", 1))
-    return jnp.mean(x, axis=tuple(int(a) % x.ndim for a in axes)
-                    if axes else None, keepdims=keep)
+    scale = value(node.inputs[1])
+    bias = value(node.inputs[2]) if len(node.inputs) > 2 else None
+    axis = int(node.attrs.get("axis", -1))
+    eps = float(node.attrs.get("epsilon", 1e-5))
+    axes = tuple(range(axis % x.ndim, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * scale
+    return y + bias if bias is not None else y
+
+
+def _split(node: OnnxNode, value):
+    import jax
+
+    x = value(node.inputs[0])
+    axis = int(node.attrs.get("axis", 0))
+    sizes = node.attrs.get("split")
+    if sizes is None and len(node.inputs) > 1:
+        sizes = np.asarray(value.const(node.inputs[1])).ravel().tolist()
+    if sizes is None:
+        n = int(node.attrs.get("num_outputs", len(node.outputs)))
+        sizes = [x.shape[axis] // n] * n
+    offs = np.cumsum([0] + list(sizes))
+    return tuple(jax.lax.slice_in_dim(x, int(offs[i]), int(offs[i + 1]),
+                                      axis=axis)
+                 for i in range(len(sizes)))
+
+
+def _expand(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    shape = [int(s) for s in
+             np.asarray(value.const(node.inputs[1])).ravel()]
+    # ONNX Expand: -1/1 keep the input dim; numpy-style broadcast
+    target = []
+    for i, s in enumerate(shape):
+        xi = x.shape[i + x.ndim - len(shape)] if i >= len(shape) - x.ndim \
+            else 1
+        target.append(xi if s in (-1, 1) and xi != 1 else s)
+    return jnp.broadcast_to(x, tuple(target))
 
 
 def _transpose(node: OnnxNode, value):
@@ -486,7 +537,27 @@ def _build_ops():
         "AveragePool": _pool("avg"),
         "MaxPool": _pool("max"),
         "GlobalAveragePool": _global_avg_pool,
-        "ReduceMean": _reduce_mean,
+        "ReduceMean": _reduce(jnp.mean),
+        "ReduceSum": _reduce(jnp.sum),
+        "ReduceMax": _reduce(jnp.max),
+        "ReduceMin": _reduce(jnp.min),
+        "LayerNormalization": _layernorm,
+        "Split": _split,
+        "Expand": _expand,
+        "Where": _elementwise(jnp.where),
+        "Min": _elementwise(jnp.minimum),
+        "Max": _elementwise(jnp.maximum),
+        "Softplus": _elementwise(jax.nn.softplus),
+        "Elu": lambda n, v: jax.nn.elu(v(n.inputs[0]),
+                                       n.attrs.get("alpha", 1.0)),
+        "PRelu": _elementwise(
+            lambda x, a: jnp.where(x >= 0, x, a * x)),
+        "Floor": _elementwise(jnp.floor),
+        "Ceil": _elementwise(jnp.ceil),
+        "Round": _elementwise(jnp.round),
+        "Greater": _elementwise(lambda a, b: a > b),
+        "Less": _elementwise(lambda a, b: a < b),
+        "Equal": _elementwise(lambda a, b: a == b),
         "Reshape": _reshape,
         "Flatten": _flatten,
         "Transpose": _transpose,

@@ -153,3 +153,55 @@ def test_fp16_initializer_upcast():
     x = np.array([[2.0, 1.0]], np.float32)
     (y,) = g.jitted()(g.params, x)
     np.testing.assert_allclose(np.asarray(y), [[1.5 * 2 + -2.5]], rtol=1e-3)
+
+
+def test_transformer_ops_layernorm_split_where_expand_reduce():
+    """Round-trip the opset-18-style ops added for transformer graphs:
+    LayerNormalization, Split, Where, Expand, ReduceSum/Max, Greater."""
+    import numpy as np
+
+    from birdnet_go_tpu.inference.onnx_import import OnnxGraph, parse_onnx
+    from tests.onnx_builder import (
+        attr_float,
+        attr_int,
+        attr_ints,
+        model,
+        node,
+        tensor_proto,
+    )
+
+    x = np.random.default_rng(0).standard_normal((2, 6)).astype(np.float32)
+    scale = np.full((6,), 2.0, np.float32)
+    bias = np.full((6,), 0.5, np.float32)
+    split_sizes = np.asarray([2, 4], np.int64)
+    shape3 = np.asarray([3, 2, 2], np.int64)
+
+    buf = model(
+        nodes=[
+            node("LayerNormalization", ["x", "scale", "bias"], ["ln"],
+                 [attr_float("epsilon", 1e-5), attr_int("axis", -1)]),
+            node("Split", ["ln", "sizes"], ["a", "b"],
+                 [attr_int("axis", 1)]),
+            node("ReduceSum", ["b"], ["bsum"],
+                 [attr_ints("axes", [1]), attr_int("keepdims", 1)]),
+            node("Greater", ["a", "bsum"], ["mask"]),
+            node("Where", ["mask", "a", "bsum"], ["sel"]),      # [2, 2]
+            node("Expand", ["sel", "shape3"], ["exp"]),         # [3, 2, 2]
+            node("ReduceMax", ["exp"], ["out"],
+                 [attr_ints("axes", [0]), attr_int("keepdims", 0)]),
+        ],
+        initializers=[tensor_proto("scale", scale),
+                      tensor_proto("bias", bias),
+                      tensor_proto("sizes", split_sizes),
+                      tensor_proto("shape3", shape3)],
+        inputs=["x"], outputs=["out"])
+    g = OnnxGraph(parse_onnx(buf))
+    (got,) = g.jitted()(g.params, x)
+
+    mean = x.mean(-1, keepdims=True)
+    ln = (x - mean) / np.sqrt(x.var(-1, keepdims=True) + 1e-5) * scale + bias
+    a, b = ln[:, :2], ln[:, 2:]
+    bsum = b.sum(1, keepdims=True)
+    sel = np.where(a > bsum, a, bsum)
+    want = np.broadcast_to(sel, (3, 2, 2)).max(0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
