@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--learning-rate", type=float, default=1e-3)
     t.add_argument("--tiny", action="store_true",
                    help="tiny backbone (fast smoke runs / tests)")
+    t.add_argument("--val-split", type=float, default=0.1,
+                   help="stratified validation fraction (0 disables)")
     common_model_flags(t)
 
     imp = sub.add_parser("import", help="import BirdNET-Pi detections")
@@ -336,12 +338,19 @@ def _cmd_train(args) -> int:
     from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
     from birdnet_go_tpu.ops.melspec import MelConfig
     from birdnet_go_tpu.train.dataset import load_directory_dataset
-    from birdnet_go_tpu.train.trainer import init_train_state, make_train_step
+    from birdnet_go_tpu.train.trainer import (
+        evaluate,
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
 
-    ds = load_directory_dataset(args.dataset)
-    n_classes = len(ds.class_names)
-    print(f"dataset: {len(ds)} windows, {n_classes} classes: "
-          f"{ds.class_names}")
+    full = load_directory_dataset(args.dataset)
+    n_classes = len(full.class_names)
+    ds, val = full.split(args.val_split) if args.val_split > 0 \
+        else (full, None)
+    print(f"dataset: {len(ds)} train / {len(val) if val else 0} val "
+          f"windows, {n_classes} classes: {full.class_names}")
 
     if args.tiny:
         from birdnet_go_tpu.models.efficientnet import (
@@ -375,9 +384,15 @@ def _cmd_train(args) -> int:
         if step % 10 == 1:
             print(f"step {step}: loss={float(metrics['loss']):.4f} "
                   f"grad_norm={float(metrics['grad_norm']):.3f}")
+    if val is not None and len(val):
+        eval_step = jax.jit(make_eval_step(model.apply))
+        m = evaluate(eval_step, state.params, val,
+                     batch_size=min(args.batch_size, len(val)))
+        print(f"validation: accuracy={m['accuracy']:.3f} "
+              f"loss={m['loss']:.4f} (n={m['n']})")
     out = Path(args.output)
     save_params(state.params, out)
-    (out / "labels.json").write_text(json.dumps(ds.class_names))
+    (out / "labels.json").write_text(json.dumps(full.class_names))
     print(f"trained {step} steps; checkpoint + labels written to {out}")
     return 0
 

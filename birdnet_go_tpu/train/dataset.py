@@ -34,6 +34,24 @@ class WindowDataset:
         out[np.arange(len(self.labels)), self.labels] = 1.0
         return out
 
+    def split(self, val_fraction: float = 0.1, seed: int = 0
+              ) -> tuple["WindowDataset", "WindowDataset"]:
+        """Stratified train/validation split (≥1 val window per class when
+        the class has ≥2 windows)."""
+        rng = np.random.default_rng(seed)
+        val_idx: list[int] = []
+        for ci in range(len(self.class_names)):
+            idx = np.nonzero(self.labels == ci)[0]
+            if len(idx) < 2:
+                continue
+            take = max(1, int(round(len(idx) * val_fraction)))
+            val_idx.extend(rng.permutation(idx)[:take].tolist())
+        val_mask = np.zeros(len(self.windows), bool)
+        val_mask[val_idx] = True
+        mk = lambda m: WindowDataset(self.windows[m], self.labels[m],
+                                     self.class_names)
+        return mk(~val_mask), mk(val_mask)
+
     def batches(self, batch_size: int, seed: int = 0, epochs: int = 1):
         rng = np.random.default_rng(seed)
         n = len(self.windows)

@@ -65,5 +65,37 @@ def init_train_state(params, optimizer: optax.GradientTransformation
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
+def make_eval_step(apply_fn: Callable) -> Callable:
+    """Jittable evaluation: top-1 accuracy + mean multilabel loss over a
+    batch (custom-classifier validation — the reference consumes such
+    classifiers but trains them externally; here training AND validation
+    are on-device)."""
+
+    def eval_step(params, pcm: jnp.ndarray, labels: jnp.ndarray):
+        out = apply_fn(params, pcm, train=False)
+        logits = out["logits"] if isinstance(out, dict) else out
+        top1 = jnp.argmax(logits, axis=-1) == jnp.argmax(labels, axis=-1)
+        return {"accuracy": jnp.mean(top1.astype(jnp.float32)),
+                "loss": multilabel_loss(logits, labels)}
+
+    return eval_step
+
+
+def evaluate(eval_step: Callable, params, dataset,
+             batch_size: int = 64) -> dict[str, float]:
+    """Run eval_step over every full batch of a WindowDataset."""
+    import numpy as np
+
+    accs, losses, n = [], [], 0
+    for pcm, labels in dataset.batches(batch_size, epochs=1):
+        m = eval_step(params, jnp.asarray(pcm), jnp.asarray(labels))
+        accs.append(float(m["accuracy"]) * len(pcm))
+        losses.append(float(m["loss"]) * len(pcm))
+        n += len(pcm)
+    if n == 0:
+        return {"accuracy": float("nan"), "loss": float("nan"), "n": 0}
+    return {"accuracy": sum(accs) / n, "loss": sum(losses) / n, "n": n}
+
+
 jax.tree_util.register_dataclass(
     TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[])

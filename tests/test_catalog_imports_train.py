@@ -315,3 +315,34 @@ def test_birdnet_go_db_migration_rejects_foreign_db(tmp_path):
     conn.close()
     with pytest.raises(ValueError, match="notes"):
         parse_birdnet_go_db(other)
+
+
+def test_dataset_split_and_eval_metrics(tmp_path):
+    """Stratified split keeps every (big-enough) class represented in
+    val; make_eval_step reports top-1 accuracy correctly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from birdnet_go_tpu.train.dataset import WindowDataset
+    from birdnet_go_tpu.train.trainer import evaluate, make_eval_step
+
+    n = 40
+    windows = np.random.default_rng(0).standard_normal(
+        (n, 64)).astype(np.float32)
+    labels = np.asarray([i % 2 for i in range(n)], np.int32)
+    ds = WindowDataset(windows, labels, ["a", "b"])
+    train, val = ds.split(0.25, seed=1)
+    assert len(train) + len(val) == n
+    assert set(val.labels.tolist()) == {0, 1}       # stratified
+    assert len(val) == 10
+
+    # a fake "model" that classifies by the sign of the first feature
+    def apply_fn(params, pcm, train=False):
+        s = pcm[:, 0]
+        return {"logits": jnp.stack([-s, s], axis=-1) * 5.0}
+
+    want = np.mean((val.windows[:, 0] > 0) == (val.labels == 1))
+    m = evaluate(jax.jit(make_eval_step(apply_fn)), {}, val, batch_size=5)
+    assert abs(m["accuracy"] - want) < 1e-6
+    assert m["n"] == len(val)
