@@ -185,6 +185,7 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/system/network-interfaces",
                   self.h_network_interfaces)
         r.add_get(f"{v2}/system/restart-status", self.h_restart_status)
+        r.add_get(f"{v2}/system/metrics/history", self.h_metrics_history)
         r.add_get(f"{v2}/system/database/overview", self.h_db_overview)
         r.add_post(f"{v2}/system/database/backup", self.h_db_backup_run)
         r.add_get(f"{v2}/system/database/backup/jobs",
@@ -609,6 +610,16 @@ class ExtendedHandlers:
         if info is None or not (info.thumbnail_url or info.url):
             return _json({"error": "no image"}, status=404)
         raise web.HTTPFound(info.thumbnail_url or info.url)
+
+    async def h_metrics_history(self, request):
+        """Rolling CPU/memory/disk samples (reference: system metrics
+        history for the UI charts)."""
+        hist = getattr(self.ctx, "metrics_history", None)
+        if hist is None:
+            return _json({"samples": []})
+        limit = min(int(request.query.get("limit", 120)), 1000)
+        return _json({"interval_seconds": hist.interval,
+                      "samples": hist.history(limit)})
 
     async def h_trends(self, request):
         """Period-over-period trend (reference: GetDetectionTrends)."""

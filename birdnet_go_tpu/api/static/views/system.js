@@ -3,6 +3,7 @@
    support bundle, devices. */
 
 import { api, el, fmtNum, toast, t } from "../app.js";
+import { sparkline } from "../charts.js";
 import { renderAdminPanels } from "./admin.js";
 
 export async function systemView(outlet) {
@@ -41,6 +42,21 @@ export async function systemView(outlet) {
            ? r.disk.used_percent + "%" : "–"),
       tile("CPU temp", temp.available ? temp.celsius + " °C" : "n/a"))));
   } catch (e) { grid.append(card(t("resources"), err(e))); }
+
+  // resource history sparklines (system metrics history)
+  try {
+    const { samples } = await api("/system/metrics/history?limit=120");
+    if (samples.length > 1) {
+      const row = (label, key) => el("div", { class: "row" },
+        el("span", { class: "sub", style: "width:90px" }, label),
+        sparkline(samples.map((s) => s[key] ?? 0)));
+      grid.append(card("History",
+        el("div", {},
+          row("load", "load_1m"),
+          row("memory %", "memory_pct"),
+          row("disk %", "disk_pct"))));
+    }
+  } catch (e) { /* optional */ }
 
   // inference status (list of per-model batcher stats)
   try {

@@ -844,6 +844,12 @@ class Application:
             self.watchdog.start(self.settings.liveness.check_interval_seconds)
         if self.backup is not None:
             self.backup.start()
+        # rolling resource samples for the System page charts
+        from birdnet_go_tpu.utils.sysmonitor import MetricsHistory
+
+        self.metrics_history = MetricsHistory(
+            clip_dir=self.settings.export.path)
+        self.metrics_history.start()
         if self.settings.soundlevel.enabled \
                 and (self.api is not None or self.mqtt is not None):
             from birdnet_go_tpu.analysis.soundlevel_worker import (
@@ -873,6 +879,8 @@ class Application:
             self.soundlevel.stop()
         if self.watchdog is not None:
             self.watchdog.stop()
+        if getattr(self, "metrics_history", None) is not None:
+            self.metrics_history.stop()
         if self.backup is not None:
             self.backup.stop()
         for src in self._sources:

@@ -195,3 +195,56 @@ def usb_identity(card_index: int) -> dict:
             break
         node = os.path.dirname(node)
     return out
+
+
+class MetricsHistory:
+    """Rolling resource samples for the System page's charts (reference:
+    system metrics history endpoint). Bounded ring; sampling thread owned
+    by the Application lifecycle."""
+
+    def __init__(self, interval_seconds: float = 30.0, keep: int = 360,
+                 clip_dir: str = "."):
+        import collections
+        import threading
+        import time
+
+        self.interval = interval_seconds
+        self.clip_dir = clip_dir
+        self._ring = collections.deque(maxlen=keep)
+        self._stop = threading.Event()
+        self._thread = None
+        self._threading = threading
+        self._time = time
+
+    def sample_once(self) -> dict:
+        r = resources(self.clip_dir)
+        s = {"time": self._time.time(),
+             "load_1m": r.get("cpu", {}).get("load_1m"),
+             "memory_pct": r.get("memory", {}).get("used_percent"),
+             "disk_pct": r.get("disk", {}).get("used_percent")}
+        self._ring.append(s)
+        return s
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        out = list(self._ring)
+        return out[-limit:] if limit else out
+
+    def start(self) -> None:
+        self.sample_once()
+        self._stop.clear()
+        self._thread = self._threading.Thread(
+            target=self._run, name="metrics-history", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+            self._thread = None
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            try:
+                self.sample_once()
+            except Exception:   # noqa: BLE001 — keep sampling
+                pass

@@ -229,3 +229,14 @@ def test_taxonomy_genus_family_and_code_thumbnail(served):  # noqa: F811
         with pytest.raises(urllib.error.HTTPError) as exc:
             _req(port, path)
         assert exc.value.code == 404, path
+
+
+def test_metrics_history_endpoint(served):  # noqa: F811
+    """Rolling resource samples appear after start (system metrics
+    history)."""
+    app, port = served
+    body = _req(port, "/system/metrics/history")
+    assert body["interval_seconds"] > 0
+    assert len(body["samples"]) >= 1
+    s = body["samples"][0]
+    assert "time" in s and "memory_pct" in s

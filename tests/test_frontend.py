@@ -113,6 +113,7 @@ def test_ui_consumes_every_api_group():
         "/integrations/mqtt/homeassistant/discovery",
         "/system/network-interfaces", "/sse/status",
         "/system/restart-status", "/system/events/operational",
+        "/system/metrics/history",
         "/system/diagnostics", "/system/diagnostics/run",
         "/app/config", "/app/wizard/dismiss",
         # species/taxonomy + stream tools + misc consumers
