@@ -312,17 +312,23 @@ class Application:
             NotificationTarget,
         )
 
-        self.notification_inbox = NotificationInbox()
+        self.notification_inbox = NotificationInbox(
+            store=getattr(self, "datastore", None))
         self.notifications = NotificationService(
             [NotificationTarget(**t) for t in s.notification.targets],
             inbox=self.notification_inbox,
             on_stored=self._on_notification_stored)
         # config validation warnings land in the inbox so the UI shows
-        # them (reference surfaces them as notifications, main.go:212-227)
+        # them (reference surfaces them as notifications, main.go:212-227);
+        # skip ones already in the (now persistent) inbox so restarts
+        # don't accumulate duplicates
+        existing = {(n["title"], n["message"])
+                    for n in self.notification_inbox.list(limit=500)}
         for w in getattr(self, "_config_warnings", []):
-            self.notification_inbox.add(Notification(
-                title="Configuration warning", message=w,
-                priority="high"))
+            if ("Configuration warning", w) not in existing:
+                self.notification_inbox.add(Notification(
+                    title="Configuration warning", message=w,
+                    priority="high"))
         self.diskmanager = None
         if s.retention.mode != "none":
             from birdnet_go_tpu.utils.diskmanager import (

@@ -116,6 +116,20 @@ CREATE TABLE IF NOT EXISTS threshold_events (
     created_at REAL NOT NULL
 );
 
+-- persisted notification inbox (reference: SaveNotificationHistory /
+-- GetActiveNotificationHistory / DeleteExpiredNotificationHistory,
+-- datastore/interfaces.go) so the UI inbox survives restarts
+CREATE TABLE IF NOT EXISTS notifications (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    title TEXT NOT NULL,
+    message TEXT NOT NULL,
+    priority TEXT NOT NULL,
+    timestamp REAL NOT NULL,
+    is_read INTEGER NOT NULL DEFAULT 0,
+    payload TEXT NOT NULL DEFAULT '{}'
+);
+CREATE INDEX IF NOT EXISTS idx_notif_ts ON notifications(timestamp);
+
 CREATE TABLE IF NOT EXISTS hourly_weather (
     id INTEGER PRIMARY KEY AUTOINCREMENT,
     time REAL NOT NULL UNIQUE,
@@ -797,6 +811,58 @@ class Datastore:
         args.append(limit)
         with self._lock:
             return [dict(r) for r in self._conn.execute(q, args)]
+
+    # -- notification history ----------------------------------------------------------
+
+    def save_notification(self, title: str, message: str, priority: str,
+                          timestamp: float, payload_json: str = "{}") -> int:
+        """Persist an inbox entry (datastore.SaveNotificationHistory)."""
+        with self._lock:
+            cur = self._conn.execute(
+                "INSERT INTO notifications (title, message, priority,"
+                " timestamp, payload) VALUES (?,?,?,?,?)",
+                (title, message, priority, timestamp, payload_json))
+            self._conn.commit()
+            return int(cur.lastrowid)
+
+    def load_notifications(self, limit: int = 500) -> list[dict]:
+        """Active history, oldest first (GetActiveNotificationHistory)."""
+        with self._lock:
+            rows = [dict(r) for r in self._conn.execute(
+                "SELECT * FROM notifications ORDER BY id DESC LIMIT ?",
+                (limit,))]
+        rows.reverse()
+        return rows
+
+    def set_notification_read(self, nid: int | None = None,
+                              read: bool = True) -> int:
+        """Mark one (or, with nid=None, all) notifications read/unread."""
+        with self._lock:
+            if nid is None:
+                cur = self._conn.execute(
+                    "UPDATE notifications SET is_read = ?", (int(read),))
+            else:
+                cur = self._conn.execute(
+                    "UPDATE notifications SET is_read = ? WHERE id = ?",
+                    (int(read), nid))
+            self._conn.commit()
+            return cur.rowcount
+
+    def delete_notification(self, nid: int) -> bool:
+        with self._lock:
+            cur = self._conn.execute(
+                "DELETE FROM notifications WHERE id = ?", (nid,))
+            self._conn.commit()
+            return cur.rowcount > 0
+
+    def delete_expired_notifications(self, older_than_unix: float) -> int:
+        """Prune history past its TTL (DeleteExpiredNotificationHistory)."""
+        with self._lock:
+            cur = self._conn.execute(
+                "DELETE FROM notifications WHERE timestamp < ?",
+                (older_than_unix,))
+            self._conn.commit()
+            return cur.rowcount
 
     # -- weather ------------------------------------------------------------------------
 

@@ -61,24 +61,71 @@ class StoredNotification:
 
 
 class NotificationInbox:
-    """Bounded in-memory notification store (oldest dropped at capacity)."""
+    """Bounded notification store (oldest dropped at capacity).
 
-    def __init__(self, capacity: int = 500):
+    With `store` (a Datastore), entries write through to the
+    `notifications` table and the inbox is rehydrated from the active
+    history at startup — the reference persists notification history the
+    same way (datastore/interfaces.go SaveNotificationHistory /
+    GetActiveNotificationHistory / DeleteExpiredNotificationHistory).
+    """
+
+    def __init__(self, capacity: int = 500, store=None,
+                 ttl_seconds: float = 7 * 86400.0):
         from collections import OrderedDict
 
         self.capacity = capacity
+        self.store = store
+        self.ttl_seconds = ttl_seconds
         self._items: "OrderedDict[int, StoredNotification]" = OrderedDict()
         self._seq = 0
         self._lock = threading.Lock()
+        if store is not None:
+            self._rehydrate()
+
+    def _rehydrate(self) -> None:
+        import json
+
+        try:
+            if self.ttl_seconds > 0:
+                self.store.delete_expired_notifications(
+                    time.time() - self.ttl_seconds)
+            for row in self.store.load_notifications(self.capacity):
+                try:
+                    payload = json.loads(row.get("payload") or "{}")
+                except ValueError:
+                    payload = {}
+                sn = StoredNotification(
+                    id=int(row["id"]), title=row["title"],
+                    message=row["message"], priority=row["priority"],
+                    timestamp=float(row["timestamp"]),
+                    read=bool(row["is_read"]), payload=payload)
+                self._items[sn.id] = sn
+                self._seq = max(self._seq, sn.id)
+        except Exception:
+            log.exception("notification history rehydrate failed")
 
     def add(self, n: Notification, now: float | None = None
             ) -> StoredNotification:
+        import json
+
         with self._lock:
-            self._seq += 1
+            ts = now or time.time()
+            payload = dict(n.payload)
+            nid = None
+            if self.store is not None:
+                try:
+                    nid = self.store.save_notification(
+                        n.title, n.message, n.priority, ts,
+                        json.dumps(payload, default=str))
+                except Exception:
+                    log.exception("notification persist failed")
+            if nid is None:
+                nid = self._seq + 1
+            self._seq = max(self._seq, nid)
             sn = StoredNotification(
-                id=self._seq, title=n.title, message=n.message,
-                priority=n.priority, timestamp=now or time.time(),
-                payload=dict(n.payload))
+                id=nid, title=n.title, message=n.message,
+                priority=n.priority, timestamp=ts, payload=payload)
             self._items[sn.id] = sn
             while len(self._items) > self.capacity:
                 self._items.popitem(last=False)
@@ -102,6 +149,7 @@ class NotificationInbox:
             if sn is None:
                 return False
             sn.read = True
+            self._store_call("set_notification_read", nid, True)
             return True
 
     def mark_all_read(self) -> int:
@@ -111,11 +159,24 @@ class NotificationInbox:
                 if not sn.read:
                     sn.read = True
                     n += 1
+            if n:
+                self._store_call("set_notification_read", None, True)
             return n
 
     def delete(self, nid: int) -> bool:
         with self._lock:
-            return self._items.pop(nid, None) is not None
+            ok = self._items.pop(nid, None) is not None
+            if ok:
+                self._store_call("delete_notification", nid)
+            return ok
+
+    def _store_call(self, method: str, *args) -> None:
+        if self.store is None:
+            return
+        try:
+            getattr(self.store, method)(*args)
+        except Exception:
+            log.exception("notification store %s failed", method)
 
     def unread_count(self) -> int:
         with self._lock:

@@ -334,3 +334,58 @@ def test_diskmanager_reconcile(tmp_path):
     rec = dm.reconcile()
     assert rec["orphan_files"] == ["orphan.wav"]
     assert rec["missing_files"] == ["missing.wav"]
+
+
+def test_notification_inbox_persists_across_restart(tmp_path):
+    """Inbox entries write through to the datastore and the inbox is
+    rehydrated from active history at startup; expired history is pruned
+    (reference: SaveNotificationHistory / GetActiveNotificationHistory /
+    DeleteExpiredNotificationHistory, datastore/interfaces.go)."""
+    import time as _time
+
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from birdnet_go_tpu.integrations.notification import (
+        Notification,
+        NotificationInbox,
+    )
+
+    db = tmp_path / "notif.db"
+    ds = Datastore(db)
+    inbox = NotificationInbox(store=ds)
+    a = inbox.add(Notification(title="first", message="m1",
+                               payload={"k": "v"}))
+    b = inbox.add(Notification(title="second", message="m2",
+                               priority="high"))
+    assert inbox.mark_read(a.id)
+    ds.close()
+
+    # restart: rehydrate from the same database
+    ds2 = Datastore(db)
+    inbox2 = NotificationInbox(store=ds2)
+    items = inbox2.list()
+    assert [n["title"] for n in items] == ["second", "first"]
+    assert inbox2.unread_count() == 1
+    by_id = {n["id"]: n for n in items}
+    assert by_id[a.id]["read"] is True
+    assert by_id[a.id]["payload"] == {"k": "v"}
+    # ids keep increasing after rehydrate (no collisions)
+    c = inbox2.add(Notification(title="third", message="m3"))
+    assert c.id > b.id
+    # write-through delete + mark-all survive another restart
+    assert inbox2.delete(b.id)
+    inbox2.mark_all_read()
+    ds2.close()
+
+    ds3 = Datastore(db)
+    inbox3 = NotificationInbox(store=ds3)
+    assert {n["title"] for n in inbox3.list()} == {"first", "third"}
+    assert inbox3.unread_count() == 0
+    ds3.close()
+
+    # TTL prune: entries older than the TTL are dropped at rehydrate
+    ds4 = Datastore(db)
+    ds4.save_notification("ancient", "old", "low",
+                          _time.time() - 30 * 86400)
+    inbox4 = NotificationInbox(store=ds4, ttl_seconds=7 * 86400)
+    assert all(n["title"] != "ancient" for n in inbox4.list())
+    ds4.close()
