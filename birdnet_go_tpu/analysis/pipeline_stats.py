@@ -70,7 +70,7 @@ class PipelineStatsLogger:
         if d_drop:
             parts.append(f"dropped+{d_drop}")
         if self.processor is not None:
-            pending = len(getattr(self.processor, "pending", {}) or {})
+            pending = len(getattr(self.processor, "_pending", {}) or {})
             if pending:
                 parts.append(f"pending={pending}")
         if not parts or total_windows == 0 and not d_drop:

@@ -132,6 +132,8 @@ class Processor:
             learning_cooldown_seconds=(settings.export.clip_length_seconds
                                        - settings.export.pre_capture_seconds))
         self._pending: dict[str, PendingDetection] = {}
+        # (id(cfg), len(cfg), lowercased copy) — see _base_threshold
+        self._species_cfg_cache: tuple[int, int, dict] | None = None
         # pending-broadcast hook (pending_broadcast.go): called with the
         # serializable snapshot whenever it CHANGES (deduplicated)
         self.on_pending: Callable[[list[dict]], None] | None = None
@@ -161,7 +163,16 @@ class Processor:
         """(threshold, is_custom). A user-configured per-species threshold
         is custom — dynamic adjustment never applies to it."""
         cfg = self.settings.species.config
-        cfg_l = {k.lower(): v for k, v in cfg.items()} if cfg else {}
+        # per-detection hot path: lowercase the user config once per
+        # config object, not per call (RELOAD_SPECIES_CONFIG swaps in a
+        # fresh dict, which invalidates the id-keyed cache)
+        cached = self._species_cfg_cache
+        if cached is not None and cached[0] == id(cfg) \
+                and cached[1] == len(cfg):
+            cfg_l = cached[2]
+        else:
+            cfg_l = {k.lower(): v for k, v in cfg.items()} if cfg else {}
+            self._species_cfg_cache = (id(cfg), len(cfg or {}), cfg_l)
         for name in self._name_variants(sp):
             sc = cfg.get(name) or cfg_l.get(name.lower())
             if sc and "threshold" in sc:

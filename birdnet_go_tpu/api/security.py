@@ -427,12 +427,19 @@ class AuthHandlers:
         header = request.headers.get("Authorization", "")
         by_token = header.startswith("Bearer ") \
             and sec.check_token(header[7:].strip())
-        return web.json_response({
+        out = {
             "security_enabled": True,
             "authenticated": bool(session) or by_token,
             "method": "session" if session else
                       ("token" if by_token else None),
-        })
+        }
+        if session:
+            # deliver the session's CSRF token to same-origin JS — OIDC/SSO
+            # logins arrive via redirect and never pass through the password
+            # login page that seeds sessionStorage (the cookie is httponly,
+            # so this endpoint is the only way the SPA can learn it)
+            out["csrf"] = session.get("csrf", "")
+        return web.json_response(out)
 
     async def h_oauth_authorize(self, request):
         """Authorization-code grant step 1 (requires authenticated caller —

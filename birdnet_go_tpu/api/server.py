@@ -946,7 +946,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         locale = request.match_info["locale"]
         blob = compressed_dictionary(locale)
         if blob is not None and "gzip" in request.headers.get(
-                "Accept-Encoding", "gzip"):
+                "Accept-Encoding", ""):
             return web.Response(
                 body=blob,
                 headers={"Content-Type": "application/json",

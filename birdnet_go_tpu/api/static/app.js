@@ -134,6 +134,10 @@ export async function boot() {
       location.href = "/login";
       return;
     }
+    if (st.csrf) {            // OIDC/SSO sessions never saw the login page
+      csrf = st.csrf;
+      sessionStorage.setItem("csrf", csrf);
+    }
     document.getElementById("logout").style.display =
       st.security_enabled ? "" : "none";
   } catch (e) { /* open server */ }

@@ -1,7 +1,7 @@
 /* PWA service worker: pre-cache the app shell, cache-first for static
    assets, network-only for /api (live data must never be stale). */
 
-const CACHE = "birdnet-tpu-v1";
+const CACHE = "birdnet-tpu-v2";
 const SHELL = [
   "/", "/static/app.css", "/static/app.js", "/static/i18n.js",
   "/static/charts.js",
@@ -9,6 +9,7 @@ const SHELL = [
   "/static/views/analytics.js", "/static/views/settings.js",
   "/static/views/system.js", "/static/views/misc.js",
   "/static/views/alerts.js", "/static/views/range.js",
+  "/static/views/onboarding.js", "/static/views/admin.js",
 ];
 
 self.addEventListener("install", (ev) => {

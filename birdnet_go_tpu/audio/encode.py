@@ -28,13 +28,14 @@ _FFMPEG_FORMATS = {
     "mp3": ([".mp3"], ["-c:a", "libmp3lame", "-b:a", "128k"]),
 }
 
-# injectable for tests; resolved lazily so PATH changes apply
-_which = shutil.which
+# injectable for tests; None → shutil.which resolved at call time so
+# patches of shutil.which (and PATH changes) take effect
+_which = None
 _run = subprocess.run
 
 
 def ffmpeg_available() -> bool:
-    return _which("ffmpeg") is not None
+    return (_which or shutil.which)("ffmpeg") is not None
 
 
 def _native_codec_available(fmt: str) -> bool:
@@ -49,7 +50,8 @@ def _native_codec_available(fmt: str) -> bool:
 
 # Opus only accepts these input rates; other rates (e.g. the 256 kHz bat
 # clips) keep FLAC/ffmpeg so no ultrasonic content is resampled away.
-_OPUS_RATES = (8000, 12000, 16000, 24000, 48000)
+# Single source of truth lives beside the codec (audio.opusogg).
+from birdnet_go_tpu.audio.opusogg import OPUS_RATES as _OPUS_RATES  # noqa: E402
 
 
 def supported_formats() -> list[str]:

@@ -31,7 +31,10 @@ _MAX_BACKOFF = 60.0
 
 
 def ffmpeg_available() -> bool:
-    return shutil.which("ffmpeg") is not None
+    # single injectable probe shared with the clip-encoder front end
+    from birdnet_go_tpu.audio.encode import ffmpeg_available as probe
+
+    return probe()
 
 
 def build_ffmpeg_args(url: str, sample_rate: int = 48000,

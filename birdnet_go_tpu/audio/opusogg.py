@@ -150,7 +150,9 @@ def mp3_available() -> bool:
                 and lib.bn_mp3_available())
 
 
-_OPUS_RATES = (8000, 12000, 16000, 24000, 48000)
+# Opus only accepts these input rates (RFC 6716); shared with audio.encode
+OPUS_RATES = (8000, 12000, 16000, 24000, 48000)
+_OPUS_RATES = OPUS_RATES
 
 
 def encode_opus_packets(pcm_i16: np.ndarray, rate: int,

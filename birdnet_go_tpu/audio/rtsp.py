@@ -211,7 +211,10 @@ class RtspSource:
         body = rest
         clen = int(headers.get("content-length", 0))
         while len(body) < clen:
-            body += sock.recv(4096)
+            chunk = sock.recv(4096)
+            if not chunk:    # peer closed mid-body: recv returns b'' forever
+                raise ConnectionError("RTSP connection closed mid-body")
+            body += chunk
         if status != 200:
             raise ConnectionError(f"RTSP {lines[0]}")
         headers["_body"] = body[:clen].decode(errors="replace")

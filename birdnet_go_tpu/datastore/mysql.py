@@ -52,7 +52,7 @@ def translate_sql(sql: str) -> str:
         # MySQL refuses DEFAULT on TEXT columns (error 1101); every insert
         # in this codebase supplies these columns explicitly, so the
         # default is only a sqlite nicety — drop it for MySQL
-        out = re.sub(r"TEXT NOT NULL DEFAULT ''", "TEXT NOT NULL", out)
+        out = re.sub(r"TEXT NOT NULL DEFAULT '[^']*'", "TEXT NOT NULL", out)
     return out
 
 
