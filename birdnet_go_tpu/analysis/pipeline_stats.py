@@ -73,8 +73,12 @@ class PipelineStatsLogger:
             pending = len(getattr(self.processor, "_pending", {}) or {})
             if pending:
                 parts.append(f"pending={pending}")
-        if not parts or total_windows == 0 and not d_drop:
+        if not parts:
             return None                   # idle: don't spam the log
+        # NB: a zero-throughput interval still logs when something
+        # noteworthy happened (overruns, deferrals, drops, pending
+        # backlog) — those are exactly the unhealthy intervals an
+        # operator needs to see
         line = "pipeline: " + " | ".join(parts)
         log.info(line)
         self.lines_emitted += 1

@@ -132,8 +132,8 @@ class Processor:
             learning_cooldown_seconds=(settings.export.clip_length_seconds
                                        - settings.export.pre_capture_seconds))
         self._pending: dict[str, PendingDetection] = {}
-        # (id(cfg), len(cfg), lowercased copy) — see _base_threshold
-        self._species_cfg_cache: tuple[int, int, dict] | None = None
+        # (config object, lowercased copy) — see _base_threshold
+        self._species_cfg_cache: tuple[dict, dict] | None = None
         # pending-broadcast hook (pending_broadcast.go): called with the
         # serializable snapshot whenever it CHANGES (deduplicated)
         self.on_pending: Callable[[list[dict]], None] | None = None
@@ -164,15 +164,15 @@ class Processor:
         is custom — dynamic adjustment never applies to it."""
         cfg = self.settings.species.config
         # per-detection hot path: lowercase the user config once per
-        # config object, not per call (RELOAD_SPECIES_CONFIG swaps in a
-        # fresh dict, which invalidates the id-keyed cache)
+        # config object, not per call. Keyed by identity WITH a strong
+        # reference retained (a bare id() could collide when a freed
+        # dict's address is reused by the reload's replacement).
         cached = self._species_cfg_cache
-        if cached is not None and cached[0] == id(cfg) \
-                and cached[1] == len(cfg):
-            cfg_l = cached[2]
+        if cached is not None and cached[0] is cfg:
+            cfg_l = cached[1]
         else:
             cfg_l = {k.lower(): v for k, v in cfg.items()} if cfg else {}
-            self._species_cfg_cache = (id(cfg), len(cfg or {}), cfg_l)
+            self._species_cfg_cache = (cfg, cfg_l)
         for name in self._name_variants(sp):
             sc = cfg.get(name) or cfg_l.get(name.lower())
             if sc and "threshold" in sc:

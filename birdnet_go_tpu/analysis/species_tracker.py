@@ -47,8 +47,13 @@ class SpeciesTracker:
         if datastore is not None:
             self.sync_from_datastore(datastore)
 
-    def sync_from_datastore(self, datastore) -> int:
-        """Load historical first-seen dates (startup sync)."""
+    def sync_from_datastore(self, datastore,
+                            today: _dt.date | None = None) -> int:
+        """Load historical first-seen dates (startup sync). Seeds the
+        lifetime map AND the this-year/this-season maps — otherwise every
+        restart resets period novelty and species detected daily all year
+        report is_new_this_year=True again."""
+        today = today or _dt.date.today()
         n = 0
         for row in datastore.new_species_first_seen():
             d = _dt.date.fromisoformat(row["first_date"])
@@ -57,6 +62,27 @@ class SpeciesTracker:
                 if sci not in self._first or d < self._first[sci]:
                     self._first[sci] = d
             n += 1
+        since = getattr(datastore, "species_first_seen_since", None)
+        if since is None:
+            return n
+        year_start = _dt.date(today.year, 1, 1)
+        # the season key splits winter at New Year (observe() keys by the
+        # detection's own year), so the season window never reaches back
+        # past Jan 1
+        season_start = max(year_start,
+                           _dt.date(today.year,
+                                    {12: 12, 1: 1, 2: 1, 3: 3, 4: 3, 5: 3,
+                                     6: 6, 7: 6, 8: 6}.get(today.month, 9),
+                                    1))
+        for row in since(year_start.isoformat()):
+            d = _dt.date.fromisoformat(row["first_date"])
+            with self._lock:
+                self._year.setdefault((row["scientific_name"], d.year), d)
+        for row in since(season_start.isoformat()):
+            d = _dt.date.fromisoformat(row["first_date"])
+            with self._lock:
+                self._season.setdefault(
+                    (row["scientific_name"], d.year, season_of(d)), d)
         return n
 
     def observe(self, scientific: str, when: _dt.date | None = None

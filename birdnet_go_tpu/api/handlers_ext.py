@@ -686,8 +686,12 @@ class ExtendedHandlers:
             if st.civil_dawn is None:
                 continue
             hh, mm, ss = (int(x) for x in row["first_time"].split(":"))
+            # detections store LOCAL wall-clock time (sqlite fromtimestamp)
+            # while suncalc returns tz-aware UTC — attach the host's local
+            # offset, or minutes_after_dawn is skewed by the UTC offset
+            local_tz = _dt.datetime.now().astimezone().tzinfo
             first = _dt.datetime.combine(d, _dt.time(hh, mm, ss),
-                                         tzinfo=st.civil_dawn.tzinfo)
+                                         tzinfo=local_tz)
             offset = (first - st.civil_dawn).total_seconds() / 60.0
             out.append({**row, "minutes_after_dawn": round(offset, 1)})
         return _json({"dawn_onset": out})
@@ -1341,7 +1345,7 @@ class ExtendedHandlers:
         s = self.ctx.settings.mqtt
         return _json({"enabled": s.enabled, "host": s.host, "port": s.port,
                       "topic": s.topic,
-                      "connected": bool(m and m.is_connected())})
+                      "connected": bool(m and m.is_connected)})
 
     async def h_mqtt_test(self, request):
         """Publish a test message through the live client, or a transient
@@ -1374,7 +1378,7 @@ class ExtendedHandlers:
                      status=200 if ok else 502)
 
     async def h_mqtt_ha_discovery(self, request):
-        if self.ctx.mqtt is None or not self.ctx.mqtt.is_connected():
+        if self.ctx.mqtt is None or not self.ctx.mqtt.is_connected:
             return _json({"error": "MQTT not connected"}, status=502)
         from birdnet_go_tpu.integrations.mqtt import ha_discovery_payloads
 

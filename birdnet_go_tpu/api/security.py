@@ -250,7 +250,8 @@ async def http_metrics_middleware(request, handler):
     from birdnet_go_tpu.utils.metrics import REGISTRY
 
     t0 = _t.monotonic()
-    try:
+    status = 500          # BaseException (e.g. CancelledError) reaches
+    try:                  # finally without hitting an except clause
         resp = await handler(request)
         status = resp.status
         return resp

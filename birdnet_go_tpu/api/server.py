@@ -677,7 +677,18 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
                          status=404)
         body = _strip_masked(await request.json())
         target = getattr(self.ctx.settings, section)
-        if dataclasses.is_dataclass(target):
+        if section == "models" and isinstance(body, list):
+            # the models section is a LIST of ModelSettings — raw dicts
+            # would corrupt settings and crash validate() (same special
+            # case as the full PUT path)
+            from birdnet_go_tpu.config.settings import ModelSettings
+
+            self.ctx.settings.models = [
+                _merge_dataclass(ModelSettings(), v) for v in body]
+        elif section == "models":
+            return _json({"error": "models section must be a list"},
+                         status=400)
+        elif dataclasses.is_dataclass(target) and isinstance(body, dict):
             _merge_dataclass(target, body)
         else:
             setattr(self.ctx.settings, section, body)

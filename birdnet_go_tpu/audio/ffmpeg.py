@@ -161,6 +161,7 @@ class FfmpegSource:
         # repeated quick exits with no data → retry pulling the full stream.
         self.media_mode = "audio_only"
         self._quick_exits = 0
+        self._silence_kills = 0
 
     def start(self) -> None:
         if not ffmpeg_available():
@@ -225,6 +226,20 @@ class FfmpegSource:
                      self.source.source_id, backoff, self.restarts)
             self._stop.wait(backoff)
 
+    def _watch_silence(self, proc: subprocess.Popen) -> None:
+        """Silence watchdog (stream.go silence timeout): the reader blocks
+        in stdout.read(), so a stalled-but-alive ffmpeg (camera TCP session
+        up, no PCM) would hang forever — kill it so the read unblocks and
+        the supervisor restarts with backoff."""
+        while not self._stop.is_set() and proc.poll() is None:
+            if time.monotonic() - self.last_data > _SILENCE_TIMEOUT:
+                self._silence_kills += 1
+                log.warning("stream %s silent for >%.0fs: restarting ffmpeg",
+                            self.source.source_id, _SILENCE_TIMEOUT)
+                self._kill()
+                return
+            self._stop.wait(1.0)
+
     def _run_once(self) -> None:
         args = build_ffmpeg_args(self.url, self.sample_rate, self.transport,
                                  media_mode=self.media_mode)
@@ -234,6 +249,10 @@ class FfmpegSource:
         carry = b""                       # partial-sample carry
         chunk_bytes = _CHUNK_SAMPLES * 2
         self.last_data = time.monotonic()
+        watchdog = threading.Thread(
+            target=self._watch_silence, args=(self._proc,),
+            name=f"ffmpeg-watchdog-{self.source.source_id}", daemon=True)
+        watchdog.start()
         while not self._stop.is_set():
             data = self._proc.stdout.read(chunk_bytes)
             if not data:

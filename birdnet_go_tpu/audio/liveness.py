@@ -103,7 +103,12 @@ class LivenessWatchdog:
             items = list(self._tracks.items())
         for sid, t in items:
             if self.is_quiet is not None and self.is_quiet(sid):
-                continue                      # expected silence
+                # expected silence — and refresh last_data so the quiet
+                # window doesn't count as silence the instant it ends
+                # (otherwise every source is force-restarted each morning
+                # before it has a single watchdog interval to resume)
+                t.last_data = now
+                continue
             silent_for = now - t.last_data
             if t.state == SourceState.HEALTHY:
                 if silent_for > cfg.silence_timeout_seconds:

@@ -339,8 +339,12 @@ class RtspSource:
                                              packet[offset:offset + 4])
                 offset += 4 + 4 * ext_len
             payload = packet[offset:]
-            if packet[0] & 0x20:            # padding
-                payload = payload[:-payload[-1]] if payload else payload
+            if packet[0] & 0x20 and payload:            # padding
+                pad = payload[-1]
+                # pad==0 is spec-invalid but seen in the wild; [:-0] would
+                # discard the whole payload — treat it as "no padding"
+                if 0 < pad <= len(payload):
+                    payload = payload[:-pad]
             if not payload:
                 continue
             pcm = decode_payload(self.codec, payload, channels)

@@ -63,17 +63,17 @@ class FileLoopSource:
         chunk_wall = self.chunk / self.rate / self.speed
         next_t = time.monotonic()
         while not self._stop.is_set():
-            chunk = self.pcm[pos:pos + self.chunk]
-            if len(chunk) < self.chunk:
-                if not self.loop:
+            if self.loop:
+                # modular gather: gapless across the wrap (and correct even
+                # when the file is shorter than one chunk)
+                idx = (pos + np.arange(self.chunk)) % len(self.pcm)
+                chunk = self.pcm[idx]
+                pos = (pos + self.chunk) % len(self.pcm)
+            else:
+                chunk = self.pcm[pos:pos + self.chunk]
+                pos += self.chunk
+                if len(chunk) == 0:
                     break
-                pos = 0
-                chunk = np.concatenate(
-                    [chunk, self.pcm[:self.chunk - len(chunk)]])
-                pos = self.chunk - len(chunk) if len(chunk) else 0
-            pos += self.chunk
-            if pos >= len(self.pcm):
-                pos = pos % len(self.pcm) if self.loop else len(self.pcm)
             self.engine.ingest(self.source.source_id, chunk)
             next_t += chunk_wall
             delay = next_t - time.monotonic()

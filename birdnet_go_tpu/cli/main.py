@@ -98,8 +98,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("serve", help="realtime analysis server")
     s.add_argument("--config", default=None, help="YAML config file")
-    s.add_argument("--host", default="0.0.0.0")
-    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--host", default=None)
+    s.add_argument("--port", type=int, default=None)
     s.add_argument("--no-warmup", action="store_true",
                    help="skip XLA pre-compilation (first dispatch compiles)")
     common_model_flags(s)
@@ -108,6 +108,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    # BIRDNET_TPU_PLATFORM=cpu forces the JAX backend (the axon TPU
+    # plugin overrides the JAX_PLATFORMS env var, so an explicit config
+    # update before backend init is the only reliable switch — used by
+    # hermetic tests and CPU-only deployments)
+    platform = os.environ.get("BIRDNET_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     from birdnet_go_tpu.utils.logsetup import configure_logging
 
@@ -307,8 +318,11 @@ def _cmd_serve(args) -> int:
         settings.location.longitude = args.longitude
     if args.data_dir:
         settings.data_dir = args.data_dir
-    settings.webserver.host = args.host
-    settings.webserver.port = args.port
+    # explicit flags win; otherwise --config's webserver section holds
+    if args.host is not None:
+        settings.webserver.host = args.host
+    if args.port is not None:
+        settings.webserver.port = args.port
     from birdnet_go_tpu.utils.logsetup import configure_logging
 
     configure_logging(settings, debug=args.debug)
@@ -319,7 +333,8 @@ def _cmd_serve(args) -> int:
     stop = threading.Event()
     signal.signal(signal.SIGINT, lambda *a: stop.set())
     signal.signal(signal.SIGTERM, lambda *a: stop.set())
-    print(f"serving on http://{args.host}:{args.port} — Ctrl-C to stop")
+    print(f"serving on http://{settings.webserver.host}:"
+          f"{settings.webserver.port} — Ctrl-C to stop")
     try:
         stop.wait()
     finally:

@@ -446,9 +446,25 @@ def _apply_env_overrides(s: Settings, env: dict[str, str]) -> None:
                 parsed: Any = val.lower() in ("1", "true", "yes", "on")
             elif isinstance(cur, int) and not isinstance(cur, bool):
                 parsed = int(val)
-            elif isinstance(cur, float) or cur is None:
+            elif isinstance(cur, float):
                 parsed = float(val) if val.replace(
                     ".", "", 1).lstrip("-").isdigit() else val
+            elif cur is None:
+                # a None default says nothing about the type — consult the
+                # field annotation: float|None (latitude) coerces, but
+                # str|None (password, auth_token, secrets) must STAY a
+                # string even when numeric-looking, or auth breaks
+                # (configured.encode() on a float)
+                ann = ""
+                if dataclasses.is_dataclass(target):
+                    ann = str({f.name: f.type for f in
+                               dataclasses.fields(target)}.get(
+                                   parts[-1], ""))
+                if ("float" in ann or "int" in ann) and val.replace(
+                        ".", "", 1).lstrip("-").isdigit():
+                    parsed = float(val) if "float" in ann else int(val)
+                else:
+                    parsed = val
             else:
                 parsed = val
         except ValueError:

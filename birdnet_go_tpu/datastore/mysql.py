@@ -23,6 +23,10 @@ from birdnet_go_tpu.datastore.sqlite import _SCHEMA, Datastore
 log = logging.getLogger("birdnet_tpu.mysql")
 
 _EXCLUDED = re.compile(r"excluded\.(\w+)")
+_INLINE_FK = re.compile(
+    r"(\w+)\s+((?:INTEGER|VARCHAR\(\d+\)|TEXT)\s+NOT\s+NULL)\s+"
+    r"REFERENCES\s+(\w+)\s*\((\w+)\)\s+ON\s+DELETE\s+CASCADE",
+    re.IGNORECASE)
 _ON_CONFLICT = re.compile(
     r"ON CONFLICT\s*\(([^)]+)\)\s*DO UPDATE SET", re.IGNORECASE)
 
@@ -53,6 +57,21 @@ def translate_sql(sql: str) -> str:
         # in this codebase supplies these columns explicitly, so the
         # default is only a sqlite nicety — drop it for MySQL
         out = re.sub(r"TEXT NOT NULL DEFAULT '[^']*'", "TEXT NOT NULL", out)
+        # MySQL parses but silently DISCARDS column-level REFERENCES
+        # clauses — hoist them into table-level FOREIGN KEY constraints so
+        # ON DELETE CASCADE actually exists on InnoDB (otherwise
+        # delete_detection leaves orphaned child rows forever)
+        fks: list[str] = []
+
+        def _hoist(m: "re.Match[str]") -> str:
+            fks.append(f"FOREIGN KEY ({m.group(1)}) REFERENCES "
+                       f"{m.group(3)}({m.group(4)}) ON DELETE CASCADE")
+            return f"{m.group(1)} {m.group(2)}"
+
+        out = _INLINE_FK.sub(_hoist, out)
+        if fks:
+            i = out.rindex(")")
+            out = out[:i] + ",\n    " + ",\n    ".join(fks) + out[i:]
     return out
 
 
@@ -104,23 +123,10 @@ class _Cursor:
         return iter(rows)
 
 
-_NUMERIC = re.compile(r"^-?\d+$")
-_FLOATY = re.compile(r"^-?\d*\.\d+(e-?\d+)?$", re.IGNORECASE)
-
-
-def _coerce(v):
-    """Text-protocol values arrive as strings; coerce obvious numerics so
-    consumers see the same types the sqlite driver returns."""
-    if v is None or not isinstance(v, str):
-        return v
-    if _NUMERIC.match(v):
-        try:
-            return int(v)
-        except ValueError:
-            return v
-    if _FLOATY.match(v):
-        return float(v)
-    return v
+# Value typing happens in the wire client now, keyed on each column's
+# declared type from ColumnDefinition41 — pattern-based coercion turned a
+# TEXT species_code '0123' into 123 (type divergence vs the sqlite
+# engine, which returns str for TEXT no matter what it looks like).
 
 
 class _ConnShim:
@@ -136,7 +142,6 @@ class _ConnShim:
             return _Cursor([], [], 0, 0)
         if up.startswith(("SELECT", "SHOW", "DESCRIBE")):
             cols, rows = self._conn.query(sql, tuple(args))
-            rows = [tuple(_coerce(v) for v in r) for r in rows]
             return _Cursor(cols, rows, 0, 0)
         affected, last = self._conn.execute(sql, tuple(args))
         return _Cursor([], [], affected, last)
@@ -201,3 +206,14 @@ class MySQLDatastore(Datastore):
             rows = [dict(zip(r.keys(), r)) for r in self._conn.execute(
                 "SHOW TABLE STATUS")]
         return {"tables": len(rows), "engine_ok": True}
+
+    def optimize(self) -> None:
+        """sqlite VACUUM/ANALYZE are invalid MySQL; OPTIMIZE TABLE covers
+        both roles (rebuild + stats refresh) on InnoDB."""
+        with self._lock:
+            tables = [r[0] for r in self._conn.execute("SHOW TABLES")]
+            for t in tables:
+                try:
+                    self._conn.execute(f"OPTIMIZE TABLE {t}")
+                except Exception as e:  # noqa: BLE001
+                    log.debug("optimize %s: %s", t, e)

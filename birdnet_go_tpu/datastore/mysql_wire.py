@@ -252,9 +252,12 @@ class MySQLConnection:
                 return [], [], (affected or 0, last_id or 0)
             ncols, _ = _lenenc_int(pkt, 0)
             cols = []
+            ctypes_ = []
             for _ in range(ncols):
                 col = self._read_packet()
-                cols.append(self._column_name(col))
+                name, ctype = self._column_def(col)
+                cols.append(name)
+                ctypes_.append(ctype)
             pkt = self._read_packet()
             if pkt[0] == 0xFE and len(pkt) < 9:   # EOF before rows
                 pkt = self._read_packet()
@@ -266,19 +269,52 @@ class MySQLConnection:
                     raise self._err(pkt)
                 pos = 0
                 row = []
-                for _ in range(ncols):
+                for i in range(ncols):
                     v, pos = _lenenc_str(pkt, pos)
-                    row.append(v.decode(errors="replace")
-                               if v is not None else None)
+                    row.append(_typed_value(v, ctypes_[i]))
                 rows.append(tuple(row))
                 pkt = self._read_packet()
             return cols, rows, (0, 0)
 
     @staticmethod
-    def _column_name(pkt: bytes) -> str:
-        """ColumnDefinition41: catalog, schema, table, org_table, name..."""
+    def _column_def(pkt: bytes) -> tuple[str, int]:
+        """ColumnDefinition41: catalog, schema, table, org_table, name,
+        org_name, then a fixed block [lenenc 0x0c, charset u16, length u32,
+        TYPE u8, flags u16, decimals u8] — the type byte drives value
+        coercion (the text protocol ships every value as a string)."""
         pos = 0
         for _ in range(4):                     # skip to the `name` field
             _, pos = _lenenc_str(pkt, pos)
-        name, _ = _lenenc_str(pkt, pos)
-        return (name or b"").decode()
+        name, pos = _lenenc_str(pkt, pos)
+        _, pos = _lenenc_str(pkt, pos)         # org_name
+        ctype = 0xFD                           # default: VAR_STRING
+        try:
+            _, pos = _lenenc_int(pkt, pos)     # fixed-block length (0x0c)
+            pos += 2 + 4                       # charset + column_length
+            ctype = pkt[pos]
+        except (IndexError, ValueError):
+            pass
+        return (name or b"").decode(), ctype
+
+
+# MySQL text-protocol column types → Python types. Integer family:
+# TINY/SHORT/LONG/LONGLONG/INT24/YEAR; float family: DECIMAL/FLOAT/
+# DOUBLE/NEWDECIMAL. Everything else stays str — coercing by column TYPE
+# (not by value pattern) keeps type parity with the sqlite engine, where
+# a TEXT column holding '42' stays a string.
+_INT_TYPES = frozenset({0x01, 0x02, 0x03, 0x08, 0x09, 0x0D})
+_FLOAT_TYPES = frozenset({0x00, 0x04, 0x05, 0xF6})
+
+
+def _typed_value(v: bytes | None, ctype: int):
+    if v is None:
+        return None
+    s = v.decode(errors="replace")
+    try:
+        if ctype in _INT_TYPES:
+            return int(s)
+        if ctype in _FLOAT_TYPES:
+            return float(s)
+    except ValueError:
+        pass
+    return s

@@ -760,6 +760,17 @@ class Datastore:
         with self._lock:
             return [dict(r) for r in self._conn.execute(sql)]
 
+    def species_first_seen_since(self, since_date: str
+                                 ) -> list[dict[str, Any]]:
+        """Per-species first detection date within [since_date, now] —
+        seeds the species tracker's this-year/this-season maps at startup
+        (reference: species_tracker.go period sync)."""
+        sql = ("SELECT scientific_name, MIN(date) AS first_date"
+               " FROM detections WHERE date >= ?"
+               " GROUP BY scientific_name")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(sql, (since_date,))]
+
     # -- dynamic thresholds ----------------------------------------------------------
 
     def save_dynamic_thresholds(self, state: dict[tuple[str, str], Any]

@@ -66,10 +66,13 @@ class ImportedModel:
             if self.num_species is None:
                 self.num_species = base.num_species
         else:
+            # keep num_species a real int even when probing failed —
+            # predict_topk does min(k, num_species) and None would crash
+            self.num_species = self.num_species or 0
             self.spec = ModelSpec(
                 model_id=model_id, display_name=model_id,
                 sample_rate=48000, clip_seconds=3.0,
-                num_species=self.num_species or 0)
+                num_species=self.num_species)
 
     def _probe_species(self, graph) -> None:
         self.num_species = None
@@ -78,8 +81,39 @@ class ImportedModel:
                 out = graph.model.tensors[graph.model.outputs[0]]
                 if out.shape:
                     self.num_species = int(out.shape[-1])
+            elif hasattr(graph, "graph"):       # onnx (shapes not in proto
+                # value_info: trace the classifier head's weight instead)
+                self.num_species = self._probe_onnx_species(graph.graph)
         except Exception:
             pass
+
+    @staticmethod
+    def _probe_onnx_species(g) -> int | None:
+        """Walk back from the graph output through shape-preserving ops to
+        the final Gemm/MatMul and read the head width off its weight."""
+        producers = {o: n for n in g.nodes for o in n.outputs}
+        passthrough = {"Softmax", "LogSoftmax", "Sigmoid", "Relu",
+                       "Identity", "Reshape", "Flatten", "Squeeze",
+                       "Unsqueeze", "Add", "Cast"}
+        name = g.outputs[0]
+        for _ in range(20):
+            n = producers.get(name)
+            if n is None:
+                return None
+            if n.op_type == "Gemm" and len(n.inputs) > 1:
+                w = g.initializers.get(n.inputs[1])
+                if w is not None:
+                    trans_b = int(n.attrs.get("transB", 0) or 0)
+                    return int(w.shape[0] if trans_b else w.shape[-1])
+                return None
+            if n.op_type == "MatMul" and len(n.inputs) > 1:
+                w = g.initializers.get(n.inputs[1])
+                return int(w.shape[-1]) if w is not None else None
+            if n.op_type in passthrough and n.inputs:
+                name = n.inputs[0]
+                continue
+            return None
+        return None
 
     def init(self, key):
         return self.graph.params

@@ -403,12 +403,14 @@ def _expand(node: OnnxNode, value):
     x = value(node.inputs[0])
     shape = [int(s) for s in
              np.asarray(value.const(node.inputs[1])).ravel()]
-    # ONNX Expand: -1/1 keep the input dim; numpy-style broadcast
-    target = []
-    for i, s in enumerate(shape):
-        xi = x.shape[i + x.ndim - len(shape)] if i >= len(shape) - x.ndim \
-            else 1
-        target.append(xi if s in (-1, 1) and xi != 1 else s)
+    # ONNX Expand is a TWO-WAY broadcast: output rank is the max of both
+    # ranks, dims right-aligned; a shape dim of 1 (or -1) keeps the input
+    # dim, and an input dim of 1 stretches to the shape dim.
+    out_rank = max(x.ndim, len(shape))
+    shp = [1] * (out_rank - len(shape)) + list(shape)
+    xs = (1,) * (out_rank - x.ndim) + tuple(x.shape)
+    target = [xi if s in (-1, 1) else max(s, xi)
+              for s, xi in zip(shp, xs)]
     return jnp.broadcast_to(x, tuple(target))
 
 

@@ -105,7 +105,9 @@ class AvicommonsProvider:
         data = json.loads(raw_json)
         entries = data if isinstance(data, list) else data.get("entries", [])
         self._by_sci = {e["sciName"].lower(): e for e in entries
-                        if e.get("sciName") and e.get("key")}
+                        if e.get("sciName") and e.get("key")
+                        and e.get("code")}    # fetch() builds the URL
+                                              # from code: no code, no entry
         return len(self._by_sci)
 
     def fetch(self, scientific: str) -> ImageInfo | None:

@@ -78,6 +78,7 @@ class MqttClient:
         self.tls = tls
         self._sock: socket.socket | None = None
         self._lock = threading.Lock()
+        self._wlock = threading.Lock()     # serializes socket writes
         self._packet_id = 0
         self._connected = threading.Event()
         self._stop = threading.Event()
@@ -172,7 +173,8 @@ class MqttClient:
             try:
                 hdr, body = _read_packet(sock)
             except socket.timeout:
-                sock.sendall(bytes([_PINGREQ, 0]))   # keepalive
+                with self._wlock:
+                    sock.sendall(bytes([_PINGREQ, 0]))   # keepalive
                 continue
             t = hdr & 0xF0
             if t == _PUBLISH:
@@ -183,7 +185,9 @@ class MqttClient:
                 if qos:
                     pid = struct.unpack(">H", rest[:2])[0]
                     rest = rest[2:]
-                    sock.sendall(bytes([_PUBACK, 2]) + struct.pack(">H", pid))
+                    with self._wlock:
+                        sock.sendall(bytes([_PUBACK, 2])
+                                     + struct.pack(">H", pid))
                 self._dispatch(topic, rest)
             # PINGRESP/PUBACK/SUBACK need no action at QoS ≤ 1
 
@@ -217,7 +221,10 @@ class MqttClient:
             self.errors += 1
             return False
         try:
-            sock.sendall(pkt)
+            # a partial PUBLISH interleaved with the read loop's PINGREQ /
+            # PUBACK would corrupt the stream — one writer at a time
+            with self._wlock:
+                sock.sendall(pkt)
             self.published += 1
             return True
         except OSError:

@@ -254,8 +254,15 @@ class NotificationService:
                 breaker.call(subprocess.run, cmd, check=True, timeout=30,
                              capture_output=True)
             elif t.kind == "ntfy":
+                from birdnet_go_tpu.integrations.push_urls import (
+                    _NTFY_PRIORITY,
+                )
+
+                # ntfy rejects 'normal'/'critical' — map to its 1-5 scale
                 breaker.call(self._post, t.url, n.message.encode(),
-                             {"Title": n.title, "Priority": n.priority,
+                             {"Title": n.title,
+                              "Priority": _NTFY_PRIORITY.get(
+                                  n.priority, "3"),
                               **t.headers})
             elif t.kind == "push" or "://" in t.url \
                     and not t.url.startswith(("http://", "https://")):

@@ -77,8 +77,11 @@ class BatClassifier(MelCnnModel):
         if self._fused_ok():
             from birdnet_go_tpu.ops.pallas_melspec import melspec_fused
 
-            m = melspec_fused(pcm_i16, self.mel)
-            feats = m[..., None].astype(self.compute_dtype)
+            # emit the backbone's compute dtype directly (same HBM-traffic
+            # rationale as MelCnnModel.apply_int16)
+            m = melspec_fused(pcm_i16, self.mel,
+                              out_dtype=self.compute_dtype)
+            feats = m[..., None]
             out = apply_efficientnet(params["backbone"], feats, self.net,
                                      train=train,
                                      compute_dtype=self.compute_dtype)

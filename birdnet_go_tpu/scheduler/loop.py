@@ -78,7 +78,17 @@ class ModelBatcher:
         self.stats = BatcherStats()
         self.budget_seconds = self.spec.buffer_interval_seconds
 
-        self._staged = np.zeros((max_batch, self.spec.clip_samples), np.int16)
+        # Double-buffered staging: jnp.asarray zero-copies aligned numpy
+        # arrays on the CPU backend and dispatch is async, so next tick's
+        # offer() writes must land in a DIFFERENT buffer than the one the
+        # in-flight batch reads (batch i is harvested before buffer i is
+        # reused two ticks later).
+        self._staged_bufs = [
+            np.zeros((max_batch, self.spec.clip_samples), np.int16)
+            for _ in range(2)
+        ]
+        self._buf_idx = 0
+        self._staged = self._staged_bufs[0]
         self._meta: list[PendingWindow] = []
         self._inflight: tuple[Any, Any, list[PendingWindow], float] | None = None
         self._jnp = jnp
@@ -165,6 +175,10 @@ class ModelBatcher:
             self.classifier._range_mask)
         self._inflight = (vals, idx, cv, self._meta, time.monotonic())
         self._meta = []
+        # swap staging buffers: the batch just dispatched may alias the
+        # current buffer; subsequent offer() calls write the other one
+        self._buf_idx = 1 - self._buf_idx
+        self._staged = self._staged_bufs[self._buf_idx]
         self.stats.batches_dispatched += 1
         self.stats.last_batch_fill = n / self.max_batch
         return n
@@ -241,6 +255,10 @@ class DeviceLoop:
             rate = item[4] if len(item) > 4 else 0
             b = self.batchers.get(model_id)
             if b is None:
+                # model unloaded (or warmup failed) while windows were in
+                # flight: still a loss — count it (CLAUDE.md: every queue
+                # drop is accounted)
+                self.windows_dropped += 1
                 continue
             if not b.offer(pcm, source_id, start_time, rate):
                 q = self._backlog.setdefault(model_id, [])

@@ -71,6 +71,7 @@ class _TelemetryWorker:
             + f"/api/{project}/envelope/"
         self._queue: queue.Queue = queue.Queue(maxsize=capacity)
         self._seen: dict[str, float] = {}
+        self._seen_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.sent = 0
@@ -93,10 +94,19 @@ class _TelemetryWorker:
         message = _scrub(str(err))
         key = f"{component}:{category}:{message[:120]}"
         now = time.time()
-        if now - self._seen.get(key, 0) < 3600:
-            self.deduplicated += 1
-            return False
-        self._seen[key] = now
+        with self._seen_lock:
+            if now - self._seen.get(key, 0) < 3600:
+                self.deduplicated += 1
+                return False
+            self._seen[key] = now
+            if len(self._seen) > 4096:        # bounded dedup memory
+                cutoff = now - 3600
+                self._seen = {k: v for k, v in self._seen.items()
+                              if v >= cutoff}
+                if len(self._seen) > 4096:    # all fresh: drop oldest
+                    keep = sorted(self._seen.items(),
+                                  key=lambda kv: kv[1])[-2048:]
+                    self._seen = dict(keep)
         try:
             self._queue.put_nowait({
                 "event_id": uuid.uuid4().hex,

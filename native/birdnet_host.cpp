@@ -142,12 +142,14 @@ BN_API int64_t bn_ring_read_batch(void* h, int16_t* out,
 
 BN_API int64_t bn_ring_available(void* h) {
     auto* r = static_cast<AnalysisRing*>(h);
+    if (!r) return 0;                   // same graceful no-op as read/write
     std::lock_guard<std::mutex> lock(r->mu);
     return r->wpos - r->rpos;
 }
 
 BN_API int64_t bn_ring_lost(void* h) {
     auto* r = static_cast<AnalysisRing*>(h);
+    if (!r) return 0;
     std::lock_guard<std::mutex> lock(r->mu);
     return r->lost;
 }

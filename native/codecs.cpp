@@ -230,10 +230,17 @@ BN_API int64_t bn_opus_stream_encode(void* handle, const int16_t* pcm,
     size_t off = 0;
     const size_t frame_sz = (size_t)frame * s->channels;
     while (s->carry.size() - off >= frame_sz) {
+        // capacity precheck BEFORE encoding: once l.encode runs, the
+        // encoder's predictive state has consumed the frame, so bailing
+        // out afterwards would either duplicate it (carry kept) or glitch
+        // (packet dropped). Unencoded frames stay in carry for next call;
+        // callers size out_cap >= 16 KiB so this never fires in practice.
+        if (out_cap - written < 4 + (int64_t)sizeof(pkt)) break;
         int32_t n = l.encode(s->enc, s->carry.data() + off, frame, pkt,
                              (int32_t)sizeof(pkt));
-        if (n < 0) return -4;
-        if (written + 4 + n > out_cap) return -3;
+        if (n < 0) { s->carry.erase(s->carry.begin(),
+                                    s->carry.begin() + (long)off);
+                     return -4; }
         out[written + 0] = (unsigned char)(n & 0xff);
         out[written + 1] = (unsigned char)((n >> 8) & 0xff);
         out[written + 2] = (unsigned char)((n >> 16) & 0xff);

@@ -248,7 +248,10 @@ def test_catalog_install_analyze_raven_e2e(tmp_path, monkeypatch):
          "--output", str(out_dir), "--threshold", "0.5", "--rtype", "table"],
         capture_output=True, text=True, timeout=600,
         env=dict(__import__("os").environ,
-                 BIRDNET_TPU_MODELS=str(home)),
+                 BIRDNET_TPU_MODELS=str(home),
+                 # hermetic: the subprocess must not compile through the
+                 # remote TPU tunnel (minutes per new graph shape)
+                 BIRDNET_TPU_PLATFORM="cpu"),
         cwd=str(Path(__file__).resolve().parent.parent))
     assert proc.returncode == 0, proc.stderr
     assert "imported BirdNET_V2.4 from tflite" in proc.stderr \

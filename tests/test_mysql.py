@@ -157,17 +157,20 @@ class FakeMySQLServer(threading.Thread):
                 "SELECT name FROM sqlite_master WHERE type='table'")]
             self._rows(conn, ["Name"], [(n,) for n in names])
             return
+        if up.startswith("SHOW TABLES"):
+            names = [r[0] for r in self.db.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'")]
+            self._rows(conn, ["Tables_in_fake"], [(n,) for n in names])
+            return
+        if up.startswith("OPTIMIZE TABLE"):
+            self._rows(conn, ["Table", "Msg_text"],
+                       [(sql.split()[-1], "OK")])
+            return
         lite = self._to_sqlite(sql)
         cur = self.db.execute(lite)
         if up.startswith("SELECT"):
             cols = [d[0] for d in cur.description]
-            rows = [tuple("" if v is None else str(v) for v in r)
-                    for r in cur.fetchall()]
-            # represent NULLs properly
-            rows = []
-            cur = self.db.execute(lite)
-            for r in cur.fetchall():
-                rows.append(tuple(None if v is None else str(v) for v in r))
+            rows = cur.fetchall()
             self._rows(conn, cols, rows)
         else:
             self.db.commit()
@@ -196,12 +199,28 @@ class FakeMySQLServer(threading.Thread):
         return out
 
     def _rows(self, conn, cols, rows):
+        # per-column MySQL type inferred from the sqlite value types so
+        # the wire client's type-keyed coercion reproduces sqlite typing
+        # (LONGLONG=8, DOUBLE=5, VAR_STRING=253)
+        ctypes_ = []
+        for i, _ in enumerate(cols):
+            t = 253
+            for r in rows:
+                v = r[i]
+                if v is None:
+                    continue
+                if isinstance(v, bool) or isinstance(v, int):
+                    t = 8
+                elif isinstance(v, float):
+                    t = 5
+                break
+            ctypes_.append(t)
         seq = self._send(conn, _lenenc(len(cols)), 1)
-        for c in cols:
+        for c, t in zip(cols, ctypes_):
             coldef = (_lenenc_str(b"def") + _lenenc_str(b"") +
                       _lenenc_str(b"t") + _lenenc_str(b"t") +
                       _lenenc_str(c.encode()) + _lenenc_str(c.encode()) +
-                      b"\x0c" + struct.pack("<HIBHB", 45, 255, 253, 0, 0)
+                      b"\x0c" + struct.pack("<HIBHB", 45, 255, t, 0, 0)
                       + b"\x00\x00")
             seq = self._send(conn, coldef, seq)
         seq = self._eof(conn, seq)
@@ -261,7 +280,8 @@ def test_query_roundtrip_and_escaping(server):
     assert last == 1
     cols, rows = c.query("SELECT name, v FROM T WHERE id = ?", (1,))
     assert cols == ["name", "v"]
-    assert rows == [("it's a \\ test", "1.5")]
+    # values come back typed per the column-definition type byte
+    assert rows == [("it's a \\ test", 1.5)]
     assert "\\'" in server.queries[-2]         # quote was escaped
     with pytest.raises(MySQLError):
         c.query("SELECT broken syntax FROM")

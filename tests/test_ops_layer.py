@@ -85,6 +85,11 @@ def test_watchdog_quiet_hours_suppress():
     assert wd.state_of("s1") == SourceState.HEALTHY   # silence was expected
     quiet["s1"] = False
     wd.check()
+    # quiet-end grace: the 1 h quiet window must NOT count as silence —
+    # the source gets a fresh silence_timeout before any alarm
+    assert wd.state_of("s1") == SourceState.HEALTHY
+    clock["t"] += 61                       # past silence_timeout (60 s)
+    wd.check()
     assert wd.state_of("s1") == SourceState.ALARMED
 
 
