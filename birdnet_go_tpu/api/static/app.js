@@ -68,6 +68,18 @@ export function confMeter(c) {
   return el("span", { class: "conf" }, bar, `${pct}%`);
 }
 
+export function table(headers, rows) {
+  return el("table", { class: "data" },
+    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
+    el("tbody", {}, rows.map((r) =>
+      el("tr", {}, r.map((c) => el("td", {}, c))))));
+}
+
+export function isoDaysAgo(n) {
+  const d = new Date(Date.now() - n * 86400e3);
+  return d.toISOString().slice(0, 10);
+}
+
 let toastTimer = null;
 export function toast(msg, isError = false) {
   document.querySelectorAll(".toast").forEach((t) => t.remove());
@@ -95,7 +107,19 @@ export const LANGS = Object.keys(MESSAGES);
 const routes = {};
 export function route(name, loader) { routes[name] = loader; }
 
+// View lifecycle: resources a view acquires during render (EventSources,
+// WebSockets, intervals) register a cleanup here and are released on the
+// next navigation — otherwise every Dashboard visit leaks 3 SSE
+// connections and the per-origin HTTP/1.1 cap (6) hangs the whole SPA.
+let viewCleanups = [];
+export function onCleanup(fn) { viewCleanups.push(fn); }
+let navToken = 0;
+
 export async function navigate() {
+  const token = ++navToken;
+  for (const fn of viewCleanups.splice(0)) {
+    try { fn(); } catch (e) { /* teardown must never block navigation */ }
+  }
   const hash = (location.hash || "#/dashboard").slice(2);
   const [name, ...rest] = hash.split("/");
   const outlet = document.getElementById("outlet");
@@ -107,6 +131,7 @@ export async function navigate() {
   try {
     await loader(outlet, rest);
   } catch (e) {
+    if (token !== navToken) return;   // a newer navigation owns the outlet
     outlet.append(el("div", { class: "card" },
       el("h2", {}, "Error"), el("p", { class: "sub" }, e.message)));
   }
@@ -114,14 +139,26 @@ export async function navigate() {
 
 // ------------------------------------------------------------ SSE helper
 
-export function subscribe(path, onEvent) {
+/** Open an EventSource. Closed automatically on navigation unless
+    {scope: "app"} (app-lifetime subscriptions like the unread badge). */
+export function subscribe(path, onEvent, { scope = "view" } = {}) {
   const es = new EventSource(API + path);
   es.onmessage = (ev) => onEvent("message", ev.data);
   for (const kind of ["detection", "notification", "audiolevel",
                       "soundlevel", "install", "pending", "health"]) {
     es.addEventListener(kind, (ev) => onEvent(kind, ev.data));
   }
+  if (scope === "view") onCleanup(() => es.close());
   return es;
+}
+
+/** setInterval that survives callback errors and dies with the view. */
+export function viewInterval(fn, ms) {
+  const timer = setInterval(async () => {
+    try { await fn(); } catch (e) { /* keep polling */ }
+  }, ms);
+  onCleanup(() => clearInterval(timer));
+  return timer;
 }
 
 // ------------------------------------------------------------------- startup
@@ -151,7 +188,7 @@ export async function boot() {
     } catch (e) { badge.style.display = "none"; }
   };
   refreshBadge();
-  subscribe("/notifications/stream", refreshBadge);
+  subscribe("/notifications/stream", refreshBadge, { scope: "app" });
   // PWA: installable + offline shell
   if ("serviceWorker" in navigator) {
     navigator.serviceWorker.register("/sw.js").catch(() => {});

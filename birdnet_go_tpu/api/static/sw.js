@@ -40,7 +40,14 @@ self.addEventListener("fetch", (ev) => {
         }
         return resp;
       });
-      return hit ? (refresh.catch(() => {}), hit) : refresh;
+      if (hit) {
+        // anchor the revalidate: without waitUntil the worker may be
+        // terminated before caches.put lands, and this refresh is the
+        // ONLY upgrade path (no build-step cache-name bump)
+        ev.waitUntil(refresh.catch(() => {}));
+        return hit;
+      }
+      return refresh;
     }));
   }
 });

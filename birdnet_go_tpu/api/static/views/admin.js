@@ -7,7 +7,7 @@
    Panels fetch CONCURRENTLY into order-preserving slots — serialized
    awaits would make the page load time the sum of ~15 round-trips. */
 
-import { api, el, fmtNum, fmtTime, toast, t } from "../app.js";
+import { api, el, fmtNum, fmtTime, toast, t, table } from "../app.js";
 
 export async function renderAdminPanels(grid) {
   const card = (title, node) =>
@@ -228,7 +228,7 @@ async function clipsJobs(slot, card) {
     api("/filesystem/clips"), api("/system/jobs")]);
   const body = el("div", {},
     el("p", { class: "sub" },
-      `${count} file(s) in the export dir · jobqueue: `
+      `${count ?? files.length} file(s) in the export dir · jobqueue: `
       + `${jobs.completed ?? jobs.jobqueue?.completed ?? 0} done, `
       + `${jobs.failed ?? jobs.jobqueue?.failed ?? 0} failed`));
   if (files.length) {
@@ -290,9 +290,3 @@ function tile(label, value) {
     el("div", { class: "value", style: "font-size:20px" }, value ?? "–"));
 }
 
-function table(headers, rows) {
-  return el("table", { class: "data" },
-    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
-    el("tbody", {}, rows.map((r) =>
-      el("tr", {}, r.map((c) => el("td", {}, c))))));
-}

@@ -2,7 +2,7 @@
    import/export, and the fired-alert history.
    Consumes /api/v2/alerts/* (reference: internal/alerting rules engine). */
 
-import { api, el, clear, fmtTime, toast, t } from "../app.js";
+import { api, el, clear, fmtTime, toast, t, table } from "../app.js";
 
 export async function alertsView(outlet) {
   outlet.append(el("h1", {}, t("alerts")));
@@ -54,9 +54,11 @@ export async function alertsView(outlet) {
               } catch (e) { toast(e.message, true); }
             } }, "▶ Test"),
           el("button", { class: "small danger", onclick: async () => {
-            await api(`/alerts/rules/${r.rule_id}`, { method: "DELETE" });
-            toast("Rule deleted");
-            renderRules();
+            try {
+              await api(`/alerts/rules/${r.rule_id}`, { method: "DELETE" });
+              toast("Rule deleted");
+              renderRules();
+            } catch (e) { toast(e.message, true); }
           } }, "🗑"))])));
   }
 
@@ -165,9 +167,3 @@ function prioClass(p) {
   return p === "critical" ? "bad" : p === "high" ? "warn" : "info";
 }
 
-function table(headers, rows) {
-  return el("table", { class: "data" },
-    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
-    el("tbody", {}, rows.map((r) =>
-      el("tr", {}, r.map((c) => el("td", {}, c))))));
-}

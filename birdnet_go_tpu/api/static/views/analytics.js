@@ -1,7 +1,7 @@
 /* Analytics: species ranking, daily trend, hour×date heatmap, confidence
    histogram, diversity, accumulation, new species, dawn onset. */
 
-import { api, el, fmtNum, t } from "../app.js";
+import { api, el, fmtNum, t, table, isoDaysAgo } from "../app.js";
 import { barChart, hBarChart, heatmap, lineChart } from "../charts.js";
 
 export async function analyticsView(outlet) {
@@ -178,15 +178,7 @@ export async function analyticsView(outlet) {
   }
 }
 
-function iso(daysAgo) {
-  return new Date(Date.now() - daysAgo * 86400e3).toISOString().slice(0, 10);
-}
+const iso = isoDaysAgo;
 function round2(v) { return v == null ? null : Math.round(v * 100) / 100; }
 function err(e) { return el("div", { class: "empty" }, e.message); }
 
-function table(headers, rows) {
-  return el("table", { class: "data" },
-    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
-    el("tbody", {}, rows.map((r) =>
-      el("tr", {}, r.map((c) => el("td", {}, c))))));
-}

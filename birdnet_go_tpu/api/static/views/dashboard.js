@@ -3,7 +3,7 @@
    live-WAV stream — same pattern the reference's SPA uses over HLS),
    daily activity, stream health. */
 
-import { api, el, clear, fmtNum, fmtTime, confMeter, t, subscribe } from "../app.js";
+import { api, el, clear, fmtNum, fmtTime, confMeter, t, subscribe, isoDaysAgo } from "../app.js";
 import { barChart, sparkline } from "../charts.js";
 import { maybeShowWizard } from "./onboarding.js";
 
@@ -209,10 +209,6 @@ export async function dashboardView(outlet) {
   }
 }
 
-function isoDaysAgo(n) {
-  const d = new Date(Date.now() - n * 86400e3);
-  return d.toISOString().slice(0, 10);
-}
 
 async function renderWeather(card) {
   card.append(el("h2", {}, t("weather")));
@@ -279,7 +275,7 @@ async function renderLive(card) {
   card.append(el("div", { class: "row", style: "margin-bottom:8px" },
                  sel, playBtn, codecSel), canvas);
 
-  let audio = null, ctx = null, raf = 0, hlsTimer = 0;
+  let audio = null, ctx = null, raf = 0, hlsTimer = 0, hlsSrc = "";
   playBtn.addEventListener("click", async () => {
     if (audio) { stop(); return; }
     playBtn.textContent = "■ Stop";
@@ -291,6 +287,7 @@ async function renderLive(card) {
       // HLS session: start + keepalive heartbeats (reference audio_hls.go)
       try {
         await api(`/audio/hls/${srcId}/start`, { method: "POST", body: {} });
+        hlsSrc = srcId;                 // stop() must target THIS session
         hlsTimer = setInterval(() => api(`/audio/hls/${srcId}/heartbeat`,
           { method: "POST", body: {} }).catch(() => {}), 5000);
         mediaUrl = `/api/v2/audio/hls/${srcId}/playlist.m3u8`;
@@ -336,8 +333,11 @@ async function renderLive(card) {
     if (hlsTimer) {
       clearInterval(hlsTimer);
       hlsTimer = 0;
-      api(`/audio/hls/${encodeURIComponent(sel.value)}/stop`,
+      // the dropdown may have changed since play — stop the session that
+      // was actually started, not the currently selected source
+      api(`/audio/hls/${hlsSrc}/stop`,
           { method: "POST", body: {} }).catch(() => {});
+      hlsSrc = "";
     }
     if (audio) { audio.pause(); audio.src = ""; audio = null; }
     if (ctx) { ctx.close(); ctx = null; }

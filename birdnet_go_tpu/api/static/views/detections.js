@@ -1,7 +1,7 @@
 /* Detections browser: advanced search filters, paging, per-row review /
    lock / delete / comments / audio, and bulk actions over a selection. */
 
-import { api, el, clear, fmtTime, confMeter, toast, t } from "../app.js";
+import { api, el, clear, fmtTime, confMeter, toast, t, isoDaysAgo } from "../app.js";
 
 export async function detectionsView(outlet) {
   outlet.append(el("h1", {}, t("detections")));
@@ -100,8 +100,11 @@ export async function detectionsView(outlet) {
   async function load() {
     const body = { ...currentFilters(), limit: state.limit,
                    offset: state.offset };
-    const { detections, count } = await api("/detections/search",
-                                            { method: "POST", body });
+    let detections, count;
+    try {
+      ({ detections, count } = await api("/detections/search",
+                                         { method: "POST", body }));
+    } catch (e) { toast(e.message, true); return; }
     clear(tableCard);
     if (!detections.length) {
       tableCard.append(el("div", { class: "empty" }, t("no_data")));
@@ -182,15 +185,22 @@ export async function detectionsView(outlet) {
   }
 
   async function review(id, verdict) {
-    await api(`/detections/${id}/review`, { method: "POST",
-                                            body: { verdict } });
-    toast(`${t("review")}: ${verdict}`);
+    try {
+      await api(`/detections/${id}/review`, { method: "POST",
+                                              body: { verdict } });
+      toast(`${t("review")}: ${verdict}`);
+    } catch (e) { toast(e.message, true); }
   }
 
   async function toggleLock(d) {
-    if (d.locked) await api(`/detections/${d.id}/lock`, { method: "DELETE" });
-    else await api(`/detections/${d.id}/lock`,
-                   { method: "POST", body: { locked: true } });
+    try {
+      if (d.locked) {
+        await api(`/detections/${d.id}/lock`, { method: "DELETE" });
+      } else {
+        await api(`/detections/${d.id}/lock`,
+                  { method: "POST", body: { locked: true } });
+      }
+    } catch (e) { toast(e.message, true); return; }
     d.locked = !d.locked;
     load();
   }
@@ -252,29 +262,33 @@ export async function detectionsView(outlet) {
       existing.remove();
       return;
     }
-    const [{ comments }, { reviews }] = await Promise.all([
+    // NB: don't destructure into `comments` — it would shadow this
+    // function for the whole body (the Add button re-renders via it)
+    const [{ comments: commentList }, { reviews }] = await Promise.all([
       api(`/detections/${id}/comments`),
       api(`/detections/${id}/reviews`).catch(() => ({ reviews: [] }))]);
     const input = el("input", { placeholder: "Add a comment…", size: 40 });
     const list = el("div", {},
       reviews.map((r) => el("div", { class: "sub" },
         `✓ ${r.verdict}${r.comment ? ` — ${r.comment}` : ""}`)),
-      comments.map((c) =>
+      commentList.map((c) =>
         el("div", { class: "sub" }, `• ${c.text}`)));
     const addBtn = el("button", { class: "small primary", onclick: async () => {
       if (!input.value.trim()) return;
-      await api(`/detections/${id}/comments`,
-                { method: "POST", body: { text: input.value.trim() } });
+      try {
+        await api(`/detections/${id}/comments`,
+                  { method: "POST", body: { text: input.value.trim() } });
+      } catch (e) { toast(e.message, true); return; }
       input.value = "";
-      tr.nextElementSibling.remove();
+      // remove OUR panel row specifically (a spectrogram row may sit
+      // between tr and the comment row)
+      commentRow.remove();
       comments(tr, id);
     } }, "Add");
     const cell = el("td", { colspan: 7 },
       el("div", { class: "row" }, input, addBtn), list);
-    tr.after(el("tr", { class: "comment-row" }, cell));
+    const commentRow = el("tr", { class: "comment-row" }, cell);
+    tr.after(commentRow);
   }
 }
 
-function isoDaysAgo(n) {
-  return new Date(Date.now() - n * 86400e3).toISOString().slice(0, 10);
-}

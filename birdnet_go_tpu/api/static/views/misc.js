@@ -1,7 +1,7 @@
 /* Remaining views: notifications inbox, models gallery, species/taxonomy
    + range filter, and BirdNET-Pi import jobs. */
 
-import { api, el, clear, fmtNum, fmtTime, toast, t, subscribe } from "../app.js";
+import { api, el, clear, fmtNum, fmtTime, toast, t, subscribe, table, viewInterval } from "../app.js";
 
 // ------------------------------------------------------------- notifications
 
@@ -9,7 +9,8 @@ export async function notificationsView(outlet) {
   outlet.append(el("h1", {}, t("notifications")));
   outlet.append(el("div", { class: "row", style: "margin-bottom:10px" },
     el("button", { onclick: async () => {
-      await api("/notifications/read-all", { method: "PUT" });
+      await api("/notifications/read-all", { method: "PUT" })
+        .catch((e) => toast(e.message, true));
       render();
     } }, "Mark all read"),
     el("button", { onclick: async () => {
@@ -38,11 +39,13 @@ export async function notificationsView(outlet) {
         el("span", { class: "time" }, fmtTime(n.timestamp)),
         el("button", { class: "small", title: "mark read",
           onclick: async () => {
-            await api(`/notifications/${n.id}/read`, { method: "PUT" });
+            await api(`/notifications/${n.id}/read`, { method: "PUT" })
+              .catch((e) => toast(e.message, true));
             render();
           } }, "✓"),
         el("button", { class: "small danger", onclick: async () => {
-          await api(`/notifications/${n.id}`, { method: "DELETE" });
+          await api(`/notifications/${n.id}`, { method: "DELETE" })
+            .catch((e) => toast(e.message, true));
           render();
         } }, "🗑")));
     }
@@ -314,7 +317,9 @@ export async function importsView(outlet) {
                 { method: "POST", body: { path: path.value.trim() } });
       toast("Import started");
       renderJobs();
-      const timer = setInterval(async () => {
+      // viewInterval: survives a failed poll (server restart mid-import)
+      // and dies with the view instead of firing forever
+      const timer = viewInterval(async () => {
         const { jobs } = await api("/imports/jobs");
         renderJobs();
         if (!jobs.some((j) => j.status === "running"
@@ -352,9 +357,3 @@ function debounce(fn, ms) {
   return (...a) => { clearTimeout(h); h = setTimeout(() => fn(...a), ms); };
 }
 
-function table(headers, rows) {
-  return el("table", { class: "data" },
-    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
-    el("tbody", {}, rows.map((r) => el("tr", {},
-      r.map((c) => el("td", {}, c))))));
-}

@@ -11,6 +11,9 @@ export async function maybeShowWizard() {
     cfg = await api("/app/config");
   } catch (e) { return; }
   if (cfg.location_configured || cfg.wizard_dismissed) return;
+  // navigate() clears only #outlet — guard against stacking an overlay
+  // per Dashboard visit
+  if (document.querySelector(".wizard-overlay")) return;
 
   const overlay = el("div", { class: "wizard-overlay" });
   const box = el("div", { class: "wizard card" });

@@ -3,7 +3,7 @@
    scores at the configured location, included-species list + CSV export,
    a test-a-location form, and rebuild. Consumes /api/v2/range/*. */
 
-import { api, el, clear, fmtNum, toast, t } from "../app.js";
+import { api, el, clear, fmtNum, toast, t, table } from "../app.js";
 
 export async function rangeView(outlet) {
   outlet.append(el("h1", {}, "Range filter"));
@@ -175,9 +175,3 @@ function heatColor(v) {
   return `rgba(${r},${g},${b},${0.35 + 0.65 * v})`;
 }
 
-function table(headers, rows) {
-  return el("table", { class: "data" },
-    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
-    el("tbody", {}, rows.map((r) =>
-      el("tr", {}, r.map((c) => el("td", {}, c))))));
-}

@@ -2,7 +2,7 @@
    inference + scheduler status, recent errors, control signals, restart,
    support bundle, devices. */
 
-import { api, el, fmtNum, toast, t } from "../app.js";
+import { api, el, fmtNum, toast, t, table, onCleanup } from "../app.js";
 import { sparkline } from "../charts.js";
 import { renderAdminPanels } from "./admin.js";
 
@@ -157,6 +157,7 @@ export async function systemView(outlet) {
     if (sock) { sock.close(); sock = null; connectBtn.textContent = "Connect"; return; }
     const proto = location.protocol === "https:" ? "wss" : "ws";
     sock = new WebSocket(`${proto}://${location.host}/api/v2/system/ws`);
+    onCleanup(() => { if (sock) { sock.close(); sock = null; } });
     sock.binaryType = "arraybuffer";
     sock.onmessage = (ev) => {
       const text = new TextDecoder().decode(ev.data)
@@ -197,9 +198,3 @@ export async function systemView(outlet) {
 }
 
 function err(e) { return el("div", { class: "empty" }, e.message); }
-function table(headers, rows) {
-  return el("table", { class: "data" },
-    el("thead", {}, el("tr", {}, headers.map((h) => el("th", {}, h)))),
-    el("tbody", {}, rows.map((r) => el("tr", {},
-      r.map((c) => el("td", {}, c))))));
-}

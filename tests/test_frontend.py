@@ -171,3 +171,38 @@ def test_i18n_has_15_locales_with_full_key_parity():
         missing = [k for k in en_keys
                    if k not in ("en", "MESSAGES") and f"{k}:" not in block]
         assert not missing, f"{loc} missing {missing}"
+
+
+def test_view_imports_resolve_against_app_exports():
+    """Every name a view imports from ../app.js (or ../charts.js) must be
+    exported there — with no browser in CI, an import of a missing export
+    would only surface as a blank page in production."""
+    import re
+
+    static = STATIC
+    exports = {}
+    for mod in ("app.js", "charts.js"):
+        src = (static / mod).read_text()
+        names = set(re.findall(
+            r"export (?:async )?(?:function|const|let) (\w+)", src))
+        exports[mod] = names
+    for view in sorted((static / "views").glob("*.js")):
+        src = view.read_text()
+        for m in re.finditer(
+                r'import \{ ([^}]+) \} from "\.\./(app|charts)\.js"', src):
+            wanted = {x.strip() for x in m.group(1).split(",")}
+            missing = wanted - exports[f"{m.group(2)}.js"]
+            assert not missing, f"{view.name}: missing {missing}"
+        # sibling-view imports must name real files
+        for m in re.finditer(r'from "\./(\w+\.js)"', src):
+            assert (static / "views" / m.group(1)).is_file(), \
+                f"{view.name} imports missing ./{m.group(1)}"
+
+
+def test_views_use_shared_helpers_not_local_copies():
+    """table()/isoDaysAgo() live in app.js — local redefinitions drift."""
+    static = STATIC
+    for view in sorted((static / "views").glob("*.js")):
+        src = view.read_text()
+        assert "function table(" not in src, view.name
+        assert "function isoDaysAgo(" not in src, view.name
