@@ -182,6 +182,10 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         r.add_get(f"{v2}/analytics/summary", self.h_summary)
         r.add_get(f"{v2}/analytics/daily", self.h_daily)
         r.add_get(f"{v2}/analytics/hourly", self.h_hourly)
+        # reference route-group aliases (api.go analytics/distribution/*)
+        r.add_get(f"{v2}/analytics/distribution/hourly", self.h_hourly)
+        r.add_get(f"{v2}/analytics/distribution/species",
+                  self.h_species_distribution)
         r.add_get(f"{v2}/analytics/heatmap", self.h_heatmap)
         r.add_get(f"{v2}/analytics/confidence", self.h_confidence)
         r.add_get(f"{v2}/analytics/species/first-seen", self.h_first_seen)
@@ -562,6 +566,13 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
     async def h_hourly(self, request):
         return _json(self.ctx.datastore.hourly_distribution(
             request.query.get("date"), request.query.get("species")))
+
+    async def h_species_distribution(self, request):
+        """Detection-count distribution across species (reference:
+        analytics/distribution/species)."""
+        limit = min(int(request.query.get("limit", 50)), 500)
+        rows = self.ctx.datastore.species_summary()[:limit]
+        return _json({"species": rows})
 
     async def h_heatmap(self, request):
         today = _dt.date.today()

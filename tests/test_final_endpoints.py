@@ -102,3 +102,17 @@ def test_manifest_and_restart_route_exist(tiny_app):
         time.sleep(1.0)
         assert mock_kill.called
     app.stop()
+
+
+def test_distribution_aliases(tiny_app):
+    from tests.test_api_ext import _req
+    from tests.test_realtime_core import _detection
+
+    app = tiny_app
+    app.start(warmup=False)
+    port = app.settings.webserver.port
+    app.datastore.insert_detection(_detection())
+    hourly = _req(port, "/analytics/distribution/hourly")
+    assert isinstance(hourly, list) and len(hourly) == 24
+    sp = _req(port, "/analytics/distribution/species")
+    assert sp["species"] and "scientific_name" in sp["species"][0]
