@@ -134,11 +134,14 @@ class Application:
 
         # range filter (geomodel) — startup build (range_filter.go:100)
         included = None
-        if s.range_filter.enabled and s.location.latitude is not None:
+        if s.range_filter.enabled and s.location.latitude is not None \
+                and enabled:
             g, gparams = load_geomodel(
                 num_species=len(self.labels[enabled[0].model_id]))
             self._range_filter = JaxRangeFilter(g, gparams)
             included = self._compute_included_species()
+        elif s.range_filter.enabled and not enabled:
+            log.warning("range filter enabled but no models are — skipped")
 
         # 2. datastore (sqlite default; mysql via the wire-level driver)
         if s.database.type == "mysql":
@@ -257,67 +260,20 @@ class Application:
             self.api = ApiServer(self, host=s.webserver.host,
                                  port=s.webserver.port)
 
-        # 6. integrations
-        self.mqtt = None
-        if s.mqtt.enabled:
-            from birdnet_go_tpu.integrations.mqtt import MqttClient
-
-            self.mqtt = MqttClient(
-                s.mqtt.host, s.mqtt.port, client_id="birdnet-tpu",
-                username=s.mqtt.username, password=s.mqtt.password,
-                tls=s.mqtt.tls)
-        self.birdweather = None
-        if s.birdweather.enabled and s.birdweather.station_token:
-            from birdnet_go_tpu.integrations.birdweather import (
-                BirdWeatherClient,
-                BirdWeatherConfig,
-            )
-
-            self.birdweather = BirdWeatherClient(BirdWeatherConfig(
-                station_token=s.birdweather.station_token,
-                latitude=s.location.latitude,
-                longitude=s.location.longitude))
-        self.weather_poller = None
-        if s.weather.provider != "none" and s.location.latitude is not None:
-            from birdnet_go_tpu.integrations.weather import (
-                OpenWeatherProvider,
-                WeatherPoller,
-                YrNoProvider,
-            )
-
-            if s.weather.provider == "openweather" \
-                    and s.weather.openweather_api_key:
-                provider = OpenWeatherProvider(
-                    s.location.latitude, s.location.longitude,
-                    s.weather.openweather_api_key)
-            elif s.weather.provider == "wunderground" \
-                    and s.weather.wunderground_api_key:
-                from birdnet_go_tpu.integrations.weather import (
-                    WundergroundProvider,
-                )
-
-                provider = WundergroundProvider(
-                    s.weather.wunderground_station_id,
-                    s.weather.wunderground_api_key)
-            else:
-                provider = YrNoProvider(s.location.latitude,
-                                        s.location.longitude)
-            self.weather_poller = WeatherPoller(
-                provider, self.datastore,
-                interval_seconds=s.weather.poll_interval_hours * 3600)
+        # 6. integrations — constructed by the same _reconfigure_*
+        # handlers the control bus uses, so setup and live reconfigure
+        # can't drift (they no-op the .start() parts until _started)
+        self._reconfigure_mqtt()
+        self._reconfigure_birdweather()
+        self._reconfigure_weather()
         from birdnet_go_tpu.integrations.notification import (
             Notification,
             NotificationInbox,
-            NotificationService,
-            NotificationTarget,
         )
 
         self.notification_inbox = NotificationInbox(
             store=getattr(self, "datastore", None))
-        self.notifications = NotificationService(
-            [NotificationTarget(**t) for t in s.notification.targets],
-            inbox=self.notification_inbox,
-            on_stored=self._on_notification_stored)
+        self._reconfigure_notifications()
         # config validation warnings land in the inbox so the UI shows
         # them (reference surfaces them as notifications, main.go:212-227);
         # skip ones already in the (now persistent) inbox so restarts
@@ -708,14 +664,15 @@ class Application:
         model, params = load_model(model_id, checkpoint=checkpoint)
         clf = self._make_classifier(model, params)
         self.classifiers[model_id] = clf
-        self.labels[model_id] = load_labels(
-            self.settings.data_dir, model_id=model_id,
-            expected_count=clf.num_species)
         ms = next((m for m in self.settings.models
                    if m.model_id == model_id), None)
         if ms is None:
             ms = ModelSettings(model_id=model_id)
             self.settings.models.append(ms)
+        # honor the model's configured locale, exactly like startup
+        self.labels[model_id] = load_labels(
+            self.settings.data_dir, model_id=model_id,
+            locale=ms.locale, expected_count=clf.num_species)
         self.processor.labels_by_model[model_id] = self.labels[model_id]
         self.processor._model_settings[model_id] = ms
         batcher = ModelBatcher(
@@ -735,6 +692,11 @@ class Application:
         # AnalysisBuffer tap for the new spec (buffer_manager UpdateMonitors
         # analogue) — without this the model would never receive windows.
         if self.engine is not None:
+            # register the configured per-model overlap BEFORE the taps
+            # are built, or the new model falls back to the 50% default
+            # hop unlike the same model enabled at startup
+            if ms.overlap:
+                self.engine.overlaps[model_id] = ms.overlap
             self.engine.add_model(model.spec)
         log.info("model %s loaded at runtime", model_id)
         return True
@@ -765,6 +727,16 @@ class Application:
 
     def _add_source_from_config(self, cfg: dict) -> None:
         stype = cfg.get("type", "file")
+        # a malformed entry must not abort startup or leave a live
+        # reconfigure half-applied — skip it with a log instead
+        if stype == "file" and not cfg.get("path"):
+            log.warning("file source %r missing 'path': skipped",
+                        cfg.get("id", "?"))
+            return None
+        if stype in ("rtsp", "http") and not cfg.get("url"):
+            log.warning("%s source %r missing 'url': skipped", stype,
+                        cfg.get("id", "?"))
+            return None
         if stype == "file":
             src = FileLoopSource(self.engine, cfg["path"],
                                  source_id=cfg.get("id"),
@@ -843,7 +815,14 @@ class Application:
         if self.api is not None:
             self.api.start()
         for src in self._sources:
-            src.start()
+            try:
+                src.start()
+            except Exception:
+                # degrade per source (one unopenable soundcard must not
+                # abort a half-started app)
+                log.exception("source %s start failed",
+                              getattr(getattr(src, "source", None),
+                                      "source_id", "?"))
             if self.watchdog is not None and self.settings.liveness.enabled:
                 self.watchdog.track(src.source.source_id)
         if self.watchdog is not None and self.settings.liveness.enabled:
@@ -856,17 +835,7 @@ class Application:
         self.metrics_history = MetricsHistory(
             clip_dir=self.settings.export.path)
         self.metrics_history.start()
-        if self.settings.soundlevel.enabled \
-                and (self.api is not None or self.mqtt is not None):
-            from birdnet_go_tpu.analysis.soundlevel_worker import (
-                SoundLevelWorker,
-            )
-
-            self.soundlevel = SoundLevelWorker(
-                self.engine, sse=self.api.sse if self.api else None,
-                mqtt=self.mqtt, mqtt_topic=self.settings.mqtt.topic,
-                interval_seconds=self.settings.soundlevel.interval_seconds)
-            self.soundlevel.start()
+        self._reconfigure_sound_level()
         from birdnet_go_tpu.analysis.pipeline_stats import PipelineStatsLogger
 
         self.pipeline_stats = PipelineStatsLogger(self.device_loop,
@@ -890,7 +859,14 @@ class Application:
         if self.backup is not None:
             self.backup.stop()
         for src in self._sources:
-            src.stop()
+            try:
+                src.stop()
+            except Exception:
+                # one wedged source must not abort the rest of shutdown
+                # (final flush, threshold persistence, datastore close)
+                log.exception("source %s stop failed",
+                              getattr(getattr(src, "source", None),
+                                      "source_id", "?"))
         self.device_loop.stop()
         self.flusher.stop()
         self.processor.flush(now=time.time() + 1e6)   # final drain
@@ -1151,7 +1127,9 @@ class Application:
 
     def range_filter_scores_batch(self, coords: np.ndarray) -> np.ndarray:
         """[N, 3] (lat, lon, week) grid → [N, S] (range heatmap)."""
-        coords = np.asarray(coords, np.float32)
+        # copy: np.asarray is a no-op view for float32 input and the
+        # week-default fill below must not clobber the caller's grid
+        coords = np.array(coords, np.float32, copy=True)
         week_default = float(birdnet_week(_dt.date.today()))
         coords[:, 2] = np.where(coords[:, 2] <= 0, week_default,
                                 coords[:, 2])
@@ -1159,6 +1137,9 @@ class Application:
 
     def _ensure_range_filter(self) -> JaxRangeFilter:
         if self._range_filter is None:
+            if not self.labels:
+                raise RuntimeError(
+                    "range filter needs at least one loaded model's labels")
             g, gparams = load_geomodel(
                 num_species=len(next(iter(self.labels.values()))))
             self._range_filter = JaxRangeFilter(g, gparams)

@@ -267,13 +267,15 @@ class DeviceLoop:
                 else:                       # overload: drop WITH accounting
                     self.windows_dropped += 1
         dispatched = 0
-        for b in self.batchers.values():
+        # snapshot: runtime model load/unload (API threads) mutates the
+        # dict while this thread iterates
+        for b in list(self.batchers.values()):
             dispatched += b.dispatch()
         self.ticks += 1
         return dispatched
 
     def drain(self) -> None:
-        for b in self.batchers.values():
+        for b in list(self.batchers.values()):
             b.harvest()
 
     def start(self) -> None:

@@ -58,8 +58,12 @@ class WindowDataset:
         labels_1h = self.one_hot()
         for _ in range(epochs):
             order = rng.permutation(n)
-            for start in range(0, n - batch_size + 1, batch_size):
+            for start in range(0, n, batch_size):
                 idx = order[start:start + batch_size]
+                # the tail yields a SHORT batch rather than being dropped —
+                # a dataset smaller than batch_size must still train
+                # (cli train would otherwise save a random-init checkpoint
+                # after 0 steps)
                 yield self.windows[idx], labels_1h[idx]
 
 

@@ -18,6 +18,7 @@
 #include <cstring>
 #include <mutex>
 #include <new>
+#include <string>
 #include <vector>
 
 #include <dlfcn.h>
@@ -306,13 +307,17 @@ BN_API long bn_alsa_list_devices(char* out, long cap) {
         // capture-capable: IOID null (both) or "Input"
         bool capture = (ioid == nullptr) || (std::strcmp(ioid, "Input") == 0);
         if (capture && name) {
-            const char* d = desc ? desc : "";
-            long need = static_cast<long>(std::strlen(name) + std::strlen(d))
-                        + 2;
+            // DESC is routinely two lines ("card, device\nusage") — embedded
+            // newlines/tabs would corrupt the name\tdesc\n record framing
+            std::string d = desc ? desc : "";
+            for (char& c : d) {
+                if (c == '\n' || c == '\t') c = ' ';
+            }
+            long need = static_cast<long>(std::strlen(name) + d.size()) + 2;
             if (written + need >= cap) { capture = false; }
             else {
                 written += std::snprintf(out + written, cap - written,
-                                         "%s\t%s\n", name, d);
+                                         "%s\t%s\n", name, d.c_str());
             }
         }
         std::free(name);

@@ -317,8 +317,8 @@ static LameLib& lamelib() {
             l.flush = (lame_flush_fn)dlsym(l.handle, "lame_encode_flush");
             l.close = (lame_close_fn)dlsym(l.handle, "lame_close");
             if (!l.init || !l.set_in_samplerate || !l.set_num_channels ||
-                !l.set_brate || !l.init_params || !l.encode_buffer ||
-                !l.flush || !l.close) {
+                !l.set_brate || !l.set_quality || !l.init_params ||
+                !l.encode_buffer || !l.flush || !l.close) {
                 dlclose(l.handle);
                 l.handle = nullptr;
             }
