@@ -98,13 +98,28 @@ class ProcessorStats:
 
 
 def _is_human(sp: Species) -> bool:
+    """Human-vocalization classes drive the privacy filter. BirdNET-style
+    labels say "Human ..." outright; Perch's FSD50K classes
+    ("male_speech_and_man_speaking", "laughter") are resolved via the
+    nonbird taxonomy (reference: vocalization_labels.go + nonbird
+    CategoryHuman)."""
+    from birdnet_go_tpu.taxonomy import nonbird
+
     s = (sp.scientific + " " + sp.common).lower()
-    return "human" in s
+    if "human" in s:
+        return True
+    return nonbird.category_of(sp.scientific) == nonbird.HUMAN \
+        or nonbird.category_of(sp.common) == nonbird.HUMAN
 
 
 def _is_dog(sp: Species) -> bool:
     s = (sp.scientific + " " + sp.common).lower()
-    return s.startswith("dog") or " dog" in s or "canis familiaris" in s
+    if s.startswith("dog") or " dog" in s or "canis familiaris" in s:
+        return True
+    from birdnet_go_tpu.taxonomy import nonbird
+
+    return nonbird.category_of(sp.scientific) in ("animal",) \
+        and "bark" in s
 
 
 class Processor:

@@ -1160,8 +1160,16 @@ class ExtendedHandlers:
         canon = canonical_name(name)
         meta = dict(species_metadata(canon) or {})
         meta.pop("scientific_name", None)      # don't shadow the echo
-        return _json({"scientific_name": name, "canonical_name": canon,
-                      "aliased": canon != name, **meta})
+        from birdnet_go_tpu.taxonomy import nonbird
+
+        out = {"scientific_name": name, "canonical_name": canon,
+               "aliased": canon != name, **meta}
+        cat = nonbird.category_of(name) or nonbird.category_of(canon)
+        if cat:
+            # non-taxa sound class (labels/nonbird role): the UI badges
+            # these instead of linking taxonomy pages
+            out["nonbird_category"] = cat
+        return _json(out)
 
     async def h_species_locales(self, request):
         from birdnet_go_tpu.taxonomy.speciesdict import available_locales

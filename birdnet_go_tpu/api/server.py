@@ -290,20 +290,33 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             order=q.get("order", "desc"),
         )
 
+    @staticmethod
+    def _annotate_nonbird(rows):
+        """Tag non-taxa sound classes so the UI can badge them instead of
+        rendering them as species (labels/nonbird role)."""
+        from birdnet_go_tpu.taxonomy import nonbird
+
+        for r in rows:
+            cat = nonbird.category_of(r.get("scientific_name", ""))
+            if cat:
+                r["nonbird_category"] = cat
+        return rows
+
     async def h_detections(self, request):
-        rows = self.ctx.datastore.search_detections(
-            **self._detection_query(request.query))
+        rows = self._annotate_nonbird(self.ctx.datastore.search_detections(
+            **self._detection_query(request.query)))
         return _json({"detections": rows, "count": len(rows)})
 
     async def h_recent(self, request):
         limit = min(int(request.query.get("limit", 10)), 100)
-        return _json(self.ctx.datastore.recent_detections(limit))
+        return _json(self._annotate_nonbird(
+            self.ctx.datastore.recent_detections(limit)))
 
     async def h_detection(self, request):
         row = self.ctx.datastore.get_detection(int(request.match_info["id"]))
         if row is None:
             return _json({"error": "not found"}, status=404)
-        return _json(row)
+        return _json(self._annotate_nonbird([row])[0])
 
     async def h_delete_detection(self, request):
         try:
@@ -349,7 +362,8 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             limit=min(int(body.get("limit", 100)), 1000),
             offset=int(body.get("offset", 0)),
             order=body.get("order", "desc"))
-        return _json({"detections": rows, "count": len(rows)})
+        return _json({"detections": self._annotate_nonbird(rows),
+                      "count": len(rows)})
 
     async def h_detections_stream(self, request):
         resp = web.StreamResponse(headers={

@@ -173,7 +173,11 @@ export async function detectionsView(outlet) {
       el("td", {}, el("span", {},
         el("strong", {}, d.common_name || ""), " ",
         el("span", { class: "sub", style: "font-style:italic" },
-           d.scientific_name))),
+           d.scientific_name),
+        d.nonbird_category
+          ? el("span", { class: "pill info", style: "margin-left:6px" },
+               d.nonbird_category)
+          : null)),
       el("td", {}, confMeter(d.confidence)),
       el("td", {}, d.source_id),
       el("td", {}, d.clip_name

@@ -135,6 +135,14 @@ class ImageProviderService:
         self.negative_hits = 0
 
     def get_image(self, scientific: str) -> ImageInfo | None:
+        from birdnet_go_tpu.taxonomy import nonbird
+
+        if nonbird.is_nonbird_name(scientific):
+            # FSD50K sound classes ("Engine", "power_tool") are not taxa —
+            # querying Wikipedia for them wastes the rate limit and caches
+            # junk (reference: imageprovider.go nonbird.IsNonBirdName gate)
+            self.negative_hits += 1
+            return None
         key = scientific.lower()
         now = self.clock()
         with self._lock:
