@@ -593,7 +593,20 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         dfrom = request.query.get("from",
                                   (today - _dt.timedelta(days=30)).isoformat())
         dto = request.query.get("to", today.isoformat())
-        return _json(self.ctx.datastore.detection_heatmap(dfrom, dto))
+        data = self.ctx.datastore.detection_heatmap(dfrom, dto)
+        if request.query.get("format", "").lower() == "csv":
+            # non-zero cells only, one row per (date, hour) — reference:
+            # analytics.go writeActivityHeatmapCSV
+            lines = ["date,hour,count"]
+            for date in sorted(data):
+                for hour, n in enumerate(data[date]):
+                    if n:
+                        lines.append(f"{date},{hour},{n}")
+            return web.Response(
+                text="\n".join(lines) + "\n", content_type="text/csv",
+                headers={"Content-Disposition":
+                         'attachment; filename="heatmap.csv"'})
+        return _json(data)
 
     async def h_confidence(self, request):
         return _json(self.ctx.datastore.confidence_histogram())

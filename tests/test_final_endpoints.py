@@ -116,3 +116,25 @@ def test_distribution_aliases(tiny_app):
     assert isinstance(hourly, list) and len(hourly) == 24
     sp = _req(port, "/analytics/distribution/species")
     assert sp["species"] and "scientific_name" in sp["species"][0]
+
+
+def test_heatmap_csv_format(tiny_app):
+    """?format=csv streams non-zero cells (reference: analytics.go
+    writeActivityHeatmapCSV)."""
+    import urllib.request
+
+    from tests.test_realtime_core import _detection
+
+    app = tiny_app
+    app.start(warmup=False)
+    port = app.settings.webserver.port
+    app.datastore.insert_detection(_detection())
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/analytics/heatmap"
+            "?format=csv&from=2023-01-01&to=2024-12-31",
+            timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("text/csv")
+        body = r.read().decode()
+    lines = body.strip().split("\n")
+    assert lines[0] == "date,hour,count"
+    assert len(lines) >= 2 and lines[1].count(",") == 2
