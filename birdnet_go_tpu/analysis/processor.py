@@ -97,29 +97,45 @@ class ProcessorStats:
     discard_reasons: dict[str, int] = dataclasses.field(default_factory=dict)
 
 
+def _raw_label(sp: Species) -> str:
+    """Reconstruct the raw model label. Species.parse splits on the first
+    underscore, so single-word FSD50K classes ("Growling") have an empty
+    common part — sp.label would add a spurious trailing underscore."""
+    return sp.label if sp.common else sp.scientific
+
+
+# Perch v2 dog sound classes + the domestic dog taxon. Wild canids (wolf,
+# coyote) stay detectable as wildlife (reference: perchDogLabels,
+# vocalization_labels.go:72-77 — "Growling" is the AudioSet child of Dog).
+_DOG_LABELS = frozenset({"dog", "bark", "growling", "canis familiaris"})
+
+
 def _is_human(sp: Species) -> bool:
-    """Human-vocalization classes drive the privacy filter. BirdNET-style
-    labels say "Human ..." outright; Perch's FSD50K classes
-    ("male_speech_and_man_speaking", "laughter") are resolved via the
-    nonbird taxonomy (reference: vocalization_labels.go + nonbird
-    CategoryHuman)."""
+    """Human-vocalization classes drive the privacy filter. Matches the
+    RAW label like the reference (vocalization_labels.go): BirdNET's
+    locale-stable "Human ..." English prefix (trailing space is
+    load-bearing — the cicada "Pacarina schumanni" contains "human"),
+    Perch's FSD50K speech classes via the nonbird taxonomy, and the
+    iNaturalist taxon "homo sapiens"."""
     from birdnet_go_tpu.taxonomy import nonbird
 
-    s = (sp.scientific + " " + sp.common).lower()
-    if "human" in s:
+    raw = _raw_label(sp)
+    if nonbird.category_of(raw) == nonbird.HUMAN:
         return True
-    return nonbird.category_of(sp.scientific) == nonbird.HUMAN \
-        or nonbird.category_of(sp.common) == nonbird.HUMAN
+    lowered = raw.lower()
+    if lowered == "homo sapiens" or sp.scientific.lower() == "homo sapiens":
+        return True
+    return lowered.startswith("human ")
 
 
 def _is_dog(sp: Species) -> bool:
-    s = (sp.scientific + " " + sp.common).lower()
-    if s.startswith("dog") or " dog" in s or "canis familiaris" in s:
+    """Dog-bark-filter classes, matched on the RAW label: Perch classes
+    exactly (incl. "Growling"), BirdNET's "Dog_<common>" by the "dog_"
+    prefix (the underscore excludes the katydid "Poecilimon doga")."""
+    lowered = _raw_label(sp).lower()
+    if lowered in _DOG_LABELS or sp.scientific.lower() in _DOG_LABELS:
         return True
-    from birdnet_go_tpu.taxonomy import nonbird
-
-    return nonbird.category_of(sp.scientific) in ("animal",) \
-        and "bark" in s
+    return lowered.startswith("dog_")
 
 
 class Processor:

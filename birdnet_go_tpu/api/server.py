@@ -297,7 +297,8 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         from birdnet_go_tpu.taxonomy import nonbird
 
         for r in rows:
-            cat = nonbird.category_of(r.get("scientific_name", ""))
+            cat = nonbird.category_of_parsed(
+                r.get("scientific_name", ""), r.get("common_name", ""))
             if cat:
                 r["nonbird_category"] = cat
         return rows

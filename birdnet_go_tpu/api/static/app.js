@@ -128,11 +128,17 @@ export async function navigate() {
   });
   const loader = routes[name] || routes.dashboard;
   clear(outlet);
+  // each view renders into its OWN container: when a slow view's awaits
+  // resolve after a newer navigation, its late DOM lands in a detached
+  // node instead of the next view's outlet (resources it registers late
+  // are swept one navigation later by the cleanup list)
+  const view = el("div", { class: "view" });
+  outlet.append(view);
   try {
-    await loader(outlet, rest);
+    await loader(view, rest);
   } catch (e) {
     if (token !== navToken) return;   // a newer navigation owns the outlet
-    outlet.append(el("div", { class: "card" },
+    view.append(el("div", { class: "card" },
       el("h2", {}, "Error"), el("p", { class: "sub" }, e.message)));
   }
 }

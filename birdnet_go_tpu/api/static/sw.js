@@ -34,11 +34,13 @@ self.addEventListener("fetch", (ev) => {
     // next load (there is no build step to bump the cache name).
     ev.respondWith(caches.match(ev.request).then((hit) => {
       const refresh = fetch(ev.request).then((resp) => {
-        if (resp.ok) {
-          const copy = resp.clone();
-          caches.open(CACHE).then((c) => c.put(ev.request, copy));
-        }
-        return resp;
+        if (!resp.ok) return resp;
+        const copy = resp.clone();
+        // the put must be INSIDE the chain waitUntil anchors — a
+        // fire-and-forget put can be killed with the worker
+        return caches.open(CACHE)
+          .then((c) => c.put(ev.request, copy))
+          .then(() => resp);
       });
       if (hit) {
         // anchor the revalidate: without waitUntil the worker may be

@@ -3,7 +3,7 @@
    live-WAV stream — same pattern the reference's SPA uses over HLS),
    daily activity, stream health. */
 
-import { api, el, clear, fmtNum, fmtTime, confMeter, t, subscribe, isoDaysAgo } from "../app.js";
+import { api, el, clear, fmtNum, fmtTime, confMeter, t, subscribe, isoDaysAgo, onCleanup } from "../app.js";
 import { barChart, sparkline } from "../charts.js";
 import { maybeShowWizard } from "./onboarding.js";
 
@@ -327,6 +327,8 @@ async function renderLive(card) {
     };
     draw();
   });
+  onCleanup(stop);   // navigation stops audio, RAF loop, HLS heartbeat
+
   function stop() {
     playBtn.textContent = "▶ Listen";
     cancelAnimationFrame(raf);

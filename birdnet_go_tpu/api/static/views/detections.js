@@ -261,8 +261,11 @@ export async function detectionsView(outlet) {
   }
 
   async function comments(tr, id) {
-    const existing = tr.nextElementSibling;
-    if (existing && existing.classList.contains("comment-row")) {
+    // toggle by id, not by adjacency — an open spectrogram row may sit
+    // between tr and the panel, which used to stack duplicate panels
+    const existing = tr.closest("table")
+      .querySelector(`tr.comment-row[data-for="${id}"]`);
+    if (existing) {
       existing.remove();
       return;
     }
@@ -291,7 +294,8 @@ export async function detectionsView(outlet) {
     } }, "Add");
     const cell = el("td", { colspan: 7 },
       el("div", { class: "row" }, input, addBtn), list);
-    const commentRow = el("tr", { class: "comment-row" }, cell);
+    const commentRow = el("tr", { class: "comment-row",
+                                  "data-for": String(id) }, cell);
     tr.after(commentRow);
   }
 }

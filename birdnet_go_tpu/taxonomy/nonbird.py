@@ -182,6 +182,16 @@ def is_non_species_label(raw_label: str) -> bool:
     return category_of(raw_label) is not None
 
 
+def category_of_parsed(scientific: str, common: str = "") -> str | None:
+    """Category for a label that went through Species.parse (split on the
+    first underscore): rejoin before matching, since the class vocabulary
+    is keyed by FULL raw labels ("male_speech_and_man_speaking" parses to
+    scientific="male", common="speech_and_man_speaking")."""
+    if common:
+        return category_of(f"{scientific}_{common}")
+    return category_of(scientific)
+
+
 def is_nonbird_name(name: str) -> bool:
     """Full label OR first-token match (the image provider only receives
     the underscore-split first token, e.g. "Engine")."""

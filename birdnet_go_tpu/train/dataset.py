@@ -58,12 +58,17 @@ class WindowDataset:
         labels_1h = self.one_hot()
         for _ in range(epochs):
             order = rng.permutation(n)
-            for start in range(0, n, batch_size):
+            if n < batch_size:
+                # a dataset smaller than one batch must still train (cli
+                # train used to save a random-init checkpoint after 0
+                # steps) — yield it whole
+                yield self.windows[order], labels_1h[order]
+                continue
+            # full batches only: the jitted train step compiles per input
+            # SHAPE, and a ragged tail batch would trigger a multi-minute
+            # remote XLA recompile on TPU (CLAUDE.md: reuse shapes)
+            for start in range(0, n - batch_size + 1, batch_size):
                 idx = order[start:start + batch_size]
-                # the tail yields a SHORT batch rather than being dropped —
-                # a dataset smaller than batch_size must still train
-                # (cli train would otherwise save a random-init checkpoint
-                # after 0 steps)
                 yield self.windows[idx], labels_1h[idx]
 
 

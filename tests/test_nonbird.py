@@ -53,15 +53,35 @@ def test_first_token_matching_for_image_provider():
     assert nonbird.category_of("power") is None
 
 
-def test_privacy_filter_catches_fsd50k_speech_classes():
-    from birdnet_go_tpu.analysis.processor import _is_human
+def test_privacy_filter_matches_raw_labels_like_reference():
+    """Table mirrors vocalization_labels.go: RAW labels through
+    Species.parse; the "human "/"dog_" anchors exclude the cicada
+    Pacarina schumanni and the katydid Poecilimon doga."""
+    from birdnet_go_tpu.analysis.processor import _is_dog, _is_human
     from birdnet_go_tpu.analysis.results import Species
 
-    assert _is_human(Species(scientific="male_speech_and_man_speaking",
-                             common=""))
-    assert _is_human(Species(scientific="Human vocal", common="Human"))
-    assert not _is_human(Species(scientific="Parus major",
-                                 common="Great Tit"))
+    human_raw = [
+        "Male_speech_and_man_speaking",          # FSD50K, parse-mangled
+        "Laughter",                              # FSD50K single word
+        "Human vocal_Mensch Stimme",             # BirdNET German locale
+        "Human whistle_Human whistle",
+        "Homo sapiens",                          # iNaturalist taxon
+    ]
+    for raw in human_raw:
+        assert _is_human(Species.parse(raw)), raw
+    not_human = ["Pacarina schumanni_Cicada",    # contains "human"
+                 "Parus major_Great Tit"]
+    for raw in not_human:
+        assert not _is_human(Species.parse(raw)), raw
+
+    dog_raw = ["Dog_Hund", "Bark", "Growling", "Canis familiaris", "dog"]
+    for raw in dog_raw:
+        assert _is_dog(Species.parse(raw)), raw
+    not_dog = ["Poecilimon doga_Katydid",        # contains "doga"
+               "Canis lupus_Gray Wolf",          # wild canid stays wildlife
+               "Coyote"]
+    for raw in not_dog:
+        assert not _is_dog(Species.parse(raw)), raw
 
 
 def test_image_provider_skips_nonbird_names():
@@ -89,8 +109,10 @@ def test_detection_rows_annotated_with_category(tmp_path):
     from birdnet_go_tpu.datastore.sqlite import Datastore
 
     ds = Datastore(tmp_path / "n.db")
+    # a REAL Perch raw label goes through Species.parse (split on the
+    # first underscore) before storage — annotation must rejoin it
     ds.insert_detection(Detection(
-        species=Species(scientific="power_tool", common="Power tool"),
+        species=Species.parse("Power_tool"),
         confidence=0.7, begin_seconds=0, end_seconds=3, model_id="Perch_V2",
         timestamp=dt.datetime(2026, 8, 1, 9)))
     ds.insert_detection(Detection(
@@ -99,5 +121,5 @@ def test_detection_rows_annotated_with_category(tmp_path):
         timestamp=dt.datetime(2026, 8, 1, 10)))
     rows = ApiServer._annotate_nonbird(ds.recent_detections(10))
     by_sci = {r["scientific_name"]: r for r in rows}
-    assert by_sci["power_tool"]["nonbird_category"] == "mechanical"
+    assert by_sci["Power"]["nonbird_category"] == "mechanical"
     assert "nonbird_category" not in by_sci["Parus major"]

@@ -53,9 +53,10 @@ def test_dataset_batches_small_dataset_still_trains():
     batches = list(ds.batches(batch_size=16, epochs=2))
     assert len(batches) == 2                      # one short batch per epoch
     assert all(len(x) == 12 for x, y in batches)
-    # and with a divisible size, tails are still emitted
+    # larger datasets keep FULL batches only (a ragged tail would add a
+    # second XLA graph shape → minutes of remote recompile on TPU)
     batches = list(ds.batches(batch_size=5, epochs=1))
-    assert [len(x) for x, _ in batches] == [5, 5, 2]
+    assert [len(x) for x, _ in batches] == [5, 5]
 
 
 def test_add_source_from_config_guards_missing_keys():
