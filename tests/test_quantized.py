@@ -1,0 +1,93 @@
+"""int8 post-training quantization: numerical parity with the f32 model
+(the validation contract mirrors the reference's OpenVINO-vs-ORT parity
+test, openvino_parity_functional_test.go — here int8-vs-f32)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+    from birdnet_go_tpu.models.efficientnet import (
+        BlockSpec,
+        EfficientNetConfig,
+    )
+    from birdnet_go_tpu.ops.melspec import MelConfig
+
+    m = BirdNETv24(
+        num_species=40,
+        mel=MelConfig(sample_rate=48000, n_fft=256, hop=4096, n_mels=32),
+        compute_dtype=jnp.float32)
+    m.net = EfficientNetConfig(
+        blocks=(BlockSpec(1, 8, 3, 1, 1), BlockSpec(4, 16, 3, 2, 2),
+                BlockSpec(4, 24, 5, 2, 1)),
+        embedding_dim=32, num_classes=40)
+    params = m.init(jax.random.PRNGKey(0))
+    return m, params
+
+
+def _mels(m, n=3, batch=4, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        pcm = rng.standard_normal((batch, 48000)).astype(np.float32) * 0.3
+        out.append(np.asarray(m.features(jnp.asarray(pcm))))
+    return out
+
+def test_quantized_topk_parity(tiny):
+    from birdnet_go_tpu.models.efficientnet import apply_efficientnet
+    from birdnet_go_tpu.ops.quant import (
+        apply_efficientnet_int8,
+        calibrate_efficientnet,
+        quantize_efficientnet,
+    )
+
+    m, params = tiny
+    cal = _mels(m, n=3, batch=4, seed=1)
+    scales = calibrate_efficientnet(params, m.net, cal)
+    assert scales["stem"] > 0 and "b0.in" in scales and "head" in scales
+    q = quantize_efficientnet(params, m.net, scales)
+    # backbone weights really are int8 (the stem stays float by design)
+    assert "w_q" not in q["stem"] and q["stem"]["w"].dtype == jnp.float32
+    assert all(b["project"]["w_q"].dtype == jnp.int8 for b in q["blocks"])
+
+    mel = _mels(m, n=1, batch=8, seed=7)[0]
+    ref = apply_efficientnet(params, jnp.asarray(mel), m.net,
+                             compute_dtype=jnp.float32)
+    out = apply_efficientnet_int8(q, jnp.asarray(mel), m.net)
+    assert out["logits"].shape == ref["logits"].shape
+
+    # detection-level contract: top-5 species substantially overlap and
+    # the top-1 confidence is close after sigmoid
+    k = 5
+    ref_top = np.argsort(-np.asarray(ref["logits"]), axis=1)[:, :k]
+    q_top = np.argsort(-np.asarray(out["logits"]), axis=1)[:, :k]
+    overlap = np.mean([
+        len(set(ref_top[b]) & set(q_top[b])) / k
+        for b in range(ref_top.shape[0])])
+    assert overlap >= 0.6, f"top-{k} overlap {overlap:.2f}"
+    ref_c = jax.nn.sigmoid(np.asarray(ref["logits"]))
+    q_c = jax.nn.sigmoid(np.asarray(out["logits"]))
+    assert float(np.max(np.abs(ref_c - q_c))) < 0.15
+
+
+def test_quantized_jit_compiles_and_is_deterministic(tiny):
+    from birdnet_go_tpu.ops.quant import (
+        apply_efficientnet_int8,
+        calibrate_efficientnet,
+        quantize_efficientnet,
+    )
+
+    m, params = tiny
+    scales = calibrate_efficientnet(params, m.net, _mels(m, n=1))
+    q = quantize_efficientnet(params, m.net, scales)
+    mel = jnp.asarray(_mels(m, n=1, seed=3)[0])
+    f = jax.jit(lambda qq, x: apply_efficientnet_int8(qq, x, m.net))
+    a = np.asarray(f(q, mel)["logits"])
+    b = np.asarray(f(q, mel)["logits"])
+    np.testing.assert_array_equal(a, b)
