@@ -501,6 +501,47 @@ def _pad_op(node: OnnxNode, value):
     return jnp.pad(x, width)
 
 
+def _qdq_scale_zp(node: OnnxNode, value):
+    """(scale, zero_point, broadcast shape fn) for Q/DQ ops. Per-axis when
+    scale is a vector (axis attr, default 1 per ONNX spec)."""
+    import jax.numpy as jnp
+
+    scale = jnp.asarray(value(node.inputs[1]), jnp.float32)
+    zp = (jnp.asarray(value(node.inputs[2]), jnp.float32)
+          if len(node.inputs) > 2 else jnp.float32(0))
+    axis = int(node.attrs.get("axis", 1))
+
+    def shaped(arr, x):
+        if arr.ndim == 0 or arr.size == 1:
+            return arr.reshape(())
+        b = [1] * x.ndim
+        b[axis] = arr.size
+        return arr.reshape(b)
+
+    return scale, zp, shaped
+
+
+def _quantize_linear(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0]).astype(jnp.float32)
+    scale, zp, shaped = _qdq_scale_zp(node, value)
+    q = jnp.round(x / shaped(scale, x)) + shaped(zp, x)
+    # clamp range from the zero-point DTYPE (static — jit-safe)
+    zp_raw = value(node.inputs[2]) if len(node.inputs) > 2 else None
+    unsigned = zp_raw is not None and zp_raw.dtype == jnp.uint8
+    lo, hi = (0.0, 255.0) if unsigned else (-128.0, 127.0)
+    return jnp.clip(q, lo, hi)          # keep float: consumer is always DQ
+
+
+def _dequantize_linear(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0]).astype(jnp.float32)
+    scale, zp, shaped = _qdq_scale_zp(node, value)
+    return (x - shaped(zp, x)) * shaped(scale, x)
+
+
 def _build_ops():
     import jax
     import jax.numpy as jnp
@@ -574,6 +615,13 @@ def _build_ops():
         "Shape": lambda n, v: jnp.asarray(v(n.inputs[0]).shape, jnp.int64),
         "Cast": lambda n, v: v(n.inputs[0]).astype(
             _NP.get(int(n.attrs.get("to", 1)), np.float32)),
+        # QDQ quantization (the catalog's ARM64 INT8-ONNX variants,
+        # model_registry.go remap). Faithful fake-quant numerics: the
+        # QuantizeLinear→DequantizeLinear pairs reproduce the int8
+        # rounding while the surrounding ops execute in float (the TPU
+        # fast path — ARCHITECTURE.md "int8 quantization").
+        "QuantizeLinear": _quantize_linear,
+        "DequantizeLinear": _dequantize_linear,
     }
 
 

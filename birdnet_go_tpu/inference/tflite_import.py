@@ -88,12 +88,45 @@ class Op(enum.IntEnum):
     ABS = 101
     GATHER = 36
     HARD_SWISH = 117
+    QUANTIZE = 114
 
 
 # ActivationFunctionType
 _ACT_NONE, _ACT_RELU, _ACT_RELU_N1_TO_1, _ACT_RELU6, _ACT_TANH = 0, 1, 2, 3, 4
 # Padding enum: 0=SAME, 1=VALID
 _PAD_SAME, _PAD_VALID = 0, 1
+
+
+def _dequantize_weights(data: np.ndarray, qt, shape: tuple) -> np.ndarray:
+    """Dequantize-on-import for quantized artifacts (the catalog ships
+    ARM64 INT8 TFLite variants — model_registry.go INT8 remap).
+
+    Integer weight/bias tensors with QuantizationParameters become f32:
+    (q - zero_point) * scale, per-channel along quantized_dimension when
+    the scale is a vector. On TPU the float graph IS the fast path (see
+    ARCHITECTURE.md "int8 quantization"), so quantized graphs execute at
+    float precision rather than emulating int8 arithmetic.
+    QuantizationParameters schema: min=0, max=1, scale=2, zero_point=3,
+    details_type=4, details=5, quantized_dimension=6.
+    """
+    if qt is None or data.dtype.kind not in "iu":
+        return data
+    scale = np.asarray(qt.get_float_vector(2), np.float32)
+    if scale.size == 0:
+        return data
+    zp = np.asarray(qt.get_int_vector(3, "<q", 8), np.int64)
+    qdim = qt.get_int(6, 0)
+    x = data.astype(np.float32)
+    if scale.size == 1:
+        z = float(zp[0]) if zp.size else 0.0
+        return (x - z) * float(scale[0])
+    # per-channel: broadcast along quantized_dimension
+    bshape = [1] * len(shape)
+    bshape[qdim] = scale.size
+    s = scale.reshape(bshape)
+    z = (zp.astype(np.float32).reshape(bshape)
+         if zp.size == scale.size else 0.0)
+    return (x - z) * s
 
 
 @dataclasses.dataclass
@@ -167,6 +200,7 @@ def parse_tflite(buf: bytes) -> TFLiteModel:
                 data = np.frombuffer(raw, dtype=dtype)
                 if shape:
                     data = data.reshape(shape)
+                data = _dequantize_weights(data, t.get_table(4), shape)
         tensors.append(TensorInfo(
             index=i, name=t.get_string(3) or f"t{i}", shape=shape,
             dtype=_NP_DTYPES.get(ttype, np.float32), buffer_index=buf_idx,
@@ -265,6 +299,9 @@ class TFLiteGraph:
             Op.CONCATENATION: self._op_concat,
             Op.STRIDED_SLICE: self._op_strided_slice,
             Op.DEQUANTIZE: self._op_dequantize,
+            # weights are dequantized at import; quantize/dequantize pairs
+            # around the (now-float) graph collapse to casts
+            Op.QUANTIZE: self._op_dequantize,
             Op.GATHER: self._op_gather,
         }
         self._handlers = handlers

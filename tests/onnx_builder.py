@@ -10,6 +10,7 @@ import numpy as np
 from birdnet_go_tpu.inference import protowire as pw
 
 _DT = {np.dtype(np.float32): 1, np.dtype(np.int64): 7,
+       np.dtype(np.int8): 3, np.dtype(np.uint8): 2,
        np.dtype(np.int32): 6, np.dtype(np.float16): 10}
 
 

@@ -262,3 +262,43 @@ def test_catalog_install_analyze_raven_e2e(tmp_path, monkeypatch):
     assert "Selection" in content and "Species" in content
     # bias favors class 0 strongly → sigmoid(2.0)=0.88 > threshold
     assert len(content.splitlines()) >= 2
+
+
+def test_int8_quantized_artifact_dequantizes_on_import():
+    """The catalog ships INT8 TFLite variants (model_registry.go ARM64
+    remap): integer weight tensors with QuantizationParameters must
+    dequantize on import — per-tensor and per-channel — and QUANTIZE ops
+    collapse to casts, so the graph runs at float precision (the TPU fast
+    path, ARCHITECTURE.md "int8 quantization")."""
+    from birdnet_go_tpu.inference.tflite_import import load_tflite
+
+    rng = np.random.default_rng(5)
+    cin, cout = 8, 6
+    w_f = rng.standard_normal((cout, cin)).astype(np.float32)
+    # per-channel symmetric int8 over the output-channel axis (dim 0)
+    scale = np.maximum(np.abs(w_f).max(axis=1), 1e-6) / 127.0
+    w_q = np.clip(np.round(w_f / scale[:, None]), -127, 127).astype(np.int8)
+
+    mb = ModelBuilder()
+    x_t = mb.add_tensor([1, cin], "x")
+    w_t = mb.add_tensor([cout, cin], "w", w_q, ttype=ModelBuilder.TTYPE_I8,
+                        quant=(list(scale), [0] * cout, 0))
+    b_f = rng.standard_normal(cout).astype(np.float32)
+    b_scale = float(scale.mean())
+    b_q = np.round(b_f / b_scale).astype(np.int32)
+    b_t = mb.add_tensor([cout], "b", b_q, ttype=ModelBuilder.TTYPE_I32,
+                        quant=([b_scale], [0], 0))
+    y_t = mb.add_tensor([1, cout], "y")
+    mb.add_op(Op.FULLY_CONNECTED, [x_t, w_t, b_t], [y_t],
+              lambda b: fully_connected_options(b))
+    mb.inputs, mb.outputs = [x_t], [y_t]
+
+    g = load_tflite(mb.finish())
+    x = rng.standard_normal((1, cin)).astype(np.float32)
+    (y,) = g.apply(g.params, x)
+    expect = x @ (w_q.astype(np.float32) * scale[:, None]).T \
+        + b_q.astype(np.float32) * b_scale
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5, atol=1e-5)
+    # dequantized weights are close to the originals
+    np.testing.assert_allclose(w_q.astype(np.float32) * scale[:, None],
+                               w_f, atol=np.max(scale))

@@ -205,3 +205,46 @@ def test_transformer_ops_layernorm_split_where_expand_reduce():
     sel = np.where(a > bsum, a, bsum)
     want = np.broadcast_to(sel, (3, 2, 2)).max(0)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_qdq_quantized_onnx_graph():
+    """QDQ (QuantizeLinear -> DequantizeLinear) models — the catalog's
+    INT8-ONNX variants — execute with faithful fake-quant numerics."""
+    import numpy as np
+
+    from tests.onnx_builder import (
+        attr_int,
+        model,
+        node,
+        tensor_proto,
+    )
+    from birdnet_go_tpu.inference.onnx_import import load_onnx
+
+    rng = np.random.default_rng(11)
+    w_f = rng.standard_normal((4, 6)).astype(np.float32)
+    w_scale = np.maximum(np.abs(w_f).max(axis=1), 1e-6) / 127.0
+    w_q = np.clip(np.round(w_f / w_scale[:, None]), -127, 127).astype(np.int8)
+
+    # x -> Q -> DQ -> Gemm(w_dq) with per-axis weight dequantization
+    blob = model(
+        nodes=[
+            node("QuantizeLinear", ["x", "xs", "xz"], ["xq"]),
+            node("DequantizeLinear", ["xq", "xs", "xz"], ["xdq"]),
+            node("DequantizeLinear", ["wq", "ws", "wz"], ["wdq"],
+                 [attr_int("axis", 0)]),
+            node("Gemm", ["xdq", "wdq"], ["y"], [attr_int("transB", 1)]),
+        ],
+        initializers=[
+            tensor_proto("xs", np.array(0.05, np.float32)),
+            tensor_proto("xz", np.array(0, np.int8)),
+            tensor_proto("wq", w_q),
+            tensor_proto("ws", w_scale.astype(np.float32)),
+            tensor_proto("wz", np.zeros(4, np.int8)),
+        ],
+        inputs=["x"], outputs=["y"])
+    g = load_onnx(blob)
+    x = rng.standard_normal((2, 6)).astype(np.float32)
+    (y,) = g.apply(g.params, x)
+    x_fq = np.clip(np.round(x / 0.05), -128, 127) * 0.05   # fake-quant
+    expect = x_fq @ (w_q.astype(np.float32) * w_scale[:, None]).T
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5, atol=1e-5)

@@ -35,14 +35,44 @@ def _buffer(b, data: bytes | None):
     return b.EndObject()
 
 
-def _tensor(b, shape, ttype, buffer_idx, name):
+def _float_vector(b, vals):
+    b.StartVector(4, len(vals), 4)
+    for v in reversed(vals):
+        b.PrependFloat32(float(v))
+    return b.EndVector()
+
+
+def _long_vector(b, vals):
+    b.StartVector(8, len(vals), 8)
+    for v in reversed(vals):
+        b.PrependInt64(int(v))
+    return b.EndVector()
+
+
+def _quant_params(b, scale, zero_point=(), qdim=0):
+    """QuantizationParameters: scale=2, zero_point=3, quantized_dimension=6."""
+    scale_off = _float_vector(b, scale)
+    zp_off = _long_vector(b, zero_point) if zero_point else None
+    b.StartObject(7)
+    b.PrependUOffsetTRelativeSlot(2, scale_off, 0)
+    if zp_off is not None:
+        b.PrependUOffsetTRelativeSlot(3, zp_off, 0)
+    if qdim:
+        b.PrependInt32Slot(6, qdim, 0)
+    return b.EndObject()
+
+
+def _tensor(b, shape, ttype, buffer_idx, name, quant=None):
     name_off = b.CreateString(name)
     shape_off = _int_vector(b, shape)
-    b.StartObject(5)
+    quant_off = _quant_params(b, *quant) if quant else None
+    b.StartObject(7)
     b.PrependUOffsetTRelativeSlot(0, shape_off, 0)   # shape
     b.PrependInt8Slot(1, ttype, 0)                    # type
     b.PrependUint32Slot(2, buffer_idx, 0)             # buffer
     b.PrependUOffsetTRelativeSlot(3, name_off, 0)     # name
+    if quant_off is not None:
+        b.PrependUOffsetTRelativeSlot(4, quant_off, 0)  # quantization
     return b.EndObject()
 
 
@@ -116,6 +146,7 @@ class ModelBuilder:
     TTYPE_F32 = 0
     TTYPE_F16 = 1
     TTYPE_I32 = 2
+    TTYPE_I8 = 9
 
     def __init__(self):
         self.b = flatbuffers.Builder(4096)
@@ -127,13 +158,15 @@ class ModelBuilder:
         self.outputs: list[int] = []
 
     def add_tensor(self, shape, name, data: np.ndarray | None = None,
-                   ttype=TTYPE_F32) -> int:
+                   ttype=TTYPE_F32, quant=None) -> int:
+        """quant: (scale list, zero_point list, quantized_dimension) —
+        attaches QuantizationParameters to the tensor."""
         if data is not None:
             self.buffers_data.append(np.ascontiguousarray(data).tobytes())
             buf_idx = len(self.buffers_data) - 1
         else:
             buf_idx = 0
-        self.tensors.append((list(shape), ttype, buf_idx, name))
+        self.tensors.append((list(shape), ttype, buf_idx, name, quant))
         return len(self.tensors) - 1
 
     def add_op(self, builtin: int, inputs, outputs, options_fn=None):
@@ -145,8 +178,8 @@ class ModelBuilder:
     def finish(self) -> bytes:
         b = self.b
         buffer_offs = [_buffer(b, d) for d in self.buffers_data]
-        tensor_offs = [_tensor(b, s, t, bi, n)
-                       for s, t, bi, n in self.tensors]
+        tensor_offs = [_tensor(b, s, t, bi, n, q)
+                       for s, t, bi, n, q in self.tensors]
         op_offs = []
         for opcode_idx, ins, outs, opt_fn in self.ops:
             opt_off = opt_fn(b) if opt_fn else None
