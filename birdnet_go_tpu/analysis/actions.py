@@ -83,6 +83,10 @@ class SaveAudioAction:
     # already overwritten the requested span (slow flush / long deadline).
     fallback_pcm: Any = None          # np.ndarray | None
     fallback_rate: int = 0
+    # Bird detections recorded through a shared high-rate (bat) source
+    # are downsampled before encoding (reference: export.go — bird clips
+    # → 48 kHz; bat clips keep native rate so echolocation survives).
+    downsample_to: int = 0
 
     def execute(self) -> None:
         if time.time() < self.end_time:
@@ -92,6 +96,14 @@ class SaveAudioAction:
                 and self.fallback_rate:
             pcm = self.fallback_pcm
             self.sample_rate = self.fallback_rate
+        if self.downsample_to and self.sample_rate > self.downsample_to:
+            from birdnet_go_tpu.audio.resampler import StreamingResampler
+
+            rs = StreamingResampler(self.sample_rate, self.downsample_to)
+            import numpy as _np
+
+            pcm = _np.concatenate([rs.process(pcm), rs.flush()])
+            self.sample_rate = self.downsample_to
         from birdnet_go_tpu.audio.encode import encode_clip
 
         out = Path(self.out_path)
@@ -99,6 +111,69 @@ class SaveAudioAction:
         # format by suffix: native wav/flac, ffmpeg-gated aac/opus/mp3
         # (falls back to FLAC when ffmpeg is absent); atomic temp+rename
         encode_clip(pcm, self.sample_rate, out)
+
+
+_PARAM_NAME_OK = None   # compiled lazily
+
+
+@dataclasses.dataclass
+class ExecuteCommandAction:
+    """Run a user-configured script for a detection (reference:
+    ExecuteCommandAction, processor/execute.go — validated command path,
+    sorted --Key=value arguments, clean environment, 5 min timeout)."""
+
+    command: str
+    params: dict                       # resolved values (Confidence 0-100)
+    timeout_seconds: float = 300.0
+    description: str = "execute command"
+
+    def validate(self) -> str | None:
+        """Returns an error string when the command path is unusable
+        (missing, not a file, not executable) — a permanent condition."""
+        import os
+
+        p = Path(self.command)
+        if not p.is_file():
+            return f"command not found: {self.command}"
+        if not os.access(p, os.X_OK):
+            return f"command not executable: {self.command}"
+        return None
+
+    def build_args(self) -> list[str]:
+        import re
+
+        global _PARAM_NAME_OK
+        if _PARAM_NAME_OK is None:
+            _PARAM_NAME_OK = re.compile(r"^[A-Za-z0-9_-]+$")
+        args = []
+        for key in sorted(self.params):
+            if not _PARAM_NAME_OK.match(key):
+                raise ValueError(f"invalid parameter name {key!r}")
+            v = self.params[key]
+            if isinstance(v, float):
+                v = f"{v:.2f}".rstrip("0").rstrip(".")
+            args.append(f"--{key}={v}")
+        return args
+
+    def execute(self) -> None:
+        import os
+        import subprocess
+
+        err = self.validate()
+        if err:
+            raise RuntimeError(err)
+        # clean environment (execute.go getCleanEnvironment): the script
+        # must not inherit credentials from the server process
+        env = {"PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+               "HOME": os.environ.get("HOME", "/tmp"),
+               "LANG": os.environ.get("LANG", "C.UTF-8")}
+        proc = subprocess.run(
+            [str(self.command), *self.build_args()],
+            env=env, capture_output=True, timeout=self.timeout_seconds)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"command exited {proc.returncode}: "
+                f"{proc.stderr.decode(errors='replace')[:200]}")
 
 
 @dataclasses.dataclass

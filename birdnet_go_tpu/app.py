@@ -905,6 +905,68 @@ class Application:
             pcm=w.pcm, pcm_rate=w.pcm_rate,
             ultrasonic_cv=w.ultrasonic_cv))
 
+    def _custom_species_actions(self, d: Detection
+                                ) -> tuple[list, bool, bool]:
+        """(actions, run_defaults, has_custom) — per-species custom
+        actions from the species config (getActionsForItem analogue:
+        custom actions replace the defaults unless any entry sets
+        execute_defaults; a BROKEN ExecuteCommand with
+        execute_defaults=false must NOT silently restore the defaults,
+        processor.go:1899-1930)."""
+        cfg = self.settings.species.config or {}
+        sc = None
+        for name in (d.species.scientific, d.species.common,
+                     d.species.label):
+            sc = cfg.get(name) or {k.lower(): v for k, v in cfg.items()
+                                   }.get(name.lower())
+            if sc:
+                break
+        entries = (sc or {}).get("actions") or []
+        if not entries:
+            return [], True, False
+        actions: list = []
+        run_defaults = False
+        broken_skipped = False
+        for e in entries:
+            if e.get("execute_defaults"):
+                run_defaults = True
+            if str(e.get("type", "")).lower() != "executecommand":
+                # unimplemented action types fall through to the default
+                # set — they must not flip the "custom only" intent
+                continue
+            act = actions_mod.ExecuteCommandAction(
+                command=e.get("command", ""),
+                params=self._command_params(e.get("parameters") or [], d))
+            err = act.validate()
+            if err:
+                log.warning("custom command for %s skipped: %s",
+                            d.species.scientific, err)
+                broken_skipped = True
+                continue
+            actions.append(act)
+        if not actions and not broken_skipped:
+            # only unimplemented types configured: defaults keep flowing
+            return [], True, True
+        if not actions and broken_skipped and not run_defaults:
+            # user opted out of defaults and their script is broken —
+            # honor the opt-out (no silent DB/SSE/MQTT fallback)
+            return [], False, True
+        return actions, run_defaults, True
+
+    @staticmethod
+    def _command_params(names: list, d: Detection) -> dict:
+        when = d.timestamp or _dt.datetime.now()
+        values = {
+            "CommonName": d.species.common,
+            "ScientificName": d.species.scientific,
+            "Confidence": d.confidence * 100.0,   # 0-100 (execute.go)
+            "Time": when.strftime("%H:%M:%S"),
+            "Date": when.strftime("%Y-%m-%d"),
+            "Source": d.source_id,
+            "ModelID": d.model_id,
+        }
+        return {n: values.get(n, "") for n in names}
+
     def _on_approved(self, d: Detection, item: PendingDetection) -> None:
         """Build + enqueue the action chain (getDefaultActions analogue).
 
@@ -916,6 +978,15 @@ class Application:
         s = self.settings
         tr = self.event_tracker
         common, sci = d.species.common, d.species.scientific
+        # per-species custom actions (ExecuteCommand) may replace the
+        # default chain entirely
+        custom, run_defaults, has_custom = self._custom_species_actions(d)
+        for act in custom:
+            self.jobqueue.enqueue(
+                act.execute, f"command {d.species.common}",
+                retry=RetryConfig(enabled=False))
+        if has_custom and not run_defaults:
+            return
         labels = self.labels.get(d.model_id)
         if labels is not None and not d.species_code:
             d.species_code = labels.code_for(d.species)
@@ -935,8 +1006,18 @@ class Application:
                 # produce (aac→.m4a; lossy→flac fallback without ffmpeg)
                 from birdnet_go_tpu.audio.encode import resolve_format
 
-                _, suffix = resolve_format(s.export.format,
-                                           cb.sample_rate)
+                # bird detections captured through a shared high-rate
+                # (bat-microphone) source downsample to 48 kHz for export;
+                # raw-rate (bat) model detections keep the native rate so
+                # the echolocation content survives (export.go)
+                spec = next((sp for sp in self.engine.specs
+                             if sp.model_id == d.model_id), None)
+                is_raw_rate = bool(spec and spec.raw_sample_rate)
+                export_rate = cb.sample_rate
+                downsample_to = 0
+                if not is_raw_rate and cb.sample_rate > 48000:
+                    downsample_to = export_rate = 48000
+                _, suffix = resolve_format(s.export.format, export_rate)
                 clip_name = actions_mod.clip_filename(
                     d, suffix.lstrip("."))
                 clip_start = d.begin_seconds - s.export.pre_capture_seconds
@@ -948,7 +1029,8 @@ class Application:
                         out_path=Path(s.export.path) / clip_name,
                         sample_rate=cb.sample_rate,
                         fallback_pcm=item.pcm,
-                        fallback_rate=item.pcm_rate).execute,
+                        fallback_rate=item.pcm_rate,
+                        downsample_to=downsample_to).execute,
                     f"save clip {clip_name}",
                     retry=RetryConfig(enabled=True, max_retries=10,
                                       initial_delay=1.0, max_delay=10.0))

@@ -227,3 +227,37 @@ def test_succession_analytics(tmp_path):
     assert top["scientific_name"] == "Turdus merula"
     assert top["share"] == pytest.approx(2 / 3, abs=1e-3)
     ds.close()
+
+
+def test_bird_clip_downsampled_from_shared_bat_source(tmp_path):
+    """Bird detections captured through a 256 kHz (bat-microphone)
+    source export at 48 kHz; the bat model's own clips keep the native
+    rate (reference: export.go)."""
+    import time as _time
+
+    import numpy as np
+
+    from birdnet_go_tpu.analysis.actions import SaveAudioAction
+    from birdnet_go_tpu.audio.buffers import CaptureBuffer
+    from birdnet_go_tpu.audio.wav import read_wav
+
+    cb = CaptureBuffer(sample_rate=256000, capacity_seconds=4.0)
+    t0 = _time.time() - 3.0
+    tone = (10000 * np.sin(2 * np.pi * 2000.0
+                           * np.arange(256000 * 3) / 256000)).astype(np.int16)
+    cb.write(tone, timestamp=t0)
+
+    out = tmp_path / "bird.wav"
+    SaveAudioAction(capture_buffer=cb, start_time=t0 + 0.5,
+                    end_time=t0 + 2.5, out_path=out,
+                    sample_rate=256000, downsample_to=48000).execute()
+    samples, info = read_wav(out)
+    assert info.sample_rate == 48000
+    assert abs(len(samples) - 2 * 48000) < 4800       # ~2 s at 48 kHz
+
+    out2 = tmp_path / "bat.wav"
+    SaveAudioAction(capture_buffer=cb, start_time=t0 + 0.5,
+                    end_time=t0 + 2.5, out_path=out2,
+                    sample_rate=256000).execute()      # no downsample
+    _, info2 = read_wav(out2)
+    assert info2.sample_rate == 256000
