@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
     sup = sub.add_parser("support", help="write a scrubbed support bundle")
     sup.add_argument("--output", default=".")
 
+    doc = sub.add_parser("db", help="database doctor: diagnose/repair")
+    doc.add_argument("action", choices=["doctor"])
+    doc.add_argument("--db", default=None, help="sqlite database path")
+    doc.add_argument("--config", default=None, help="YAML config file")
+    doc.add_argument("--fix", action="store_true",
+                     help="apply repairs (delete orphans, rebuild indices,"
+                          " checkpoint + vacuum)")
+
     n = sub.add_parser("notify", help="send a test notification")
     n.add_argument("--config", default=None, help="YAML config file")
     n.add_argument("--title", default="Test notification")
@@ -141,6 +149,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_model(args)
     if args.command == "support":
         return _cmd_support(args)
+    if args.command == "db":
+        return _cmd_db(args)
     if args.command == "notify":
         return _cmd_notify(args)
     if args.command == "gen-schema":
@@ -462,6 +472,28 @@ def _cmd_model(args) -> int:
         return 1
     print(f"installed to {dest}")
     return 0
+
+
+def _cmd_db(args) -> int:
+    """Database doctor (reference: tools/db-doctor/db-doctor.py — a
+    standalone diagnose/repair pass over the sqlite database)."""
+    import json
+
+    from birdnet_go_tpu.config.settings import Settings, load_settings
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+
+    if args.db:
+        path = args.db
+    else:
+        settings = load_settings(args.config) if args.config else Settings()
+        path = settings.database.path
+    ds = Datastore(path)
+    try:
+        report = ds.doctor(fix=args.fix)
+    finally:
+        ds.close()
+    print(json.dumps(report, indent=2, default=str))
+    return 0 if report["healthy"] or args.fix else 1
 
 
 def _cmd_support(args) -> int:

@@ -207,6 +207,39 @@ class MySQLDatastore(Datastore):
                 "SHOW TABLE STATUS")]
         return {"tables": len(rows), "engine_ok": True}
 
+    def doctor(self, fix: bool = False) -> dict[str, Any]:
+        """MySQL doctor: orphan audit is dialect-portable; the sqlite
+        PRAGMA checks are replaced by table status (InnoDB enforces the
+        hoisted FK constraints, so new orphans can't appear)."""
+        report: dict[str, Any] = {"fixed": [], "issues": [],
+                                  "integrity": "ok"}
+        orphans = {}
+        with self._lock:
+            for child in ("model_contributions", "results", "reviews",
+                          "comments"):
+                n = self._conn.execute(
+                    f"SELECT COUNT(*) FROM {child} c WHERE NOT EXISTS"
+                    f" (SELECT 1 FROM detections d"
+                    f"  WHERE d.id = c.detection_id)").fetchone()[0]
+                if n:
+                    orphans[child] = n
+                    report["issues"].append(f"{n} orphaned {child}")
+                    if fix:
+                        self._conn.execute(
+                            f"DELETE FROM {child} WHERE NOT EXISTS"
+                            f" (SELECT 1 FROM detections d"
+                            f"  WHERE d.id = {child}.detection_id)")
+                        report["fixed"].append(f"deleted {n} {child}")
+            report["orphans"] = orphans
+            report["detections"] = self._conn.execute(
+                "SELECT COUNT(*) FROM detections").fetchone()[0]
+            report["journal_mode"] = "innodb"
+        if fix:
+            self.optimize()
+            report["fixed"].append("optimize table")
+        report["healthy"] = not report["issues"]
+        return report
+
     def optimize(self) -> None:
         """sqlite VACUUM/ANALYZE are invalid MySQL; OPTIMIZE TABLE covers
         both roles (rebuild + stats refresh) on InnoDB."""

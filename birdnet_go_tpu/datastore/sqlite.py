@@ -823,6 +823,64 @@ class Datastore:
         with self._lock:
             return [dict(r) for r in self._conn.execute(q, args)]
 
+    def doctor(self, fix: bool = False) -> dict[str, Any]:
+        """Database doctor (reference: tools/db-doctor + the datastore
+        inspector role): integrity + FK checks, orphaned child rows,
+        expected-index audit; with fix=True deletes orphans, recreates
+        missing indices, checkpoints WAL, and VACUUM/ANALYZEs."""
+        report: dict[str, Any] = {"fixed": [], "issues": []}
+        with self._lock:
+            ok = self._conn.execute("PRAGMA integrity_check").fetchone()[0]
+            report["integrity"] = ok
+            if ok != "ok":
+                report["issues"].append(f"integrity: {ok}")
+            fk = self._conn.execute("PRAGMA foreign_key_check").fetchall()
+            if fk:
+                report["issues"].append(f"{len(fk)} foreign-key violations")
+            # orphaned children (pre-FK databases or imports)
+            orphans = {}
+            for child in ("model_contributions", "results", "reviews",
+                          "comments"):
+                n = self._conn.execute(
+                    f"SELECT COUNT(*) FROM {child} c WHERE NOT EXISTS"
+                    f" (SELECT 1 FROM detections d"
+                    f"  WHERE d.id = c.detection_id)").fetchone()[0]
+                if n:
+                    orphans[child] = n
+                    report["issues"].append(f"{n} orphaned {child}")
+                    if fix:
+                        self._conn.execute(
+                            f"DELETE FROM {child} WHERE NOT EXISTS"
+                            f" (SELECT 1 FROM detections d"
+                            f"  WHERE d.id = {child}.detection_id)")
+                        report["fixed"].append(f"deleted {n} {child}")
+            report["orphans"] = orphans
+            # expected indices
+            have = {r[0] for r in self._conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='index'")}
+            expected = {"idx_det_ts", "idx_det_sci", "idx_det_date",
+                        "idx_mc_det", "idx_results_det", "idx_notif_ts"}
+            missing = sorted(expected - have)
+            if missing:
+                report["issues"].append(f"missing indices: {missing}")
+                if fix:
+                    self._conn.executescript(_SCHEMA)   # recreates indices
+                    report["fixed"].append(f"recreated {missing}")
+            report["journal_mode"] = self._conn.execute(
+                "PRAGMA journal_mode").fetchone()[0]
+            report["detections"] = self._conn.execute(
+                "SELECT COUNT(*) FROM detections").fetchone()[0]
+            if fix:
+                # commit the repairs BEFORE the checkpoint — TRUNCATE
+                # cannot run with this connection's write txn open
+                self._conn.commit()
+                self._conn.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+        if fix:
+            self.optimize()
+            report["fixed"].append("wal checkpoint + vacuum/analyze")
+        report["healthy"] = not report["issues"]
+        return report
+
     # -- notification history ----------------------------------------------------------
 
     def save_notification(self, title: str, message: str, priority: str,

@@ -80,3 +80,43 @@ def test_cli_notify_and_gen_schema(capsys):
 
     assert main(["notify", "--message", "hello"]) == 0
     assert "delivered" in capsys.readouterr().out
+
+
+def test_db_doctor_diagnose_and_fix(tmp_path, capsys):
+    """db doctor (reference: tools/db-doctor): finds orphaned child rows
+    and missing indices; --fix repairs and reports."""
+    import json
+    import sqlite3
+
+    from birdnet_go_tpu.cli.main import main
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    db = tmp_path / "doc.db"
+    ds = Datastore(db)
+    det_id = ds.insert_detection(_detection())
+    ds.close()
+    # damage: orphan a child row, drop an index
+    conn = sqlite3.connect(db)
+    conn.execute("INSERT INTO results (detection_id, result_rank,"
+                 " scientific_name, confidence) VALUES (9999, 1, 'X', 0.5)")
+    conn.execute("DROP INDEX idx_det_sci")
+    conn.commit(); conn.close()
+
+    rc = main(["db", "doctor", "--db", str(db)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and not out["healthy"]
+    assert out["orphans"] == {"results": 1}
+    # the dropped index is self-healed by the schema pass at open — the
+    # doctor confirms it is back rather than reporting it missing
+    assert not any("idx_det_sci" in i for i in out["issues"])
+
+    rc = main(["db", "doctor", "--db", str(db), "--fix"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert any("deleted 1 results" in f for f in out["fixed"])
+
+    rc = main(["db", "doctor", "--db", str(db)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["healthy"]
+    assert out["detections"] == 1 and det_id == 1

@@ -371,3 +371,15 @@ def test_app_uses_mysql_when_configured(server, tiny_app_factory=None):
     assert ds.count_detections() == 0
     assert ds.path.startswith("mysql://bird@")
     ds.close()
+
+
+def test_mysql_doctor(server):
+    from tests.test_realtime_core import _detection
+
+    ds = MySQLDatastore(port=server.port, password="sekret")
+    ds.insert_detection(_detection())
+    report = ds.doctor()
+    assert report["healthy"] and report["detections"] == 1
+    report = ds.doctor(fix=True)
+    assert report["healthy"]
+    ds.close()
