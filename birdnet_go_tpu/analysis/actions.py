@@ -92,25 +92,33 @@ class SaveAudioAction:
         if time.time() < self.end_time:
             raise RuntimeError("clip span not fully captured yet")
         pcm = self.capture_buffer.read_segment(self.start_time, self.end_time)
+        # locals only: a JobQueue RETRY re-runs execute() from the top, so
+        # mutating self.sample_rate would make the second attempt encode
+        # native-rate PCM under a downsampled header
+        rate = self.sample_rate
         if not pcm.any() and self.fallback_pcm is not None \
                 and self.fallback_rate:
             pcm = self.fallback_pcm
-            self.sample_rate = self.fallback_rate
-        if self.downsample_to and self.sample_rate > self.downsample_to:
-            from birdnet_go_tpu.audio.resampler import StreamingResampler
-
-            rs = StreamingResampler(self.sample_rate, self.downsample_to)
+            rate = self.fallback_rate
+        if self.downsample_to and rate > self.downsample_to:
             import numpy as _np
 
-            pcm = _np.concatenate([rs.process(pcm), rs.flush()])
-            self.sample_rate = self.downsample_to
+            from birdnet_go_tpu.audio.resampler import StreamingResampler
+
+            rs = StreamingResampler(rate, self.downsample_to)
+            # the resampler is float32 at the INPUT'S scale — convert back
+            # to int16 or write_wav would rescale by 32768 and clip every
+            # sample to full scale
+            y = _np.concatenate([rs.process(pcm), rs.flush()])
+            pcm = _np.clip(_np.round(y), -32768, 32767).astype(_np.int16)
+            rate = self.downsample_to
         from birdnet_go_tpu.audio.encode import encode_clip
 
         out = Path(self.out_path)
         out.parent.mkdir(parents=True, exist_ok=True)
         # format by suffix: native wav/flac, ffmpeg-gated aac/opus/mp3
         # (falls back to FLAC when ffmpeg is absent); atomic temp+rename
-        encode_clip(pcm, self.sample_rate, out)
+        encode_clip(pcm, rate, out)
 
 
 _PARAM_NAME_OK = None   # compiled lazily

@@ -913,12 +913,15 @@ class Application:
         execute_defaults; a BROKEN ExecuteCommand with
         execute_defaults=false must NOT silently restore the defaults,
         processor.go:1899-1930)."""
+        from birdnet_go_tpu.analysis.processor import Processor
+
         cfg = self.settings.species.config or {}
+        cfg_l = {k.lower(): v for k, v in cfg.items()} if cfg else {}
         sc = None
-        for name in (d.species.scientific, d.species.common,
-                     d.species.label):
-            sc = cfg.get(name) or {k.lower(): v for k, v in cfg.items()
-                                   }.get(name.lower())
+        # same resolution chain as the threshold lookup: scientific,
+        # label, common, legacy taxonomy aliases (processor._name_variants)
+        for name in Processor._name_variants(d.species):
+            sc = cfg.get(name) or cfg_l.get(name.lower())
             if sc:
                 break
         entries = (sc or {}).get("actions") or []

@@ -476,24 +476,38 @@ def _cmd_model(args) -> int:
 
 def _cmd_db(args) -> int:
     """Database doctor (reference: tools/db-doctor/db-doctor.py — a
-    standalone diagnose/repair pass over the sqlite database)."""
+    standalone diagnose/repair pass over the configured database)."""
     import json
 
     from birdnet_go_tpu.config.settings import Settings, load_settings
-    from birdnet_go_tpu.datastore.sqlite import Datastore
 
-    if args.db:
-        path = args.db
+    settings = load_settings(args.config) if args.config else Settings()
+    if not args.db and settings.database.type == "mysql":
+        from birdnet_go_tpu.datastore.mysql import MySQLDatastore
+
+        ds = MySQLDatastore(
+            host=settings.database.host, port=settings.database.port,
+            user=settings.database.user,
+            password=settings.database.password,
+            database=settings.database.name)
     else:
-        settings = load_settings(args.config) if args.config else Settings()
-        path = settings.database.path
-    ds = Datastore(path)
+        from birdnet_go_tpu.datastore.sqlite import Datastore
+
+        path = args.db or settings.database.path
+        # a doctor must never "diagnose" a database it just created — a
+        # typo'd path would report an empty healthy db and strand a file
+        if not Path(path).is_file():
+            print(json.dumps({"error": f"database not found: {path}"}))
+            return 2
+        ds = Datastore(path)
     try:
         report = ds.doctor(fix=args.fix)
     finally:
         ds.close()
     print(json.dumps(report, indent=2, default=str))
-    return 0 if report["healthy"] or args.fix else 1
+    # with --fix the datastore re-diagnoses after repairs, so healthy
+    # reflects the POST-repair state either way
+    return 0 if report["healthy"] else 1
 
 
 def _cmd_support(args) -> int:

@@ -237,6 +237,10 @@ class MySQLDatastore(Datastore):
         if fix:
             self.optimize()
             report["fixed"].append("optimize table")
+            post = self.doctor(fix=False)
+            post["fixed"] = report["fixed"]
+            post["pre_fix_issues"] = report["issues"]
+            return post
         report["healthy"] = not report["issues"]
         return report
 

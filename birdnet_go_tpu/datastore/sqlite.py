@@ -878,6 +878,13 @@ class Datastore:
         if fix:
             self.optimize()
             report["fixed"].append("wal checkpoint + vacuum/analyze")
+            # re-diagnose: the exit code must reflect POST-repair health
+            # (a fixed orphan clears its FK violation; corruption that
+            # survives the repair keeps the report unhealthy)
+            post = self.doctor(fix=False)
+            post["fixed"] = report["fixed"]
+            post["pre_fix_issues"] = report["issues"]
+            return post
         report["healthy"] = not report["issues"]
         return report
 

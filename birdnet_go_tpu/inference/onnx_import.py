@@ -76,6 +76,11 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
         vals = (pw.decode_packed_varints(f[5][0])
                 if isinstance(f[5][0], bytes) else f[5])
         arr = np.asarray([pw.signed(v, 32) for v in vals], np.int32)
+        if np_dtype is not np.int32:
+            # TensorProto stores INT8/UINT8/INT16 values in int32_data —
+            # keep the DECLARED dtype (QuantizeLinear reads signedness
+            # off the zero-point's dtype)
+            arr = arr.astype(np_dtype)
     elif 10 in f:                                  # double_data
         arr = np.asarray(pw.decode_packed_doubles(f[10][0]), np.float64) \
             if isinstance(f[10][0], bytes) else np.asarray(f[10], np.float64)
@@ -527,10 +532,11 @@ def _quantize_linear(node: OnnxNode, value):
     x = value(node.inputs[0]).astype(jnp.float32)
     scale, zp, shaped = _qdq_scale_zp(node, value)
     q = jnp.round(x / shaped(scale, x)) + shaped(zp, x)
-    # clamp range from the zero-point DTYPE (static — jit-safe)
+    # clamp range from the zero-point DTYPE (static — jit-safe); an
+    # OMITTED zero_point defaults the output to uint8 per the ONNX spec
     zp_raw = value(node.inputs[2]) if len(node.inputs) > 2 else None
-    unsigned = zp_raw is not None and zp_raw.dtype == jnp.uint8
-    lo, hi = (0.0, 255.0) if unsigned else (-128.0, 127.0)
+    signed = zp_raw is not None and zp_raw.dtype == jnp.int8
+    lo, hi = (-128.0, 127.0) if signed else (0.0, 255.0)
     return jnp.clip(q, lo, hi)          # keep float: consumer is always DQ
 
 

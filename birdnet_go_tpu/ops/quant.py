@@ -69,6 +69,12 @@ def calibrate_efficientnet(params: dict, cfg, mel_batches: list,
                            compute_dtype=jnp.float32) -> dict[str, float]:
     """Max-abs activation scales per quantized tap.
 
+    NB: this replica, apply_efficientnet (models/efficientnet.py), and
+    apply_efficientnet_int8 below must stay dataflow-identical — a drift
+    (activation change, residual condition, SE placement) silently skews
+    the calibration scales. tests/test_quantized.py pins int8-vs-f32
+    logit correlation >= 0.9 to catch divergence.
+
     Runs the f32 forward on representative mel batches ([B, T, M, 1]),
     recording the max |activation| at the input of every conv that will
     run in int8. Returns {tap_name: scale}.

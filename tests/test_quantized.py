@@ -74,6 +74,11 @@ def test_quantized_topk_parity(tiny):
     ref_c = jax.nn.sigmoid(np.asarray(ref["logits"]))
     q_c = jax.nn.sigmoid(np.asarray(out["logits"]))
     assert float(np.max(np.abs(ref_c - q_c))) < 0.15
+    # replica-drift guard: calibrate/apply_int8 re-implement the MBConv
+    # dataflow — a divergence from apply_efficientnet collapses this
+    corr = float(np.corrcoef(np.asarray(ref["logits"]).ravel(),
+                             np.asarray(out["logits"]).ravel())[0, 1])
+    assert corr >= 0.9, f"int8-vs-f32 logit correlation {corr:.3f}"
 
 
 def test_quantized_jit_compiles_and_is_deterministic(tiny):
