@@ -30,11 +30,18 @@ log = logging.getLogger("birdnet_tpu.inference")
 _MODELS_ENV = "BIRDNET_TPU_MODELS"
 _DEFAULT_MODEL_HOME = "./data/models"
 
+def _lazy_bsg(**kwargs):
+    from birdnet_go_tpu.models.bsg import BSGFinland
+
+    return BSGFinland(**kwargs)
+
+
 _FAMILIES = {
     "BirdNET_V2.4": BirdNETv24,
     "BirdNET_V3.0": BirdNETv3,
     "Perch_V2": PerchV2,
     "BattyBirdNET": BatClassifier,
+    "BSG": _lazy_bsg,
 }
 
 

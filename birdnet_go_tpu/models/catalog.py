@@ -59,6 +59,15 @@ CATALOG: list[CatalogEntry] = [
         url="", sha256="", file_name="model.onnx", size_mb=60.0,
         license="CC BY-NC-SA 4.0"),
     CatalogEntry(
+        model_id="BSG", display_name="BSG Finland v4.4",
+        description="Regional classifier for Finnish bird species,"
+                    " 48 kHz / 3 s (University of Jyväskylä)",
+        url="https://huggingface.co/tphakala/BSG/resolve/main/"
+            "BSG_birds_Finland_v4_4_fused_fp32.onnx",
+        sha256="dd2b6b21c6b3d8adc5d72954f9e33c48"
+               "b3d692dbbc647758340a69d68b203300",
+        file_name="model.onnx", size_mb=45.4, license="Non-commercial"),
+    CatalogEntry(
         model_id="Geomodel_V3.0", display_name="BirdNET Geomodel v3.0",
         description="Geographic range filter (lat/lon/week occurrence)",
         url="", sha256="", file_name="model.onnx", size_mb=15.0,

@@ -81,6 +81,15 @@ BAT = ModelSpec(
     min_capture_rate=96000, recommended_capture_rate=192000,
     embedding_dim=1024,
 )
+BSG = ModelSpec(
+    model_id="BSG", display_name="BSG Finland v4.4",
+    # regional classifier for Finnish birds (model_registry.go
+    # RegistryIDBSG: 48 kHz / 3 s, ONNX); species count follows the
+    # installed artifact's label file (the importer probes the head
+    # width) — 380 is the nominal label-set size
+    sample_rate=48000, clip_seconds=3.0, num_species=380,
+    default_threshold=0.5, embedding_dim=1280,
+)
 GEOMODEL_V24 = ModelSpec(
     model_id="Geomodel_V2.4", display_name="BirdNET range filter v2.4 (MData)",
     sample_rate=0, clip_seconds=0.0, num_species=6522, default_threshold=0.01,
@@ -92,7 +101,8 @@ GEOMODEL_V3 = ModelSpec(
 
 MODEL_REGISTRY: dict[str, ModelSpec] = {
     s.model_id: s
-    for s in (BIRDNET_V24, BIRDNET_V3, PERCH_V2, BAT, GEOMODEL_V24, GEOMODEL_V3)
+    for s in (BIRDNET_V24, BIRDNET_V3, PERCH_V2, BAT, BSG, GEOMODEL_V24,
+              GEOMODEL_V3)
 }
 
 

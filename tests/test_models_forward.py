@@ -108,3 +108,35 @@ def test_geomodel_heatmap_grid_vmap(rng_key):
         [grid, jnp.full((5, 7, 1), 20.0)], axis=-1)
     scores = jax.jit(g.apply)(params, coords)
     assert scores.shape == (5, 7, 8)
+
+
+def test_bsg_finland_family():
+    """BSG Finland v4.4 (model_registry.go RegistryIDBSG): 48 kHz / 3 s
+    regional classifier, loadable by family id, batcher-compatible."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from birdnet_go_tpu.inference.loader import build_model
+    from birdnet_go_tpu.models.efficientnet import (
+        BlockSpec,
+        EfficientNetConfig,
+    )
+    from birdnet_go_tpu.models.registry import MODEL_REGISTRY
+    from birdnet_go_tpu.ops.melspec import MelConfig
+
+    assert "BSG" in MODEL_REGISTRY
+    spec = MODEL_REGISTRY["BSG"]
+    assert spec.sample_rate == 48000 and spec.clip_seconds == 3.0
+
+    m = build_model("BSG", num_species=12,
+                    mel=MelConfig(sample_rate=48000, n_fft=256, hop=8192,
+                                  n_mels=16),
+                    compute_dtype=jnp.float32)
+    m.net = EfficientNetConfig(blocks=(BlockSpec(1, 8, 3, 2, 1),),
+                               embedding_dim=16, num_classes=12)
+    params = m.init(jax.random.PRNGKey(0))
+    pcm = jnp.zeros((2, 144000), jnp.float32)
+    out = m.apply(params, pcm)
+    assert out["logits"].shape == (2, 12)
+    assert np.isfinite(np.asarray(out["logits"])).all()
