@@ -68,6 +68,11 @@ class PendingDetection:
     first_detected: float
     flush_deadline: float
     count: int = 0
+    last_updated: float = 0.0         # most recent contributing window
+    # extended capture (extended_capture.go): one long clip per calling
+    # session, scaled flush deadline capped by max_deadline
+    extended: bool = False
+    max_deadline: float = 0.0
     contributions: dict[str, ModelContribution] = dataclasses.field(
         default_factory=dict)
     # PCM of the first contributing window (clip-export fallback when the
@@ -174,6 +179,9 @@ class Processor:
         self._lock = threading.Lock()
         self.stats = ProcessorStats()
         self._model_settings = {m.model_id: m for m in settings.models}
+        self._extended_all = False
+        self._extended_species: frozenset[str] = frozenset()
+        self.rebuild_extended_capture()
 
     # -- configuration lookups -------------------------------------------------
 
@@ -329,6 +337,17 @@ class Processor:
                 self._pending[key] = item
                 self.stats.detections_pending += 1
             item.count += 1
+            item.last_updated = max(item.last_updated, pred.start_time)
+            if self._is_extended_species(sp.scientific):
+                ec = self.settings.extended_capture
+                if not item.extended:
+                    item.extended = True
+                    item.max_deadline = item.first_detected \
+                        + ec.max_duration_seconds
+                normal_window = max(0.0, exp.clip_length_seconds
+                                    - exp.pre_capture_seconds)
+                item.flush_deadline = self._extended_deadline(
+                    pred.start_time, item, normal_window)
             c = item.contributions.setdefault(
                 pred.model_id, ModelContribution(model_id=pred.model_id))
             c.count += 1
@@ -344,6 +363,74 @@ class Processor:
                     (labels[i].scientific, labels[i].common, float(c))
                     for c, i in zip(pred.confidences, pred.indices)
                     if 0 <= i < len(labels)]
+
+    # -- extended capture (extended_capture.go) -----------------------------------
+
+    # scaled-timeout thresholds (extended_capture.go:14-20)
+    _EXT_MIN_INITIAL = 15.0
+    _EXT_MEDIUM_THRESHOLD = 30.0
+    _EXT_MEDIUM_WAIT = 30.0
+    _EXT_LONG_THRESHOLD = 120.0
+    _EXT_LONG_WAIT = 60.0
+
+    def rebuild_extended_capture(self) -> None:
+        """Resolve the extended-capture species filter against the loaded
+        label union (RebuildExtendedCaptureFilter; config entries may be
+        scientific names, common names, or openfauna aliases)."""
+        ec = getattr(self.settings, "extended_capture", None)
+        if ec is None or not ec.enabled:
+            self._extended_all = False
+            self._extended_species = frozenset()
+            return
+        if not ec.species:
+            self._extended_all = True
+            self._extended_species = frozenset()
+            return
+        sci_names = set()
+        common_to_sci = {}
+        for labels in self.labels_by_model.values():
+            for sp in labels.species:
+                sci_names.add(sp.scientific.lower())
+                if sp.common:
+                    common_to_sci[sp.common.lower()] = sp.scientific.lower()
+        from birdnet_go_tpu.taxonomy.openfauna import canonical_name
+
+        resolved = set()
+        for entry in ec.species:
+            e = entry.strip().lower()
+            if e in sci_names:
+                resolved.add(e)
+            elif e in common_to_sci:
+                resolved.add(common_to_sci[e])
+            else:
+                canon = canonical_name(entry).lower()
+                if canon in sci_names:
+                    resolved.add(canon)
+                else:
+                    log.warning("extended-capture species %r not resolved",
+                                entry)
+        self._extended_all = False
+        self._extended_species = frozenset(resolved)
+
+    def _is_extended_species(self, scientific: str) -> bool:
+        ec = getattr(self.settings, "extended_capture", None)
+        if ec is None or not ec.enabled:
+            return False
+        return self._extended_all             or scientific.lower() in self._extended_species
+
+    def _extended_deadline(self, now: float, item: PendingDetection,
+                           normal_window: float) -> float:
+        """calculateExtendedFlushDeadline: short sessions wait
+        max(normal window, 15 s); medium (30 s-2 m) wait 30 s; long
+        wait 60 s — always capped at max_deadline."""
+        session = now - item.first_detected
+        if session < self._EXT_MEDIUM_THRESHOLD:
+            deadline = now + max(normal_window, self._EXT_MIN_INITIAL)
+        elif session < self._EXT_LONG_THRESHOLD:
+            deadline = now + self._EXT_MEDIUM_WAIT
+        else:
+            deadline = now + self._EXT_LONG_WAIT
+        return min(deadline, item.max_deadline)
 
     # -- flush --------------------------------------------------------------------
 
@@ -370,7 +457,15 @@ class Processor:
                 # by wall-clock — buffer/capture.go:198 ReadSegment)
                 d.timestamp = _dt.datetime.fromtimestamp(item.first_detected)
                 d.begin_seconds = item.first_detected
-                d.end_seconds = item.flush_deadline
+                if item.extended:
+                    # normalizeDetectionTimes: the clip spans the whole
+                    # calling session (last hit + normal window)
+                    exp = self.settings.export
+                    d.end_seconds = item.last_updated + max(
+                        0.0, exp.clip_length_seconds
+                        - exp.pre_capture_seconds)
+                else:
+                    d.end_seconds = item.flush_deadline
                 approved.append((d, item))
         for d, item in approved:
             if self.settings.dynamic_threshold.enabled:

@@ -237,7 +237,10 @@ class Application:
         overlaps = {m.model_id: m.overlap for m in enabled}
         eq = s.audio_filters
         self.engine = AudioEngine(
-            specs, capture_seconds=s.realtime.capture_buffer_seconds,
+            specs,
+            capture_seconds=s.extended_capture.effective_capture_buffer_seconds(
+                s.realtime.capture_buffer_seconds,
+                s.export.clip_length_seconds, s.export.pre_capture_seconds),
             overlaps=overlaps, on_ingest=self.watchdog.data_received,
             eq_specs=eq.filters if eq.enabled else None)
         from birdnet_go_tpu.audio.hlsmux import HlsManager
@@ -422,7 +425,7 @@ class Application:
         # extended capture + telemetry: settings objects are shared, the
         # consumers read them per use — signals just log the reload.
         c.subscribe(ControlSignal.REBUILD_EXTENDED_CAPTURE,
-                    lambda: log.info("extended capture settings reloaded"))
+                    self._rebuild_extended_capture)
         c.subscribe(ControlSignal.RECONFIGURE_TELEMETRY,
                     self._reconfigure_telemetry)
 
@@ -542,6 +545,23 @@ class Application:
         if self.api is not None:
             self.api.sse.publish("notifications", "notification",
                                  stored.as_dict())
+
+    def _rebuild_extended_capture(self) -> None:
+        """REBUILD_EXTENDED_CAPTURE: re-resolve the species filter and log
+        the new ring requirement (a larger ring needs a restart — the
+        capture buffers were sized at setup)."""
+        if self.processor is not None:
+            self.processor.rebuild_extended_capture()
+        s = self.settings
+        need = s.extended_capture.effective_capture_buffer_seconds(
+            s.realtime.capture_buffer_seconds,
+            s.export.clip_length_seconds, s.export.pre_capture_seconds)
+        if self.engine is not None and need > self.engine.capture_seconds:
+            self.restart_required.append(
+                "extended-capture ring size increase")
+            log.warning("extended capture needs a %ds ring; restart "
+                        "required to resize capture buffers", int(need))
+        log.info("extended capture settings reloaded")
 
     def _reconfigure_sound_level(self) -> None:
         s = self.settings
@@ -1024,7 +1044,12 @@ class Application:
                 clip_name = actions_mod.clip_filename(
                     d, suffix.lstrip("."))
                 clip_start = d.begin_seconds - s.export.pre_capture_seconds
-                clip_end = clip_start + s.export.clip_length_seconds
+                if item.extended:
+                    # one clip spanning the whole calling session
+                    # (normalizeDetectionTimes: end = last hit + window)
+                    clip_end = d.end_seconds
+                else:
+                    clip_end = clip_start + s.export.clip_length_seconds
                 self.jobqueue.enqueue(
                     actions_mod.SaveAudioAction(
                         capture_buffer=cb, start_time=clip_start,

@@ -97,6 +97,30 @@ class ExportSettings:
 
 
 @dataclasses.dataclass
+class ExtendedCaptureSettings:
+    """Single long clip for continuous calling sessions (reference:
+    ExtendedCaptureSettings, conf/config.go:792-799 + extended_capture.go;
+    defaults consts.go: max 120 s, capture ring 120 s baseline)."""
+
+    enabled: bool = False
+    max_duration_seconds: int = 120     # DefaultExtendedCaptureMaxDuration
+    capture_buffer_seconds: int = 0     # 0 = derive from max duration
+    species: list[str] = dataclasses.field(default_factory=list)  # [] = all
+
+    def effective_capture_buffer_seconds(self, default: float,
+                                         clip_length: float,
+                                         pre_capture: float) -> float:
+        """EffectiveCaptureBufferSeconds analogue: the ring must hold the
+        longest possible extended clip."""
+        if not self.enabled:
+            return default
+        if self.capture_buffer_seconds > 0:
+            return max(default, float(self.capture_buffer_seconds))
+        return max(default,
+                   self.max_duration_seconds + clip_length + pre_capture)
+
+
+@dataclasses.dataclass
 class SpeciesSettings:
     include: list[str] = dataclasses.field(default_factory=list)
     exclude: list[str] = dataclasses.field(default_factory=list)
@@ -317,6 +341,8 @@ class Settings:
     deep_detection: DeepDetectionSettings = dataclasses.field(
         default_factory=DeepDetectionSettings)
     export: ExportSettings = dataclasses.field(default_factory=ExportSettings)
+    extended_capture: ExtendedCaptureSettings = dataclasses.field(
+        default_factory=ExtendedCaptureSettings)
     species: SpeciesSettings = dataclasses.field(default_factory=SpeciesSettings)
     realtime: RealtimeSettings = dataclasses.field(default_factory=RealtimeSettings)
     webserver: WebServerSettings = dataclasses.field(default_factory=WebServerSettings)
