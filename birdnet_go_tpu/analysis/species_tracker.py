@@ -43,6 +43,7 @@ class SpeciesTracker:
         self._first: dict[str, _dt.date] = {}
         self._year: dict[tuple[str, int], _dt.date] = {}
         self._season: dict[tuple[str, int, str], _dt.date] = {}
+        self._last_notified: dict[str, float] = {}
         self._lock = threading.Lock()
         if datastore is not None:
             self.sync_from_datastore(datastore)
@@ -85,21 +86,43 @@ class SpeciesTracker:
                     (row["scientific_name"], d.year, season_of(d)), d)
         return n
 
-    def observe(self, scientific: str, when: _dt.date | None = None
-                ) -> NoveltyStatus:
-        """Record a detection; returns what's novel about it."""
+    def observe(self, scientific: str, when: _dt.date | None = None,
+                window_days: int = 0) -> NoveltyStatus:
+        """Record a detection; returns what's novel about it.
+
+        With window_days > 0 (SpeciesTrackingSettings
+        new_species_window_days, default 7 in the reference), a species
+        stays "new" for that many days after its FIRST detection — the
+        dashboard indicator, not just the first event."""
         when = when or _dt.date.today()
         yk = (scientific, when.year)
         sk = (scientific, when.year, season_of(when))
+
+        def fresh(first: _dt.date | None) -> bool:
+            if first is None:
+                return True
+            return window_days > 0 and (when - first).days < window_days
+
         with self._lock:
             status = NoveltyStatus(
-                is_new_lifetime=scientific not in self._first,
-                is_new_this_year=yk not in self._year,
-                is_new_this_season=sk not in self._season)
+                is_new_lifetime=fresh(self._first.get(scientific)),
+                is_new_this_year=fresh(self._year.get(yk)),
+                is_new_this_season=fresh(self._season.get(sk)))
             self._first.setdefault(scientific, when)
             self._year.setdefault(yk, when)
             self._season.setdefault(sk, when)
         return status
+
+    def should_notify(self, scientific: str, now: float,
+                      suppression_hours: float) -> bool:
+        """Duplicate new-species notifications are suppressed for
+        suppression_hours (NotificationSuppressionHours, default 168)."""
+        with self._lock:
+            last = self._last_notified.get(scientific)
+            if last is not None and now - last < suppression_hours * 3600.0:
+                return False
+            self._last_notified[scientific] = now
+            return True
 
     def first_seen(self, scientific: str,
                    when: _dt.date | None = None) -> FirstSeen:

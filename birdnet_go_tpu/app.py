@@ -1125,9 +1125,11 @@ class Application:
 
         # new-species notification (species tracker) + alerting rules
         novelty = None
-        if self.species_tracker is not None:
+        if self.species_tracker is not None and s.species_tracking.enabled:
             when = (d.timestamp or _dt.datetime.now()).date()
-            novelty = self.species_tracker.observe(d.species.scientific, when)
+            novelty = self.species_tracker.observe(
+                d.species.scientific, when,
+                window_days=s.species_tracking.new_species_window_days)
         if getattr(self, "alerting", None) is not None \
                 and self.alerting.rules:
             self.jobqueue.enqueue(
@@ -1137,8 +1139,14 @@ class Application:
                     novelty.is_new_lifetime if novelty else False),
                 f"alert rules {d.species.common}")
         if novelty is not None:
+            # with window semantics a species stays "new" for days — the
+            # notification itself is suppressed per suppression hours
+            # (NotificationSuppressionHours, default 168)
             if novelty.is_new_lifetime and self.notifications is not None \
-                    and s.notification.notify_new_species:
+                    and s.notification.notify_new_species \
+                    and self.species_tracker.should_notify(
+                        d.species.scientific, time.time(),
+                        s.species_tracking.notification_suppression_hours):
                 from birdnet_go_tpu.integrations.notification import (
                     Notification,
                 )

@@ -139,6 +139,18 @@ class RealtimeSettings:
 
 
 @dataclasses.dataclass
+class SpeciesTrackingSettings:
+    """New/yearly/seasonal species tracking (reference:
+    SpeciesTrackingSettings, conf/config.go:929-936): a species shows as
+    "new" for window_days after first detection; duplicate new-species
+    notifications are suppressed for suppression hours (default 168)."""
+
+    enabled: bool = True
+    new_species_window_days: int = 7
+    notification_suppression_hours: float = 168.0
+
+
+@dataclasses.dataclass
 class EBirdSettings:
     """eBird API v2 client (internal/ebird)."""
 
@@ -343,6 +355,8 @@ class Settings:
     export: ExportSettings = dataclasses.field(default_factory=ExportSettings)
     extended_capture: ExtendedCaptureSettings = dataclasses.field(
         default_factory=ExtendedCaptureSettings)
+    species_tracking: SpeciesTrackingSettings = dataclasses.field(
+        default_factory=SpeciesTrackingSettings)
     species: SpeciesSettings = dataclasses.field(default_factory=SpeciesSettings)
     realtime: RealtimeSettings = dataclasses.field(default_factory=RealtimeSettings)
     webserver: WebServerSettings = dataclasses.field(default_factory=WebServerSettings)

@@ -96,3 +96,38 @@ def test_normal_species_unaffected():
     assert item.flush_deadline == pytest.approx(t0 + 12)
     approved = p.flush(now=t0 + 13)
     assert approved and approved[0].end_seconds == pytest.approx(t0 + 12)
+
+
+def test_species_tracking_window_and_suppression():
+    """SpeciesTrackingSettings semantics (conf/config.go:929-936): a
+    species stays 'new' for window_days after first detection; duplicate
+    notifications suppress for suppression hours."""
+    import datetime as dt
+
+    from birdnet_go_tpu.analysis.species_tracker import SpeciesTracker
+
+    tr = SpeciesTracker()
+    d0 = dt.date(2026, 6, 1)
+    st = tr.observe("Parus major", when=d0, window_days=7)
+    assert st.is_new_lifetime
+    # still "new" 5 days later
+    st = tr.observe("Parus major", when=d0 + dt.timedelta(days=5),
+                    window_days=7)
+    assert st.is_new_lifetime
+    # no longer new after the window
+    st = tr.observe("Parus major", when=d0 + dt.timedelta(days=8),
+                    window_days=7)
+    assert not st.is_new_lifetime
+    # window_days=0: only the literal first observation is new
+    st2 = tr.observe("Turdus merula", when=d0, window_days=0)
+    assert st2.is_new_lifetime
+    st2 = tr.observe("Turdus merula", when=d0, window_days=0)
+    assert not st2.is_new_lifetime
+
+    # notification suppression: 168 h default
+    assert tr.should_notify("Parus major", now=1000.0,
+                            suppression_hours=168)
+    assert not tr.should_notify("Parus major", now=1000.0 + 100 * 3600,
+                                suppression_hours=168)
+    assert tr.should_notify("Parus major", now=1000.0 + 169 * 3600,
+                            suppression_hours=168)
