@@ -328,8 +328,11 @@ class Processor:
                     begin_seconds=0.0, end_seconds=0.0,
                     model_id=pred.model_id, source_id=pred.source_id,
                     species_code="")
-                deadline = pred.start_time + (exp.clip_length_seconds
-                                              - exp.pre_capture_seconds)
+                # non-negative window (processor.go:690-691): pre_capture
+                # larger than clip length must not create already-past
+                # deadlines that flush-and-discard every detection
+                deadline = pred.start_time + max(
+                    0.0, exp.clip_length_seconds - exp.pre_capture_seconds)
                 item = PendingDetection(
                     detection=det, source_id=pred.source_id,
                     first_detected=pred.start_time, flush_deadline=deadline,
@@ -346,8 +349,13 @@ class Processor:
                         + ec.max_duration_seconds
                 normal_window = max(0.0, exp.clip_length_seconds
                                     - exp.pre_capture_seconds)
-                item.flush_deadline = self._extended_deadline(
-                    pred.start_time, item, normal_window)
+                # monotonic: an out-of-order window (slower model's later
+                # submit with an earlier start) must not move the
+                # deadline backwards and truncate the session
+                item.flush_deadline = max(
+                    item.flush_deadline,
+                    self._extended_deadline(pred.start_time, item,
+                                            normal_window))
             c = item.contributions.setdefault(
                 pred.model_id, ModelContribution(model_id=pred.model_id))
             c.count += 1
@@ -396,12 +404,14 @@ class Processor:
         from birdnet_go_tpu.taxonomy.openfauna import canonical_name
 
         resolved = set()
+        # detections are canonicalized at submit(), so the filter must
+        # hold CANONICAL names even when resolved from legacy labels
         for entry in ec.species:
             e = entry.strip().lower()
             if e in sci_names:
-                resolved.add(e)
+                resolved.add(canonical_name(entry.strip()).lower())
             elif e in common_to_sci:
-                resolved.add(common_to_sci[e])
+                resolved.add(canonical_name(common_to_sci[e]).lower())
             else:
                 canon = canonical_name(entry).lower()
                 if canon in sci_names:

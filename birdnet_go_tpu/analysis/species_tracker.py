@@ -101,7 +101,9 @@ class SpeciesTracker:
         def fresh(first: _dt.date | None) -> bool:
             if first is None:
                 return True
-            return window_days > 0 and (when - first).days < window_days
+            # inclusive <= like the reference (species/status.go:139);
+            # window 0 still counts a same-day re-detection as new
+            return (when - first).days <= window_days
 
         with self._lock:
             status = NoveltyStatus(
@@ -112,6 +114,15 @@ class SpeciesTracker:
             self._year.setdefault(yk, when)
             self._season.setdefault(sk, when)
         return status
+
+    def seed_notified(self, scientific: str, ts: float) -> None:
+        """Restore suppression state from persisted notification history
+        (the reference reloads history at startup, species/database.go:
+        511-533 — without this every restart re-sends 'new species'
+        notifications inside the suppression window)."""
+        with self._lock:
+            prev = self._last_notified.get(scientific, 0.0)
+            self._last_notified[scientific] = max(prev, ts)
 
     def should_notify(self, scientific: str, now: float,
                       suppression_hours: float) -> bool:

@@ -277,6 +277,14 @@ class Application:
         self.notification_inbox = NotificationInbox(
             store=getattr(self, "datastore", None))
         self._reconfigure_notifications()
+        # restore new-species notification suppression from the persisted
+        # inbox (species/database.go:511-533 analogue)
+        if self.species_tracker is not None:
+            for n in self.notification_inbox.list(limit=500):
+                sci = (n.get("payload") or {}).get("scientific_name")
+                if sci and n.get("title") == "New species detected":
+                    self.species_tracker.seed_notified(
+                        sci, float(n.get("timestamp") or 0.0))
         # config validation warnings land in the inbox so the UI shows
         # them (reference surfaces them as notifications, main.go:212-227);
         # skip ones already in the (now persistent) inbox so restarts
@@ -695,6 +703,9 @@ class Application:
             locale=ms.locale, expected_count=clf.num_species)
         self.processor.labels_by_model[model_id] = self.labels[model_id]
         self.processor._model_settings[model_id] = ms
+        # filter entries may resolve only against the NEW model's labels
+        # (reference re-resolves against the orchestrator's label union)
+        self.processor.rebuild_extended_capture()
         batcher = ModelBatcher(
             clf, max_batch=self.settings.realtime.max_batch,
             sensitivity=ms.sensitivity,
@@ -1181,7 +1192,10 @@ class Application:
         if cb is None:
             return 409, {"error": f"source {row['source_id']} not live"}
         start = float(row["begin_time"]) - s.export.pre_capture_seconds
-        end = start + s.export.clip_length_seconds
+        # extended-capture sessions persist end_time past the normal clip
+        # window — an on-demand re-export must span the whole session
+        end = max(start + s.export.clip_length_seconds,
+                  float(row["end_time"] or 0))
         win = cb.window()
         if win is None or start < win[0]:
             return 410, {"error": "audio no longer in the capture buffer"}

@@ -107,17 +107,24 @@ class ExtendedCaptureSettings:
     capture_buffer_seconds: int = 0     # 0 = derive from max duration
     species: list[str] = dataclasses.field(default_factory=list)  # [] = all
 
+    MAX_DURATION_CAP = 1200            # consts.go extended capture max
+
     def effective_capture_buffer_seconds(self, default: float,
                                          clip_length: float,
                                          pre_capture: float) -> float:
         """EffectiveCaptureBufferSeconds analogue: the ring must hold the
-        longest possible extended clip."""
+        longest possible extended clip. A user buffer smaller than
+        max_duration + pre_capture + 30 is ignored in favor of the
+        derived size (conf/config.go:825-869 rejects such configs)."""
         if not self.enabled:
             return default
+        max_dur = min(self.max_duration_seconds, self.MAX_DURATION_CAP)
+        derived = max_dur + clip_length + pre_capture
         if self.capture_buffer_seconds > 0:
-            return max(default, float(self.capture_buffer_seconds))
-        return max(default,
-                   self.max_duration_seconds + clip_length + pre_capture)
+            required = max_dur + pre_capture + 30.0
+            if self.capture_buffer_seconds >= required:
+                return max(default, float(self.capture_buffer_seconds))
+        return max(default, derived)
 
 
 @dataclasses.dataclass
@@ -411,6 +418,22 @@ class Settings:
         if not (0 <= self.deep_detection.level <= 5):
             warnings.append("deep_detection.level must be 0-5; reset to 0")
             self.deep_detection.level = 0
+        ec = self.extended_capture
+        if ec.enabled:
+            if ec.max_duration_seconds > ec.MAX_DURATION_CAP:
+                warnings.append(
+                    f"extended_capture.max_duration_seconds "
+                    f"{ec.max_duration_seconds} exceeds the "
+                    f"{ec.MAX_DURATION_CAP}s cap; clamping")
+                ec.max_duration_seconds = ec.MAX_DURATION_CAP
+            required = (ec.max_duration_seconds
+                        + self.export.pre_capture_seconds + 30.0)
+            if 0 < ec.capture_buffer_seconds < required:
+                warnings.append(
+                    f"extended_capture.capture_buffer_seconds "
+                    f"{ec.capture_buffer_seconds} is smaller than "
+                    f"max_duration + pre_capture + 30 "
+                    f"({required:.0f}s); using the derived ring size")
         return warnings
 
 

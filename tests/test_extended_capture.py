@@ -114,14 +114,21 @@ def test_species_tracking_window_and_suppression():
     st = tr.observe("Parus major", when=d0 + dt.timedelta(days=5),
                     window_days=7)
     assert st.is_new_lifetime
+    # day 7 is still inside the inclusive window (status.go:139 <=)
+    st = tr.observe("Parus major", when=d0 + dt.timedelta(days=7),
+                    window_days=7)
+    assert st.is_new_lifetime
     # no longer new after the window
     st = tr.observe("Parus major", when=d0 + dt.timedelta(days=8),
                     window_days=7)
     assert not st.is_new_lifetime
-    # window_days=0: only the literal first observation is new
+    # window_days=0: same-day re-detection still new, next day not
     st2 = tr.observe("Turdus merula", when=d0, window_days=0)
     assert st2.is_new_lifetime
     st2 = tr.observe("Turdus merula", when=d0, window_days=0)
+    assert st2.is_new_lifetime
+    st2 = tr.observe("Turdus merula", when=d0 + dt.timedelta(days=1),
+                     window_days=0)
     assert not st2.is_new_lifetime
 
     # notification suppression: 168 h default
@@ -131,3 +138,8 @@ def test_species_tracking_window_and_suppression():
                                 suppression_hours=168)
     assert tr.should_notify("Parus major", now=1000.0 + 169 * 3600,
                             suppression_hours=168)
+    # restart restoration: seeding suppresses within the window
+    tr2 = SpeciesTracker()
+    tr2.seed_notified("Parus major", 5000.0)
+    assert not tr2.should_notify("Parus major", now=5000.0 + 3600,
+                                 suppression_hours=168)
