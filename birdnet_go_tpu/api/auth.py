@@ -30,12 +30,24 @@ def generate_token() -> str:
     return secrets.token_urlsafe(32)
 
 
-def is_local_address(addr: str) -> bool:
+def is_local_address(addr: str, subnets: list | None = None) -> bool:
+    """True when addr is inside the bypass subnets. `subnets` (CIDR
+    strings from webserver.bypass_subnets) narrows the default RFC1918
+    set — the reference's subnet-bypass guidance is "keep the subnet
+    narrow" (doc/wiki/security.md)."""
     try:
         ip = ipaddress.ip_address(addr)
     except ValueError:
         return False
-    return any(ip in net for net in _LOCAL_NETS)
+    nets = _LOCAL_NETS
+    if subnets:
+        nets = []
+        for cidr in subnets:
+            try:
+                nets.append(ipaddress.ip_network(cidr, strict=False))
+            except ValueError:
+                continue
+    return any(ip in net for net in nets)
 
 
 def auth_middleware(token: str, allow_local_bypass: bool = True):

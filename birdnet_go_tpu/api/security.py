@@ -195,7 +195,10 @@ def security_middleware(manager: SecurityManager,
                    or "X-Real-IP" in request.headers
                    or "Forwarded" in request.headers)
         if allow_local_bypass and not proxied and request.remote \
-                and is_local_address(request.remote):
+                and is_local_address(
+                    request.remote,
+                    getattr(manager.settings.webserver,
+                            "bypass_subnets", None)):
             return await handler(request)
 
         # bearer token (static or issued) — CSRF-exempt

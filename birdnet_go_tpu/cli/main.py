@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     sup = sub.add_parser("support", help="write a scrubbed support bundle")
     sup.add_argument("--output", default=".")
 
+    ar = sub.add_parser("auth", help="authentication maintenance")
+    ar.add_argument("action", choices=["reset"])
+    ar.add_argument("--config", required=True, help="YAML config file")
+
     doc = sub.add_parser("db", help="database doctor: diagnose/repair")
     doc.add_argument("action", choices=["doctor"])
     doc.add_argument("--db", default=None, help="sqlite database path")
@@ -151,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_support(args)
     if args.command == "db":
         return _cmd_db(args)
+    if args.command == "auth":
+        return _cmd_auth(args)
     if args.command == "notify":
         return _cmd_notify(args)
     if args.command == "gen-schema":
@@ -471,6 +477,35 @@ def _cmd_model(args) -> int:
         print(f"install failed: {e}", file=sys.stderr)
         return 1
     print(f"installed to {dest}")
+    return 0
+
+
+def _cmd_auth(args) -> int:
+    """Authentication recovery (reference: reset_auth.sh — turn auth off
+    with a timestamped config backup so a locked-out operator can get
+    back in; doc/wiki/security.md "Authentication Recovery")."""
+    import datetime
+    import shutil
+
+    import yaml
+
+    cfg = Path(args.config)
+    if not cfg.is_file():
+        print(f"config not found: {cfg}")
+        return 2
+    stamp = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
+    backup = cfg.with_name(f"{cfg.name}.bak-{stamp}")
+    shutil.copy2(cfg, backup)
+    data = yaml.safe_load(cfg.read_text()) or {}
+    ws = data.setdefault("webserver", {}) or {}
+    cleared = [k for k in ("password", "auth_token", "oauth_client_secret",
+                           "oidc_client_secret") if ws.get(k)]
+    for k in cleared:
+        ws[k] = ""
+    data["webserver"] = ws
+    cfg.write_text(yaml.safe_dump(data, sort_keys=False))
+    print(f"authentication disabled ({', '.join(cleared) or 'nothing set'});"
+          f" backup at {backup.name}")
     return 0
 
 

@@ -248,6 +248,9 @@ class WebServerSettings:
     port: int = 8080
     auth_token: str | None = None       # static bearer token (optional)
     allow_local_bypass: bool = True     # local subnets skip auth
+    # CIDR allowlist narrowing the default RFC1918 bypass set
+    # (doc/wiki/security.md: "keep the subnet narrow"); [] = defaults
+    bypass_subnets: list[str] = dataclasses.field(default_factory=list)
     # Basic-auth + OAuth2 flow (internal/security): setting a password
     # enables the login page, session cookies with CSRF, and the
     # authorization-code/client-credentials token endpoints.

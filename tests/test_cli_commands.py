@@ -120,3 +120,43 @@ def test_db_doctor_diagnose_and_fix(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out["healthy"]
     assert out["detections"] == 1 and det_id == 1
+
+
+def test_auth_reset(tmp_path, capsys):
+    """auth reset (reference reset_auth.sh role): disables credentials
+    with a timestamped backup."""
+    import yaml
+
+    from birdnet_go_tpu.cli.main import main
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "webserver": {"password": "secret", "auth_token": "tok",
+                      "port": 9090},
+        "location": {"latitude": 60.0, "longitude": 24.0}}))
+    rc = main(["auth", "reset", "--config", str(cfg)])
+    assert rc == 0
+    data = yaml.safe_load(cfg.read_text())
+    assert data["webserver"]["password"] == ""
+    assert data["webserver"]["auth_token"] == ""
+    assert data["webserver"]["port"] == 9090          # untouched
+    assert data["location"]["latitude"] == 60.0
+    backups = list(tmp_path.glob("config.yaml.bak-*"))
+    assert len(backups) == 1
+    assert yaml.safe_load(backups[0].read_text())[
+        "webserver"]["password"] == "secret"
+
+
+def test_bypass_subnets_narrowing():
+    from birdnet_go_tpu.api.auth import is_local_address
+
+    # defaults: any RFC1918
+    assert is_local_address("192.168.1.50")
+    assert is_local_address("10.1.2.3")
+    # narrowed: only the configured subnet passes
+    nets = ["192.168.1.0/24"]
+    assert is_local_address("192.168.1.50", nets)
+    assert not is_local_address("192.168.2.50", nets)
+    assert not is_local_address("10.1.2.3", nets)
+    # malformed entries are skipped, not fatal
+    assert is_local_address("192.168.1.9", ["bogus", "192.168.1.0/24"])
