@@ -184,11 +184,30 @@ def security_middleware(manager: SecurityManager,
                         allow_local_bypass: bool = True):
     """Authn + CSRF middleware. When no credential is configured at all the
     server stays open (reference: security disabled ⇒ binary authz allows)."""
+    ws = manager.settings.webserver
+    cf_verifier = None
+    if getattr(ws, "cloudflare_bypass_enabled", False) \
+            and getattr(ws, "cloudflare_team_domain", ""):
+        from birdnet_go_tpu.api.cloudflare import CloudflareAccessVerifier
+
+        cf_verifier = CloudflareAccessVerifier(
+            ws.cloudflare_team_domain,
+            audience=getattr(ws, "cloudflare_audience", ""))
 
     @web.middleware
     async def middleware(request, handler):
         if not manager.enabled or _is_public(request.path):
             return await handler(request)
+
+        # Cloudflare Access bypass: a tunnel-delivered request whose JWT
+        # validates (team JWKS, issuer, expiry, optional audience) is
+        # trusted (doc/wiki/security.md)
+        if cf_verifier is not None:
+            from birdnet_go_tpu.api.cloudflare import JWT_HEADER
+
+            cf_token = request.headers.get(JWT_HEADER)
+            if cf_token and cf_verifier.verify(cf_token) is not None:
+                return await handler(request)
 
         # direct local connections may bypass (never when proxied)
         proxied = ("X-Forwarded-For" in request.headers
