@@ -41,6 +41,7 @@ log = logging.getLogger("birdnet_tpu.security")
 PUBLIC_PATHS = {"/api/v2/health", "/api/v2/ping", "/metrics",
                 "/api/v2/auth/login", "/api/v2/auth/status",
                 "/api/v2/auth/oidc/login", "/api/v2/auth/oidc/callback",
+                "/api/v2/auth/github/login", "/api/v2/auth/github/callback",
                 "/api/v2/oauth2/token", "/manifest.json", "/sw.js"}
 PUBLIC_PREFIXES = ("/ui", "/login", "/static/")
 
@@ -59,8 +60,10 @@ class SecurityManager:
         ws = settings.webserver
         self.settings = settings
         self.clock = clock
-        self.enabled = bool(ws.password or ws.auth_token
-                            or ws.oauth_client_secret)
+        self.enabled = bool(
+            ws.password or ws.auth_token or ws.oauth_client_secret
+            or getattr(ws, "oidc_client_secret", None)
+            or getattr(ws, "github_client_secret", None))
         self._salt = "birdnet-go-tpu.v1"
         # sessions: sid -> {expires, csrf}
         self._sessions: dict[str, dict] = {}
@@ -349,7 +352,67 @@ class AuthHandlers:
         r.add_delete(f"{v2}/auth/tokens", self.h_token_revoke)
         r.add_get(f"{v2}/auth/oidc/login", self.h_oidc_login)
         r.add_get(f"{v2}/auth/oidc/callback", self.h_oidc_callback)
+        r.add_get(f"{v2}/auth/github/login", self.h_github_login)
+        r.add_get(f"{v2}/auth/github/callback", self.h_github_callback)
         r.add_get("/login", self.h_login_page)
+
+    # -- GitHub social auth (reference: goth GitHub provider) ---------------------
+
+    _github = None
+
+    def _github_client(self):
+        if self._github is not None:
+            return self._github
+        ws = self.ctx.settings.webserver
+        if not getattr(ws, "github_client_id", "") \
+                or not getattr(ws, "github_client_secret", None):
+            return None
+        from birdnet_go_tpu.api.github_auth import GithubClient
+
+        base = getattr(ws, "base_url", "") or ""
+        redirect = (base.rstrip("/")
+                    + "/api/v2/auth/github/callback") if base \
+            else f"http://{ws.host}:{ws.port}/api/v2/auth/github/callback"
+        self._github = GithubClient(
+            ws.github_client_id, ws.github_client_secret, redirect,
+            allowed=getattr(ws, "github_allowed", []))
+        return self._github
+
+    async def h_github_login(self, request):
+        client = self._github_client()
+        if client is None:
+            return web.json_response({"error": "GitHub auth not configured"},
+                                     status=404)
+        _, url = client.begin()
+        raise web.HTTPFound(url)
+
+    async def h_github_callback(self, request):
+        client = self._github_client()
+        sec = self.security
+        if client is None or sec is None:
+            return web.json_response({"error": "GitHub auth not configured"},
+                                     status=404)
+        if err := request.query.get("error"):
+            return web.json_response({"error": f"provider: {err}"},
+                                     status=401)
+        import asyncio as _aio
+
+        from birdnet_go_tpu.api.github_auth import GithubAuthError
+
+        try:
+            who = await _aio.get_event_loop().run_in_executor(
+                None, client.complete, request.query.get("state", ""),
+                request.query.get("code", ""))
+        except GithubAuthError as e:
+            return web.json_response({"error": str(e)}, status=401)
+        sid, _csrf = sec.create_session()
+        log.info("GitHub login: %s", who.get("email") or who.get("login"))
+        resp = web.HTTPFound("/")
+        resp.set_cookie(SESSION_COOKIE, sid, httponly=True,
+                        samesite="Lax",
+                        max_age=int(sec.settings.webserver.session_hours
+                                    * 3600))
+        raise resp
 
     # -- OIDC / SSO (reference: social + OIDC login) ------------------------------
 

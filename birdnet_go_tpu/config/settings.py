@@ -275,6 +275,10 @@ class WebServerSettings:
     oidc_issuer: str = ""
     # Cloudflare Access bypass (doc/wiki/security.md): trust requests
     # whose Cf-Access-Jwt-Assertion validates against the team's JWKS
+    # GitHub social login (reference: goth GitHub provider)
+    github_client_id: str = ""
+    github_client_secret: str | None = None
+    github_allowed: list[str] = dataclasses.field(default_factory=list)
     cloudflare_bypass_enabled: bool = False
     cloudflare_team_domain: str = ""
     cloudflare_audience: str = ""

@@ -296,3 +296,79 @@ def test_oidc_login_end_to_end(tiny_app, rsa_key):
     finally:
         app.stop()
         idp.shutdown()
+
+
+# -- GitHub social auth (goth GitHub provider role) -------------------------------
+
+
+class _GhResp:
+    def __init__(self, status, data):
+        self.status_code = status
+        self._data = data
+
+    def json(self):
+        return self._data
+
+
+class _GhHttp:
+    """Scripted GitHub API double."""
+
+    def __init__(self, email_public=True):
+        self.email_public = email_public
+        self.posts = []
+
+    def post(self, url, data=None, headers=None):
+        self.posts.append((url, data))
+        assert data["code"] == "goodcode"
+        return _GhResp(200, {"access_token": "gh_tok"})
+
+    def get(self, url, headers=None):
+        assert headers["Authorization"] == "Bearer gh_tok"
+        if url.endswith("/user"):
+            return _GhResp(200, {
+                "login": "OctoCat",
+                "email": "cat@example.com" if self.email_public else None})
+        if url.endswith("/user/emails"):
+            return _GhResp(200, [
+                {"email": "alt@example.com", "primary": False,
+                 "verified": True},
+                {"email": "cat@example.com", "primary": True,
+                 "verified": True}])
+        raise AssertionError(url)
+
+
+def test_github_flow_and_allowlist():
+    from birdnet_go_tpu.api.github_auth import GithubAuthError, GithubClient
+
+    client = GithubClient("cid", "csec", "http://cb",
+                          allowed=["cat@example.com"], http=_GhHttp())
+    state, url = client.begin()
+    assert "github.com/login/oauth/authorize" in url and state in url
+    who = client.complete(state, "goodcode")
+    assert who == {"email": "cat@example.com", "login": "octocat"}
+
+    # private email resolves via /user/emails (primary verified)
+    client = GithubClient("cid", "csec", "http://cb",
+                          allowed=["@example.com"],
+                          http=_GhHttp(email_public=False))
+    state, _ = client.begin()
+    assert client.complete(state, "goodcode")["email"] == "cat@example.com"
+
+    # login-based allowlist entry
+    client = GithubClient("cid", "csec", "http://cb",
+                          allowed=["login:octocat"], http=_GhHttp())
+    state, _ = client.begin()
+    assert client.complete(state, "goodcode")["login"] == "octocat"
+
+    # not in allowlist
+    client = GithubClient("cid", "csec", "http://cb",
+                          allowed=["other@example.com"], http=_GhHttp())
+    state, _ = client.begin()
+    import pytest
+
+    with pytest.raises(GithubAuthError, match="allowlist"):
+        client.complete(state, "goodcode")
+
+    # unknown state
+    with pytest.raises(GithubAuthError, match="state"):
+        client.complete("bogus", "goodcode")
