@@ -44,9 +44,16 @@ def is_local_address(addr: str, subnets: list | None = None) -> bool:
         nets = []
         for cidr in subnets:
             try:
-                nets.append(ipaddress.ip_network(cidr, strict=False))
+                net = ipaddress.ip_network(cidr, strict=False)
             except ValueError:
                 continue
+            # NARROWING only: a configured public CIDR must never widen
+            # the no-auth bypass to the internet
+            if not net.is_private:
+                continue
+            nets.append(net)
+        if not nets:
+            nets = _LOCAL_NETS
     return any(ip in net for net in nets)
 
 

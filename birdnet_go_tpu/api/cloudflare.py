@@ -10,10 +10,12 @@ when configured — carries the expected policy audience.
 
 from __future__ import annotations
 
-import base64
 import json
 import logging
 import time
+
+from birdnet_go_tpu.api.oidc import _b64url_decode as _b64url
+from birdnet_go_tpu.api.oidc import jwk_to_rsa_key
 
 log = logging.getLogger("birdnet_tpu.cloudflare")
 
@@ -21,23 +23,22 @@ JWT_HEADER = "Cf-Access-Jwt-Assertion"
 _CERTS_TTL = 3600.0
 
 
-def _b64url(data: str | bytes) -> bytes:
-    if isinstance(data, str):
-        data = data.encode()
-    return base64.urlsafe_b64decode(data + b"=" * (-len(data) % 4))
-
-
 class CloudflareAccessVerifier:
     """Validates Cloudflare Access JWTs against the team's JWKS."""
 
     def __init__(self, team_domain: str, audience: str = "",
                  session=None, clock=time.time):
-        self.team_domain = team_domain.strip().removeprefix("https://")
+        self.team_domain = (team_domain.strip()
+                            .removeprefix("https://").rstrip("/"))
         self.audience = audience
         self.clock = clock
         self._session = session
         self._keys: dict[str, object] = {}
         self._fetched_at = 0.0
+        # kids that failed to resolve after a refresh: do NOT refetch the
+        # JWKS again for them inside the TTL (self-minted random-kid
+        # tokens would otherwise drive one outbound fetch per request)
+        self._bad_kids: set[str] = set()
 
     @property
     def issuer(self) -> str:
@@ -47,12 +48,10 @@ class CloudflareAccessVerifier:
         return f"https://{self.team_domain}/cdn-cgi/access/certs"
 
     def _refresh_keys(self) -> None:
-        if self._keys and self.clock() - self._fetched_at < _CERTS_TTL:
+        # TTL on the FETCH TIME (an empty key set must not refetch per
+        # call — a misconfigured team domain would hammer the endpoint)
+        if self._fetched_at and self.clock() - self._fetched_at < _CERTS_TTL:
             return
-        from cryptography.hazmat.primitives.asymmetric.rsa import (
-            RSAPublicNumbers,
-        )
-
         if self._session is None:
             from birdnet_go_tpu.utils.httpclient import shared_client
 
@@ -63,10 +62,9 @@ class CloudflareAccessVerifier:
         for jwk in resp.json().get("keys", []):
             if jwk.get("kty") != "RSA":
                 continue
-            n = int.from_bytes(_b64url(jwk["n"]), "big")
-            e = int.from_bytes(_b64url(jwk["e"]), "big")
-            keys[jwk.get("kid", "")] = RSAPublicNumbers(e, n).public_key()
+            keys[jwk.get("kid", "")] = jwk_to_rsa_key(jwk)
         self._keys = keys
+        self._bad_kids.clear()
         self._fetched_at = self.clock()
 
     def verify(self, token: str) -> dict | None:
@@ -78,12 +76,16 @@ class CloudflareAccessVerifier:
             if header.get("alg") != "RS256":
                 return None
             self._refresh_keys()
-            key = self._keys.get(header.get("kid", ""))
-            if key is None:
-                # key rotation: one forced refresh per unknown kid
+            kid = header.get("kid", "")
+            key = self._keys.get(kid)
+            if key is None and kid not in self._bad_kids:
+                # key rotation: one forced refresh per unknown kid, then
+                # negative-cache it until the next scheduled refresh
                 self._fetched_at = 0.0
                 self._refresh_keys()
-                key = self._keys.get(header.get("kid", ""))
+                key = self._keys.get(kid)
+                if key is None:
+                    self._bad_kids.add(kid)
             if key is None:
                 return None
             from cryptography.hazmat.primitives import hashes

@@ -47,6 +47,11 @@ class GithubClient:
         self._pending = {s: exp for s, exp in self._pending.items()
                          if exp > now}
         state = secrets.token_urlsafe(24)
+        # bounded (CLAUDE.md: all queues bounded): an unauthenticated
+        # client looping on /login must not grow this without limit
+        if len(self._pending) >= 1000:
+            oldest = min(self._pending, key=self._pending.get)
+            self._pending.pop(oldest, None)
         self._pending[state] = now + _STATE_TTL
         q = urllib.parse.urlencode({
             "client_id": self.client_id,
@@ -78,8 +83,9 @@ class GithubClient:
         user = self.http.get(f"{API_BASE}/user", headers=headers)
         if user.status_code != 200:
             raise GithubAuthError(f"user lookup HTTP {user.status_code}")
-        login = str(user.json().get("login", "")).lower()
-        email = str(user.json().get("email") or "").lower()
+        info = user.json()
+        login = str(info.get("login", "")).lower()
+        email = str(info.get("email") or "").lower()
         if not email:
             # private email: the dedicated endpoint lists them; take the
             # primary VERIFIED address (goth does the same)

@@ -25,6 +25,18 @@ log = logging.getLogger("birdnet_tpu.oidc")
 STATE_TTL = 600.0          # seconds a login attempt may take
 
 
+def jwk_to_rsa_key(jwk: dict):
+    """RSA public key from a JWK dict (shared by the OIDC and Cloudflare
+    Access validators — one JWT key-construction path)."""
+    from cryptography.hazmat.primitives.asymmetric.rsa import (
+        RSAPublicNumbers,
+    )
+
+    n = int.from_bytes(_b64url_decode(jwk["n"]), "big")
+    e = int.from_bytes(_b64url_decode(jwk["e"]), "big")
+    return RSAPublicNumbers(e, n).public_key()
+
+
 def _b64url_decode(s: str | bytes) -> bytes:
     if isinstance(s, str):
         s = s.encode()
@@ -164,19 +176,13 @@ class OidcClient:
         return claims
 
     def _rsa_key(self, kid: str | None):
-        from cryptography.hazmat.primitives.asymmetric.rsa import (
-            RSAPublicNumbers,
-        )
-
         for refresh in (False, True):     # key rotation: one refetch
             for jwk in self.jwks(refresh=refresh).get("keys", []):
                 if jwk.get("kty") != "RSA":
                     continue
                 if kid is not None and jwk.get("kid") != kid:
                     continue
-                n = int.from_bytes(_b64url_decode(jwk["n"]), "big")
-                e = int.from_bytes(_b64url_decode(jwk["e"]), "big")
-                return RSAPublicNumbers(e, n).public_key()
+                return jwk_to_rsa_key(jwk)
         raise OidcError(f"no RSA key {kid!r} in provider JWKS")
 
     # -- authorization ----------------------------------------------------------

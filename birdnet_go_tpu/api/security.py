@@ -209,8 +209,15 @@ def security_middleware(manager: SecurityManager,
             from birdnet_go_tpu.api.cloudflare import JWT_HEADER
 
             cf_token = request.headers.get(JWT_HEADER)
-            if cf_token and cf_verifier.verify(cf_token) is not None:
-                return await handler(request)
+            if cf_token:
+                import asyncio as _aio
+
+                # verification may fetch the JWKS (blocking httpx) — keep
+                # it off the event loop like the OIDC/GitHub callbacks
+                claims = await _aio.get_event_loop().run_in_executor(
+                    None, cf_verifier.verify, cf_token)
+                if claims is not None:
+                    return await handler(request)
 
         # direct local connections may bypass (never when proxied)
         proxied = ("X-Forwarded-For" in request.headers

@@ -499,7 +499,8 @@ def _cmd_auth(args) -> int:
     data = yaml.safe_load(cfg.read_text()) or {}
     ws = data.setdefault("webserver", {}) or {}
     cleared = [k for k in ("password", "auth_token", "oauth_client_secret",
-                           "oidc_client_secret") if ws.get(k)]
+                           "oidc_client_secret", "github_client_secret")
+               if ws.get(k)]
     for k in cleared:
         ws[k] = ""
     data["webserver"] = ws

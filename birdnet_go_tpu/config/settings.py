@@ -273,18 +273,18 @@ class WebServerSettings:
     # OIDC / SSO login (reference: social + OIDC providers): point at any
     # OpenID Connect issuer; allowed = emails or "@domain" entries
     oidc_issuer: str = ""
-    # Cloudflare Access bypass (doc/wiki/security.md): trust requests
-    # whose Cf-Access-Jwt-Assertion validates against the team's JWKS
+    oidc_client_id: str = ""
+    oidc_client_secret: str | None = None
+    oidc_allowed: list[str] = dataclasses.field(default_factory=list)
     # GitHub social login (reference: goth GitHub provider)
     github_client_id: str = ""
     github_client_secret: str | None = None
     github_allowed: list[str] = dataclasses.field(default_factory=list)
+    # Cloudflare Access bypass (doc/wiki/security.md): trust requests
+    # whose Cf-Access-Jwt-Assertion validates against the team's JWKS
     cloudflare_bypass_enabled: bool = False
     cloudflare_team_domain: str = ""
     cloudflare_audience: str = ""
-    oidc_client_id: str = ""
-    oidc_client_secret: str | None = None
-    oidc_allowed: list[str] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass

@@ -160,3 +160,10 @@ def test_bypass_subnets_narrowing():
     assert not is_local_address("10.1.2.3", nets)
     # malformed entries are skipped, not fatal
     assert is_local_address("192.168.1.9", ["bogus", "192.168.1.0/24"])
+    # NARROWING only: a public CIDR must never widen the bypass
+    # (203.0.113.0/24 TEST-NET counts as non-global => allowed; a truly
+    # public range like 8.8.8.0/24 must be dropped)
+    assert not is_local_address("8.8.8.8", ["0.0.0.0/0"])
+    assert not is_local_address("8.8.8.8", ["8.8.8.0/24"])
+    # all-public config falls back to the private defaults (not open)
+    assert is_local_address("192.168.1.9", ["8.8.8.0/24"])

@@ -103,16 +103,28 @@ def test_rejections(rsa_key):
     assert v.verify("not-a-jwt") is None
 
 
-def test_key_rotation_refreshes_once(rsa_key):
+def test_key_rotation_and_negative_kid_cache(rsa_key):
     from cryptography.hazmat.primitives.asymmetric import rsa as _rsa
 
     new_key = _rsa.generate_private_key(public_exponent=65537, key_size=2048)
     sess = _Session(_jwks(rsa_key, kid="old"))
-    v = CloudflareAccessVerifier("team.cloudflareaccess.com", session=sess)
+    t = [1000.0]
+    v = CloudflareAccessVerifier("team.cloudflareaccess.com", session=sess,
+                                 clock=lambda: t[0])
     claims = {"iss": "https://team.cloudflareaccess.com",
-              "exp": time.time() + 600}
+              "exp": time.time() + 24 * 3600}
     tok = _jwt(new_key, claims, kid="new")
     assert v.verify(tok) is None          # unknown kid, refresh didn't help
     assert sess.calls == 2                # one forced rotation refresh
+    # negative kid cache: self-minted random-kid tokens must NOT drive a
+    # JWKS fetch per request (DoS amplifier)
+    assert v.verify(tok) is None
+    assert sess.calls == 2                # no extra fetch inside the TTL
+    # after the TTL the rotated key is picked up normally
     sess.jwks = _jwks(new_key, kid="new")
-    assert v.verify(tok) is not None      # rotated key now accepted
+    t[0] += 3601
+    assert v.verify(tok) is not None
+    # trailing slash / scheme in the configured team domain is tolerated
+    v2 = CloudflareAccessVerifier("https://team.cloudflareaccess.com/",
+                                  session=_Session(_jwks(rsa_key)))
+    assert v2.issuer == "https://team.cloudflareaccess.com"
