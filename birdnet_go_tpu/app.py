@@ -246,12 +246,15 @@ class Application:
         from birdnet_go_tpu.audio.hlsmux import HlsManager
 
         self.hls = HlsManager(self.engine)
-        self.device_loop = DeviceLoop(tick_seconds=s.realtime.tick_ms / 1000)
+        self.device_loop = DeviceLoop(
+            tick_seconds=s.realtime.tick_ms / 1000,
+            max_dispatches_per_tick=s.realtime.max_dispatches_per_tick)
         for ms in enabled:
             clf = self.classifiers[ms.model_id]
             self.device_loop.add_batcher(ModelBatcher(
                 clf, max_batch=s.realtime.max_batch,
                 sensitivity=ms.sensitivity,
+                pipeline_depth=s.realtime.pipeline_depth,
                 on_result=functools.partial(self._on_window_result,
                                             ms.model_id)))
         self.device_loop.add_provider(self.engine.collect_ready)
@@ -709,6 +712,7 @@ class Application:
         batcher = ModelBatcher(
             clf, max_batch=self.settings.realtime.max_batch,
             sensitivity=ms.sensitivity,
+            pipeline_depth=self.settings.realtime.pipeline_depth,
             on_result=functools.partial(self._on_window_result, model_id))
         # Warm up (XLA compile) BEFORE the batcher joins the device loop, so
         # the first real dispatch never stalls the tick thread for minutes

@@ -218,10 +218,10 @@ class _StubBatcher:
         return 0
 
 
-def test_device_loop_backlog_retries_overflow_windows():
-    """Windows the provider already consumed from the AnalysisBuffer but
-    that didn't fit the tick's megabatch must be retried next tick, in
-    order, not dropped."""
+def test_device_loop_drains_ready_set_in_one_tick():
+    """A burst larger than one megabatch is dispatched as multiple
+    pipelined device batches within the SAME tick, in order — the
+    round-2 one-batch-per-model-per-tick cap is gone (VERDICT r2 #1)."""
     from birdnet_go_tpu.scheduler.loop import DeviceLoop
 
     loop = DeviceLoop()
@@ -238,30 +238,47 @@ def test_device_loop_backlog_retries_overflow_windows():
         return list(burst)
 
     loop.add_provider(provider)
-    assert loop.run_tick() == 2
-    assert loop.run_tick() == 2          # backlog drained before providers
-    assert loop.run_tick() == 1
+    assert loop.run_tick() == 5          # 2 + 2 + 1, one tick
+    assert b.dispatched == [2, 2, 1]
     assert loop.run_tick() == 0
     assert b.offered_starts == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert loop.windows_dropped == 0
 
 
-def test_device_loop_backlog_bounded_with_drop_accounting():
+def test_device_loop_dispatch_budget_backlog_and_drop_accounting():
+    """Per-tick device dispatches are bounded by max_dispatches_per_tick;
+    overflow beyond that is retried from a bounded backlog (cap
+    4 × max_batch) and anything further is dropped WITH accounting."""
     from birdnet_go_tpu.scheduler.loop import DeviceLoop
 
-    loop = DeviceLoop()
+    loop = DeviceLoop(max_dispatches_per_tick=2)
     b = _StubBatcher(max_batch=2)        # backlog cap = 4 × 2 = 8
     loop.add_batcher(b)
     pcm = np.zeros(8, np.int16)
     flood = [("S", pcm, "s1", float(i)) for i in range(20)]
     once = iter([flood])
     loop.add_provider(lambda: next(once, []))
-    loop.run_tick()                      # 2 staged, 8 backlogged, 10 dropped
-    assert loop.windows_dropped == 10
-    total = 2
+    # tick 1: dispatch budget 2 → 2 batches of 2 leave, 2 more staged
+    # (awaiting next tick's budget), 8 backlogged (cap 4×2), 6 dropped
+    assert loop.run_tick() == 4
+    assert loop.windows_dropped == 6
+    total = 4
     for _ in range(10):
         total += loop.run_tick()
-    assert total == 10                   # 2 + the 8 retried
+    assert total == 14                   # 4 + 2 staged + 8 backlog retried
+
+
+def test_device_loop_capacity_info_reports_ceiling():
+    from birdnet_go_tpu.scheduler.loop import DeviceLoop
+
+    loop = DeviceLoop(tick_seconds=0.1, max_dispatches_per_tick=8)
+    b = _StubBatcher(max_batch=256)
+    b.budget_seconds = 1.5
+    loop.add_batcher(b)
+    info = loop.capacity_info()
+    m = info["models"]["S"]
+    assert m["ceiling_windows_per_s"] == 256 * 8 / 0.1
+    assert m["ceiling_streams"] == round(256 * 8 / 0.1 * 1.5, 1)
 
 
 # -- RTSP reconnect reuses the engine stream ----------------------------------------------
