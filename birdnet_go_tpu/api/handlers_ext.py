@@ -56,7 +56,6 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/system/disks", self.h_sys_disks)
         r.add_get(f"{v2}/system/temperature/cpu", self.h_sys_temp)
         r.add_get(f"{v2}/system/jobs", self.h_sys_jobs)
-        r.add_get(f"{v2}/system/scheduler", self.h_sys_scheduler)
         r.add_get(f"{v2}/system/control/signals", self.h_control_signals)
         r.add_post(f"{v2}/system/control", self.h_control_send)
         r.add_get(f"{v2}/system/diagnostics", self.h_diagnostics)
@@ -363,17 +362,6 @@ class ExtendedHandlers:
         import dataclasses as dc
 
         return _json(dc.asdict(self.ctx.jobqueue.stats))
-
-    async def h_sys_scheduler(self, request):
-        """Configured per-model device ceiling (max_batch ×
-        max_dispatches_per_tick / tick) so operators can see shipped
-        capacity vs the bench headline (VERDICT r2 #10)."""
-        loop = getattr(self.ctx, "device_loop", None)
-        if loop is None:
-            return _json({"models": {}, "running": False})
-        info = loop.capacity_info()
-        info["running"] = loop._thread is not None
-        return _json(info)
 
     async def h_control_signals(self, request):
         from birdnet_go_tpu.config.control import ControlSignal

@@ -683,7 +683,12 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         return _json(out)
 
     async def h_scheduler_stats(self, request):
+        # capacity_info: configured per-model device ceiling (max_batch ×
+        # max_dispatches_per_tick / tick) so operators can compare shipped
+        # capacity vs the bench headline (VERDICT r2 #10)
         return _json({
+            **self.ctx.device_loop.capacity_info(),
+            "running": self.ctx.device_loop._thread is not None,
             "ticks": self.ctx.device_loop.ticks,
             "processor": {
                 "results_processed": self.ctx.processor.stats.results_processed,

@@ -108,6 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
     gs = sub.add_parser("gen-schema",
                         help="print the configuration JSON schema")
 
+    sk = sub.add_parser("soak", help="full-pipeline concurrent-stream soak "
+                        "(ingest→scheduler→processor→datastore)")
+    sk.add_argument("--streams", type=int, default=2500)
+    sk.add_argument("--seconds", type=float, default=120.0)
+    sk.add_argument("--device", choices=["tpu", "stub"], default="stub")
+    sk.add_argument("--max-batch", type=int, default=256)
+    sk.add_argument("--db", default=":memory:")
+    sk.add_argument("--out", default=None)
+
     s = sub.add_parser("serve", help="realtime analysis server")
     s.add_argument("--config", default=None, help="YAML config file")
     s.add_argument("--host", default=None)
@@ -145,6 +154,15 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_rangefilter(args)
     if args.command == "serve":
         return _cmd_serve(args)
+    if args.command == "soak":
+        from birdnet_go_tpu.scheduler.soak import main as soak_main
+
+        return soak_main(["--streams", str(args.streams),
+                          "--seconds", str(args.seconds),
+                          "--device", args.device,
+                          "--max-batch", str(args.max_batch),
+                          "--db", args.db]
+                         + (["--out", args.out] if args.out else []))
     if args.command == "train":
         return _cmd_train(args)
     if args.command == "import":

@@ -275,6 +275,10 @@ class DeviceLoop:
         # window providers: callables returning iterable of
         # (model_id, pcm_i16, source_id, start_time)
         self._providers: list[Callable[[], list]] = []
+        # block providers (native ingest plane): callables returning
+        # (pcm_block [n, clip] int16, source_ids, start_times) for one
+        # model — staged via the vectorized offer_block fast path
+        self._block_providers: list[tuple[str, Callable[[], tuple]]] = []
         # windows that didn't fit a tick's megabatch: the provider already
         # consumed them from the AnalysisBuffer, so they MUST be retried
         # next tick, not dropped (bounded; beyond the cap they're counted)
@@ -289,6 +293,15 @@ class DeviceLoop:
 
     def add_provider(self, provider: Callable[[], list]) -> None:
         self._providers.append(provider)
+
+    def add_block_provider(self, model_id: str,
+                           provider: Callable[[], tuple]) -> None:
+        """Register a packed-block window source (the C++ stream farm):
+        per tick, provider() → (pcm_block, source_ids, start_times). The
+        block is consumed via ModelBatcher.offer_block with immediate
+        pipelined dispatch when a megabatch fills — no per-window Python
+        objects until results fan out."""
+        self._block_providers.append((model_id, provider))
 
     def run_tick(self) -> int:
         """One scheduling tick; returns windows dispatched. Drains the
@@ -307,6 +320,38 @@ class DeviceLoop:
         # dict while this thread iterates
         batchers = dict(self.batchers)
         budget = {m: self.max_dispatches_per_tick for m in batchers}
+        # packed blocks from the native ingest plane first (bulk traffic)
+        for model_id, provider in list(self._block_providers):
+            b = batchers.get(model_id)
+            block, sids, sts = provider()
+            n_rows = len(block)
+            if n_rows == 0:
+                continue
+            if b is None:
+                self.windows_dropped += n_rows
+                continue
+            pos = 0
+            while pos < n_rows:
+                k = b.offer_block(block[pos:], sids[pos:], sts[pos:],
+                                  keep_pcm=False)
+                pos += k
+                if pos >= n_rows:
+                    break
+                if budget.get(model_id, 0) > 0:
+                    budget[model_id] -= 1
+                    dispatched += b.dispatch()
+                else:
+                    # out of dispatch budget: remaining rows must be
+                    # COPIED into the retry backlog (the provider reuses
+                    # its block buffer next tick)
+                    q = self._backlog.setdefault(model_id, [])
+                    for j in range(pos, n_rows):
+                        if len(q) < 4 * b.max_batch:
+                            q.append((model_id, block[j].copy(),
+                                      sids[j], float(sts[j])))
+                        else:
+                            self.windows_dropped += 1
+                    break
         for item in items:
             model_id, pcm, source_id, start_time = item[:4]
             rate = item[4] if len(item) > 4 else 0

@@ -1,0 +1,231 @@
+"""Native stream farm (C++ ingest plane) + scheduler block path.
+
+The farm must reproduce AnalysisBuffer's overlapped-window semantics
+byte-exactly (reference internal/audiocore/buffer/analysis.go:187-252)
+while owning synthesis, ring writes, and window packing natively; the
+scheduler's offer_block/block-provider path must deliver the packed
+windows through the production DeviceLoop.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from birdnet_go_tpu.native import lib as native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+RATE = 48000
+WINDOW = 9600           # 0.2 s windows keep the test fast
+HOP = 4800
+
+
+def _farm(n_streams=4, timescale=40.0, ring_seconds=24.0, **kw):
+    # ring_seconds is STREAM time: at timescale 40 a 24 s ring is only
+    # 0.6 s of wall time for the collector to keep up with
+    return native.StreamFarm(n_streams, RATE, WINDOW, HOP,
+                             ring_seconds=ring_seconds, n_waveforms=4,
+                             seed=5, timescale=timescale, **kw)
+
+
+def _drain(farm, seconds, cap=256):
+    out = np.empty((cap, WINDOW), np.int16)
+    meta = np.empty((cap, 3), np.int64)
+    windows = {}
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        n = farm.collect(out, meta)
+        for j in range(n):
+            windows.setdefault(int(meta[j, 0]), []).append(
+                (int(meta[j, 1]), int(meta[j, 2]), out[j].copy()))
+        time.sleep(0.02)
+    return windows
+
+
+def test_farm_window_semantics_match_analysis_buffer():
+    """Window k = [tail of window k-1 | fresh hop]; first window's overlap
+    prefix zero-filled; indices contiguous — AnalysisBuffer semantics."""
+    farm = _farm()
+    farm.start()
+    try:
+        windows = _drain(farm, 1.5)
+    finally:
+        farm.stop()
+        farm.close()
+    assert len(windows) == 4
+    overlap = WINDOW - HOP
+    gaps = 0
+    for sid, ws in windows.items():
+        for (i1, _, w1), (i2, _, w2) in zip(ws, ws[1:]):
+            if i2 == i1 + 1:           # contiguous: overlap must chain
+                assert np.array_equal(w1[-overlap:], w2[:overlap])
+            else:                      # ring clobber under test-host jitter
+                gaps += 1
+        if ws[0][0] == 0:
+            assert not ws[0][2][:overlap].any()
+    total = sum(len(ws) for ws in windows.values())
+    assert total > 40 and gaps <= total // 10
+
+
+def test_farm_set_waveform_streams_known_pcm():
+    """A caller-provided waveform (e.g. a real recording) is streamed
+    verbatim: the first window's fresh region must equal its head."""
+    farm = _farm(n_streams=1, timescale=40.0)
+    ramp = (np.arange(RATE, dtype=np.int32) % 3000 - 1500).astype(np.int16)
+    assert farm.set_waveform(0, ramp)
+    # waveform slot is locked once started
+    farm.start()
+    try:
+        assert not farm.set_waveform(0, ramp)
+        windows = _drain(farm, 1.0)
+    finally:
+        farm.stop()
+        farm.close()
+    (idx0, _, w0) = windows[0][0]
+    assert idx0 == 0
+    # stream phase offset is deterministic per seed; fresh region must be
+    # a contiguous slice of the looped ramp
+    fresh = w0[WINDOW - HOP:]
+    starts = np.flatnonzero(ramp == fresh[0])
+    assert any(
+        np.array_equal(np.resize(np.roll(ramp, -int(s0)), HOP), fresh)
+        for s0 in starts)
+
+
+def test_farm_ready_ns_is_realtime_deadline():
+    """meta[:,2] must equal (offset + (index+1)*hop)/rate scaled by the
+    timescale — consecutive windows of one stream differ by exactly
+    hop/rate/timescale seconds."""
+    farm = _farm(n_streams=2, timescale=40.0)
+    farm.start()
+    try:
+        windows = _drain(farm, 1.0)
+    finally:
+        farm.stop()
+        farm.close()
+    expect = HOP / RATE / 40.0 * 1e9
+    for ws in windows.values():
+        for (_, r1, _), (_, r2, _) in zip(ws, ws[1:]):
+            assert r2 - r1 == pytest.approx(expect, rel=1e-6)
+
+
+def test_farm_loss_accounting_when_not_collected():
+    """An uncollected farm overwrites rings and COUNTS the loss — the
+    bounded-queue contract (process.go:423-470 analogue)."""
+    farm = _farm(n_streams=2, timescale=200.0, ring_seconds=2.0)
+    farm.start()
+    time.sleep(1.2)                    # ~240 s of stream time vs 2 s rings
+    farm.stop()
+    s = farm.stats()
+    farm.close()
+    assert s["samples_lost"] > 0
+    assert s["windows_emitted"] == 0
+
+
+def test_device_loop_block_provider_end_to_end():
+    """Packed farm windows flow through DeviceLoop.run_tick's block path
+    into a batcher and out through on_result."""
+    from birdnet_go_tpu.scheduler.loop import DeviceLoop
+    from birdnet_go_tpu.scheduler.soak import EMPTY_BLOCK, \
+        CalibratedStubBatcher
+
+    class Spec:
+        model_id = "S"
+        sample_rate = RATE
+        clip_samples = WINDOW
+        buffer_interval_seconds = HOP / RATE
+
+    results = []
+    b = CalibratedStubBatcher(Spec(), max_batch=8, base_ms=0.1,
+                              per_window_us=1.0,
+                              on_result=lambda w, v, i:
+                              results.append((w.source_id, w.start_time)))
+    farm = _farm(n_streams=3, timescale=40.0)
+    out = np.empty((64, WINDOW), np.int16)
+    meta = np.empty((64, 3), np.int64)
+
+    def provider():
+        n = farm.collect(out, meta)
+        if n == 0:
+            return EMPTY_BLOCK
+        return (out[:n], [f"farm:{meta[j, 0]}" for j in range(n)],
+                meta[:n, 2] / 1e9)
+
+    loop = DeviceLoop(tick_seconds=0.02)
+    loop.add_batcher(b)
+    loop.add_block_provider("S", provider)
+    farm.start()
+    try:
+        deadline = time.time() + 3.0
+        while time.time() < deadline and len(results) < 12:
+            loop.run_tick()
+            time.sleep(0.02)
+    finally:
+        farm.stop()
+        loop.drain()
+        farm.close()
+    assert len(results) >= 12
+    assert loop.windows_dropped == 0
+    sources = {s for s, _ in results}
+    assert sources == {"farm:0", "farm:1", "farm:2"}
+    # start_times strictly increasing per source (ordering preserved)
+    for src in sources:
+        sts = [t for s, t in results if s == src]
+        assert sts == sorted(sts)
+
+
+def test_offer_block_real_model_batcher():
+    """ModelBatcher.offer_block stages a packed block and dispatches the
+    same results the row-by-row offer() path produces."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from birdnet_go_tpu.inference.backend import JaxClassifier
+    from birdnet_go_tpu.models.registry import ModelSpec
+    from birdnet_go_tpu.scheduler.loop import ModelBatcher
+
+    class Tiny:
+        spec = ModelSpec(model_id="T", display_name="t",
+                         sample_rate=RATE, clip_seconds=WINDOW / RATE,
+                         num_species=5)
+        num_species = 5
+
+        def init(self, key):
+            return {"w": np.linspace(-1, 1, 5).astype(np.float32)}
+
+        def apply(self, params, pcm):
+            import jax.numpy as jnp
+
+            m = jnp.mean(jnp.abs(pcm), axis=-1, keepdims=True)
+            return {"logits": m * params["w"]}
+
+    model = Tiny()
+    clf = JaxClassifier(model, model.init(None))
+    rng = np.random.default_rng(0)
+    block = (rng.standard_normal((5, WINDOW)) * 1000).astype(np.int16)
+
+    got_a, got_b = [], []
+    ba = ModelBatcher(clf, max_batch=8, top_k=3,
+                      on_result=lambda w, v, i: got_a.append(
+                          (w.source_id, v.copy(), i.copy())))
+    k = ba.offer_block(block, [f"s{j}" for j in range(5)],
+                       [10.0 + j for j in range(5)], keep_pcm=False)
+    assert k == 5
+    ba.dispatch()
+    ba.harvest_all()
+
+    bb = ModelBatcher(clf, max_batch=8, top_k=3,
+                      on_result=lambda w, v, i: got_b.append(
+                          (w.source_id, v.copy(), i.copy())))
+    for j in range(5):
+        bb.offer(block[j], f"s{j}", 10.0 + j)
+    bb.dispatch()
+    bb.harvest_all()
+
+    assert len(got_a) == len(got_b) == 5
+    for (sa, va, ia), (sb, vb, ib) in zip(got_a, got_b):
+        assert sa == sb
+        np.testing.assert_allclose(va, vb)
+        np.testing.assert_array_equal(ia, ib)
