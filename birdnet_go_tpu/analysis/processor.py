@@ -24,6 +24,8 @@ import threading
 import time
 from typing import Callable
 
+import numpy as np
+
 from birdnet_go_tpu.analysis import deep_detection
 from birdnet_go_tpu.analysis.dynamic_threshold import DynamicThresholds
 from birdnet_go_tpu.analysis.results import Detection
@@ -170,6 +172,8 @@ class Processor:
         self._pending: dict[str, PendingDetection] = {}
         # (config object, lowercased copy) — see _base_threshold
         self._species_cfg_cache: tuple[dict, dict] | None = None
+        # model_id -> (fingerprint, thr[S], nonspecial[S]) — see _fast_gate
+        self._gate_cache: dict[str, tuple] = {}
         # pending-broadcast hook (pending_broadcast.go): called with the
         # serializable snapshot whenever it CHANGES (deduplicated)
         self.on_pending: Callable[[list[dict]], None] | None = None
@@ -241,6 +245,121 @@ class Processor:
         return level, overlap
 
     # -- ingest ------------------------------------------------------------------
+
+    def _fast_gate(self, model_id: str, labels: "LabelSet"):
+        """Per-species minimum-actionable-confidence array for the
+        vectorized submit_batch gate.
+
+        thr[i] = the lowest confidence at which a result for species i can
+        have ANY observable effect: privacy floor for human classes, dog
+        floor for dog classes, the custom threshold for user-configured
+        species (dynamic adjustment never applies to those), and
+        min(model base threshold, dynamic floor) otherwise. nonspecial[i]
+        marks classes whose sub-threshold results increment
+        detections_filtered in the scalar path (human/dog return early
+        without counting). Cached per model; rebuilt when the relevant
+        settings change (same identity-keyed convention as
+        _species_cfg_cache)."""
+        ms = self._model_settings.get(model_id)
+        base = ms.threshold if ms is not None else 0.8
+        dyn = self.settings.dynamic_threshold.enabled
+        fp = (id(labels), len(labels), base, dyn, self.dynamic.floor,
+              self.settings.privacy_filter.confidence,
+              self.settings.dog_bark_filter.confidence,
+              id(self.settings.species.config),
+              len(self.settings.species.config or ()))
+        cached = self._gate_cache.get(model_id)
+        if cached is not None and cached[0] == fp:
+            return cached[1], cached[2]
+        default_thr = min(base, self.dynamic.floor) if dyn else base
+        thr = np.full(len(labels), default_thr, np.float32)
+        nonspecial = np.ones(len(labels), bool)
+        for i, sp in enumerate(labels):
+            if _is_human(sp):
+                thr[i] = self.settings.privacy_filter.confidence
+                nonspecial[i] = False
+            elif _is_dog(sp):
+                thr[i] = self.settings.dog_bark_filter.confidence
+                nonspecial[i] = False
+            else:
+                b, is_custom = self._base_threshold(model_id, sp)
+                if is_custom:
+                    thr[i] = b
+        self._gate_cache[model_id] = (fp, thr, nonspecial)
+        return thr, nonspecial
+
+    def prewarm(self, model_id: str | None = None) -> None:
+        """Build the per-model fast gates and force the lazy taxonomy
+        tables (openfauna aliases, nonbird categories) BEFORE live
+        traffic: the first _fast_gate over a 6,522-label set costs
+        seconds on small hosts, and paying it inside the first harvested
+        batch stalls the device loop long enough to clobber ingest rings
+        (observed: ~10 s freeze at 5,000 streams). Application.start and
+        the soak call this ahead of stream start."""
+        from birdnet_go_tpu.taxonomy.openfauna import canonical_name
+
+        canonical_name("Turdus merula")
+        for mid, labels in self.labels_by_model.items():
+            if model_id is None or mid == model_id:
+                self._fast_gate(mid, labels)
+
+    def submit_batch(self, model_id: str, source_ids, start_times,
+                     end_times, confidences, indices,
+                     ultrasonic_cv=None) -> int:
+        """Vectorized processResults over one harvested device batch.
+
+        Behaviorally identical to calling submit() per window — windows
+        with at least one actionable result (per-species gate above) go
+        through the exact scalar path; the rest are accounted in bulk
+        (results_processed per window, detections_filtered per valid
+        non-human/non-dog result, ultrasonic-filter discards per window)
+        without building any per-result Python objects. This is what
+        keeps the host plane off the floor at thousands of streams
+        (reference processes per-result in Go, process.go:423-470; the
+        Python-native equivalent of 'fast' is numpy over the batch).
+        Returns how many windows took the scalar path."""
+        labels = self.labels_by_model.get(model_id)
+        if labels is None:
+            log.warning("no labels for model %s", model_id)
+            return 0
+        vals = np.asarray(confidences, np.float32)
+        idx = np.asarray(indices)
+        n = len(vals)
+        if n == 0:
+            return 0
+        thr, nonspecial = self._fast_gate(model_id, labels)
+        us = self.settings.ultrasonic_filter
+        if us.enabled and ultrasonic_cv is not None:
+            us_fail = np.asarray(ultrasonic_cv, np.float32) \
+                < us.cv_threshold
+        else:
+            us_fail = np.zeros(n, bool)
+        valid = (idx >= 0) & (idx < len(labels))
+        safe = np.clip(idx, 0, len(labels) - 1)
+        act = valid & (vals >= thr[safe])
+        row_scalar = act.any(axis=1) & ~us_fail
+        skip_rows = ~row_scalar & ~us_fail
+        filtered_bulk = int((valid & nonspecial[safe]
+                             & skip_rows[:, None]).sum())
+        n_us = int(us_fail.sum())
+        n_scalar = int(row_scalar.sum())
+        with self._lock:
+            self.stats.results_processed += n - n_scalar
+            self.stats.detections_filtered += filtered_bulk + n_us
+            if n_us:
+                self.stats.discard_reasons["ultrasonic filter"] = \
+                    self.stats.discard_reasons.get("ultrasonic filter",
+                                                   0) + n_us
+        for r in np.flatnonzero(row_scalar):
+            self.submit(WindowPrediction(
+                source_id=source_ids[r], model_id=model_id,
+                start_time=float(start_times[r]),
+                end_time=float(end_times[r]),
+                indices=idx[r].tolist(),
+                confidences=vals[r].tolist(),
+                ultrasonic_cv=(float(ultrasonic_cv[r])
+                               if ultrasonic_cv is not None else None)))
+        return n_scalar
 
     def submit(self, pred: WindowPrediction) -> None:
         """Process one window's top-K results (processResults analogue)."""

@@ -822,6 +822,13 @@ class Application:
         self.jobqueue.start()
         self.prerenderer.start()
         self.flusher.start()
+        # Always prewarm the processor's fast gates + lazy taxonomy tables
+        # (cheap vs XLA warmup; skipping it stalls the first harvested
+        # batch for seconds on large label sets — see Processor.prewarm).
+        try:
+            self.processor.prewarm()
+        except Exception:
+            log.exception("processor prewarm failed")
         if warmup:
             # Pre-compile every model's device step so the tick loop never
             # stalls on first dispatch (XLA compile can take minutes).

@@ -115,7 +115,7 @@ def _load():
             lib.bn_farm_create.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
-                ctypes.c_uint64, ctypes.c_double]
+                ctypes.c_uint64, ctypes.c_double, ctypes.c_int64]
             lib.bn_farm_set_waveform.restype = ctypes.c_int
             lib.bn_farm_set_waveform.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64,
@@ -243,7 +243,8 @@ class StreamFarm:
     def __init__(self, n_streams: int, sample_rate: int = 48000,
                  window_samples: int = 144000, hop_samples: int = 72000,
                  ring_seconds: float = 12.0, n_waveforms: int = 16,
-                 seed: int = 1, timescale: float = 1.0):
+                 seed: int = 1, timescale: float = 1.0,
+                 stagger_hops: int = 1):
         lib = _load()
         if lib is None or not hasattr(lib, "bn_farm_create"):
             raise RuntimeError("native stream farm unavailable")
@@ -254,7 +255,7 @@ class StreamFarm:
         self.hop_samples = hop_samples
         self._h = lib.bn_farm_create(n_streams, sample_rate, window_samples,
                                      hop_samples, ring_seconds, n_waveforms,
-                                     seed, timescale)
+                                     seed, timescale, stagger_hops)
         if not self._h:
             raise RuntimeError("bn_farm_create failed")
 

@@ -85,6 +85,9 @@ class ModelBatcher:
         self.sensitivity = sensitivity
         self.top_k = min(top_k, self.model.num_species)
         self.on_result = on_result
+        # optional batch fan-out: on_batch(meta, vals[n,k], idx[n,k], cv)
+        # once per harvested batch — takes precedence over on_result
+        self.on_batch: Callable[..., None] | None = None
         self.stats = BatcherStats()
         self.budget_seconds = self.spec.buffer_interval_seconds
 
@@ -247,6 +250,13 @@ class ModelBatcher:
             log.warning("%s batch latency %.0f ms exceeds realtime budget"
                         " %.0f ms", self.spec.model_id, latency * 1000,
                         self.budget_seconds * 1000)
+        if self.on_batch is not None:
+            # vectorized fan-out: one callback per device batch (pairs
+            # with Processor.submit_batch) — no per-window Python
+            self.stats.windows_processed += len(meta)
+            self.on_batch(meta, vals_np[:len(meta)], idx_np[:len(meta)],
+                          cv_np[:len(meta)] if cv_np is not None else None)
+            return len(meta)
         for j, w in enumerate(meta):
             self.stats.windows_processed += 1
             if cv_np is not None:
@@ -287,6 +297,10 @@ class DeviceLoop:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.ticks = 0
+        # tick-duration telemetry (EWMA + high-water): a busy tick longer
+        # than tick_seconds means the loop is over capacity
+        self.tick_busy_ms = 0.0
+        self.tick_busy_ms_max = 0.0
 
     def add_batcher(self, batcher: ModelBatcher) -> None:
         self.batchers[batcher.spec.model_id] = batcher
@@ -309,6 +323,7 @@ class DeviceLoop:
         immediately (pipelined on device) and filling continues, up to
         max_dispatches_per_tick batches per model; only beyond that does
         overflow land in the bounded retry backlog."""
+        t_tick = time.monotonic()
         items = []
         for model_id, backlog in self._backlog.items():
             items.extend(backlog)           # retry last tick's overflow first
@@ -387,6 +402,10 @@ class DeviceLoop:
             if n == 0 and getattr(b, "inflight_depth", 0):
                 b.harvest()
         self.ticks += 1
+        busy = (time.monotonic() - t_tick) * 1000.0
+        self.tick_busy_ms += 0.05 * (busy - self.tick_busy_ms)
+        if busy > self.tick_busy_ms_max:
+            self.tick_busy_ms_max = busy
         return dispatched
 
     def drain(self) -> None:
@@ -416,6 +435,8 @@ class DeviceLoop:
             "tick_seconds": self.tick_seconds,
             "max_dispatches_per_tick": self.max_dispatches_per_tick,
             "windows_dropped": self.windows_dropped,
+            "tick_busy_ms": round(self.tick_busy_ms, 2),
+            "tick_busy_ms_max": round(self.tick_busy_ms_max, 2),
             "backlog": {m: len(q) for m, q in self._backlog.items()},
             "models": models,
         }

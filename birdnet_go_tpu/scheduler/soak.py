@@ -59,6 +59,7 @@ class CalibratedStubBatcher:
         self.max_batch = max_batch
         self.top_k = top_k
         self.on_result = on_result
+        self.on_batch = None
         self.pipeline_depth = max(1, pipeline_depth)
         self.base_ms = base_ms
         self.per_window_us = per_window_us
@@ -155,6 +156,20 @@ class CalibratedStubBatcher:
         self.stats.last_latency_ms = latency * 1000.0
         if latency > self.budget_seconds:
             self.stats.overruns += 1
+        n = len(meta)
+        if self.on_batch is not None:
+            # vectorized fabrication mirroring ModelBatcher's batch path
+            self.stats.windows_processed += n
+            sid_n = np.fromiter(
+                (int(w.source_id.rsplit(":", 1)[1]) for w in meta),
+                np.int64, n)
+            vals = self._low_vals[:n].copy()
+            idx = self._idx[:n].copy()
+            hits = sid_n % self.hit_stride == 0
+            vals[hits, 0] = 0.93
+            idx[hits, 0] = (sid_n[hits] * 37) % self.num_species
+            self.on_batch(meta, vals, idx, None)
+            return n
         vals = self._low_vals
         for j, w in enumerate(meta):
             self.stats.windows_processed += 1
@@ -226,19 +241,20 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                           on_approved=on_approved)
     flusher = FlushLoop(processor)
 
-    lat_ns: list[int] = []
+    lat_chunks: list[np.ndarray] = []
     submitted = {"n": 0}
 
-    def on_result(w, vals, idx):
-        lat_ns.append(time.time_ns() - int(w.end_time * 1e9))
-        submitted["n"] += 1
-        from birdnet_go_tpu.analysis.processor import WindowPrediction
-
-        processor.submit(WindowPrediction(
-            source_id=w.source_id, model_id=spec.model_id,
-            start_time=w.start_time, end_time=w.end_time,
-            indices=[int(i) for i in idx],
-            confidences=[float(v) for v in vals]))
+    def on_batch(meta, vals, idx, cv):
+        """One call per harvested device batch: vectorized latency sample
+        + Processor.submit_batch (no per-window Python objects)."""
+        n = len(meta)
+        ends = np.fromiter((w.end_time for w in meta), np.float64, n)
+        lat_chunks.append(time.time_ns() - (ends * 1e9).astype(np.int64))
+        submitted["n"] += n
+        processor.submit_batch(
+            spec.model_id, [w.source_id for w in meta],
+            [w.start_time for w in meta], ends, vals, idx,
+            ultrasonic_cv=cv)
 
     calibration: dict[str, Any] = {}
     if device == "tpu":
@@ -248,17 +264,18 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
 
         params = jax.device_put(model.init(jax.random.PRNGKey(0)))
         clf = JaxClassifier(model, params)
-        batcher: Any = ModelBatcher(clf, max_batch=max_batch,
-                                    on_result=on_result)
+        batcher: Any = ModelBatcher(clf, max_batch=max_batch)
+        batcher.on_batch = on_batch
         log.info("warming up the real device step (batch %d)...", max_batch)
         compile_s = batcher.warmup()
         calibration = {"mode": "real device",
                        "warmup_compile_s": round(compile_s, 1)}
     else:
         batcher = CalibratedStubBatcher(
-            spec, max_batch=max_batch, on_result=on_result,
+            spec, max_batch=max_batch,
             base_ms=stub_base_ms, per_window_us=stub_per_window_us,
             num_species=model.num_species)
+        batcher.on_batch = on_batch
         calibration = {
             "mode": "calibrated stub",
             "device_batch_latency_model_ms":
@@ -271,9 +288,12 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                     "device capacity proven separately by bench.py",
         }
 
+    # stagger_hops=8: stream connects spread over ~12 s (real fleets don't
+    # all connect inside one hop), bounding the first-window surge
     farm = StreamFarm(streams, spec.sample_rate, spec.clip_samples,
                       spec.clip_samples // 2, ring_seconds=ring_seconds,
-                      n_waveforms=32, seed=11, timescale=timescale)
+                      n_waveforms=32, seed=11, timescale=timescale,
+                      stagger_hops=8)
     names = [f"farm:{i}" for i in range(streams)]
     out_buf = np.empty((collect_cap, spec.clip_samples), np.int16)
     meta_buf = np.empty((collect_cap, 3), np.int64)
@@ -293,6 +313,17 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     loop.add_batcher(batcher)
     loop.add_block_provider(spec.model_id, block_provider)
 
+    log.info("prewarming processor gates + taxonomy tables...")
+    processor.prewarm()
+    # Move the warmed-up heap (labels, taxonomy tables, waveform bank,
+    # staging buffers) into the permanent generation: a gen-2 GC sweep
+    # over it mid-run stalls the tick loop for seconds (observed: ~20 s
+    # of 1.4 s ticks at t≈80 with 5,000 streams), and nothing in it is
+    # ever garbage. Steady-state allocations remain collected normally.
+    import gc
+
+    gc.collect()
+    gc.freeze()
     flusher.start()
     loop.start()                      # collector first: the farm's initial
     epoch["t"] = time.time()          # window surge (every stream's first
@@ -310,6 +341,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                 "ready_backlog": int(fs["ready_windows"]),
                 "lost_samples": int(fs["samples_lost"]),
                 "dropped": int(loop.windows_dropped),
+                "ticks": int(loop.ticks),
+                "tick_busy_ms": round(loop.tick_busy_ms, 1),
             })
             log.info("soak %s", samples[-1])
         elapsed = time.monotonic() - t0
@@ -321,7 +354,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         jobqueue.stop(drain=True)
     fs = farm.stats()
 
-    lat = np.asarray(lat_ns, np.int64) / 1e6   # → ms
+    lat = (np.concatenate(lat_chunks) if lat_chunks
+           else np.empty(0, np.int64)) / 1e6   # → ms
     # steady-state window: skip the first 20% (startup backlog drain)
     steady = lat[len(lat) // 5:] if len(lat) >= 10 else lat
     windows_done = int(batcher.stats.windows_processed)

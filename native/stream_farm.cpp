@@ -177,14 +177,21 @@ void generator_main(Farm* f) {
 
 }  // namespace
 
+// stagger_hops: stream start offsets are drawn from [0, hop*stagger_hops)
+// instead of [0, hop) — models real fleets where sources connect over tens
+// of seconds rather than all inside one hop. Spreading the first-window
+// surge across N hops keeps the collector's catch-up burst bounded (at
+// 5,000 streams an unstaggered surge is ~2× line rate for several ticks).
 BN_API void* bn_farm_create(int64_t n_streams, int64_t rate,
                             int64_t window, int64_t hop,
                             double ring_seconds, int64_t n_waveforms,
-                            uint64_t seed, double timescale) {
+                            uint64_t seed, double timescale,
+                            int64_t stagger_hops) {
     if (n_streams <= 0 || rate <= 0 || window <= 0 || hop <= 0
         || hop > window) {
         return nullptr;
     }
+    if (stagger_hops < 1) stagger_hops = 1;
     auto* f = new (std::nothrow) Farm();
     if (!f) return nullptr;
     f->n_streams = n_streams;
@@ -215,7 +222,8 @@ BN_API void* bn_farm_create(int64_t n_streams, int64_t rate,
         r.wave = static_cast<int32_t>(s % n_waveforms);
         r.gain = 1.0f;
         r.phase = static_cast<int64_t>(rng() % static_cast<uint64_t>(rate));
-        r.offset = static_cast<int64_t>(rng() % static_cast<uint64_t>(hop));
+        r.offset = static_cast<int64_t>(
+            rng() % static_cast<uint64_t>(hop * stagger_hops));
     }
     return f;
 }
