@@ -820,7 +820,7 @@ class ExtendedHandlers:
             return _json({"error": "unknown source"}, status=404)
         base = f"/api/v2/audio/hls/{sid}"
         return _json({"playlist": f"{base}/playlist.m3u8",
-                      "codec": "flac (fMP4)",
+                      "codec": f"{s.codec} (fMP4)",
                       "segment_seconds": s.segment_seconds})
 
     async def h_hls_heartbeat(self, request):

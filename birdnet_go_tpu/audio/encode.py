@@ -1,13 +1,15 @@
-"""Clip encoding front end: native WAV/FLAC/Opus/MP3, FFmpeg-gated AAC.
+"""Clip encoding front end: native WAV/FLAC/Opus/MP3/AAC.
 
 Reference: internal/conf/native_encoders.go + audiocore/aac/opus — the
-reference ships native Go encoders (go-opus→libopus, LAME-free AAC) behind
-a feature gate with FFmpeg as default. Here Opus (.opus, RFC 7845 Ogg) and
-MP3 run through dlopen'd system codecs in native/codecs.cpp — preferred
-over FFmpeg because they need no subprocess — WAV and FLAC (real
-fixed-predictor compression) are pure-native, and AAC shells out to ffmpeg
-when the binary exists. Every lossy path falls back to native FLAC so a
-clip is never lost to a missing encoder.
+reference ships native Go encoders (go-opus→libopus, pure-Go AAC-LC)
+behind a feature gate with FFmpeg as default. Here Opus (.opus, RFC 7845
+Ogg), MP3, and AAC-LC (.m4a via audio.aacenc's own MP4 muxer) run through
+dlopen'd system codecs in native/codecs.cpp — preferred over FFmpeg
+because they need no subprocess — WAV and FLAC (real fixed-predictor
+compression) are pure-native, and ffmpeg remains only as a last-resort
+fallback when a codec library is missing but the binary exists. Every
+lossy path ultimately falls back to native FLAC so a clip is never lost
+to a missing encoder.
 """
 
 from __future__ import annotations
@@ -45,6 +47,10 @@ def _native_codec_available(fmt: str) -> bool:
         return opusogg.opus_available()
     if fmt == "mp3":
         return opusogg.mp3_available()
+    if fmt == "aac":
+        from birdnet_go_tpu.audio import aacenc
+
+        return aacenc.available()
     return False
 
 
@@ -74,7 +80,16 @@ def resolve_format(fmt: str, sample_rate: int = 48000) -> tuple[str, str]:
     if fmt == "flac":
         return "flac", ".flac"
     if fmt in _FFMPEG_FORMATS:
-        rate_ok = fmt != "opus" or sample_rate in _OPUS_RATES
+        if fmt == "opus":
+            rate_ok = sample_rate in _OPUS_RATES
+        elif fmt == "aac":
+            from birdnet_go_tpu.audio.aacenc import supported_rate
+
+            # 256 kHz bat clips exceed every AAC sampling index — keep
+            # them lossless rather than resampling ultrasonics away
+            rate_ok = supported_rate(sample_rate)
+        else:
+            rate_ok = True
         if rate_ok and _native_codec_available(fmt):
             return fmt, _FFMPEG_FORMATS[fmt][0][0]
         if ffmpeg_available():
@@ -92,6 +107,12 @@ def load_clip_audio(path: str | Path) -> tuple[np.ndarray, int]:
         from birdnet_go_tpu.audio.flac import decode_flac
 
         pcm, rate = decode_flac(path.read_bytes())
+        return pcm.astype(np.float32) / 32768.0, rate
+    if path.suffix.lower() == ".m4a":
+        from birdnet_go_tpu.audio import aacenc
+
+        packets, asc, rate = aacenc.read_m4a(path)
+        pcm = aacenc.decode_aac(packets, asc, rate)
         return pcm.astype(np.float32) / 32768.0, rate
     from birdnet_go_tpu.audio.wav import read_wav
 
@@ -136,6 +157,14 @@ def encode_clip(pcm_i16: np.ndarray, sample_rate: int, out_path: str | Path,
             if out.suffix.lower() != ".mp3":
                 out = out.with_suffix(".mp3")
             return opusogg.encode_mp3(pcm_i16, sample_rate, out)
+        if fmt == "aac":
+            from birdnet_go_tpu.audio import aacenc
+
+            if aacenc.supported_rate(sample_rate) and aacenc.available():
+                if out.suffix.lower() != ".m4a":
+                    out = out.with_suffix(".m4a")
+                packets, asc = aacenc.encode_aac(pcm_i16, sample_rate)
+                return aacenc.write_m4a(out, packets, asc, sample_rate)
         if ffmpeg_available():
             return _ffmpeg_encode(pcm_i16, sample_rate, out, fmt)
         fallback = out.with_suffix(".flac")

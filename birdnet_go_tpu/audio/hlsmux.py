@@ -1,11 +1,13 @@
-"""HLS live-audio muxer: fMP4 segments carrying native FLAC.
+"""HLS live-audio muxer: fMP4 segments carrying AAC-LC (FLAC fallback).
 
-Reference: internal/audiocore/hlsmux (hlsmux.go, segment.go, playlist.go)
-— live audio → fMP4 segments + rolling playlist for browser streaming.
-The reference packs AAC via go-m4a; here the segments carry the native
-FLAC codec using RFC 9639's ISO-BMFF encapsulation ('fLaC' sample entry +
-'dfLa' FLACSpecificBox; each MP4 sample = one FLAC frame), which MSE
-players (hls.js) and modern browsers decode.
+Reference: internal/audiocore/hlsmux (hlsmux.go, segment.go, playlist.go,
+codec_aac.go) — live audio → fMP4 segments + rolling playlist for browser
+streaming. Segments carry AAC-LC (mp4a + esds, via the native encoder in
+audio.aacenc — what stock Safari/Chrome MSE plays) through ONE persistent
+stream encoder so segment joins are sample-exact. Hosts without an AAC
+encoder, and the 256 kHz bat capture (no AAC sampling index), fall back
+to RFC 9639 FLAC-in-ISO-BMFF ('fLaC' sample entry + 'dfLa'
+FLACSpecificBox; each MP4 sample = one FLAC frame).
 
 Layout served per source:
   playlist.m3u8   rolling live playlist (#EXT-X-MAP → init.mp4)
@@ -47,26 +49,39 @@ def full_box(kind: bytes, version: int, flags: int, payload: bytes) -> bytes:
                + struct.pack(">I", flags)[1:] + payload)
 
 
-def init_segment(sample_rate: int) -> bytes:
-    """ftyp + moov for a single mono FLAC audio track (track_ID 1)."""
+def init_segment(sample_rate: int, codec: str = "flac",
+                 asc: bytes = b"") -> bytes:
+    """ftyp + moov for a single mono audio track (track_ID 1).
+
+    codec "aac": mp4a + esds sample entry carrying the encoder's
+    AudioSpecificConfig — what stock Safari/Chrome MSE plays (reference
+    hlsmux/codec_aac.go). codec "flac": RFC 9639 fLaC-in-ISO-BMFF
+    fallback for hosts without an AAC encoder."""
     ftyp = box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso6mp41")
 
-    # sample description: fLaC sample entry + dfLa (STREAMINFO)
-    streaminfo = streaminfo_block(sample_rate, 0)
-    dfla = full_box(b"dfLa", 0, 0,
-                    bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo)
-    # SampleEntry rate is 16.16 fixed point — rates ≥ 65536 Hz (the bat
-    # 256 kHz capture) can't be represented; per ISO/IEC 14496-12 the
-    # authoritative rate is the mdhd timescale, so clamp the entry field.
-    entry_rate = min(sample_rate, 0xFFFF)
-    flac_entry = box(b"fLaC",
-                     b"\x00" * 6 + struct.pack(">H", 1)      # data ref idx
-                     + b"\x00" * 8                            # reserved
-                     + struct.pack(">HH", 1, 16)              # ch, bits
-                     + b"\x00" * 4
-                     + struct.pack(">I", entry_rate << 16)    # rate 16.16
-                     + dfla)
-    stsd = full_box(b"stsd", 0, 0, struct.pack(">I", 1) + flac_entry)
+    if codec == "aac":
+        from birdnet_go_tpu.audio.aacenc import mp4a_entry
+
+        sample_entry = mp4a_entry(asc, sample_rate)
+    else:
+        # sample description: fLaC sample entry + dfLa (STREAMINFO)
+        streaminfo = streaminfo_block(sample_rate, 0)
+        dfla = full_box(b"dfLa", 0, 0,
+                        bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo)
+        # SampleEntry rate is 16.16 fixed point — rates ≥ 65536 Hz (the
+        # bat 256 kHz capture) can't be represented; per ISO/IEC 14496-12
+        # the authoritative rate is the mdhd timescale, so clamp the
+        # entry field.
+        entry_rate = min(sample_rate, 0xFFFF)
+        sample_entry = box(
+            b"fLaC",
+            b"\x00" * 6 + struct.pack(">H", 1)      # data ref idx
+            + b"\x00" * 8                            # reserved
+            + struct.pack(">HH", 1, 16)              # ch, bits
+            + b"\x00" * 4
+            + struct.pack(">I", entry_rate << 16)    # rate 16.16
+            + dfla)
+    stsd = full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
     stts = full_box(b"stts", 0, 0, struct.pack(">I", 0))
     stsc = full_box(b"stsc", 0, 0, struct.pack(">I", 0))
     stsz = full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0))
@@ -149,12 +164,31 @@ class HlsSession:
     """One live source → rolling fMP4/FLAC segments."""
 
     def __init__(self, source_id: str, capture_buffer,
-                 segment_seconds: float = SEGMENT_SECONDS):
+                 segment_seconds: float = SEGMENT_SECONDS,
+                 codec: str | None = None):
         self.source_id = source_id
         self.capture = capture_buffer
         self.segment_seconds = segment_seconds
         self.sample_rate = capture_buffer.sample_rate
-        self.init = init_segment(self.sample_rate)
+        # codec auto-select: AAC when the native encoder exists and the
+        # rate has an AAC sampling index (the 256 kHz bat capture keeps
+        # lossless FLAC); explicit codec= overrides for tests
+        self._aac = None
+        if codec is None:
+            from birdnet_go_tpu.audio import aacenc
+
+            codec = ("aac" if aacenc.available()
+                     and aacenc.supported_rate(self.sample_rate)
+                     else "flac")
+        self.codec = codec
+        if codec == "aac":
+            from birdnet_go_tpu.audio.aacenc import AacStreamEncoder
+
+            self._aac = AacStreamEncoder(self.sample_rate, 1, 96000)
+            self.init = init_segment(self.sample_rate, "aac",
+                                     self._aac.asc)
+        else:
+            self.init = init_segment(self.sample_rate)
         self._segments: "OrderedDict[int, _Segment]" = OrderedDict()
         self._seq = 0
         self._frame_no = 0
@@ -174,15 +208,28 @@ class HlsSession:
         end = start + self.segment_seconds
         pcm = self.capture.read_segment(start, end)
         self._next_start = end
-        frames = encode_flac_frames(pcm, self.sample_rate,
-                                    first_frame_number=self._frame_no)
-        if not frames:
-            return False
-        durations = []
-        remaining = len(pcm)
-        for _ in frames:
-            durations.append(min(_BLOCK, remaining))
-            remaining -= durations[-1]
+        if self._aac is not None:
+            # persistent encoder: partial 1024-sample frames carry over,
+            # so consecutive segments join sample-exactly (no per-segment
+            # encoder reset / priming click)
+            from birdnet_go_tpu.audio.aacenc import AAC_FRAME_SAMPLES
+
+            frames = self._aac.feed(pcm)
+            if not frames:
+                return False
+            durations = [AAC_FRAME_SAMPLES] * len(frames)
+            consumed = len(frames) * AAC_FRAME_SAMPLES
+        else:
+            frames = encode_flac_frames(pcm, self.sample_rate,
+                                        first_frame_number=self._frame_no)
+            if not frames:
+                return False
+            durations = []
+            remaining = len(pcm)
+            for _ in frames:
+                durations.append(min(_BLOCK, remaining))
+                remaining -= durations[-1]
+            consumed = len(pcm)
         seg = media_segment(self._seq + 1, self._decode_time, frames,
                             durations)
         with self._lock:
@@ -192,7 +239,7 @@ class HlsSession:
             while len(self._segments) > KEEP_SEGMENTS:
                 self._segments.popitem(last=False)
         self._frame_no += len(frames)
-        self._decode_time += len(pcm)
+        self._decode_time += consumed
         return True
 
     def playlist(self) -> str:

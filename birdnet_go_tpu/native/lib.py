@@ -109,6 +109,29 @@ def _load():
                 ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_char_p, ctypes.c_int64]
+        # AAC-LC via dlopen'd libavcodec (codecs.cpp bn_aac_*)
+        if hasattr(lib, "bn_aac_available"):
+            lib.bn_aac_available.restype = ctypes.c_int
+            lib.bn_aac_stream_create.restype = ctypes.c_void_p
+            lib.bn_aac_stream_create.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.bn_aac_stream_encode.restype = ctypes.c_int64
+            lib.bn_aac_stream_encode.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.bn_aac_stream_flush.restype = ctypes.c_int64
+            lib.bn_aac_stream_flush.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.bn_aac_stream_destroy.argtypes = [ctypes.c_void_p]
+            lib.bn_aac_decode.restype = ctypes.c_int64
+            lib.bn_aac_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                ctypes.c_int32, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
         # stream farm (stream_farm.cpp: native high-stream-count ingest)
         if hasattr(lib, "bn_farm_create"):
             lib.bn_farm_create.restype = ctypes.c_void_p

@@ -371,3 +371,357 @@ BN_API int64_t bn_mp3_encode(const int16_t* pcm, int64_t n_frames, int rate,
     l.close(gfp);
     return written;
 }
+
+// ---------------------------------------------------------------------------
+// AAC-LC via dlopen'd libavcodec (FFmpeg's native aac encoder/decoder).
+//
+// The reference encodes AAC natively in Go (internal/audiocore/aac/encode.go)
+// and muxes AAC HLS (hlsmux/codec_aac.go); stock Safari/Chrome MSE only
+// reliably plays AAC audio. Headers provide the stable-within-major-59 ABI
+// (struct offsets, AV_CODEC_ID_AAC); symbols are resolved at runtime so a
+// host without libavcodec degrades gracefully (bn_aac_available() == 0 and
+// the Python layer falls back to FLAC, same contract as Opus/MP3 above).
+//
+// Streaming handles mirror bn_opus_stream_*: partial 1024-sample AAC frames
+// carry over across calls so live HLS segments join without encoder resets.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavutil/channel_layout.h>
+#include <libavutil/frame.h>
+#include <libavutil/mem.h>
+}
+
+struct AvLib {
+    void* avc = nullptr;            // libavcodec handle
+    void* avu = nullptr;            // libavutil handle
+    bool tried = false;
+    decltype(&avcodec_find_encoder) find_encoder = nullptr;
+    decltype(&avcodec_find_decoder) find_decoder = nullptr;
+    decltype(&avcodec_alloc_context3) alloc_context = nullptr;
+    decltype(&avcodec_free_context) free_context = nullptr;
+    decltype(&avcodec_open2) open2 = nullptr;
+    decltype(&avcodec_send_frame) send_frame = nullptr;
+    decltype(&avcodec_receive_packet) receive_packet = nullptr;
+    decltype(&avcodec_send_packet) send_packet = nullptr;
+    decltype(&avcodec_receive_frame) receive_frame = nullptr;
+    decltype(&av_packet_alloc) packet_alloc = nullptr;
+    decltype(&av_packet_free) packet_free = nullptr;
+    decltype(&av_packet_unref) packet_unref = nullptr;
+    decltype(&av_frame_alloc) frame_alloc = nullptr;
+    decltype(&av_frame_free) frame_free = nullptr;
+    decltype(&av_frame_unref) frame_unref = nullptr;
+    decltype(&av_frame_get_buffer) frame_get_buffer = nullptr;
+    decltype(&av_channel_layout_default) ch_layout_default = nullptr;
+    decltype(&av_mallocz) mallocz = nullptr;
+    std::mutex mu;
+};
+
+static AvLib& avlib() {
+    static AvLib l;
+    std::lock_guard<std::mutex> g(l.mu);
+    if (!l.tried) {
+        l.tried = true;
+        l.avu = dlopen("libavutil.so.57", RTLD_NOW | RTLD_LOCAL);
+        if (!l.avu) l.avu = dlopen("libavutil.so", RTLD_NOW | RTLD_LOCAL);
+        l.avc = dlopen("libavcodec.so.59", RTLD_NOW | RTLD_LOCAL);
+        if (!l.avc) l.avc = dlopen("libavcodec.so", RTLD_NOW | RTLD_LOCAL);
+        if (l.avc && l.avu) {
+            l.find_encoder = (decltype(l.find_encoder))dlsym(
+                l.avc, "avcodec_find_encoder");
+            l.find_decoder = (decltype(l.find_decoder))dlsym(
+                l.avc, "avcodec_find_decoder");
+            l.alloc_context = (decltype(l.alloc_context))dlsym(
+                l.avc, "avcodec_alloc_context3");
+            l.free_context = (decltype(l.free_context))dlsym(
+                l.avc, "avcodec_free_context");
+            l.open2 = (decltype(l.open2))dlsym(l.avc, "avcodec_open2");
+            l.send_frame = (decltype(l.send_frame))dlsym(
+                l.avc, "avcodec_send_frame");
+            l.receive_packet = (decltype(l.receive_packet))dlsym(
+                l.avc, "avcodec_receive_packet");
+            l.send_packet = (decltype(l.send_packet))dlsym(
+                l.avc, "avcodec_send_packet");
+            l.receive_frame = (decltype(l.receive_frame))dlsym(
+                l.avc, "avcodec_receive_frame");
+            l.packet_alloc = (decltype(l.packet_alloc))dlsym(
+                l.avc, "av_packet_alloc");
+            l.packet_free = (decltype(l.packet_free))dlsym(
+                l.avc, "av_packet_free");
+            l.packet_unref = (decltype(l.packet_unref))dlsym(
+                l.avc, "av_packet_unref");
+            l.frame_alloc = (decltype(l.frame_alloc))dlsym(
+                l.avu, "av_frame_alloc");
+            l.frame_free = (decltype(l.frame_free))dlsym(
+                l.avu, "av_frame_free");
+            l.frame_unref = (decltype(l.frame_unref))dlsym(
+                l.avu, "av_frame_unref");
+            l.frame_get_buffer = (decltype(l.frame_get_buffer))dlsym(
+                l.avu, "av_frame_get_buffer");
+            l.ch_layout_default = (decltype(l.ch_layout_default))dlsym(
+                l.avu, "av_channel_layout_default");
+            l.mallocz = (decltype(l.mallocz))dlsym(l.avu, "av_mallocz");
+            // silence Qavg/experimental chatter on the server's stderr
+            auto set_level = (void (*)(int))dlsym(l.avu, "av_log_set_level");
+            if (set_level) set_level(AV_LOG_ERROR);
+            if (!l.mallocz || !l.find_encoder || !l.find_decoder ||
+                !l.alloc_context ||
+                !l.free_context || !l.open2 || !l.send_frame ||
+                !l.receive_packet || !l.send_packet || !l.receive_frame ||
+                !l.packet_alloc || !l.packet_free || !l.packet_unref ||
+                !l.frame_alloc || !l.frame_free || !l.frame_unref ||
+                !l.frame_get_buffer || !l.ch_layout_default) {
+                dlclose(l.avc); dlclose(l.avu);
+                l.avc = l.avu = nullptr;
+            }
+        } else {
+            if (l.avc) { dlclose(l.avc); l.avc = nullptr; }
+            if (l.avu) { dlclose(l.avu); l.avu = nullptr; }
+        }
+    }
+    return l;
+}
+
+BN_API int bn_aac_available() {
+    AvLib& l = avlib();
+    return (l.avc && l.find_encoder(AV_CODEC_ID_AAC)) ? 1 : 0;
+}
+
+struct AacStream {
+    AVCodecContext* ctx;
+    AVFrame* frame;
+    AVPacket* pkt;
+    int rate;
+    int channels;
+    std::vector<int16_t> carry;     // < one 1024-sample frame, interleaved
+    bool flushed = false;
+};
+
+// Drain every pending packet from the encoder into the length-prefixed
+// out buffer. Returns bytes appended, or -3 (out full) / -4 (error).
+static int64_t aac_drain(AacStream* s, unsigned char* out, int64_t out_cap,
+                         int64_t written, int32_t* packets) {
+    AvLib& l = avlib();
+    for (;;) {
+        int r = l.receive_packet(s->ctx, s->pkt);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return written;
+        if (r < 0) return -4;
+        int n = s->pkt->size;
+        if (written + 4 + n > out_cap) { l.packet_unref(s->pkt); return -3; }
+        out[written + 0] = (unsigned char)(n & 0xff);
+        out[written + 1] = (unsigned char)((n >> 8) & 0xff);
+        out[written + 2] = (unsigned char)((n >> 16) & 0xff);
+        out[written + 3] = (unsigned char)((n >> 24) & 0xff);
+        std::memcpy(out + written + 4, s->pkt->data, (size_t)n);
+        written += 4 + n;
+        if (packets) (*packets)++;
+        l.packet_unref(s->pkt);
+    }
+}
+
+// Create a streaming AAC-LC encoder. asc_out receives the
+// AudioSpecificConfig (the esds/mp4a DecoderSpecificInfo — 2 bytes for
+// LC at common rates); returns the handle or null.
+BN_API void* bn_aac_stream_create(int rate, int channels, int bitrate,
+                                  unsigned char* asc_out, int32_t asc_cap,
+                                  int32_t* asc_len) {
+    AvLib& l = avlib();
+    if (!l.avc || channels < 1 || channels > 2 || rate <= 0) return nullptr;
+    const AVCodec* codec = l.find_encoder(AV_CODEC_ID_AAC);
+    if (!codec) return nullptr;
+    AVCodecContext* ctx = l.alloc_context(codec);
+    if (!ctx) return nullptr;
+    ctx->sample_rate = rate;
+    ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+    ctx->bit_rate = bitrate;
+    ctx->profile = FF_PROFILE_AAC_LOW;
+    ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;   // extradata = ASC
+    l.ch_layout_default(&ctx->ch_layout, channels);
+    if (l.open2(ctx, codec, nullptr) < 0) {
+        l.free_context(&ctx);
+        return nullptr;
+    }
+    if (asc_len) {
+        int32_t n = (int32_t)ctx->extradata_size;
+        if (asc_out && n > 0 && n <= asc_cap)
+            std::memcpy(asc_out, ctx->extradata, (size_t)n);
+        *asc_len = n;
+    }
+    AVFrame* frame = l.frame_alloc();
+    AVPacket* pkt = l.packet_alloc();
+    if (!frame || !pkt) {
+        if (frame) l.frame_free(&frame);
+        if (pkt) l.packet_free(&pkt);
+        l.free_context(&ctx);
+        return nullptr;
+    }
+    return new AacStream{ctx, frame, pkt, rate, channels, {}, false};
+}
+
+// Feed interleaved int16 PCM; writes length-prefixed raw AAC packets
+// (1024 samples per packet). Returns bytes written or negative error
+// (-1 bad handle, -3 out full, -4 encoder error).
+BN_API int64_t bn_aac_stream_encode(void* handle, const int16_t* pcm,
+                                    int64_t n_frames, unsigned char* out,
+                                    int64_t out_cap, int32_t* n_packets) {
+    AvLib& l = avlib();
+    auto* s = (AacStream*)handle;
+    if (!s || !l.avc || s->flushed) return -1;
+    if (n_frames < 0) return -2;
+    if (n_packets) *n_packets = 0;
+    const int fsz = s->ctx->frame_size > 0 ? s->ctx->frame_size : 1024;
+    if (pcm && n_frames > 0)
+        s->carry.insert(s->carry.end(), pcm,
+                        pcm + (size_t)n_frames * s->channels);
+    int64_t written = 0;
+    size_t off = 0;
+    const size_t frame_sz = (size_t)fsz * s->channels;
+    while (s->carry.size() - off >= frame_sz) {
+        s->frame->nb_samples = fsz;
+        s->frame->format = AV_SAMPLE_FMT_FLTP;
+        l.ch_layout_default(&s->frame->ch_layout, s->channels);
+        if (l.frame_get_buffer(s->frame, 0) < 0) return -4;
+        const int16_t* src = s->carry.data() + off;
+        for (int c = 0; c < s->channels; ++c) {
+            float* dst = (float*)s->frame->data[c];
+            for (int i = 0; i < fsz; ++i)
+                dst[i] = src[(size_t)i * s->channels + c] * (1.0f / 32768.0f);
+        }
+        int r = l.send_frame(s->ctx, s->frame);
+        l.frame_unref(s->frame);
+        if (r < 0) return -4;
+        off += frame_sz;
+        written = aac_drain(s, out, out_cap, written, n_packets);
+        if (written < 0) break;
+    }
+    s->carry.erase(s->carry.begin(), s->carry.begin() + (long)off);
+    return written;
+}
+
+// Pad the final partial frame with silence, flush the encoder, and emit
+// the remaining packets. The stream is unusable afterwards.
+BN_API int64_t bn_aac_stream_flush(void* handle, unsigned char* out,
+                                   int64_t out_cap, int32_t* n_packets) {
+    AvLib& l = avlib();
+    auto* s = (AacStream*)handle;
+    if (!s || !l.avc || s->flushed) return -1;
+    if (n_packets) *n_packets = 0;
+    int64_t written = 0;
+    if (!s->carry.empty()) {
+        const int fsz = s->ctx->frame_size > 0 ? s->ctx->frame_size : 1024;
+        const size_t frame_sz = (size_t)fsz * s->channels;
+        s->carry.resize(frame_sz, 0);
+        written = bn_aac_stream_encode(handle, nullptr, 0, out, out_cap,
+                                       n_packets);
+        if (written < 0) return written;
+    }
+    s->flushed = true;
+    if (l.send_frame(s->ctx, nullptr) < 0) return -4;
+    int32_t extra = 0;
+    int64_t total = aac_drain(s, out, out_cap, written, &extra);
+    if (n_packets && total >= 0) *n_packets += extra;
+    return total;
+}
+
+BN_API void bn_aac_stream_destroy(void* handle) {
+    AvLib& l = avlib();
+    auto* s = (AacStream*)handle;
+    if (!s) return;
+    l.frame_free(&s->frame);
+    l.packet_free(&s->pkt);
+    l.free_context(&s->ctx);
+    delete s;
+}
+
+// Decode length-prefixed raw AAC packets (with the stream's ASC as
+// extradata) back to interleaved int16 PCM — the e2e oracle for encoder
+// and mux tests, mirroring bn_opus_decode. Returns frames per channel
+// written, or negative error.
+BN_API int64_t bn_aac_decode(const unsigned char* packets,
+                             int64_t packets_len, const unsigned char* asc,
+                             int32_t asc_len, int rate, int channels,
+                             int16_t* out, int64_t out_cap_frames) {
+    AvLib& l = avlib();
+    if (!l.avc) return -1;
+    if (!packets || channels < 1 || channels > 2) return -2;
+    const AVCodec* codec = l.find_decoder(AV_CODEC_ID_AAC);
+    if (!codec) return -1;
+    AVCodecContext* ctx = l.alloc_context(codec);
+    if (!ctx) return -4;
+    ctx->sample_rate = rate;
+    l.ch_layout_default(&ctx->ch_layout, channels);
+    if (asc && asc_len > 0) {
+        // avcodec_free_context av_free()s extradata — it must come from
+        // av_mallocz (with AV_INPUT_BUFFER_PADDING_SIZE padding)
+        ctx->extradata = (uint8_t*)l.mallocz((size_t)asc_len + 64);
+        if (!ctx->extradata) { l.free_context(&ctx); return -4; }
+        std::memcpy(ctx->extradata, asc, (size_t)asc_len);
+        ctx->extradata_size = asc_len;
+    }
+    if (l.open2(ctx, codec, nullptr) < 0) { l.free_context(&ctx); return -4; }
+    AVFrame* frame = l.frame_alloc();
+    AVPacket* pkt = l.packet_alloc();
+    int64_t frames = 0;
+    int64_t off = 0;
+    bool fail = false;
+    while (off + 4 <= packets_len && !fail) {
+        uint32_t n = (uint32_t)packets[off] | ((uint32_t)packets[off + 1] << 8)
+            | ((uint32_t)packets[off + 2] << 16)
+            | ((uint32_t)packets[off + 3] << 24);
+        off += 4;
+        if (off + (int64_t)n > packets_len) break;
+        pkt->data = (uint8_t*)(packets + off);
+        pkt->size = (int)n;
+        off += n;
+        if (l.send_packet(ctx, pkt) < 0) { fail = true; break; }
+        for (;;) {
+            int r = l.receive_frame(ctx, frame);
+            if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+            if (r < 0) { fail = true; break; }
+            int got = frame->nb_samples;
+            if (frames + got > out_cap_frames) {
+                l.frame_unref(frame);
+                fail = true;
+                break;
+            }
+            for (int c = 0; c < channels; ++c) {
+                const float* srcf = (const float*)frame->data[c];
+                for (int i = 0; i < got; ++i) {
+                    float v = srcf[i];
+                    if (v > 0.999969f) v = 0.999969f;
+                    if (v < -1.0f) v = -1.0f;
+                    out[(frames + i) * channels + c] =
+                        (int16_t)(v * 32768.0f);
+                }
+            }
+            frames += got;
+            l.frame_unref(frame);
+        }
+    }
+    // drain decoder
+    if (!fail && l.send_packet(ctx, nullptr) >= 0) {
+        for (;;) {
+            int r = l.receive_frame(ctx, frame);
+            if (r < 0) break;
+            int got = frame->nb_samples;
+            if (frames + got > out_cap_frames) { l.frame_unref(frame); break; }
+            for (int c = 0; c < channels; ++c) {
+                const float* srcf = (const float*)frame->data[c];
+                for (int i = 0; i < got; ++i) {
+                    float v = srcf[i];
+                    if (v > 0.999969f) v = 0.999969f;
+                    if (v < -1.0f) v = -1.0f;
+                    out[(frames + i) * channels + c] =
+                        (int16_t)(v * 32768.0f);
+                }
+            }
+            frames += got;
+            l.frame_unref(frame);
+        }
+    }
+    l.frame_free(&frame);
+    l.packet_free(&pkt);
+    l.free_context(&ctx);
+    return fail && frames == 0 ? -4 : frames;
+}

@@ -89,7 +89,7 @@ def test_session_rolling_playlist():
     cb = CaptureBuffer(48000, capacity_seconds=30)
     t0 = time.time() - 25
     cb.write((np.arange(48000 * 25) % 997).astype(np.int16), timestamp=t0)
-    s = HlsSession("s1", cb, segment_seconds=2.0)
+    s = HlsSession("s1", cb, segment_seconds=2.0, codec="flac")
     now = t0 + 4
     for i in range(9):
         s.tick(now + i * 2)
@@ -196,9 +196,10 @@ def test_encode_clip_native_formats(tmp_path):
 
 
 def test_encode_clip_lossy_falls_back_without_ffmpeg(tmp_path, monkeypatch):
-    from birdnet_go_tpu.audio import encode
+    from birdnet_go_tpu.audio import aacenc, encode
 
     monkeypatch.setattr(encode, "_which", lambda name: None)
+    monkeypatch.setattr(aacenc, "available", lambda: False)
     pcm = np.ones(4000, np.int16)
     out = encode.encode_clip(pcm, 16000, tmp_path / "clip.m4a", fmt="aac")
     assert out.suffix == ".flac" and out.exists()
@@ -224,8 +225,11 @@ def test_encode_clip_ffmpeg_invocation(tmp_path, monkeypatch):
 
         return R()
 
+    from birdnet_go_tpu.audio import aacenc
+
     monkeypatch.setattr(encode, "_which", lambda name: "/usr/bin/ffmpeg")
     monkeypatch.setattr(encode, "_run", fake_run)
+    monkeypatch.setattr(aacenc, "available", lambda: False)
     pcm = np.zeros(4800, np.int16)
     out = encode.encode_clip(pcm, 48000, tmp_path / "c.m4a", fmt="aac")
     assert out.read_bytes() == b"fake-aac"
