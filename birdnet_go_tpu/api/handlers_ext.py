@@ -190,6 +190,8 @@ class ExtendedHandlers:
         r.add_post(f"{v2}/system/database/backup", self.h_db_backup_run)
         r.add_get(f"{v2}/system/database/backup/jobs",
                   self.h_db_backup_jobs)
+        r.add_post(f"{v2}/system/database/backup/verify",
+                   self.h_db_backup_verify)
         r.add_get(f"{v2}/system/events/operational",
                   self.h_events_operational)
         r.add_post(f"{v2}/system/diagnostics/run", self.h_diagnostics_run)
@@ -1575,6 +1577,21 @@ class ExtendedHandlers:
             return _json({"jobs": [], "configured": False})
         return _json({"configured": True, "runs": mgr.runs,
                       "history": list(getattr(mgr, "history", []))})
+
+    async def h_db_backup_verify(self, request):
+        """Restore verification: fetch latest (or ?name=) archive from
+        the target, decrypt, check manifest hashes, and integrity-check
+        the restored database (utils.backup.verify_archive)."""
+        mgr = self.ctx.backup
+        if mgr is None:
+            return _json({"error": "backup not configured"}, status=503)
+        name = request.query.get("name")
+        try:
+            report = await asyncio.get_event_loop().run_in_executor(
+                None, lambda: mgr.verify(name))
+        except Exception as e:
+            return _json({"verified": False, "error": str(e)}, status=422)
+        return _json({"verified": True, **report})
 
     async def h_events_operational(self, request):
         bus = self.ctx.events

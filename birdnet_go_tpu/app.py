@@ -339,14 +339,19 @@ class Application:
 
         # backup manager
         if s.backup.enabled:
-            from birdnet_go_tpu.utils.backup import BackupConfig, BackupManager
+            from birdnet_go_tpu.utils.backup import (
+                BackupConfig,
+                BackupManager,
+                build_target,
+            )
 
             self.backup = BackupManager(
                 BackupConfig(enabled=True, target_dir=s.backup.target_dir,
                              keep=s.backup.keep,
                              interval_hours=s.backup.interval_hours,
                              passphrase=getattr(s.backup, "passphrase", "")),
-                db_path=s.database.path)
+                db_path=s.database.path,
+                target=build_target(s.backup))
 
         # health check registry (internal/health checks analogue)
         from birdnet_go_tpu.utils.health import CheckResult, HealthRegistry

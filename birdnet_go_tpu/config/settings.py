@@ -299,6 +299,11 @@ class BackupSettings:
     keep: int = 7
     interval_hours: float = 24.0
     passphrase: str = ""        # non-empty → AES-256-GCM encrypted archives
+    # target type: local | ftp | s3 | sftp | rsync (utils.backup targets;
+    # reference internal/backup target registry). `remote` carries the
+    # target's constructor kwargs (host/user/bucket/dest/...).
+    target: str = "local"
+    remote: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass

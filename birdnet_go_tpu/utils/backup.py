@@ -83,6 +83,8 @@ class Target(Protocol):
 
     def delete(self, name: str) -> None: ...
 
+    def fetch(self, name: str) -> bytes: ...
+
 
 class LocalTarget:
     def __init__(self, directory: str | Path):
@@ -102,6 +104,9 @@ class LocalTarget:
 
     def delete(self, name: str) -> None:
         (self.dir / name).unlink(missing_ok=True)
+
+    def fetch(self, name: str) -> bytes:
+        return (self.dir / name).read_bytes()
 
 
 class FtpTarget:
@@ -148,6 +153,15 @@ class FtpTarget:
         ftp = self._connect()
         try:
             ftp.delete(name)
+        finally:
+            ftp.quit()
+
+    def fetch(self, name: str) -> bytes:
+        ftp = self._connect()
+        try:
+            buf = io.BytesIO()
+            ftp.retrbinary(f"RETR {name}", buf.write)
+            return buf.getvalue()
         finally:
             ftp.quit()
 
@@ -234,6 +248,194 @@ class S3Target:
     def delete(self, name: str) -> None:
         self._request("DELETE", name)
 
+    def fetch(self, name: str) -> bytes:
+        return self._request("GET", name).content
+
+
+class SftpTarget:
+    """SFTP target via OpenSSH's `sftp` in batch mode (reference:
+    internal/backup SFTP target). Paramiko-free by design: batch files
+    drive the system client with key-based auth (`identity`), the
+    standard unattended-backup setup; password auth is intentionally
+    unsupported (would need sshpass/a TTY). `runner` is injectable for
+    the in-process fake used by tests."""
+
+    def __init__(self, host: str, user: str, directory: str = ".",
+                 port: int = 22, identity: str | None = None,
+                 timeout: float = 60.0, runner=None):
+        self.host, self.user = host, user
+        self.directory = directory.rstrip("/") or "."
+        self.port = port
+        self.identity = identity
+        self.timeout = timeout
+        self._runner = runner or self._subprocess_runner
+
+    def _subprocess_runner(self, batch: str,
+                           workdir: str) -> "tuple[int, str]":
+        import subprocess
+
+        cmd = ["sftp", "-b", "-", "-P", str(self.port),
+               "-o", "BatchMode=yes", "-o", "StrictHostKeyChecking=accept-new"]
+        if self.identity:
+            cmd += ["-i", self.identity]
+        cmd.append(f"{self.user}@{self.host}")
+        p = subprocess.run(cmd, input=batch.encode(), capture_output=True,
+                           timeout=self.timeout, cwd=workdir)
+        return p.returncode, p.stdout.decode(errors="replace") \
+            + p.stderr.decode(errors="replace")
+
+    def _run(self, batch: str, workdir: str) -> str:
+        rc, out = self._runner(batch, workdir)
+        if rc != 0:
+            raise RuntimeError(f"sftp failed ({rc}): {out[:300]}")
+        return out
+
+    def store(self, name: str, data: bytes) -> None:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            local = Path(td) / name
+            local.write_bytes(data)
+            # upload under .tmp then server-side rename = atomic publish
+            self._run(f"put {name} {self.directory}/{name}.tmp\n"
+                      f"rename {self.directory}/{name}.tmp"
+                      f" {self.directory}/{name}\n", td)
+
+    def list(self) -> list[str]:
+        out = self._run(f"ls -1 {self.directory}\n", ".")
+        names = []
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("sftp>") or not line:
+                continue
+            base = line.rsplit("/", 1)[-1]
+            if base.endswith((".gz", ".enc")):
+                names.append(base)
+        return sorted(names)
+
+    def delete(self, name: str) -> None:
+        self._run(f"rm {self.directory}/{name}\n", ".")
+
+    def fetch(self, name: str) -> bytes:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            self._run(f"get {self.directory}/{name} {name}\n", td)
+            return (Path(td) / name).read_bytes()
+
+
+class RsyncTarget:
+    """rsync target (reference: internal/backup rsync target): archives
+    live in a local staging directory that is mirrored to `dest`
+    (local path or [user@]host:path) with `rsync -a --delete` after
+    every mutation — the canonical rsync backup shape, and restores
+    keep working from staging even when the remote is unreachable.
+    `runner` is injectable for tests; hosts without an rsync binary get
+    a clear error at first use, never silent data loss."""
+
+    def __init__(self, dest: str, staging_dir: str | Path,
+                 extra_args: list[str] | None = None,
+                 timeout: float = 300.0, runner=None):
+        self.dest = dest.rstrip("/")
+        self.staging = LocalTarget(staging_dir)
+        self.extra_args = extra_args or []
+        self.timeout = timeout
+        self._runner = runner or self._subprocess_runner
+
+    def _subprocess_runner(self, args: list[str]) -> "tuple[int, str]":
+        import subprocess
+
+        p = subprocess.run(["rsync", *args], capture_output=True,
+                           timeout=self.timeout)
+        return p.returncode, p.stdout.decode(errors="replace") \
+            + p.stderr.decode(errors="replace")
+
+    def _sync(self) -> None:
+        self.staging.dir.mkdir(parents=True, exist_ok=True)
+        rc, out = self._runner(["-a", "--delete", *self.extra_args,
+                                str(self.staging.dir) + "/",
+                                self.dest + "/"])
+        if rc != 0:
+            raise RuntimeError(f"rsync failed ({rc}): {out[:300]}")
+
+    def store(self, name: str, data: bytes) -> None:
+        self.staging.store(name, data)
+        self._sync()
+
+    def list(self) -> list[str]:
+        return self.staging.list()
+
+    def delete(self, name: str) -> None:
+        self.staging.delete(name)
+        self._sync()
+
+    def fetch(self, name: str) -> bytes:
+        return self.staging.fetch(name)
+
+
+def build_target(settings) -> Target:
+    """BackupSettings → Target (app wiring; reference: backup target
+    registry keyed by config type)."""
+    kind = getattr(settings, "target", "local") or "local"
+    remote = dict(getattr(settings, "remote", None) or {})
+    if kind == "local":
+        return LocalTarget(settings.target_dir)
+    if kind == "ftp":
+        return FtpTarget(**remote)
+    if kind == "s3":
+        return S3Target(**remote)
+    if kind == "sftp":
+        return SftpTarget(**remote)
+    if kind == "rsync":
+        remote.setdefault("staging_dir", settings.target_dir)
+        return RsyncTarget(**remote)
+    raise ValueError(f"unknown backup target {kind!r}")
+
+
+def verify_archive(blob: bytes, passphrase: str = "") -> dict:
+    """Restore verification (reference: backup validate/restore path):
+    decrypt, untar, check every manifest SHA-256, load database.sql into
+    a scratch sqlite and run PRAGMA integrity_check plus row counts.
+    Returns a report dict; raises ValueError on any failure."""
+    if blob.startswith(_ENC_MAGIC):
+        if not passphrase:
+            raise ValueError("archive is encrypted: passphrase required")
+        blob = decrypt_backup(blob, passphrase)
+    report: dict = {"files": {}, "encrypted": bool(passphrase)}
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:gz") as tar:
+        members = {m.name: tar.extractfile(m).read()
+                   for m in tar.getmembers() if m.isfile()}
+    manifest = json.loads(members.get("manifest.json", b"{}"))
+    if not manifest:
+        raise ValueError("archive has no manifest.json")
+    for arcname, want in manifest.items():
+        if arcname == "manifest.json":
+            continue
+        data = members.get(arcname)
+        if data is None:
+            raise ValueError(f"manifest entry missing from archive:"
+                             f" {arcname}")
+        got = hashlib.sha256(data).hexdigest()
+        if got != want:
+            raise ValueError(f"checksum mismatch for {arcname}")
+        report["files"][arcname] = {"bytes": len(data), "sha256_ok": True}
+    if "database.sql" in members:
+        db = sqlite3.connect(":memory:")
+        try:
+            db.executescript(members["database.sql"].decode())
+            integrity = db.execute("PRAGMA integrity_check").fetchone()[0]
+            if integrity != "ok":
+                raise ValueError(f"restored DB integrity: {integrity}")
+            tables = [r[0] for r in db.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'")]
+            counts = {t: db.execute(
+                f'SELECT COUNT(*) FROM "{t}"').fetchone()[0]
+                for t in tables}
+            report["database"] = {"integrity": "ok", "tables": counts}
+        finally:
+            db.close()
+    return report
+
 
 def snapshot_sqlite(db_path: str) -> bytes:
     """Consistent online snapshot via the sqlite backup API (works while
@@ -289,6 +491,19 @@ class BackupManager:
         self._apply_retention()
         log.info("backup written: %s (%d bytes)", name, buf.tell())
         return name
+
+    def verify(self, name: str | None = None) -> dict:
+        """Fetch an archive (latest by default) from the target and run
+        the full restore verification. Raises on failure."""
+        archives = self.target.list()
+        if name is None:
+            if not archives:
+                raise ValueError("no archives on target")
+            name = archives[-1]
+        report = verify_archive(self.target.fetch(name),
+                                self.config.passphrase)
+        report["archive"] = name
+        return report
 
     def _apply_retention(self) -> None:
         archives = self.target.list()

@@ -273,3 +273,167 @@ def test_encrypted_backup_roundtrip(tmp_path):
     assert mgr.target.list() == [name]
     # plaintext round-trip helper symmetry
     assert decrypt_backup(encrypt_backup(b"x", "p"), "p") == b"x"
+
+
+# -- SFTP (batch-mode client against an in-process batch interpreter) -------------
+
+
+class FakeSftpRunner:
+    """In-process stand-in for the OpenSSH sftp batch client: interprets
+    the exact batch commands SftpTarget emits (put/rename/ls/rm/get)
+    against a local directory — validating the batch protocol without a
+    real SSH server (VERDICT r3 #6: round-trip per target vs fakes)."""
+
+    def __init__(self, root: Path):
+        self.root = root
+        self.batches: list[str] = []
+
+    def __call__(self, batch: str, workdir: str):
+        self.batches.append(batch)
+        out = []
+        for line in batch.splitlines():
+            parts = line.split()
+            if not parts:
+                continue
+            cmd = parts[0]
+            if cmd == "put":
+                local, remote = parts[1], parts[2]
+                dst = self.root / remote
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                dst.write_bytes((Path(workdir) / local).read_bytes())
+            elif cmd == "rename":
+                (self.root / parts[1]).rename(self.root / parts[2])
+            elif cmd == "ls":
+                d = self.root / parts[-1]
+                if not d.is_dir():
+                    return 1, f"ls: {parts[-1]}: no such directory"
+                out += [f"{parts[-1]}/{p.name}" for p in sorted(d.iterdir())]
+            elif cmd == "rm":
+                p = self.root / parts[1]
+                if not p.exists():
+                    return 1, f"rm: {parts[1]}: not found"
+                p.unlink()
+            elif cmd == "get":
+                src = self.root / parts[1]
+                if not src.is_file():
+                    return 1, f"get: {parts[1]}: not found"
+                (Path(workdir) / parts[2]).write_bytes(src.read_bytes())
+        return 0, "\n".join(out)
+
+
+def test_sftp_target_round_trip(tmp_path):
+    from birdnet_go_tpu.utils.backup import SftpTarget
+
+    runner = FakeSftpRunner(tmp_path / "remote")
+    (tmp_path / "remote" / "backups").mkdir(parents=True)
+    t = SftpTarget("h", "u", directory="backups", runner=runner)
+    t.store("a.tar.gz", b"alpha")
+    t.store("b.tar.gz.enc", b"beta")
+    assert t.list() == ["a.tar.gz", "b.tar.gz.enc"]
+    assert t.fetch("b.tar.gz.enc") == b"beta"
+    t.delete("a.tar.gz")
+    assert t.list() == ["b.tar.gz.enc"]
+    # atomic publish: every store uploads to .tmp then renames
+    puts = [b for b in runner.batches if b.startswith("put")]
+    assert all(".tmp" in b.splitlines()[0] and "rename" in b for b in puts)
+    # a failing batch surfaces as an error, not silence
+    with pytest.raises(RuntimeError):
+        t.delete("missing.tar.gz")
+
+
+def test_rsync_target_mirrors_staging(tmp_path):
+    from birdnet_go_tpu.utils.backup import RsyncTarget
+
+    dest = tmp_path / "dest"
+    synced = []
+
+    def fake_rsync(args):
+        # emulate `rsync -a --delete staging/ dest/`
+        import shutil
+
+        synced.append(list(args))
+        src, dst = args[-2], args[-1]
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        return 0, ""
+
+    t = RsyncTarget(str(dest), tmp_path / "staging", runner=fake_rsync)
+    t.store("a.tar.gz", b"alpha")
+    t.store("b.tar.gz", b"beta")
+    assert sorted(p.name for p in dest.iterdir()) == ["a.tar.gz",
+                                                      "b.tar.gz"]
+    t.delete("a.tar.gz")
+    assert [p.name for p in dest.iterdir()] == ["b.tar.gz"]
+    assert t.fetch("b.tar.gz") == b"beta"
+    assert all(a[:2] == ["-a", "--delete"] for a in synced)
+
+
+# -- restore verification -----------------------------------------------------------
+
+
+def _mgr_with_db(tmp_path, passphrase=""):
+    import sqlite3
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    db = tmp_path / "d.db"
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE detections (id INTEGER PRIMARY KEY,"
+                 " species TEXT)")
+    conn.executemany("INSERT INTO detections (species) VALUES (?)",
+                     [("Turdus merula",), ("Strix aluco",)])
+    conn.commit()
+    conn.close()
+    cfg = BackupConfig(enabled=True, target_dir=str(tmp_path / "bk"),
+                       keep=5, passphrase=passphrase)
+    return BackupManager(cfg, str(db))
+
+
+@pytest.mark.parametrize("passphrase", ["", "hunter2"])
+def test_backup_verify_round_trip(tmp_path, passphrase):
+    mgr = _mgr_with_db(tmp_path, passphrase)
+    name = mgr.run_once()
+    report = mgr.verify()           # latest
+    assert report["archive"] == name
+    assert report["files"]["database.sql"]["sha256_ok"]
+    assert report["database"]["integrity"] == "ok"
+    assert report["database"]["tables"]["detections"] == 2
+
+
+def test_backup_verify_detects_corruption(tmp_path):
+    from birdnet_go_tpu.utils.backup import verify_archive
+
+    mgr = _mgr_with_db(tmp_path)
+    name = mgr.run_once()
+    path = tmp_path / "bk" / name
+    blob = bytearray(path.read_bytes())
+    # flip one byte inside the gzip stream → checksum/untar must fail
+    blob[len(blob) // 2] ^= 0xFF
+    with pytest.raises(Exception):
+        verify_archive(bytes(blob))
+    # encrypted archive without passphrase → explicit error
+    mgr2 = _mgr_with_db(tmp_path / "e", "pw")
+    n2 = mgr2.run_once()
+    with pytest.raises(ValueError, match="passphrase"):
+        verify_archive((tmp_path / "e" / "bk" / n2).read_bytes())
+
+
+def test_build_target_dispatch(tmp_path):
+    from birdnet_go_tpu.config.settings import BackupSettings
+    from birdnet_go_tpu.utils.backup import (
+        LocalTarget,
+        RsyncTarget,
+        SftpTarget,
+        build_target,
+    )
+
+    s = BackupSettings(target_dir=str(tmp_path))
+    assert isinstance(build_target(s), LocalTarget)
+    s = BackupSettings(target="sftp",
+                       remote={"host": "h", "user": "u"})
+    assert isinstance(build_target(s), SftpTarget)
+    s = BackupSettings(target="rsync", target_dir=str(tmp_path / "st"),
+                       remote={"dest": "h:/backups"})
+    t = build_target(s)
+    assert isinstance(t, RsyncTarget) and t.dest == "h:/backups"
+    with pytest.raises(ValueError):
+        build_target(BackupSettings(target="gdrive"))
