@@ -5,11 +5,14 @@ Reference: internal/datastore/mysql.go uses GORM's MySQL driver; this
 implements the protocol subset a datastore needs directly on a socket:
 
 - handshake v10 + HandshakeResponse41 with mysql_native_password
-  (SHA1(pw) XOR SHA1(scramble + SHA1(SHA1(pw)))), including the
+  (SHA1(pw) XOR SHA1(scramble + SHA1(SHA1(pw)))) AND MySQL 8's default
+  caching_sha2_password (SHA256 fast path; full auth via the server's
+  RSA public key with OAEP when the cache is cold), including the
   AuthSwitchRequest path servers send when their default plugin differs;
 - COM_QUERY text protocol (length-encoded resultsets), COM_PING, COM_QUIT;
-- OK/ERR/EOF packet handling and SQL string escaping (the text protocol
-  has no bind parameters).
+- OK/ERR/EOF packet handling and sql_mode-safe literal escaping (quote
+  doubling + hex literals — identical parse under default AND
+  NO_BACKSLASH_ESCAPES modes; the text protocol has no bind parameters).
 """
 
 from __future__ import annotations
@@ -50,8 +53,44 @@ def native_password_token(password: str, scramble: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, h3))
 
 
+def caching_sha2_token(password: str, scramble: bytes) -> bytes:
+    """caching_sha2_password fast-path scramble (MySQL 8 default):
+    SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) + scramble)."""
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(h1).digest()
+    h3 = hashlib.sha256(h2 + scramble).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def sha2_rsa_encrypt(password: str, scramble: bytes, pem_key: bytes) -> bytes:
+    """caching_sha2 full auth without TLS: NUL-terminated password XORed
+    with the repeating scramble, RSA-OAEP(SHA-1) encrypted to the
+    server's public key (MySQL's RSA_PKCS1_OAEP_PADDING)."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    key = serialization.load_pem_public_key(pem_key)
+    data = password.encode() + b"\x00"
+    xored = bytes(b ^ scramble[i % len(scramble)]
+                  for i, b in enumerate(data))
+    return key.encrypt(xored, padding.OAEP(
+        mgf=padding.MGF1(hashes.SHA1()), algorithm=hashes.SHA1(),
+        label=None))
+
+
+# Characters whose escape sequence differs between the server's default
+# sql_mode (backslash escapes) and NO_BACKSLASH_ESCAPES (quote doubling
+# only). A literal using ONLY doubled quotes parses identically in both
+# modes; anything carrying these goes as a hex literal instead, which no
+# sql_mode reinterprets. (Quoting audit: the previous backslash-style
+# escape() was an injection vector against NO_BACKSLASH_ESCAPES servers.)
+_HEX_FORCING = set("\\\x00\x1a") | {chr(c) for c in range(0x20)}
+
+
 def escape(value) -> str:
-    """SQL-literal encoding for the text protocol."""
+    """Mode-safe SQL-literal encoding for the text protocol."""
     if value is None:
         return "NULL"
     if isinstance(value, bool):
@@ -61,10 +100,10 @@ def escape(value) -> str:
     if isinstance(value, bytes):
         return "x'" + value.hex() + "'"
     s = str(value)
-    s = (s.replace("\\", "\\\\").replace("'", "\\'")
-         .replace("\x00", "\\0").replace("\n", "\\n").replace("\r", "\\r")
-         .replace("\x1a", "\\Z"))
-    return f"'{s}'"
+    if any(ch in _HEX_FORCING for ch in s):
+        return ("CONVERT(x'" + s.encode("utf-8").hex()
+                + "' USING utf8mb4)")
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _lenenc_int(data: bytes, pos: int) -> tuple[int | None, int]:
@@ -164,31 +203,57 @@ class MySQLConnection:
                 | CLIENT_PLUGIN_AUTH)
         if self.database:
             caps |= CLIENT_CONNECT_WITH_DB
-        token = native_password_token(self.password, scramble[:20])
+        scramble = scramble[:20]
+        token = self._auth_token(plugin, scramble)
         resp = struct.pack("<IIB23x", caps, 1 << 24, UTF8MB4)
         resp += self.user.encode() + b"\x00"
         resp += bytes([len(token)]) + token
         if self.database:
             resp += self.database.encode() + b"\x00"
-        resp += b"mysql_native_password\x00"
+        resp += plugin.encode() + b"\x00"
         self._send_packet(resp)
-
-        pkt = self._read_packet()
-        if pkt[0] == 0xFE:                     # AuthSwitchRequest
-            endp = pkt.index(b"\x00", 1)
-            new_plugin = pkt[1:endp].decode()
-            new_scramble = pkt[endp + 1:].rstrip(b"\x00")
-            if new_plugin != "mysql_native_password":
-                raise MySQLError(0, f"unsupported auth plugin {new_plugin}")
-            self._send_packet(native_password_token(self.password,
-                                                    new_scramble[:20]))
-            pkt = self._read_packet()
-        if pkt[0] == 0xFF:
-            raise self._err(pkt)
-        if pkt[0] != 0x00:
-            raise MySQLError(0, "unexpected auth response")
+        self._auth_loop(plugin, scramble)
         log.info("connected to MySQL %s at %s:%d", self.server_version,
                  self.host, self.port)
+
+    def _auth_token(self, plugin: str, scramble: bytes) -> bytes:
+        if plugin == "mysql_native_password":
+            return native_password_token(self.password, scramble)
+        if plugin == "caching_sha2_password":
+            return caching_sha2_token(self.password, scramble)
+        raise MySQLError(0, f"unsupported auth plugin {plugin}")
+
+    def _auth_loop(self, plugin: str, scramble: bytes) -> None:
+        """Drive the post-HandshakeResponse auth exchange: AuthSwitch
+        (0xFE), caching_sha2's AuthMoreData (0x01: 0x03 fast-auth ok /
+        0x04 full auth → request the server RSA key and send the OAEP
+        blob), then OK/ERR."""
+        for _ in range(8):                     # bounded: no infinite loop
+            pkt = self._read_packet()
+            if pkt[0] == 0x00:
+                return
+            if pkt[0] == 0xFF:
+                raise self._err(pkt)
+            if pkt[0] == 0xFE:                 # AuthSwitchRequest
+                endp = pkt.index(b"\x00", 1)
+                plugin = pkt[1:endp].decode()
+                scramble = pkt[endp + 1:].rstrip(b"\x00")[:20]
+                self._send_packet(self._auth_token(plugin, scramble))
+                continue
+            if pkt[0] == 0x01 and plugin == "caching_sha2_password":
+                code = pkt[1] if len(pkt) > 1 else 0
+                if code == 0x03:               # fast auth OK; OK follows
+                    continue
+                if code == 0x04:               # full auth
+                    self._send_packet(b"\x02")  # request server public key
+                    more = self._read_packet()
+                    if more[0] != 0x01:
+                        raise MySQLError(0, "expected server public key")
+                    self._send_packet(sha2_rsa_encrypt(
+                        self.password, scramble, more[1:]))
+                    continue
+            raise MySQLError(0, "unexpected auth response")
+        raise MySQLError(0, "auth exchange did not converge")
 
     @staticmethod
     def _err(pkt: bytes) -> MySQLError:

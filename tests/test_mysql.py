@@ -37,12 +37,15 @@ def _lenenc_str(s: bytes) -> bytes:
 class FakeMySQLServer(threading.Thread):
     """Protocol-accurate MySQL 8-ish server backed by sqlite."""
 
-    def __init__(self, password="sekret", auth_switch=False):
+    def __init__(self, password="sekret", auth_switch=False,
+                 plugin="mysql_native_password", sha2_full_auth=False):
         super().__init__(daemon=True)
         import sqlite3
 
         self.password = password
         self.auth_switch = auth_switch
+        self.plugin = plugin
+        self.sha2_full_auth = sha2_full_auth
         self.queries: list[str] = []
         self.db = sqlite3.connect(":memory:", check_same_thread=False)
         self.db.row_factory = sqlite3.Row
@@ -106,7 +109,7 @@ class FakeMySQLServer(threading.Thread):
                     + struct.pack("<H", 0x000F)             # caps high
                     + bytes([21]) + b"\x00" * 10
                     + SCRAMBLE[8:] + b"\x00"
-                    + b"mysql_native_password\x00")
+                    + self.plugin.encode() + b"\x00")
         seq = self._send(conn, greeting, 0)
         resp, seq_in = self._read_packet(conn)
         caps, _, _ = struct.unpack("<IIB", resp[:9])
@@ -119,15 +122,59 @@ class FakeMySQLServer(threading.Thread):
         token = resp[pos + 1:pos + 1 + tok_len]
         seq = seq_in + 1
         if self.auth_switch:
-            seq = self._send(conn, b"\xfemysql_native_password\x00"
+            seq = self._send(conn, b"\xfe" + self.plugin.encode() + b"\x00"
                              + SCRAMBLE + b"\x00", seq)
             token, seq_in = self._read_packet(conn)
             seq = seq_in + 1
-        expect = native_password_token(self.password, SCRAMBLE)
-        if token != expect:
-            self._err(conn, seq, 1045,
-                      f"Access denied for user '{user}'")
-            return
+        if self.plugin == "caching_sha2_password":
+            from birdnet_go_tpu.datastore.mysql_wire import (
+                caching_sha2_token,
+            )
+
+            if self.sha2_full_auth:
+                # cold cache: demand full auth via the server RSA key
+                from cryptography.hazmat.primitives import (
+                    hashes,
+                    serialization,
+                )
+                from cryptography.hazmat.primitives.asymmetric import (
+                    padding,
+                    rsa,
+                )
+
+                seq = self._send(conn, b"\x01\x04", seq)
+                req, seq_in = self._read_packet(conn)
+                assert req == b"\x02", "client must request the pubkey"
+                key = rsa.generate_private_key(public_exponent=65537,
+                                               key_size=2048)
+                pem = key.public_key().public_bytes(
+                    serialization.Encoding.PEM,
+                    serialization.PublicFormat.SubjectPublicKeyInfo)
+                seq = self._send(conn, b"\x01" + pem, seq_in + 1)
+                blob, seq_in = self._read_packet(conn)
+                xored = key.decrypt(blob, padding.OAEP(
+                    mgf=padding.MGF1(hashes.SHA1()),
+                    algorithm=hashes.SHA1(), label=None))
+                got = bytes(b ^ SCRAMBLE[i % 20]
+                            for i, b in enumerate(xored))
+                seq = seq_in + 1
+                if got != self.password.encode() + b"\x00":
+                    self._err(conn, seq, 1045,
+                              f"Access denied for user '{user}'")
+                    return
+            else:
+                expect = caching_sha2_token(self.password, SCRAMBLE)
+                if token != expect:
+                    self._err(conn, seq, 1045,
+                              f"Access denied for user '{user}'")
+                    return
+                seq = self._send(conn, b"\x01\x03", seq)  # fast auth OK
+        else:
+            expect = native_password_token(self.password, SCRAMBLE)
+            if token != expect:
+                self._err(conn, seq, 1045,
+                          f"Access denied for user '{user}'")
+                return
         self._ok(conn, seq)
 
         while True:
@@ -179,9 +226,16 @@ class FakeMySQLServer(threading.Thread):
 
     @staticmethod
     def _to_sqlite(sql: str) -> str:
-        # MySQL backslash string escapes → sqlite quote doubling
+        # MySQL backslash string escapes → sqlite quote doubling (kept
+        # for hand-written SQL; escape() itself emits doubled quotes)
         out = sql.replace("\\\\", "\x01").replace("\\'", "''")
         out = out.replace("\x01", "\\")
+        # mode-safe hex literals → sqlite string literal
+        out = re.sub(
+            r"CONVERT\(x'([0-9a-fA-F]*)' USING utf8mb4\)",
+            lambda m: "'" + bytes.fromhex(m.group(1)).decode()
+                            .replace("'", "''") + "'",
+            out)
         out = out.replace("AUTO_INCREMENT", "AUTOINCREMENT")
         out = out.replace("AS SIGNED)", "AS INTEGER)")
         out = out.replace("VARCHAR(191) PRIMARY KEY", "TEXT PRIMARY KEY")
@@ -282,7 +336,8 @@ def test_query_roundtrip_and_escaping(server):
     assert cols == ["name", "v"]
     # values come back typed per the column-definition type byte
     assert rows == [("it's a \\ test", 1.5)]
-    assert "\\'" in server.queries[-2]         # quote was escaped
+    # backslash forces the mode-safe hex-literal form
+    assert "CONVERT(x'" in server.queries[-2]
     with pytest.raises(MySQLError):
         c.query("SELECT broken syntax FROM")
     c.close()
@@ -292,8 +347,87 @@ def test_escape_literals():
     assert escape(None) == "NULL"
     assert escape(True) == "1"
     assert escape(3) == "3"
-    assert escape("a'b\\c\nd") == "'a\\'b\\\\c\\nd'"
+    # plain quotes double (valid under default AND NO_BACKSLASH_ESCAPES)
+    assert escape("it's") == "'it''s'"
+    # backslash / control chars force the hex form no sql_mode reparses
+    assert escape("a\\b") == "CONVERT(x'" + "a\\b".encode().hex() \
+        + "' USING utf8mb4)"
+    assert escape("x\ny").startswith("CONVERT(x'")
     assert escape(b"\x01\x02") == "x'0102'"
+
+
+def test_caching_sha2_fast_auth():
+    s = FakeMySQLServer(plugin="caching_sha2_password")
+    s.start()
+    try:
+        c = MySQLConnection(port=s.port, user="bird", password="sekret")
+        assert c.ping()
+        c.close()
+        with pytest.raises(MySQLError) as e:
+            MySQLConnection(port=s.port, user="bird", password="wrong")
+        assert e.value.code == 1045
+    finally:
+        s.stop()
+
+
+def test_caching_sha2_full_auth_rsa():
+    """Cold server cache: full auth via the server's RSA public key
+    (OAEP-SHA1), the no-TLS path MySQL 8 uses on first connect."""
+    s = FakeMySQLServer(plugin="caching_sha2_password",
+                        sha2_full_auth=True)
+    s.start()
+    try:
+        c = MySQLConnection(port=s.port, user="bird", password="sekret")
+        assert c.ping()
+        c.close()
+    finally:
+        s.stop()
+
+
+def test_caching_sha2_auth_switch():
+    """Server defaulting to native_password may switch the client to
+    caching_sha2 mid-handshake."""
+    s = FakeMySQLServer(plugin="caching_sha2_password", auth_switch=True)
+    s.start()
+    try:
+        c = MySQLConnection(port=s.port, user="bird", password="sekret")
+        assert c.ping()
+        c.close()
+    finally:
+        s.stop()
+
+
+@pytest.mark.skipif("BIRDNET_MYSQL_DSN" not in __import__("os").environ,
+                    reason="set BIRDNET_MYSQL_DSN=user:pw@host:port/db "
+                           "to run against a real mysqld")
+def test_real_mysqld_integration():
+    """Opt-in real-server run (reference: testcontainers MySQL —
+    internal/testutil/containers/mysql.go). Exercises handshake (incl.
+    caching_sha2 on MySQL 8), DDL, mode-safe literals, and round trip."""
+    import os
+
+    dsn = os.environ["BIRDNET_MYSQL_DSN"]
+    userpass, _, hostdb = dsn.partition("@")
+    user, _, password = userpass.partition(":")
+    hostport, _, db = hostdb.partition("/")
+    host, _, port = hostport.partition(":")
+    c = MySQLConnection(host=host, port=int(port or 3306), user=user,
+                        password=password, database=db)
+    c.execute("DROP TABLE IF EXISTS _bn_it")
+    c.execute("CREATE TABLE _bn_it (id INT AUTO_INCREMENT PRIMARY KEY,"
+              " t TEXT)")
+    tricky = "it's a \\ test\nline"
+    c.execute("INSERT INTO _bn_it (t) VALUES (?)", (tricky,))
+    _, rows = c.query("SELECT t FROM _bn_it")
+    assert rows == [(tricky,)]
+    # same round trip with NO_BACKSLASH_ESCAPES active
+    c.execute("SET SESSION sql_mode = CONCAT(@@sql_mode,"
+              "',NO_BACKSLASH_ESCAPES')")
+    c.execute("INSERT INTO _bn_it (t) VALUES (?)", (tricky,))
+    _, rows = c.query("SELECT t FROM _bn_it")
+    assert rows == [(tricky,), (tricky,)]
+    c.execute("DROP TABLE _bn_it")
+    c.close()
 
 
 # -- datastore over the wire ------------------------------------------------------------
