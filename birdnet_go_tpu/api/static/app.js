@@ -139,7 +139,7 @@ export async function navigate() {
   } catch (e) {
     if (token !== navToken) return;   // a newer navigation owns the outlet
     view.append(el("div", { class: "card" },
-      el("h2", {}, "Error"), el("p", { class: "sub" }, e.message)));
+      el("h2", {}, t("error")), el("p", { class: "sub" }, e.message)));
   }
 }
 

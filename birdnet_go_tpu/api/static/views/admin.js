@@ -41,26 +41,26 @@ async function dynThresholds(slot, card) {
     + ` · floor ${stats.floor} · TTL ${stats.valid_hours} h`));
   if (thresholds.length) {
     body.append(table(
-      ["Model", "Species", "Level", "Multiplier", ""],
+      [t("model"), t("species"), t("level"), t("multiplier"), ""],
       thresholds.slice(0, 12).map((d) => [
         d.model_id, d.scientific_name, String(d.level),
         d.multiplier.toFixed(2),
         el("button", { class: "small danger", onclick: async () => {
           await api(`/dynamic-thresholds/${
             encodeURIComponent(d.scientific_name)}`, { method: "DELETE" });
-          toast("Cleared");
+          toast(t("cleared"));
         } }, "reset")])));
     body.append(el("div", { class: "row", style: "margin-top:8px" },
       el("button", { class: "small danger", onclick: async () => {
         const { cleared } = await api("/dynamic-thresholds",
                                       { method: "DELETE" });
         toast(`Cleared ${cleared} learned thresholds`);
-      } }, "Clear all")));
+      } }, t("clear_all"))));
   } else {
     body.append(el("div", { class: "empty" },
-      "No learned thresholds yet"));
+      t("no_learned_thresholds")));
   }
-  slot.append(card("Dynamic thresholds", body));
+  slot.append(card(t("dynamic_thresholds"), body));
 }
 
 // ---- database + backups ----
@@ -70,15 +70,15 @@ async function database(slot, card) {
     api("/system/database/backup/jobs")]);
   const body = el("div", {},
     el("div", { class: "grid cols-2" },
-      tile("Engine", ov.engine),
-      tile("Detections", fmtNum(ov.detections)),
-      tile("Species", fmtNum(ov.species)),
-      tile("Size", ov.size_bytes != null
+      tile(t("engine"), ov.engine),
+      tile(t("detections"), fmtNum(ov.detections)),
+      tile(t("species"), fmtNum(ov.species)),
+      tile(t("size"), ov.size_bytes != null
         ? `${(ov.size_bytes / 1048576).toFixed(1)} MB` : "–"),
-      tile("Integrity", (typeof ov.integrity === "object"
+      tile(t("integrity"), (typeof ov.integrity === "object"
         ? ov.integrity.engine_ok !== false : ov.integrity)
         ? "ok" : "FAILING"),
-      tile("Backups run", jobs.configured ? fmtNum(jobs.runs) : "off")),
+      tile(t("backups_run"), jobs.configured ? fmtNum(jobs.runs) : "off")),
     el("div", { class: "row", style: "margin-top:8px" },
       el("button", { class: "primary", onclick: async () => {
         try {
@@ -86,7 +86,7 @@ async function database(slot, card) {
                                 { method: "POST", body: {} });
           toast(`Backup written: ${out.backup}`);
         } catch (e) { toast(e.message, true); }
-      } }, "Backup now")));
+      } }, t("backup_now"))));
   slot.append(card(t("database"), body));
 }
 
@@ -103,16 +103,16 @@ async function tls(slot, card) {
                 download: "server.crt" }, "⬇ Download"),
       el("button", { class: "small danger", onclick: async () => {
         await api("/tls/certificate", { method: "DELETE" });
-        toast("Certificate removed");
-      } }, "Remove")));
+        toast(t("certificate_removed"));
+      } }, t("remove"))));
   } else {
-    body.append(el("p", { class: "sub" }, "No certificate installed"),
+    body.append(el("p", { class: "sub" }, t("no_certificate")),
       el("button", { class: "small primary", onclick: async () => {
         const out = await api("/tls/certificate/generate",
                               { method: "POST", body: { validity: "365d" } });
         toast(`Self-signed certificate generated`
           + `${out.not_after ? " · expires " + out.not_after : ""}`);
-      } }, "Generate self-signed"));
+      } }, t("generate_self_signed")));
   }
   slot.append(card("TLS", body));
 }
@@ -125,11 +125,11 @@ async function audioAdmin(slot, card) {
     api("/quiet-hours/status")]);
   const body = el("div");
   body.append(sources.length
-    ? table(["Source", "Type", "Rate", "Quiet now"],
+    ? table([t("source"), t("type"), t("rate"), t("quiet_now")],
         sources.map((s) => [s.display_name || s.source_id, s.type,
           `${(s.sample_rate || 0) / 1000} kHz`,
           (qh.sources || {})[s.source_id] ? "yes" : "no"]))
-    : el("div", { class: "empty" }, "No audio sources"));
+    : el("div", { class: "empty" }, t("no_audio_sources")));
   // equalizer editor (enabled + filter chain JSON)
   const enabled = el("input", { type: "checkbox" });
   enabled.checked = !!eq.enabled;
@@ -147,8 +147,8 @@ async function audioAdmin(slot, card) {
                     filters: JSON.parse(filtersBox.value || "[]") } });
           toast("Equalizer updated (hot-swapped)");
         } catch (e) { toast(e.message, true); }
-      } }, "Apply EQ")));
-  slot.append(card("Audio", body));
+      } }, t("apply_eq"))));
+  slot.append(card(t("audio"), body));
 }
 
 // ---- integrations: status + connectivity tests ----
@@ -170,10 +170,10 @@ async function integrations(slot, card) {
       } catch (e) { toast(`${label}: ${e.message}`, true); }
     } }, label);
   body.append(el("div", { class: "row" },
-    testBtn("Test MQTT", "/integrations/mqtt/test"),
-    testBtn("Test BirdWeather", "/integrations/birdweather/test"),
-    testBtn("Test eBird", "/integrations/ebird/test"),
-    testBtn("Test weather", "/integrations/weather/test"),
+    testBtn(t("test_mqtt"), "/integrations/mqtt/test"),
+    testBtn(t("test_birdweather"), "/integrations/birdweather/test"),
+    testBtn(t("test_ebird"), "/integrations/ebird/test"),
+    testBtn(t("test_weather"), "/integrations/weather/test"),
     testBtn("HA discovery",
             "/integrations/mqtt/homeassistant/discovery")));
   slot.append(card(t("integrations"), body));
@@ -185,7 +185,7 @@ async function streamTools(slot, card) {
   try {
     const { active } = await api("/system/audio/active");
     if (active.length) {
-      body.append(table(["Source", "Buffered (s)", ""],
+      body.append(table([t("source"), "Buffered (s)", ""],
         active.map((a) => [a.source_id,
           (a.capture_seconds_buffered ?? 0).toFixed(1),
           el("button", { class: "small", onclick: async () => {
@@ -208,7 +208,7 @@ async function streamTools(slot, card) {
         out.textContent = r.ok ? `reachable (${r.latency_ms ?? "?"} ms)`
                                : `unreachable: ${r.error || ""}`;
       } catch (e) { out.textContent = e.message; }
-    } }, "Test"),
+    } }, t("test")),
     el("button", { class: "small", onclick: async () => {
       try {
         const r = await api("/streams/probe",
@@ -218,8 +218,8 @@ async function streamTools(slot, card) {
               `${s.codec_type}/${s.codec_name}`).join(", ")}`
           : `probe failed: ${r.error || ""}`;
       } catch (e) { out.textContent = e.message; }
-    } }, "Probe")), out);
-  slot.append(card("Stream tools", body));
+    } }, t("probe"))), out);
+  slot.append(card(t("stream_tools"), body));
 }
 
 // ---- clips on disk + background jobs ----
@@ -232,7 +232,7 @@ async function clipsJobs(slot, card) {
       + `${jobs.completed ?? jobs.jobqueue?.completed ?? 0} done, `
       + `${jobs.failed ?? jobs.jobqueue?.failed ?? 0} failed`));
   if (files.length) {
-    body.append(table(["Clip", "Size", "Modified"],
+    body.append(table([t("clip"), t("size"), t("modified")],
       files.slice(-10).reverse().map((f) => [
         el("a", { href: `/api/v2/media/audio/${encodeURIComponent(f.name)}`,
                   download: f.name }, f.name),
@@ -250,7 +250,7 @@ async function network(slot, card) {
     api("/system/network-interfaces"), api("/sse/status"),
     api("/system/restart-status")]);
   const body = el("div", {},
-    table(["Interface", "State", "MAC"],
+    table([t("interface"), t("state"), "MAC"],
       interfaces.map((i) => [i.name, i.state || "?", i.mac || ""])),
     el("p", { class: "sub" },
       `SSE clients: ${sse.total} (${Object.entries(sse.channels)
@@ -271,17 +271,17 @@ async function opsEvents(slot, card) {
     el("button", { class: "small primary", onclick: async () => {
       const out = await api("/system/diagnostics/run",
                             { method: "POST", body: {} });
-      toast(out.healthy ? "All diagnostics healthy"
-                        : "Some checks failing", !out.healthy);
+      toast(out.healthy ? t("all_diag_healthy")
+                        : t("some_checks_failing"), !out.healthy);
     } }, t("run_diagnostics")),
     el("a", { class: "btn small", href: "/api/v2/system/diagnostics" },
        "⬇ Diagnostics report")));
   body.append(events.length
-    ? table(["Time", "Kind", "Detail"], events.map((e2) => [
+    ? table([t("time"), t("kind"), t("detail")], events.map((e2) => [
         e2.time ? fmtTime(e2.time) : "", e2.kind || e2.type || "",
         e2.message || e2.detail || JSON.stringify(e2).slice(0, 60)]))
     : el("div", { class: "empty" }, t("no_data")));
-  slot.append(card("Operational events", body));
+  slot.append(card(t("operational_events"), body));
 }
 
 function tile(label, value) {

@@ -32,7 +32,7 @@ export async function alertsView(outlet) {
       return;
     }
     rulesCard.append(table(
-      ["Rule", t("conditions"), "Throttle", t("priority"), ""],
+      [t("rule"), t("conditions"), t("throttle"), t("priority"), ""],
       rules.map((r) => [
         el("span", {},
           el("strong", {}, r.name || r.rule_id), " ",
@@ -42,21 +42,21 @@ export async function alertsView(outlet) {
         `${Math.round(r.min_interval_seconds / 60)} min`,
         el("span", { class: "pill " + prioClass(r.priority) }, r.priority),
         el("div", { class: "row" },
-          el("button", { class: "small", title: "Fire a test detection",
+          el("button", { class: "small", title: t("fire_test_detection"),
             onclick: async () => {
               try {
                 const out = await api(`/alerts/rules/${r.rule_id}/test`,
                                       { method: "POST", body: {} });
                 const hit = out.matched ?? out.fired;
                 toast(hit ? `Fired: ${out.message || "matched"}`
-                          : "Rule did not match the test detection", !hit);
+                          : t("rule_no_match"), !hit);
                 renderHistory();
               } catch (e) { toast(e.message, true); }
             } }, "▶ Test"),
           el("button", { class: "small danger", onclick: async () => {
             try {
               await api(`/alerts/rules/${r.rule_id}`, { method: "DELETE" });
-              toast("Rule deleted");
+              toast(t("rule_deleted"));
               renderRules();
             } catch (e) { toast(e.message, true); }
           } }, "🗑"))])));
@@ -95,7 +95,7 @@ export async function alertsView(outlet) {
 
   // ---- create form ----
   function renderForm() {
-    const name = el("input", { placeholder: "Rule name", size: 22 });
+    const name = el("input", { placeholder: t("rule_name"), size: 22 });
     const species = el("input",
       { placeholder: "Species globs (comma sep, empty = any)", size: 34 });
     const minConf = el("input", { type: "number", step: "0.05", min: 0,
@@ -124,10 +124,10 @@ export async function alertsView(outlet) {
       el("div", { class: "field-row" }, el("label", {}, "priority"), priority),
       el("div", { class: "field-row" }, el("label", {}, "message"), template),
       el("div", { class: "row", style: "margin-top:8px" },
-        el("button", { class: "primary", onclick: create }, "Create rule")));
+        el("button", { class: "primary", onclick: create }, t("create_rule"))));
 
     async function create() {
-      if (!name.value.trim()) { toast("Name required", true); return; }
+      if (!name.value.trim()) { toast(t("name_required"), true); return; }
       const body = {
         rule_id: name.value.trim().toLowerCase().replace(/\W+/g, "-"),
         name: name.value.trim(),
@@ -142,7 +142,7 @@ export async function alertsView(outlet) {
       };
       try {
         await api("/alerts/rules", { method: "POST", body });
-        toast("Rule created");
+        toast(t("rule_created"));
         renderRules();
       } catch (e) { toast(e.message, true); }
     }
@@ -157,7 +157,7 @@ export async function alertsView(outlet) {
       historyCard.append(el("div", { class: "empty" }, t("no_data")));
       return;
     }
-    historyCard.append(table(["Time", "Rule", "Message"],
+    historyCard.append(table([t("time"), t("rule"), t("message")],
       hist.slice().reverse().map((e) => [
         fmtTime(e.fired_at), e.rule_id, e.message])));
   }

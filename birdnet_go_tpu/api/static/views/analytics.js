@@ -12,7 +12,7 @@ export async function analyticsView(outlet) {
     el("option", { value: "30" }, t("last30")),
     el("option", { value: "7" }, t("last7")),
     el("option", { value: "90" }, "Last 90 days"),
-    el("option", { value: "365" }, "Last year"));
+    el("option", { value: "365" }, t("last_year")));
   outlet.append(el("div", { class: "filters" }, range,
     el("button", { class: "primary", onclick: render }, t("apply"))));
 
@@ -108,9 +108,9 @@ export async function analyticsView(outlet) {
       three.append(el("div", { class: "card" },
         el("h2", {}, t("diversity")),
         el("div", { class: "grid cols-2" },
-          tile("Species richness", d.richness),
-          tile("Shannon index", round2(d.shannon)),
-          tile("Detections", fmtNum(d.detections)))));
+          tile(t("species_richness"), d.richness),
+          tile(t("shannon_index"), round2(d.shannon)),
+          tile(t("detections"), fmtNum(d.detections)))));
     } catch (e) { three.append(card(t("diversity"), err(e))); }
 
     // succession: monthly composition (top species share per month)
@@ -119,7 +119,7 @@ export async function analyticsView(outlet) {
         `/analytics/succession?from=${from}&to=${to}&top=5`);
       if (succession.length) {
         grid.append(card("Succession (monthly top-5 share)",
-          table(["Month", "Total", "Top species"],
+          table([t("month"), t("total"), t("top_species")],
             succession.map((m) => [m.month, fmtNum(m.total),
               m.species.map((s) =>
                 `${s.common_name || s.scientific_name} `
@@ -135,7 +135,7 @@ export async function analyticsView(outlet) {
       const rows = (Array.isArray(res) ? res : res.species || []).slice(0, 10);
       four.append(el("div", { class: "card" },
         el("h2", {}, t("newest_species")),
-        table(["Species", "First seen"], rows.map((r) => [
+        table([t("species"), t("first_seen")], rows.map((r) => [
           r.common_name || r.scientific_name, r.first_date || "–"]))));
     } catch (e) { four.append(card(t("newest_species"), err(e))); }
     // dawn chorus: today's hour-of-day activity histogram
@@ -153,10 +153,10 @@ export async function analyticsView(outlet) {
       four.append(el("div", { class: "card" },
         el("h2", {}, t("database")),
         el("div", { class: "grid cols-2" },
-          tile("Detections", fmtNum(db.detections)),
-          tile("Species", fmtNum(db.species)),
-          tile("First today", ev.first_detection || "–"),
-          tile("Last today", ev.last_detection || "–"))));
+          tile(t("detections"), fmtNum(db.detections)),
+          tile(t("species"), fmtNum(db.species)),
+          tile(t("first_today"), ev.first_detection || "–"),
+          tile(t("last_today"), ev.last_detection || "–"))));
     } catch (e) { /* optional */ }
     try {
       const res = await api(`/analytics/dawn-onset?from=${from}&to=${to}`);
@@ -164,10 +164,10 @@ export async function analyticsView(outlet) {
       four.append(el("div", { class: "card" },
         el("h2", {}, t("dawn_onset") + " (min after civil dawn)"),
         rows.length
-          ? table(["Date", "Species", "Δ dawn (min)"], rows.map((r) => [
+          ? table([t("date"), t("species"), "Δ dawn (min)"], rows.map((r) => [
               r.date, r.common_name || r.scientific_name,
               String(r.minutes_after_dawn)]))
-          : el("div", { class: "empty" }, "Needs a configured location")));
+          : el("div", { class: "empty" }, t("needs_location"))));
     } catch (e) { four.append(card(t("dawn_onset"), err(e))); }
   }
 

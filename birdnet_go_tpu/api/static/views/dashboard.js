@@ -29,13 +29,13 @@ export async function dashboardView(outlet) {
   // by the processor's pending-broadcast — not-yet-approved detections)
   hearingCard.append(el("h2", {}, t("currently_hearing")));
   const hearingBody = el("div", { class: "row" },
-    el("span", { class: "empty", style: "padding:4px" }, "Listening…"));
+    el("span", { class: "empty", style: "padding:4px" }, t("listening")));
   hearingCard.append(hearingBody);
   const renderPending = (items) => {
     clear(hearingBody);
     if (!items.length) {
       hearingBody.append(el("span", { class: "empty", style: "padding:4px" },
-                            "Nothing right now"));
+                            t("nothing_right_now")));
       return;
     }
     for (const p of items.slice(0, 10)) {
@@ -64,12 +64,12 @@ export async function dashboardView(outlet) {
     const byDay = Array.isArray(daily) ? daily : (daily.daily || []);
     const counts = byDay.map((d) => d.count ?? d.total ?? 0);
     kpiRow.append(
-      stat("Detections today", kpis.detections_today,
+      stat(t("detections_today"), kpis.detections_today,
            `${fmtNum(kpis.detections_total)} total`, counts),
-      stat("Species today", kpis.species_today,
+      stat(t("species_today"), kpis.species_today,
            `${fmtNum(kpis.species_total)} all time`),
-      stat("Active sources", kpis.sources_active),
-      stat("Models", kpis.models_loaded.length,
+      stat(t("active_sources"), kpis.sources_active),
+      stat(t("models"), kpis.models_loaded.length,
            kpis.models_loaded.join(", ")));
   } catch (e) { kpiRow.append(el("div", { class: "empty" }, e.message)); }
 
@@ -176,11 +176,11 @@ export async function dashboardView(outlet) {
     const entries = Object.entries(health.sources || health);
     healthCard.append(el("h2", {}, t("sources")));
     if (!entries.length) {
-      healthCard.append(el("div", { class: "empty" }, "No audio sources configured"));
+      healthCard.append(el("div", { class: "empty" }, t("no_audio_sources_configured")));
     } else {
       const tbl = el("table", { class: "data" },
         el("thead", {}, el("tr", {},
-          el("th", {}, t("source")), el("th", {}, "Status"),
+          el("th", {}, t("source")), el("th", {}, t("status")),
           el("th", { class: "num" }, "Buffered (s)"),
           el("th", { class: "num" }, "Last audio (s ago)"))));
       const tb = el("tbody");
@@ -220,10 +220,10 @@ async function renderWeather(card) {
       api(`/weather/sun/${today}`), api(`/weather/moon/${today}`)]);
     const hhmm = (iso) => iso ? String(iso).slice(11, 16) : "–";
     body.append(
-      wtile("Sunrise", hhmm(sun.sunrise)),
-      wtile("Sunset", hhmm(sun.sunset)),
-      wtile("Civil dawn", hhmm(sun.civil_dawn)),
-      wtile("Moon", moon.phase
+      wtile(t("sunrise"), hhmm(sun.sunrise)),
+      wtile(t("sunset"), hhmm(sun.sunset)),
+      wtile(t("civil_dawn"), hhmm(sun.civil_dawn)),
+      wtile(t("moon"), moon.phase
         ? `${moon.phase.replaceAll("_", " ")} `
           + `${Math.round((moon.illumination ?? 0) * 100)}%`
         : "–"));
@@ -235,13 +235,13 @@ async function renderWeather(card) {
     if (w.available) {
       const last = (w.hours || []).slice(-1)[0] || {};
       body.append(
-        wtile("Temp now", last.temperature != null
+        wtile(t("temp_now"), last.temperature != null
               ? `${last.temperature} °C` : "–"),
-        wtile("Range", w.temp_min != null
+        wtile(t("range"), w.temp_min != null
               ? `${w.temp_min}–${w.temp_max} °C` : "–"),
-        wtile("Wind", last.wind_speed != null
+        wtile(t("wind"), last.wind_speed != null
               ? `${last.wind_speed} m/s` : "–"),
-        wtile("Humidity", last.humidity != null
+        wtile(t("humidity"), last.humidity != null
               ? `${last.humidity}%` : "–"));
     }
   } catch (e) { /* weather polling not configured */ }
@@ -260,7 +260,7 @@ async function renderLive(card) {
     sources = Object.keys(health.sources || health);
   } catch (e) { /* none */ }
   if (!sources.length) {
-    card.append(el("div", { class: "empty" }, "No live sources"));
+    card.append(el("div", { class: "empty" }, t("no_live_sources")));
     return;
   }
   const sel = el("select", {}, sources.map((s) => el("option", { value: s }, s)));

@@ -124,7 +124,7 @@ export async function detectionsView(outlet) {
         el("th", {}, t("species")),
         el("th", {}, t("confidence")),
         el("th", {}, t("source")),
-        el("th", {}, "Audio"),
+        el("th", {}, t("audio")),
         el("th", {}, ""))));
     const tb = el("tbody");
     for (const d of detections) tb.append(row(d));
@@ -161,9 +161,9 @@ export async function detectionsView(outlet) {
       el("button", { class: "small",
         title: d.locked ? t("unlock") : t("lock"),
         onclick: () => toggleLock(d) }, d.locked ? "🔓" : "🔒"),
-      el("button", { class: "small", title: "Spectrogram",
+      el("button", { class: "small", title: t("spectrogram"),
         onclick: (ev) => spectro(ev.target.closest("tr"), d.id) }, "∿"),
-      el("button", { class: "small", title: "Comments",
+      el("button", { class: "small", title: t("comments"),
         onclick: (ev) => comments(ev.target.closest("tr"), d.id) }, "💬"),
       el("button", { class: "small danger", title: t("delete"),
         onclick: () => del(d.id) }, "🗑")));
@@ -212,10 +212,10 @@ export async function detectionsView(outlet) {
   async function del(id) {
     try {
       await api(`/detections/${id}`, { method: "DELETE" });
-      toast("Deleted");
+      toast(t("deleted"));
       load();
     } catch (e) {
-      toast(e.status === 409 ? "Detection is locked" : e.message, true);
+      toast(e.status === 409 ? t("detection_locked") : e.message, true);
     }
   }
 
@@ -251,7 +251,7 @@ export async function detectionsView(outlet) {
       try {
         await api(`/spectrogram/${id}/generate`, { method: "POST", body: {} });
         img.src = `/api/v2/spectrogram/${id}?size=lg&_=${Date.now()}`;
-        toast("Spectrogram regenerated");
+        toast(t("spectrogram_regenerated"));
       } catch (e) { toast(e.message, true); }
     } }, "↻ Regenerate");
     tr.after(el("tr", { class: "spectro-row" },
@@ -274,7 +274,7 @@ export async function detectionsView(outlet) {
     const [{ comments: commentList }, { reviews }] = await Promise.all([
       api(`/detections/${id}/comments`),
       api(`/detections/${id}/reviews`).catch(() => ({ reviews: [] }))]);
-    const input = el("input", { placeholder: "Add a comment…", size: 40 });
+    const input = el("input", { placeholder: t("add_comment_ph"), size: 40 });
     const list = el("div", {},
       reviews.map((r) => el("div", { class: "sub" },
         `✓ ${r.verdict}${r.comment ? ` — ${r.comment}` : ""}`)),

@@ -12,12 +12,12 @@ export async function notificationsView(outlet) {
       await api("/notifications/read-all", { method: "PUT" })
         .catch((e) => toast(e.message, true));
       render();
-    } }, "Mark all read"),
+    } }, t("mark_all_read")),
     el("button", { onclick: async () => {
       await api("/notifications/test", { method: "POST", body: {} });
-      toast("Test notification sent");
+      toast(t("test_notification_sent"));
       render();
-    } }, "Send test")));
+    } }, t("send_test"))));
   const list = el("div", { class: "card" });
   outlet.append(list);
   await render();
@@ -71,7 +71,7 @@ export async function modelsView(outlet) {
     clear(loadedCard);
     loadedCard.append(el("h2", {}, t("registry")));
     loadedCard.append(table(
-      ["Model", "Species", "Rate", "Clip", "State", ""],
+      [t("model"), t("species"), t("rate"), t("clip"), t("state"), ""],
       all.map((m) => [
         m.display_name || m.model_id, fmtNum(m.num_species),
         `${(m.sample_rate || 0) / 1000} kHz`,
@@ -81,20 +81,20 @@ export async function modelsView(outlet) {
         m.loaded
           ? el("button", { class: "small danger", onclick: async () => {
               await api(`/models/unload/${m.model_id}`, { method: "POST" });
-              toast("Unloaded");
+              toast(t("unloaded"));
               render();
-            } }, "Unload")
+            } }, t("unload"))
           : el("button", { class: "small", onclick: async () => {
               await api(`/models/load/${m.model_id}`, { method: "POST" });
-              toast("Loaded");
+              toast(t("loaded"));
               render();
-            } }, "Load")])));
+            } }, t("load"))])));
     clear(catalogCard);
     catalogCard.append(el("h2", {}, t("catalog")));
     const installedIds = new Set(
       (installed || []).map((i) => i.model_id || i.id));
     catalogCard.append(table(
-      ["Model", "Description", "Size", ""],
+      [t("model"), t("description"), t("size"), ""],
       (Array.isArray(catalog) ? catalog : []).map((c) => [
         c.model_id || c.id, c.description || "",
         c.size_mb ? `${c.size_mb} MB` : "–",
@@ -103,20 +103,20 @@ export async function modelsView(outlet) {
               el("button", { class: "small", onclick: async () => {
                 await api(`/models/load/${c.model_id || c.id}`,
                           { method: "POST" });
-                toast("Model loaded");
+                toast(t("model_loaded"));
                 render();
-              } }, "Load"),
+              } }, t("load")),
               el("button", { class: "small danger", onclick: async () => {
                 await api(`/models/installed/${c.model_id || c.id}`,
                           { method: "DELETE" });
                 render();
-              } }, "Remove"))
+              } }, t("remove")))
           : el("button", { class: "small primary", onclick: async () => {
               await api(`/models/install/${c.model_id || c.id}`,
                         { method: "POST" });
-              toast("Installing…");
+              toast(t("installing"));
               poll(c.model_id || c.id);
-            } }, "Install")])));
+            } }, t("install"))])));
   }
 
   async function poll(id) {
@@ -153,7 +153,7 @@ export async function speciesView(outlet) {
     clear(results);
     if (q.length < 2) { renderDetected(); return; }
     const { species } = await api(`/species/search?q=${encodeURIComponent(q)}`);
-    results.append(table(["Common name", "Scientific", "Taxonomy"],
+    results.append(table([t("common_name"), t("scientific"), t("taxonomy")],
       species.map((s) => [s.common_name,
         el("em", {}, s.scientific_name),
         el("button", { class: "small", onclick: async (ev) => {
@@ -175,7 +175,7 @@ export async function speciesView(outlet) {
       results.append(el("div", { class: "empty" }, t("no_data")));
     } else {
       results.append(table(
-        ["Species", "Count", "Max conf", "First seen", "Last seen"],
+        [t("species"), t("count"), t("max_conf"), t("first_seen"), t("last_seen")],
         species.slice(0, 50).map((s) => [
           el("span", {}, el("strong", {}, s.common_name || ""), " ",
              el("em", { class: "sub" }, s.scientific_name)),
@@ -222,7 +222,7 @@ async function renderTree(card) {
 
 // dictionaries, first-seen lookup, eBird neighbourhood observations
 async function renderExtras(card) {
-  card.append(el("h2", {}, "Name dictionaries"));
+  card.append(el("h2", {}, t("name_dictionaries")));
   try {
     const { locales } = await api("/species/locales");
     const sel = el("select", {}, (locales || []).map((l) =>
@@ -239,7 +239,7 @@ async function renderExtras(card) {
 
   // first-seen lookup (lifetime / this year / this season)
   {
-    const q = el("input", { placeholder: "Scientific name…", size: 26 });
+    const q = el("input", { placeholder: t("scientific_name_ph"), size: 26 });
     const out = el("span", { class: "sub" });
     card.append(el("h2", { style: "margin-top:14px" }, t("first_seen")),
       el("div", { class: "row" }, q,
@@ -260,10 +260,10 @@ async function renderExtras(card) {
     const rows = obs.observations || [];
     card.append(el("h2", { style: "margin-top:14px" }, "Nearby (eBird)"),
       rows.length
-        ? table(["Species", "Where", "When"], rows.slice(0, 10).map((o) => [
+        ? table([t("species"), t("where"), t("when")], rows.slice(0, 10).map((o) => [
             o.comName || o.common_name || o.sciName,
             o.locName || o.location || "", o.obsDt || o.date || ""]))
-        : el("div", { class: "empty" }, "No recent observations"));
+        : el("div", { class: "empty" }, t("no_recent_observations")));
   } catch (e) { /* integration disabled */ }
 }
 
@@ -278,8 +278,8 @@ export async function importsView(outlet) {
     el("p", { class: "sub" },
        "Import detections from a BirdNET-Pi BirdDB.txt log."),
     el("div", { class: "row" }, path,
-      el("button", { onclick: validate }, "Validate"),
-      el("button", { class: "primary", onclick: start }, "Start import"))),
+      el("button", { onclick: validate }, t("validate")),
+      el("button", { class: "primary", onclick: start }, t("start_import")))),
     el("div", { class: "card" },
       el("h2", {}, "BirdNET-Go migration"),
       el("p", { class: "sub" },
@@ -296,7 +296,7 @@ export async function importsView(outlet) {
               toast(`Imported ${out.imported} / ${out.scanned}`
                 + ` (${out.skipped} skipped, ${out.errors} errors)`);
             } catch (e) { toast(e.message, true); }
-          } }, "Migrate"));
+          } }, t("migrate")));
       })()),
     jobsCard);
   await renderJobs();
@@ -315,7 +315,7 @@ export async function importsView(outlet) {
     try {
       await api("/imports/birdnet-pi",
                 { method: "POST", body: { path: path.value.trim() } });
-      toast("Import started");
+      toast(t("import_started"));
       renderJobs();
       // viewInterval: survives a failed poll (server restart mid-import)
       // and dies with the view instead of firing forever
@@ -337,7 +337,7 @@ export async function importsView(outlet) {
       return;
     }
     jobsCard.append(table(
-      ["#", "Path", "Status", "Imported", "Skipped", "Errors", ""],
+      ["#", t("path"), t("status"), t("imported"), t("skipped"), t("errors"), ""],
       jobs.map((j) => [String(j.id), j.path,
         el("span", { class: "pill " + (j.status === "completed" ? "good"
           : j.status === "failed" ? "bad" : "info") }, j.status),
@@ -346,7 +346,7 @@ export async function importsView(outlet) {
           ? el("button", { class: "small danger", onclick: async () => {
               await api(`/imports/jobs/${j.id}/cancel`, { method: "POST" });
               renderJobs();
-            } }, "Cancel") : ""])));
+            } }, t("cancel")) : ""])));
   }
 }
 

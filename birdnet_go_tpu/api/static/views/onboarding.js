@@ -3,7 +3,7 @@
    dismissed; walks through location → audio source → done, writing
    through the normal settings PATCH (which emits hot-reload signals). */
 
-import { api, el, toast } from "../app.js";
+import { api, el, toast, t } from "../app.js";
 
 export async function maybeShowWizard() {
   let cfg;
@@ -39,17 +39,16 @@ export async function maybeShowWizard() {
       navigator.geolocation?.getCurrentPosition((pos) => {
         lat.value = pos.coords.latitude.toFixed(4);
         lon.value = pos.coords.longitude.toFixed(4);
-      }, () => toast("Location unavailable", true));
-    } }, "📍 Use my location");
-    render("Welcome to BirdNET-TPU", [
+      }, () => toast(t("location_unavailable"), true));
+    } }, t("use_my_location"));
+    render(t("welcome"), [
       el("p", { class: "sub" },
-        "Set your station's coordinates — they drive the species range "
-        + "filter, sunrise/sunset logic, and dawn analytics."),
+        t("station_coords_help")),
       el("div", { class: "row" }, lat, lon, geoBtn),
     ], [
-      ["Skip setup", () => close(true)],
-      ["Next →", async () => {
-        if (!lat.value || !lon.value) { toast("Enter coordinates", true); return; }
+      [t("skip_setup"), () => close(true)],
+      [t("next"), async () => {
+        if (!lat.value || !lon.value) { toast(t("enter_coordinates"), true); return; }
         try {
           await api("/settings/location", { method: "PATCH",
             body: { latitude: Number(lat.value),
@@ -70,7 +69,7 @@ export async function maybeShowWizard() {
     const kind = el("select", {},
       el("option", { value: "" }, "— choose a source type —"),
       devices.length
-        ? el("option", { value: "audio_card" }, "Sound card")
+        ? el("option", { value: "audio_card" }, t("sound_card"))
         : null,
       el("option", { value: "rtsp" }, "RTSP camera / stream"),
       el("option", { value: "file" }, "Audio file (loop)"));
@@ -85,15 +84,15 @@ export async function maybeShowWizard() {
         : kind.value === "rtsp" ? url
         : kind.value === "file" ? path : "");
     });
-    render("Add an audio source", [
+    render(t("add_audio_source"), [
       el("p", { class: "sub" },
         "Pick where live audio comes from. You can add more sources "
         + "later under Settings → realtime."),
       kind, detail,
     ], [
       ["← Back", step1],
-      ["Skip", step3],
-      ["Next →", async () => {
+      [t("skip"), step3],
+      [t("next"), async () => {
         if (!kind.value) { step3(); return; }
         const src = kind.value === "audio_card"
           ? { type: "audio_card", device: device.value }
@@ -102,7 +101,7 @@ export async function maybeShowWizard() {
             : { type: "file", path: path.value.trim() };
         if ((src.url === "" && kind.value === "rtsp")
             || (src.path === "" && kind.value === "file")) {
-          toast("Fill in the source", true);
+          toast(t("fill_in_source"), true);
           return;
         }
         try {
@@ -118,13 +117,13 @@ export async function maybeShowWizard() {
 
   // ---- step 3: done ----
   function step3() {
-    render("All set", [
+    render(t("all_set"), [
       el("p", { class: "sub" },
         "The range filter will rebuild for your location and detections "
         + "will appear on the dashboard as soon as audio flows. "
         + "Explore Settings for models, filters, and integrations."),
     ], [
-      ["Finish", () => { close(true); location.reload(); }, "primary"],
+      [t("finish"), () => { close(true); location.reload(); }, "primary"],
     ]);
   }
 

@@ -6,7 +6,7 @@
 import { api, el, clear, fmtNum, toast, t, table } from "../app.js";
 
 export async function rangeView(outlet) {
-  outlet.append(el("h1", {}, "Range filter"));
+  outlet.append(el("h1", {}, t("range_filter")));
 
   const statusCard = el("div", { class: "card" });
   const mapCard = el("div", { class: "card" });
@@ -23,11 +23,11 @@ export async function rangeView(outlet) {
     status = await api("/range/status");
     statusCard.append(el("h2", {}, t("status")),
       el("div", { class: "grid cols-4" },
-        tile("Enabled", status.enabled ? "yes" : "no"),
-        tile("Included species", fmtNum(status.included_count)),
-        tile("Location", status.latitude != null
+        tile(t("enabled"), status.enabled ? "yes" : "no"),
+        tile(t("included_species"), fmtNum(status.included_count)),
+        tile(t("location"), status.latitude != null
           ? `${status.latitude}, ${status.longitude}` : "not set"),
-        tile("Threshold", status.threshold)),
+        tile(t("threshold"), status.threshold)),
       el("div", { class: "row", style: "margin-top:8px" },
         el("button", { class: "primary", onclick: async () => {
           const out = await api("/range/rebuild", { method: "POST" });
@@ -47,10 +47,10 @@ export async function rangeView(outlet) {
   const canvas = el("canvas", { width: 960, height: 480,
     style: "width:100%;border-radius:8px;background:#05080f" });
   const mapStatus = el("span", { class: "sub" }, "");
-  mapCard.append(el("h2", {}, "Occurrence heatmap"),
+  mapCard.append(el("h2", {}, t("occurrence_heatmap")),
     el("div", { class: "row", style: "margin-bottom:8px" },
       weekLabel, week, resolution,
-      el("button", { class: "primary", onclick: drawMap }, "Render"),
+      el("button", { class: "primary", onclick: drawMap }, t("render")),
       mapStatus),
     canvas);
   week.addEventListener("input",
@@ -95,15 +95,15 @@ export async function rangeView(outlet) {
   // ---- per-species scores at the configured location ----
   try {
     const { species } = await api("/range/species/scores?limit=25");
-    scoresCard.append(el("h2", {}, "Top species here"),
+    scoresCard.append(el("h2", {}, t("top_species_here")),
       species && species.length
-        ? table(["Species", "Score"], species.map((s) => [
+        ? table([t("species"), t("score")], species.map((s) => [
             el("span", {}, el("strong", {}, s.common_name || ""), " ",
                el("em", { class: "sub" }, s.scientific_name)),
             (s.score ?? 0).toFixed(3)]))
-        : el("div", { class: "empty" }, "Set a location first"));
+        : el("div", { class: "empty" }, t("set_location_first")));
   } catch (e) {
-    scoresCard.append(el("h2", {}, "Top species here"),
+    scoresCard.append(el("h2", {}, t("top_species_here")),
       el("div", { class: "empty" }, e.message));
   }
 
@@ -118,7 +118,7 @@ export async function rangeView(outlet) {
     const thr = el("input", { type: "number", step: "0.01", min: 0, max: 1,
                               size: 6, value: status.threshold ?? 0.01 });
     const out = el("div", { class: "sub", style: "margin-top:8px" });
-    testCard.append(el("h2", {}, "Test a location"),
+    testCard.append(el("h2", {}, t("test_location")),
       el("div", { class: "row" }, lat, lon, wk, thr,
         el("button", { class: "primary", onclick: async () => {
           try {

@@ -14,7 +14,7 @@ const SECTION_ORDER = [
 export async function settingsView(outlet) {
   outlet.append(el("h1", {}, t("settings")));
   outlet.append(el("div", { class: "row", style: "margin-bottom:12px" },
-    el("span", { class: "sub" }, "Language"),
+    el("span", { class: "sub" }, t("language")),
     el("select", { onchange: (e) => setLang(e.target.value) },
       LANGS.map((c) => el("option",
         { value: c, selected: c === lang ? "" : null }, c))),

@@ -24,7 +24,7 @@ export async function systemView(outlet) {
   try {
     const h = await api("/health");
     grid.append(card(`${t("health")} — ${h.status}`, table(
-      ["Check", "State", "Detail"],
+      [t("check"), t("state"), t("detail")],
       h.checks.map((c) => [c.name,
         el("span", { class: "pill " + (c.healthy ? "good" : "bad") },
            c.healthy ? "ok" : "failing"), c.detail]))));
@@ -36,9 +36,9 @@ export async function systemView(outlet) {
     const temp = await api("/system/temperature/cpu");
     grid.append(card(t("resources"), el("div", { class: "grid cols-2" },
       tile("Load (1m)", r.cpu?.load_1m),
-      tile("Memory used", r.memory?.used_percent != null
+      tile(t("memory_used"), r.memory?.used_percent != null
            ? r.memory.used_percent + "%" : "–"),
-      tile("Disk used", r.disk?.used_percent != null
+      tile(t("disk_used"), r.disk?.used_percent != null
            ? r.disk.used_percent + "%" : "–"),
       tile("CPU temp", temp.available ? temp.celsius + " °C" : "n/a"))));
   } catch (e) { grid.append(card(t("resources"), err(e))); }
@@ -50,7 +50,7 @@ export async function systemView(outlet) {
       const row = (label, key) => el("div", { class: "row" },
         el("span", { class: "sub", style: "width:90px" }, label),
         sparkline(samples.map((s) => s[key] ?? 0)));
-      grid.append(card("History",
+      grid.append(card(t("history"),
         el("div", {},
           row("load", "load_1m"),
           row("memory %", "memory_pct"),
@@ -63,7 +63,7 @@ export async function systemView(outlet) {
     const inf = await api("/system/inference");
     const models = Array.isArray(inf) ? inf : inf.models || [];
     grid.append(card(t("inference"), table(
-      ["Model", "Backend", "Batch", "Windows", "Latency (ms)"],
+      [t("model"), t("backend"), t("batch"), t("windows"), "Latency (ms)"],
       models.map((m) => [
         m.model_id || "?", m.backend || "jax",
         String(m.batch_size ?? "–"), fmtNum(m.windows_processed ?? 0),
@@ -75,19 +75,19 @@ export async function systemView(outlet) {
   try {
     const s = await api("/system/scheduler");
     grid.append(card(t("scheduler"), el("div", { class: "grid cols-2" },
-      tile("Ticks", fmtNum(s.ticks)),
-      tile("Results processed", fmtNum(s.processor?.results_processed)),
-      tile("Approved", fmtNum(s.processor?.approved)),
-      tile("Discarded", fmtNum(s.processor?.discarded)),
-      tile("Jobs completed", fmtNum(s.jobqueue?.completed)),
-      tile("Jobs dropped", fmtNum(s.jobqueue?.dropped)))));
+      tile(t("ticks"), fmtNum(s.ticks)),
+      tile(t("results_processed"), fmtNum(s.processor?.results_processed)),
+      tile(t("approved"), fmtNum(s.processor?.approved)),
+      tile(t("discarded"), fmtNum(s.processor?.discarded)),
+      tile(t("jobs_completed"), fmtNum(s.jobqueue?.completed)),
+      tile(t("jobs_dropped"), fmtNum(s.jobqueue?.dropped)))));
   } catch (e) { grid.append(card(t("scheduler"), err(e))); }
 
   // processes + disks
   try {
     const { processes } = await api("/system/processes?limit=8");
     grid.append(card(t("processes"), table(
-      ["PID", "Name", "RSS", "CPU s"],
+      ["PID", t("name"), "RSS", "CPU s"],
       processes.map((p) => [String(p.pid), p.name,
         fmtNum(Math.round(p.rss_bytes / 1048576)) + " MB",
         String(p.cpu_seconds)]))));
@@ -95,7 +95,7 @@ export async function systemView(outlet) {
   try {
     const { disks } = await api("/system/disks");
     grid.append(card(t("disks"), table(
-      ["Mount", "FS", "Used"],
+      [t("mount"), "FS", t("used")],
       disks.map((d) => [d.mountpoint, d.fstype,
                         `${d.used_percent}%`]))));
   } catch (e) { grid.append(card(t("disks"), err(e))); }
@@ -104,10 +104,10 @@ export async function systemView(outlet) {
   try {
     const { devices, alsa_available } = await api("/devices");
     grid.append(card(`Audio devices (ALSA ${alsa_available ? "✓" : "–"})`,
-      devices.length ? table(["#", "ID", "Description", "PCM"],
+      devices.length ? table(["#", "ID", t("description"), "PCM"],
         devices.map((d) => [String(d.index), d.id, d.description,
                             d.alsa_name])) :
-        el("div", { class: "empty" }, "No sound cards found")));
+        el("div", { class: "empty" }, t("no_sound_cards"))));
   } catch (e) { grid.append(card(t("devices"), err(e))); }
 
   // errors
@@ -115,10 +115,10 @@ export async function systemView(outlet) {
     const errs = await api("/system/errors");
     const rows = errs.errors || errs;
     grid.append(card(t("errors"), rows.length
-      ? table(["Time", "Level", "Message"], rows.slice(0, 12).map((r) =>
+      ? table([t("time"), t("level"), t("message")], rows.slice(0, 12).map((r) =>
           [String(r.time || r.timestamp || ""), r.level || "",
            r.message || ""]))
-      : el("div", { class: "empty" }, "No recent errors")));
+      : el("div", { class: "empty" }, t("no_recent_errors"))));
   } catch (e) { grid.append(card(t("errors"), err(e))); }
 
   // control signals
@@ -126,23 +126,23 @@ export async function systemView(outlet) {
     const { signals } = await api("/system/control/signals");
     const sel = el("select", {}, signals.map((s) =>
       el("option", { value: s }, s)));
-    grid.append(card("Control bus", el("div", { class: "row" }, sel,
+    grid.append(card(t("control_bus"), el("div", { class: "row" }, sel,
       el("button", { class: "primary", onclick: async () => {
         await api("/system/control", { method: "POST",
                                        body: { signal: sel.value } });
         toast(`Signal sent: ${sel.value}`);
-      } }, "Send signal"))));
-  } catch (e) { grid.append(card("Control bus", err(e))); }
+      } }, t("send_signal")))));
+  } catch (e) { grid.append(card(t("control_bus"), err(e))); }
 
   // update check + telemetry
   try {
     const [upd, tel] = await Promise.all([
       api("/system/update-check"), api("/system/telemetry")]);
-    grid.append(card("Maintenance", el("div", { class: "grid cols-2" },
-      tile("Version", upd.current),
-      tile("Latest", upd.latest || "unknown"),
-      tile("Update", upd.update_available ? "available" : "up to date"),
-      tile("Telemetry", tel.enabled ? "on" : "off"))));
+    grid.append(card(t("maintenance"), el("div", { class: "grid cols-2" },
+      tile(t("version"), upd.current),
+      tile(t("latest"), upd.latest || "unknown"),
+      tile(t("update"), upd.update_available ? "available" : "up to date"),
+      tile(t("telemetry"), tel.enabled ? "on" : "off"))));
   } catch (e) { /* optional */ }
 
   // browser terminal (WS ↔ PTY)
@@ -154,7 +154,7 @@ export async function systemView(outlet) {
                                style: "width:100%" });
   let sock = null;
   const connectBtn = el("button", { onclick: () => {
-    if (sock) { sock.close(); sock = null; connectBtn.textContent = "Connect"; return; }
+    if (sock) { sock.close(); sock = null; connectBtn.textContent = t("connect"); return; }
     const proto = location.protocol === "https:" ? "wss" : "ws";
     sock = new WebSocket(`${proto}://${location.host}/api/v2/system/ws`);
     onCleanup(() => { if (sock) { sock.close(); sock = null; } });
@@ -165,9 +165,9 @@ export async function systemView(outlet) {
       termOut.append(text);
       termOut.scrollTop = termOut.scrollHeight;
     };
-    sock.onclose = () => { connectBtn.textContent = "Connect"; sock = null; };
-    connectBtn.textContent = "Disconnect";
-  } }, "Connect");
+    sock.onclose = () => { connectBtn.textContent = t("connect"); sock = null; };
+    connectBtn.textContent = t("disconnect");
+  } }, t("connect"));
   termIn.addEventListener("keydown", (ev) => {
     if (ev.key === "Enter" && sock) {
       sock.send(termIn.value + "\n");
@@ -186,7 +186,7 @@ export async function systemView(outlet) {
     if (!confirm("Restart the server?")) return;
     try {
       await api("/system/restart", { method: "POST" });
-      toast("Restarting…");
+      toast(t("restarting"));
     } catch (e) { toast(e.message, true); }
   }
 

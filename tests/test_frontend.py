@@ -206,3 +206,41 @@ def test_views_use_shared_helpers_not_local_copies():
         src = view.read_text()
         assert "function table(" not in src, view.name
         assert "function isoDaysAgo(" not in src, view.name
+
+
+def test_no_untranslated_literals_in_views():
+    """Every user-visible string literal in a view must go through t()
+    (reference: full-surface message catalogs, frontend/static/messages).
+    Detector: quoted literals that look like English UI text (capitalized
+    word(s)), excluding comparisons (=== "Enter"), attribute values
+    (class:/style:/value:/href:), and an explicit proper-noun allowlist."""
+    allow = {
+        "Error",          # t() fallback text inside app.js's t itself
+        "Opus",           # codec proper nouns in the live-audio selector
+        "Ogg Opus", "FLAC", "AAC", "WAV", "MP3", "SoundHandler",
+        "BirdNET-TPU",    # product name
+    }
+    pat = re.compile(
+        r'''["']([A-Z][a-z]+(?: [a-zA-Z'%……–-]+)+|[A-Z][a-z]{3,}[!?…]?)["']''')
+    attr = re.compile(
+        r'(?:class|style|href|value|src|placeholder_key|type)\s*:\s*$')
+    offenders = []
+    files = sorted((STATIC / "views").glob("*.js"))
+    files.append(STATIC / "app.js")
+    for f in files:
+        src = f.read_text()
+        src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
+        src = re.sub(r"(^|[^:])//.*", r"\1", src)
+        for m in pat.finditer(src):
+            s = m.group(1)
+            if s in allow:
+                continue
+            before = src[max(0, m.start() - 24):m.start()]
+            if before.rstrip().endswith(("===", "==", "!==")):
+                continue
+            if attr.search(before):
+                continue
+            offenders.append(f"{f.name}: {s!r}")
+    assert not offenders, \
+        "hardcoded UI literals (add t() + catalog keys):\n" \
+        + "\n".join(offenders)
