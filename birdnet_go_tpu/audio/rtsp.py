@@ -83,6 +83,90 @@ def decode_payload(codec: str, payload: bytes, channels: int) -> np.ndarray:
     return pcm
 
 
+class AacDepacketizer:
+    """RFC 3640 MPEG4-GENERIC (AAC-hbr) RTP depacketizer + decoder.
+
+    Cameras commonly ship AAC audio; the reference leans on FFmpeg for
+    this (stream.go media handling) — here the AU-headers section is
+    parsed natively and each access unit decodes through ONE persistent
+    libavcodec decoder (AAC's MDCT overlap-add means per-AU decoder
+    instances would click at every frame boundary). fmtp keys honored:
+    config (AudioSpecificConfig hex), sizeLength (13), indexLength (3),
+    indexDeltaLength (3)."""
+
+    def __init__(self, rate: int, channels: int, fmtp: dict[str, str]):
+        from birdnet_go_tpu.native import lib as native
+
+        nlib = native._load()
+        if nlib is None or not hasattr(nlib, "bn_aac_decoder_create") \
+                or not nlib.bn_aac_available():
+            raise ValueError("native AAC decoder unavailable for "
+                             "MPEG4-GENERIC stream")
+        self._lib = nlib
+        self.channels = max(1, channels)
+        self.size_len = int(fmtp.get("sizelength", 13))
+        self.index_len = int(fmtp.get("indexlength", 3))
+        self.index_delta_len = int(fmtp.get("indexdeltalength", 3))
+        asc = bytes.fromhex(fmtp.get("config", ""))
+        self._h = nlib.bn_aac_decoder_create(asc, len(asc), rate,
+                                             self.channels)
+        if not self._h:
+            raise ValueError("AAC decoder init failed (bad config?)")
+        self._out = np.zeros(8192 * self.channels, np.int16)
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        """One RTP payload → mono int16 (possibly several AUs)."""
+        if len(payload) < 2:
+            return np.empty(0, np.int16)
+        hdr_bits = int.from_bytes(payload[:2], "big")
+        n_hdr_bytes = (hdr_bits + 7) // 8
+        bits = int.from_bytes(payload[2:2 + n_hdr_bytes], "big")
+        per_au = self.size_len + self.index_len
+        sizes = []
+        consumed = 0
+        first = True
+        while consumed + per_au <= hdr_bits:
+            shift = n_hdr_bytes * 8 - consumed - self.size_len
+            sizes.append((bits >> shift) & ((1 << self.size_len) - 1))
+            consumed += self.size_len \
+                + (self.index_len if first else self.index_delta_len)
+            first = False
+        data = payload[2 + n_hdr_bytes:]
+        pcm_parts = []
+        off = 0
+        for sz in sizes:
+            au = data[off:off + sz]
+            off += sz
+            if not au:
+                break
+            n = self._lib.bn_aac_decoder_decode(
+                self._h, au, len(au),
+                self._out.ctypes.data_as(
+                    __import__("ctypes").POINTER(
+                        __import__("ctypes").c_int16)),
+                len(self._out) // self.channels)
+            if n > 0:
+                pcm = self._out[:n * self.channels]
+                if self.channels > 1:
+                    pcm = pcm.reshape(n, self.channels).mean(axis=1) \
+                        .astype(np.int16)
+                pcm_parts.append(pcm.copy())
+        if not pcm_parts:
+            return np.empty(0, np.int16)
+        return np.concatenate(pcm_parts)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.bn_aac_decoder_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 _STATIC_PT = {0: ("PCMU", 8000, 1), 8: ("PCMA", 8000, 1),
               10: ("L16", 44100, 2), 11: ("L16", 44100, 1)}
 
@@ -99,7 +183,8 @@ def parse_sdp_audio(sdp: str) -> dict | None:
                 pt = int(parts[3]) if len(parts) > 3 else 0
                 codec, rate, ch = _STATIC_PT.get(pt, (None, 0, 1))
                 section = {"payload_type": pt, "codec": codec,
-                           "rate": rate, "channels": ch, "control": ""}
+                           "rate": rate, "channels": ch, "control": "",
+                           "fmtp": {}}
             elif section is not None:
                 break                       # next media section: done
         elif section is not None:
@@ -115,6 +200,18 @@ def parse_sdp_audio(sdp: str) -> dict | None:
                         section["channels"] = int(fields[2])
             elif line.startswith("a=control:"):
                 section["control"] = line[len("a=control:"):]
+            elif line.startswith("a=fmtp:"):
+                body = line[len("a=fmtp:"):]
+                pt_s, _, params = body.partition(" ")
+                try:
+                    pt_match = int(pt_s) == section["payload_type"]
+                except ValueError:
+                    pt_match = False
+                if pt_match:
+                    for kv in params.split(";"):
+                        k, _, v = kv.strip().partition("=")
+                        if k:
+                            section["fmtp"][k.lower()] = v
     return section
 
 
@@ -285,6 +382,10 @@ class RtspSource:
     def _pump(self, sock, buf: bytes, audio: dict) -> None:
         """'$'-framed interleaved RTP → decode → engine.ingest."""
         channels = audio["channels"]
+        aac = None
+        if self.codec in ("MPEG4-GENERIC", "AAC"):
+            aac = AacDepacketizer(audio["rate"], channels,
+                                  audio.get("fmtp", {}))
 
         def _recv() -> bytes:
             """Blocking read that still honors stop() (1 s sock timeout).
@@ -347,7 +448,8 @@ class RtspSource:
                     payload = payload[:-pad]
             if not payload:
                 continue
-            pcm = decode_payload(self.codec, payload, channels)
+            pcm = (aac.decode(payload) if aac is not None
+                   else decode_payload(self.codec, payload, channels))
             if len(pcm):
                 self.packets += 1
                 self.bytes_received += len(payload)

@@ -132,6 +132,15 @@ def _load():
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
                 ctypes.c_int32, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+            # persistent decoder (RTP/RFC 3640 streams)
+            lib.bn_aac_decoder_create.restype = ctypes.c_void_p
+            lib.bn_aac_decoder_create.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_int, ctypes.c_int]
+            lib.bn_aac_decoder_decode.restype = ctypes.c_int64
+            lib.bn_aac_decoder_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64]
+            lib.bn_aac_decoder_destroy.argtypes = [ctypes.c_void_p]
         # stream farm (stream_farm.cpp: native high-stream-count ingest)
         if hasattr(lib, "bn_farm_create"):
             lib.bn_farm_create.restype = ctypes.c_void_p

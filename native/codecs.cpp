@@ -725,3 +725,92 @@ BN_API int64_t bn_aac_decode(const unsigned char* packets,
     l.free_context(&ctx);
     return fail && frames == 0 ? -4 : frames;
 }
+
+// Persistent AAC decoder handle for RTP streams (RFC 3640 AUs arrive one
+// packet at a time; AAC-LC's MDCT overlap-add means frames must decode
+// through ONE decoder instance or every frame boundary clicks).
+struct AacDecoder {
+    AVCodecContext* ctx;
+    AVFrame* frame;
+    AVPacket* pkt;
+    int channels;
+};
+
+BN_API void* bn_aac_decoder_create(const unsigned char* asc,
+                                   int32_t asc_len, int rate,
+                                   int channels) {
+    AvLib& l = avlib();
+    if (!l.avc || channels < 1 || channels > 2) return nullptr;
+    const AVCodec* codec = l.find_decoder(AV_CODEC_ID_AAC);
+    if (!codec) return nullptr;
+    AVCodecContext* ctx = l.alloc_context(codec);
+    if (!ctx) return nullptr;
+    ctx->sample_rate = rate;
+    l.ch_layout_default(&ctx->ch_layout, channels);
+    if (asc && asc_len > 0) {
+        ctx->extradata = (uint8_t*)l.mallocz((size_t)asc_len + 64);
+        if (!ctx->extradata) { l.free_context(&ctx); return nullptr; }
+        std::memcpy(ctx->extradata, asc, (size_t)asc_len);
+        ctx->extradata_size = asc_len;
+    }
+    if (l.open2(ctx, codec, nullptr) < 0) {
+        l.free_context(&ctx);
+        return nullptr;
+    }
+    AVFrame* frame = l.frame_alloc();
+    AVPacket* pkt = l.packet_alloc();
+    if (!frame || !pkt) {
+        if (frame) l.frame_free(&frame);
+        if (pkt) l.packet_free(&pkt);
+        l.free_context(&ctx);
+        return nullptr;
+    }
+    return new AacDecoder{ctx, frame, pkt, channels};
+}
+
+// Decode ONE access unit; returns frames per channel written to out
+// (interleaved int16), 0 when the decoder buffered it, negative error.
+BN_API int64_t bn_aac_decoder_decode(void* handle, const unsigned char* au,
+                                     int64_t au_len, int16_t* out,
+                                     int64_t out_cap_frames) {
+    AvLib& l = avlib();
+    auto* d = (AacDecoder*)handle;
+    if (!d || !l.avc || !au || au_len <= 0) return -1;
+    d->pkt->data = (uint8_t*)au;
+    d->pkt->size = (int)au_len;
+    if (l.send_packet(d->ctx, d->pkt) < 0) return -4;
+    int64_t frames = 0;
+    for (;;) {
+        int r = l.receive_frame(d->ctx, d->frame);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+        if (r < 0) return -4;
+        int got = d->frame->nb_samples;
+        if (frames + got > out_cap_frames) {
+            l.frame_unref(d->frame);
+            return -3;
+        }
+        for (int c = 0; c < d->channels; ++c) {
+            const float* srcf = (const float*)d->frame->data[c];
+            for (int i = 0; i < got; ++i) {
+                float v = srcf[i];
+                if (v > 0.999969f) v = 0.999969f;
+                if (v < -1.0f) v = -1.0f;
+                out[(frames + i) * d->channels + c] =
+                    (int16_t)(v * 32768.0f);
+            }
+        }
+        frames += got;
+        l.frame_unref(d->frame);
+    }
+    return frames;
+}
+
+BN_API void bn_aac_decoder_destroy(void* handle) {
+    AvLib& l = avlib();
+    auto* d = (AacDecoder*)handle;
+    if (!d) return;
+    l.frame_free(&d->frame);
+    l.packet_free(&d->pkt);
+    l.free_context(&d->ctx);
+    delete d;
+}

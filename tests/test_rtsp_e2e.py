@@ -34,6 +34,12 @@ class MiniRtspServer(threading.Thread):
         self.codec = codec
         self.samples_per_packet = int(rate * packet_ms / 1000)
         self.realtime = realtime
+        self.aac_packets: list[bytes] = []
+        self.asc = b""
+        if codec == "MPEG4-GENERIC":
+            from birdnet_go_tpu.audio import aacenc
+
+            self.aac_packets, self.asc = aacenc.encode_aac(self.pcm, rate)
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
         self._srv.listen(2)
@@ -46,13 +52,19 @@ class MiniRtspServer(threading.Thread):
         return f"rtsp://127.0.0.1:{self.port}/stream1"
 
     def _sdp(self) -> str:
-        pt = {"L16": 97, "PCMU": 0, "PCMA": 8}[self.codec]
+        pt = {"L16": 97, "PCMU": 0, "PCMA": 8,
+              "MPEG4-GENERIC": 96}[self.codec]
         rtpmap = f"a=rtpmap:{pt} {self.codec}/{self.rate}/1\r\n" \
             if pt >= 96 else ""
+        fmtp = ""
+        if self.codec == "MPEG4-GENERIC":
+            fmtp = (f"a=fmtp:{pt} profile-level-id=1;mode=AAC-hbr;"
+                    f"config={self.asc.hex()};sizeLength=13;"
+                    "indexLength=3;indexDeltaLength=3\r\n")
         return ("v=0\r\no=- 0 0 IN IP4 127.0.0.1\r\ns=mini\r\n"
                 "t=0 0\r\n"
                 f"m=audio 0 RTP/AVP {pt}\r\n"
-                + rtpmap + "a=control:track1\r\n")
+                + rtpmap + fmtp + "a=control:track1\r\n")
 
     def run(self):
         while not self._stop:
@@ -109,6 +121,9 @@ class MiniRtspServer(threading.Thread):
                 return
 
     def _stream(self, conn):
+        if self.codec == "MPEG4-GENERIC":
+            self._stream_aac(conn)
+            return
         import select
 
         seq = 0
@@ -147,6 +162,26 @@ class MiniRtspServer(threading.Thread):
         # hold the connection open briefly so the client drains
         time.sleep(0.3)
 
+    def _stream_aac(self, conn):
+        """RFC 3640 AAC-hbr: one AU per RTP packet, 16-bit AU-headers
+        section (size<<3 | index 0)."""
+        seq = 0
+        ts = 0
+        for pkt in self.aac_packets:
+            if self._stop:
+                return
+            au_header = (len(pkt) << 3).to_bytes(2, "big")
+            payload = (16).to_bytes(2, "big") + au_header + pkt
+            rtp = struct.pack(">BBHII", 0x80, 96, seq & 0xFFFF, ts,
+                              0xDEADBEEF) + payload
+            conn.sendall(b"$" + bytes([0])
+                         + struct.pack(">H", len(rtp)) + rtp)
+            seq += 1
+            ts += 1024
+            if self.realtime:
+                time.sleep(1024 / self.rate)
+        time.sleep(0.3)
+
     def stop(self):
         self._stop = True
         self._srv.close()
@@ -176,7 +211,7 @@ def test_parse_sdp_dynamic_and_static():
            "a=control:trackA\r\n")
     a = parse_sdp_audio(sdp)
     assert a == {"payload_type": 97, "codec": "L16", "rate": 48000,
-                 "channels": 2, "control": "trackA"}
+                 "channels": 2, "control": "trackA", "fmtp": {}}
     a = parse_sdp_audio("m=audio 0 RTP/AVP 0\r\n")
     assert a["codec"] == "PCMU" and a["rate"] == 8000
 
@@ -230,7 +265,10 @@ def _run_e2e(codec):
         spec[0] = 0
         peak_hz = np.argmax(spec) * 8000 / len(w)
         assert abs(peak_hz - 440) < 5, peak_hz
-        assert src.codec == codec and src.packets > 50
+        # AAC packs 1024 samples/AU (3 s @ 8 kHz ≈ 24 packets); PCM
+        # codecs send 20 ms packets (150)
+        min_packets = 20 if codec == "MPEG4-GENERIC" else 50
+        assert src.codec == codec and src.packets > min_packets
     finally:
         src.stop()
         srv.stop()
@@ -242,6 +280,49 @@ def test_rtsp_e2e_l16():
 
 def test_rtsp_e2e_pcmu():
     _run_e2e("PCMU")
+
+
+def test_rtsp_e2e_aac():
+    """AAC camera audio (RFC 3640 MPEG4-GENERIC): SDP fmtp config drives
+    the native depacketizer + persistent libavcodec decoder; the decoded
+    440 Hz tone must survive end-to-end into analysis windows."""
+    from birdnet_go_tpu.audio import aacenc
+
+    if not aacenc.available():
+        import pytest
+
+        pytest.skip("libavcodec AAC unavailable")
+    _run_e2e("MPEG4-GENERIC")
+
+
+def test_aac_depacketizer_parses_au_headers():
+    """Unit: multi-AU payload with size/index headers decodes every AU."""
+    from birdnet_go_tpu.audio import aacenc
+    from birdnet_go_tpu.audio.rtsp import AacDepacketizer
+
+    if not aacenc.available():
+        import pytest
+
+        pytest.skip("libavcodec AAC unavailable")
+    t = np.arange(48000) / 48000.0
+    sig = (9000 * np.sin(2 * np.pi * 880 * t)).astype(np.int16)
+    packets, asc = aacenc.encode_aac(sig, 48000)
+    dep = AacDepacketizer(48000, 1, {"config": asc.hex(),
+                                     "sizelength": "13",
+                                     "indexlength": "3",
+                                     "indexdeltalength": "3"})
+    # two AUs in one RTP payload: 2 headers × 16 bits
+    a, b = packets[2], packets[3]
+    payload = (32).to_bytes(2, "big") \
+        + (len(a) << 3).to_bytes(2, "big") \
+        + (len(b) << 3).to_bytes(2, "big") + a + b
+    # prime the decoder with the first packets (MDCT overlap)
+    for p in packets[:2]:
+        dep.decode((16).to_bytes(2, "big")
+                   + (len(p) << 3).to_bytes(2, "big") + p)
+    pcm = dep.decode(payload)
+    assert len(pcm) == 2048
+    dep.close()
 
 
 def test_rtsp_stop_sends_teardown():
