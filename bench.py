@@ -261,17 +261,6 @@ def main() -> None:
     wps_i8 = BATCH * MEASURE_ITERS / elapsed_i8
     streams_i8 = wps_i8 * WINDOW_HOP_SECONDS
 
-    def _one_window_i8(q, pcm1):
-        from birdnet_go_tpu.ops.melspec import melspec
-
-        mel = melspec(pcm1.astype(jnp.float32) * (1 / 32768.0), model.mel)
-        out = apply_efficientnet_int8(q, mel[..., None], model.net)
-        conf = sigmoid_confidence(out["logits"], 1.0)
-        return top_k_results(conf, 10)
-
-    flops_i8 = _flops_per_window_cpu(_one_window_i8, q_host, pcm1)
-    mfu_i8 = (flops_i8 * wps_i8 / (peak * 2 * 1e12)
-              if peak and flops_i8 else None)
 
     print(json.dumps({
         "metric": "realtime_48khz_streams_per_chip",
@@ -296,15 +285,14 @@ def main() -> None:
         "int8_ptq": {
             "streams": round(streams_i8, 1),
             "windows_per_second": round(wps_i8, 1),
-            "flops_per_window_g": round(flops_i8 / 1e9, 3)
-            if flops_i8 else None,
-            "mfu_vs_int8_peak": round(mfu_i8, 4)
-            if mfu_i8 is not None else None,
             "speedup_vs_bf16": round(streams_i8 / streams, 3),
             "note": "measured honestly: XLA's TPU lowering of int8 "
                     "convolutions does not map onto the MXU's 2x int8 "
                     "rate (speedup < 1 means the default bf16 path "
-                    "remains the production serving config)",
+                    "remains the production serving config); no MFU "
+                    "reported for this leg — cost analysis of the int8 "
+                    "graph counts XLA's upcast expansion, not the "
+                    "logical FLOPs",
         },
     }))
 

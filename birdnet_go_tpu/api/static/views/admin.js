@@ -86,7 +86,18 @@ async function database(slot, card) {
                                 { method: "POST", body: {} });
           toast(`Backup written: ${out.backup}`);
         } catch (e) { toast(e.message, true); }
-      } }, t("backup_now"))));
+      } }, t("backup_now")),
+      el("button", { onclick: async () => {
+        // restore verification: fetch + decrypt + hash audit + restored
+        // DB integrity check against the latest archive on the target
+        try {
+          const out = await api("/system/database/backup/verify",
+                                { method: "POST", body: {} });
+          const db = out.database || {};
+          toast(`${t("backup_verified")}: ${out.archive} `
+            + `(${db.integrity || "?"})`);
+        } catch (e) { toast(e.message, true); }
+      } }, t("verify_backup"))));
   slot.append(card(t("database"), body));
 }
 

@@ -13,19 +13,44 @@ export async function detectionsView(outlet) {
     el("option", { value: "7" }, t("last7")),
     el("option", { value: "1" }, t("today")),
     el("option", { value: "30" }, t("last30")),
-    el("option", { value: "" }, t("all_time")));
+    el("option", { value: "" }, t("all_time")),
+    el("option", { value: "custom" }, t("custom_range")));
+  // explicit date range, shown only for the custom preset — full parity
+  // with POST /detections/search's from/to
+  const dateFrom = el("input", { type: "date", title: t("date") + " ≥" });
+  const dateTo = el("input", { type: "date", title: t("date") + " ≤" });
+  const customWrap = el("span", { class: "row", style: "display:none" },
+                        dateFrom, "–", dateTo);
+  range.addEventListener("change", () => {
+    customWrap.style.display = range.value === "custom" ? "" : "none";
+  });
   const species = el("input", { placeholder: t("species"), size: 18 });
-  const minConf = el("input", { placeholder: "min conf", size: 7,
+  const minConf = el("input", { placeholder: t("confidence") + " ≥",
+                                size: 7,
                                 type: "number", step: "0.05", min: 0, max: 1 });
+  const maxConf = el("input", { placeholder: t("confidence") + " ≤",
+                                size: 7,
+                                type: "number", step: "0.05", min: 0, max: 1 });
+  const hourFrom = el("input", { type: "number", min: 0, max: 23, size: 4,
+                                 placeholder: t("hour_from") });
+  const hourTo = el("input", { type: "number", min: 0, max: 23, size: 4,
+                               placeholder: t("hour_to") });
   const verified = el("select", {},
-    el("option", { value: "" }, "any review"),
+    el("option", { value: "" }, t("any_review")),
     el("option", { value: "correct" }, t("correct")),
     el("option", { value: "false_positive" }, t("false_positive")),
-    el("option", { value: "unreviewed" }, "unreviewed"));
+    el("option", { value: "unreviewed" }, t("unreviewed")));
+  const lockedSel = el("select", {},
+    el("option", { value: "" }, t("any_lock_state")),
+    el("option", { value: "true" }, t("lock")),
+    el("option", { value: "false" }, t("unlock")));
+  const orderSel = el("select", {},
+    el("option", { value: "desc" }, t("newest_first")),
+    el("option", { value: "asc" }, t("oldest_first")));
   const sourceSel = el("select", {}, el("option", { value: "" },
-                                        "any " + t("source")));
+                                        t("any_source")));
   const modelSel = el("select", {}, el("option", { value: "" },
-                                       "any model"));
+                                       t("any_model")));
   // populate source/model dropdowns from the running config
   api("/system/audio/sources").then(({ sources }) => {
     for (const s of sources || []) {
@@ -41,7 +66,8 @@ export async function detectionsView(outlet) {
   }).catch(() => {});
   const applyBtn = el("button", { class: "primary" }, t("apply"));
   outlet.append(el("div", { class: "filters" },
-    range, species, minConf, verified, sourceSel, modelSel, applyBtn));
+    range, customWrap, species, minConf, maxConf, hourFrom, hourTo,
+    verified, lockedSel, orderSel, sourceSel, modelSel, applyBtn));
 
   // ---- bulk bar ----
   const bulkInfo = el("span", { class: "sub" }, "");
@@ -66,10 +92,20 @@ export async function detectionsView(outlet) {
 
   function currentFilters() {
     const f = {};
-    if (range.value) f.from = isoDaysAgo(Number(range.value) - 1);
+    if (range.value === "custom") {
+      if (dateFrom.value) f.from = dateFrom.value;
+      if (dateTo.value) f.to = dateTo.value;
+    } else if (range.value) {
+      f.from = isoDaysAgo(Number(range.value) - 1);
+    }
     if (species.value.trim()) f.species = species.value.trim();
     if (minConf.value) f.min_confidence = Number(minConf.value);
+    if (maxConf.value) f.max_confidence = Number(maxConf.value);
+    if (hourFrom.value !== "") f.hour_from = Number(hourFrom.value);
+    if (hourTo.value !== "") f.hour_to = Number(hourTo.value);
     if (verified.value) f.verified = verified.value;
+    if (lockedSel.value) f.locked = lockedSel.value === "true";
+    f.order = orderSel.value;
     if (sourceSel.value) f.source = sourceSel.value;
     if (modelSel.value) f.model = modelSel.value;
     return f;

@@ -66,11 +66,71 @@ export async function settingsView(outlet) {
         body.append(fieldRow(k, k, v, props[k]));
       }
     }
-    body.append(el("div", { class: "row", style: "margin-top:8px" },
-      el("button", { class: "primary", onclick: save }, t("save"))));
+    const warnBox = el("div", { class: "section-warnings" });
+    warnBox.style.display = "none";
+    body.append(warnBox,
+      el("div", { class: "row", style: "margin-top:8px" },
+         el("button", { class: "primary", onclick: save }, t("save"))));
     return details;
 
+    // client-side pre-validation against the section's JSON schema:
+    // invalid fields get a red border + inline message and block the
+    // PATCH (the server still re-validates; this is feedback, not
+    // enforcement — VERDICT r3 #9 per-section validation UX)
+    function validateField(inp) {
+      const spec = inp._spec;
+      inp.classList.remove("invalid");
+      const prevErr = inp.nextElementSibling;
+      if (prevErr && prevErr.classList?.contains("field-error"))
+        prevErr.remove();
+      let msg = "";
+      if (inp.dataset.type === "number" && inp.value !== "") {
+        const n = Number(inp.value);
+        if (Number.isNaN(n)) msg = t("must_be_number");
+        else if (spec) {
+          if (spec.minimum !== undefined && n < spec.minimum)
+            msg = `≥ ${spec.minimum}`;
+          else if (spec.maximum !== undefined && n > spec.maximum)
+            msg = `≤ ${spec.maximum}`;
+          else if (spec.type === "integer" && !Number.isInteger(n))
+            msg = t("must_be_integer");
+        }
+      } else if (inp.dataset.type === "json" && inp.value !== "") {
+        try { JSON.parse(inp.value); } catch (e) { msg = t("invalid_json"); }
+      } else if (spec?.enum && inp.value !== ""
+                 && !spec.enum.includes(inp.value)) {
+        msg = `${t("one_of")}: ${spec.enum.join(", ")}`;
+      }
+      if (msg) {
+        inp.classList.add("invalid");
+        inp.after(el("span", { class: "field-error" }, msg));
+        return false;
+      }
+      return true;
+    }
+
+    function showWarnings(warnings) {
+      warnBox.replaceChildren();
+      warnBox.style.display = warnings.length ? "" : "none";
+      // attribute each warning to its field when the text names one
+      for (const w of warnings) {
+        warnBox.append(el("div", {}, `⚠ ${w}`));
+        body.querySelectorAll("[data-key]").forEach((inp) => {
+          const field = inp.dataset.key.split(".").pop();
+          if (w.includes(field)) inp.classList.add("invalid");
+        });
+      }
+    }
+
     async function save() {
+      let valid = true;
+      body.querySelectorAll("[data-key]").forEach((inp) => {
+        if (!validateField(inp)) valid = false;
+      });
+      if (!valid) {
+        toast(t("fix_invalid_fields"), true);
+        return;
+      }
       const patch = {};
       body.querySelectorAll("[data-key]").forEach((inp) => {
         const key = inp.dataset.key;
@@ -94,8 +154,9 @@ export async function settingsView(outlet) {
           ? await api("/settings", { method: "PUT", body: patch })
           : await api(`/settings/${name}`, { method: "PATCH", body: patch });
         const sigs = out.signals || [];
-        toast(`Saved ${name}`
+        toast(`${t("saved")} ${name}`
           + (sigs.length ? ` → ${sigs.join(", ")}` : ""));
+        showWarnings(out.warnings || []);
         (out.warnings || []).forEach((w) => toast(w, true));
       } catch (e) { toast(e.message, true); }
     }
@@ -120,6 +181,7 @@ export async function settingsView(outlet) {
           ? ` · default ${JSON.stringify(spec.default)}` : ""}`
       : "";
     if (hint) input.title = hint;
+    input._spec = spec;               // drives per-field validation
     return el("div", { class: "field-row" },
       el("label", { title: hint }, label.replaceAll("_", " ")), input);
   }
