@@ -96,10 +96,13 @@ def test_terminal_rejects_cross_origin(served):
 
 
 def test_resolve_format_matches_written_file(tmp_path, monkeypatch):
-    from birdnet_go_tpu.audio import encode
+    from birdnet_go_tpu.audio import aacenc, encode
 
-    # without ffmpeg: lossy requests resolve to flac BEFORE naming
+    # without ffmpeg OR native AAC: lossy requests resolve to flac
+    # BEFORE naming (native AAC exists in this image, so disable it to
+    # exercise the fallback chain)
     monkeypatch.setattr(encode, "_which", lambda n: None)
+    monkeypatch.setattr(aacenc, "available", lambda: False)
     fmt, suffix = encode.resolve_format("aac")
     assert (fmt, suffix) == ("flac", ".flac")
     out = encode.encode_clip(np.ones(1000, np.int16), 16000,

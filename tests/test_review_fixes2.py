@@ -19,9 +19,10 @@ from tests.test_realtime_core import _detection
 def test_encode_clip_accepts_m4a_suffix_without_ffmpeg(tmp_path, monkeypatch):
     """resolve_format names AAC clips .m4a; encode_clip must then accept its
     own suffix back (it maps m4a→aac) instead of raising 'unsupported'."""
-    from birdnet_go_tpu.audio import encode
+    from birdnet_go_tpu.audio import aacenc, encode
 
     monkeypatch.setattr(encode, "_which", lambda n: None)
+    monkeypatch.setattr(aacenc, "available", lambda: False)
     pcm = (np.sin(np.arange(9600) / 9.0) * 3000).astype(np.int16)
     out = encode.encode_clip(pcm, 48000, tmp_path / "clip.m4a")
     assert out.suffix == ".flac" and out.exists()   # no native AAC → FLAC
@@ -35,9 +36,11 @@ def test_encode_clip_accepts_m4a_suffix_without_ffmpeg(tmp_path, monkeypatch):
 
 
 def test_encode_clip_m4a_with_ffmpeg_present(tmp_path, monkeypatch):
-    from birdnet_go_tpu.audio import encode
+    """ffmpeg fallback when the native AAC codec is unavailable."""
+    from birdnet_go_tpu.audio import aacenc, encode
 
     monkeypatch.setattr(encode, "_which", lambda n: "/usr/bin/ffmpeg")
+    monkeypatch.setattr(aacenc, "available", lambda: False)
 
     def fake_run(cmd, input=b"", capture_output=True, timeout=0):
         class R:
