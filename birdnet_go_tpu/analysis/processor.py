@@ -260,14 +260,20 @@ class Processor:
         without counting). Cached per model; rebuilt when the relevant
         settings change (same identity-keyed convention as
         _species_cfg_cache)."""
+        from birdnet_go_tpu.taxonomy.openfauna import canonical_name
+
         ms = self._model_settings.get(model_id)
         base = ms.threshold if ms is not None else 0.8
         dyn = self.settings.dynamic_threshold.enabled
+        cfg = self.settings.species.config
+        # identity-keyed fingerprint — the cache entry RETAINS the cfg and
+        # labels objects (last tuple element) so a freed dict's reused
+        # address can never alias a stale entry (same hazard the
+        # _species_cfg_cache comment documents)
         fp = (id(labels), len(labels), base, dyn, self.dynamic.floor,
               self.settings.privacy_filter.confidence,
               self.settings.dog_bark_filter.confidence,
-              id(self.settings.species.config),
-              len(self.settings.species.config or ()))
+              id(cfg), len(cfg or ()))
         cached = self._gate_cache.get(model_id)
         if cached is not None and cached[0] == fp:
             return cached[1], cached[2]
@@ -275,6 +281,12 @@ class Processor:
         thr = np.full(len(labels), default_thr, np.float32)
         nonspecial = np.ones(len(labels), bool)
         for i, sp in enumerate(labels):
+            # mirror submit(): species are canonicalized BEFORE any
+            # threshold/human/dog decision, so legacy-label models hit
+            # the same per-species config entries as the scalar path
+            canon = canonical_name(sp.scientific)
+            if canon != sp.scientific:
+                sp = Species(canon, sp.common)
             if _is_human(sp):
                 thr[i] = self.settings.privacy_filter.confidence
                 nonspecial[i] = False
@@ -285,7 +297,7 @@ class Processor:
                 b, is_custom = self._base_threshold(model_id, sp)
                 if is_custom:
                     thr[i] = b
-        self._gate_cache[model_id] = (fp, thr, nonspecial)
+        self._gate_cache[model_id] = (fp, thr, nonspecial, (labels, cfg))
         return thr, nonspecial
 
     def prewarm(self, model_id: str | None = None) -> None:

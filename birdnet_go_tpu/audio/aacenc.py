@@ -76,13 +76,17 @@ class AacStreamEncoder:
             raise RuntimeError("bn_aac_stream_create failed")
         self.asc = asc.raw[:asc_len.value]
         self._out = ctypes.create_string_buffer(1 << 20)
+        # chunk seconds sized so ONE chunk's output can never overflow
+        # the packet buffer at the CONFIGURED bitrate (overflow loses the
+        # drained packet irrecoverably inside the encoder): budget half
+        # the buffer per chunk, bitrate/8 bytes per second + headroom
+        safe_s = (len(self._out) / 2) / (max(bitrate, 8000) / 8 * 1.5)
+        self._chunk_s = max(1.0, min(30.0, safe_s))
 
     def feed(self, pcm_i16: np.ndarray) -> list[bytes]:
         pcm = np.ascontiguousarray(pcm_i16, np.int16)
         packets: list[bytes] = []
-        # chunk the input so the fixed 1 MiB packet buffer can never
-        # overflow (AAC-LC @96k ≈ 250 B/packet; 1 MiB ≈ 87 s of audio)
-        step = self.sample_rate * 30 * self.channels
+        step = int(self.sample_rate * self._chunk_s) * self.channels
         for off in range(0, max(len(pcm), 1), step):
             chunk = pcm[off:off + step]
             if not len(chunk) and off:

@@ -86,8 +86,13 @@ def resolve_format(fmt: str, sample_rate: int = 48000) -> tuple[str, str]:
             from birdnet_go_tpu.audio.aacenc import supported_rate
 
             # 256 kHz bat clips exceed every AAC sampling index — keep
-            # them lossless rather than resampling ultrasonics away
-            rate_ok = supported_rate(sample_rate)
+            # them lossless rather than resampling ultrasonics away.
+            # This gates the FFMPEG path too: ffmpeg's AAC encoder
+            # rejects 256 kHz at encode time, which would leave a DB row
+            # pointing at a clip that was never written.
+            if not supported_rate(sample_rate):
+                return "flac", ".flac"
+            rate_ok = True
         else:
             rate_ok = True
         if rate_ok and _native_codec_available(fmt):
@@ -160,7 +165,14 @@ def encode_clip(pcm_i16: np.ndarray, sample_rate: int, out_path: str | Path,
         if fmt == "aac":
             from birdnet_go_tpu.audio import aacenc
 
-            if aacenc.supported_rate(sample_rate) and aacenc.available():
+            if not aacenc.supported_rate(sample_rate):
+                # no AAC sampling index (256 kHz bat) — ffmpeg would
+                # reject it at encode time, so go lossless directly
+                fallback = out.with_suffix(".flac")
+                from birdnet_go_tpu.audio.flac import write_flac
+
+                return write_flac(fallback, pcm_i16, sample_rate)
+            if aacenc.available():
                 if out.suffix.lower() != ".m4a":
                     out = out.with_suffix(".m4a")
                 packets, asc = aacenc.encode_aac(pcm_i16, sample_rate)

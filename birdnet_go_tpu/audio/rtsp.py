@@ -121,15 +121,20 @@ class AacDepacketizer:
         hdr_bits = int.from_bytes(payload[:2], "big")
         n_hdr_bytes = (hdr_bits + 7) // 8
         bits = int.from_bytes(payload[2:2 + n_hdr_bytes], "big")
-        per_au = self.size_len + self.index_len
         sizes = []
         consumed = 0
         first = True
-        while consumed + per_au <= hdr_bits:
+        while True:
+            # each AU header is sizeLength + (indexLength for the FIRST
+            # AU, indexDeltaLength for the rest) bits — using a fixed
+            # stride would drop the final AU whenever the two differ
+            step = self.size_len \
+                + (self.index_len if first else self.index_delta_len)
+            if consumed + step > hdr_bits:
+                break
             shift = n_hdr_bytes * 8 - consumed - self.size_len
             sizes.append((bits >> shift) & ((1 << self.size_len) - 1))
-            consumed += self.size_len \
-                + (self.index_len if first else self.index_delta_len)
+            consumed += step
             first = False
         data = payload[2 + n_hdr_bytes:]
         pcm_parts = []

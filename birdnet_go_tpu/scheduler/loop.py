@@ -61,7 +61,167 @@ class BatcherStats:
     last_latency_ms: float = 0.0
 
 
-class ModelBatcher:
+class HostBatcher:
+    """Host-plane staging + pipelining + result fan-out, shared by the
+    production ModelBatcher and the soak's calibrated stub: the
+    scheduler-side machinery is ONE implementation, so the capacity soak
+    measures production semantics by construction. Subclasses provide
+    only the device interaction: `_launch(staged, n) -> handle`
+    (non-blocking) and `_collect(handle, meta) -> (vals, idx, cv)`."""
+
+    def _init_host(self, spec, max_batch: int, top_k: int,
+                   on_result, pipeline_depth: int) -> None:
+        self.spec = spec
+        self.max_batch = max_batch
+        self.top_k = top_k
+        self.on_result = on_result
+        # optional batch fan-out: on_batch(meta, vals[n,k], idx[n,k], cv)
+        # once per harvested batch — takes precedence over on_result
+        self.on_batch: Callable[..., None] | None = None
+        self.stats = BatcherStats()
+        self.budget_seconds = spec.buffer_interval_seconds
+        # Multi-buffered staging: jnp.asarray zero-copies aligned numpy
+        # arrays on the CPU backend and dispatch is async, so writes after
+        # a dispatch must land in a DIFFERENT buffer than any in-flight
+        # batch reads. With `pipeline_depth` batches in flight at once,
+        # depth+1 buffers cycle: a buffer is reused only after its batch
+        # has been harvested.
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._staged_bufs = [
+            np.zeros((max_batch, spec.clip_samples), np.int16)
+            for _ in range(self.pipeline_depth + 1)
+        ]
+        self._buf_idx = 0
+        self._staged = self._staged_bufs[0]
+        self._meta: list[PendingWindow] = []
+        # FIFO of in-flight batches: (handle, meta, t_dispatch)
+        self._inflight: list[tuple] = []
+
+    # -- device interaction (subclass responsibility) -----------------------------
+
+    def _launch(self, staged: np.ndarray, n: int):
+        raise NotImplementedError
+
+    def _collect(self, handle, meta):
+        raise NotImplementedError
+
+    def warmup(self) -> float:
+        return 0.0
+
+    # -- producer side -----------------------------------------------------------
+
+    def offer(self, pcm_i16: np.ndarray, source_id: str,
+              start_time: float, pcm_rate: int = 0) -> bool:
+        """Stage one ready window; False if this tick's batch is full."""
+        n = len(self._meta)
+        if n >= self.max_batch:
+            self.stats.windows_deferred += 1
+            return False
+        self._staged[n, :] = pcm_i16
+        rate = pcm_rate or self.spec.sample_rate
+        self._meta.append(PendingWindow(
+            source_id=source_id, start_time=start_time,
+            end_time=start_time + len(pcm_i16) / rate,
+            pcm=pcm_i16, pcm_rate=rate))
+        return True
+
+    def offer_block(self, pcm_block: np.ndarray, source_ids: list[str],
+                    start_times, keep_pcm: bool = True) -> int:
+        """Stage a contiguous [k, clip_samples] int16 block (the C++
+        ingest plane's packed output) with one vectorized copy instead of
+        k row copies; returns how many rows fit this batch. At thousands
+        of streams, `keep_pcm=False` skips retaining per-window PCM
+        references (clip export falls back to the capture ring)."""
+        n = len(self._meta)
+        k = min(len(pcm_block), self.max_batch - n)
+        if k <= 0:
+            # NOT counted as deferred: the device loop immediately
+            # dispatches and re-offers the same rows within this tick
+            # (or bounds them in the counted retry backlog) — bumping
+            # windows_deferred here would inflate the telemetry by
+            # multiples exactly under overload
+            return 0
+        self._staged[n:n + k] = pcm_block[:k]
+        rate = self.spec.sample_rate
+        dur = self.spec.clip_samples / rate
+        for j in range(k):
+            st = float(start_times[j])
+            self._meta.append(PendingWindow(
+                source_id=source_ids[j], start_time=st, end_time=st + dur,
+                pcm=pcm_block[j] if keep_pcm else None, pcm_rate=rate))
+        return k
+
+    # -- device loop --------------------------------------------------------------
+
+    @property
+    def inflight_depth(self) -> int:
+        return len(self._inflight)
+
+    def dispatch(self) -> int:
+        """Send the staged batch to the device (non-blocking); returns
+        the number of real windows dispatched. If the pipeline is already
+        `pipeline_depth` deep, harvests the oldest in-flight batch first
+        — so compute of batch i overlaps H2D of batch i+1 and staging of
+        batch i+2."""
+        if len(self._inflight) >= self.pipeline_depth:
+            self.harvest()
+        n = len(self._meta)
+        if n == 0:
+            return 0
+        handle = self._launch(self._staged, n)
+        self._inflight.append((handle, self._meta, time.monotonic()))
+        self._meta = []
+        # rotate staging buffers: the batch just dispatched aliases the
+        # current buffer; subsequent offer() calls write the next one
+        self._buf_idx = (self._buf_idx + 1) % len(self._staged_bufs)
+        self._staged = self._staged_bufs[self._buf_idx]
+        self.stats.batches_dispatched += 1
+        self.stats.last_batch_fill = n / self.max_batch
+        return n
+
+    def harvest(self) -> int:
+        """Block on the OLDEST in-flight batch (if any) and fan out
+        results; newer batches keep running on device."""
+        if not self._inflight:
+            return 0
+        handle, meta, t0 = self._inflight.pop(0)
+        vals_np, idx_np, cv_np = self._collect(handle, meta)
+        latency = time.monotonic() - t0
+        self.stats.last_latency_ms = latency * 1000.0
+        # prediction span (tracing.go startPredictSpan analogue): one span
+        # per device batch, ring-buffered for /system/inference/spans
+        from birdnet_go_tpu.utils.tracing import GLOBAL_SPANS
+
+        GLOBAL_SPANS.record(self.spec.model_id, len(meta),
+                            len(meta) / self.max_batch, latency * 1000.0)
+        if latency > self.budget_seconds:
+            self.stats.overruns += 1
+            log.warning("%s batch latency %.0f ms exceeds realtime budget"
+                        " %.0f ms", self.spec.model_id, latency * 1000,
+                        self.budget_seconds * 1000)
+        if self.on_batch is not None:
+            # vectorized fan-out: one callback per device batch (pairs
+            # with Processor.submit_batch) — no per-window Python
+            self.stats.windows_processed += len(meta)
+            self.on_batch(meta, vals_np[:len(meta)], idx_np[:len(meta)],
+                          cv_np[:len(meta)] if cv_np is not None else None)
+            return len(meta)
+        for j, w in enumerate(meta):
+            self.stats.windows_processed += 1
+            if cv_np is not None:
+                w.ultrasonic_cv = float(cv_np[j])
+            if self.on_result is not None:
+                self.on_result(w, vals_np[j], idx_np[j])
+        return len(meta)
+
+    def harvest_all(self) -> int:
+        n = 0
+        while self._inflight:
+            n += self.harvest()
+        return n
+
+
+class ModelBatcher(HostBatcher):
     """Packs ready windows from N streams into device megabatches for one
     model, pipelined one tick deep."""
 
@@ -80,33 +240,10 @@ class ModelBatcher:
 
         self.classifier = classifier
         self.model = classifier.model
-        self.spec = self.model.spec
-        self.max_batch = max_batch
         self.sensitivity = sensitivity
-        self.top_k = min(top_k, self.model.num_species)
-        self.on_result = on_result
-        # optional batch fan-out: on_batch(meta, vals[n,k], idx[n,k], cv)
-        # once per harvested batch — takes precedence over on_result
-        self.on_batch: Callable[..., None] | None = None
-        self.stats = BatcherStats()
-        self.budget_seconds = self.spec.buffer_interval_seconds
-
-        # Multi-buffered staging: jnp.asarray zero-copies aligned numpy
-        # arrays on the CPU backend and dispatch is async, so writes after
-        # a dispatch must land in a DIFFERENT buffer than any in-flight
-        # batch reads. With `pipeline_depth` batches in flight at once,
-        # depth+1 buffers cycle: a buffer is reused only after its batch
-        # has been harvested.
-        self.pipeline_depth = max(1, int(pipeline_depth))
-        self._staged_bufs = [
-            np.zeros((max_batch, self.spec.clip_samples), np.int16)
-            for _ in range(self.pipeline_depth + 1)
-        ]
-        self._buf_idx = 0
-        self._staged = self._staged_bufs[0]
-        self._meta: list[PendingWindow] = []
-        # FIFO of in-flight batches: (vals, idx, cv, meta, t_dispatch)
-        self._inflight: list[tuple] = []
+        self._init_host(self.model.spec, max_batch,
+                        min(top_k, self.model.num_species), on_result,
+                        pipeline_depth)
         self._jnp = jnp
 
         # Raw-rate (bat) models get the ultrasonic-CV validation computed ON
@@ -156,120 +293,22 @@ class ModelBatcher:
                  self.spec.model_id, self.max_batch, dt)
         return dt
 
-    # -- producer side -----------------------------------------------------------
+    # -- device interaction (HostBatcher contract) --------------------------------
 
-    def offer(self, pcm_i16: np.ndarray, source_id: str,
-              start_time: float, pcm_rate: int = 0) -> bool:
-        """Stage one ready window; False if this tick's batch is full."""
-        n = len(self._meta)
-        if n >= self.max_batch:
-            self.stats.windows_deferred += 1
-            return False
-        self._staged[n, :] = pcm_i16
-        rate = pcm_rate or self.spec.sample_rate
-        self._meta.append(PendingWindow(
-            source_id=source_id, start_time=start_time,
-            end_time=start_time + len(pcm_i16) / rate,
-            pcm=pcm_i16, pcm_rate=rate))
-        return True
-
-    def offer_block(self, pcm_block: np.ndarray, source_ids: list[str],
-                    start_times, keep_pcm: bool = True) -> int:
-        """Stage a contiguous [k, clip_samples] int16 block (the C++
-        ingest plane's packed output) with one vectorized copy instead of
-        k row copies; returns how many rows fit this batch. At thousands
-        of streams, `keep_pcm=False` skips retaining per-window PCM
-        references (clip export falls back to the capture ring)."""
-        n = len(self._meta)
-        k = min(len(pcm_block), self.max_batch - n)
-        if k <= 0:
-            self.stats.windows_deferred += len(pcm_block)
-            return 0
-        self._staged[n:n + k] = pcm_block[:k]
-        rate = self.spec.sample_rate
-        dur = self.spec.clip_samples / rate
-        for j in range(k):
-            st = float(start_times[j])
-            self._meta.append(PendingWindow(
-                source_id=source_ids[j], start_time=st, end_time=st + dur,
-                pcm=pcm_block[j] if keep_pcm else None, pcm_rate=rate))
-        return k
-
-    # -- device loop --------------------------------------------------------------
-
-    @property
-    def inflight_depth(self) -> int:
-        return len(self._inflight)
-
-    def dispatch(self) -> int:
-        """Send the staged batch to the device (non-blocking); returns the
-        number of real windows dispatched. If the pipeline is already
-        `pipeline_depth` deep, harvests the oldest in-flight batch first —
-        so compute of batch i overlaps H2D of batch i+1 and staging of
-        batch i+2."""
-        if len(self._inflight) >= self.pipeline_depth:
-            self.harvest()
-        n = len(self._meta)
-        if n == 0:
-            return 0
+    def _launch(self, staged: np.ndarray, n: int):
         jnp = self._jnp
-        pcm = jnp.asarray(self._staged)      # fixed shape: no recompiles
-        vals, idx, cv = self._step(
+        pcm = jnp.asarray(staged)            # fixed shape: no recompiles
+        return self._step(
             self.classifier.params, pcm,
             jnp.float32(self.sensitivity), self.top_k,
-            self.classifier._range_mask)
-        self._inflight.append((vals, idx, cv, self._meta, time.monotonic()))
-        self._meta = []
-        # rotate staging buffers: the batch just dispatched aliases the
-        # current buffer; subsequent offer() calls write the next one
-        self._buf_idx = (self._buf_idx + 1) % len(self._staged_bufs)
-        self._staged = self._staged_bufs[self._buf_idx]
-        self.stats.batches_dispatched += 1
-        self.stats.last_batch_fill = n / self.max_batch
-        return n
+            self.classifier._range_mask)     # async on device
 
-    def harvest(self) -> int:
-        """Block on the OLDEST in-flight batch (if any) and fan out
-        results; newer batches keep running on device."""
-        if not self._inflight:
-            return 0
-        vals, idx, cv, meta, t0 = self._inflight.pop(0)
-        vals_np = np.asarray(vals)            # materialization = sync point
+    def _collect(self, handle, meta):
+        vals, idx, cv = handle
+        vals_np = np.asarray(vals)           # materialization = sync point
         idx_np = np.asarray(idx)
         cv_np = np.asarray(cv) if cv is not None else None
-        latency = time.monotonic() - t0
-        self.stats.last_latency_ms = latency * 1000.0
-        # prediction span (tracing.go startPredictSpan analogue): one span
-        # per device batch, ring-buffered for /system/inference/spans
-        from birdnet_go_tpu.utils.tracing import GLOBAL_SPANS
-
-        GLOBAL_SPANS.record(self.spec.model_id, len(meta),
-                            len(meta) / self.max_batch, latency * 1000.0)
-        if latency > self.budget_seconds:
-            self.stats.overruns += 1
-            log.warning("%s batch latency %.0f ms exceeds realtime budget"
-                        " %.0f ms", self.spec.model_id, latency * 1000,
-                        self.budget_seconds * 1000)
-        if self.on_batch is not None:
-            # vectorized fan-out: one callback per device batch (pairs
-            # with Processor.submit_batch) — no per-window Python
-            self.stats.windows_processed += len(meta)
-            self.on_batch(meta, vals_np[:len(meta)], idx_np[:len(meta)],
-                          cv_np[:len(meta)] if cv_np is not None else None)
-            return len(meta)
-        for j, w in enumerate(meta):
-            self.stats.windows_processed += 1
-            if cv_np is not None:
-                w.ultrasonic_cv = float(cv_np[j])
-            if self.on_result is not None:
-                self.on_result(w, vals_np[j], idx_np[j])
-        return len(meta)
-
-    def harvest_all(self) -> int:
-        n = 0
-        while self._inflight:
-            n += self.harvest()
-        return n
+        return vals_np, idx_np, cv_np
 
 
 class DeviceLoop:
@@ -437,7 +476,10 @@ class DeviceLoop:
             "windows_dropped": self.windows_dropped,
             "tick_busy_ms": round(self.tick_busy_ms, 2),
             "tick_busy_ms_max": round(self.tick_busy_ms_max, 2),
-            "backlog": {m: len(q) for m, q in self._backlog.items()},
+            # dict() copy is a single C-level op under the GIL; iterating
+            # self._backlog directly would race run_tick's inserts on the
+            # device thread (API threads call this via /system/scheduler)
+            "backlog": {m: len(q) for m, q in dict(self._backlog).items()},
             "models": models,
         }
 

@@ -39,160 +39,66 @@ from typing import Any
 
 import numpy as np
 
+from birdnet_go_tpu.scheduler import loop as _loop
+
 log = logging.getLogger("birdnet_tpu.soak")
 
 EMPTY_BLOCK: tuple = (np.empty((0, 1), np.int16), [], np.empty(0))
 
 
-class CalibratedStubBatcher:
+class CalibratedStubBatcher(_loop.HostBatcher):
     """ModelBatcher drop-in whose 'device' is a latency model calibrated
     from the real chip's measured batch step (BENCH_r02: p50 8.4 ms at
-    batch 256). Every HOST cost is real: staging copies, an extra
-    DMA-buffer copy standing in for the H2D enqueue, per-window result
-    fan-out. Used ONLY by the soak's host-capacity mode; never serves."""
+    batch 256). ALL host-plane machinery (staging, rotation, pipeline,
+    fan-out) is inherited from HostBatcher — the same code production
+    runs — so the soak measures production scheduler semantics by
+    construction; only _launch/_collect are replaced: an extra
+    DMA-buffer copy stands in for the H2D enqueue and results are
+    fabricated (sub-threshold rows + one 'hit' stream in `hit_stride`
+    so the approve→actions→datastore path sees steady traffic). Used
+    ONLY by the soak's host-capacity mode; never serves."""
 
     def __init__(self, spec, max_batch: int = 256, top_k: int = 10,
                  on_result=None, pipeline_depth: int = 2,
                  base_ms: float = 8.4, per_window_us: float = 33.0,
                  num_species: int = 6522, hit_stride: int = 64):
-        self.spec = spec
-        self.max_batch = max_batch
-        self.top_k = top_k
-        self.on_result = on_result
-        self.on_batch = None
-        self.pipeline_depth = max(1, pipeline_depth)
+        self._init_host(spec, max_batch, top_k, on_result, pipeline_depth)
         self.base_ms = base_ms
         self.per_window_us = per_window_us
         self.hit_stride = hit_stride
-        self.budget_seconds = spec.buffer_interval_seconds
-        from birdnet_go_tpu.scheduler.loop import BatcherStats
-
-        self.stats = BatcherStats()
-        self._staged_bufs = [
-            np.zeros((max_batch, spec.clip_samples), np.int16)
-            for _ in range(self.pipeline_depth + 1)
-        ]
-        self._buf_idx = 0
-        self._staged = self._staged_bufs[0]
+        self.num_species = num_species
         self._dma = np.zeros_like(self._staged_bufs[0])
-        self._meta: list = []
-        self._inflight: list = []
-        # precomputed sub-threshold top-K rows; "hit" windows (one stream
-        # in `hit_stride`) get 0.93 on a rotating species so the full
-        # approve→actions→datastore path sees steady traffic
         rng = np.random.default_rng(7)
         self._low_vals = (0.05 + 0.25 * rng.random((max_batch, top_k))
                           ).astype(np.float32)
         self._low_vals[:] = np.sort(self._low_vals)[:, ::-1]
         self._idx = rng.integers(0, num_species,
                                  (max_batch, top_k)).astype(np.int32)
-        self.num_species = num_species
 
-    @property
-    def inflight_depth(self) -> int:
-        return len(self._inflight)
-
-    def warmup(self) -> float:
-        return 0.0
-
-    def offer(self, pcm_i16, source_id, start_time, pcm_rate=0) -> bool:
-        from birdnet_go_tpu.scheduler.loop import PendingWindow
-
-        n = len(self._meta)
-        if n >= self.max_batch:
-            self.stats.windows_deferred += 1
-            return False
-        self._staged[n, :] = pcm_i16
-        rate = pcm_rate or self.spec.sample_rate
-        self._meta.append(PendingWindow(
-            source_id=source_id, start_time=start_time,
-            end_time=start_time + len(pcm_i16) / rate, pcm_rate=rate))
-        return True
-
-    def offer_block(self, pcm_block, source_ids, start_times,
-                    keep_pcm: bool = True) -> int:
-        from birdnet_go_tpu.scheduler.loop import PendingWindow
-
-        n = len(self._meta)
-        k = min(len(pcm_block), self.max_batch - n)
-        if k <= 0:
-            self.stats.windows_deferred += len(pcm_block)
-            return 0
-        self._staged[n:n + k] = pcm_block[:k]
-        rate = self.spec.sample_rate
-        dur = self.spec.clip_samples / rate
-        for j in range(k):
-            st = float(start_times[j])
-            self._meta.append(PendingWindow(
-                source_id=source_ids[j], start_time=st, end_time=st + dur))
-        return k
-
-    def dispatch(self) -> int:
-        if len(self._inflight) >= self.pipeline_depth:
-            self.harvest()
-        n = len(self._meta)
-        if n == 0:
-            return 0
+    def _launch(self, staged, n):
         # H2D enqueue stand-in: the transfer's host-side copy cost
-        self._dma[:n] = self._staged[:n]
+        self._dma[:n] = staged[:n]
         t_done = time.monotonic() + (
             self.base_ms + n * self.per_window_us / 1000.0) / 1000.0
-        self._inflight.append((self._meta, time.monotonic(), t_done))
-        self._meta = []
-        self._buf_idx = (self._buf_idx + 1) % len(self._staged_bufs)
-        self._staged = self._staged_bufs[self._buf_idx]
-        self.stats.batches_dispatched += 1
-        self.stats.last_batch_fill = n / self.max_batch
-        return n
+        return t_done
 
-    def harvest(self) -> int:
-        if not self._inflight:
-            return 0
-        meta, t0, t_done = self._inflight.pop(0)
+    def _collect(self, t_done, meta):
         wait = t_done - time.monotonic()
         if wait > 0:                      # device still "busy"
             time.sleep(wait)
-        latency = time.monotonic() - t0
-        self.stats.last_latency_ms = latency * 1000.0
-        if latency > self.budget_seconds:
-            self.stats.overruns += 1
         n = len(meta)
-        if self.on_batch is not None:
-            # vectorized fabrication mirroring ModelBatcher's batch path
-            self.stats.windows_processed += n
-            sid_n = np.fromiter(
-                (int(w.source_id.rsplit(":", 1)[1]) for w in meta),
-                np.int64, n)
-            vals = self._low_vals[:n].copy()
-            idx = self._idx[:n].copy()
-            hits = sid_n % self.hit_stride == 0
-            vals[hits, 0] = 0.93
-            idx[hits, 0] = (sid_n[hits] * 37) % self.num_species
-            self.on_batch(meta, vals, idx, None)
-            return n
-        vals = self._low_vals
+        sid_n = np.empty(n, np.int64)
         for j, w in enumerate(meta):
-            self.stats.windows_processed += 1
-            if self.on_result is not None:
-                try:
-                    sid_n = int(w.source_id.rsplit(":", 1)[1])
-                except (ValueError, IndexError):
-                    sid_n = j
-                if sid_n % self.hit_stride == 0:
-                    v = vals[j].copy()
-                    i = self._idx[j].copy()
-                    v[0] = 0.93
-                    i[0] = (sid_n * 37) % self.num_species
-                    self.on_result(w, v, i)
-                else:
-                    self.on_result(w, vals[j], self._idx[j])
-        return len(meta)
-
-    def harvest_all(self) -> int:
-        n = 0
-        while self._inflight:
-            n += self.harvest()
-        return n
+            try:
+                sid_n[j] = int(w.source_id.rsplit(":", 1)[1])
+            except (ValueError, IndexError):
+                sid_n[j] = j
+        vals = self._low_vals[:n].copy()
+        idx = self._idx[:n].copy()
+        hits = sid_n % self.hit_stride == 0
+        vals[hits, 0] = 0.93
+        idx[hits, 0] = (sid_n[hits] * 37) % self.num_species
+        return vals, idx, None
 
 
 def run_soak(streams: int = 2500, seconds: float = 120.0,
@@ -324,6 +230,19 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
 
     gc.collect()
     gc.freeze()
+    # attribute any residual stalls: record every GC pause > 50 ms
+    gc_pauses: list[float] = []
+    _gc_t0 = [0.0]
+
+    def _gc_cb(phase, info):
+        if phase == "start":
+            _gc_t0[0] = time.monotonic()
+        else:
+            dt = (time.monotonic() - _gc_t0[0]) * 1000.0
+            if dt > 50.0:
+                gc_pauses.append(round(dt, 1))
+
+    gc.callbacks.append(_gc_cb)
     flusher.start()
     loop.start()                      # collector first: the farm's initial
     epoch["t"] = time.time()          # window surge (every stream's first
@@ -333,6 +252,11 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     try:
         while time.monotonic() - t0 < seconds:
             time.sleep(5.0)
+            # long-running-service GC discipline (the Instagram pattern):
+            # periodically promote survivors to the permanent generation
+            # so gen-2 sweeps stay small — a multi-second full sweep
+            # mid-run stalls the tick loop enough to clobber rings
+            gc.freeze()
             fs = farm.stats()
             samples.append({
                 "t": round(time.monotonic() - t0, 1),
@@ -350,6 +274,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         farm.stop()
         loop.stop()
         flusher.stop()
+        gc.callbacks.remove(_gc_cb)
         processor.flush(now=time.time() + 1e6)
         jobqueue.stop(drain=True)
     fs = farm.stats()
@@ -395,7 +320,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         },
         "host": {"cpus": __import__("os").cpu_count(),
                  "maxrss_mb": resource.getrusage(
-                     resource.RUSAGE_SELF).ru_maxrss // 1024},
+                     resource.RUSAGE_SELF).ru_maxrss // 1024,
+                 "gc_pauses_over_50ms": gc_pauses},
         "timeline": samples,
     }
     store.close()

@@ -397,11 +397,15 @@ def verify_archive(blob: bytes, passphrase: str = "") -> dict:
     decrypt, untar, check every manifest SHA-256, load database.sql into
     a scratch sqlite and run PRAGMA integrity_check plus row counts.
     Returns a report dict; raises ValueError on any failure."""
-    if blob.startswith(_ENC_MAGIC):
+    was_encrypted = blob.startswith(_ENC_MAGIC)
+    if was_encrypted:
         if not passphrase:
             raise ValueError("archive is encrypted: passphrase required")
         blob = decrypt_backup(blob, passphrase)
-    report: dict = {"files": {}, "encrypted": bool(passphrase)}
+    # report what the ARCHIVE is, not what the caller supplied — a
+    # pre-encryption archive verified with a passphrase configured must
+    # not claim a security property it lacks
+    report: dict = {"files": {}, "encrypted": was_encrypted}
     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:gz") as tar:
         members = {m.name: tar.extractfile(m).read()
                    for m in tar.getmembers() if m.isfile()}

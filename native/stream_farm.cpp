@@ -166,6 +166,15 @@ void generator_main(Farm* f) {
                     r.wpos += skip;
                     need = f->capacity;
                 }
+                // ...and to 0.5 s per stream per pass: writing a whole
+                // ring (seconds of samples) under the stripe lock for
+                // THOUSANDS of streams in one sweep starves collect()
+                // for multi-second stretches, turning one host hiccup
+                // into a loss cascade (observed at 2,500 streams).
+                // Nothing is lost by the bound — wpos lags target and
+                // the next pass continues (20x realtime catch-up).
+                const int64_t burst = f->rate / 2;
+                if (need > burst) need = burst;
                 ring_write_from_bank(f, s, need);
             }
         }

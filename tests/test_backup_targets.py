@@ -437,3 +437,16 @@ def test_build_target_dispatch(tmp_path):
     assert isinstance(t, RsyncTarget) and t.dest == "h:/backups"
     with pytest.raises(ValueError):
         build_target(BackupSettings(target="gdrive"))
+
+
+def test_verify_reports_archive_encryption_not_caller_passphrase(tmp_path):
+    """An unencrypted archive verified by a manager WITH a passphrase
+    configured must report encrypted=False (the field describes the
+    archive, not the caller input)."""
+    from birdnet_go_tpu.utils.backup import verify_archive
+
+    mgr = _mgr_with_db(tmp_path)                 # writes unencrypted
+    name = mgr.run_once()
+    blob = (tmp_path / "bk" / name).read_bytes()
+    report = verify_archive(blob, passphrase="configured-but-unused")
+    assert report["encrypted"] is False

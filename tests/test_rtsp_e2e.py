@@ -449,3 +449,38 @@ def test_rtsp_to_detection_full_app(tmp_path):
             srv.stop()
     finally:
         app_mod.load_model = real_load
+
+
+def test_aac_depacketizer_asymmetric_index_lengths():
+    """indexLength != indexDeltaLength: non-first AU headers are
+    sizeLength+indexDeltaLength bits — a fixed stride would silently
+    drop the final AU of every multi-AU packet (review finding)."""
+    from birdnet_go_tpu.audio import aacenc
+    from birdnet_go_tpu.audio.rtsp import AacDepacketizer
+
+    if not aacenc.available():
+        import pytest
+
+        pytest.skip("libavcodec AAC unavailable")
+    t = np.arange(48000) / 48000.0
+    sig = (9000 * np.sin(2 * np.pi * 880 * t)).astype(np.int16)
+    packets, asc = aacenc.encode_aac(sig, 48000)
+    dep = AacDepacketizer(48000, 1, {"config": asc.hex(),
+                                     "sizelength": "13",
+                                     "indexlength": "3",
+                                     "indexdeltalength": "1"})
+    for p in packets[:2]:
+        dep.decode((16).to_bytes(2, "big")
+                   + (len(p) << 3).to_bytes(2, "big") + p)
+    # three AUs: headers are 16 + 14 + 14 = 44 bits
+    a, b, c = packets[2], packets[3], packets[4]
+    hdr = (len(a) << 3) << (14 + 14)
+    hdr |= (len(b) << 1) << 14
+    hdr |= (len(c) << 1)
+    n_hdr_bytes = (44 + 7) // 8                  # 6 bytes
+    hdr_bytes = (hdr << (n_hdr_bytes * 8 - 44)).to_bytes(n_hdr_bytes,
+                                                         "big")
+    payload = (44).to_bytes(2, "big") + hdr_bytes + a + b + c
+    pcm = dep.decode(payload)
+    assert len(pcm) == 3 * 1024                  # ALL three AUs decoded
+    dep.close()

@@ -133,3 +133,47 @@ def test_fast_gate_cache_invalidates_on_settings_change():
     p.settings.species.config = {"Turdus merula": {"threshold": 0.9}}
     thr2, _ = p._fast_gate(M, labels)
     assert thr2[0] == pytest.approx(0.9)
+
+
+def test_fast_gate_canonicalizes_legacy_labels():
+    """A custom threshold configured under the CANONICAL name must gate
+    legacy-label model species too — submit() canonicalizes before
+    thresholding, and the vectorized gate must match (review finding:
+    the gate used raw labels and silently dropped such detections)."""
+    from birdnet_go_tpu.taxonomy import openfauna
+
+    legacy, canon = None, None
+    for old, new in openfauna.load_aliases().items():
+        if old != new:
+            legacy, canon = old, new
+            break
+    if legacy is None:
+        pytest.skip("no aliases loaded")
+    labels = LabelSet(species=[Species(legacy, "Legacy Bird"),
+                               Species("Turdus merula", "Blackbird")])
+    s = _settings()
+    s.species.config = {canon: {"threshold": 0.2}}
+    now = [1000.0]
+    pa = Processor(s, {M: labels}, clock=lambda: now[0])
+    pb = Processor(_settings(), {M: labels}, clock=lambda: now[0])
+    pb.settings.species.config = {canon: {"threshold": 0.2}}
+
+    vals = np.array([[0.4, 0.1]], np.float32)   # 0.2 < 0.4 < base 0.5
+    idx = np.array([[0, 1]], np.int32)
+    pa.submit(WindowPrediction(source_id="s", model_id=M,
+                               start_time=1000.0, end_time=1003.0,
+                               indices=[0, 1], confidences=[0.4, 0.1]))
+    pb.submit_batch(M, ["s"], [1000.0], [1003.0], vals, idx)
+    assert len(pa._pending) == 1
+    assert _state(pa)["pending"] == _state(pb)["pending"]
+
+
+def test_fast_gate_cache_not_fooled_by_reused_dict_address():
+    """The gate cache retains the config object it fingerprinted, so a
+    replacement dict landing at the same address cannot alias a stale
+    entry."""
+    p = _proc()
+    labels = p.labels_by_model[M]
+    thr1, _ = p._fast_gate(M, labels)
+    # the cache entry must hold a strong ref to the fingerprinted config
+    assert p._gate_cache[M][3][1] is p.settings.species.config
