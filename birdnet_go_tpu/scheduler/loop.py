@@ -151,6 +151,28 @@ class HostBatcher:
                 pcm=pcm_block[j] if keep_pcm else None, pcm_rate=rate))
         return k
 
+    # zero-copy ingest: the C++ farm packs windows STRAIGHT into the
+    # device staging buffer (one memcpy fewer per window than the
+    # offer_block path — the staging copy was ~1/3 of the measured
+    # per-window host cost at 5k streams)
+
+    def staging_view(self) -> np.ndarray:
+        """Contiguous free rows of the current staging buffer. A filler
+        (StreamFarm.collect) may write them directly; commit_block()
+        afterwards makes the rows real."""
+        return self._staged[len(self._meta):]
+
+    def commit_block(self, k: int, source_ids, start_times) -> None:
+        """Declare k rows written into staging_view() as staged windows
+        (metadata only — the PCM is already in place)."""
+        rate = self.spec.sample_rate
+        dur = self.spec.clip_samples / rate
+        for j in range(k):
+            st = float(start_times[j])
+            self._meta.append(PendingWindow(
+                source_id=source_ids[j], start_time=st, end_time=st + dur,
+                pcm_rate=rate))
+
     # -- device loop --------------------------------------------------------------
 
     @property
@@ -328,6 +350,9 @@ class DeviceLoop:
         # (pcm_block [n, clip] int16, source_ids, start_times) for one
         # model — staged via the vectorized offer_block fast path
         self._block_providers: list[tuple[str, Callable[[], tuple]]] = []
+        # zero-copy fillers: fill(view) → (n, source_ids, start_times)
+        # writes windows DIRECTLY into the batcher's staging buffer
+        self._fill_providers: list[tuple[str, Callable]] = []
         # windows that didn't fit a tick's megabatch: the provider already
         # consumed them from the AnalysisBuffer, so they MUST be retried
         # next tick, not dropped (bounded; beyond the cap they're counted)
@@ -356,6 +381,15 @@ class DeviceLoop:
         objects until results fan out."""
         self._block_providers.append((model_id, provider))
 
+    def add_fill_provider(self, model_id: str, fill: Callable) -> None:
+        """Register a zero-copy window source: per call, fill(view) must
+        write up to len(view) packed windows into the staging-buffer view
+        and return (n, source_ids, start_times). Backpressure lives in
+        the source's own rings (accounted overwrites) — nothing is ever
+        consumed that didn't fit, so there is no retry backlog on this
+        path."""
+        self._fill_providers.append((model_id, fill))
+
     def run_tick(self) -> int:
         """One scheduling tick; returns windows dispatched. Drains the
         whole ready set: a batcher that fills mid-tick is dispatched
@@ -374,6 +408,25 @@ class DeviceLoop:
         # dict while this thread iterates
         batchers = dict(self.batchers)
         budget = {m: self.max_dispatches_per_tick for m in batchers}
+        # zero-copy fillers first: the farm packs directly into staging;
+        # a full batch dispatches and filling continues into the rotated
+        # buffer until the source runs dry or the budget is spent
+        for model_id, fill in list(self._fill_providers):
+            b = batchers.get(model_id)
+            if b is None:
+                continue
+            while True:
+                view = b.staging_view()
+                if len(view) == 0:
+                    if budget.get(model_id, 0) <= 0:
+                        break
+                    budget[model_id] -= 1
+                    dispatched += b.dispatch()
+                    continue
+                n, sids, sts = fill(view)
+                if n == 0:
+                    break
+                b.commit_block(n, sids, sts)
         # packed blocks from the native ingest plane first (bulk traffic)
         for model_id, provider in list(self._block_providers):
             b = batchers.get(model_id)

@@ -194,30 +194,35 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                     "device capacity proven separately by bench.py",
         }
 
-    # stagger_hops=8: stream connects spread over ~12 s (real fleets don't
-    # all connect inside one hop), bounding the first-window surge
+    # stream connects spread over several hops (real fleets don't all
+    # connect inside one hop), bounding the first-window surge; larger
+    # farms get a longer ramp — the surge scales with stream count but
+    # drain capacity doesn't
+    stagger = 8 if streams <= 5000 else 16
     farm = StreamFarm(streams, spec.sample_rate, spec.clip_samples,
                       spec.clip_samples // 2, ring_seconds=ring_seconds,
                       n_waveforms=32, seed=11, timescale=timescale,
-                      stagger_hops=8)
+                      stagger_hops=stagger)
     names = [f"farm:{i}" for i in range(streams)]
-    out_buf = np.empty((collect_cap, spec.clip_samples), np.int16)
-    meta_buf = np.empty((collect_cap, 3), np.int64)
+    meta_buf = np.empty((max(collect_cap, max_batch), 3), np.int64)
     clip_sec = spec.clip_samples / spec.sample_rate
     epoch = {"t": 0.0}
 
-    def block_provider():
-        n = farm.collect(out_buf, meta_buf)
+    def fill(view):
+        """Zero-copy ingest: the C++ farm packs ready windows DIRECTLY
+        into the batcher's staging buffer (one memcpy fewer per window
+        than the block-provider path)."""
+        n = farm.collect(view, meta_buf)
         if n == 0:
-            return EMPTY_BLOCK
+            return 0, (), ()
         sids = [names[meta_buf[j, 0]] for j in range(n)]
         sts = epoch["t"] + meta_buf[:n, 2] / 1e9 - clip_sec
-        return out_buf[:n], sids, sts
+        return n, sids, sts
 
     loop = DeviceLoop(tick_seconds=tick_ms / 1000.0,
                       max_dispatches_per_tick=max_dispatches_per_tick)
     loop.add_batcher(batcher)
-    loop.add_block_provider(spec.model_id, block_provider)
+    loop.add_fill_provider(spec.model_id, fill)
 
     log.info("prewarming processor gates + taxonomy tables...")
     processor.prewarm()

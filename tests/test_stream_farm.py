@@ -229,3 +229,52 @@ def test_offer_block_real_model_batcher():
         assert sa == sb
         np.testing.assert_allclose(va, vb)
         np.testing.assert_array_equal(ia, ib)
+
+
+def test_device_loop_zero_copy_fill_provider():
+    """Zero-copy ingest: farm.collect packs windows DIRECTLY into the
+    batcher's staging buffer via DeviceLoop.add_fill_provider; results
+    still fan out in order with no drops."""
+    from birdnet_go_tpu.scheduler.loop import DeviceLoop
+    from birdnet_go_tpu.scheduler.soak import CalibratedStubBatcher
+
+    class Spec:
+        model_id = "Z"
+        sample_rate = RATE
+        clip_samples = WINDOW
+        buffer_interval_seconds = HOP / RATE
+
+    results = []
+    b = CalibratedStubBatcher(Spec(), max_batch=8, base_ms=0.1,
+                              per_window_us=1.0)
+    b.on_result = lambda w, v, i: results.append((w.source_id,
+                                                  w.start_time))
+    farm = _farm(n_streams=3, timescale=40.0)
+    meta = np.empty((64, 3), np.int64)
+
+    def fill(view):
+        n = farm.collect(view, meta)
+        if n == 0:
+            return 0, (), ()
+        return (n, [f"farm:{meta[j, 0]}" for j in range(n)],
+                meta[:n, 2] / 1e9)
+
+    loop = DeviceLoop(tick_seconds=0.02)
+    loop.add_batcher(b)
+    loop.add_fill_provider("Z", fill)
+    farm.start()
+    try:
+        deadline = time.time() + 3.0
+        while time.time() < deadline and len(results) < 12:
+            loop.run_tick()
+            time.sleep(0.02)
+    finally:
+        farm.stop()
+        loop.drain()
+        farm.close()
+    assert len(results) >= 12
+    assert loop.windows_dropped == 0
+    assert {s for s, _ in results} == {"farm:0", "farm:1", "farm:2"}
+    for src in {s for s, _ in results}:
+        sts = [t for s, t in results if s == src]
+        assert sts == sorted(sts)
