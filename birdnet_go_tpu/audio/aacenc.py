@@ -75,6 +75,11 @@ class AacStreamEncoder:
         if not self._h:
             raise RuntimeError("bn_aac_stream_create failed")
         self.asc = asc.raw[:asc_len.value]
+        # encoder priming delay in samples — MP4 edit lists trim it
+        self.priming = int(lib.bn_aac_stream_delay(self._h)) \
+            if hasattr(lib, "bn_aac_stream_delay") else 0
+        if self.priming <= 0:
+            self.priming = AAC_FRAME_SAMPLES
         self._out = ctypes.create_string_buffer(1 << 20)
         # chunk seconds sized so ONE chunk's output can never overflow
         # the packet buffer at the CONFIGURED bitrate (overflow loses the
@@ -124,10 +129,19 @@ class AacStreamEncoder:
 def encode_aac(pcm_i16: np.ndarray, sample_rate: int, channels: int = 1,
                bitrate: int = 96000) -> tuple[list[bytes], bytes]:
     """One-shot encode → (raw AAC packets, AudioSpecificConfig)."""
+    packets, asc, _ = encode_aac_with_priming(pcm_i16, sample_rate,
+                                              channels, bitrate)
+    return packets, asc
+
+
+def encode_aac_with_priming(pcm_i16: np.ndarray, sample_rate: int,
+                            channels: int = 1, bitrate: int = 96000
+                            ) -> tuple[list[bytes], bytes, int]:
+    """One-shot encode → (packets, ASC, encoder priming samples)."""
     enc = AacStreamEncoder(sample_rate, channels, bitrate)
     try:
         packets = enc.feed(pcm_i16) + enc.flush()
-        return packets, enc.asc
+        return packets, enc.asc, enc.priming
     finally:
         enc.close()
 
@@ -219,14 +233,17 @@ def mp4a_entry(asc: bytes, sample_rate: int, channels: int = 1,
 
 def write_m4a(path: str | Path, packets: list[bytes], asc: bytes,
               sample_rate: int, channels: int = 1,
-              bitrate: int = 96000) -> Path:
+              bitrate: int = 96000, priming: int = 0) -> Path:
     """Progressive MP4 (.m4a): ftyp + moov (full sample table) + mdat.
     Every sample is one AAC frame of 1024 samples at mdhd timescale ==
-    sample_rate, so players derive exact duration."""
+    sample_rate, so players derive exact duration. `priming` (the
+    encoder delay in samples) is trimmed via an edit list so playback
+    starts at the real audio, not the codec warm-up."""
     from birdnet_go_tpu.audio.hlsmux import _unity_matrix, box, full_box
 
     n = len(packets)
     duration = n * AAC_FRAME_SAMPLES
+    presented = max(duration - priming, 0)
     ftyp = box(b"ftyp", b"M4A " + struct.pack(">I", 512)
                + b"M4A isomiso2mp42")
     stsd = full_box(b"stsd", 0, 0, struct.pack(">I", 1)
@@ -236,9 +253,14 @@ def write_m4a(path: str | Path, packets: list[bytes], asc: bytes,
     stsc = full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = full_box(b"stsz", 0, 0, struct.pack(">II", 0, n)
                     + b"".join(struct.pack(">I", len(p)) for p in packets))
-    # stco chunk offset = file offset of mdat payload; computed after the
-    # moov size is known (moov precedes mdat for streamable playback)
-    stco_placeholder = full_box(b"stco", 0, 0, struct.pack(">II", 1, 0))
+    # edit list: skip the priming samples (media_time = priming) for the
+    # presented duration — the standard MP4 encoder-delay mechanism
+    edts = b""
+    if priming > 0:
+        elst = full_box(b"elst", 0, 0,
+                        struct.pack(">I", 1)
+                        + struct.pack(">IiHH", presented, priming, 1, 0))
+        edts = box(b"edts", elst)
 
     def build_moov(chunk_offset: int) -> bytes:
         stco = full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
@@ -256,13 +278,15 @@ def write_m4a(path: str | Path, packets: list[bytes], asc: bytes,
         mdia = box(b"mdia", mdhd + hdlr + minf)
         tkhd = full_box(b"tkhd", 0, 7,
                         struct.pack(">IIII", 0, 0, 1, 0)
-                        + struct.pack(">I", duration)
+                        + struct.pack(">I", presented if priming else
+                                      duration)
                         + b"\x00" * 8
                         + struct.pack(">HHHH", 0, 0, 0x0100, 0)
                         + _unity_matrix() + struct.pack(">II", 0, 0))
-        trak = box(b"trak", tkhd + mdia)
+        trak = box(b"trak", tkhd + edts + mdia)
         mvhd = full_box(b"mvhd", 0, 0,
-                        struct.pack(">IIII", 0, 0, sample_rate, duration)
+                        struct.pack(">IIII", 0, 0, sample_rate,
+                                    presented if priming else duration)
                         + struct.pack(">I", 0x00010000)
                         + struct.pack(">H", 0x0100)
                         + b"\x00" * 10 + _unity_matrix()
@@ -281,48 +305,108 @@ def write_m4a(path: str | Path, packets: list[bytes], asc: bytes,
     return out
 
 
-def read_m4a(path: str | Path) -> tuple[list[bytes], bytes, int]:
-    """Parse an .m4a written by write_m4a → (packets, asc, sample_rate).
-    Walks real boxes (not offsets), so it doubles as a structural check."""
+def _desc_len(buf: bytes, i: int) -> tuple[int, int]:
+    """ISO 14496-1 expandable length (0x80-continuation bytes — ffmpeg
+    writes these; our own writer uses the single-byte form)."""
+    ln = 0
+    for _ in range(4):
+        b = buf[i]
+        i += 1
+        ln = (ln << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    return ln, i
+
+
+def read_m4a(path: str | Path
+             ) -> tuple[list[bytes], bytes, int, int]:
+    """Parse an .m4a → (packets, asc, sample_rate, priming_samples).
+
+    A general progressive-MP4 reader, not just an inverse of write_m4a:
+    chunk offsets come from the real stsc/stco walk (absolute file
+    offsets), esds descriptor lengths use the expandable encoding, and
+    the edit list's media_time yields the encoder priming — so
+    ffmpeg-written fallback clips parse too, not only our own."""
     data = Path(path).read_bytes()
 
     def children(buf: bytes):
         off = 0
         while off + 8 <= len(buf):
             size = struct.unpack(">I", buf[off:off + 4])[0]
+            if size < 8:
+                break
             kind = buf[off + 4:off + 8]
             yield kind, buf[off + 8:off + size]
             off += size
 
     top = dict(children(data))
     moov = dict(children(top[b"moov"]))
-    mdia = dict(children(dict(children(moov[b"trak"]))[b"mdia"]))
+    trak = dict(children(moov[b"trak"]))
+    mdia = dict(children(trak[b"mdia"]))
     rate = struct.unpack(">I", mdia[b"mdhd"][4 + 8:4 + 12])[0]
+    priming = 0
+    if b"edts" in trak:
+        elst = dict(children(trak[b"edts"]))[b"elst"]
+        version = elst[0]
+        count = struct.unpack(">I", elst[4:8])[0]
+        if count >= 1:
+            if version == 1:
+                mt = struct.unpack(">q", elst[16:24])[0]
+            else:
+                mt = struct.unpack(">i", elst[12:16])[0]
+            priming = max(int(mt), 0)
     stbl = dict(children(dict(children(mdia[b"minf"]))[b"stbl"]))
     stsz = stbl[b"stsz"][4:]
-    _, count = struct.unpack(">II", stsz[:8])
-    sizes = struct.unpack(f">{count}I", stsz[8:8 + 4 * count])
+    fixed, count = struct.unpack(">II", stsz[:8])
+    sizes = ([fixed] * count if fixed
+             else list(struct.unpack(f">{count}I",
+                                     stsz[8:8 + 4 * count])))
+    # chunk layout: stsc patterns (first_chunk, samples_per_chunk) over
+    # stco/co64 absolute offsets
+    stsc = stbl[b"stsc"][4:]
+    n_stsc = struct.unpack(">I", stsc[:4])[0]
+    patterns = [struct.unpack(">III", stsc[4 + 12 * i:16 + 12 * i])
+                for i in range(n_stsc)]
+    if b"stco" in stbl:
+        stco = stbl[b"stco"][4:]
+        n_chunks = struct.unpack(">I", stco[:4])[0]
+        offsets = struct.unpack(f">{n_chunks}I", stco[4:4 + 4 * n_chunks])
+    else:
+        co64 = stbl[b"co64"][4:]
+        n_chunks = struct.unpack(">I", co64[:4])[0]
+        offsets = struct.unpack(f">{n_chunks}Q", co64[4:4 + 8 * n_chunks])
+    # samples-per-chunk for every chunk from the stsc run-length patterns
+    spc = []
+    for i, (first, per, _) in enumerate(patterns):
+        last = patterns[i + 1][0] if i + 1 < len(patterns) \
+            else n_chunks + 1
+        spc += [per] * (last - first)
+    packets = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        off = int(chunk_off)
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= len(sizes):
+                break
+            packets.append(data[off:off + sizes[si]])
+            off += sizes[si]
+            si += 1
+    # esds → AudioSpecificConfig
     stsd = stbl[b"stsd"][4 + 4:]
     mp4a = dict(children(stsd))[b"mp4a"]
     esds = dict(children(mp4a[28:]))[b"esds"][4:]
-    # walk descriptors: ES(0x03) → DecoderConfig(0x04) → DSI(0x05)
     i = 0
     asc = b""
     while i < len(esds):
-        tag, ln = esds[i], esds[i + 1]
+        tag = esds[i]
+        ln, j = _desc_len(esds, i + 1)
         if tag == 0x03:
-            i += 2 + 3
+            i = j + 3                      # ES_ID(2) + flags(1)
         elif tag == 0x04:
-            i += 2 + 13
+            i = j + 13                     # DecoderConfigDescriptor body
         elif tag == 0x05:
-            asc = esds[i + 2:i + 2 + ln]
+            asc = esds[j:j + ln]
             break
         else:
-            i += 2 + ln
-    mdat = top[b"mdat"]
-    packets = []
-    off = 0
-    for s in sizes:
-        packets.append(mdat[off:off + s])
-        off += s
-    return packets, asc, rate
+            i = j + ln
+    return packets, asc, rate, priming

@@ -116,9 +116,11 @@ def load_clip_audio(path: str | Path) -> tuple[np.ndarray, int]:
     if path.suffix.lower() == ".m4a":
         from birdnet_go_tpu.audio import aacenc
 
-        packets, asc, rate = aacenc.read_m4a(path)
+        packets, asc, rate, priming = aacenc.read_m4a(path)
         pcm = aacenc.decode_aac(packets, asc, rate)
-        return pcm.astype(np.float32) / 32768.0, rate
+        # trim the encoder priming the edit list declares so the decoded
+        # timeline aligns with the detection window (FLAC/WAV parity)
+        return pcm[priming:].astype(np.float32) / 32768.0, rate
     from birdnet_go_tpu.audio.wav import read_wav
 
     samples, info = read_wav(path)
@@ -175,8 +177,10 @@ def encode_clip(pcm_i16: np.ndarray, sample_rate: int, out_path: str | Path,
             if aacenc.available():
                 if out.suffix.lower() != ".m4a":
                     out = out.with_suffix(".m4a")
-                packets, asc = aacenc.encode_aac(pcm_i16, sample_rate)
-                return aacenc.write_m4a(out, packets, asc, sample_rate)
+                packets, asc, priming = aacenc.encode_aac_with_priming(
+                    pcm_i16, sample_rate)
+                return aacenc.write_m4a(out, packets, asc, sample_rate,
+                                        priming=priming)
         if ffmpeg_available():
             return _ffmpeg_encode(pcm_i16, sample_rate, out, fmt)
         fallback = out.with_suffix(".flac")

@@ -113,6 +113,7 @@ class AacDepacketizer:
         if not self._h:
             raise ValueError("AAC decoder init failed (bad config?)")
         self._out = np.zeros(8192 * self.channels, np.int16)
+        self._out_ptr = native._i16_ptr(self._out)   # hot path: once
 
     def decode(self, payload: bytes) -> np.ndarray:
         """One RTP payload → mono int16 (possibly several AUs)."""
@@ -145,10 +146,7 @@ class AacDepacketizer:
             if not au:
                 break
             n = self._lib.bn_aac_decoder_decode(
-                self._h, au, len(au),
-                self._out.ctypes.data_as(
-                    __import__("ctypes").POINTER(
-                        __import__("ctypes").c_int16)),
+                self._h, au, len(au), self._out_ptr,
                 len(self._out) // self.channels)
             if n > 0:
                 pcm = self._out[:n * self.channels]

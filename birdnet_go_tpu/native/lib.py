@@ -127,6 +127,8 @@ def _load():
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int32)]
             lib.bn_aac_stream_destroy.argtypes = [ctypes.c_void_p]
+            lib.bn_aac_stream_delay.restype = ctypes.c_int32
+            lib.bn_aac_stream_delay.argtypes = [ctypes.c_void_p]
             lib.bn_aac_decode.restype = ctypes.c_int64
             lib.bn_aac_decode.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,

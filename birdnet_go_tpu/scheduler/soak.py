@@ -107,7 +107,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
              max_dispatches_per_tick: int = 8,
              collect_cap: int = 1024, timescale: float = 1.0,
              stub_base_ms: float = 8.4, stub_per_window_us: float = 33.0,
-             ring_seconds: float = 18.0) -> dict[str, Any]:
+             ring_seconds: float = 27.0) -> dict[str, Any]:
     """Run the soak; returns the result record (see module docstring)."""
     from birdnet_go_tpu.analysis.jobqueue import JobQueue, RetryConfig
     from birdnet_go_tpu.analysis.processor import FlushLoop, Processor
@@ -234,7 +234,9 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     import gc
 
     gc.collect()
-    gc.freeze()
+    gc.freeze()        # ONCE, post-warmup — periodic freezing would
+    #                    exempt in-flight cyclic garbage from collection
+    #                    and corrupt the soak's own memory measurement
     # attribute any residual stalls: record every GC pause > 50 ms
     gc_pauses: list[float] = []
     _gc_t0 = [0.0]
@@ -257,11 +259,6 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     try:
         while time.monotonic() - t0 < seconds:
             time.sleep(5.0)
-            # long-running-service GC discipline (the Instagram pattern):
-            # periodically promote survivors to the permanent generation
-            # so gen-2 sweeps stay small — a multi-second full sweep
-            # mid-run stalls the tick loop enough to clobber rings
-            gc.freeze()
             fs = farm.stats()
             samples.append({
                 "t": round(time.monotonic() - t0, 1),

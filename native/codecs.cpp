@@ -495,27 +495,51 @@ struct AacStream {
     int rate;
     int channels;
     std::vector<int16_t> carry;     // < one 1024-sample frame, interleaved
+    // a packet that did not fit the caller's out buffer is PARKED here
+    // (never destroyed — once pulled from the encoder it cannot be
+    // re-received) and emitted first on the next drain
+    std::vector<unsigned char> pending;
     bool flushed = false;
 };
 
+static bool emit_packet(const unsigned char* data, int n,
+                        unsigned char* out, int64_t out_cap,
+                        int64_t& written, int32_t* packets) {
+    if (written + 4 + n > out_cap) return false;
+    out[written + 0] = (unsigned char)(n & 0xff);
+    out[written + 1] = (unsigned char)((n >> 8) & 0xff);
+    out[written + 2] = (unsigned char)((n >> 16) & 0xff);
+    out[written + 3] = (unsigned char)((n >> 24) & 0xff);
+    std::memcpy(out + written + 4, data, (size_t)n);
+    written += 4 + n;
+    if (packets) (*packets)++;
+    return true;
+}
+
 // Drain every pending packet from the encoder into the length-prefixed
-// out buffer. Returns bytes appended, or -3 (out full) / -4 (error).
+// out buffer. A packet that doesn't fit is parked on the stream (NOT
+// destroyed) and the bytes already written are returned — no audio is
+// ever lost to an undersized buffer. Returns bytes appended or -4.
 static int64_t aac_drain(AacStream* s, unsigned char* out, int64_t out_cap,
                          int64_t written, int32_t* packets) {
     AvLib& l = avlib();
+    if (!s->pending.empty()) {
+        if (!emit_packet(s->pending.data(), (int)s->pending.size(), out,
+                         out_cap, written, packets)) {
+            return written;
+        }
+        s->pending.clear();
+    }
     for (;;) {
         int r = l.receive_packet(s->ctx, s->pkt);
         if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return written;
         if (r < 0) return -4;
         int n = s->pkt->size;
-        if (written + 4 + n > out_cap) { l.packet_unref(s->pkt); return -3; }
-        out[written + 0] = (unsigned char)(n & 0xff);
-        out[written + 1] = (unsigned char)((n >> 8) & 0xff);
-        out[written + 2] = (unsigned char)((n >> 16) & 0xff);
-        out[written + 3] = (unsigned char)((n >> 24) & 0xff);
-        std::memcpy(out + written + 4, s->pkt->data, (size_t)n);
-        written += 4 + n;
-        if (packets) (*packets)++;
+        if (!emit_packet(s->pkt->data, n, out, out_cap, written, packets)) {
+            s->pending.assign(s->pkt->data, s->pkt->data + n);
+            l.packet_unref(s->pkt);
+            return written;
+        }
         l.packet_unref(s->pkt);
     }
 }
@@ -556,7 +580,7 @@ BN_API void* bn_aac_stream_create(int rate, int channels, int bitrate,
         l.free_context(&ctx);
         return nullptr;
     }
-    return new AacStream{ctx, frame, pkt, rate, channels, {}, false};
+    return new AacStream{ctx, frame, pkt, rate, channels, {}, {}, false};
 }
 
 // Feed interleaved int16 PCM; writes length-prefixed raw AAC packets
@@ -605,7 +629,12 @@ BN_API int64_t bn_aac_stream_flush(void* handle, unsigned char* out,
                                    int64_t out_cap, int32_t* n_packets) {
     AvLib& l = avlib();
     auto* s = (AacStream*)handle;
-    if (!s || !l.avc || s->flushed) return -1;
+    if (!s || !l.avc) return -1;
+    if (s->flushed) {
+        // re-entry drains only a parked packet (encoder is at EOF)
+        if (n_packets) *n_packets = 0;
+        return aac_drain(s, out, out_cap, 0, n_packets);
+    }
     if (n_packets) *n_packets = 0;
     int64_t written = 0;
     if (!s->carry.empty()) {
@@ -622,6 +651,14 @@ BN_API int64_t bn_aac_stream_flush(void* handle, unsigned char* out,
     int64_t total = aac_drain(s, out, out_cap, written, &extra);
     if (n_packets && total >= 0) *n_packets += extra;
     return total;
+}
+
+// Encoder priming delay in samples (MP4 edit lists trim it; ~1024-2048
+// for the native FFmpeg AAC encoder). Valid after create.
+BN_API int32_t bn_aac_stream_delay(void* handle) {
+    auto* s = (AacStream*)handle;
+    if (!s) return 0;
+    return (int32_t)s->ctx->initial_padding;
 }
 
 BN_API void bn_aac_stream_destroy(void* handle) {
@@ -665,13 +702,20 @@ BN_API int64_t bn_aac_decode(const unsigned char* packets,
     int64_t frames = 0;
     int64_t off = 0;
     bool fail = false;
+    // avcodec_send_packet requires AV_INPUT_BUFFER_PADDING_SIZE zeroed
+    // bytes past the payload (optimized bitstream readers over-read);
+    // pointing pkt->data at the caller's buffer would heap-over-read on
+    // a packet whose last codeword ends at the boundary
+    std::vector<uint8_t> padded;
     while (off + 4 <= packets_len && !fail) {
         uint32_t n = (uint32_t)packets[off] | ((uint32_t)packets[off + 1] << 8)
             | ((uint32_t)packets[off + 2] << 16)
             | ((uint32_t)packets[off + 3] << 24);
         off += 4;
         if (off + (int64_t)n > packets_len) break;
-        pkt->data = (uint8_t*)(packets + off);
+        padded.assign(packets + off, packets + off + n);
+        padded.resize(n + AV_INPUT_BUFFER_PADDING_SIZE, 0);
+        pkt->data = padded.data();
         pkt->size = (int)n;
         off += n;
         if (l.send_packet(ctx, pkt) < 0) { fail = true; break; }
@@ -734,6 +778,7 @@ struct AacDecoder {
     AVFrame* frame;
     AVPacket* pkt;
     int channels;
+    std::vector<uint8_t> padded;    // AV_INPUT_BUFFER_PADDING_SIZE scratch
 };
 
 BN_API void* bn_aac_decoder_create(const unsigned char* asc,
@@ -765,7 +810,7 @@ BN_API void* bn_aac_decoder_create(const unsigned char* asc,
         l.free_context(&ctx);
         return nullptr;
     }
-    return new AacDecoder{ctx, frame, pkt, channels};
+    return new AacDecoder{ctx, frame, pkt, channels, {}};
 }
 
 // Decode ONE access unit; returns frames per channel written to out
@@ -776,7 +821,11 @@ BN_API int64_t bn_aac_decoder_decode(void* handle, const unsigned char* au,
     AvLib& l = avlib();
     auto* d = (AacDecoder*)handle;
     if (!d || !l.avc || !au || au_len <= 0) return -1;
-    d->pkt->data = (uint8_t*)au;
+    // copy into the padded scratch — see bn_aac_decode (RTP AUs are
+    // network-controlled; over-read past the payload is the failure)
+    d->padded.assign(au, au + au_len);
+    d->padded.resize((size_t)au_len + AV_INPUT_BUFFER_PADDING_SIZE, 0);
+    d->pkt->data = d->padded.data();
     d->pkt->size = (int)au_len;
     if (l.send_packet(d->ctx, d->pkt) < 0) return -4;
     int64_t frames = 0;

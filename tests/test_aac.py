@@ -74,12 +74,19 @@ def test_adts_frames():
 
 def test_m4a_write_read_decode(tmp_path):
     pcm = _tone(2.0)
-    packets, asc = aacenc.encode_aac(pcm, RATE)
-    path = aacenc.write_m4a(tmp_path / "clip.m4a", packets, asc, RATE)
-    p2, asc2, rate2 = aacenc.read_m4a(path)
+    packets, asc, priming = aacenc.encode_aac_with_priming(pcm, RATE)
+    assert priming >= 1024          # FFmpeg AAC encoder delay
+    path = aacenc.write_m4a(tmp_path / "clip.m4a", packets, asc, RATE,
+                            priming=priming)
+    p2, asc2, rate2, priming2 = aacenc.read_m4a(path)
     assert p2 == packets and asc2 == asc and rate2 == RATE
+    assert priming2 == priming      # edit list round-trips the delay
     decoded = aacenc.decode_aac(p2, asc2, rate2)
     assert _aligned_corr(decoded, pcm) > 0.99
+    # trimming the declared priming aligns the head with the source
+    trimmed = decoded[priming2:priming2 + RATE].astype(np.float64)
+    ref = pcm[:RATE].astype(np.float64)
+    assert float(np.corrcoef(trimmed, ref)[0, 1]) > 0.95
 
 
 def test_encode_clip_aac_and_load(tmp_path):
