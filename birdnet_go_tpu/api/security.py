@@ -43,7 +43,10 @@ PUBLIC_PATHS = {"/api/v2/health", "/api/v2/ping", "/metrics",
                 "/api/v2/auth/oidc/login", "/api/v2/auth/oidc/callback",
                 "/api/v2/auth/github/login", "/api/v2/auth/github/callback",
                 "/api/v2/oauth2/token", "/manifest.json", "/sw.js"}
-PUBLIC_PREFIXES = ("/ui", "/login", "/static/")
+# /.well-known/acme-challenge: HTTP-01 validation fetches MUST succeed
+# unauthenticated (RFC 8555; reference AutoTLS listener)
+PUBLIC_PREFIXES = ("/ui", "/login", "/static/",
+                   "/.well-known/acme-challenge/")
 
 SESSION_COOKIE = "birdnet_session"
 AUTH_CODE_TTL = 120.0

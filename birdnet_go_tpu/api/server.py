@@ -129,11 +129,36 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         loop.run_forever()
 
     def _ssl_context(self):
-        """HTTPS when webserver.tls_enabled: load the installed certificate
-        or auto-generate a self-signed pair (internal/tls generate.go)."""
+        """HTTPS when webserver.tls_enabled: ACME (Let's Encrypt) when
+        tls_mode == "acme" (reference AutoTLS, server.go:601-633), else
+        the installed certificate or an auto-generated self-signed pair
+        (internal/tls generate.go)."""
         ws = self.ctx.settings.webserver
         if not getattr(ws, "tls_enabled", False):
             return None
+        if getattr(ws, "tls_mode", "self-signed") == "acme" \
+                and getattr(ws, "acme_domain", ""):
+            import ssl
+
+            from birdnet_go_tpu.utils.acme import (
+                GLOBAL_RESPONDER,
+                LETS_ENCRYPT,
+                AutoTlsManager,
+            )
+
+            try:
+                mgr = AutoTlsManager(
+                    ws.tls_dir, ws.acme_domain,
+                    directory_url=getattr(ws, "acme_directory", "")
+                    or LETS_ENCRYPT,
+                    contact=getattr(ws, "acme_contact", "") or None)
+                cert, key = mgr.ensure(GLOBAL_RESPONDER)
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+                ctx.load_cert_chain(cert, key)
+                return ctx
+            except Exception:
+                log.exception("ACME setup failed — falling back to "
+                              "self-signed")
         from birdnet_go_tpu.utils.tlscert import TLSManager
 
         mgr = TLSManager(ws.tls_dir)
@@ -169,6 +194,9 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         self.register_ext_routes(r, v2)
         r.add_get(f"{v2}/health", self.h_health)
         r.add_get(f"{v2}/ping", self.h_ping)
+        # ACME HTTP-01 (RFC 8555): served unauthenticated for AutoTLS
+        r.add_get("/.well-known/acme-challenge/{token}",
+                  self.h_acme_challenge)
         # detections
         r.add_get(f"{v2}/detections", self.h_detections)
         r.add_get(f"{v2}/detections/recent", self.h_recent)
@@ -272,6 +300,15 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             "uptime_seconds": round(time.time() - self.started_at, 1),
             "checks": checks,
         })
+
+    async def h_acme_challenge(self, request):
+        from birdnet_go_tpu.utils.acme import GLOBAL_RESPONDER
+
+        key_auth = GLOBAL_RESPONDER.get(request.match_info["token"])
+        if key_auth is None:
+            return web.Response(status=404, text="no such challenge")
+        return web.Response(text=key_auth,
+                            content_type="application/octet-stream")
 
     async def h_ping(self, request):
         return _json({"pong": True, "time": _dt.datetime.now().isoformat()})

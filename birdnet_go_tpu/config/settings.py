@@ -274,6 +274,12 @@ class WebServerSettings:
     # with SANs from host/base_url/interfaces (sans.go CollectSANs).
     tls_enabled: bool = False
     tls_dir: str = "data/tls"
+    # "self-signed" (default) or "acme" (Let's Encrypt AutoTLS —
+    # reference server.go:601-633; needs acme_domain + port-80 reach)
+    tls_mode: str = "self-signed"
+    acme_domain: str = ""
+    acme_directory: str = ""          # empty → Let's Encrypt production
+    acme_contact: str = ""            # optional mailto contact
     base_url: str = ""                  # public URL, feeds certificate SANs
     # OIDC / SSO login (reference: social + OIDC providers): point at any
     # OpenID Connect issuer; allowed = emails or "@domain" entries
