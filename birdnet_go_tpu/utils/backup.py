@@ -373,6 +373,115 @@ class RsyncTarget:
         return self.staging.fetch(name)
 
 
+class GDriveTarget:
+    """Google Drive target (reference: backup/targets/gdrive.go).
+
+    Speaks the Drive v3 REST API directly over the pooled HTTP client:
+    OAuth2 refresh-token exchange (the unattended-backup grant — the
+    interactive consent that PRODUCES the refresh token happens once,
+    out of band), multipart upload into a folder, name-filtered list,
+    delete, and download. `endpoint`/`token_endpoint` are injectable so
+    tests run against an in-process Drive fake."""
+
+    def __init__(self, client_id: str, client_secret: str,
+                 refresh_token: str, folder_id: str = "root",
+                 endpoint: str = "https://www.googleapis.com/drive/v3",
+                 upload_endpoint: str =
+                 "https://www.googleapis.com/upload/drive/v3",
+                 token_endpoint: str =
+                 "https://oauth2.googleapis.com/token",
+                 session=None):
+        import httpx
+
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.refresh_token = refresh_token
+        self.folder_id = folder_id
+        self.endpoint = endpoint.rstrip("/")
+        self.upload_endpoint = upload_endpoint.rstrip("/")
+        self.token_endpoint = token_endpoint
+        self.session = session or httpx.Client(timeout=60.0)
+        self._access_token: str | None = None
+        self._token_expiry = 0.0
+
+    def _token(self) -> str:
+        if self._access_token and time.time() < self._token_expiry - 60:
+            return self._access_token
+        r = self.session.post(self.token_endpoint, data={
+            "client_id": self.client_id,
+            "client_secret": self.client_secret,
+            "refresh_token": self.refresh_token,
+            "grant_type": "refresh_token",
+        })
+        r.raise_for_status()
+        tok = r.json()
+        self._access_token = tok["access_token"]
+        self._token_expiry = time.time() + float(
+            tok.get("expires_in", 3600))
+        return self._access_token
+
+    def _headers(self) -> dict[str, str]:
+        return {"Authorization": f"Bearer {self._token()}"}
+
+    def _find(self, name: str) -> str | None:
+        q = (f"name = '{name}' and '{self.folder_id}' in parents "
+             "and trashed = false")
+        r = self.session.get(f"{self.endpoint}/files",
+                             params={"q": q, "fields": "files(id,name)"},
+                             headers=self._headers())
+        r.raise_for_status()
+        files = r.json().get("files", [])
+        return files[0]["id"] if files else None
+
+    def store(self, name: str, data: bytes) -> None:
+        import uuid
+
+        meta = json.dumps({"name": name,
+                           "parents": [self.folder_id]}).encode()
+        boundary = uuid.uuid4().hex
+        body = (b"--" + boundary.encode()
+                + b"\r\nContent-Type: application/json;"
+                  b" charset=UTF-8\r\n\r\n" + meta
+                + b"\r\n--" + boundary.encode()
+                + b"\r\nContent-Type: application/octet-stream\r\n\r\n"
+                + data + b"\r\n--" + boundary.encode() + b"--")
+        r = self.session.post(
+            f"{self.upload_endpoint}/files",
+            params={"uploadType": "multipart"},
+            content=body,
+            headers={**self._headers(),
+                     "Content-Type":
+                     f"multipart/related; boundary={boundary}"})
+        r.raise_for_status()
+
+    def list(self) -> list[str]:
+        q = f"'{self.folder_id}' in parents and trashed = false"
+        r = self.session.get(f"{self.endpoint}/files",
+                             params={"q": q, "fields": "files(id,name)",
+                                     "pageSize": "1000"},
+                             headers=self._headers())
+        r.raise_for_status()
+        return sorted(f["name"] for f in r.json().get("files", [])
+                      if f["name"].endswith((".gz", ".enc")))
+
+    def delete(self, name: str) -> None:
+        fid = self._find(name)
+        if fid:
+            r = self.session.delete(f"{self.endpoint}/files/{fid}",
+                                    headers=self._headers())
+            r.raise_for_status()
+
+    def fetch(self, name: str) -> bytes:
+        fid = self._find(name)
+        if fid is None:
+            raise FileNotFoundError(name)
+        r = self.session.get(f"{self.endpoint}/files/{fid}",
+                             params={"alt": "media"},
+                             headers=self._headers())
+        r.raise_for_status()
+        return r.content
+
+
 def build_target(settings) -> Target:
     """BackupSettings → Target (app wiring; reference: backup target
     registry keyed by config type)."""
@@ -389,6 +498,8 @@ def build_target(settings) -> Target:
     if kind == "rsync":
         remote.setdefault("staging_dir", settings.target_dir)
         return RsyncTarget(**remote)
+    if kind == "gdrive":
+        return GDriveTarget(**remote)
     raise ValueError(f"unknown backup target {kind!r}")
 
 

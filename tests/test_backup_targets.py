@@ -436,7 +436,7 @@ def test_build_target_dispatch(tmp_path):
     t = build_target(s)
     assert isinstance(t, RsyncTarget) and t.dest == "h:/backups"
     with pytest.raises(ValueError):
-        build_target(BackupSettings(target="gdrive"))
+        build_target(BackupSettings(target="webdav"))
 
 
 def test_verify_reports_archive_encryption_not_caller_passphrase(tmp_path):
@@ -450,3 +450,120 @@ def test_verify_reports_archive_encryption_not_caller_passphrase(tmp_path):
     blob = (tmp_path / "bk" / name).read_bytes()
     report = verify_archive(blob, passphrase="configured-but-unused")
     assert report["encrypted"] is False
+
+
+# -- Google Drive (against an in-process Drive v3 fake) ----------------------------
+
+
+class FakeDriveSession:
+    """In-process Drive v3 + OAuth2 token fake: refresh-token exchange,
+    multipart upload, q-filtered list, delete, alt=media download —
+    the endpoints GDriveTarget drives (reference gdrive.go)."""
+
+    def __init__(self):
+        self.files: dict[str, tuple[str, bytes]] = {}   # id → (name, data)
+        self.token_calls = 0
+        self._next = 1
+
+    class _R:
+        def __init__(self, code=200, body=None, content=b""):
+            self.status_code = code
+            self._body = body
+            self.content = content
+
+        def json(self):
+            return self._body
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise RuntimeError(f"HTTP {self.status_code}")
+
+    def _auth_ok(self, headers):
+        return (headers or {}).get("Authorization") == "Bearer at-1"
+
+    def post(self, url, data=None, params=None, content=None,
+             headers=None):
+        if url.endswith("/token"):
+            self.token_calls += 1
+            assert data["grant_type"] == "refresh_token"
+            assert data["refresh_token"] == "rt-xyz"
+            return self._R(200, {"access_token": "at-1",
+                                 "expires_in": 3600})
+        if "/upload/" in url:
+            if not self._auth_ok(headers):
+                return self._R(401)
+            # parse the multipart/related body: [meta json][payload]
+            boundary = headers["Content-Type"].split("boundary=")[1]
+            parts = content.split(b"--" + boundary.encode())
+            meta = json.loads(parts[1].split(b"\r\n\r\n", 1)[1]
+                              .rsplit(b"\r\n", 1)[0])
+            payload = parts[2].split(b"\r\n\r\n", 1)[1] \
+                .rsplit(b"\r\n", 1)[0]
+            fid = f"id{self._next}"
+            self._next += 1
+            assert meta["parents"] == ["folder9"]
+            self.files[fid] = (meta["name"], payload)
+            return self._R(200, {"id": fid})
+        return self._R(404)
+
+    def get(self, url, params=None, headers=None):
+        if not self._auth_ok(headers):
+            return self._R(401)
+        if url.endswith("/files"):
+            q = params["q"]
+            out = []
+            for fid, (name, _) in self.files.items():
+                if f"name = '{name}'" in q or "name =" not in q:
+                    out.append({"id": fid, "name": name})
+            return self._R(200, {"files": out})
+        fid = url.rsplit("/", 1)[-1]
+        if params and params.get("alt") == "media" \
+                and fid in self.files:
+            return self._R(200, content=self.files[fid][1])
+        return self._R(404)
+
+    def delete(self, url, headers=None):
+        if not self._auth_ok(headers):
+            return self._R(401)
+        self.files.pop(url.rsplit("/", 1)[-1], None)
+        return self._R(204)
+
+
+import json  # noqa: E402
+
+
+def test_gdrive_target_round_trip():
+    from birdnet_go_tpu.utils.backup import GDriveTarget
+
+    sess = FakeDriveSession()
+    t = GDriveTarget("cid", "csec", "rt-xyz", folder_id="folder9",
+                     session=sess)
+    t.store("a.tar.gz", b"alpha")
+    t.store("b.tar.gz.enc", b"beta")
+    assert t.list() == ["a.tar.gz", "b.tar.gz.enc"]
+    assert t.fetch("b.tar.gz.enc") == b"beta"
+    t.delete("a.tar.gz")
+    assert t.list() == ["b.tar.gz.enc"]
+    # token fetched once and reused within its validity window
+    assert sess.token_calls == 1
+    with pytest.raises(FileNotFoundError):
+        t.fetch("missing.tar.gz")
+
+
+def test_gdrive_via_build_target_and_manager(tmp_path):
+    from birdnet_go_tpu.config.settings import BackupSettings
+    from birdnet_go_tpu.utils.backup import BackupManager, build_target
+
+    sess = FakeDriveSession()
+    s = BackupSettings(target="gdrive",
+                       remote={"client_id": "cid", "client_secret": "c",
+                               "refresh_token": "rt-xyz",
+                               "folder_id": "folder9"})
+    t = build_target(s)
+    t.session = sess
+    mgr = _mgr_with_db(tmp_path)
+    mgr.target = t
+    name = mgr.run_once()
+    assert name in t.list()
+    report = mgr.verify(name)
+    assert report["database"]["integrity"] == "ok"
