@@ -87,6 +87,8 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/analytics/database/stats", self.h_db_stats)
         r.add_get(f"{v2}/analytics/daily-events/{{date}}",
                   self.h_daily_events)
+        r.add_get(f"{v2}/analytics/species/daily",
+                  self.h_species_daily_summary)
         r.add_get(f"{v2}/analytics/trends", self.h_trends)
         r.add_get(f"{v2}/analytics/dashboard/kpis", self.h_dashboard_kpis)
         # weather
@@ -627,6 +629,27 @@ class ExtendedHandlers:
         """Period-over-period trend (reference: GetDetectionTrends)."""
         days = min(max(int(request.query.get("days", 30)), 1), 365)
         return _json(self.ctx.datastore.detection_trends(days))
+
+    async def h_species_daily_summary(self, request):
+        """Species×hour daily grid (reference GET /analytics/species/
+        daily, analytics.go:193-265): per-species count, 24 hourly
+        buckets, max confidence, first/latest heard, new-species flags,
+        and the cached thumbnail when the image provider has one."""
+        import datetime as _dt
+
+        date = request.query.get("date") or _dt.date.today().isoformat()
+        try:
+            min_conf = float(request.query.get("min_confidence", 0))
+        except ValueError:
+            return _json({"error": "bad min_confidence"}, status=400)
+        rows = self.ctx.datastore.daily_species_summary(date, min_conf)
+        get_cache = getattr(self.ctx.datastore, "get_image_cache", None)
+        if get_cache is not None:
+            for r in rows:
+                img = get_cache(r["scientific_name"].lower())
+                if img and img.get("thumbnail_url"):
+                    r["thumbnail_url"] = img["thumbnail_url"]
+        return _json({"date": date, "species": rows})
 
     async def h_daily_events(self, request):
         """Per-day rollup (reference: GetDailyEvents) — maintained on every

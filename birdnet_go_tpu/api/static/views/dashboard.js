@@ -19,11 +19,13 @@ export async function dashboardView(outlet) {
     el("div", { class: "det-cards", id: "det-cards" }));
   const healthCard = el("div", { class: "card" });
   const weatherCard = el("div", { class: "card" });
+  const gridCard = el("div", { class: "card" });
   outlet.append(kpiRow, hearingCard, el("div", { class: "grid cols-2" },
-                           liveCard, activityCard), cardsWrap,
+                           liveCard, activityCard), gridCard, cardsWrap,
                 el("div", { class: "grid cols-2" },
                    healthCard, weatherCard));
   renderWeather(weatherCard);
+  renderSpeciesGrid(gridCard);
 
   // "currently hearing": live pending-consensus entries (SSE channel fed
   // by the processor's pending-broadcast — not-yet-approved detections)
@@ -343,5 +345,66 @@ async function renderLive(card) {
     }
     if (audio) { audio.pause(); audio.src = ""; audio = null; }
     if (ctx) { ctx.close(); ctx = null; }
+  }
+}
+
+/* Daily species summary: the species × hour grid (reference's signature
+   dashboard element — GET /api/v2/analytics/species/daily). Each cell's
+   dot scales with that hour's detection count; ★ marks species first
+   seen within the last week. */
+async function renderSpeciesGrid(card) {
+  card.append(el("h2", {}, t("todays_species")));
+  try {
+    const { species } = await api("/analytics/species/daily");
+    if (!species.length) {
+      card.append(el("div", { class: "empty" }, t("no_data")));
+      return;
+    }
+    const tbl = el("table", { class: "data species-grid" });
+    const head = el("tr", {}, el("th", {}, t("species")),
+                   el("th", {}, "#"));
+    for (let h = 0; h < 24; h++) {
+      head.append(el("th", { class: "sub",
+                             style: "font-size:10px;padding:1px" },
+                     h % 6 === 0 ? String(h) : ""));
+    }
+    tbl.append(el("thead", {}, head));
+    const tb = el("tbody");
+    const maxIn = (arr) => arr.reduce((a, b) => Math.max(a, b), 1);
+    for (const s of species.slice(0, 25)) {
+      const row = el("tr", {});
+      const nameCell = el("td", {},
+        s.thumbnail_url
+          ? el("img", { src: s.thumbnail_url, loading: "lazy",
+                        style: "width:24px;height:24px;border-radius:50%;"
+                               + "object-fit:cover;margin-right:6px;"
+                               + "vertical-align:middle" })
+          : null,
+        el("strong", {}, s.common_name || s.scientific_name),
+        s.is_new_species
+          ? el("span", { class: "pill info", title: t("new_species"),
+                         style: "margin-left:6px" }, "★")
+          : null);
+      nameCell.title = `${s.scientific_name} · `
+        + `${t("first_seen")} ${s.first_heard || "–"} · `
+        + `max ${Math.round((s.max_confidence || 0) * 100)}%`;
+      row.append(nameCell, el("td", {}, fmtNum(s.count)));
+      const peak = maxIn(s.hourly_counts);
+      for (let h = 0; h < 24; h++) {
+        const n = s.hourly_counts[h];
+        const size = n ? 4 + Math.round(8 * n / peak) : 0;
+        row.append(el("td", { style: "padding:1px;text-align:center",
+                              title: n ? `${h}:00 — ${n}` : "" },
+          n ? el("span", { style:
+            `display:inline-block;width:${size}px;height:${size}px;`
+            + "border-radius:50%;background:var(--accent-primary,#4a9)" })
+            : ""));
+      }
+      tb.append(row);
+    }
+    tbl.append(tb);
+    card.append(el("div", { style: "overflow-x:auto" }, tbl));
+  } catch (e) {
+    card.append(el("div", { class: "empty" }, e.message));
   }
 }

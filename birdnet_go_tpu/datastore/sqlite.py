@@ -623,6 +623,52 @@ class Datastore:
                     out[r["hr"]] = r["n"]
         return out
 
+    def daily_species_summary(self, date: str,
+                              min_confidence: float = 0.0
+                              ) -> list[dict[str, Any]]:
+        """Per-species summary for one day with 24-hour counts — the
+        dashboard's species×hour grid (reference
+        GET /api/v2/analytics/species/daily, analytics.go:193-265:
+        count, hourly_counts[24], max confidence, first/latest heard,
+        new-species flags from the all-time first detection)."""
+        sql = ("SELECT scientific_name, MAX(common_name) AS common_name,"
+               " MAX(species_code) AS species_code,"
+               " COUNT(*) AS count, MAX(confidence) AS max_confidence,"
+               " MIN(time) AS first_heard, MAX(time) AS latest_heard"
+               " FROM detections WHERE date = ? AND confidence >= ?"
+               " GROUP BY scientific_name ORDER BY count DESC")
+        hr_sql = ("SELECT scientific_name,"
+                  " CAST(substr(time, 1, 2) AS INTEGER) AS hr,"
+                  " COUNT(*) AS n FROM detections"
+                  " WHERE date = ? AND confidence >= ?"
+                  " GROUP BY scientific_name, hr")
+        first_sql = ("SELECT scientific_name, MIN(date) AS first_date"
+                     " FROM detections GROUP BY scientific_name")
+        with self._lock:
+            rows = [dict(r) for r in self._conn.execute(
+                sql, (date, min_confidence))]
+            hourly: dict[str, list[int]] = {}
+            for r in self._conn.execute(hr_sql, (date, min_confidence)):
+                h = hourly.setdefault(r["scientific_name"], [0] * 24)
+                if 0 <= r["hr"] < 24:
+                    h[r["hr"]] = r["n"]
+            first = {r["scientific_name"]: r["first_date"]
+                     for r in self._conn.execute(first_sql)}
+        import datetime as _dt
+
+        day = _dt.date.fromisoformat(date)
+        for r in rows:
+            r["hourly_counts"] = hourly.get(r["scientific_name"],
+                                            [0] * 24)
+            r["high_confidence"] = r["max_confidence"] >= 0.8
+            fd = first.get(r["scientific_name"])
+            if fd:
+                days = (day - _dt.date.fromisoformat(fd)).days
+                r["days_since_first_seen"] = max(days, 0)
+                # reference semantics: new within the 7-day window
+                r["is_new_species"] = 0 <= days <= 7
+        return rows
+
     def daily_counts(self, date_from: str, date_to: str
                      ) -> list[dict[str, Any]]:
         sql = ("SELECT date, COUNT(*) AS count,"

@@ -89,3 +89,54 @@ def test_detection_trends_period_over_period():
     ds2 = Datastore(":memory:")
     ds2.insert_detection(_detection(ts=noon))
     assert ds2.detection_trends(days=7)["detections_change_pct"] is None
+
+
+def test_daily_species_summary(tmp_path):
+    """Species×hour grid endpoint data (reference analytics.go:193-265):
+    per-species 24-bucket hourly counts, first/latest heard, and
+    new-species flags from the all-time first detection."""
+    import datetime as dt
+
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    ds = Datastore(str(tmp_path / "d.db"))
+    today = dt.date.today().isoformat()
+    old = (dt.date.today() - dt.timedelta(days=30)).isoformat()
+    # a long-known species heard at 06 and 07, a brand-new one at 17
+    for hh, sci, common in (("06", "Turdus merula", "Blackbird"),
+                            ("06", "Turdus merula", "Blackbird"),
+                            ("07", "Turdus merula", "Blackbird"),
+                            ("17", "Regulus regulus", "Goldcrest")):
+        d = _detection(sci=sci, common=common, conf=0.9)
+        ds._conn.execute(
+            "INSERT INTO detections (timestamp, date, time, source_id,"
+            " model_id, scientific_name, common_name, species_code,"
+            " confidence, begin_time, end_time, clip_name) VALUES"
+            " (?,?,?,?,?,?,?,?,?,?,?,'')",
+            (f"{today}T{hh}:00:00", today, f"{hh}:00:00", "s", "m",
+             sci, common, "", 0.9, 0, 3))
+    ds._conn.execute(
+        "INSERT INTO detections (timestamp, date, time, source_id,"
+        " model_id, scientific_name, common_name, species_code,"
+        " confidence, begin_time, end_time, clip_name) VALUES"
+        " (?,?,?,?,?,?,?,?,?,?,?,'')",
+        (f"{old}T09:00:00", old, "09:00:00", "s", "m",
+         "Turdus merula", "Blackbird", "", 0.9, 0, 3))
+    ds._conn.commit()
+
+    rows = ds.daily_species_summary(today)
+    by = {r["scientific_name"]: r for r in rows}
+    tm = by["Turdus merula"]
+    assert tm["count"] == 3 and tm["hourly_counts"][6] == 2 \
+        and tm["hourly_counts"][7] == 1 and sum(tm["hourly_counts"]) == 3
+    assert tm["first_heard"].startswith("06:") \
+        and tm["latest_heard"].startswith("07:")
+    assert tm["days_since_first_seen"] == 30 \
+        and not tm["is_new_species"]
+    rr = by["Regulus regulus"]
+    assert rr["is_new_species"] and rr["days_since_first_seen"] == 0
+    assert rr["high_confidence"]
+    # min_confidence filters
+    assert ds.daily_species_summary(today, min_confidence=0.95) == []
+    ds.close()
