@@ -475,6 +475,13 @@ def test_mysql_datastore_full_flow(server):
     assert ds.get_image_cache("parus major")["url"] == "http://x/2.jpg"
     # doctor
     assert ds.integrity_check()["tables"] > 5
+    # species-by-hour daily grid runs the same SQL over the wire
+    import datetime as _dt
+
+    day = _dt.datetime.fromtimestamp(1_700_000_000.0).date().isoformat()
+    rows = ds.daily_species_summary(day)
+    assert rows and rows[0]["hourly_counts"] and \
+        sum(rows[0]["hourly_counts"]) == rows[0]["count"]
     ds.close()
 
 
