@@ -221,6 +221,9 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         r.add_get(f"{v2}/analytics/year-over-year", self.h_yoy)
         r.add_get(f"{v2}/analytics/accumulation", self.h_accumulation)
         r.add_get(f"{v2}/analytics/diversity", self.h_diversity)
+        r.add_get(f"{v2}/analytics/time-of-day", self.h_tod_species)
+        r.add_get(f"{v2}/analytics/species-daily-trend",
+                  self.h_species_daily_trend)
         # live audio + levels (reference: HLS live audio + audio-level SSE;
         # here a chunked streaming-WAV endpoint browsers play natively)
         r.add_get(f"{v2}/audio/live/{{source}}", self.h_audio_live)
@@ -674,6 +677,23 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
     async def h_diversity(self, request):
         dfrom, dto = self._date_range(request.query)
         return _json(self.ctx.datastore.diversity(dfrom, dto))
+
+    async def h_tod_species(self, request):
+        """Top-N species 24-hour activity profiles (reference
+        TimeOfDaySpeciesChart / SpeciesRidgeline analytics components)."""
+        dfrom, dto = self._date_range(request.query)
+        top = min(int(request.query.get("top", 8)), 50)
+        return _json({"species": self.ctx.datastore.time_of_day_species(
+            dfrom, dto, top)})
+
+    async def h_species_daily_trend(self, request):
+        """Top-N species daily counts (reference DailySpeciesTrendChart /
+        SeasonalHeatmap analytics components)."""
+        dfrom, dto = self._date_range(request.query)
+        top = min(int(request.query.get("top", 5)), 50)
+        return _json({"from": dfrom, "to": dto,
+                      "species": self.ctx.datastore.species_daily_trend(
+                          dfrom, dto, top)})
 
     # -- handlers: system/streams --------------------------------------------------------------
 

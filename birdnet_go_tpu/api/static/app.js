@@ -89,6 +89,32 @@ export function toast(msg, isError = false) {
   toastTimer = setTimeout(() => t.remove(), 4000);
 }
 
+/** Modal dialog (reference SpeciesDetailModal et al.): returns the body
+    element to fill. Closes on ✕, Escape, backdrop click, or navigation. */
+export function modal(title) {
+  const body = el("div", { class: "modal-body" });
+  const box = el("div", { class: "modal", role: "dialog",
+                          "aria-label": title },
+    el("div", { class: "modal-head" },
+      el("h2", {}, title),
+      el("button", { class: "icon", "aria-label": "close",
+                     onclick: close }, "✕")),
+    body);
+  const overlay = el("div", { class: "modal-overlay" }, box);
+  overlay.addEventListener("click", (ev) => {
+    if (ev.target === overlay) close();
+  });
+  const onKey = (ev) => { if (ev.key === "Escape") close(); };
+  document.addEventListener("keydown", onKey);
+  function close() {
+    document.removeEventListener("keydown", onKey);
+    overlay.remove();
+  }
+  document.body.append(overlay);
+  onCleanup(close);
+  return { body, close };
+}
+
 // ---------------------------------------------------------------------- i18n
 
 export let lang = localStorage.getItem("lang")

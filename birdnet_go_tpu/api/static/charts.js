@@ -112,9 +112,10 @@ export function barChart(data, { height = 180, color = "var(--seq-400)",
   return wrap;
 }
 
-/** Horizontal bars for ranked categories: data = [{label, value}]. */
+/** Horizontal bars for ranked categories: data = [{label, value}].
+    onClick(datum) makes rows interactive (species drill-down). */
 export function hBarChart(data, { color = "var(--seq-400)",
-                                  fmt = fmtNum } = {}) {
+                                  fmt = fmtNum, onClick = null } = {}) {
   const rowH = 26, pad = { l: 150, r: 52, t: 4, b: 4 };
   const width = 640, height = pad.t + pad.b + data.length * rowH;
   const { wrap, svg, tip } = chartFrame(width, height, pad);
@@ -144,6 +145,10 @@ export function hBarChart(data, { color = "var(--seq-400)",
     hit.addEventListener("pointermove", (ev) =>
       showTip(wrap, tip, ev.clientX, ev.clientY, [[d.label, fmt(d.value)]]));
     hit.addEventListener("pointerleave", () => tip.style.display = "none");
+    if (onClick) {
+      hit.style.cursor = "pointer";
+      hit.addEventListener("click", () => onClick(d));
+    }
     svg.append(bar, name, val, hit);
   });
   return wrap;
@@ -260,6 +265,112 @@ export function heatmap(data, { fmt = fmtNum } = {}) {
     lbl.textContent = cl;
     svg.append(lbl);
   });
+  return wrap;
+}
+
+/** Ridgeline: per-category activity profiles sharing an x axis, each row
+    normalized to its own peak (reference SpeciesRidgeline.svelte).
+    rows = [{label, values: number[]}], all values arrays equal length. */
+export function ridgeline(rows, { colLabels = null, fmt = fmtNum } = {}) {
+  const rowH = 30, curveH = 44;                  // curves overlap upward
+  const pad = { l: 150, r: 12, t: curveH - rowH + 6, b: 20 };
+  const width = 640;
+  const height = pad.t + rows.length * rowH + pad.b;
+  const { wrap, svg, tip } = chartFrame(width, height, pad);
+  if (!rows.length) { wrap.append(el("div", { class: "empty" }, "No data")); return wrap; }
+  const plotW = width - pad.l - pad.r;
+  const n = rows[0].values.length;
+  const xAt = (i) => pad.l + (i / Math.max(1, n - 1)) * plotW;
+  rows.forEach((row, ri) => {
+    const base = pad.t + (ri + 1) * rowH - 6;
+    const peak = Math.max(...row.values, 1);
+    const yAt = (v) => base - (v / peak) * curveH;
+    const line = row.values.map((v, i) =>
+      `${i === 0 ? "M" : "L"}${xAt(i).toFixed(1)},${yAt(v).toFixed(1)}`).join(" ");
+    svg.append(svgEl("path", {
+      d: `${line} L${xAt(n - 1)},${base} L${xAt(0)},${base} Z`,
+      fill: "var(--seq-250)", opacity: 0.55 }));
+    svg.append(svgEl("path", {
+      d: line, fill: "none", stroke: "var(--seq-550)", "stroke-width": 1.5,
+      "stroke-linejoin": "round" }));
+    const name = svgEl("text", {
+      x: pad.l - 8, y: base, "text-anchor": "end", "font-size": 11.5,
+      fill: "var(--text-secondary)" });
+    name.textContent = row.label.length > 22
+      ? row.label.slice(0, 21) + "…" : row.label;
+    const hit = svgEl("rect", {
+      x: pad.l, y: base - rowH + 4, width: plotW, height: rowH,
+      fill: "transparent" });
+    hit.addEventListener("pointermove", (ev) => {
+      const box = svg.getBoundingClientRect();
+      const fx = (ev.clientX - box.left) * (width / box.width);
+      const i = Math.max(0, Math.min(n - 1,
+        Math.round((fx - pad.l) / (plotW / Math.max(1, n - 1)))));
+      const cl = colLabels ? colLabels[i] : String(i);
+      showTip(wrap, tip, ev.clientX, ev.clientY,
+              [[`${row.label} · ${cl}`, fmt(row.values[i])]]);
+    });
+    hit.addEventListener("pointerleave", () => tip.style.display = "none");
+    svg.append(name, hit);
+  });
+  if (colLabels) {
+    colLabels.forEach((cl, i) => {
+      if (i % Math.ceil(n / 9) !== 0) return;
+      const lbl = svgEl("text", { x: xAt(i), y: height - 6,
+        "text-anchor": "middle", "font-size": 10, fill: "var(--text-muted)" });
+      lbl.textContent = cl;
+      svg.append(lbl);
+    });
+  }
+  return wrap;
+}
+
+/** 24-hour radial activity clock, midnight at top, night arc shaded
+    (reference NocturnalClock.svelte). hourly = number[24]. */
+export function radialClock(hourly, { size = 260, night = [20, 6],
+                                      fmt = fmtNum } = {}) {
+  const cx = size / 2, cy = size / 2;
+  const rIn = size * 0.17, rOut = size * 0.44;
+  const { wrap, svg, tip } = chartFrame(size, size, { l: 0, r: 0, t: 0, b: 0 });
+  const max = Math.max(...hourly, 1);
+  const angle = (h) => (h / 24) * 2 * Math.PI - Math.PI / 2;  // 0h at top
+  const pt = (a, r) => [cx + r * Math.cos(a), cy + r * Math.sin(a)];
+  const sector = (h, r0, r1) => {
+    const a0 = angle(h) + 0.02, a1 = angle(h + 1) - 0.02;
+    const [x0, y0] = pt(a0, r0), [x1, y1] = pt(a0, r1);
+    const [x2, y2] = pt(a1, r1), [x3, y3] = pt(a1, r0);
+    return `M${x0},${y0} L${x1},${y1} A${r1},${r1} 0 0 1 ${x2},${y2}`
+      + ` L${x3},${y3} A${r0},${r0} 0 0 0 ${x0},${y0} Z`;
+  };
+  const isNight = (h) => night[0] > night[1]
+    ? (h >= night[0] || h < night[1]) : (h >= night[0] && h < night[1]);
+  for (let h = 0; h < 24; h++) {
+    if (isNight(h)) svg.append(svgEl("path", {
+      d: sector(h, rIn - 3, rOut + 5), fill: "var(--surface-2)" }));
+  }
+  const ramp = ["var(--seq-150)", "var(--seq-250)", "var(--seq-400)",
+                "var(--seq-550)", "var(--seq-700)"];
+  for (let h = 0; h < 24; h++) {
+    const v = hourly[h] || 0;
+    const r1 = rIn + (v / max) * (rOut - rIn);
+    const idx = v === 0 ? 0
+      : Math.min(ramp.length - 1, Math.floor((v / max) * ramp.length));
+    const bar = svgEl("path", {
+      d: sector(h, rIn, Math.max(rIn + 2, r1)),
+      fill: v === 0 ? "var(--surface-2)" : ramp[idx] });
+    bar.addEventListener("pointermove", (ev) =>
+      showTip(wrap, tip, ev.clientX, ev.clientY,
+              [[`${String(h).padStart(2, "0")}:00`, fmt(v)]]));
+    bar.addEventListener("pointerleave", () => tip.style.display = "none");
+    svg.append(bar);
+  }
+  for (const h of [0, 6, 12, 18]) {
+    const [x, y] = pt(angle(h), rOut + 14);
+    const lbl = svgEl("text", { x, y: y + 3, "text-anchor": "middle",
+      "font-size": 10.5, fill: "var(--text-muted)" });
+    lbl.textContent = `${h}h`;
+    svg.append(lbl);
+  }
   return wrap;
 }
 

@@ -1,8 +1,14 @@
 /* Analytics: species ranking, daily trend, hour×date heatmap, confidence
-   histogram, diversity, accumulation, new species, dawn onset. */
+   histogram, diversity, accumulation, new species, dawn onset, species
+   ridgeline, 24-hour radial clock, year-over-year, seasonal trend, and a
+   per-species drill-down modal (reference analytics feature set:
+   frontend/src/lib/desktop/features/analytics/components — TimeOfDay
+   SpeciesChart, SpeciesRidgeline, NocturnalClock, YearOverYearChart,
+   SeasonalHeatmap, SpeciesPhenology, SpeciesDetailModal). */
 
-import { api, el, fmtNum, t, table, isoDaysAgo } from "../app.js";
-import { barChart, hBarChart, heatmap, lineChart } from "../charts.js";
+import { api, el, fmtNum, t, table, isoDaysAgo, modal } from "../app.js";
+import { barChart, hBarChart, heatmap, lineChart, ridgeline,
+         radialClock } from "../charts.js";
 
 export async function analyticsView(outlet) {
   outlet.append(el("h1", {}, t("analytics")));
@@ -50,7 +56,9 @@ export async function analyticsView(outlet) {
       const rows = (Array.isArray(res) ? res : res.species || res.summary || [])
         .slice(0, 12);
       grid.append(card(t("top_species"), hBarChart(rows.map((r) => ({
-        label: r.common_name || r.scientific_name, value: r.count })))));
+        label: r.common_name || r.scientific_name, value: r.count,
+        sci: r.scientific_name })),
+        { onClick: (d) => speciesDetail(d, from, to) })));
     } catch (e) { grid.append(card(t("top_species"), err(e))); }
 
     const two = el("div", { class: "grid cols-2" });
@@ -76,16 +84,74 @@ export async function analyticsView(outlet) {
         { xLabelEvery: 2, height: 170 })));
     } catch (e) { two.append(card(t("confidence_dist"), err(e))); }
 
-    // date × hour heatmap ({date: int[24]} from the API)
+    // date × hour heatmap ({date: int[24]} from the API); its column sums
+    // also feed the 24-hour radial activity clock below
+    let hourlyTotals = null;
     try {
       const res = await api(`/analytics/heatmap?from=${from}&to=${to}`);
-      const dates = Object.keys(res).sort().slice(-21);
-      grid.append(card(t("heatmap") + " (date × hour)", dates.length
-        ? heatmap({ rows: dates.map((d) => d.slice(5)),
+      const dates = Object.keys(res).sort();
+      const shown = dates.slice(-21);
+      grid.append(card(t("heatmap") + " (date × hour)", shown.length
+        ? heatmap({ rows: shown.map((d) => d.slice(5)),
                     cols: [...Array(24).keys()].map(String),
-                    values: dates.map((d) => res[d]) })
+                    values: shown.map((d) => res[d]) })
         : el("div", { class: "empty" }, t("no_data"))));
+      if (dates.length) hourlyTotals = [...Array(24).keys()].map((h) =>
+        dates.reduce((s, d) => s + (res[d][h] || 0), 0));
     } catch (e) { grid.append(card(t("heatmap"), err(e))); }
+
+    // species ridgeline (per-species diel activity) + 24h radial clock
+    const diel = el("div", { class: "grid cols-2" });
+    grid.append(diel);
+    try {
+      const { species } = await api(
+        `/analytics/time-of-day?from=${from}&to=${to}&top=8`);
+      diel.append(card(t("species_by_hour"), species.length
+        ? ridgeline(species.map((s) => ({
+            label: s.common_name || s.scientific_name, values: s.hourly })),
+            { colLabels: [...Array(24).keys()].map((h) =>
+                `${String(h).padStart(2, "0")}:00`) })
+        : el("div", { class: "empty" }, t("no_data"))));
+    } catch (e) { diel.append(card(t("species_by_hour"), err(e))); }
+    if (hourlyTotals)
+      diel.append(card(t("activity_clock"), radialClock(hourlyTotals)));
+
+    // year-over-year monthly comparison + seasonal per-species trend
+    const season = el("div", { class: "grid cols-2" });
+    grid.append(season);
+    try {
+      const yoy = await api("/analytics/year-over-year");
+      const years = Object.keys(yoy).sort().slice(-5);
+      if (years.length >= 1) {
+        season.append(card(t("year_over_year"), lineChart(
+          years.map((y, i) => ({
+            name: y, color: `var(--series-${i + 1})`,
+            points: yoy[y].map((n, m) => ({
+              x: String(m + 1).padStart(2, "0"), y: n })),
+          })))));
+      }
+    } catch (e) { /* optional */ }
+    try {
+      const res = await api(
+        `/analytics/species-daily-trend?from=${from}&to=${to}&top=6`);
+      if (res.species.length) {
+        // bucket the range into ≤40 columns so long ranges stay readable
+        const dates = dateSpan(from, to);
+        const step = Math.ceil(dates.length / 40);
+        const cols = [], starts = [];
+        for (let i = 0; i < dates.length; i += step) {
+          starts.push(i);
+          cols.push(dates[i].slice(5));
+        }
+        season.append(card(t("seasonal_trend"), heatmap({
+          rows: res.species.map((s) => s.common_name || s.scientific_name),
+          cols,
+          values: res.species.map((s) => starts.map((i0) =>
+            dates.slice(i0, i0 + step)
+              .reduce((sum, d) => sum + (s.daily[d] || 0), 0))),
+        })));
+      }
+    } catch (e) { /* optional */ }
 
     const three = el("div", { class: "grid cols-2" });
     grid.append(three);
@@ -176,6 +242,57 @@ export async function analyticsView(outlet) {
       el("div", { class: "label" }, label),
       el("div", { class: "value" }, value ?? "–"));
   }
+}
+
+/** Per-species drill-down (reference SpeciesDetailModal): 48-week
+    phenology, diel profile, and year-over-year for one species. */
+async function speciesDetail(d, from, to) {
+  const { body } = modal(d.label);
+  body.append(el("div", { class: "grid cols-2" },
+    el("div", { class: "stat" },
+      el("div", { class: "label" }, t("detections")),
+      el("div", { class: "value" }, fmtNum(d.value))),
+    el("div", { class: "stat" },
+      el("div", { class: "label" }, t("scientific")),
+      el("div", { class: "value" }, d.sci || "–"))));
+  try {
+    const weeks = await api(
+      `/analytics/phenology/${encodeURIComponent(d.sci)}`);
+    body.append(el("h3", {}, t("phenology")),
+      barChart(weeks.map((w) => ({
+        label: String(w.week), value: w.count })),
+        { xLabelEvery: 4, height: 140 }));
+  } catch (e) { /* optional */ }
+  try {
+    const { species } = await api(
+      `/analytics/time-of-day?from=${from}&to=${to}&top=50`);
+    const mine = species.find((s) => s.scientific_name === d.sci);
+    if (mine) body.append(el("h3", {}, t("activity_by_hour")),
+      radialClock(mine.hourly));
+  } catch (e) { /* optional */ }
+  try {
+    const yoy = await api(
+      `/analytics/year-over-year?species=${encodeURIComponent(d.sci)}`);
+    const years = Object.keys(yoy).sort().slice(-5);
+    if (years.length) body.append(el("h3", {}, t("monthly_by_year")),
+      lineChart(years.map((y, i) => ({
+        name: y, color: `var(--series-${i + 1})`,
+        points: yoy[y].map((n, m) => ({
+          x: String(m + 1).padStart(2, "0"), y: n })),
+      }))));
+  } catch (e) { /* optional */ }
+}
+
+/** Inclusive ISO date list from..to (bounded to 2 years). */
+function dateSpan(from, to) {
+  const out = [];
+  const d = new Date(from + "T00:00:00Z");
+  const end = new Date(to + "T00:00:00Z");
+  while (d <= end && out.length < 732) {
+    out.push(d.toISOString().slice(0, 10));
+    d.setUTCDate(d.getUTCDate() + 1);
+  }
+  return out;
 }
 
 const iso = isoDaysAgo;

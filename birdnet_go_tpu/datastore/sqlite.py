@@ -799,6 +799,47 @@ class Datastore:
                         "species": months[m]})
         return out
 
+    def time_of_day_species(self, date_from: str, date_to: str,
+                            top_n: int = 8) -> list[dict[str, Any]]:
+        """Per-species 24-hour activity profiles for the top-N species in a
+        date range (reference TimeOfDaySpeciesChart.svelte /
+        SpeciesRidgeline.svelte — frontend/src/lib/desktop/features/
+        analytics/components)."""
+        sql = ("SELECT scientific_name, MAX(common_name) AS common_name,"
+               " CAST(substr(time, 1, 2) AS INTEGER) AS hr, COUNT(*) AS n"
+               " FROM detections WHERE date BETWEEN ? AND ?"
+               " GROUP BY scientific_name, hr")
+        rows: dict[str, dict[str, Any]] = {}
+        with self._lock:
+            for r in self._conn.execute(sql, (date_from, date_to)):
+                e = rows.setdefault(r["scientific_name"], {
+                    "scientific_name": r["scientific_name"],
+                    "common_name": r["common_name"],
+                    "hourly": [0] * 24, "total": 0})
+                if 0 <= r["hr"] < 24:
+                    e["hourly"][r["hr"]] = r["n"]
+                    e["total"] += r["n"]
+        return sorted(rows.values(), key=lambda e: -e["total"])[:top_n]
+
+    def species_daily_trend(self, date_from: str, date_to: str,
+                            top_n: int = 5) -> list[dict[str, Any]]:
+        """Per-species daily counts for the range's top-N species
+        (reference DailySpeciesTrendChart.svelte / SeasonalHeatmap.svelte).
+        Returns [{scientific_name, common_name, total, daily: {date: n}}]."""
+        sql = ("SELECT scientific_name, MAX(common_name) AS common_name,"
+               " date, COUNT(*) AS n FROM detections"
+               " WHERE date BETWEEN ? AND ? GROUP BY scientific_name, date")
+        rows: dict[str, dict[str, Any]] = {}
+        with self._lock:
+            for r in self._conn.execute(sql, (date_from, date_to)):
+                e = rows.setdefault(r["scientific_name"], {
+                    "scientific_name": r["scientific_name"],
+                    "common_name": r["common_name"],
+                    "daily": {}, "total": 0})
+                e["daily"][r["date"]] = r["n"]
+                e["total"] += r["n"]
+        return sorted(rows.values(), key=lambda e: -e["total"])[:top_n]
+
     def new_species_first_seen(self) -> list[dict[str, Any]]:
         sql = ("SELECT scientific_name, MAX(common_name) AS common_name,"
                " MIN(date) AS first_date FROM detections"

@@ -60,6 +60,41 @@ def test_accumulation_and_diversity():
     assert empty == {"richness": 0, "shannon": 0.0, "detections": 0}
 
 
+def test_time_of_day_species_profiles():
+    """Per-species 24-bucket diel profiles, ranked by total (reference
+    TimeOfDaySpeciesChart/SpeciesRidgeline analytics components)."""
+    import datetime
+
+    ds = Datastore(":memory:")
+    for sci, hh in (("Turdus merula", 6), ("Turdus merula", 6),
+                    ("Turdus merula", 18), ("Parus major", 7)):
+        ts = datetime.datetime.fromisoformat(
+            f"2026-03-05T{hh:02d}:00:00").timestamp()
+        ds.insert_detection(_detection(sci=sci, common=sci, ts=ts))
+    rows = ds.time_of_day_species("2026-01-01", "2026-12-31", top_n=8)
+    assert [r["scientific_name"] for r in rows] \
+        == ["Turdus merula", "Parus major"]
+    tm = rows[0]
+    assert tm["total"] == 3 and tm["hourly"][6] == 2 \
+        and tm["hourly"][18] == 1 and sum(tm["hourly"]) == 3
+    # top_n truncates
+    assert len(ds.time_of_day_species("2026-01-01", "2026-12-31", 1)) == 1
+
+
+def test_species_daily_trend():
+    """Top-N per-species daily counts (reference DailySpeciesTrendChart/
+    SeasonalHeatmap)."""
+    ds = Datastore(":memory:")
+    _seed(ds)
+    rows = ds.species_daily_trend("2026-01-01", "2026-12-31", top_n=5)
+    assert rows[0]["scientific_name"] == "Turdus merula"
+    assert rows[0]["total"] == 3
+    assert rows[0]["daily"] == {"2026-03-05": 1, "2026-03-06": 1,
+                                "2026-06-20": 1}
+    assert rows[1]["daily"] == {"2026-03-05": 1}      # 2025 row excluded
+    assert len(ds.species_daily_trend("2026-01-01", "2026-12-31", 1)) == 1
+
+
 def test_genus_fallback():
     assert genus_of("Turdus merula") == "Turdus"
     assert genus_of("") == ""

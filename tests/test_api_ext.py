@@ -336,3 +336,29 @@ def test_config_warnings_surface_as_notifications(tmp_path, monkeypatch):
     notes = app.notification_inbox.list()
     assert any("sensitivity" in n["message"] for n in notes)
     assert notes[0]["title"] == "Configuration warning"
+
+
+def test_diel_and_trend_analytics_endpoints(served):
+    """New analytics routes (reference TimeOfDaySpeciesChart /
+    DailySpeciesTrendChart): per-species diel profiles + daily trend —
+    and the pre-existing /detections/{id}/time-of-day route must keep
+    resolving to the sun-position handler (regression: name collision)."""
+    import datetime as dt
+
+    app, port = served
+    noon = dt.datetime.now().replace(hour=12, minute=0, second=0)
+    det_id = app.datastore.insert_detection(
+        _detection(ts=noon.timestamp()))
+    today = noon.date().isoformat()
+    tod = _req(port, f"/analytics/time-of-day?from={today}&to={today}")
+    assert tod["species"][0]["hourly"][12] == 1
+    assert tod["species"][0]["total"] == 1
+    trend = _req(port,
+                 f"/analytics/species-daily-trend?from={today}&to={today}")
+    assert trend["species"][0]["daily"] == {today: 1}
+    # sun-position route still answers (400 without location is fine)
+    try:
+        out = _req(port, f"/detections/{det_id}/time-of-day")
+        assert "time_of_day" in out or "error" in out
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
