@@ -248,6 +248,12 @@ export async function analyticsView(outlet) {
     phenology, diel profile, and year-over-year for one species. */
 async function speciesDetail(d, from, to) {
   const { body } = modal(d.label);
+  const photo = el("img", { loading: "lazy", alt: "",
+    style: "width:100%;max-height:220px;object-fit:cover;"
+      + "border-radius:10px;margin-bottom:10px",
+    src: `/api/v2/species/thumbnail?name=${encodeURIComponent(d.sci)}` });
+  photo.addEventListener("error", () => photo.remove());
+  body.append(photo);
   body.append(el("div", { class: "grid cols-2" },
     el("div", { class: "stat" },
       el("div", { class: "label" }, t("detections")),

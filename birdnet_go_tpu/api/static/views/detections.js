@@ -2,6 +2,7 @@
    lock / delete / comments / audio, and bulk actions over a selection. */
 
 import { api, el, clear, fmtTime, confMeter, toast, t, isoDaysAgo } from "../app.js";
+import { spectrogramPlayer } from "./player.js";
 
 export async function detectionsView(outlet) {
   outlet.append(el("h1", {}, t("detections")));
@@ -258,16 +259,12 @@ export async function detectionsView(outlet) {
   function spectro(tr, id) {
     const existing = tr.nextElementSibling;
     if (existing && existing.classList.contains("spectro-row")) {
+      existing.querySelector(".spec-player")?.stopPlayback?.();
       existing.remove();
       return;
     }
-    const img = el("img", { alt: "spectrogram",
-      style: "max-width:100%;border-radius:8px",
-      src: `/api/v2/spectrogram/${id}?size=lg` });
-    img.addEventListener("error", () => {
-      img.replaceWith(el("div", { class: "empty" },
-        "No spectrogram (clip not saved)"));
-    });
+    // playhead-synced spectrogram + audio (reference SpectrogramPlayer)
+    const player = spectrogramPlayer(id);
     const meta = el("span", { class: "sub" });
     api(`/detections/${id}/time-of-day`).then((tod) => {
       meta.textContent = tod.phase ? `☀ ${tod.phase}` : "";
@@ -286,14 +283,14 @@ export async function detectionsView(outlet) {
     const regen = el("button", { class: "small", onclick: async () => {
       try {
         await api(`/spectrogram/${id}/generate`, { method: "POST", body: {} });
-        img.src = `/api/v2/spectrogram/${id}?size=lg&_=${Date.now()}`;
+        player.refreshSpectrogram();
         toast(t("spectrogram_regenerated"));
       } catch (e) { toast(e.message, true); }
     } }, "↻ Regenerate");
     tr.after(el("tr", { class: "spectro-row" },
       el("td", { colspan: 7 },
         el("div", { class: "row", style: "margin-bottom:6px" }, regen, meta),
-        others, img)));
+        others, player)));
   }
 
   async function comments(tr, id) {

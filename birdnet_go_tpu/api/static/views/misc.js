@@ -177,14 +177,25 @@ export async function speciesView(outlet) {
       results.append(table(
         [t("species"), t("count"), t("max_conf"), t("first_seen"), t("last_seen")],
         species.slice(0, 50).map((s) => [
-          el("span", {}, el("strong", {}, s.common_name || ""), " ",
-             el("em", { class: "sub" }, s.scientific_name)),
+          el("span", { class: "row" }, speciesThumb(s.scientific_name),
+             el("span", {}, el("strong", {}, s.common_name || ""), " ",
+                el("em", { class: "sub" }, s.scientific_name))),
           fmtNum(s.count), `${Math.round((s.max_confidence || 0) * 100)}%`,
           s.first_seen ? fmtTime(s.first_seen) : "–",
           s.last_seen ? fmtTime(s.last_seen) : "–"])));
     }
   }
 
+}
+
+/** 30px species photo from the image provider (reference
+    SpeciesThumbnail.svelte); silently removes itself when no image. */
+function speciesThumb(scientific) {
+  const img = el("img", { loading: "lazy", alt: "",
+    style: "width:30px;height:30px;border-radius:50%;object-fit:cover",
+    src: `/api/v2/species/thumbnail?name=${encodeURIComponent(scientific)}` });
+  img.addEventListener("error", () => img.remove());
+  return img;
 }
 
 // genus → species taxonomy tree (GET /taxonomy/tree)

@@ -48,7 +48,8 @@ def test_shell_and_assets_served(served):
                         ("/static/views/range.js", "javascript"),
                         ("/static/views/admin.js", "javascript"),
                         ("/static/views/onboarding.js", "javascript"),
-                        ("/static/views/misc.js", "javascript")]:
+                        ("/static/views/misc.js", "javascript"),
+                        ("/static/views/player.js", "javascript")]:
         status, ctype, body = _get(port, asset)
         assert status == 200 and want in ctype, asset
         assert len(body) > 500, asset
@@ -130,6 +131,10 @@ def test_ui_consumes_every_api_group():
         "/analytics/database/stats", "/analytics/daily-events/",
         "/analytics/trends",
         "/audio/hls/",
+        # round-3 analytics depth + media components
+        "/analytics/time-of-day", "/analytics/species-daily-trend",
+        "/analytics/year-over-year", "/analytics/phenology/",
+        "/species/thumbnail",
     ]
     missing = [c for c in consumed if c not in js]
     assert not missing, f"UI consumers missing for: {missing}"
