@@ -115,6 +115,26 @@ export function modal(title) {
   return { body, close };
 }
 
+/** Confirmation dialog (reference ConfirmModal.svelte): resolves true on
+    confirm, false on cancel/escape/backdrop. */
+export function confirmDialog(message, { danger = true } = {}) {
+  return new Promise((resolve) => {
+    const { body, close } = modal(t("confirm"));
+    body.append(
+      el("p", {}, message),
+      el("div", { class: "row", style: "justify-content:flex-end" },
+        el("button", { onclick: () => { close(); resolve(false); } },
+           t("cancel")),
+        el("button", { class: danger ? "primary danger" : "primary",
+          onclick: () => { close(); resolve(true); } }, t("confirm"))));
+    // closing by ✕/escape/backdrop must also settle the promise
+    const overlay = body.closest(".modal-overlay");
+    new MutationObserver((_, obs) => {
+      if (!overlay.isConnected) { obs.disconnect(); resolve(false); }
+    }).observe(document.body, { childList: true });
+  });
+}
+
 // ---------------------------------------------------------------------- i18n
 
 export let lang = localStorage.getItem("lang")

@@ -8,7 +8,12 @@ import { barChart, sparkline } from "../charts.js";
 import { maybeShowWizard } from "./onboarding.js";
 
 export async function dashboardView(outlet) {
-  outlet.append(el("h1", {}, t("dashboard")));
+  const editBtn = el("button", { class: "small" },
+                     "✎ " + t("edit_layout"));
+  outlet.append(el("div", { class: "row",
+                            style: "justify-content:space-between" },
+                   el("h1", { style: "margin-bottom:0" }, t("dashboard")),
+                   editBtn));
   maybeShowWizard();   // first-run setup (no-op once configured/dismissed)
   const kpiRow = el("div", { class: "grid cols-4" });
   const hearingCard = el("div", { class: "card" });
@@ -26,6 +31,51 @@ export async function dashboardView(outlet) {
                    healthCard, weatherCard));
   renderWeather(weatherCard);
   renderSpeciesGrid(gridCard);
+
+  // dashboard edit mode (reference DashboardEditMode.svelte): per-section
+  // show/hide toggles, persisted per browser in localStorage
+  const sections = [
+    ["kpis", t("status"), kpiRow],
+    ["hearing", t("currently_hearing"), hearingCard],
+    ["live", t("live_audio"), liveCard],
+    ["activity", t("activity_by_hour"), activityCard],
+    ["grid", t("todays_species"), gridCard],
+    ["recent", t("recent_detections"), cardsWrap],
+    ["health", t("sources"), healthCard],
+    ["weather", t("weather"), weatherCard]];
+  let hiddenKeys;
+  try {
+    hiddenKeys = new Set(JSON.parse(
+      localStorage.getItem("dash_hidden") || "[]"));
+  } catch (e) { hiddenKeys = new Set(); }
+  const applyVis = () => {
+    for (const [k, , node] of sections)
+      node.style.display = hiddenKeys.has(k) ? "none" : "";
+  };
+  applyVis();
+  const togglesRow = el("div", { class: "chip-wrap",
+                                 style: "display:none;margin-bottom:10px" });
+  for (const [k, label] of sections) {
+    const chip = el("button", { class: "small" });
+    const paint = () => {
+      chip.textContent = (hiddenKeys.has(k) ? "◻ " : "◼ ") + label;
+      chip.style.opacity = hiddenKeys.has(k) ? 0.55 : 1;
+    };
+    paint();
+    chip.addEventListener("click", () => {
+      if (hiddenKeys.has(k)) hiddenKeys.delete(k);
+      else hiddenKeys.add(k);
+      localStorage.setItem("dash_hidden", JSON.stringify([...hiddenKeys]));
+      paint();
+      applyVis();
+    });
+    togglesRow.append(chip);
+  }
+  editBtn.closest("div").after(togglesRow);
+  editBtn.addEventListener("click", () => {
+    togglesRow.style.display =
+      togglesRow.style.display === "none" ? "" : "none";
+  });
 
   // "currently hearing": live pending-consensus entries (SSE channel fed
   // by the processor's pending-broadcast — not-yet-approved detections)

@@ -1,7 +1,8 @@
 /* Detections browser: advanced search filters, paging, per-row review /
    lock / delete / comments / audio, and bulk actions over a selection. */
 
-import { api, el, clear, fmtTime, confMeter, toast, t, isoDaysAgo } from "../app.js";
+import { api, el, clear, fmtTime, confMeter, toast, t, isoDaysAgo,
+         confirmDialog } from "../app.js";
 import { spectrogramPlayer } from "./player.js";
 
 export async function detectionsView(outlet) {
@@ -120,6 +121,9 @@ export async function detectionsView(outlet) {
   async function bulk(action, verdict) {
     const ids = selectedIds();
     if (!ids.length) return;
+    if (action === "delete"
+        && !(await confirmDialog(
+          `${t("delete")} ${ids.length} — ${t("are_you_sure")}`))) return;
     let ok = 0, failed = 0;
     for (const id of ids) {
       try {
@@ -214,6 +218,19 @@ export async function detectionsView(outlet) {
         d.nonbird_category
           ? el("span", { class: "pill info", style: "margin-left:6px" },
                d.nonbird_category)
+          : null,
+        // verification + lock badges (reference VerificationBadges.svelte)
+        d.verdict === "correct"
+          ? el("span", { class: "pill good", style: "margin-left:6px",
+                         title: t("review") }, "✓ " + t("correct"))
+          : null,
+        d.verdict === "false_positive"
+          ? el("span", { class: "pill bad", style: "margin-left:6px",
+                         title: t("review") }, "✗ " + t("false_positive"))
+          : null,
+        d.locked
+          ? el("span", { class: "pill", style: "margin-left:6px",
+                         title: t("detection_locked") }, "🔒")
           : null)),
       el("td", {}, confMeter(d.confidence)),
       el("td", {}, d.source_id),
@@ -247,6 +264,8 @@ export async function detectionsView(outlet) {
   }
 
   async function del(id) {
+    if (!(await confirmDialog(`${t("delete")} — ${t("are_you_sure")}`)))
+      return;
     try {
       await api(`/detections/${id}`, { method: "DELETE" });
       toast(t("deleted"));

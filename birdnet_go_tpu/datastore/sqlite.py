@@ -447,7 +447,13 @@ class Datastore:
             args.append(verified)
         where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
         direction = "DESC" if order.lower() != "asc" else "ASC"
-        sql = (f"SELECT * FROM detections {where} ORDER BY timestamp"
+        # latest review verdict rides along so the browser can render
+        # verification badges without N+1 review lookups (reference
+        # VerificationBadges.svelte / ReviewCard.svelte)
+        sql = (f"SELECT *, (SELECT verdict FROM reviews rv"
+               f" WHERE rv.detection_id = detections.id"
+               f" ORDER BY rv.id DESC LIMIT 1) AS verdict"
+               f" FROM detections {where} ORDER BY timestamp"
                f" {direction} LIMIT ? OFFSET ?")
         args += [limit, offset]
         with self._lock:

@@ -129,6 +129,8 @@ def test_advanced_search_filters(served):
     rows = _req(port, "/detections/search", "POST",
                 {"verified": "correct"})
     assert rows["count"] == 1
+    # rows carry the latest verdict for UI badges (VerificationBadges)
+    assert rows["detections"][0]["verdict"] == "correct"
     rows = _req(port, "/detections/search", "POST",
                 {"verified": "unreviewed"})
     assert rows["count"] == 1
