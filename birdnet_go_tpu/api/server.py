@@ -678,19 +678,30 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         dfrom, dto = self._date_range(request.query)
         return _json(self.ctx.datastore.diversity(dfrom, dto))
 
+    @staticmethod
+    def _top_n(q, default: int) -> int:
+        """Clamp the ?top= query param to [1, 50]; 400 on non-numeric."""
+        raw = q.get("top", default)
+        try:
+            return max(1, min(int(raw), 50))
+        except (TypeError, ValueError):
+            raise web.HTTPBadRequest(text='{"error": "top must be an '
+                                     'integer"}', content_type="application/json")
+
     async def h_tod_species(self, request):
         """Top-N species 24-hour activity profiles (reference
-        TimeOfDaySpeciesChart / SpeciesRidgeline analytics components)."""
+        TimeOfDaySpeciesChart / SpeciesRidgeline analytics components);
+        ?species= narrows to one species (drill-down diel clock)."""
         dfrom, dto = self._date_range(request.query)
-        top = min(int(request.query.get("top", 8)), 50)
+        top = self._top_n(request.query, 8)
         return _json({"species": self.ctx.datastore.time_of_day_species(
-            dfrom, dto, top)})
+            dfrom, dto, top, species=request.query.get("species"))})
 
     async def h_species_daily_trend(self, request):
         """Top-N species daily counts (reference DailySpeciesTrendChart /
         SeasonalHeatmap analytics components)."""
         dfrom, dto = self._date_range(request.query)
-        top = min(int(request.query.get("top", 5)), 50)
+        top = self._top_n(request.query, 5)
         return _json({"from": dfrom, "to": dto,
                       "species": self.ctx.datastore.species_daily_trend(
                           dfrom, dto, top)})

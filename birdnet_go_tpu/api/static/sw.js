@@ -1,10 +1,10 @@
 /* PWA service worker: pre-cache the app shell, cache-first for static
    assets, network-only for /api (live data must never be stale). */
 
-const CACHE = "birdnet-tpu-v2";
+const CACHE = "birdnet-tpu-v3";
 const SHELL = [
   "/", "/static/app.css", "/static/app.js", "/static/i18n.js",
-  "/static/charts.js",
+  "/static/charts.js", "/static/views/player.js",
   "/static/views/dashboard.js", "/static/views/detections.js",
   "/static/views/analytics.js", "/static/views/settings.js",
   "/static/views/system.js", "/static/views/misc.js",

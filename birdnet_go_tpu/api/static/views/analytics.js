@@ -271,10 +271,10 @@ async function speciesDetail(d, from, to) {
   } catch (e) { /* optional */ }
   try {
     const { species } = await api(
-      `/analytics/time-of-day?from=${from}&to=${to}&top=50`);
-    const mine = species.find((s) => s.scientific_name === d.sci);
-    if (mine) body.append(el("h3", {}, t("activity_by_hour")),
-      radialClock(mine.hourly));
+      `/analytics/time-of-day?from=${from}&to=${to}`
+      + `&species=${encodeURIComponent(d.sci)}`);
+    if (species.length) body.append(el("h3", {}, t("activity_by_hour")),
+      radialClock(species[0].hourly));
   } catch (e) { /* optional */ }
   try {
     const yoy = await api(

@@ -146,6 +146,9 @@ export async function detectionsView(outlet) {
       ({ detections, count } = await api("/detections/search",
                                          { method: "POST", body }));
     } catch (e) { toast(e.message, true); return; }
+    // a re-render would detach any playing spectrogram player — stop it
+    tableCard.querySelectorAll(".spec-player").forEach(
+      (p) => p.stopPlayback?.());
     clear(tableCard);
     if (!detections.length) {
       tableCard.append(el("div", { class: "empty" }, t("no_data")));
@@ -247,6 +250,7 @@ export async function detectionsView(outlet) {
       await api(`/detections/${id}/review`, { method: "POST",
                                               body: { verdict } });
       toast(`${t("review")}: ${verdict}`);
+      load();            // refresh so the verification badge appears
     } catch (e) { toast(e.message, true); }
   }
 

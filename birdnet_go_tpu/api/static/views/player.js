@@ -23,10 +23,20 @@ export function spectrogramPlayer(detId, { size = "lg" } = {}) {
   const wrap = el("div", { class: "spec-player" },
                   img, head, btn, clock, audio);
 
+  // a missing spectrogram must not kill the audio controls, and
+  // Regenerate must be able to bring the image back
+  const noImg = el("div", { class: "empty" }, t("no_spectrogram"));
   img.addEventListener("error", () => {
-    wrap.replaceChildren(el("div", { class: "empty" }, t("no_data")));
+    img.style.display = "none";
+    head.style.display = "none";
+    if (!noImg.isConnected) wrap.prepend(noImg);
   });
-  audio.addEventListener("error", () => btn.remove());
+  img.addEventListener("load", () => {
+    img.style.display = "";
+    head.style.display = "";
+    noImg.remove();
+  });
+  audio.addEventListener("error", () => { btn.remove(); clock.remove(); });
 
   // click on the image seeks; the x fraction maps to clip time
   wrap.addEventListener("click", (ev) => {

@@ -74,6 +74,7 @@ CREATE TABLE IF NOT EXISTS reviews (
     comment TEXT NOT NULL DEFAULT '',
     created_at REAL NOT NULL
 );
+CREATE INDEX IF NOT EXISTS idx_reviews_det ON reviews(detection_id);
 
 CREATE TABLE IF NOT EXISTS dynamic_thresholds (
     model_id TEXT NOT NULL,
@@ -806,22 +807,31 @@ class Datastore:
         return out
 
     def time_of_day_species(self, date_from: str, date_to: str,
-                            top_n: int = 8) -> list[dict[str, Any]]:
+                            top_n: int = 8,
+                            species: str | None = None
+                            ) -> list[dict[str, Any]]:
         """Per-species 24-hour activity profiles for the top-N species in a
         date range (reference TimeOfDaySpeciesChart.svelte /
         SpeciesRidgeline.svelte — frontend/src/lib/desktop/features/
-        analytics/components)."""
+        analytics/components). `species` narrows to one species (the
+        drill-down modal's diel clock)."""
+        clauses, args = ["date BETWEEN ? AND ?"], [date_from, date_to]
+        if species:
+            clauses.append("scientific_name = ?")
+            args.append(species)
         sql = ("SELECT scientific_name, MAX(common_name) AS common_name,"
                " CAST(substr(time, 1, 2) AS INTEGER) AS hr, COUNT(*) AS n"
-               " FROM detections WHERE date BETWEEN ? AND ?"
-               " GROUP BY scientific_name, hr")
+               " FROM detections WHERE " + " AND ".join(clauses)
+               + " GROUP BY scientific_name, hr")
         rows: dict[str, dict[str, Any]] = {}
         with self._lock:
-            for r in self._conn.execute(sql, (date_from, date_to)):
+            for r in self._conn.execute(sql, args):
                 e = rows.setdefault(r["scientific_name"], {
                     "scientific_name": r["scientific_name"],
-                    "common_name": r["common_name"],
-                    "hourly": [0] * 24, "total": 0})
+                    "common_name": "", "hourly": [0] * 24, "total": 0})
+                # MAX across ALL the species' groups, not the first seen
+                e["common_name"] = max(e["common_name"],
+                                       r["common_name"] or "")
                 if 0 <= r["hr"] < 24:
                     e["hourly"][r["hr"]] = r["n"]
                     e["total"] += r["n"]
@@ -840,8 +850,9 @@ class Datastore:
             for r in self._conn.execute(sql, (date_from, date_to)):
                 e = rows.setdefault(r["scientific_name"], {
                     "scientific_name": r["scientific_name"],
-                    "common_name": r["common_name"],
-                    "daily": {}, "total": 0})
+                    "common_name": "", "daily": {}, "total": 0})
+                e["common_name"] = max(e["common_name"],
+                                       r["common_name"] or "")
                 e["daily"][r["date"]] = r["n"]
                 e["total"] += r["n"]
         return sorted(rows.values(), key=lambda e: -e["total"])[:top_n]

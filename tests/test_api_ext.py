@@ -4,6 +4,7 @@ comments, imports, taxonomy, weather extras (handlers_ext.py)."""
 import json
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -364,3 +365,15 @@ def test_diel_and_trend_analytics_endpoints(served):
         assert "time_of_day" in out or "error" in out
     except urllib.error.HTTPError as e:
         assert e.code == 400
+    # ?species= narrows to one species (drill-down diel clock)
+    sci = tod["species"][0]["scientific_name"]
+    one = _req(port, f"/analytics/time-of-day?from={today}&to={today}"
+               f"&species={urllib.parse.quote(sci)}")
+    assert len(one["species"]) == 1 \
+        and one["species"][0]["scientific_name"] == sci
+    # bad ?top= is a 400, not a 500; negative clamps instead of slicing
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, f"/analytics/time-of-day?from={today}&to={today}&top=abc")
+    assert ei.value.code == 400
+    neg = _req(port, f"/analytics/time-of-day?from={today}&to={today}&top=-3")
+    assert len(neg["species"]) == 1    # clamped to ≥1, not a negative slice
