@@ -210,7 +210,10 @@ export async function dashboardView(outlet) {
         host.append(el("div", { class: "det-card" },
           img,
           el("div", { class: "body" },
-            el("div", { class: "common" }, d.common_name || d.scientific_name),
+            el("div", { class: "common" },
+              el("a", { href: `#/detection/${d.id}`,
+                        title: t("open_detail") },
+                 d.common_name || d.scientific_name)),
             el("div", { class: "sci" }, d.scientific_name),
             el("div", { class: "meta" },
               confMeter(d.confidence), " · ", fmtTime(d.timestamp)),

@@ -198,6 +198,8 @@ export async function detectionsView(outlet) {
     const sel = el("input", { class: "sel", type: "checkbox", value: d.id });
     sel.addEventListener("change", syncBulk);
     const actions = el("td", {}, el("div", { class: "row" },
+      el("a", { class: "small", title: t("open_detail"),
+                href: `#/detection/${d.id}` }, "↗"),
       el("button", { class: "small", title: t("correct"),
         onclick: () => review(d.id, "correct") }, "✓"),
       el("button", { class: "small", title: t("false_positive"),

@@ -348,7 +348,10 @@ class Datastore:
     def get_detection(self, det_id: int) -> dict[str, Any] | None:
         with self._lock:
             row = self._conn.execute(
-                "SELECT * FROM detections WHERE id = ?", (det_id,)).fetchone()
+                "SELECT *, (SELECT verdict FROM reviews rv"
+                " WHERE rv.detection_id = detections.id"
+                " ORDER BY rv.id DESC LIMIT 1) AS verdict"
+                " FROM detections WHERE id = ?", (det_id,)).fetchone()
             if row is None:
                 return None
             d = dict(row)

@@ -119,6 +119,11 @@ def test_detection_comments_reviews_new(served):
     # /detections/new
     new = _req(port, f"/detections/new?since={0}")
     assert new["count"] >= 1
+    # the detail page fetches one detection and must see the latest
+    # verdict without an extra reviews round-trip (views/detail.js)
+    one = _req(port, f"/detections/{det_id}")
+    assert one["verdict"] == "correct"
+    assert one["contributions"] == []
 
 
 def test_advanced_search_filters(served):
