@@ -11,7 +11,9 @@ settings (GET/PATCH section merge + control signals), range filter
 from __future__ import annotations
 
 import asyncio
+import csv
 import datetime as _dt
+import io
 import json
 import logging
 import threading
@@ -201,6 +203,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         r.add_get(f"{v2}/detections", self.h_detections)
         r.add_get(f"{v2}/detections/recent", self.h_recent)
         r.add_get(f"{v2}/detections/stream", self.h_detections_stream)
+        r.add_get(f"{v2}/detections/export", self.h_detections_export)
         r.add_get(f"{v2}/detections/{{id}}", self.h_detection)
         r.add_delete(f"{v2}/detections/{{id}}", self.h_delete_detection)
         r.add_post(f"{v2}/detections/{{id}}/review", self.h_review)
@@ -405,6 +408,54 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             order=body.get("order", "desc"))
         return _json({"detections": self._annotate_nonbird(rows),
                       "count": len(rows)})
+
+    async def h_detections_export(self, request):
+        """CSV export of the filtered detection table. The reference's
+        import-export page lists detections export as planned
+        (frontend .../import-export/pages/ImportExportPage.svelte,
+        'comingSoon' badge); this implements it with the same filter
+        surface as POST /detections/search."""
+        q = request.query
+        fmt = q.get("format", "csv")
+        if fmt != "csv":
+            return _json({"error": "format must be csv"}, status=400)
+
+        def _f(name):
+            v = q.get(name)
+            return float(v) if v not in (None, "") else None
+
+        def _i(name):
+            v = q.get(name)
+            return int(v) if v not in (None, "") else None
+
+        try:
+            rows = self.ctx.datastore.search_detections(
+                species=q.get("species") or None,
+                date_from=q.get("from") or None, date_to=q.get("to") or None,
+                source_id=q.get("source") or None,
+                model_id=q.get("model") or None,
+                min_confidence=_f("min_confidence"),
+                max_confidence=_f("max_confidence"),
+                hour_from=_i("hour_from"), hour_to=_i("hour_to"),
+                verified=q.get("verified") or None,
+                locked={"true": True, "false": False}.get(q.get("locked")),
+                limit=min(int(q.get("limit", 100000)), 1000000),
+                order=q.get("order", "desc"))
+        except (TypeError, ValueError) as e:
+            return _json({"error": f"bad filter: {e}"}, status=400)
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        cols = ["id", "date", "time", "scientific_name", "common_name",
+                "species_code", "confidence", "source_id", "model_id",
+                "verdict", "locked", "clip_name"]
+        w.writerow(cols)
+        for row in rows:
+            w.writerow([row.get(c, "") for c in cols])
+        day = _dt.date.today().isoformat()
+        return web.Response(
+            text=buf.getvalue(), content_type="text/csv",
+            headers={"Content-Disposition":
+                     f'attachment; filename="detections_{day}.csv"'})
 
     async def h_detections_stream(self, request):
         resp = web.StreamResponse(headers={

@@ -67,9 +67,20 @@ export async function detectionsView(outlet) {
     }
   }).catch(() => {});
   const applyBtn = el("button", { class: "primary" }, t("apply"));
+  // CSV export of the current filter set (the reference's import-export
+  // page lists this as "coming soon"; GET /detections/export serves it)
+  const exportBtn = el("button", { class: "small", onclick: () => {
+    const qs = new URLSearchParams();
+    for (const [k, v] of Object.entries(currentFilters())) {
+      qs.set(k, String(v));
+    }
+    qs.set("format", "csv");
+    window.open(`/api/v2/detections/export?${qs}`, "_blank");
+  } }, "⬇ " + t("export_csv"));
   outlet.append(el("div", { class: "filters" },
     range, customWrap, species, minConf, maxConf, hourFrom, hourTo,
-    verified, lockedSel, orderSel, sourceSel, modelSel, applyBtn));
+    verified, lockedSel, orderSel, sourceSel, modelSel, applyBtn,
+    exportBtn));
 
   // ---- bulk bar ----
   const bulkInfo = el("span", { class: "sub" }, "");

@@ -126,6 +126,33 @@ def test_detection_comments_reviews_new(served):
     assert one["contributions"] == []
 
 
+def test_detections_csv_export(served):
+    """GET /detections/export streams the filtered table as CSV (the
+    reference import-export page lists this as planned)."""
+    app, port = served
+    det_id = app.datastore.insert_detection(_detection(conf=0.93))
+    app.datastore.insert_detection(_detection(sci="Parus major",
+                                              common="Great Tit", conf=0.4))
+    app.datastore.review_detection(det_id, "correct")
+    url = (f"http://127.0.0.1:{port}/api/v2/detections/export"
+           f"?min_confidence=0.9&format=csv")
+    with urllib.request.urlopen(url) as resp:
+        assert resp.headers["Content-Type"].startswith("text/csv")
+        assert "attachment" in resp.headers["Content-Disposition"]
+        lines = resp.read().decode().strip().splitlines()
+    header = lines[0].split(",")
+    assert header[:4] == ["id", "date", "time", "scientific_name"]
+    body_rows = [ln for ln in lines[1:] if ln]
+    assert len(body_rows) == 1 and "correct" in body_rows[0]
+    assert "Parus major" not in "".join(body_rows)
+    # bad filter → 400, unknown format → 400
+    for bad in ("?min_confidence=abc", "?format=xlsx"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/v2/detections/export{bad}")
+        assert ei.value.code == 400
+
+
 def test_advanced_search_filters(served):
     app, port = served
     det_id = app.datastore.insert_detection(_detection(conf=0.9))
