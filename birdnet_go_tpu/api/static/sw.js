@@ -5,7 +5,7 @@ const CACHE = "birdnet-tpu-v3";
 const SHELL = [
   "/", "/static/app.css", "/static/app.js", "/static/i18n.js",
   "/static/charts.js", "/static/views/player.js",
-  "/static/views/detail.js",
+  "/static/views/detail.js", "/static/views/help.js",
   "/static/views/dashboard.js", "/static/views/detections.js",
   "/static/views/analytics.js", "/static/views/settings.js",
   "/static/views/system.js", "/static/views/misc.js",
