@@ -111,7 +111,7 @@ async function tls(slot, card) {
         info.not_after || "?"} · ${info.mode || ""}`));
     body.append(el("div", { class: "row" },
       el("a", { class: "btn small", href: "/api/v2/tls/certificate/download",
-                download: "server.crt" }, "⬇ Download"),
+                download: "server.crt" }, "⬇ " + t("download")),
       el("button", { class: "small danger", onclick: async () => {
         await api("/tls/certificate", { method: "DELETE" });
         toast(t("certificate_removed"));
@@ -251,7 +251,7 @@ async function clipsJobs(slot, card) {
   }
   body.append(el("div", { class: "row", style: "margin-top:6px" },
     el("a", { class: "btn small", href: "/api/v2/debug/profile" },
-       "⬇ CPU profile")));
+       "⬇ " + t("cpu_profile"))));
   slot.append(card("Clips · " + t("jobs"), body));
 }
 
@@ -286,7 +286,7 @@ async function opsEvents(slot, card) {
                         : t("some_checks_failing"), !out.healthy);
     } }, t("run_diagnostics")),
     el("a", { class: "btn small", href: "/api/v2/system/diagnostics" },
-       "⬇ Diagnostics report")));
+       "⬇ " + t("diagnostics_report"))));
   body.append(events.length
     ? table([t("time"), t("kind"), t("detail")], events.map((e2) => [
         e2.time ? fmtTime(e2.time) : "", e2.kind || e2.type || "",

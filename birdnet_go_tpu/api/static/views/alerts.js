@@ -24,7 +24,7 @@ export async function alertsView(outlet) {
       el("h2", { style: "margin:0" }, t("rules")),
       el("span", { class: "spacer" }),
       el("a", { class: "btn small", href: "/api/v2/alerts/rules/export",
-                download: "alert-rules.json" }, "⬇ Export"),
+                download: "alert-rules.json" }, "⬇ " + t("export")),
       importButton()));
     if (!rules.length) {
       rulesCard.append(el("div", { class: "empty" },
@@ -52,7 +52,7 @@ export async function alertsView(outlet) {
                           : t("rule_no_match"), !hit);
                 renderHistory();
               } catch (e) { toast(e.message, true); }
-            } }, "▶ Test"),
+            } }, "▶ " + t("test")),
           el("button", { class: "small danger", onclick: async () => {
             try {
               await api(`/alerts/rules/${r.rule_id}`, { method: "DELETE" });
@@ -83,14 +83,14 @@ export async function alertsView(outlet) {
         const text = await file.files[0].text();
         const out = await api("/alerts/rules/import",
                               { method: "POST", body: JSON.parse(text) });
-        toast(`Imported ${out.imported ?? 0} rule(s)`);
+        toast(`${t("imported")}: ${out.imported ?? 0}`);
         renderRules();
       } catch (e) { toast(e.message, true); }
       file.value = "";
     });
     return el("span", {}, file,
       el("button", { class: "small", onclick: () => file.click() },
-         "⬆ Import"));
+         "⬆ " + t("imports")));
   }
 
   // ---- create form ----

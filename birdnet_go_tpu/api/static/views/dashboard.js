@@ -236,8 +236,8 @@ export async function dashboardView(outlet) {
       const tbl = el("table", { class: "data" },
         el("thead", {}, el("tr", {},
           el("th", {}, t("source")), el("th", {}, t("status")),
-          el("th", { class: "num" }, "Buffered (s)"),
-          el("th", { class: "num" }, "Last audio (s ago)"))));
+          el("th", { class: "num" }, t("buffered_s")),
+          el("th", { class: "num" }, t("last_audio_s")))));
       const tb = el("tbody");
       for (const [sid, h] of entries) {
         const age = h.last_ingest_age_s;
@@ -333,7 +333,7 @@ async function renderLive(card) {
   let audio = null, ctx = null, raf = 0, hlsTimer = 0, hlsSrc = "";
   playBtn.addEventListener("click", async () => {
     if (audio) { stop(); return; }
-    playBtn.textContent = "■ Stop";
+    playBtn.textContent = "■ " + t("stop");
     const srcId = encodeURIComponent(sel.value);
     const codec = document.getElementById("live-codec").value;
     let mediaUrl = `/api/v2/audio/live/${srcId}`;
@@ -385,7 +385,7 @@ async function renderLive(card) {
   onCleanup(stop);   // navigation stops audio, RAF loop, HLS heartbeat
 
   function stop() {
-    playBtn.textContent = "▶ Listen";
+    playBtn.textContent = "▶ " + t("listen");
     cancelAnimationFrame(raf);
     if (hlsTimer) {
       clearInterval(hlsTimer);

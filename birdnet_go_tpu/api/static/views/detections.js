@@ -190,12 +190,12 @@ export async function detectionsView(outlet) {
     pager.append(
       el("button", { class: "small", disabled: state.offset === 0 ? "" : null,
         onclick: () => { state.offset = Math.max(0, state.offset - state.limit); load(); } },
-        "‹ Prev"),
+        "‹ " + t("prev")),
       el("span", { class: "sub" },
          ` ${state.offset + 1}–${state.offset + detections.length} `),
       el("button", { class: "small",
         disabled: count < state.limit ? "" : null,
-        onclick: () => { state.offset += state.limit; load(); } }, "Next ›"));
+        onclick: () => { state.offset += state.limit; load(); } }, t("next_page")));
     syncBulk();
   }
 
@@ -322,7 +322,7 @@ export async function detectionsView(outlet) {
         player.refreshSpectrogram();
         toast(t("spectrogram_regenerated"));
       } catch (e) { toast(e.message, true); }
-    } }, "↻ Regenerate");
+    } }, "↻ " + t("regenerate"));
     tr.after(el("tr", { class: "spectro-row" },
       el("td", { colspan: 7 },
         el("div", { class: "row", style: "margin-bottom:6px" }, regen, meta),
@@ -360,7 +360,7 @@ export async function detectionsView(outlet) {
       // between tr and the comment row)
       commentRow.remove();
       comments(tr, id);
-    } }, "Add");
+    } }, t("add"));
     const cell = el("td", { colspan: 7 },
       el("div", { class: "row" }, input, addBtn), list);
     const commentRow = el("tr", { class: "comment-row",

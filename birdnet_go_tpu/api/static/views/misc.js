@@ -241,7 +241,7 @@ async function renderExtras(card) {
     card.append(el("div", { class: "row" }, sel,
       el("a", { class: "btn small", id: "dict-dl",
         href: `/api/v2/species/dictionary/${locales?.[0] || "en"}` },
-        "⬇ Download dictionary")));
+        "⬇ " + t("download_dictionary"))));
     sel.addEventListener("change", () => {
       document.getElementById("dict-dl").href =
         `/api/v2/species/dictionary/${sel.value}`;

@@ -90,7 +90,7 @@ export async function maybeShowWizard() {
         + "later under Settings → realtime."),
       kind, detail,
     ], [
-      ["← Back", step1],
+      ["← " + t("back"), step1],
       [t("skip"), step3],
       [t("next"), async () => {
         if (!kind.value) { step3(); return; }

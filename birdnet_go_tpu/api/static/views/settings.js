@@ -21,7 +21,7 @@ export async function settingsView(outlet) {
     el("button", { class: "right",
       onclick: () => document.documentElement.dataset.theme =
         document.documentElement.dataset.theme === "dark" ? "light" : "dark" },
-      "◐ Theme")));
+      "◐ " + t("theme"))));
 
   const settings = await api("/settings");
   // JSON schema (types + defaults) drives tooltips and default hints

@@ -10,7 +10,7 @@ export async function systemView(outlet) {
   outlet.append(el("h1", {}, t("system")));
 
   const actions = el("div", { class: "row", style: "margin-bottom:14px" },
-    el("a", { class: "btn", href: "/api/v2/support/dump" }, "⬇ Support bundle"),
+    el("a", { class: "btn", href: "/api/v2/support/dump" }, "⬇ " + t("support_dump")),
     el("button", { class: "danger", onclick: restart }, "⟳ " + t("restart_server")));
   outlet.append(actions);
 

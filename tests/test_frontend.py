@@ -226,7 +226,8 @@ def test_no_untranslated_literals_in_views():
         "BirdNET-TPU",    # product name
     }
     pat = re.compile(
-        r'''["']([A-Z][a-z]+(?: [a-zA-Z'%……–-]+)+|[A-Z][a-z]{3,}[!?…]?)["']''')
+        r'''["'](?:[^\w"']{1,2} )?'''   # optional emoji/arrow prefix (⬇ , ▶ )
+        r'''([A-Z][a-z]+(?: [a-zA-Z'%……–-]+)+|[A-Z][a-z]{2,}[!?…]?)["']''')
     attr = re.compile(
         r'(?:class|style|href|value|src|placeholder_key|type)\s*:\s*$')
     offenders = []
