@@ -88,7 +88,7 @@ export async function detectionDetailView(outlet, rest) {
     el("div", {}, el("strong", {}, d.date), " ",
        el("span", {}, d.time), " ", todBadge),
     el("div", { class: "sub" },
-       `${t("sources")}: ${d.source_id || "–"}`),
+       `${t("source")}: ${d.source_id || "–"}`),
     el("div", { class: "sub" }, `${t("model")}: ${d.model_id || "–"}`));
   api(`/detections/${id}/time-of-day`).then((tod) => {
     const icons = { day: "☀", night: "☾", sunrise: "🌅", sunset: "🌇",
@@ -187,13 +187,13 @@ export async function detectionDetailView(outlet, rest) {
           el("div", { class: "sub" }, `${label}: ${value}`);
         if (fs.lifetime) {
           const days = Math.floor(
-            (Date.now() / 1000 - d.timestamp) / 86400);
+            (Date.now() - new Date(fs.lifetime).getTime()) / 86400e3);
           trackBox.append(row(t("first_seen"), fs.lifetime));
           if (fs.lifetime === d.date) {
             trackBox.append(el("span", { class: "pill good" },
                                "★ " + t("new_species")));
           }
-          if (days >= 0) trackBox.append(
+          if (Number.isFinite(days) && days >= 0) trackBox.append(
             row(t("days_since_first"), String(days)));
         }
         if (fs.this_year === d.date) {
