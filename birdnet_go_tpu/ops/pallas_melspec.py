@@ -11,12 +11,18 @@ TPU-layout design (everything lane-aligned, no cross-lane reshapes):
 - radix split A=16, B=128 (lane width), so frame sample n = a·128 + b —
   i.e. a frame IS 16 contiguous sublane rows of the [rows, 128] PCM tile.
   Requires hop % 128 == 0 and n_fft % 128 == 0.
-- stage 1 runs per GROUP of G=16 frames as ONE block-diagonal matmul:
+- stage 1 runs per GROUP of G frames as ONE block-diagonal matmul:
   wblk[G·16, G·16] @ xg[G·16, 128] — the [16,16] DFT-over-a matrix
-  repeated down the diagonal. One [256,256]@[256,128] MXU dot (×re/im)
-  replaces 2·G=32 tiny [16,16]@[16,128] dots whose pass latency dominated
-  the kernel (v1: 34.6 ms/1024-batch; measured G sweep: 8→22.2, 16→17.0,
-  32→19.3 ms — FLOPs grow ∝G while loop overhead shrinks, G=16 optimal).
+  repeated down the diagonal, replacing 2·G tiny [16,16]@[16,128] dots
+  whose pass latency dominated v1 (34.6 ms/1024-batch). v3 (current):
+  G=8 with the group loop STATICALLY UNROLLED and the gather in
+  value-land — each block-diagonal dot is exactly one full MXU pass
+  ([128,128]@[128,128]), the redundant-FLOP factor halves vs G=16, and
+  unrolling lets Mosaic pipeline group i+1's VPU windowing under group
+  i's dots. Measured on v5e, 1024 windows: v1 34.6 → v2 (G=16+fori)
+  16.9 → v3 12.6 ms. (Same sweep: G=16+unroll 14.7, G=8+fori 17.1 —
+  BOTH changes are needed; bf16 staging measured 12.8, within noise of
+  f32, so staging stays f32.)
 - stage 2 per residue r: one packed dot [F, 256] @ [256, 2·J2] computing
   re|im together from the adjacent sr|si scratch halves. J2 is trimmed to
   the mel filterbank's actual bin support (bin = r + 16·j; fmax=15 kHz →
@@ -60,7 +66,7 @@ _G = 16                       # frames per stage-1 block-diagonal dot
 
 @functools.lru_cache(maxsize=8)
 def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
-                   fmax: float):
+                   fmax: float, g: int = _G):
     war, wai, twr, twi, _, a_sz, b_sz, j_sz = _rdft_matmul_consts(n_fft, _A)
     assert a_sz == _A and b_sz == _LANE
 
@@ -73,10 +79,10 @@ def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
     # 48 kHz / fmax 15 kHz → 41 → 48; full-band configs fall back to 128.
     j2 = min(-(-j_need // 8) * 8, -(-j_sz // 8) * 8)
 
-    # stage-1 block-diagonal [G*A, G*A]: war/wai repeated down the diagonal
-    wblk_r = np.zeros((_G * a_sz, _G * a_sz), np.float32)
-    wblk_i = np.zeros((_G * a_sz, _G * a_sz), np.float32)
-    for gi in range(_G):
+    # stage-1 block-diagonal [g*A, g*A]: war/wai repeated down the diagonal
+    wblk_r = np.zeros((g * a_sz, g * a_sz), np.float32)
+    wblk_i = np.zeros((g * a_sz, g * a_sz), np.float32)
+    for gi in range(g):
         wblk_r[gi * a_sz:(gi + 1) * a_sz, gi * a_sz:(gi + 1) * a_sz] = war
         wblk_i[gi * a_sz:(gi + 1) * a_sz, gi * a_sz:(gi + 1) * a_sz] = wai
 
@@ -100,11 +106,17 @@ def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
 def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
                   tile_f: int | None = None,
                   interpret: bool = False,
-                  out_dtype=jnp.float32) -> jnp.ndarray:
+                  out_dtype=jnp.float32,
+                  groups: int = 8,
+                  unroll: bool = True,
+                  stage_dtype=jnp.float32) -> jnp.ndarray:
     """int16 PCM [B, T] → mel [B, F, n_mels] (cfg.mag_scale applied).
 
     `out_dtype=bfloat16` writes the CNN's input dtype directly — halves
-    the mel→backbone HBM round trip (the consumer casts to bf16 anyway)."""
+    the mel→backbone HBM round trip (the consumer casts to bf16 anyway).
+    `groups` = frames per stage-1 block-diagonal dot (perf knob);
+    `unroll` statically unrolls the stage-1 group loop so Mosaic can
+    software-pipeline the VPU gather of group i+1 under group i's dots."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -116,6 +128,7 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
             f"(got hop={cfg.hop}, n_fft={cfg.n_fft})")
 
     b, t = pcm_i16.shape
+    g = groups
     n_frames = cfg.num_frames(t)
     if tile_f is None:
         # One tile per window when it fits: the stage-2 dots become
@@ -125,13 +138,15 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
         tile_f = min(n_frames, 512)
     hop_rows = cfg.hop // _LANE
     frame_rows = cfg.n_fft // _LANE                   # = 16
-    # stage 1 reads frame GROUPS of G frames; group start row
-    # i·G·hop_rows is always a multiple of 8 (Mosaic sublane rule). The
-    # group's G frames are static sub-slices of the loaded block.
-    tile_f = -(-tile_f // _G) * _G
+    # stage 1 reads frame GROUPS of g frames; group start row
+    # i·g·hop_rows must be a multiple of 8 (Mosaic sublane rule).
+    if (g * hop_rows) % 8:
+        raise ValueError(f"groups*hop_rows must be a multiple of 8 "
+                         f"(got {g}*{hop_rows})")
+    tile_f = -(-tile_f // g) * g
     n_tiles = math.ceil(n_frames / tile_f)
-    block_rows = -(-((_G - 1) * hop_rows + frame_rows) // 8) * 8
-    tile_rows = (tile_f // _G - 1) * _G * hop_rows + block_rows
+    block_rows = -(-((g - 1) * hop_rows + frame_rows) // 8) * 8
+    tile_rows = (tile_f // g - 1) * g * hop_rows + block_rows
     tile_rows = -(-tile_rows // 16) * 16    # sublane-align the DMA (int16)
     padded_rows = (n_tiles - 1) * tile_f * hop_rows + tile_rows
     t_rows = math.ceil(t / _LANE)
@@ -144,9 +159,9 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
     pcm3 = pcm_i16[:, :padded_rows * _LANE].reshape(b, padded_rows, _LANE)
 
     wblk_r, wblk_i, twp, fb2, j2 = _kernel_consts(
-        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax, g)
     win2 = _window_fn(cfg).reshape(frame_rows, _LANE)
-    ga = _G * _A
+    ga = g * _A
 
     def kernel(pcm_ref, win_ref, wbr_ref, wbi_ref, twp_ref, fb_ref,
                out_ref, s_ref, xg_ref):
@@ -161,29 +176,41 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
             dma.start()
             dma.wait()
 
-            # stage 1 per group: gather + window G frames into xg
-            # [G·16, 128], then one block-diagonal dot per re/im.
+            # stage 1 per group: gather + window g frames into xg
+            # [g·16, 128], then one block-diagonal dot per re/im.
             # Scratch s is frame-major [tile_f, A, 2·LANE] with sr in
             # lanes [:128] and si in [128:] — dim 0 of a rank-3 ref is
             # untiled, so per-group dynamic writes are legal.
             def s1(i, _):
-                block = (tile_ref[pl.ds(i * _G * hop_rows, block_rows), :]
+                block = (tile_ref[pl.ds(i * g * hop_rows, block_rows), :]
                          .astype(jnp.float32) * _INT16_SCALE)
-                for j in range(_G):
-                    xg_ref[j * frame_rows:(j + 1) * frame_rows, :] = (
-                        block[j * hop_rows:j * hop_rows + frame_rows, :]
-                        * win_ref[:])
-                xg = xg_ref[:]
+                if unroll:
+                    # value-land gather: no scratch round-trip, so Mosaic
+                    # can overlap group i+1's VPU windowing with group
+                    # i's MXU dots
+                    xg = jnp.concatenate(
+                        [block[j * hop_rows:j * hop_rows + frame_rows, :]
+                         * win_ref[:] for j in range(g)], axis=0)
+                else:
+                    for j in range(g):
+                        xg_ref[j * frame_rows:(j + 1) * frame_rows, :] = (
+                            block[j * hop_rows:j * hop_rows + frame_rows, :]
+                            * win_ref[:])
+                    xg = xg_ref[:]
                 sr = jnp.dot(wbr_ref[:], xg,
                              preferred_element_type=jnp.float32)
                 si = jnp.dot(wbi_ref[:], xg,
                              preferred_element_type=jnp.float32)
-                s_ref[pl.ds(i * _G, _G), :, :] = jnp.concatenate(
-                    [sr.reshape(_G, _A, _LANE), si.reshape(_G, _A, _LANE)],
-                    axis=2)
+                s_ref[pl.ds(i * g, g), :, :] = jnp.concatenate(
+                    [sr.reshape(g, _A, _LANE), si.reshape(g, _A, _LANE)],
+                    axis=2).astype(stage_dtype)
                 return 0
 
-            jax.lax.fori_loop(0, tile_f // _G, s1, 0)
+            if unroll:
+                for i in range(tile_f // g):
+                    s1(i, 0)
+            else:
+                jax.lax.fori_loop(0, tile_f // g, s1, 0)
 
             # stage 2 + mel, statically unrolled over residues r (static
             # middle-dim indices avoid dynamic sublane slicing): one
@@ -191,7 +218,8 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
             s_all = s_ref[:]              # [tile_f, A, 2·LANE]
             mel = jnp.zeros((tile_f, cfg.n_mels), jnp.float32)
             for r in range(_A):
-                reim = jnp.dot(s_all[:, r, :], twp_ref[r],
+                reim = jnp.dot(s_all[:, r, :],
+                               twp_ref[r].astype(stage_dtype),
                                preferred_element_type=jnp.float32)
                 power = reim[:, :j2] ** 2 + reim[:, j2:] ** 2
                 mel = mel + jnp.dot(power, fb_ref[r],
@@ -235,7 +263,7 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_f, cfg.n_mels),
                                        out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_f, _A, 2 * _LANE), jnp.float32),  # sr|si
+            pltpu.VMEM((tile_f, _A, 2 * _LANE), stage_dtype),  # sr|si
             pltpu.VMEM((ga, _LANE), jnp.float32),              # xg
         ],
         interpret=interpret,
