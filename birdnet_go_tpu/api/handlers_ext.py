@@ -59,6 +59,7 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/system/control/signals", self.h_control_signals)
         r.add_post(f"{v2}/system/control", self.h_control_send)
         r.add_get(f"{v2}/system/diagnostics", self.h_diagnostics)
+        r.add_get(f"{v2}/system/database", self.h_database_details)
         # devices / streams
         r.add_get(f"{v2}/devices", self.h_devices)
         r.add_post(f"{v2}/streams/test", self.h_stream_test)
@@ -726,6 +727,17 @@ class ExtendedHandlers:
         rows = self.ctx.datastore.hourly_distribution(
             date=request.query.get("date"))
         return _json({"hourly": rows})
+
+    async def h_database_details(self, request):
+        """Storage observability (reference DatabaseSqliteDetails /
+        DatabaseTableBreakdown / DatabaseLocksWalCard /
+        DetectionRateChart — frontend .../features/system/components)."""
+        ds = self.ctx.datastore
+        if not hasattr(ds, "database_details"):
+            return _json({"error": "not supported by this datastore"},
+                         status=501)
+        return _json(await asyncio.get_event_loop().run_in_executor(
+            None, ds.database_details))
 
     async def h_db_stats(self, request):
         ds = self.ctx.datastore

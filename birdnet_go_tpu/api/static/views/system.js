@@ -100,10 +100,34 @@ export async function systemView(outlet) {
                         `${d.used_percent}%`]))));
   } catch (e) { grid.append(card(t("disks"), err(e))); }
 
+  // storage observability (reference DatabaseSqliteDetails /
+  // DatabaseTableBreakdown / DetectionRateChart)
+  try {
+    const db = await api("/system/database");
+    const body = el("div", {});
+    body.append(el("div", { class: "sub" }, [
+      db.engine, db.journal_mode,
+      db.size_bytes != null
+        ? `${(db.size_bytes / 1048576).toFixed(1)} MB` : null,
+      db.wal_bytes ? `WAL ${(db.wal_bytes / 1024).toFixed(0)} KB` : null,
+      db.freelist_pages ? `${db.freelist_pages} free pages` : null,
+    ].filter(Boolean).join(" · ")));
+    const rate = db.detections_per_hour_24h || [];
+    if (rate.some((v) => v > 0)) {
+      body.append(el("div", { class: "row", style: "margin:6px 0" },
+        el("span", { class: "sub" }, t("rate_24h")), sparkline(rate)));
+    }
+    const top = (db.tables || [])
+      .slice().sort((a, b) => b.rows - a.rows).slice(0, 8);
+    body.append(table([t("name"), t("count")],
+      top.map((tb) => [tb.table, fmtNum(tb.rows)])));
+    grid.append(card(t("database"), body));
+  } catch (e) { grid.append(card(t("database"), err(e))); }
+
   // devices
   try {
     const { devices, alsa_available } = await api("/devices");
-    grid.append(card(`Audio devices (ALSA ${alsa_available ? "✓" : "–"})`,
+    grid.append(card(`${t("devices")} (ALSA ${alsa_available ? "✓" : "–"})`,
       devices.length ? table(["#", "ID", t("description"), "PCM"],
         devices.map((d) => [String(d.index), d.id, d.description,
                             d.alsa_name])) :

@@ -254,3 +254,36 @@ class MySQLDatastore(Datastore):
                     self._conn.execute(f"OPTIMIZE TABLE {t}")
                 except Exception as e:  # noqa: BLE001
                     log.debug("optimize %s: %s", t, e)
+
+    def database_details(self):
+        """MySQL flavor of the storage observability surface (reference
+        DatabaseMysqlInnodbCard / DatabaseTableBreakdown): engine
+        status via SHOW TABLE STATUS instead of sqlite PRAGMAs."""
+        import time as _time
+
+        breakdown, size = [], 0
+        with self._lock:
+            for row in self._conn.execute("SHOW TABLE STATUS"):
+                name, engine = row[0], row[1]
+                rows_est = int(row[4] or 0)
+                bytes_ = int((row[6] or 0)) + int((row[8] or 0))
+                breakdown.append({"table": name, "rows": rows_est,
+                                  "engine": engine})
+                size += bytes_
+        now = _time.time()
+        rate = [0] * 24
+        with self._lock:
+            for age, n in self._conn.execute(
+                    "SELECT CAST((? - timestamp) / 3600 AS INTEGER),"
+                    " COUNT(*) FROM detections WHERE timestamp >= ?"
+                    " GROUP BY 1", (now, now - 86400)):
+                if 0 <= age < 24:
+                    rate[23 - int(age)] = int(n)
+        return {
+            "engine": "mysql", "path": self.path,
+            "journal_mode": "innodb",
+            "size_bytes": size, "page_size": None, "page_count": None,
+            "freelist_pages": None, "wal_bytes": None,
+            "tables": breakdown,
+            "detections_per_hour_24h": rate,
+        }

@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as _dt
 import sqlite3
 import threading
+import time
 from pathlib import Path
 from typing import Any
 
@@ -929,6 +930,59 @@ class Datastore:
         args.append(limit)
         with self._lock:
             return [dict(r) for r in self._conn.execute(q, args)]
+
+    def database_details(self) -> dict[str, Any]:
+        """Storage observability for the system page (reference
+        DatabaseSqliteDetails / DatabaseTableBreakdown /
+        DatabaseLocksWalCard components, frontend .../features/system):
+        journal mode, page accounting, WAL size on disk, and per-table
+        row counts."""
+        import os
+
+        def _p1(c, name, default):
+            row = c.execute(f"PRAGMA {name}").fetchone()
+            return row[0] if row else default
+
+        with self._lock:
+            c = self._conn
+            mode = _p1(c, "journal_mode", "?")
+            page_count = _p1(c, "page_count", 0)
+            page_size = _p1(c, "page_size", 0)
+            freelist = _p1(c, "freelist_count", 0)
+            tables = [r[0] for r in c.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+                " AND name NOT LIKE 'sqlite_%' ORDER BY name")]
+            breakdown = []
+            for t in tables:
+                # table names come from sqlite_master, not user input
+                (n,) = c.execute(f'SELECT COUNT(*) FROM "{t}"').fetchone()
+                breakdown.append({"table": t, "rows": int(n)})
+        wal_bytes = 0
+        if self.path != ":memory:":
+            try:
+                wal_bytes = os.path.getsize(self.path + "-wal")
+            except OSError:
+                pass
+        # detections/hour over the trailing 24 h (DetectionRateChart)
+        now = time.time()
+        rate = [0] * 24
+        with self._lock:
+            for ts, n in self._conn.execute(
+                    "SELECT CAST((? - timestamp) / 3600 AS INTEGER) AS age,"
+                    " COUNT(*) FROM detections WHERE timestamp >= ?"
+                    " GROUP BY age", (now, now - 86400)):
+                if 0 <= ts < 24:
+                    rate[23 - ts] = n
+        return {
+            "engine": "sqlite", "path": self.path,
+            "journal_mode": mode,
+            "size_bytes": page_count * page_size,
+            "page_size": page_size, "page_count": page_count,
+            "freelist_pages": freelist,
+            "wal_bytes": wal_bytes,
+            "tables": breakdown,
+            "detections_per_hour_24h": rate,
+        }
 
     def doctor(self, fix: bool = False) -> dict[str, Any]:
         """Database doctor (reference: tools/db-doctor + the datastore

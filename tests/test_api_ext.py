@@ -126,6 +126,22 @@ def test_detection_comments_reviews_new(served):
     assert one["contributions"] == []
 
 
+def test_system_database_details(served):
+    """GET /system/database mirrors the reference's storage
+    observability cards (table breakdown, WAL, detection rate)."""
+    app, port = served
+    app.datastore.insert_detection(_detection(ts=time.time()))
+    db = _req(port, "/system/database")
+    assert db["engine"] == "sqlite"
+    assert db["journal_mode"] in ("wal", "memory", "delete")
+    names = {tb["table"] for tb in db["tables"]}
+    assert "detections" in names and "reviews" in names
+    det_row = next(tb for tb in db["tables"] if tb["table"] == "detections")
+    assert det_row["rows"] >= 1
+    assert len(db["detections_per_hour_24h"]) == 24
+    assert sum(db["detections_per_hour_24h"]) >= 1
+
+
 def test_detections_csv_export(served):
     """GET /detections/export streams the filtered table as CSV (the
     reference import-export page lists this as planned)."""
