@@ -86,17 +86,34 @@ def init_efficientnet(key, cfg: EfficientNetConfig, in_channels: int = 1):
 
 
 def apply_efficientnet(params, x, cfg: EfficientNetConfig, train: bool = False,
-                       compute_dtype=jnp.bfloat16):
-    """x: [B, T, M, C] mel spectrogram → {"logits": [B, S], "embedding": [B, E]}."""
+                       compute_dtype=jnp.bfloat16,
+                       fused_blocks: bool = False):
+    """x: [B, T, M, C] mel spectrogram → {"logits": [B, S], "embedding": [B, E]}.
+
+    fused_blocks=True routes eligible stride-1 MBConv blocks through the
+    Pallas two-kernel path (ops/pallas_mbconv.py) — TPU only; the XLA
+    path is the reference semantics either way."""
     h = L.swish(L.apply_bn(params["stem_bn"],
                            L.apply_conv(params["stem_conv"], x, stride=2,
                                         compute_dtype=compute_dtype), train))
+    if fused_blocks:
+        from birdnet_go_tpu.ops.pallas_mbconv import (
+            fused_block_ok,
+            mbconv_fused,
+        )
     i = 0
     for b in cfg.blocks:
         for r in range(b.repeats):
             stride = b.stride if r == 0 else 1
-            h = L.apply_mbconv(params["blocks"][i], h, stride=stride,
-                               train=train, compute_dtype=compute_dtype)
+            if (fused_blocks
+                    and fused_block_ok(stride, h.shape[1], h.shape[2],
+                                       train)):
+                h = mbconv_fused(params["blocks"][i], h, kernel=b.kernel,
+                                 compute_dtype=compute_dtype)
+            else:
+                h = L.apply_mbconv(params["blocks"][i], h, stride=stride,
+                                   train=train,
+                                   compute_dtype=compute_dtype)
             i += 1
     h = L.swish(L.apply_bn(params["head_bn"],
                            L.apply_conv(params["head_conv"], h,

@@ -35,10 +35,20 @@ TPU-layout design:
   lanes only, not bandwidth — the early small-C blocks (where most of
   the backbone's traffic lives) fuse profitably too.
 
-Blocks NOT fused (stride-2, tiny-image S<64 tail stages) fall back to
-the XLA path in models/layers.apply_mbconv; parity between the two
-paths is pinned by tests/test_pallas_mbconv.py in interpret mode and
-numerically on device by the golden suite.
+MEASURED NEGATIVE RESULT (v5e, B=1024, kept for the record): the
+tap-decomposed depthwise is the defeat. Each pltpu.roll materializes a
+full shifted copy of the expanded activations in VMEM, so a k×k block
+moves ~2·k²·S·Cm bytes of VMEM traffic — more than the HBM traffic the
+fusion saves. Measured per block (fused vs XLA): stage2-r1 23.0 vs
+7.5 ms, stage3-r1 10.7 vs 5.6 ms, stage5-r1 8.0 vs 5.3 ms; the
+no-expand stage-1 shape fails to compile (lane-padded C=32 inflates the
+rolled copies past VMEM). XLA's conv kernels reuse sliding-window
+registers across taps, which Pallas value-land cannot express today —
+so the production path keeps XLA convs (which measure AT the
+conv-boundary HBM roofline, docs/ARCHITECTURE.md) and
+apply_efficientnet's `fused_blocks` flag stays False. The kernels and
+their interpret-mode parity suite (tests/test_pallas_mbconv.py) remain
+as the documented experiment.
 """
 
 from __future__ import annotations
