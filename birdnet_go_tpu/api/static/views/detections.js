@@ -251,9 +251,22 @@ export async function detectionsView(outlet) {
       el("td", {}, confMeter(d.confidence)),
       el("td", {}, d.source_id),
       el("td", {}, d.clip_name
-        ? el("audio", { controls: "", preload: "none",
-                        style: "height:26px;width:200px",
-                        src: `/api/v2/audio/${d.id}` })
+        ? el("div", { class: "row" },
+            // inline thumbnail (reference MiniSpectrogram.svelte);
+            // click expands the full synced player drawer
+            (() => {
+              const mini = el("img", { loading: "lazy", alt: "",
+                class: "mini-spec",
+                title: t("spectrogram"),
+                src: `/api/v2/spectrogram/${d.id}?size=sm` });
+              mini.addEventListener("error", () => mini.remove());
+              mini.addEventListener("click",
+                (ev) => spectro(ev.target.closest("tr"), d.id));
+              return mini;
+            })(),
+            el("audio", { controls: "", preload: "none",
+                          style: "height:26px;width:170px",
+                          src: `/api/v2/audio/${d.id}` }))
         : el("span", { class: "sub" }, "–")),
       actions);
   }

@@ -71,16 +71,27 @@ export async function systemView(outlet) {
                ? Math.round(m.last_latency_ms) : "–")]))));
   } catch (e) { grid.append(card(t("inference"), err(e))); }
 
-  // scheduler: {ticks, processor:{...}, jobqueue:{...}}
+  // scheduler: {ticks, processor:{...}, jobqueue:{...}, models:{...}}
   try {
     const s = await api("/system/scheduler");
-    grid.append(card(t("scheduler"), el("div", { class: "grid cols-2" },
-      tile(t("ticks"), fmtNum(s.ticks)),
-      tile(t("results_processed"), fmtNum(s.processor?.results_processed)),
-      tile(t("approved"), fmtNum(s.processor?.approved)),
-      tile(t("discarded"), fmtNum(s.processor?.discarded)),
-      tile(t("jobs_completed"), fmtNum(s.jobqueue?.completed)),
-      tile(t("jobs_dropped"), fmtNum(s.jobqueue?.dropped)))));
+    const body = el("div", {},
+      el("div", { class: "grid cols-2" },
+        tile(t("ticks"), fmtNum(s.ticks)),
+        tile(t("results_processed"), fmtNum(s.processor?.results_processed)),
+        tile(t("approved"), fmtNum(s.processor?.approved)),
+        tile(t("discarded"), fmtNum(s.processor?.discarded)),
+        tile(t("jobs_completed"), fmtNum(s.jobqueue?.completed)),
+        tile(t("jobs_dropped"), fmtNum(s.jobqueue?.dropped))));
+    // configured per-model capacity ceiling (max_batch × dispatches/tick)
+    const caps = Object.entries(s.models || {});
+    if (caps.length) {
+      body.append(table(
+        [t("model"), t("batch"), t("windows") + "/s", t("capacity")],
+        caps.map(([id, c]) => [id, String(c.max_batch),
+          fmtNum(c.ceiling_windows_per_s),
+          fmtNum(c.ceiling_streams)])));
+    }
+    grid.append(card(t("scheduler"), body));
   } catch (e) { grid.append(card(t("scheduler"), err(e))); }
 
   // processes + disks
