@@ -25,12 +25,15 @@ export async function dashboardView(outlet) {
   const healthCard = el("div", { class: "card" });
   const weatherCard = el("div", { class: "card" });
   const gridCard = el("div", { class: "card" });
+  const newSpeciesCard = el("div", { class: "card" });
   outlet.append(kpiRow, hearingCard, el("div", { class: "grid cols-2" },
-                           liveCard, activityCard), gridCard, cardsWrap,
+                           liveCard, activityCard), gridCard,
+                newSpeciesCard, cardsWrap,
                 el("div", { class: "grid cols-2" },
                    healthCard, weatherCard));
   renderWeather(weatherCard);
   renderSpeciesGrid(gridCard);
+  renderNewSpecies(newSpeciesCard);
 
   // dashboard edit mode (reference DashboardEditMode.svelte): per-section
   // show/hide toggles, persisted per browser in localStorage
@@ -40,6 +43,7 @@ export async function dashboardView(outlet) {
     ["live", t("live_audio"), liveCard],
     ["activity", t("activity_by_hour"), activityCard],
     ["grid", t("todays_species"), gridCard],
+    ["newspecies", t("new_species"), newSpeciesCard],
     ["recent", t("recent_detections"), cardsWrap],
     ["health", t("sources"), healthCard],
     ["weather", t("weather"), weatherCard]];
@@ -187,6 +191,31 @@ export async function dashboardView(outlet) {
       pill.textContent = `${count} new`;
     } catch (e) { /* ignore */ }
   });
+
+  // species first seen in the last 7 days (reference
+  // NewSpeciesHighlightsCard.svelte) — hidden entirely when none
+  async function renderNewSpecies(card) {
+    try {
+      const res = await api("/analytics/species/first-seen");
+      const rows = Array.isArray(res) ? res : res.species || [];
+      const weekAgo = isoDaysAgo(6);
+      const fresh = rows.filter((r) => r.first_date >= weekAgo)
+        .slice(0, 10);
+      if (!fresh.length) { card.style.display = "none"; return; }
+      card.append(el("h2", {}, "★ " + t("new_species")));
+      card.append(el("div", { class: "chip-wrap" }, fresh.map((r) => {
+        const thumb = el("img", { loading: "lazy", alt: "",
+          style: "width:22px;height:22px;border-radius:50%;"
+            + "object-fit:cover;vertical-align:middle;margin-right:5px",
+          src: `/api/v2/species/thumbnail?name=${
+            encodeURIComponent(r.scientific_name)}` });
+        thumb.addEventListener("error", () => thumb.remove());
+        return el("span", { class: "pill good",
+                            title: r.scientific_name }, thumb,
+          `${r.common_name || r.scientific_name} · ${r.first_date}`);
+      })));
+    } catch (e) { card.style.display = "none"; }
+  }
 
   async function renderCards() {
     const host = document.getElementById("det-cards");

@@ -77,10 +77,24 @@ export async function detectionsView(outlet) {
     qs.set("format", "csv");
     window.open(`/api/v2/detections/export?${qs}`, "_blank");
   } }, "⬇ " + t("export_csv"));
+  // table ⇄ card layout toggle (reference DetectionsCardView.svelte),
+  // sticky per browser
+  let viewMode = localStorage.getItem("det_view") || "table";
+  const modeBtn = el("button", { class: "small", onclick: () => {
+    viewMode = viewMode === "table" ? "cards" : "table";
+    localStorage.setItem("det_view", viewMode);
+    paintModeBtn();
+    load();
+  } });
+  const paintModeBtn = () => {
+    modeBtn.textContent = viewMode === "table" ? "▦" : "☰";
+    modeBtn.title = viewMode === "table" ? t("card_view") : t("table_view");
+  };
+  paintModeBtn();
   outlet.append(el("div", { class: "filters" },
     range, customWrap, species, minConf, maxConf, hourFrom, hourTo,
     verified, lockedSel, orderSel, sourceSel, modelSel, applyBtn,
-    exportBtn));
+    exportBtn, modeBtn));
 
   // ---- bulk bar ----
   const bulkInfo = el("span", { class: "sub" }, "");
@@ -166,6 +180,14 @@ export async function detectionsView(outlet) {
       bulkBar.style.display = "none";
       return;
     }
+    if (viewMode === "cards") {
+      bulkBar.style.display = "none";
+      const grid = el("div", { class: "det-cards" });
+      for (const d of detections) grid.append(cardFor(d));
+      tableCard.append(grid);
+      paintPager(detections, count);
+      return;
+    }
     const selAll = el("input", { type: "checkbox" });
     selAll.addEventListener("change", () => {
       tableCard.querySelectorAll("input.sel").forEach(
@@ -185,7 +207,11 @@ export async function detectionsView(outlet) {
     for (const d of detections) tb.append(row(d));
     tbl.append(tb);
     tableCard.append(tbl);
-    // pager
+    paintPager(detections, count);
+    syncBulk();
+  }
+
+  function paintPager(detections, count) {
     clear(pager);
     pager.append(
       el("button", { class: "small", disabled: state.offset === 0 ? "" : null,
@@ -196,7 +222,38 @@ export async function detectionsView(outlet) {
       el("button", { class: "small",
         disabled: count < state.limit ? "" : null,
         onclick: () => { state.offset += state.limit; load(); } }, t("next_page")));
-    syncBulk();
+  }
+
+  /** Card-grid rendering of one detection (reference DetectionCard). */
+  function cardFor(d) {
+    const img = el("img", { class: "spec", loading: "lazy", alt: "",
+      src: d.clip_name ? `/api/v2/spectrogram/${d.id}?size=sm`
+        : `/api/v2/species/thumbnail?name=${
+            encodeURIComponent(d.scientific_name)}` });
+    img.addEventListener("error", () => img.remove());
+    return el("div", { class: "det-card" },
+      img,
+      el("div", { class: "body" },
+        el("div", { class: "common" },
+          el("a", { href: `#/detection/${d.id}`, title: t("open_detail") },
+             d.common_name || d.scientific_name),
+          d.verdict === "correct"
+            ? el("span", { class: "pill good", style: "margin-left:6px" },
+                 "✓") : null,
+          d.verdict === "false_positive"
+            ? el("span", { class: "pill bad", style: "margin-left:6px" },
+                 "✗") : null),
+        el("div", { class: "sci" }, d.scientific_name),
+        el("div", { class: "meta" },
+           confMeter(d.confidence), " · ", fmtTime(d.timestamp)),
+        el("div", { class: "row", style: "margin-top:6px" },
+          el("button", { class: "small", title: t("correct"),
+            onclick: () => review(d.id, "correct") }, "✓"),
+          el("button", { class: "small", title: t("false_positive"),
+            onclick: () => review(d.id, "false_positive") }, "✗"),
+          d.clip_name ? el("audio", { controls: "", preload: "none",
+            style: "height:24px;flex:1",
+            src: `/api/v2/audio/${d.id}` }) : null)));
   }
 
   function syncBulk() {
