@@ -145,8 +145,11 @@ class RealtimeSettings:
     max_batch: int = 256              # device megabatch size per model
     # device batches a model may dispatch per tick (the steady-state
     # ceiling is max_batch × max_dispatches_per_tick per tick); >1 removes
-    # the round-2 one-batch-per-tick cap (VERDICT r2 #1)
-    max_dispatches_per_tick: int = 8
+    # the round-2 one-batch-per-tick cap (VERDICT r2 #1). 11 puts the
+    # configured ceiling (42.2k streams) above the measured single-model
+    # kernel capacity (40.8k, BENCH r3) so the shipped config never caps
+    # the chip; ~79 ms device time per 100 ms tick at p50 7.2 ms/batch.
+    max_dispatches_per_tick: int = 11
     pipeline_depth: int = 2           # in-flight device batches per model
 
 
