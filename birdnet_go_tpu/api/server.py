@@ -428,7 +428,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             v = q.get(name)
             return int(v) if v not in (None, "") else None
 
-        try:
+        def _build_csv() -> str:
             rows = self.ctx.datastore.search_detections(
                 species=q.get("species") or None,
                 date_from=q.get("from") or None, date_to=q.get("to") or None,
@@ -439,21 +439,28 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
                 hour_from=_i("hour_from"), hour_to=_i("hour_to"),
                 verified=q.get("verified") or None,
                 locked={"true": True, "false": False}.get(q.get("locked")),
-                limit=min(int(q.get("limit", 100000)), 1000000),
+                limit=max(1, min(int(q.get("limit", 100000)), 1000000)),
                 order=q.get("order", "desc"))
+            buf = io.StringIO()
+            w = csv.writer(buf)
+            cols = ["id", "date", "time", "scientific_name", "common_name",
+                    "species_code", "confidence", "source_id", "model_id",
+                    "verdict", "locked", "clip_name"]
+            w.writerow(cols)
+            for row in rows:
+                w.writerow([row.get(c, "") for c in cols])
+            return buf.getvalue()
+
+        try:
+            # off the event loop: a 100k-row export must not stall SSE
+            # heartbeats and live-audio handlers
+            body_text = await asyncio.get_event_loop().run_in_executor(
+                None, _build_csv)
         except (TypeError, ValueError) as e:
             return _json({"error": f"bad filter: {e}"}, status=400)
-        buf = io.StringIO()
-        w = csv.writer(buf)
-        cols = ["id", "date", "time", "scientific_name", "common_name",
-                "species_code", "confidence", "source_id", "model_id",
-                "verdict", "locked", "clip_name"]
-        w.writerow(cols)
-        for row in rows:
-            w.writerow([row.get(c, "") for c in cols])
         day = _dt.date.today().isoformat()
         return web.Response(
-            text=buf.getvalue(), content_type="text/csv",
+            text=body_text, content_type="text/csv",
             headers={"Content-Disposition":
                      f'attachment; filename="detections_{day}.csv"'})
 

@@ -201,7 +201,9 @@ export async function dashboardView(outlet) {
       const weekAgo = isoDaysAgo(6);
       const fresh = rows.filter((r) => r.first_date >= weekAgo)
         .slice(0, 10);
-      if (!fresh.length) { card.style.display = "none"; return; }
+      // remove (not hide): edit-mode's applyVis() resets style.display
+      // and would resurrect an empty bordered box
+      if (!fresh.length) { card.remove(); return; }
       card.append(el("h2", {}, "★ " + t("new_species")));
       card.append(el("div", { class: "chip-wrap" }, fresh.map((r) => {
         const thumb = el("img", { loading: "lazy", alt: "",
@@ -214,7 +216,7 @@ export async function dashboardView(outlet) {
                             title: r.scientific_name }, thumb,
           `${r.common_name || r.scientific_name} · ${r.first_date}`);
       })));
-    } catch (e) { card.style.display = "none"; }
+    } catch (e) { card.remove(); }
   }
 
   async function renderCards() {

@@ -171,9 +171,11 @@ export async function detectionsView(outlet) {
       ({ detections, count } = await api("/detections/search",
                                          { method: "POST", body }));
     } catch (e) { toast(e.message, true); return; }
-    // a re-render would detach any playing spectrogram player — stop it
+    // a re-render detaches players — a detached HTMLMediaElement keeps
+    // playing with no visible controls, so stop ALL audio first
     tableCard.querySelectorAll(".spec-player").forEach(
       (p) => p.stopPlayback?.());
+    tableCard.querySelectorAll("audio").forEach((a) => a.pause());
     clear(tableCard);
     if (!detections.length) {
       tableCard.append(el("div", { class: "empty" }, t("no_data")));

@@ -64,7 +64,9 @@ export function spectrogramPlayer(detId, { size = "lg" } = {}) {
   };
   audio.addEventListener("play", () => {
     btn.textContent = "⏸";
-    head.style.display = "";
+    // keep the playhead hidden while the spectrogram is missing — an
+    // orphan line would sweep across the placeholder box
+    if (img.style.display !== "none") head.style.display = "";
     raf = requestAnimationFrame(tick);
   });
   audio.addEventListener("pause", () => {

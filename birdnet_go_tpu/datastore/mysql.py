@@ -273,8 +273,11 @@ class MySQLDatastore(Datastore):
         now = _time.time()
         rate = [0] * 24
         with self._lock:
+            # FLOOR, not CAST: MySQL CAST AS SIGNED rounds-to-nearest
+            # (2.6h -> bucket 3) where sqlite CAST truncates; FLOOR keeps
+            # the two engines' hour buckets identical
             for age, n in self._conn.execute(
-                    "SELECT CAST((? - timestamp) / 3600 AS INTEGER),"
+                    "SELECT FLOOR((? - timestamp) / 3600),"
                     " COUNT(*) FROM detections WHERE timestamp >= ?"
                     " GROUP BY 1", (now, now - 86400)):
                 if 0 <= age < 24:

@@ -952,11 +952,16 @@ class Datastore:
             tables = [r[0] for r in c.execute(
                 "SELECT name FROM sqlite_master WHERE type='table'"
                 " AND name NOT LIKE 'sqlite_%' ORDER BY name")]
-            breakdown = []
-            for t in tables:
+        # COUNT(*) per table OUTSIDE one long lock hold: each count is an
+        # index scan, but a big detections table must not stall the
+        # processor's inserts for the whole breakdown
+        breakdown = []
+        for t in tables:
+            with self._lock:
                 # table names come from sqlite_master, not user input
-                (n,) = c.execute(f'SELECT COUNT(*) FROM "{t}"').fetchone()
-                breakdown.append({"table": t, "rows": int(n)})
+                (n,) = self._conn.execute(
+                    f'SELECT COUNT(*) FROM "{t}"').fetchone()
+            breakdown.append({"table": t, "rows": int(n)})
         wal_bytes = 0
         if self.path != ":memory:":
             try:

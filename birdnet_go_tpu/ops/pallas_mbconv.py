@@ -226,16 +226,16 @@ def mbconv_fused(p, x, *, kernel: int, compute_dtype=jnp.bfloat16,
     s = height * width
     xf = x.reshape(bsz, s, cin)
 
+    cm = p["dw"]["w"].shape[-1]
+    dwk = p["dw"]["w"][:, :, 0, :].reshape(kernel * kernel, cm)
+    kdw, bdw = _fold_bn(p["dw_bn"])
     if "expand_conv" in p:
         wexp = p["expand_conv"]["w"][0, 0]                 # [C, Cm]
         kexp, bexp = _fold_bn(p["expand_bn"])
     else:
-        wexp, (kexp, bexp) = None, _fold_bn(p["dw_bn"])    # placeholder
-    cm = p["dw"]["w"].shape[-1]
-    dwk = p["dw"]["w"][:, :, 0, :].reshape(kernel * kernel, cm)
-    kdw, bdw = _fold_bn(p["dw_bn"])
-    if "expand_conv" not in p:
-        # no expand stage: BN consts for it are unused; pass dw's shape
+        # no expand stage: the kernel skips the matmul, so its BN consts
+        # are unused — identity placeholders keep the arg list uniform
+        wexp = None
         kexp = jnp.ones((1, cm), jnp.float32)
         bexp = jnp.zeros((1, cm), jnp.float32)
 

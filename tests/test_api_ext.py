@@ -167,6 +167,14 @@ def test_detections_csv_export(served):
             urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/api/v2/detections/export{bad}")
         assert ei.value.code == 400
+    # negative limit clamps to 1 row — 'LIMIT -1' would mean UNLIMITED
+    # in sqlite and a syntax error on MySQL
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/detections/export?limit=-1"
+            ) as resp:
+        neg_rows = [ln for ln in resp.read().decode().strip()
+                    .splitlines()[1:] if ln]
+    assert len(neg_rows) == 1
 
 
 def test_advanced_search_filters(served):
