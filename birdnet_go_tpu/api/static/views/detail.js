@@ -59,7 +59,10 @@ export async function detectionDetailView(outlet, rest) {
     el("div", { class: "row" },
       thumb,
       el("div", {},
-        el("h1", { style: "margin:0" }, d.common_name || d.scientific_name),
+        el("h1", { style: "margin:0" },
+          el("a", { href: `#/species/${
+              encodeURIComponent(d.scientific_name)}` },
+             d.common_name || d.scientific_name)),
         el("em", { class: "sub" }, d.scientific_name),
         badges)),
     confRing(d.confidence));

@@ -1,7 +1,8 @@
 /* Remaining views: notifications inbox, models gallery, species/taxonomy
    + range filter, and BirdNET-Pi import jobs. */
 
-import { api, el, clear, fmtNum, fmtTime, toast, t, subscribe, table, viewInterval } from "../app.js";
+import { api, el, clear, fmtNum, fmtTime, toast, t, subscribe, table, viewInterval, confMeter } from "../app.js";
+import { barChart, lineChart, radialClock } from "../charts.js";
 
 // ------------------------------------------------------------- notifications
 
@@ -137,7 +138,11 @@ export async function modelsView(outlet) {
 
 // ------------------------------------------------------------------- species
 
-export async function speciesView(outlet) {
+export async function speciesView(outlet, rest) {
+  // #/species/<encoded scientific name> → routed per-species page
+  if (rest && rest[0]) {
+    return speciesPage(outlet, decodeURIComponent(rest[0]));
+  }
   outlet.append(el("h1", {}, t("species")));
   const search = el("input", { placeholder: t("search") + "…", size: 26 });
   const results = el("div", { class: "card" });
@@ -178,7 +183,9 @@ export async function speciesView(outlet) {
         [t("species"), t("count"), t("max_conf"), t("first_seen"), t("last_seen")],
         species.slice(0, 50).map((s) => [
           el("span", { class: "row" }, speciesThumb(s.scientific_name),
-             el("span", {}, el("strong", {}, s.common_name || ""), " ",
+             el("a", { href: `#/species/${
+                 encodeURIComponent(s.scientific_name)}` },
+                el("strong", {}, s.common_name || ""), " ",
                 el("em", { class: "sub" }, s.scientific_name))),
           fmtNum(s.count), `${Math.round((s.max_confidence || 0) * 100)}%`,
           s.first_seen ? fmtTime(s.first_seen) : "–",
@@ -186,6 +193,104 @@ export async function speciesView(outlet) {
     }
   }
 
+}
+
+/** Routed per-species detail page (reference SpeciesDetailModal as a
+    shareable view): photo, taxonomy line, station stats, 48-week
+    phenology, diel clock, year-over-year, recent detections. */
+async function speciesPage(outlet, sci) {
+  outlet.append(el("div", { class: "row", style: "margin-bottom:8px" },
+    el("a", { href: "#/species", class: "sub" }, "‹ " + t("species"))));
+  const head = el("div", { class: "card" });
+  outlet.append(head);
+  const photo = el("img", { loading: "lazy", alt: "",
+    style: "width:120px;height:120px;border-radius:12px;object-fit:cover",
+    src: `/api/v2/species/thumbnail?name=${encodeURIComponent(sci)}` });
+  photo.addEventListener("error", () => photo.remove());
+  const title = el("div", {},
+    el("h1", { style: "margin:0" }, sci),
+    el("em", { class: "sub" }, sci));
+  const taxLine = el("div", { class: "sub" });
+  head.append(el("div", { class: "row" }, photo,
+                 el("div", {}, title, taxLine)));
+  api(`/species/info?name=${encodeURIComponent(sci)}`).then((info) => {
+    if (info.canonical_name) {
+      clear(title);
+      title.append(
+        el("h1", { style: "margin:0" },
+           info.common_name || info.canonical_name),
+        el("em", { class: "sub" }, info.canonical_name));
+    }
+    taxLine.textContent = [info.order, info.family]
+      .filter(Boolean).join(" · ");
+  }).catch(() => {});
+
+  const stats = el("div", { class: "grid cols-4" });
+  head.append(stats);
+  api("/species").then(({ species }) => {
+    const mine = (species || []).find((s) => s.scientific_name === sci);
+    if (!mine) return;
+    const tile = (label, value) => el("div", { class: "stat" },
+      el("div", { class: "label" }, label),
+      el("div", { class: "value", style: "font-size:18px" }, value));
+    stats.append(
+      tile(t("detections"), fmtNum(mine.count)),
+      tile(t("max_conf"), `${Math.round((mine.max_confidence || 0) * 100)}%`),
+      tile(t("first_seen"), mine.first_seen ? fmtTime(mine.first_seen) : "–"),
+      tile(t("last_seen"), mine.last_seen ? fmtTime(mine.last_seen) : "–"));
+  }).catch(() => {});
+
+  const charts = el("div", { class: "grid cols-2" });
+  outlet.append(charts);
+  const card = (titleText, node) =>
+    el("div", { class: "card" }, el("h2", {}, titleText), node);
+  try {
+    const weeks = await api(`/analytics/phenology/${
+      encodeURIComponent(sci)}`);
+    if (weeks.some((w) => w.count > 0)) {
+      charts.append(card(t("phenology"), barChart(weeks.map((w) => ({
+        label: String(w.week), value: w.count })),
+        { xLabelEvery: 4, height: 150 })));
+    }
+  } catch (e) { /* optional */ }
+  try {
+    const today = new Date().toISOString().slice(0, 10);
+    const { species } = await api(
+      `/analytics/time-of-day?from=1970-01-01&to=${today}`
+      + `&species=${encodeURIComponent(sci)}`);
+    if (species.length) {
+      charts.append(card(t("activity_clock"),
+                         radialClock(species[0].hourly)));
+    }
+  } catch (e) { /* optional */ }
+  try {
+    const yoy = await api(
+      `/analytics/year-over-year?species=${encodeURIComponent(sci)}`);
+    const years = Object.keys(yoy).sort().slice(-5);
+    if (years.length) {
+      charts.append(card(t("monthly_by_year"),
+        lineChart(years.map((y, i) => ({
+          name: y, color: `var(--series-${i + 1})`,
+          points: yoy[y].map((n, m) => ({
+            x: String(m + 1).padStart(2, "0"), y: n })),
+        })))));
+    }
+  } catch (e) { /* optional */ }
+
+  // recent detections of this species
+  try {
+    const { detections } = await api("/detections/search", {
+      method: "POST", body: { species: sci, limit: 10 } });
+    if (detections.length) {
+      outlet.append(el("div", { class: "card" },
+        el("h2", {}, t("recent_detections")),
+        table([t("date"), t("confidence"), t("source"), ""],
+          detections.map((d) => [
+            fmtTime(d.timestamp), confMeter(d.confidence), d.source_id,
+            el("a", { class: "small", href: `#/detection/${d.id}`,
+                      title: t("open_detail") }, "↗")]))));
+    }
+  } catch (e) { /* optional */ }
 }
 
 /** 30px species photo from the image provider (reference

@@ -24,7 +24,7 @@ playwright = pytest.importorskip(
 
 VIEWS = ["dashboard", "detections", "analytics", "species", "system",
          "settings", "models", "notifications", "alerts", "range",
-         "imports", "detection/1", "help"]
+         "imports", "detection/1", "help", "species/Turdus%20merula"]
 
 from tests.test_app_integration import tiny_app  # noqa: E402,F401 fixture
 
