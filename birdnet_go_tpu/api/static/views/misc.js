@@ -223,6 +223,11 @@ async function speciesPage(outlet, sci) {
     }
     taxLine.textContent = [info.order, info.family]
       .filter(Boolean).join(" · ");
+    for (const [url, label] of [[info.wikipedia_url, "Wikipedia"],
+                                [info.inaturalist_url, "iNaturalist"]]) {
+      if (url) taxLine.append(" · ", el("a", { href: url,
+        target: "_blank", rel: "noopener noreferrer" }, label + " ↗"));
+    }
   }).catch(() => {});
 
   const stats = el("div", { class: "grid cols-4" });

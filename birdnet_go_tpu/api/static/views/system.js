@@ -58,17 +58,30 @@ export async function systemView(outlet) {
     }
   } catch (e) { /* optional */ }
 
-  // inference status (list of per-model batcher stats)
+  // inference status (list of per-model batcher stats) + the span
+  // ring's recent dispatch-latency trace (reference SystemInference)
   try {
     const inf = await api("/system/inference");
     const models = Array.isArray(inf) ? inf : inf.models || [];
-    grid.append(card(t("inference"), table(
+    const body = el("div", {}, table(
       [t("model"), t("backend"), t("batch"), t("windows"), "Latency (ms)"],
       models.map((m) => [
         m.model_id || "?", m.backend || "jax",
         String(m.batch_size ?? "–"), fmtNum(m.windows_processed ?? 0),
         String(m.last_latency_ms != null
-               ? Math.round(m.last_latency_ms) : "–")]))));
+               ? Math.round(m.last_latency_ms) : "–")])));
+    try {
+      const { summary, spans } = await api("/system/inference/spans"
+                                           + "?limit=120");
+      if (spans.length > 1) {
+        body.append(el("div", { class: "row", style: "margin-top:6px" },
+          el("span", { class: "sub" },
+             `p50 ${summary.p50_ms} · p90 ${summary.p90_ms}`
+             + ` · p99 ${summary.p99_ms} ms`),
+          sparkline(spans.map((s) => s.duration_ms))));
+      }
+    } catch (e) { /* spans optional */ }
+    grid.append(card(t("inference"), body));
   } catch (e) { grid.append(card(t("inference"), err(e))); }
 
   // scheduler: {ticks, processor:{...}, jobqueue:{...}, models:{...}}

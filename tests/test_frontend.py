@@ -224,6 +224,7 @@ def test_no_untranslated_literals_in_views():
         "Opus",           # codec proper nouns in the live-audio selector
         "Ogg Opus", "FLAC", "AAC", "WAV", "MP3", "SoundHandler",
         "BirdNET-TPU",    # product name
+        "Wikipedia", "iNaturalist",   # external-service proper nouns
     }
     pat = re.compile(
         r'''["'](?:[^\w"']{1,2} )?'''   # optional emoji/arrow prefix (⬇ , ▶ )
