@@ -49,7 +49,9 @@ def test_shell_and_assets_served(served):
                         ("/static/views/admin.js", "javascript"),
                         ("/static/views/onboarding.js", "javascript"),
                         ("/static/views/misc.js", "javascript"),
-                        ("/static/views/player.js", "javascript")]:
+                        ("/static/views/player.js", "javascript"),
+                        ("/static/views/detail.js", "javascript"),
+                        ("/static/views/help.js", "javascript")]:
         status, ctype, body = _get(port, asset)
         assert status == 200 and want in ctype, asset
         assert len(body) > 500, asset
@@ -135,6 +137,11 @@ def test_ui_consumes_every_api_group():
         "/analytics/time-of-day", "/analytics/species-daily-trend",
         "/analytics/year-over-year", "/analytics/phenology/",
         "/species/thumbnail",
+        # round-3 late additions: detail/help/species pages, exports,
+        # storage observability, span traces
+        "/detections/export", "/system/database",
+        "/system/inference/spans", "/species/taxonomy",
+        "/weather/hourly/", "/system/info",
     ]
     missing = [c for c in consumed if c not in js]
     assert not missing, f"UI consumers missing for: {missing}"
