@@ -29,6 +29,28 @@ export async function settingsView(outlet) {
   try {
     schema = (await api("/settings/schema")).properties || {};
   } catch (e) { /* optional */ }
+  // find-a-setting filter (reference settings search): hides sections
+  // with no matching field name, expands + trims matching ones
+  const search = el("input", { placeholder: t("search") + "…", size: 28 });
+  search.addEventListener("input", () => {
+    const q = search.value.trim().toLowerCase();
+    host.querySelectorAll("details.settings-section").forEach((sec) => {
+      const name = sec.querySelector("summary").textContent.toLowerCase();
+      let any = false;
+      sec.querySelectorAll(".field-row").forEach((row) => {
+        const hit = !q || name.includes(q)
+          || row.querySelector("label").textContent.toLowerCase()
+               .includes(q);
+        row.style.display = hit ? "" : "none";
+        if (hit) any = true;
+      });
+      sec.style.display = (!q || any) ? "" : "none";
+      if (q && any) sec.open = true;
+      if (!q) sec.open = false;
+    });
+  });
+  outlet.append(el("div", { class: "row", style: "margin-bottom:10px" },
+                   search));
   const host = el("div");
   outlet.append(host);
 
