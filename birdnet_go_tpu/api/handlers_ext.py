@@ -483,12 +483,19 @@ class ExtendedHandlers:
 
     async def h_quiet_hours(self, request):
         qh = self.ctx.quiet_hours
-        now = _dt.datetime.now()
-        out = {}
+        now = _dt.datetime.now(_dt.timezone.utc)
+        out, windows = {}, {}
         for src in self.ctx.engine.sources():
             out[src.source_id] = qh.is_quiet(src.source_id, now) \
                 if qh is not None else False
-        return _json({"time": now.isoformat(), "sources": out})
+            if qh is not None:
+                windows[src.source_id] = [
+                    {"start": w.start, "end": w.end}
+                    for w in qh._windows.get(src.source_id, ())]
+        return _json({"time": now.isoformat(), "sources": out,
+                      "windows": windows,
+                      "capture_gated": sorted(
+                          getattr(self.ctx, "_quiet_gated", ()))})
 
     # -- detections extras -------------------------------------------------------------------
 

@@ -878,7 +878,8 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             "dynamic_threshold":
                 [ControlSignal.RECONFIGURE_DYNAMIC_THRESHOLDS],
             "realtime": [ControlSignal.UPDATE_DETECTION_INTERVALS,
-                         ControlSignal.RECONFIGURE_SOURCES],
+                         ControlSignal.RECONFIGURE_SOURCES,
+                         ControlSignal.RECONFIGURE_QUIET_HOURS],
             "location": [ControlSignal.REBUILD_RANGE_FILTER,
                          ControlSignal.RECONFIGURE_QUIET_HOURS],
         }.get(section, [])

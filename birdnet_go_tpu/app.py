@@ -64,6 +64,9 @@ class Application:
         self.species_tracker = None
         self.watchdog = None
         self.quiet_hours = None
+        self._quiet_gate_thread = None
+        self._quiet_gate_stop = None
+        self._quiet_gated: set[str] = set()   # sources we stopped for quiet
         self.backup = None
         self.alerting = None
         self.events = None
@@ -214,6 +217,7 @@ class Application:
 
         self.quiet_hours = QuietHoursScheduler(
             lat=s.location.latitude, lon=s.location.longitude)
+        self._apply_quiet_windows()
 
         def _notify_source(sid: str, state: SourceState) -> None:
             if self.notifications is not None:
@@ -614,18 +618,51 @@ class Application:
         telemetry.configure(t.dsn, enabled=t.enabled)
         log.info("telemetry reconfigured (enabled=%s)", t.enabled)
 
+    def _apply_quiet_windows(self) -> None:
+        """Populate the scheduler from config: realtime.quiet_hours applies
+        to every source, plus each source dict's own "quiet_hours" key
+        (quiet_hours.go per-source windows). Malformed windows log and are
+        skipped so one bad entry can't take down a reconfigure."""
+        from birdnet_go_tpu.audio.quiet_hours import parse_windows
+
+        s = self.settings
+        try:
+            global_wins = parse_windows(s.realtime.quiet_hours)
+        except ValueError:
+            log.exception("bad realtime.quiet_hours config")
+            global_wins = []
+        for i, cfg in enumerate(s.realtime.sources):
+            sid = cfg.get("id") or f"{cfg.get('type', 'file')}{i}"
+            try:
+                wins = global_wins + parse_windows(cfg.get("quiet_hours"))
+            except ValueError:
+                log.exception("bad quiet_hours on source %s", sid)
+                wins = list(global_wins)
+            self.quiet_hours.set_windows(sid, wins)
+
     def _reconfigure_quiet_hours(self) -> None:
         from birdnet_go_tpu.audio.quiet_hours import QuietHoursScheduler
 
         s = self.settings
         self.quiet_hours = QuietHoursScheduler(
             lat=s.location.latitude, lon=s.location.longitude)
+        self._apply_quiet_windows()
         if self.watchdog is not None:
             self.watchdog.is_quiet = self.quiet_hours.is_quiet
+        self._apply_quiet_gates()
+        # windows may appear/disappear at runtime: manage the gate thread
+        if self.quiet_hours.has_windows():
+            if self._started and self._quiet_gate_thread is None:
+                self._start_quiet_gate()
+        elif self._quiet_gate_stop is not None:
+            self._quiet_gate_stop.set()
+            self._quiet_gate_thread = None
+            self._quiet_gate_stop = None
         log.info("quiet hours reconfigured")
 
     def _gate_soundcards(self, start: bool) -> None:
-        """Quiet-hours capture gating: stop/start soundcard sources only."""
+        """Manual quiet-hours override (QUIET_HOURS_*_SOUNDCARD signals):
+        stop/start ALL soundcard sources now."""
         for src in self._sources:
             if getattr(src, "source", None) is not None \
                     and src.source.source_type.value == "audio_card":
@@ -633,6 +670,44 @@ class Application:
                     (src.start if start else src.stop)()
                 except Exception:
                     log.exception("soundcard gate failed")
+
+    def _apply_quiet_gates(self) -> None:
+        """Automatic quiet-hours capture gating: stop each soundcard source
+        whose windows say quiet-now, restart it when the window ends
+        (quiet_hours.go gates capture per source; the liveness watchdog
+        already treats the gap as expected silence via is_quiet)."""
+        if self.quiet_hours is None:
+            return
+        for src in list(self._sources):
+            if getattr(src, "source", None) is None \
+                    or src.source.source_type.value != "audio_card":
+                continue
+            sid = src.source.source_id
+            quiet = self.quiet_hours.is_quiet(sid)
+            try:
+                if quiet and sid not in self._quiet_gated:
+                    log.info("quiet hours: stopping capture on %s", sid)
+                    src.stop()
+                    self._quiet_gated.add(sid)
+                elif not quiet and sid in self._quiet_gated:
+                    log.info("quiet hours: resuming capture on %s", sid)
+                    src.start()
+                    self._quiet_gated.discard(sid)
+            except Exception:
+                log.exception("quiet gate failed for %s", sid)
+
+    def _start_quiet_gate(self, interval_seconds: float = 30.0) -> None:
+        import threading
+
+        self._quiet_gate_stop = threading.Event()
+
+        def run() -> None:
+            while not self._quiet_gate_stop.wait(interval_seconds):
+                self._apply_quiet_gates()
+
+        self._quiet_gate_thread = threading.Thread(
+            target=run, name="quiet-gate", daemon=True)
+        self._quiet_gate_thread.start()
 
     def _reconfigure_species_tracking(self) -> None:
         from birdnet_go_tpu.analysis.species_tracker import SpeciesTracker
@@ -660,6 +735,8 @@ class Application:
                     if self.watchdog is not None \
                             and self.settings.liveness.enabled:
                         self.watchdog.track(src.source.source_id)
+        if self.quiet_hours is not None:
+            self._apply_quiet_windows()       # new ids need their windows
         log.info("sources reconfigured: %d running",
                  len(self._source_cfgs))
 
@@ -874,6 +951,12 @@ class Application:
                 self.watchdog.track(src.source.source_id)
         if self.watchdog is not None and self.settings.liveness.enabled:
             self.watchdog.start(self.settings.liveness.check_interval_seconds)
+        # quiet-hours capture gating (only worth a thread when any source
+        # actually has windows); gate once immediately so a start inside a
+        # quiet window doesn't capture until the first tick
+        if self.quiet_hours is not None and self.quiet_hours.has_windows():
+            self._apply_quiet_gates()
+            self._start_quiet_gate()
         if self.backup is not None:
             self.backup.start()
         # rolling resource samples for the System page charts
@@ -901,6 +984,8 @@ class Application:
             self.soundlevel.stop()
         if self.watchdog is not None:
             self.watchdog.stop()
+        if self._quiet_gate_stop is not None:
+            self._quiet_gate_stop.set()
         if getattr(self, "metrics_history", None) is not None:
             self.metrics_history.stop()
         if self.backup is not None:

@@ -27,6 +27,38 @@ class QuietWindow:
 _SUN_RE = re.compile(r"^(sunrise|sunset)(?:([+-])(\d+)([mh]))?$")
 
 
+def parse_windows(spec) -> list[QuietWindow]:
+    """Config → windows. Accepts a list whose items are either
+    ``{"start": "22:00", "end": "sunrise-30m"}`` dicts or strings —
+    ``"22:00-06:00"`` (fixed) / ``"sunset+30m to sunrise-30m"``
+    (sun-relative; `` to `` separates because offsets contain ``-``).
+    Reference: quiet_hours.go window syntax. Raises ValueError on
+    malformed entries so a bad config fails loudly at (re)load."""
+    wins: list[QuietWindow] = []
+    for item in spec or ():
+        if isinstance(item, dict):
+            start, end = item.get("start", ""), item.get("end", "")
+        else:
+            s = str(item)
+            if " to " in s:
+                start, _, end = s.partition(" to ")
+            else:
+                start, _, end = s.partition("-")
+        start, end = start.strip(), end.strip()
+        if not start or not end:
+            raise ValueError(f"malformed quiet-hours window: {item!r}")
+        for part in (start, end):
+            if not _SUN_RE.match(part.lower()):
+                hh, _, mm = part.partition(":")
+                try:
+                    _dt.time(int(hh), int(mm or 0))
+                except ValueError as exc:
+                    raise ValueError(
+                        f"malformed quiet-hours time {part!r}") from exc
+        wins.append(QuietWindow(start=start, end=end))
+    return wins
+
+
 def _resolve(spec: str, date: _dt.date, lat: float | None,
              lon: float | None) -> _dt.time | None:
     spec = spec.strip().lower()
@@ -77,6 +109,9 @@ class QuietHoursScheduler:
     def set_windows(self, source_id: str,
                     windows: list[QuietWindow]) -> None:
         self._windows[source_id] = windows
+
+    def has_windows(self) -> bool:
+        return any(self._windows.values())
 
     def is_quiet(self, source_id: str,
                  when: _dt.datetime | None = None) -> bool:

@@ -140,6 +140,11 @@ class RealtimeSettings:
     interval_seconds: float = 15.0    # repeated-species log interval
     capture_buffer_seconds: float = 120.0
     sources: list[dict[str, Any]] = dataclasses.field(default_factory=list)
+    # global quiet-hours windows applied to every source; entries are
+    # {"start","end"} dicts or "22:00-06:00" / "sunset+30m to sunrise-30m"
+    # strings (quiet_hours.go). A source dict's own "quiet_hours" key adds
+    # per-source windows on top.
+    quiet_hours: list[Any] = dataclasses.field(default_factory=list)
     # scheduler
     tick_ms: int = 100                # buffer monitor poll (buffer_manager.go:392)
     max_batch: int = 256              # device megabatch size per model
