@@ -84,8 +84,34 @@ export async function settingsView(outlet) {
       });
     } else {
       for (const [k, v] of Object.entries(value)) {
-        if (v !== null && typeof v === "object" && !Array.isArray(v)) continue;
-        body.append(fieldRow(k, k, v, props[k]));
+        if (name === "realtime" && k === "sources") {
+          body.append(sourcesEditor(k, v));
+        } else if (name === "realtime" && k === "quiet_hours") {
+          body.append(el("div", { class: "field-row" },
+            el("label", { title: "22:00-06:00 · sunset+30m to sunrise-30m" },
+               k.replaceAll("_", " ")),
+            chipList(k, v.map((w) => typeof w === "string" ? w
+              : `${w.start}${/[a-z]/.test(`${w.start}${w.end}`)
+                  ? " to " : "-"}${w.end}`))));
+        } else if (name === "species" && k === "config") {
+          body.append(speciesConfigEditor(k, v));
+        } else if (v !== null && typeof v === "object" && !Array.isArray(v)) {
+          // nested object: flat dict of scalars → editable dotted-key
+          // sub-rows (backup.remote, log.module_levels); deeper → JSON
+          const flat = Object.values(v).every(
+            (x) => x === null || typeof x !== "object");
+          if (flat && Object.keys(v).length) {
+            body.append(el("div", { class: "sub", style: "margin-top:6px" },
+                           k.replaceAll("_", " ")));
+            for (const [k2, v2] of Object.entries(v))
+              body.append(fieldRow(`${k}.${k2}`, `· ${k2}`, v2,
+                                   props[k]?.properties?.[k2]));
+          } else {
+            body.append(fieldRow(k, k, v, props[k]));
+          }
+        } else {
+          body.append(fieldRow(k, k, v, props[k]));
+        }
       }
     }
     const warnBox = el("div", { class: "section-warnings" });
@@ -100,6 +126,7 @@ export async function settingsView(outlet) {
     // PATCH (the server still re-validates; this is feedback, not
     // enforcement — VERDICT r3 #9 per-section validation UX)
     function validateField(inp) {
+      if (inp._getValue) return true;     // structured editors self-validate
       const spec = inp._spec;
       inp.classList.remove("invalid");
       const prevErr = inp.nextElementSibling;
@@ -154,10 +181,17 @@ export async function settingsView(outlet) {
         return;
       }
       const patch = {};
+      const setPath = (obj, path, v) => {
+        const parts = path.split(".");
+        let o = obj;
+        for (const p of parts.slice(0, -1)) o = (o[p] = o[p] || {});
+        o[parts[parts.length - 1]] = v;
+      };
       body.querySelectorAll("[data-key]").forEach((inp) => {
         const key = inp.dataset.key;
         let v;
-        if (inp.type === "checkbox") v = inp.checked;
+        if (inp._getValue) v = inp._getValue();
+        else if (inp.type === "checkbox") v = inp.checked;
         else if (inp.dataset.type === "number")
           v = inp.value === "" ? null : Number(inp.value);
         else if (inp.dataset.type === "json") {
@@ -168,7 +202,7 @@ export async function settingsView(outlet) {
           patch.models = patch.models || value.map((m) => ({ ...m }));
           patch.models[Number(idx)][field] = v;
         } else {
-          patch[key] = v;
+          setPath(patch, key, v);
         }
       });
       try {
@@ -192,6 +226,10 @@ export async function settingsView(outlet) {
     } else if (typeof v === "number") {
       input = el("input", { type: "number", step: "any", "data-key": key,
                             "data-type": "number", value: v });
+    } else if (Array.isArray(v)
+               && (v.length ? v.every((x) => typeof x === "string")
+                            : spec?.items?.type === "string")) {
+      input = chipList(key, v);         // string lists: chips + add box
     } else if (Array.isArray(v) || (v !== null && typeof v === "object")) {
       input = el("input", { "data-key": key, "data-type": "json",
                             value: JSON.stringify(v) });
@@ -207,4 +245,172 @@ export async function settingsView(outlet) {
     return el("div", { class: "field-row" },
       el("label", { title: hint }, label.replaceAll("_", " ")), input);
   }
+}
+
+/* ---- structured editors (reference settings components:
+   SpeciesListEditor / SpeciesInput, StreamManager / RTSPUrlManager /
+   StreamTestButton, QuietHoursEditor — desktop/components/forms).
+   Each returns a root element carrying data-key + _getValue(); the
+   section save() collects them like plain inputs. ---- */
+
+/** Editable string list: chips with ×, plus an add box. */
+export function chipList(key, values) {
+  const root = el("div", { class: "chip-list", "data-key": key });
+  const items = [...values];
+  const addBox = el("input", { size: 14 });
+  const addBtn = el("button", { class: "small", onclick: add }, t("add"));
+  addBox.addEventListener("keydown", (e) => {
+    if (e.key === "Enter") { e.preventDefault(); add(); }
+  });
+  function add() {
+    const v = addBox.value.trim();
+    if (!v || items.includes(v)) return;
+    items.push(v);
+    addBox.value = "";
+    render();
+  }
+  function render() {
+    root.replaceChildren(
+      ...items.map((v, i) => el("span", { class: "chip" }, v,
+        el("button", { class: "chip-x", "aria-label": t("remove"),
+          onclick: () => { items.splice(i, 1); render(); } }, "×"))),
+      addBox, addBtn);
+  }
+  render();
+  root._getValue = () => [...items];
+  return root;
+}
+
+const SOURCE_FIELDS = {
+  file: [["path", ""], ["speed", 1.0]],
+  tone: [["freq", 1000], ["speed", 1.0]],
+  rtsp: [["url", "rtsp://"], ["transport", "tcp"], ["client", ""]],
+  http: [["url", "http://"]],
+  audio_card: [["device", "default"], ["rate", 48000], ["channels", 1]],
+};
+
+/** Realtime sources: per-source rows with type-specific fields, a
+    quiet-hours chip list, and a reachability test for URL sources. */
+export function sourcesEditor(key, sources) {
+  const root = el("div", { class: "card", "data-key": key });
+  const items = sources.map((s) => ({ ...s }));
+  function row(src, idx) {
+    const box = el("div", { class: "card" });
+    const typeSel = el("select", {},
+      Object.keys(SOURCE_FIELDS).map((k) => el("option",
+        { value: k, selected: (src.type || "file") === k ? "" : null }, k)));
+    typeSel.addEventListener("change", () => {
+      src.type = typeSel.value;
+      for (const [f, dflt] of SOURCE_FIELDS[src.type])
+        if (src[f] === undefined) src[f] = dflt;
+      render();
+    });
+    const idIn = el("input", { size: 10, value: src.id ?? "" });
+    idIn.addEventListener("input", () => { src.id = idIn.value; });
+    const head = el("div", { class: "row" },
+      el("label", {}, "type"), typeSel, el("label", {}, "id"), idIn,
+      el("button", { class: "small right", onclick: () => {
+        items.splice(idx, 1); render();
+      } }, "✕ " + t("remove")));
+    box.append(head);
+    for (const [f, dflt] of SOURCE_FIELDS[src.type || "file"]) {
+      const cur = src[f] ?? dflt;
+      const inp = el("input", { size: 22, value: cur });
+      inp.addEventListener("input", () => {
+        src[f] = typeof dflt === "number"
+          ? (inp.value === "" ? dflt : Number(inp.value)) : inp.value;
+      });
+      box.append(el("div", { class: "field-row" },
+                    el("label", {}, f), inp));
+    }
+    if (src.type === "rtsp" || src.type === "http") {
+      const out = el("span", { class: "sub" });
+      box.append(el("div", { class: "row" },
+        el("button", { class: "small", onclick: async () => {
+          try {
+            const r = await api("/streams/test",
+                                { method: "POST", body: { url: src.url } });
+            out.textContent = r.ok ? `✓ ${r.latency_ms ?? "?"} ms`
+                                   : `✗ ${r.error || ""}`;
+          } catch (e) { out.textContent = e.message; }
+        } }, t("test")), out));
+    }
+    const qh = chipList(`_qh_${idx}`,
+      (src.quiet_hours || []).map((w) => typeof w === "string" ? w
+        : `${w.start}${/[a-z]/.test(`${w.start}${w.end}`)
+            ? " to " : "-"}${w.end}`));
+    qh.removeAttribute("data-key");     // internal — collected via src
+    src._qh = qh;
+    box.append(el("div", { class: "field-row",
+      title: "22:00-06:00 · sunset+30m to sunrise-30m" },
+      el("label", {}, "quiet hours"), qh));
+    return box;
+  }
+  function render() {
+    root.replaceChildren(
+      ...items.map((s, i) => row(s, i)),
+      el("button", { class: "small", onclick: () => {
+        items.push({ type: "rtsp", id: `source${items.length}`,
+                     url: "rtsp://" });
+        render();
+      } }, "+ " + t("add")));
+  }
+  render();
+  root._getValue = () => items.map((s) => {
+    const { _qh, ...rest } = s;
+    const wins = _qh ? _qh._getValue() : [];
+    if (wins.length) rest.quiet_hours = wins;
+    else delete rest.quiet_hours;
+    return rest;
+  });
+  return root;
+}
+
+/** Per-species config table: threshold + interval per species
+    (species.config — reference SpeciesListEditor per-species actions). */
+export function speciesConfigEditor(key, config) {
+  const root = el("div", { class: "card", "data-key": key });
+  const items = Object.entries(config).map(
+    ([sp, c]) => ({ species: sp, ...c }));
+  function render() {
+    const rows = items.map((it, i) => {
+      const sp = el("input", { size: 24, value: it.species });
+      sp.addEventListener("input", () => { it.species = sp.value; });
+      const th = el("input", { type: "number", step: "0.01", min: "0",
+                               max: "1", value: it.threshold ?? "" });
+      th.addEventListener("input", () => {
+        it.threshold = th.value === "" ? undefined : Number(th.value);
+      });
+      const iv = el("input", { type: "number", step: "1", min: "0",
+                               value: it.interval ?? "" });
+      iv.addEventListener("input", () => {
+        it.interval = iv.value === "" ? undefined : Number(iv.value);
+      });
+      return el("div", { class: "row" }, sp, th, iv,
+        el("button", { class: "small", onclick: () => {
+          items.splice(i, 1); render();
+        } }, "×"));
+    });
+    root.replaceChildren(
+      el("div", { class: "row sub" },
+        el("span", {}, t("species")), el("span", {}, t("threshold")),
+        el("span", {}, "interval (s)")),
+      ...rows,
+      el("button", { class: "small", onclick: () => {
+        items.push({ species: "" }); render();
+      } }, "+ " + t("add")));
+  }
+  render();
+  root._getValue = () => {
+    const out = {};
+    for (const it of items) {
+      if (!it.species) continue;
+      const { species, ...cfg } = it;
+      for (const k of Object.keys(cfg))
+        if (cfg[k] === undefined) delete cfg[k];
+      out[species] = cfg;
+    }
+    return out;
+  };
+  return root;
 }
