@@ -485,13 +485,17 @@ class ExtendedHandlers:
         qh = self.ctx.quiet_hours
         now = _dt.datetime.now(_dt.timezone.utc)
         out, windows = {}, {}
-        for src in self.ctx.engine.sources():
-            out[src.source_id] = qh.is_quiet(src.source_id, now) \
-                if qh is not None else False
+        # union of live engine sources and configured ones: a quiet-GATED
+        # soundcard is stopped (gone from the engine) exactly when the
+        # operator most needs to see its quiet state
+        sids = {s.source_id for s in self.ctx.engine.sources()}
+        sids.update(getattr(self.ctx, "_source_cfgs", {}))
+        for sid in sorted(sids):
+            out[sid] = qh.is_quiet(sid, now) if qh is not None else False
             if qh is not None:
-                windows[src.source_id] = [
+                windows[sid] = [
                     {"start": w.start, "end": w.end}
-                    for w in qh._windows.get(src.source_id, ())]
+                    for w in qh._windows.get(sid, ())]
         return _json({"time": now.isoformat(), "sources": out,
                       "windows": windows,
                       "capture_gated": sorted(

@@ -216,7 +216,7 @@ async function streamTools(slot, card) {
       try {
         const r = await api("/streams/test",
                             { method: "POST", body: { url: url.value } });
-        out.textContent = r.ok ? `reachable (${r.latency_ms ?? "?"} ms)`
+        out.textContent = r.ok ? `reachable (${r.connect_ms ?? "?"} ms)`
                                : `unreachable: ${r.error || ""}`;
       } catch (e) { out.textContent = e.message; }
     } }, t("test")),

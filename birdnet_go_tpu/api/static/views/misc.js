@@ -249,28 +249,34 @@ async function speciesPage(outlet, sci) {
   outlet.append(charts);
   const card = (titleText, node) =>
     el("div", { class: "card" }, el("h2", {}, titleText), node);
-  try {
-    const weeks = await api(`/analytics/phenology/${
-      encodeURIComponent(sci)}`);
-    if (weeks.some((w) => w.count > 0)) {
-      charts.append(card(t("phenology"), barChart(weeks.map((w) => ({
-        label: String(w.week), value: w.count })),
-        { xLabelEvery: 4, height: 150 })));
-    }
-  } catch (e) { /* optional */ }
-  try {
-    const today = new Date().toISOString().slice(0, 10);
-    const { species } = await api(
-      `/analytics/time-of-day?from=1970-01-01&to=${today}`
-      + `&species=${encodeURIComponent(sci)}`);
-    if (species.length) {
-      charts.append(card(t("activity_clock"),
-                         radialClock(species[0].hourly)));
-    }
-  } catch (e) { /* optional */ }
-  try {
-    const yoy = await api(
-      `/analytics/year-over-year?species=${encodeURIComponent(sci)}`);
+  // fire the four independent fetches concurrently, then append in a
+  // stable order as each settles (review: sequential awaits quadrupled
+  // the page's chart latency)
+  const today = new Date().toISOString().slice(0, 10);
+  const phenoP = api(`/analytics/phenology/${encodeURIComponent(sci)}`)
+    .catch(() => null);
+  const todP = api(`/analytics/time-of-day?from=1970-01-01&to=${today}`
+    + `&species=${encodeURIComponent(sci)}`).catch(() => null);
+  const yoyP = api(
+    `/analytics/year-over-year?species=${encodeURIComponent(sci)}`)
+    .catch(() => null);
+  const detP = api("/detections/search", {
+    method: "POST", body: { species: sci, limit: 10 } })
+    .catch(() => null);
+
+  const weeks = await phenoP;
+  if (weeks && weeks.some((w) => w.count > 0)) {
+    charts.append(card(t("phenology"), barChart(weeks.map((w) => ({
+      label: String(w.week), value: w.count })),
+      { xLabelEvery: 4, height: 150 })));
+  }
+  const tod = await todP;
+  if (tod && tod.species.length) {
+    charts.append(card(t("activity_clock"),
+                       radialClock(tod.species[0].hourly)));
+  }
+  const yoy = await yoyP;
+  if (yoy) {
     const years = Object.keys(yoy).sort().slice(-5);
     if (years.length) {
       charts.append(card(t("monthly_by_year"),
@@ -280,12 +286,11 @@ async function speciesPage(outlet, sci) {
             x: String(m + 1).padStart(2, "0"), y: n })),
         })))));
     }
-  } catch (e) { /* optional */ }
+  }
 
   // recent detections of this species
-  try {
-    const { detections } = await api("/detections/search", {
-      method: "POST", body: { species: sci, limit: 10 } });
+  {
+    const { detections } = (await detP) || { detections: [] };
     if (detections.length) {
       outlet.append(el("div", { class: "card" },
         el("h2", {}, t("recent_detections")),
@@ -295,7 +300,7 @@ async function speciesPage(outlet, sci) {
             el("a", { class: "small", href: `#/detection/${d.id}`,
                       title: t("open_detail") }, "↗")]))));
     }
-  } catch (e) { /* optional */ }
+  }
 }
 
 /** 30px species photo from the image provider (reference

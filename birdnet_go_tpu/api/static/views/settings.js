@@ -90,9 +90,7 @@ export async function settingsView(outlet) {
           body.append(el("div", { class: "field-row" },
             el("label", { title: "22:00-06:00 · sunset+30m to sunrise-30m" },
                k.replaceAll("_", " ")),
-            chipList(k, v.map((w) => typeof w === "string" ? w
-              : `${w.start}${/[a-z]/.test(`${w.start}${w.end}`)
-                  ? " to " : "-"}${w.end}`))));
+            chipList(k, v.map(winToStr))));
         } else if (name === "species" && k === "config") {
           body.append(speciesConfigEditor(k, v));
         } else if (v !== null && typeof v === "object" && !Array.isArray(v)) {
@@ -103,9 +101,14 @@ export async function settingsView(outlet) {
           if (flat && Object.keys(v).length) {
             body.append(el("div", { class: "sub", style: "margin-top:6px" },
                            k.replaceAll("_", " ")));
-            for (const [k2, v2] of Object.entries(v))
-              body.append(fieldRow(`${k}.${k2}`, `· ${k2}`, v2,
-                                   props[k]?.properties?.[k2]));
+            for (const [k2, v2] of Object.entries(v)) {
+              const r = fieldRow(`${k}.${k2}`, `· ${k2}`, v2,
+                                 props[k]?.properties?.[k2]);
+              // explicit path: k2 itself may contain dots (e.g.
+              // module_levels logger names) — never re-split the key
+              r.querySelector("[data-key]")._path = [k, k2];
+              body.append(r);
+            }
           } else {
             body.append(fieldRow(k, k, v, props[k]));
           }
@@ -181,8 +184,7 @@ export async function settingsView(outlet) {
         return;
       }
       const patch = {};
-      const setPath = (obj, path, v) => {
-        const parts = path.split(".");
+      const setPath = (obj, parts, v) => {
         let o = obj;
         for (const p of parts.slice(0, -1)) o = (o[p] = o[p] || {});
         o[parts[parts.length - 1]] = v;
@@ -202,7 +204,7 @@ export async function settingsView(outlet) {
           patch.models = patch.models || value.map((m) => ({ ...m }));
           patch.models[Number(idx)][field] = v;
         } else {
-          setPath(patch, key, v);
+          setPath(patch, inp._path || [key], v);
         }
       });
       try {
@@ -245,6 +247,14 @@ export async function settingsView(outlet) {
     return el("div", { class: "field-row" },
       el("label", { title: hint }, label.replaceAll("_", " ")), input);
   }
+}
+
+/** Quiet-hours window → editable string ("22:00-06:00"; sun-relative
+    specs contain letters and need the " to " separator). */
+function winToStr(w) {
+  if (typeof w === "string") return w;
+  const sep = /[a-z]/.test(`${w.start}${w.end}`) ? " to " : "-";
+  return `${w.start}${sep}${w.end}`;
 }
 
 /* ---- structured editors (reference settings components:
@@ -330,15 +340,13 @@ export function sourcesEditor(key, sources) {
           try {
             const r = await api("/streams/test",
                                 { method: "POST", body: { url: src.url } });
-            out.textContent = r.ok ? `✓ ${r.latency_ms ?? "?"} ms`
+            out.textContent = r.ok ? `✓ ${r.connect_ms ?? "?"} ms`
                                    : `✗ ${r.error || ""}`;
           } catch (e) { out.textContent = e.message; }
         } }, t("test")), out));
     }
     const qh = chipList(`_qh_${idx}`,
-      (src.quiet_hours || []).map((w) => typeof w === "string" ? w
-        : `${w.start}${/[a-z]/.test(`${w.start}${w.end}`)
-            ? " to " : "-"}${w.end}`));
+      (src.quiet_hours || []).map(winToStr));
     qh.removeAttribute("data-key");     // internal — collected via src
     src._qh = qh;
     box.append(el("div", { class: "field-row",
@@ -346,23 +354,35 @@ export function sourcesEditor(key, sources) {
       el("label", {}, "quiet hours"), qh));
     return box;
   }
+  function flushChips() {
+    // chip edits live only in the chipList until flushed; a re-render
+    // (add/remove source, type change) must not discard them
+    for (const s of items) {
+      if (!s._qh) continue;
+      const wins = s._qh._getValue();
+      if (wins.length) s.quiet_hours = wins;
+      else delete s.quiet_hours;
+    }
+  }
+  function freshId() {
+    let n = items.length;
+    while (items.some((s) => s.id === `source${n}`)) n += 1;
+    return `source${n}`;
+  }
   function render() {
+    flushChips();
     root.replaceChildren(
       ...items.map((s, i) => row(s, i)),
       el("button", { class: "small", onclick: () => {
-        items.push({ type: "rtsp", id: `source${items.length}`,
-                     url: "rtsp://" });
+        items.push({ type: "rtsp", id: freshId(), url: "rtsp://" });
         render();
       } }, "+ " + t("add")));
   }
   render();
-  root._getValue = () => items.map((s) => {
-    const { _qh, ...rest } = s;
-    const wins = _qh ? _qh._getValue() : [];
-    if (wins.length) rest.quiet_hours = wins;
-    else delete rest.quiet_hours;
-    return rest;
-  });
+  root._getValue = () => {
+    flushChips();
+    return items.map(({ _qh, ...rest }) => rest);
+  };
   return root;
 }
 

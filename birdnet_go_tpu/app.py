@@ -699,10 +699,16 @@ class Application:
     def _start_quiet_gate(self, interval_seconds: float = 30.0) -> None:
         import threading
 
-        self._quiet_gate_stop = threading.Event()
+        if self._quiet_gate_thread is not None \
+                and self._quiet_gate_thread.is_alive():
+            return                        # never two evaluators
+        stop = threading.Event()
+        self._quiet_gate_stop = stop
 
         def run() -> None:
-            while not self._quiet_gate_stop.wait(interval_seconds):
+            # own a local Event: reconfigure may replace/None the
+            # attribute while this thread is mid-iteration
+            while not stop.wait(interval_seconds):
                 self._apply_quiet_gates()
 
         self._quiet_gate_thread = threading.Thread(
@@ -750,6 +756,10 @@ class Application:
                     pass
                 self._sources.remove(src)
         self._source_cfgs.pop(source_id, None)
+        # a gated source that is being removed must not leave a stale
+        # gate entry behind (a re-added source would capture straight
+        # through its quiet window, then get a duplicate start())
+        self._quiet_gated.discard(source_id)
         if self.engine is not None:
             self.engine.remove_source(source_id)
         if self.watchdog is not None:
@@ -986,6 +996,8 @@ class Application:
             self.watchdog.stop()
         if self._quiet_gate_stop is not None:
             self._quiet_gate_stop.set()
+            self._quiet_gate_thread = None
+            self._quiet_gate_stop = None
         if getattr(self, "metrics_history", None) is not None:
             self.metrics_history.stop()
         if self.backup is not None:

@@ -131,6 +131,20 @@ def test_quiet_gates_stop_and_resume_soundcards_only():
     assert "card0" not in app._quiet_gated
 
 
+def test_remove_source_clears_gate_entry():
+    """A gated source that gets removed/re-added (source reconfigure)
+    must not inherit the stale gate entry — it would capture straight
+    through its quiet window and then double-start at window end."""
+    app = _bare_app(sources=[])
+    card = _FakeCapture("card0")
+    app._sources = [card]
+    app.quiet_hours.is_quiet = lambda sid, when=None: True
+    app._apply_quiet_gates()
+    assert "card0" in app._quiet_gated
+    app._remove_source("card0")
+    assert "card0" not in app._quiet_gated
+
+
 def test_reconfigure_quiet_hours_rebuilds_and_regates():
     app = _bare_app(
         sources=[{"type": "soundcard", "id": "card0",
