@@ -14,15 +14,27 @@ TPU-layout design (everything lane-aligned, no cross-lane reshapes):
 - stage 1 runs per GROUP of G frames as ONE block-diagonal matmul:
   wblk[G·16, G·16] @ xg[G·16, 128] — the [16,16] DFT-over-a matrix
   repeated down the diagonal, replacing 2·G tiny [16,16]@[16,128] dots
-  whose pass latency dominated v1 (34.6 ms/1024-batch). v3 (current):
-  G=8 with the group loop STATICALLY UNROLLED and the gather in
-  value-land — each block-diagonal dot is exactly one full MXU pass
+  whose pass latency dominated v1 (34.6 ms/1024-batch). v3: G=8 with
+  the group loop STATICALLY UNROLLED and the gather in value-land —
+  each block-diagonal dot is exactly one full MXU pass
   ([128,128]@[128,128]), the redundant-FLOP factor halves vs G=16, and
   unrolling lets Mosaic pipeline group i+1's VPU windowing under group
   i's dots. Measured on v5e, 1024 windows: v1 34.6 → v2 (G=16+fori)
   16.9 → v3 12.6 ms. (Same sweep: G=16+unroll 14.7, G=8+fori 17.1 —
   BOTH changes are needed; bf16 staging measured 12.8, within noise of
   f32, so staging stays f32.)
+- v4 (packed=True, OFF by default): the stage-1 DFT input is REAL, so
+  S[16−r] = conj(S[r]) — a stage-timing probe showed stage 1 at 9.0 of
+  v3's 12.5 ms, at its MXU pass floor. One PACKED real [16,16] matrix
+  (rows re(S[0..8]), im(S[1..7])) replaces the separate re/im dots,
+  halving stage-1 passes; the conjugate-symmetry signs for r > 8 are
+  pre-baked into per-residue stage-2 twiddle slab PAIRS
+  (twa·sr + twb·si, K=128 each) and r ∈ {0, 8} skip the imaginary dot
+  entirely. Scratch S also halves. Parity-tested in interpret mode,
+  but its FIRST remote TPU compile did not return within 69 min (the
+  v3 shape compiled in ~3 min the same day), so it ships opt-in via
+  BIRDNET_MEL_PACKED=1 until a successful on-device compile + timing
+  is recorded.
 - stage 2 per residue r: one packed dot [F, 256] @ [256, 2·J2] computing
   re|im together from the adjacent sr|si scratch halves. J2 is trimmed to
   the mel filterbank's actual bin support (bin = r + 16·j; fmax=15 kHz →
@@ -66,9 +78,10 @@ _G = 16                       # frames per stage-1 block-diagonal dot
 
 @functools.lru_cache(maxsize=8)
 def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
-                   fmax: float, g: int = _G):
+                   fmax: float, g: int = _G, packed: bool = False):
     war, wai, twr, twi, _, a_sz, b_sz, j_sz = _rdft_matmul_consts(n_fft, _A)
     assert a_sz == _A and b_sz == _LANE
+    half = a_sz // 2
 
     # permuted filterbank [A*j_sz, m] → decide the j support actually used
     fbp = _mel_filterbank_permuted_np(sample_rate, n_fft, n_mels, fmin,
@@ -78,29 +91,58 @@ def _kernel_consts(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
     # J2: filterbank support rounded to a sublane multiple, capped at j_sz.
     # 48 kHz / fmax 15 kHz → 41 → 48; full-band configs fall back to 128.
     j2 = min(-(-j_need // 8) * 8, -(-j_sz // 8) * 8)
-
-    # stage-1 block-diagonal [g*A, g*A]: war/wai repeated down the diagonal
-    wblk_r = np.zeros((g * a_sz, g * a_sz), np.float32)
-    wblk_i = np.zeros((g * a_sz, g * a_sz), np.float32)
-    for gi in range(g):
-        wblk_r[gi * a_sz:(gi + 1) * a_sz, gi * a_sz:(gi + 1) * a_sz] = war
-        wblk_i[gi * a_sz:(gi + 1) * a_sz, gi * a_sz:(gi + 1) * a_sz] = wai
-
-    # stage-2 packed twiddles [A, 2B, 2*j2]:
-    #   [sr | si] @ [[twr, twi], [-twi, twr]] = [re | im]
-    # j2 may exceed the real j_sz when the filterbank uses the top DFT
-    # bins (fmax near Nyquist) — clamp the copy, leave padding zero.
     js = min(j2, j_sz)
-    twp = np.zeros((a_sz, 2 * b_sz, 2 * j2), np.float32)
-    twp[:, :b_sz, :js] = twr[:, :, :js]
-    twp[:, :b_sz, j2:j2 + js] = twi[:, :, :js]
-    twp[:, b_sz:, :js] = -twi[:, :, :js]
-    twp[:, b_sz:, j2:j2 + js] = twr[:, :, :js]
 
     # fb2 [A, j2, m] (zero rows beyond the real j_sz)
     fb2 = np.zeros((a_sz, j2, n_mels), np.float32)
-    fb2[:, :min(j2, j_sz), :] = fbp[:, :min(j2, j_sz), :]
-    return wblk_r, wblk_i, twp, fb2, j2
+    fb2[:, :js, :] = fbp[:, :js, :]
+
+    if not packed:
+        # v3 stage 1: separate re/im block-diagonal matrices
+        wblk_r = np.zeros((g * a_sz, g * a_sz), np.float32)
+        wblk_i = np.zeros((g * a_sz, g * a_sz), np.float32)
+        for gi in range(g):
+            lo, hi = gi * a_sz, (gi + 1) * a_sz
+            wblk_r[lo:hi, lo:hi] = war
+            wblk_i[lo:hi, lo:hi] = wai
+        # stage-2 packed twiddles [A, 2B, 2*j2]:
+        #   [sr | si] @ [[twr, twi], [-twi, twr]] = [re | im]
+        # j2 may exceed the real j_sz when the filterbank uses the top
+        # DFT bins (fmax near Nyquist) — clamp the copy, pad with zero.
+        twp = np.zeros((a_sz, 2 * b_sz, 2 * j2), np.float32)
+        twp[:, :b_sz, :js] = twr[:, :, :js]
+        twp[:, :b_sz, j2:j2 + js] = twi[:, :, :js]
+        twp[:, b_sz:, :js] = -twi[:, :, :js]
+        twp[:, b_sz:, j2:j2 + js] = twr[:, :, :js]
+        return (wblk_r, wblk_i), (twp,), fb2, j2
+
+    # v4 stage 1 (packed): the A-point DFT input is REAL, so
+    # S[A-r] = conj(S[r]) — only re(S[0..8]) and im(S[1..7]) are
+    # independent. ONE packed real [A, A] matrix (rows 0..half = re,
+    # rows half+1.. = im of r=1..7) computes them all, HALVING stage-1
+    # MXU passes vs separate war/wai dots (which spent 9.0 of the
+    # 12.5 ms v3 step, at the pass-latency floor).
+    wpk = np.zeros((a_sz, a_sz), np.float32)
+    wpk[:half + 1, :] = war[:half + 1, :]
+    wpk[half + 1:, :] = wai[1:half, :]
+    wblk = np.zeros((g * a_sz, g * a_sz), np.float32)
+    for gi in range(g):
+        wblk[gi * a_sz:(gi + 1) * a_sz, gi * a_sz:(gi + 1) * a_sz] = wpk
+
+    # stage-2 twiddles as per-residue PAIRS contracted against the packed
+    # rows (p1 = re row, p2 = im row), symmetry signs baked in:
+    #   r <= 8:  re = sr_r·twr − si_r·twi,  im = sr_r·twi + si_r·twr
+    #   r >  8:  sr_r = sr_{A−r}, si_r = −si_{A−r} → B slab negated.
+    twa = np.zeros((a_sz, b_sz, 2 * j2), np.float32)
+    twb = np.zeros((a_sz, b_sz, 2 * j2), np.float32)
+    for r in range(a_sz):
+        twa[r, :, :js] = twr[r, :, :js]
+        twa[r, :, j2:j2 + js] = twi[r, :, :js]
+        if r % half:                       # r = 0, 8 have im(S) = 0
+            sign = 1.0 if r < half else -1.0
+            twb[r, :, :js] = -sign * twi[r, :, :js]
+            twb[r, :, j2:j2 + js] = sign * twr[r, :, :js]
+    return (wblk,), (twa, twb), fb2, j2
 
 
 def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
@@ -109,16 +151,26 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
                   out_dtype=jnp.float32,
                   groups: int = 8,
                   unroll: bool = True,
-                  stage_dtype=jnp.float32) -> jnp.ndarray:
+                  stage_dtype=jnp.float32,
+                  packed: bool | None = None,
+                  _profile_stage: str = "full") -> jnp.ndarray:
     """int16 PCM [B, T] → mel [B, F, n_mels] (cfg.mag_scale applied).
 
     `out_dtype=bfloat16` writes the CNN's input dtype directly — halves
     the mel→backbone HBM round trip (the consumer casts to bf16 anyway).
     `groups` = frames per stage-1 block-diagonal dot (perf knob);
     `unroll` statically unrolls the stage-1 group loop so Mosaic can
-    software-pipeline the VPU gather of group i+1 under group i's dots."""
+    software-pipeline the VPU gather of group i+1 under group i's dots.
+    `packed` selects the v4 conjugate-symmetry stage 1 (half the MXU
+    passes); default comes from BIRDNET_MEL_PACKED (off until its TPU
+    compile behavior is validated — see header)."""
+    import os
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if packed is None:
+        packed = os.environ.get("BIRDNET_MEL_PACKED", "0") == "1"
 
     if cfg.power != 2.0:
         raise ValueError("fused kernel supports power spectrogram only")
@@ -158,13 +210,19 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
         padded_rows = max(padded_rows, t_rows)
     pcm3 = pcm_i16[:, :padded_rows * _LANE].reshape(b, padded_rows, _LANE)
 
-    wblk_r, wblk_i, twp, fb2, j2 = _kernel_consts(
-        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax, g)
+    w1s, tws, fb2, j2 = _kernel_consts(
+        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax, g,
+        packed)
     win2 = _window_fn(cfg).reshape(frame_rows, _LANE)
     ga = g * _A
+    half = _A // 2
+    s_lanes = _LANE if packed else 2 * _LANE
 
-    def kernel(pcm_ref, win_ref, wbr_ref, wbi_ref, twp_ref, fb_ref,
-               out_ref, s_ref, xg_ref):
+    def kernel(pcm_ref, win_ref, *refs):
+        if packed:
+            wbk_ref, twa_ref, twb_ref, fb_ref, out_ref, s_ref, xg_ref = refs
+        else:
+            wbr_ref, wbi_ref, twp_ref, fb_ref, out_ref, s_ref, xg_ref = refs
         bi = pl.program_id(0)
         ft = pl.program_id(1)
 
@@ -177,10 +235,11 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
             dma.wait()
 
             # stage 1 per group: gather + window g frames into xg
-            # [g·16, 128], then one block-diagonal dot per re/im.
-            # Scratch s is frame-major [tile_f, A, 2·LANE] with sr in
-            # lanes [:128] and si in [128:] — dim 0 of a rank-3 ref is
-            # untiled, so per-group dynamic writes are legal.
+            # [g·16, 128], then the block-diagonal dot(s): one per re/im
+            # (v3), or ONE packed-rDFT dot using conjugate symmetry (v4
+            # — see _kernel_consts). Scratch s is frame-major
+            # [tile_f, A, lanes]; dim 0 of a rank-3 ref is untiled, so
+            # per-group dynamic writes are legal.
             def s1(i, _):
                 block = (tile_ref[pl.ds(i * g * hop_rows, block_rows), :]
                          .astype(jnp.float32) * _INT16_SCALE)
@@ -197,13 +256,20 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
                             block[j * hop_rows:j * hop_rows + frame_rows, :]
                             * win_ref[:])
                     xg = xg_ref[:]
-                sr = jnp.dot(wbr_ref[:], xg,
-                             preferred_element_type=jnp.float32)
-                si = jnp.dot(wbi_ref[:], xg,
-                             preferred_element_type=jnp.float32)
-                s_ref[pl.ds(i * g, g), :, :] = jnp.concatenate(
-                    [sr.reshape(g, _A, _LANE), si.reshape(g, _A, _LANE)],
-                    axis=2).astype(stage_dtype)
+                if packed:
+                    sp = jnp.dot(wbk_ref[:], xg,
+                                 preferred_element_type=jnp.float32)
+                    s_ref[pl.ds(i * g, g), :, :] = (
+                        sp.reshape(g, _A, _LANE).astype(stage_dtype))
+                else:
+                    sr = jnp.dot(wbr_ref[:], xg,
+                                 preferred_element_type=jnp.float32)
+                    si = jnp.dot(wbi_ref[:], xg,
+                                 preferred_element_type=jnp.float32)
+                    s_ref[pl.ds(i * g, g), :, :] = jnp.concatenate(
+                        [sr.reshape(g, _A, _LANE),
+                         si.reshape(g, _A, _LANE)],
+                        axis=2).astype(stage_dtype)
                 return 0
 
             if unroll:
@@ -213,17 +279,39 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
                 jax.lax.fori_loop(0, tile_f // g, s1, 0)
 
             # stage 2 + mel, statically unrolled over residues r (static
-            # middle-dim indices avoid dynamic sublane slicing): one
-            # packed dot yields re|im, then power @ filterbank slab.
-            s_all = s_ref[:]              # [tile_f, A, 2·LANE]
+            # middle-dim indices avoid dynamic sublane slicing): per-r
+            # re|im — from the [sr|si] rows via one 2B-wide dot (v3) or
+            # from the packed rows (p1 = re, p2 = im, symmetry signs
+            # pre-baked into twb — v4) — then power @ filterbank slab.
+            s_all = s_ref[:]              # [tile_f, A, lanes]
             mel = jnp.zeros((tile_f, cfg.n_mels), jnp.float32)
-            for r in range(_A):
-                reim = jnp.dot(s_all[:, r, :],
-                               twp_ref[r].astype(stage_dtype),
-                               preferred_element_type=jnp.float32)
-                power = reim[:, :j2] ** 2 + reim[:, j2:] ** 2
-                mel = mel + jnp.dot(power, fb_ref[r],
-                                    preferred_element_type=jnp.float32)
+            if _profile_stage == "s1":    # timing probe: stage 1 only
+                # scalar reduce keeps stage 1 live without the trailing-1
+                # slice Mosaic's layout inference rejects
+                mel = mel + jnp.sum(s_all)
+            else:
+                for r in range(_A):
+                    if packed:
+                        p1 = r if r <= half else _A - r
+                        reim = jnp.dot(s_all[:, p1, :],
+                                       twa_ref[r].astype(stage_dtype),
+                                       preferred_element_type=jnp.float32)
+                        if r % half:      # r = 0, 8: im(S_r) = 0
+                            p2 = half + (r if r < half else _A - r)
+                            reim = reim + jnp.dot(
+                                s_all[:, p2, :],
+                                twb_ref[r].astype(stage_dtype),
+                                preferred_element_type=jnp.float32)
+                    else:
+                        reim = jnp.dot(s_all[:, r, :],
+                                       twp_ref[r].astype(stage_dtype),
+                                       preferred_element_type=jnp.float32)
+                    power = reim[:, :j2] ** 2 + reim[:, j2:] ** 2
+                    if _profile_stage == "s2":   # probe: skip mel dot
+                        mel = mel + jnp.sum(power)
+                    else:
+                        mel = mel + jnp.dot(power, fb_ref[r],
+                                            preferred_element_type=jnp.float32)
             if cfg.mag_scale == "log":
                 scaled = jnp.log(mel + cfg.log_offset)
             elif cfg.mag_scale == "db":
@@ -241,6 +329,7 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
         )
 
     grid = (b, n_tiles)
+    const_ops = [jnp.asarray(w) for w in (*w1s, *tws)]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -248,12 +337,9 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
             pl.BlockSpec(memory_space=pl.ANY),            # pcm3 in HBM
             pl.BlockSpec((frame_rows, _LANE), lambda bi, ft: (0, 0),
                          memory_space=pltpu.VMEM),            # window
-            pl.BlockSpec((ga, ga), lambda bi, ft: (0, 0),
-                         memory_space=pltpu.VMEM),            # wblk_r
-            pl.BlockSpec((ga, ga), lambda bi, ft: (0, 0),
-                         memory_space=pltpu.VMEM),            # wblk_i
-            pl.BlockSpec((_A, 2 * _LANE, 2 * j2), lambda bi, ft: (0, 0, 0),
-                         memory_space=pltpu.VMEM),            # twp
+            *[pl.BlockSpec(w.shape, lambda bi, ft, _n=w.ndim: (0,) * _n,
+                           memory_space=pltpu.VMEM)           # DFT consts
+              for w in const_ops],
             pl.BlockSpec((_A, j2, cfg.n_mels), lambda bi, ft: (0, 0, 0),
                          memory_space=pltpu.VMEM),            # fb2
         ],
@@ -263,10 +349,9 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_f, cfg.n_mels),
                                        out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_f, _A, 2 * _LANE), stage_dtype),  # sr|si
+            pltpu.VMEM((tile_f, _A, s_lanes), stage_dtype),    # S rows
             pltpu.VMEM((ga, _LANE), jnp.float32),              # xg
         ],
         interpret=interpret,
-    )(pcm3, jnp.asarray(win2), jnp.asarray(wblk_r), jnp.asarray(wblk_i),
-      jnp.asarray(twp), jnp.asarray(fb2))
+    )(pcm3, jnp.asarray(win2), *const_ops, jnp.asarray(fb2))
     return out[:, :n_frames, :]

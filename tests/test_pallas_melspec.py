@@ -59,15 +59,20 @@ def test_fused_fullband_fmax_parity_interpret():
     assert rel.max() < 1e-3
 
 
-@pytest.mark.parametrize("groups,unroll", [(8, True), (8, False),
-                                           (16, True), (16, False)])
-def test_fused_parity_across_perf_knobs(groups, unroll):
-    """The v3 perf knobs (stage-1 group size, static unroll) must not
-    change numerics — every combination matches the XLA path."""
+@pytest.mark.parametrize("groups,unroll,packed",
+                         [(8, True, False), (8, False, False),
+                          (16, True, False), (16, False, False),
+                          (8, True, True), (8, False, True),
+                          (16, True, True)])
+def test_fused_parity_across_perf_knobs(groups, unroll, packed):
+    """The perf knobs (stage-1 group size, static unroll, v4
+    conjugate-symmetry packing) must not change numerics — every
+    combination matches the XLA path."""
     rng = np.random.default_rng(3)
     pcm16 = (rng.standard_normal((1, 144000)) * 0.05 * 32767).astype(np.int16)
     ref = np.asarray(melspec(jnp.asarray(pcm16, jnp.float32) / 32768.0, CFG))
     got = np.asarray(melspec_fused(jnp.asarray(pcm16), CFG, interpret=True,
-                                   groups=groups, unroll=unroll))
+                                   groups=groups, unroll=unroll,
+                                   packed=packed))
     rel = np.abs(ref - got) / (np.abs(ref) + 1e-3)
-    assert rel.max() < 1e-3, (groups, unroll, rel.max())
+    assert rel.max() < 1e-3, (groups, unroll, packed, rel.max())
