@@ -87,6 +87,31 @@ class SaveAudioAction:
     # are downsampled before encoding (reference: export.go — bird clips
     # → 48 kHz; bat clips keep native rate so echolocation survives).
     downsample_to: int = 0
+    # Loudness: one gain resolved per clip before ANY encoder runs
+    # (reference: actions_database.go:854-880 encodeClip). When
+    # normalization["enabled"], the EBU R128 gain measured by audionorm
+    # (target LUFS capped by true peak) REPLACES the static gain_db.
+    gain_db: float = 0.0
+    normalization: dict | None = None
+
+    def _resolve_gain_db(self, pcm, rate: int) -> float:
+        norm = self.normalization or {}
+        if not norm.get("enabled"):
+            return float(self.gain_db)
+        import math
+
+        import numpy as _np
+
+        from birdnet_go_tpu.audio.audionorm import (
+            NormalizeOptions,
+            plan_gain,
+        )
+
+        opts = NormalizeOptions(
+            target_lufs=float(norm.get("target_lufs", -23.0)),
+            max_true_peak_db=float(norm.get("true_peak_db", -2.0)))
+        lin = plan_gain(pcm.astype(_np.float32) / 32768.0, rate, opts)
+        return 20.0 * math.log10(max(lin, 1e-6))
 
     def execute(self) -> None:
         if time.time() < self.end_time:
@@ -112,6 +137,13 @@ class SaveAudioAction:
             y = _np.concatenate([rs.process(pcm), rs.flush()])
             pcm = _np.clip(_np.round(y), -32768, 32767).astype(_np.int16)
             rate = self.downsample_to
+        gain_db = self._resolve_gain_db(pcm, rate)
+        if gain_db:
+            import numpy as _np
+
+            pcm = _np.clip(_np.round(
+                pcm.astype(_np.float32) * 10.0 ** (gain_db / 20.0)),
+                -32768, 32767).astype(_np.int16)
         from birdnet_go_tpu.audio.encode import encode_clip
 
         out = Path(self.out_path)

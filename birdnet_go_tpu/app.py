@@ -1182,7 +1182,9 @@ class Application:
                         sample_rate=cb.sample_rate,
                         fallback_pcm=item.pcm,
                         fallback_rate=item.pcm_rate,
-                        downsample_to=downsample_to).execute,
+                        downsample_to=downsample_to,
+                        gain_db=s.export.gain_db,
+                        normalization=s.export.normalization).execute,
                     f"save clip {clip_name}",
                     retry=RetryConfig(enabled=True, max_retries=10,
                                       initial_delay=1.0, max_delay=10.0))

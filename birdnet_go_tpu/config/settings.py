@@ -94,6 +94,14 @@ class ExportSettings:
     pre_capture_seconds: float = 3.0    # defaults.go:138
     path: str = "data/clips"
     format: str = "wav"                  # wav|flac
+    # static export gain in dB, and EBU R128 loudness normalization
+    # (reference: conf/config.go:50-69 Export.Gain + NormalizationSettings;
+    # when normalization is enabled the measured gain REPLACES gain_db —
+    # actions_database.go:854-880 resolves one gain for every format)
+    gain_db: float = 0.0
+    normalization: dict[str, Any] = dataclasses.field(
+        default_factory=lambda: {"enabled": False, "target_lufs": -23.0,
+                                 "true_peak_db": -2.0})
 
 
 @dataclasses.dataclass

@@ -282,6 +282,49 @@ def test_save_audio_fallback_to_window_pcm(tmp_path):
     assert len(x) == 4800 and np.abs(x).max() > 0.1
 
 
+def test_save_audio_applies_static_gain_and_normalization(tmp_path):
+    """One loudness gain is resolved per clip before encoding: the static
+    export gain_db, or — when normalization is enabled — the measured
+    EBU R128 gain replacing it (reference: actions_database.go:854-880
+    encodeClip; WAV used to skip gain there, now every format applies
+    it)."""
+    from birdnet_go_tpu.analysis.actions import SaveAudioAction
+    from birdnet_go_tpu.audio.audionorm import measure_lufs
+    from birdnet_go_tpu.audio.buffers import CaptureBuffer
+    from birdnet_go_tpu.audio.wav import read_wav
+    import time as _t
+
+    rate = 48000
+    tone = (np.sin(2 * np.pi * 997.0 * np.arange(rate * 2) / rate)
+            * 0.02 * 32767).astype(np.int16)       # quiet: ~-37 LUFS
+    now = _t.time()
+
+    def saved(**kw):
+        cb = CaptureBuffer(rate, capacity_seconds=4.0)
+        cb.write(tone, timestamp=now - 2)
+        out = tmp_path / f"clip{len(list(tmp_path.iterdir()))}.wav"
+        SaveAudioAction(capture_buffer=cb, start_time=now - 2,
+                        end_time=now - 0.5, out_path=out,
+                        sample_rate=rate, **kw).execute()
+        x, info = read_wav(out)
+        return x, info
+
+    base, _ = saved()
+    gained, _ = saved(gain_db=6.0)
+    assert np.abs(gained).max() == pytest.approx(
+        min(np.abs(base).max() * 10 ** (6 / 20), 1.0), rel=0.01)
+
+    normed, _ = saved(normalization={"enabled": True, "target_lufs": -23.0,
+                                     "true_peak_db": -2.0})
+    assert measure_lufs(normed, rate) == pytest.approx(-23.0, abs=1.0)
+    # normalization replaces (not stacks on) the static gain
+    normed2, _ = saved(gain_db=12.0,
+                       normalization={"enabled": True,
+                                      "target_lufs": -23.0,
+                                      "true_peak_db": -2.0})
+    assert np.abs(np.abs(normed2).max() - np.abs(normed).max()) < 0.01
+
+
 def test_model_batcher_overflow_defers():
     clf = _TinyClassifier()
     b = ModelBatcher(clf, max_batch=2, top_k=2)
