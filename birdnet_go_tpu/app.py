@@ -38,6 +38,7 @@ from birdnet_go_tpu.inference.loader import load_geomodel, load_model
 from birdnet_go_tpu.models.geomodel import birdnet_week
 from birdnet_go_tpu.scheduler.loop import DeviceLoop, ModelBatcher
 from birdnet_go_tpu.taxonomy.labels import load_labels
+from birdnet_go_tpu.utils import errors as errors_mod
 
 log = logging.getLogger("birdnet_tpu.app")
 
@@ -127,7 +128,17 @@ class Application:
         enabled = [m for m in s.models if m.enabled]
         specs = []
         for ms in enabled:
-            model, params = load_model(ms.model_id, checkpoint=ms.checkpoint)
+            try:
+                model, params = load_model(ms.model_id,
+                                           checkpoint=ms.checkpoint)
+            except Exception as e:
+                # tag, then fail startup as before — a missing model is
+                # fatal here (the reference aborts too) but the operator
+                # gets a categorized error in telemetry first
+                errors_mod.new(e).component("orchestrator") \
+                    .category(errors_mod.Category.MODEL) \
+                    .context("model_id", ms.model_id).build()
+                raise
             clf = self._make_classifier(model, params)
             self.classifiers[ms.model_id] = clf
             self.labels[ms.model_id] = load_labels(
@@ -812,7 +823,10 @@ class Application:
         # way — orchestrator.go LoadModel).
         try:
             batcher.warmup()
-        except Exception:
+        except Exception as e:
+            errors_mod.new(e).component("orchestrator") \
+                .category(errors_mod.Category.MODEL) \
+                .context("model_id", model_id).build()
             log.exception("runtime warmup failed for %s", model_id)
         self.device_loop.add_batcher(batcher)
         # Rewire existing streams last: every live source gets a resampler +
@@ -951,12 +965,15 @@ class Application:
         for src in self._sources:
             try:
                 src.start()
-            except Exception:
+            except Exception as e:
                 # degrade per source (one unopenable soundcard must not
-                # abort a half-started app)
-                log.exception("source %s start failed",
-                              getattr(getattr(src, "source", None),
-                                      "source_id", "?"))
+                # abort a half-started app); tagged → error ring/telemetry
+                sid = getattr(getattr(src, "source", None),
+                              "source_id", "?")
+                errors_mod.new(e).component("audio-capture") \
+                    .category(errors_mod.Category.AUDIO) \
+                    .context("source_id", sid).build()
+                log.exception("source %s start failed", sid)
             if self.watchdog is not None and self.settings.liveness.enabled:
                 self.watchdog.track(src.source.source_id)
         if self.watchdog is not None and self.settings.liveness.enabled:

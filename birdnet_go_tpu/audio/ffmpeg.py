@@ -210,6 +210,20 @@ class FfmpegSource:
                 backoff = min(backoff * 2, _MAX_BACKOFF)
                 if not got_data:
                     self._quick_exits += 1
+                    if self._quick_exits == 5:
+                        # five dataless quick exits = a dead endpoint,
+                        # not a blip → tagged error (ring + telemetry)
+                        from birdnet_go_tpu.utils.errors import (
+                            Category,
+                            new as new_error,
+                        )
+
+                        new_error(f"stream produces no data after "
+                                  f"{self._quick_exits} restarts") \
+                            .component("ffmpeg-stream") \
+                            .category(Category.NETWORK) \
+                            .context("source_id",
+                                     self.source.source_id).build()
                     if self._quick_exits >= 2 \
                             and self.media_mode == "audio_only" \
                             and self.url.startswith("rtsp"):

@@ -154,12 +154,25 @@ class MqttClient:
             try:
                 self._connect_once()
                 backoff = 1.0
+                self._consec_errors = 0
                 self._read_loop()
             except (OSError, ConnectionError) as e:
                 self._connected.clear()
                 if self._stop.is_set():
                     return
                 self.errors += 1
+                consec = getattr(self, "_consec_errors", 0) + 1
+                if consec == 5:
+                    # persistent (not transient) failure → tagged error in
+                    # the ring + telemetry; once per outage (the counter
+                    # resets on a successful connect)
+                    from birdnet_go_tpu.utils.errors import (
+                        Category,
+                        from_exception,
+                    )
+
+                    from_exception(e, "mqtt", Category.NETWORK)
+                self._consec_errors = consec
                 log.warning("mqtt connection lost (%s); retry in %.0fs",
                             e, backoff)
                 self._stop.wait(backoff)

@@ -644,6 +644,13 @@ class BackupManager:
         while not self._stop.wait(self.config.interval_hours * 3600):
             try:
                 self.run_once()
-            except Exception:
+            except Exception as e:
                 self.failures += 1
+                from birdnet_go_tpu.utils.errors import (
+                    Category,
+                    from_exception,
+                )
+
+                # tagged error → /system/errors ring + telemetry
+                from_exception(e, "backup", Category.FILE_IO)
                 log.exception("backup failed")

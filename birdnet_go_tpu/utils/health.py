@@ -61,13 +61,27 @@ class ErrorRingBuffer(logging.Handler):
         self._lock2 = threading.Lock()
 
     def emit(self, record: logging.LogRecord) -> None:
+        entry = {
+            "time": record.created,
+            "level": record.levelname,
+            "logger": record.name,
+            "message": record.getMessage(),
+        }
+        # EnhancedError taxonomy: ErrorBuilder.build() logs the error
+        # object itself; exc_info carries one when raised — surface
+        # component/category/context in /system/errors either way
+        cands = list(record.args or ())
+        if record.exc_info and record.exc_info[1] is not None:
+            cands.append(record.exc_info[1])
+        for c in cands:
+            if getattr(c, "category", None) and hasattr(c, "as_dict"):
+                entry["component"] = c.component
+                entry["category"] = c.category
+                if c.context:
+                    entry["context"] = dict(c.context)
+                break
         with self._lock2:
-            self._ring.append({
-                "time": record.created,
-                "level": record.levelname,
-                "logger": record.name,
-                "message": record.getMessage(),
-            })
+            self._ring.append(entry)
 
     def recent(self, limit: int = 50) -> list[dict]:
         with self._lock2:

@@ -169,6 +169,58 @@ def test_enhanced_error_taxonomy_feeds_error_buffer():
     assert any("connection refused" in r["message"] for r in recent)
 
 
+def test_error_ring_surfaces_taxonomy_fields():
+    """ErrorBuilder.build() logs the EnhancedError object; the ring entry
+    must carry component/category/context so /system/errors can show
+    categorized failures (the taxonomy existed but no production path
+    exercised it — now backup/mqtt/ffmpeg/model-load/source-start do)."""
+    from birdnet_go_tpu.utils import errors
+    from birdnet_go_tpu.utils.health import GLOBAL_ERROR_BUFFER
+    import logging
+
+    logging.getLogger("birdnet_tpu.testcomp").addHandler(GLOBAL_ERROR_BUFFER)
+    errors.new("stream produces no data").component("testcomp") \
+        .category(errors.Category.NETWORK).context("source_id", "cam9") \
+        .build()
+    entry = next(r for r in GLOBAL_ERROR_BUFFER.recent(10)
+                 if "cam9" in str(r))
+    assert entry["component"] == "testcomp"
+    assert entry["category"] == "network"
+    assert entry["context"] == {"source_id": "cam9"}
+
+
+def test_backup_failure_is_tagged(tmp_path, monkeypatch):
+    """A failing backup run lands a FILE_IO-tagged entry in the ring
+    (reference: internal/errors feeding telemetry from backup)."""
+    from birdnet_go_tpu.utils import backup as backup_mod
+    from birdnet_go_tpu.utils.health import GLOBAL_ERROR_BUFFER
+    import logging
+
+    logging.getLogger("birdnet_tpu.backup").addHandler(GLOBAL_ERROR_BUFFER)
+    runner = backup_mod.BackupManager.__new__(backup_mod.BackupManager)
+    runner.failures = 0
+    boom = RuntimeError("disk full on target")
+    runner.run_once = lambda: (_ for _ in ()).throw(boom)
+
+    class _Cfg:
+        interval_hours = 0.00001
+    runner.config = _Cfg()
+    import threading
+    runner._stop = threading.Event()
+    t = threading.Thread(target=runner._run, daemon=True)
+    t.start()
+    deadline = time.time() + 5
+    while runner.failures == 0 and time.time() < deadline:
+        time.sleep(0.02)
+    runner._stop.set()
+    t.join(timeout=2)
+    assert runner.failures >= 1
+    entry = next(r for r in GLOBAL_ERROR_BUFFER.recent(20)
+                 if "disk full" in r["message"])
+    assert entry.get("category") == "file-io"
+    assert entry.get("component") == "backup"
+
+
 def test_telemetry_scrub_dedup_and_envelope():
     from birdnet_go_tpu.utils import telemetry
     from birdnet_go_tpu.utils.errors import EnhancedError
