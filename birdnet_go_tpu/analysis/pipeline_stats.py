@@ -21,6 +21,8 @@ class PipelineStatsLogger:
 
     def __init__(self, device_loop, processor=None,
                  interval_seconds: float = 60.0):
+        from birdnet_go_tpu.analysis.eventtracker import LogDeduplicator
+
         self.device_loop = device_loop
         self.processor = processor
         self.interval = interval_seconds
@@ -29,6 +31,10 @@ class PipelineStatsLogger:
         self._last: dict[str, tuple[int, int, int]] = {}
         self._last_dropped = 0
         self.lines_emitted = 0
+        # steady-state suppression: identical stats (rates bucketed to
+        # 10 win/s) log once, then re-log on change or every 10 min
+        # (reference: log_deduplicator.go should_log semantics)
+        self.dedup = LogDeduplicator(health_check_interval=600.0)
 
     def start(self) -> None:
         if self._thread is not None:
@@ -47,6 +53,7 @@ class PipelineStatsLogger:
     def tick(self, now: float | None = None) -> str | None:
         """Compute + log one summary line; returns it (None when idle)."""
         parts = []
+        key_parts = []
         total_windows = 0
         for model_id, b in self.device_loop.batchers.items():
             s = b.stats
@@ -57,6 +64,11 @@ class PipelineStatsLogger:
             self._last[model_id] = (s.windows_processed, s.overruns,
                                     s.windows_deferred)
             total_windows += dw
+            # healthy steady state buckets coarsely (10 win/s) so rate
+            # jitter doesn't defeat suppression; unhealthy deltas key
+            # exactly so consecutive incidents keep logging
+            key_parts.append((model_id, round(dw / self.interval / 10),
+                              d_over, d_def))
             if dw or d_over or d_def:
                 parts.append(
                     f"{model_id}: {dw / self.interval:.1f} win/s"
@@ -80,6 +92,10 @@ class PipelineStatsLogger:
         # backlog) — those are exactly the unhealthy intervals an
         # operator needs to see
         line = "pipeline: " + " | ".join(parts)
+        ok, _reason = self.dedup.should_log(
+            "pipeline", tuple(key_parts), d_drop)
+        if not ok:
+            return None
         log.info(line)
         self.lines_emitted += 1
         return line

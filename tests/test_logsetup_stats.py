@@ -120,6 +120,39 @@ def test_pipeline_stats_lines_and_idle_suppression(caplog):
     assert "overruns+2" in line and "dropped+7" in line
 
 
+def test_pipeline_stats_steady_state_deduplicated():
+    """Identical healthy throughput logs once, suppresses repeats, and
+    re-logs on a rate-bucket change (log_deduplicator.go semantics —
+    LogDeduplicator now drives the stats line)."""
+    fake_now = [1000.0]
+    loop = _Loop()
+    psl = PipelineStatsLogger(loop, interval_seconds=10.0)
+    psl.dedup.clock = lambda: fake_now[0]
+    w = 0
+    lines = []
+    for _ in range(5):                       # perfectly steady 50 win/s
+        w += 500
+        loop.batchers["M1"].stats.windows_processed = w
+        fake_now[0] += 10
+        lines.append(psl.tick())
+    assert lines[0] is not None
+    assert all(ln is None for ln in lines[1:])    # suppressed
+    w += 2000                                 # rate jumps a bucket
+    loop.batchers["M1"].stats.windows_processed = w
+    fake_now[0] += 10
+    assert psl.tick() is not None              # values_changed re-logs
+    # and the 10-min health re-log fires even when nothing changed
+    for _ in range(2):
+        w += 2000
+        loop.batchers["M1"].stats.windows_processed = w
+        fake_now[0] += 10
+        psl.tick()
+    fake_now[0] += 601
+    w += 2000
+    loop.batchers["M1"].stats.windows_processed = w
+    assert psl.tick() is not None
+
+
 def test_pipeline_stats_thread_runs():
     import time
 
