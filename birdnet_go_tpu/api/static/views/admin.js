@@ -135,11 +135,17 @@ async function audioAdmin(slot, card) {
     api("/system/audio/equalizer/config"),
     api("/quiet-hours/status")]);
   const body = el("div");
+  const winsOf = (sid) => ((qh.windows || {})[sid] || [])
+    .map((w) => `${w.start}–${w.end}`).join(", ");
+  const gated = new Set(qh.capture_gated || []);
   body.append(sources.length
     ? table([t("source"), t("type"), t("rate"), t("quiet_now")],
         sources.map((s) => [s.display_name || s.source_id, s.type,
           `${(s.sample_rate || 0) / 1000} kHz`,
-          (qh.sources || {})[s.source_id] ? "yes" : "no"]))
+          el("span", { title: winsOf(s.source_id) || "—" },
+             (qh.sources || {})[s.source_id]
+               ? (gated.has(s.source_id) ? "🔇 " : "") + "yes"
+               : "no")]))
     : el("div", { class: "empty" }, t("no_audio_sources")));
   // equalizer editor (enabled + filter chain JSON)
   const enabled = el("input", { type: "checkbox" });
