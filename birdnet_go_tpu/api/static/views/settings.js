@@ -93,6 +93,21 @@ export async function settingsView(outlet) {
             chipList(k, v.map(winToStr))));
         } else if (name === "species" && k === "config") {
           body.append(speciesConfigEditor(k, v));
+        } else if (name === "notification" && k === "targets") {
+          const ed = objListEditor(k, v, TARGET_FIELDS, { name: "target" });
+          const out = el("span", { class: "sub" });
+          ed.append(el("div", { class: "row" },
+            el("button", { class: "small", onclick: async () => {
+              try {
+                const r = await api("/notifications/test",
+                                    { method: "POST", body: {} });
+                out.textContent = r.delivered ? "✓" : "✗";
+              } catch (e) { out.textContent = e.message; }
+            } }, t("test")), out));
+          body.append(ed);
+        } else if (name === "alerting" && k === "rules") {
+          body.append(objListEditor(k, v, RULE_FIELDS,
+                                    { rule_id: "rule", name: "rule" }));
         } else if (v !== null && typeof v === "object" && !Array.isArray(v)) {
           // nested object: flat dict of scalars → editable dotted-key
           // sub-rows (backup.remote, log.module_levels); deeper → JSON
@@ -383,6 +398,81 @@ export function sourcesEditor(key, sources) {
     flushChips();
     return items.map(({ _qh, ...rest }) => rest);
   };
+  return root;
+}
+
+/* Field specs for the generic object-list editor: [key, default, type]
+   with type ∈ text | number | bool | csv (comma-separated → string[]). */
+const TARGET_FIELDS = [
+  ["name", "", "text"], ["kind", "webhook", "text"],
+  ["url", "", "text"], ["body_template", "", "text"],
+  ["min_interval_seconds", 0, "number"],
+];
+const RULE_FIELDS = [
+  ["rule_id", "", "text"], ["name", "", "text"],
+  ["enabled", true, "bool"], ["species", [], "csv"],
+  ["min_confidence", 0, "number"], ["sources", [], "csv"],
+  ["only_new_species", false, "bool"], ["active_window", "", "text"],
+  ["min_interval_seconds", 300, "number"],
+  ["priority", "normal", "text"],
+  ["message_template", "", "text"],
+];
+
+/** Generic array-of-objects editor (notification targets, alert rules):
+    one sub-card per item with typed field rows, add/remove. `fresh`
+    seeds required keys on newly added items. */
+export function objListEditor(key, items0, fields, fresh = {}) {
+  const root = el("div", { class: "card", "data-key": key });
+  const items = items0.map((o) => ({ ...o }));
+  function row(item, idx) {
+    const box = el("div", { class: "card" });
+    box.append(el("div", { class: "row" },
+      el("strong", {}, item.name || item.rule_id || `#${idx + 1}`),
+      el("button", { class: "small right", onclick: () => {
+        items.splice(idx, 1); render();
+      } }, "✕ " + t("remove"))));
+    for (const [f, dflt, kind] of fields) {
+      const cur = item[f] ?? dflt;
+      let inp;
+      if (kind === "bool") {
+        inp = el("input", { type: "checkbox" });
+        inp.checked = !!cur;
+        inp.addEventListener("change", () => { item[f] = inp.checked; });
+      } else if (kind === "csv") {
+        inp = el("input", { size: 26,
+                            value: Array.isArray(cur) ? cur.join(", ") : cur });
+        inp.addEventListener("input", () => {
+          item[f] = inp.value.split(",").map((s) => s.trim())
+            .filter(Boolean);
+        });
+      } else {
+        inp = el("input", { size: 26, value: cur,
+                            type: kind === "number" ? "number" : "text" });
+        inp.addEventListener("input", () => {
+          item[f] = kind === "number"
+            ? (inp.value === "" ? dflt : Number(inp.value)) : inp.value;
+        });
+      }
+      box.append(el("div", { class: "field-row" },
+                    el("label", {}, f.replaceAll("_", " ")), inp));
+    }
+    return box;
+  }
+  function render() {
+    root.replaceChildren(
+      ...items.map((o, i) => row(o, i)),
+      el("button", { class: "small", onclick: () => {
+        const o = {};
+        for (const [f, dflt] of fields)
+          o[f] = Array.isArray(dflt) ? [...dflt] : dflt;
+        for (const [f, base] of Object.entries(fresh))
+          o[f] = `${base}${items.length + 1}`;
+        items.push(o);
+        render();
+      } }, "+ " + t("add")));
+  }
+  render();
+  root._getValue = () => items.map((o) => ({ ...o }));
   return root;
 }
 
