@@ -68,6 +68,12 @@ class AlertingEngine:
         with self._lock:
             return self.rules.pop(rule_id, None) is not None
 
+    def replace_rules(self, rules: list[AlertRule]) -> None:
+        """Atomic swap used by the settings hot-reload path; throttle
+        state (_last_fired) survives so edits don't re-fire alerts."""
+        with self._lock:
+            self.rules = {r.rule_id: r for r in rules}
+
     def list_rules(self) -> list[AlertRule]:
         with self._lock:
             return list(self.rules.values())

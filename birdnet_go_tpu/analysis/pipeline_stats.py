@@ -81,6 +81,7 @@ class PipelineStatsLogger:
         self._last_dropped = dropped
         if d_drop:
             parts.append(f"dropped+{d_drop}")
+        pending = 0
         if self.processor is not None:
             pending = len(getattr(self.processor, "_pending", {}) or {})
             if pending:
@@ -92,9 +93,17 @@ class PipelineStatsLogger:
         # backlog) — those are exactly the unhealthy intervals an
         # operator needs to see
         line = "pipeline: " + " | ".join(parts)
-        ok, _reason = self.dedup.should_log(
-            "pipeline", tuple(key_parts), d_drop)
-        if not ok:
+        # unhealthy intervals (any overrun/deferral/drop delta) bypass the
+        # dedup entirely: during an ongoing incident every interval logs.
+        # Healthy steady state dedups on (bucketed rate, bucketed pending)
+        # so a silently growing backlog still breaks suppression.
+        unhealthy = bool(d_drop) or any(k[2] or k[3] for k in key_parts)
+        key_parts.append(("pending", round(pending / 10)))
+        # should_log also records the key, so the first healthy interval
+        # after an incident differs from the stored unhealthy key and the
+        # "back to normal" line is emitted rather than suppressed
+        ok, _reason = self.dedup.should_log("pipeline", tuple(key_parts))
+        if not ok and not unhealthy:
             return None
         log.info(line)
         self.lines_emitted += 1

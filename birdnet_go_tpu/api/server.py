@@ -874,6 +874,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             "birdweather": [ControlSignal.RECONFIGURE_BIRDWEATHER],
             "weather": [ControlSignal.RECONFIGURE_WEATHER],
             "notification": [ControlSignal.RECONFIGURE_NOTIFICATIONS],
+            "alerting": [ControlSignal.RECONFIGURE_ALERTING],
             "soundlevel": [ControlSignal.RECONFIGURE_SOUND_LEVEL],
             "dynamic_threshold":
                 [ControlSignal.RECONFIGURE_DYNAMIC_THRESHOLDS],

@@ -96,7 +96,9 @@ export async function settingsView(outlet) {
         } else if (name === "notification" && k === "targets") {
           const ed = objListEditor(k, v, TARGET_FIELDS, { name: "target" });
           const out = el("span", { class: "sub" });
-          ed.append(el("div", { class: "row" },
+          // test row lives OUTSIDE the editor root: render() rebuilds the
+          // root's children on every add/remove, which would wipe it
+          body.append(ed, el("div", { class: "row" },
             el("button", { class: "small", onclick: async () => {
               try {
                 const r = await api("/notifications/test",
@@ -104,7 +106,6 @@ export async function settingsView(outlet) {
                 out.textContent = r.delivered ? "✓" : "✗";
               } catch (e) { out.textContent = e.message; }
             } }, t("test")), out));
-          body.append(ed);
         } else if (name === "alerting" && k === "rules") {
           body.append(objListEditor(k, v, RULE_FIELDS,
                                     { rule_id: "rule", name: "rule" }));
@@ -415,7 +416,10 @@ const RULE_FIELDS = [
   ["only_new_species", false, "bool"], ["active_window", "", "text"],
   ["min_interval_seconds", 300, "number"],
   ["priority", "normal", "text"],
-  ["message_template", "", "text"],
+  // seed the server-side default so a fresh rule doesn't override it
+  // with "" (AlertRule.message_template); clearing it falls back to the
+  // default too (empty text fields are omitted from the PATCH body)
+  ["message_template", "{common_name} detected ({confidence:.0%})", "text"],
 ];
 
 /** Generic array-of-objects editor (notification targets, alert rules):
@@ -446,8 +450,13 @@ export function objListEditor(key, items0, fields, fresh = {}) {
             .filter(Boolean);
         });
       } else {
+        // number fields show the effective default as a placeholder so a
+        // cleared input visibly means "default applies" rather than
+        // silently storing a value the UI doesn't display
         inp = el("input", { size: 26, value: cur,
-                            type: kind === "number" ? "number" : "text" });
+                            type: kind === "number" ? "number" : "text",
+                            ...(kind === "number"
+                                ? { placeholder: String(dflt) } : {}) });
         inp.addEventListener("input", () => {
           item[f] = kind === "number"
             ? (inp.value === "" ? dflt : Number(inp.value)) : inp.value;
@@ -472,7 +481,14 @@ export function objListEditor(key, items0, fields, fresh = {}) {
       } }, "+ " + t("add")));
   }
   render();
-  root._getValue = () => items.map((o) => ({ ...o }));
+  // empty text fields are omitted so server-side dataclass defaults
+  // apply (e.g. a cleared message_template falls back to the default
+  // template instead of formatting an empty string)
+  root._getValue = () => items.map((o) => {
+    const out = { ...o };
+    for (const k of Object.keys(out)) if (out[k] === "") delete out[k];
+    return out;
+  });
   return root;
 }
 

@@ -340,17 +340,11 @@ class Application:
         self.events = EventBus()
 
         # alerting rules engine (detection events → rules → notifications)
-        from birdnet_go_tpu.analysis.alerting import AlertingEngine, AlertRule
+        from birdnet_go_tpu.analysis.alerting import AlertingEngine
 
         self.alerting = AlertingEngine(
             notification_service=self.notifications)
-        for i, r in enumerate(s.alerting.rules):
-            try:
-                self.alerting.add_rule(AlertRule(
-                    rule_id=r.get("rule_id", f"rule{i}"), **{
-                        k: v for k, v in r.items() if k != "rule_id"}))
-            except TypeError as e:
-                log.warning("invalid alert rule %d: %s", i, e)
+        self._load_alert_rules()
 
         # backup manager
         if s.backup.enabled:
@@ -459,6 +453,8 @@ class Application:
                     self._rebuild_extended_capture)
         c.subscribe(ControlSignal.RECONFIGURE_TELEMETRY,
                     self._reconfigure_telemetry)
+        c.subscribe(ControlSignal.RECONFIGURE_ALERTING,
+                    self._reconfigure_alerting)
 
     def _reload_model_settings(self) -> None:
         """Apply per-model sensitivity/threshold/overlap changes live."""
@@ -628,6 +624,28 @@ class Application:
         t = self.settings.telemetry
         telemetry.configure(t.dsn, enabled=t.enabled)
         log.info("telemetry reconfigured (enabled=%s)", t.enabled)
+
+    def _load_alert_rules(self) -> None:
+        """(Re)build the live AlertingEngine rule set from settings —
+        startup and the PATCH /settings/alerting hot-reload path."""
+        from birdnet_go_tpu.analysis.alerting import AlertRule
+
+        rules = []
+        for i, r in enumerate(self.settings.alerting.rules):
+            rid = r.get("rule_id", f"rule{i}")
+            kwargs = {k: v for k, v in r.items() if k != "rule_id"}
+            kwargs.setdefault("name", rid)     # display name optional
+            try:
+                rules.append(AlertRule(rule_id=rid, **kwargs))
+            except TypeError as e:
+                log.warning("invalid alert rule %d: %s", i, e)
+        if self.alerting is not None:
+            self.alerting.replace_rules(rules)
+
+    def _reconfigure_alerting(self) -> None:
+        self._load_alert_rules()
+        n = len(self.alerting.list_rules()) if self.alerting else 0
+        log.info("alerting reconfigured (%d rules)", n)
 
     def _apply_quiet_windows(self) -> None:
         """Populate the scheduler from config: realtime.quiet_hours applies
@@ -826,8 +844,8 @@ class Application:
         except Exception as e:
             errors_mod.new(e).component("orchestrator") \
                 .category(errors_mod.Category.MODEL) \
-                .context("model_id", model_id).build()
-            log.exception("runtime warmup failed for %s", model_id)
+                .context("model_id", model_id) \
+                .context("during", "runtime warmup").build()
         self.device_loop.add_batcher(batcher)
         # Rewire existing streams last: every live source gets a resampler +
         # AnalysisBuffer tap for the new spec (buffer_manager UpdateMonitors
@@ -972,8 +990,8 @@ class Application:
                               "source_id", "?")
                 errors_mod.new(e).component("audio-capture") \
                     .category(errors_mod.Category.AUDIO) \
-                    .context("source_id", sid).build()
-                log.exception("source %s start failed", sid)
+                    .context("source_id", sid) \
+                    .context("during", "source start").build()
             if self.watchdog is not None and self.settings.liveness.enabled:
                 self.watchdog.track(src.source.source_id)
         if self.watchdog is not None and self.settings.liveness.enabled:

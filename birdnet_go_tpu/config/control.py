@@ -43,6 +43,7 @@ class ControlSignal(str, enum.Enum):
     QUIET_HOURS_START_SOUNDCARD = "quiet_hours_start_soundcard"
     REBUILD_EXTENDED_CAPTURE = "rebuild_extended_capture"
     RECONFIGURE_TELEMETRY = "reconfigure_telemetry"
+    RECONFIGURE_ALERTING = "reconfigure_alerting"
 
 
 class ControlBus:

@@ -16,6 +16,7 @@ import socket
 import ssl as ssl_mod
 import struct
 import threading
+import time
 from typing import Callable
 
 log = logging.getLogger("birdnet_tpu.mqtt")
@@ -151,16 +152,24 @@ class MqttClient:
     def _run(self) -> None:
         backoff = 1.0
         while not self._stop.is_set():
+            session_start = time.monotonic()
             try:
                 self._connect_once()
-                backoff = 1.0
-                self._consec_errors = 0
+                session_start = time.monotonic()
                 self._read_loop()
             except (OSError, ConnectionError) as e:
                 self._connected.clear()
                 if self._stop.is_set():
                     return
                 self.errors += 1
+                # a session only counts as recovered after it stayed up a
+                # while — connect-succeeds-then-read-loop-dies flapping
+                # (duplicate client id, broker killing the session right
+                # after CONNACK) must still accumulate toward the
+                # persistent-failure tag instead of resetting every lap
+                if time.monotonic() - session_start >= 30.0:
+                    self._consec_errors = 0
+                    backoff = 1.0
                 consec = getattr(self, "_consec_errors", 0) + 1
                 if consec == 5:
                     # persistent (not transient) failure → tagged error in

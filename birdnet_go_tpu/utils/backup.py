@@ -651,6 +651,6 @@ class BackupManager:
                     from_exception,
                 )
 
-                # tagged error → /system/errors ring + telemetry
+                # tagged error → /system/errors ring + telemetry (the
+                # builder logs once, with the traceback in exc_info)
                 from_exception(e, "backup", Category.FILE_IO)
-                log.exception("backup failed")

@@ -89,9 +89,13 @@ class ErrorBuilder:
         err = EnhancedError(self._message, self._component, self._category,
                             self._context, self._cause)
         # the health error ring buffer is a logging handler — one ERROR
-        # record feeds the /system/errors endpoint and any log sinks
+        # record feeds the /system/errors endpoint and any log sinks;
+        # exc_info carries the traceback so call sites don't need (and
+        # must not add) a second log.exception for the same incident
         logging.getLogger(
-            f"birdnet_tpu.{err.component or 'app'}").error("%s", err)
+            f"birdnet_tpu.{err.component or 'app'}").error(
+            "%s", err, exc_info=self._cause if self._cause is not None
+            and self._cause.__traceback__ is not None else None)
         try:
             from birdnet_go_tpu.utils.telemetry import capture_error
 

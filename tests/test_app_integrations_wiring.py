@@ -181,6 +181,20 @@ def test_control_signals_live_reconfigure(tiny_app):
     send(ControlSignal.RECONFIGURE_NOTIFICATIONS)
     assert len(app.notifications.targets) == 1
 
+    # alert rules rebuilt live from settings (PATCH /settings/alerting →
+    # RECONFIGURE_ALERTING; previously the engine kept stale rules until
+    # process restart)
+    app.settings.alerting.rules = [
+        {"rule_id": "r9", "species": ["Parus major"],
+         "min_confidence": 0.5}]
+    send(ControlSignal.RECONFIGURE_ALERTING)
+    rules = app.alerting.list_rules()
+    assert [r.rule_id for r in rules] == ["r9"]
+    assert "{common_name}" in rules[0].message_template  # default kept
+    app.settings.alerting.rules = []
+    send(ControlSignal.RECONFIGURE_ALERTING)
+    assert app.alerting.list_rules() == []
+
 
 def test_settings_patch_emits_new_signals(tiny_app):
     app = tiny_app

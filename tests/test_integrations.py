@@ -66,6 +66,37 @@ def test_mqtt_qos1_puback(broker):
     assert broker.messages == [("a/b", b"x")]
 
 
+def test_mqtt_flapping_session_counts_toward_persistent_failure(monkeypatch):
+    """connect-succeeds-then-read-loop-dies flapping (duplicate client id,
+    broker killing the session after CONNACK) must accumulate consecutive
+    errors and emit the tagged persistent-failure error — a short-lived
+    'successful' connect must not reset the outage counter."""
+    import birdnet_go_tpu.utils.errors as errors_mod
+
+    c = MqttClient("127.0.0.1", 1, client_id="flap")
+    monkeypatch.setattr(c, "_connect_once", lambda: None)
+
+    def dead_read():
+        raise ConnectionError("session killed after CONNACK")
+
+    monkeypatch.setattr(c, "_read_loop", dead_read)
+    laps = {"n": 0}
+
+    def fast_wait(timeout=None):
+        laps["n"] += 1
+        if laps["n"] >= 8:
+            c._stop.set()
+        return c._stop.is_set()
+
+    monkeypatch.setattr(c._stop, "wait", fast_wait)
+    tagged = []
+    monkeypatch.setattr(errors_mod, "from_exception",
+                        lambda e, comp, cat=None: tagged.append(comp))
+    c._run()
+    assert c._consec_errors >= 5
+    assert tagged == ["mqtt"]          # once per outage, at the 5th lap
+
+
 def test_topic_wildcards():
     assert _topic_matches("a/+/c", "a/b/c")
     assert not _topic_matches("a/+/c", "a/b/d")

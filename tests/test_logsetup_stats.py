@@ -61,6 +61,31 @@ def test_warnings_reach_error_ring(clean_root):
                for e in GLOBAL_ERROR_BUFFER.recent(50))
 
 
+def test_tagged_failure_lands_once_in_ring_with_traceback(clean_root):
+    """ErrorBuilder.build() is the single log emission for an incident —
+    one ring entry carrying taxonomy AND the traceback via exc_info, so
+    call sites must not add a second log.exception (which used to halve
+    the 256-slot ring with duplicates)."""
+    configure_logging(Settings())
+    from birdnet_go_tpu.utils import errors as errors_mod
+
+    marker = "single-emit-qwerty"
+    before = len(GLOBAL_ERROR_BUFFER.recent(256))
+    try:
+        raise ValueError(marker)
+    except ValueError as e:
+        errors_mod.new(e).component("audio-capture") \
+            .category(errors_mod.Category.AUDIO) \
+            .context("source_id", "s1").build()
+    entries = [x for x in GLOBAL_ERROR_BUFFER.recent(256)
+               if marker in x["message"]]
+    assert len(entries) == 1
+    assert len(GLOBAL_ERROR_BUFFER.recent(256)) == before + 1
+    assert entries[0]["component"] == "audio-capture"
+    assert entries[0]["category"] == "audio"
+    assert entries[0]["context"]["source_id"] == "s1"
+
+
 def test_app_setup_attaches_error_ring(clean_root, tmp_path):
     """Embedded apps (no CLI logging setup) still get /system/errors data:
     Application.setup attaches the ring handler itself."""
@@ -151,6 +176,63 @@ def test_pipeline_stats_steady_state_deduplicated():
     w += 2000
     loop.batchers["M1"].stats.windows_processed = w
     assert psl.tick() is not None
+
+
+def test_pipeline_stats_unhealthy_intervals_always_log():
+    """A constant overrun rate (identical unhealthy deltas every interval)
+    must keep logging — the dedup only suppresses healthy steady state —
+    and the first healthy interval after the incident logs the recovery."""
+    fake_now = [1000.0]
+    loop = _Loop()
+    psl = PipelineStatsLogger(loop, interval_seconds=10.0)
+    psl.dedup.clock = lambda: fake_now[0]
+    w, o = 0, 0
+    lines = []
+    for _ in range(4):                  # saturated: +3 overruns / interval
+        w += 500
+        o += 3
+        loop.batchers["M1"].stats.windows_processed = w
+        loop.batchers["M1"].stats.overruns = o
+        fake_now[0] += 10
+        lines.append(psl.tick())
+    assert all(ln is not None and "overruns+3" in ln for ln in lines)
+    # incident ends: same healthy rate as during it → still logs once
+    w += 500
+    loop.batchers["M1"].stats.windows_processed = w
+    fake_now[0] += 10
+    recovery = psl.tick()
+    assert recovery is not None and "overruns" not in recovery
+    w += 500
+    loop.batchers["M1"].stats.windows_processed = w
+    fake_now[0] += 10
+    assert psl.tick() is None           # back to steady-state suppression
+
+
+def test_pipeline_stats_pending_backlog_breaks_dedup():
+    """A growing processor consensus backlog changes the dedup key even at
+    perfectly steady throughput, so operators see pending= lines."""
+
+    class _Proc:
+        def __init__(self):
+            self._pending = {}
+
+    fake_now = [1000.0]
+    loop = _Loop()
+    proc = _Proc()
+    psl = PipelineStatsLogger(loop, processor=proc, interval_seconds=10.0)
+    psl.dedup.clock = lambda: fake_now[0]
+    w = 0
+    lines = []
+    for pend in (5, 5, 50, 400):
+        w += 500
+        loop.batchers["M1"].stats.windows_processed = w
+        proc._pending = {i: None for i in range(pend)}
+        fake_now[0] += 10
+        lines.append(psl.tick())
+    assert lines[0] is not None and "pending=5" in lines[0]
+    assert lines[1] is None                        # same bucket: suppressed
+    assert lines[2] is not None and "pending=50" in lines[2]
+    assert lines[3] is not None and "pending=400" in lines[3]
 
 
 def test_pipeline_stats_thread_runs():
