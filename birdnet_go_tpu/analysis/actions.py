@@ -94,12 +94,13 @@ class SaveAudioAction:
     gain_db: float = 0.0
     normalization: dict | None = None
 
-    def _resolve_gain_db(self, pcm, rate: int) -> float:
+    def _resolve_gain_lin(self, pcm, rate: int) -> float:
+        """Linear gain factor for the exported clip — the static gain_db
+        setting, or (when normalization is enabled) plan_gain's
+        LUFS/true-peak plan, used directly without a dB round-trip."""
         norm = self.normalization or {}
         if not norm.get("enabled"):
-            return float(self.gain_db)
-        import math
-
+            return float(10.0 ** (float(self.gain_db) / 20.0))
         import numpy as _np
 
         from birdnet_go_tpu.audio.audionorm import (
@@ -110,8 +111,8 @@ class SaveAudioAction:
         opts = NormalizeOptions(
             target_lufs=float(norm.get("target_lufs", -23.0)),
             max_true_peak_db=float(norm.get("true_peak_db", -2.0)))
-        lin = plan_gain(pcm.astype(_np.float32) / 32768.0, rate, opts)
-        return 20.0 * math.log10(max(lin, 1e-6))
+        return float(plan_gain(
+            pcm.astype(_np.float32) / 32768.0, rate, opts))
 
     def execute(self) -> None:
         if time.time() < self.end_time:
@@ -137,12 +138,12 @@ class SaveAudioAction:
             y = _np.concatenate([rs.process(pcm), rs.flush()])
             pcm = _np.clip(_np.round(y), -32768, 32767).astype(_np.int16)
             rate = self.downsample_to
-        gain_db = self._resolve_gain_db(pcm, rate)
-        if gain_db:
+        gain_lin = self._resolve_gain_lin(pcm, rate)
+        if gain_lin != 1.0:
             import numpy as _np
 
             pcm = _np.clip(_np.round(
-                pcm.astype(_np.float32) * 10.0 ** (gain_db / 20.0)),
+                pcm.astype(_np.float32) * gain_lin),
                 -32768, 32767).astype(_np.int16)
         from birdnet_go_tpu.audio.encode import encode_clip
 

@@ -474,8 +474,14 @@ export function objListEditor(key, items0, fields, fresh = {}) {
         const o = {};
         for (const [f, dflt] of fields)
           o[f] = Array.isArray(dflt) ? [...dflt] : dflt;
-        for (const [f, base] of Object.entries(fresh))
-          o[f] = `${base}${items.length + 1}`;
+        // skip ids already in use: after delete-then-add, length+1 can
+        // collide with a surviving entry and the server's keyed rebuild
+        // (replace_rules / target names) would silently drop one
+        for (const [f, base] of Object.entries(fresh)) {
+          let n = items.length + 1;
+          while (items.some((it) => it[f] === `${base}${n}`)) n++;
+          o[f] = `${base}${n}`;
+        }
         items.push(o);
         render();
       } }, "+ " + t("add")));

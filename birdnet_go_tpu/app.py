@@ -563,6 +563,11 @@ class Application:
              for t in self.settings.notification.targets],
             inbox=self.notification_inbox,
             on_stored=self._on_notification_stored)
+        # re-wire every holder of the old service: the alerting engine
+        # captured it at construction and would otherwise keep delivering
+        # to the removed targets until process restart
+        if self.alerting is not None:
+            self.alerting.notifications = self.notifications
         log.info("notifications reconfigured (%d targets)",
                  len(self.settings.notification.targets))
 

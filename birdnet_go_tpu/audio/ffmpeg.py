@@ -208,7 +208,13 @@ class FfmpegSource:
             got_data = self.bytes_received > bytes_before
             if ran < _QUICK_EXIT_SECONDS:
                 backoff = min(backoff * 2, _MAX_BACKOFF)
-                if not got_data:
+                if got_data:
+                    # data arrived, however briefly — the "produces no
+                    # data" streak is broken; without this, isolated
+                    # dataless blips spread over days would accumulate
+                    # to a bogus dead-endpoint tagged error
+                    self._quick_exits = 0
+                else:
                     self._quick_exits += 1
                     if self._quick_exits == 5:
                         # five dataless quick exits = a dead endpoint,

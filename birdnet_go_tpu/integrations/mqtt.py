@@ -152,7 +152,7 @@ class MqttClient:
     def _run(self) -> None:
         backoff = 1.0
         while not self._stop.is_set():
-            session_start = time.monotonic()
+            session_start = None        # set only once CONNACK succeeds
             try:
                 self._connect_once()
                 session_start = time.monotonic()
@@ -162,12 +162,15 @@ class MqttClient:
                 if self._stop.is_set():
                     return
                 self.errors += 1
-                # a session only counts as recovered after it stayed up a
-                # while — connect-succeeds-then-read-loop-dies flapping
-                # (duplicate client id, broker killing the session right
-                # after CONNACK) must still accumulate toward the
-                # persistent-failure tag instead of resetting every lap
-                if time.monotonic() - session_start >= 30.0:
+                # a session only counts as recovered after a CONNECTED
+                # stretch ≥30 s — connect-succeeds-then-read-loop-dies
+                # flapping (duplicate client id, broker killing the
+                # session right after CONNACK) and slow-FAILING connects
+                # (dead DNS blocking ~40 s per attempt) must both keep
+                # accumulating toward the persistent-failure tag instead
+                # of resetting backoff every lap
+                if session_start is not None \
+                        and time.monotonic() - session_start >= 30.0:
                     self._consec_errors = 0
                     backoff = 1.0
                 consec = getattr(self, "_consec_errors", 0) + 1

@@ -180,6 +180,10 @@ def test_control_signals_live_reconfigure(tiny_app):
         {"name": "hook", "kind": "webhook", "url": "http://127.0.0.1:9/x"}]
     send(ControlSignal.RECONFIGURE_NOTIFICATIONS)
     assert len(app.notifications.targets) == 1
+    # the alerting engine must be re-wired to the NEW service — it
+    # captured the old one at construction and alert firings would
+    # otherwise deliver to removed targets until restart
+    assert app.alerting.notifications is app.notifications
 
     # alert rules rebuilt live from settings (PATCH /settings/alerting →
     # RECONFIGURE_ALERTING; previously the engine kept stale rules until

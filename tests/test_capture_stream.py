@@ -197,6 +197,63 @@ def test_media_mode_fallback_after_quick_exits(monkeypatch):
     assert "full" in modes[2:]
 
 
+def test_quick_exits_with_data_reset_no_data_streak(monkeypatch):
+    """A quick exit that DID deliver audio breaks the 'produces no data'
+    streak — isolated dataless blips spread over days must not accumulate
+    into the 5-restart dead-endpoint tagged error."""
+    import birdnet_go_tpu.audio.ffmpeg as ff
+
+    monkeypatch.setattr(ff, "ffmpeg_available", lambda: True)
+    launches = {"n": 0}
+
+    class _DataProc:
+        def __init__(self):
+            launches["n"] += 1
+            sent = {"done": False}
+
+            class _Out:
+                @staticmethod
+                def read(n):
+                    if sent["done"]:
+                        return b""          # EOF → quick exit
+                    sent["done"] = True
+                    return b"\x00\x01" * 160   # one real PCM chunk
+
+            self.stdout = _Out()
+
+        def poll(self):
+            return 1
+
+        def terminate(self):
+            pass
+
+        def wait(self, timeout=None):
+            return 1
+
+        def kill(self):
+            pass
+
+    monkeypatch.setattr(ff.subprocess, "Popen",
+                        lambda args, **kw: _DataProc())
+    monkeypatch.setattr(ff, "_QUICK_EXIT_SECONDS", 10.0)
+    src = FfmpegSource(_FakeEngine(), "rtsp://cam/stream")
+    src._quick_exits = 4                    # one blip away from the tag
+    src._stop.clear()
+    import threading
+    import time
+
+    t = threading.Thread(target=src._supervise, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while launches["n"] < 3 and time.time() < deadline:
+        time.sleep(0.05)
+    src._stop.set()
+    t.join(timeout=5)
+    assert launches["n"] >= 3
+    assert src._quick_exits == 0            # streak broken by data
+    assert src.media_mode == "audio_only"   # no spurious mode fallback
+
+
 # -- device enumeration -------------------------------------------------------------------
 
 def test_native_device_enumeration_shape():

@@ -97,6 +97,47 @@ def test_mqtt_flapping_session_counts_toward_persistent_failure(monkeypatch):
     assert tagged == ["mqtt"]          # once per outage, at the 5th lap
 
 
+def test_mqtt_slow_failing_connect_keeps_backing_off(monkeypatch):
+    """A connect attempt that takes >=30 s to FAIL (dead DNS resolver
+    blocking getaddrinfo) is not a recovered session: backoff must keep
+    growing and consecutive errors must still reach the persistent-
+    failure tag. Only a CONNECTED stretch >=30 s resets the counters."""
+    import birdnet_go_tpu.integrations.mqtt as mqtt_mod
+    import birdnet_go_tpu.utils.errors as errors_mod
+
+    c = MqttClient("127.0.0.1", 1, client_id="slowfail")
+    fake = {"t": 0.0}
+
+    def fake_monotonic():
+        fake["t"] += 31.0                 # every clock read jumps 31 s
+        return fake["t"]
+
+    monkeypatch.setattr(mqtt_mod.time, "monotonic", fake_monotonic)
+
+    def slow_dead_connect():
+        raise OSError("getaddrinfo blocked 40 s then failed")
+
+    monkeypatch.setattr(c, "_connect_once", slow_dead_connect)
+    laps = {"n": 0}
+    backoffs = []
+
+    def fast_wait(timeout=None):
+        laps["n"] += 1
+        backoffs.append(timeout)
+        if laps["n"] >= 8:
+            c._stop.set()
+        return c._stop.is_set()
+
+    monkeypatch.setattr(c._stop, "wait", fast_wait)
+    tagged = []
+    monkeypatch.setattr(errors_mod, "from_exception",
+                        lambda e, comp, cat=None: tagged.append(comp))
+    c._run()
+    assert c._consec_errors >= 5
+    assert tagged == ["mqtt"]
+    assert backoffs == sorted(backoffs) and backoffs[-1] > 1.0
+
+
 def test_topic_wildcards():
     assert _topic_matches("a/+/c", "a/b/c")
     assert not _topic_matches("a/+/c", "a/b/d")
