@@ -123,6 +123,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=None)
     s.add_argument("--no-warmup", action="store_true",
                    help="skip XLA pre-compilation (first dispatch compiles)")
+    s.add_argument("--no-backend-probe", action="store_true",
+                   help="skip the bounded accelerator health probe "
+                        "(probe default: verify the accelerator backend "
+                        "answers within --backend-probe-timeout before "
+                        "boot; degrade to CPU instead of hanging on a "
+                        "wedged transport)")
+    s.add_argument("--backend-probe-timeout", type=float, default=120.0)
     common_model_flags(s)
 
     return p
@@ -360,6 +367,18 @@ def _cmd_serve(args) -> int:
     from birdnet_go_tpu.utils.logsetup import configure_logging
 
     configure_logging(settings, debug=args.debug)
+    # bounded accelerator health check BEFORE any backend init: a wedged
+    # TPU transport otherwise blocks boot for the plugin's full retry
+    # budget (~25 min observed) and then kills the daemon — degrade to
+    # CPU with a tagged error instead. BIRDNET_TPU_PLATFORM is an
+    # explicit operator choice and skips the probe entirely.
+    import os as _os
+
+    if not getattr(args, "no_backend_probe", False) \
+            and not _os.environ.get("BIRDNET_TPU_PLATFORM"):
+        from birdnet_go_tpu.utils.backendprobe import probe_backend
+
+        probe_backend(timeout_s=args.backend_probe_timeout)
 
     app = Application(settings)
     app.setup()
