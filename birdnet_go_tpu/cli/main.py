@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--output", default="output",
                    help="output directory for Raven tables (default output/)")
     a.add_argument("--batch-size", type=int, default=64)
+    a.add_argument("--no-backend-probe", action="store_true",
+                   help="skip the bounded accelerator health probe")
+    a.add_argument("--backend-probe-timeout", type=float, default=120.0)
     a.add_argument("--all-results", action="store_true",
                    help="emit every top-K result above threshold per window")
     a.add_argument("--rtype", choices=["table", "csv", "both"],
@@ -219,10 +222,20 @@ def _range_mask_if_located(args, num_species):
 
 
 def _cmd_analyze(args) -> int:
+    import os as _os
+
     from birdnet_go_tpu.analysis.offline import OfflineAnalyzer, OfflineConfig
     from birdnet_go_tpu.analysis.raven import write_raven_table
     from birdnet_go_tpu.taxonomy.labels import load_labels
 
+    # same bounded-accelerator contract as serve: finish the analysis on
+    # CPU rather than hanging on a wedged transport
+    if not getattr(args, "no_backend_probe", False) \
+            and not _os.environ.get("BIRDNET_TPU_PLATFORM"):
+        from birdnet_go_tpu.utils.backendprobe import probe_backend
+
+        probe_backend(
+            timeout_s=getattr(args, "backend_probe_timeout", 120.0))
     clf = _load_classifier(args)
     mask = _range_mask_if_located(args, clf.num_species)
     if mask is not None:

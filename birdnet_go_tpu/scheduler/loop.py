@@ -365,6 +365,9 @@ class DeviceLoop:
         # than tick_seconds means the loop is over capacity
         self.tick_busy_ms = 0.0
         self.tick_busy_ms_max = 0.0
+        # device-failure breaker: consecutive run_tick exceptions (an
+        # unreachable accelerator fails every tick)
+        self.consecutive_tick_failures = 0
 
     def add_batcher(self, batcher: ModelBatcher) -> None:
         self.batchers[batcher.spec.model_id] = batcher
@@ -529,6 +532,7 @@ class DeviceLoop:
             "windows_dropped": self.windows_dropped,
             "tick_busy_ms": round(self.tick_busy_ms, 2),
             "tick_busy_ms_max": round(self.tick_busy_ms_max, 2),
+            "consecutive_tick_failures": self.consecutive_tick_failures,
             # dict() copy is a single C-level op under the GIL; iterating
             # self._backlog directly would race run_tick's inserts on the
             # device thread (API threads call this via /system/scheduler)
@@ -556,8 +560,28 @@ class DeviceLoop:
         while not self._stop.is_set():
             try:
                 self.run_tick()
-            except Exception:
-                log.exception("device loop tick failed")
+                if self.consecutive_tick_failures:
+                    log.info("device loop recovered after %d failed ticks",
+                             self.consecutive_tick_failures)
+                self.consecutive_tick_failures = 0
+            except Exception as e:
+                # an unreachable device fails EVERY tick (10 Hz): log the
+                # first traceback, then thin to one line per 50 ticks,
+                # and tag ONE EnhancedError per outage once it is clearly
+                # persistent (30 consecutive ≈ 3 s) — the breaker state is
+                # surfaced at /system/scheduler for operators
+                self.consecutive_tick_failures += 1
+                c = self.consecutive_tick_failures
+                if c == 1:
+                    log.exception("device loop tick failed")
+                elif c % 50 == 0:
+                    log.warning("device loop still failing (%d consecutive"
+                                " ticks): %s", c, e)
+                if c == 30:
+                    from birdnet_go_tpu.utils import errors as errors_mod
+
+                    errors_mod.from_exception(e, "scheduler",
+                                              errors_mod.Category.MODEL)
             next_tick += self.tick_seconds
             delay = next_tick - time.monotonic()
             if delay > 0:

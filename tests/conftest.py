@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# explicit platform pin also skips the CLI's bounded accelerator probe
+# (analyze/serve would otherwise spawn a probe child that touches the
+# real TPU plugin from inside hermetic tests)
+os.environ.setdefault("BIRDNET_TPU_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 

@@ -355,6 +355,41 @@ def test_device_loop_end_to_end_tick():
     assert len(results) == 2
 
 
+def test_device_loop_failure_breaker(monkeypatch):
+    """An unreachable device fails every 10 Hz tick: the loop must stay
+    alive, thin its logging, tag ONE error per outage at 30 consecutive
+    failures, surface the count at /system/scheduler, and reset on
+    recovery."""
+    import birdnet_go_tpu.utils.errors as errors_mod
+
+    loop = DeviceLoop(tick_seconds=0.0001)
+    calls = {"n": 0}
+
+    def failing_tick():
+        calls["n"] += 1
+        if calls["n"] <= 75:
+            raise RuntimeError("device unreachable")
+        loop._stop.set()                   # recover, then stop the loop
+        return 0
+
+    monkeypatch.setattr(loop, "run_tick", failing_tick)
+    tagged = []
+    monkeypatch.setattr(
+        errors_mod, "from_exception",
+        lambda e, comp, cat=None: tagged.append(comp))
+
+    loop._stop.clear()
+    import threading
+
+    t = threading.Thread(target=loop._run, daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert tagged == ["scheduler"]         # once per outage, at tick 30
+    assert loop.consecutive_tick_failures == 0   # reset on recovery
+    assert "consecutive_tick_failures" in loop.capacity_info()
+
+
 # -- results queue ----------------------------------------------------------------------
 
 def test_results_queue_drop_accounting():
