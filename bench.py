@@ -90,6 +90,26 @@ def _flops_per_window_cpu(step_fn, *abstract_args) -> float:
 
 
 def main() -> None:
+    global BATCH, MEASURE_ITERS, PROD_BATCH, LATENCY_TRIALS, LATENCY_BATCHES
+
+    import os
+
+    # Bounded accelerator probe BEFORE backend init: a wedged TPU
+    # transport otherwise blocks this process ~25 min and the driver
+    # records NO bench artifact at all. On probe failure the bench runs
+    # a downscaled CPU measurement and marks the JSON honestly —
+    # a bad-but-labeled number beats a missing artifact.
+    degraded = False
+    if not os.environ.get("BIRDNET_TPU_PLATFORM"):
+        from birdnet_go_tpu.utils import backendprobe
+
+        backendprobe.probe_backend(timeout_s=float(
+            os.environ.get("BENCH_PROBE_TIMEOUT_S", "300")))
+        degraded = backendprobe.DEGRADED
+    if degraded:
+        BATCH, MEASURE_ITERS = 32, 2
+        PROD_BATCH, LATENCY_TRIALS, LATENCY_BATCHES = 8, 3, 2
+
     from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
     from birdnet_go_tpu.ops.postprocess import sigmoid_confidence, top_k_results
 
@@ -253,16 +273,24 @@ def main() -> None:
                                length=MEASURE_ITERS)
         return last
 
-    run_i8_c = run_i8.lower(q, pcm).compile()
-    float(run_i8_c(q, pcm))                 # warmup
-    t0 = time.perf_counter()
-    float(run_i8_c(q, pcm))
-    elapsed_i8 = time.perf_counter() - t0
-    wps_i8 = BATCH * MEASURE_ITERS / elapsed_i8
-    streams_i8 = wps_i8 * WINDOW_HOP_SECONDS
-
+    if degraded:
+        wps_i8 = streams_i8 = 0.0          # skip the extra CPU compile
+    else:
+        run_i8_c = run_i8.lower(q, pcm).compile()
+        float(run_i8_c(q, pcm))             # warmup
+        t0 = time.perf_counter()
+        float(run_i8_c(q, pcm))
+        elapsed_i8 = time.perf_counter() - t0
+        wps_i8 = BATCH * MEASURE_ITERS / elapsed_i8
+        streams_i8 = wps_i8 * WINDOW_HOP_SECONDS
 
     print(json.dumps({
+        **({"accelerator_unavailable": True,
+            "degraded_note": "TPU transport failed the bounded probe; "
+                             "downscaled CPU measurement — NOT the "
+                             "chip's capacity (see BENCH_r02.json for "
+                             "the last real-TPU figure)"}
+           if degraded else {}),
         "metric": "realtime_48khz_streams_per_chip",
         "value": round(streams, 1),
         "unit": "streams",

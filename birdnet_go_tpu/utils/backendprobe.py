@@ -27,6 +27,11 @@ import sys
 
 log = logging.getLogger("birdnet_tpu.backendprobe")
 
+# True once THIS process degraded to CPU because of a probe failure —
+# lets callers (bench.py) distinguish "healthy CPU-only host" from
+# "accelerator present but unreachable" without re-probing.
+DEGRADED = False
+
 _PROBE_CODE = (
     "import jax\n"
     "print('PLATFORM=' + jax.devices()[0].platform)\n"
@@ -71,8 +76,11 @@ def probe_backend(timeout_s: float = 120.0) -> str:
 
 
 def _degrade(reason: str) -> None:
+    global DEGRADED
+
     import jax
 
+    DEGRADED = True
     jax.config.update("jax_platforms", "cpu")
     log.warning("accelerator backend unavailable — degrading to the CPU "
                 "backend (%s); inference capacity is reduced, service "
