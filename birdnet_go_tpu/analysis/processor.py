@@ -185,7 +185,9 @@ class Processor:
         self._model_settings = {m.model_id: m for m in settings.models}
         self._extended_all = False
         self._extended_species: frozenset[str] = frozenset()
+        self._daylight_species: frozenset[str] = frozenset()
         self.rebuild_extended_capture()
+        self.rebuild_daylight_filter()
 
     # -- configuration lookups -------------------------------------------------
 
@@ -553,6 +555,49 @@ class Processor:
         self._extended_all = False
         self._extended_species = frozenset(resolved)
 
+    def rebuild_daylight_filter(self) -> None:
+        """Resolve the daylight-filter species list against the loaded
+        label union (daylight_filter.go initDaylightFilter). An EMPTY
+        list filters nothing — the exclusionary-filter contract: the
+        reference overrides resolveSpeciesFilter's match-all default
+        here, with a warning."""
+        df = getattr(self.settings, "daylight_filter", None)
+        self._daylight_species = frozenset()
+        if df is None or not df.enabled:
+            return
+        if self.settings.location.latitude is None:
+            log.warning("daylight filter enabled but location not "
+                        "configured; filter inactive")
+            return
+        if not df.species:
+            log.warning("daylight filter has empty species list; "
+                        "no species will be filtered")
+            return
+        sci_names = set()
+        common_to_sci = {}
+        for labels in self.labels_by_model.values():
+            for sp in labels.species:
+                sci_names.add(sp.scientific.lower())
+                if sp.common:
+                    common_to_sci[sp.common.lower()] = sp.scientific.lower()
+        from birdnet_go_tpu.taxonomy.openfauna import canonical_name
+
+        resolved = set()
+        for entry in df.species:
+            e = entry.strip().lower()
+            if e in sci_names:
+                resolved.add(canonical_name(entry.strip()).lower())
+            elif e in common_to_sci:
+                resolved.add(canonical_name(common_to_sci[e]).lower())
+            else:
+                canon = canonical_name(entry).lower()
+                if canon in sci_names:
+                    resolved.add(canon)
+                else:
+                    log.warning("daylight-filter species %r not resolved",
+                                entry)
+        self._daylight_species = frozenset(resolved)
+
     def _is_extended_species(self, scientific: str) -> bool:
         ec = getattr(self.settings, "extended_capture", None)
         if ec is None or not ec.enabled:
@@ -643,19 +688,31 @@ class Processor:
                 window = self.settings.dog_bark_filter.remember_minutes * 60.0
                 if item.first_detected - last_dog < window:
                     return True, "recent dog bark"
-        if self.settings.daylight_filter.enabled \
+        df = self.settings.daylight_filter
+        if df.enabled and self._daylight_species \
                 and self.settings.location.latitude is not None:
+            # reference semantics (daylight_filter.go checkDaylightFilter):
+            # only LISTED (nocturnal) species are filtered, and they are
+            # discarded when detected DURING the daylight window — a noon
+            # owl is a likely misidentification. Fails open on sun-math
+            # errors.
             sp = item.detection.species
-            sc = self.settings.species.config.get(sp.scientific, {})
-            if sc.get("daylight", True):       # nocturnal opt-out
+            if sp.scientific.lower() in self._daylight_species:
                 import datetime as _dtm
 
-                from birdnet_go_tpu.utils.suncalc import is_daytime
+                from birdnet_go_tpu.utils.suncalc import in_daylight_window
 
                 when = _dtm.datetime.fromtimestamp(
                     item.first_detected, tz=_dtm.timezone.utc)
-                if not is_daytime(when, self.settings.location.latitude,
-                                  self.settings.location.longitude):
+                try:
+                    daylight = in_daylight_window(
+                        when, self.settings.location.latitude,
+                        self.settings.location.longitude, df.offset_hours)
+                except Exception as e:
+                    log.warning("daylight check failed (%s); allowing %s",
+                                e, sp.scientific)
+                    daylight = False
+                if daylight:
                     return True, "daylight filter"
         return False, ""
 

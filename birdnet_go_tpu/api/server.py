@@ -870,6 +870,9 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             "export": [ControlSignal.RELOAD_EXPORT,
                        ControlSignal.REBUILD_EXTENDED_CAPTURE],
             "privacy_filter": [ControlSignal.RELOAD_PRIVACY],
+            # the rebuild handler re-resolves BOTH exclusionary species
+            # filters (extended capture + daylight)
+            "daylight_filter": [ControlSignal.REBUILD_EXTENDED_CAPTURE],
             "mqtt": [ControlSignal.RECONFIGURE_MQTT],
             "birdweather": [ControlSignal.RECONFIGURE_BIRDWEATHER],
             "weather": [ControlSignal.RECONFIGURE_WEATHER],

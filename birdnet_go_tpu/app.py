@@ -584,6 +584,7 @@ class Application:
         capture buffers were sized at setup)."""
         if self.processor is not None:
             self.processor.rebuild_extended_capture()
+            self.processor.rebuild_daylight_filter()
         s = self.settings
         need = s.extended_capture.effective_capture_buffer_seconds(
             s.realtime.capture_buffer_seconds,
@@ -835,6 +836,7 @@ class Application:
         # filter entries may resolve only against the NEW model's labels
         # (reference re-resolves against the orchestrator's label union)
         self.processor.rebuild_extended_capture()
+        self.processor.rebuild_daylight_filter()
         batcher = ModelBatcher(
             clf, max_batch=self.settings.realtime.max_batch,
             sensitivity=ms.sensitivity,

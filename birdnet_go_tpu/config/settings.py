@@ -54,11 +54,17 @@ class DogBarkFilterSettings:
 
 @dataclasses.dataclass
 class DaylightFilterSettings:
-    """Discard detections outside civil daylight (processor.go
-    checkDaylightFilter); per-species opt-out via species config
-    {"daylight": false} for nocturnal species."""
+    """Discard DAYTIME detections of the listed (nocturnal) species —
+    an owl reported at noon is more likely a misidentification
+    (daylight_filter.go checkDaylightFilter: species in the filter set
+    AND detection inside [civil dawn + offset, civil dusk − offset) →
+    discard). Empty species list filters NOTHING (exclusionary filter);
+    positive offset_hours shrinks the window, negative expands it; an
+    offset that inverts the window means no time counts as daylight."""
 
     enabled: bool = False
+    species: list[str] = dataclasses.field(default_factory=list)
+    offset_hours: float = 0.0
 
 
 @dataclasses.dataclass

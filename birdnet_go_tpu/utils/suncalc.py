@@ -75,6 +75,32 @@ def sun_times(date: _dt.date, lat: float, lon: float) -> SunTimes:
                     polar=polar)
 
 
+def in_daylight_window(when: _dt.datetime, lat: float, lon: float,
+                       offset_hours: float = 0.0) -> bool:
+    """Membership in [civil dawn + offset, civil dusk − offset).
+
+    The daylight filter's window test (daylight_filter.go isDaylight):
+    a positive offset SHRINKS the window, a negative one EXPANDS it; an
+    offset large enough to invert the window means no time is daylight.
+    Polar day → always daylight; polar night → never.
+    """
+    if when.tzinfo is None:
+        when = when.replace(tzinfo=_dt.timezone.utc)
+    st = sun_times(when.date(), lat, lon)
+    if st.polar == "day":
+        return True
+    if st.polar == "night":
+        return False
+    start, end = st.civil_dawn, st.civil_dusk
+    if start is None or end is None:
+        return st.polar != "night"
+    off = _dt.timedelta(hours=offset_hours)
+    start, end = start + off, end - off
+    if start >= end:                     # inverted window guard
+        return False
+    return start <= when < end
+
+
 def is_daytime(when: _dt.datetime, lat: float, lon: float,
                civil: bool = True) -> bool:
     """True when `when` (UTC) falls between dawn and dusk.

@@ -211,4 +211,14 @@ def test_settings_patch_emits_new_signals(tiny_app):
     with urllib.request.urlopen(req, timeout=5) as r:
         body = json.loads(r.read())
     assert body["signals"] == ["reconfigure_mqtt"]
+
+    # daylight_filter PATCH re-resolves the exclusionary species filters
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v2/settings/daylight_filter",
+        data=json.dumps({"enabled": True,
+                         "species": ["Strix aluco"]}).encode(),
+        headers={"Content-Type": "application/json"}, method="PATCH")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        body = json.loads(r.read())
+    assert body["signals"] == ["rebuild_extended_capture"]
     app.stop()

@@ -53,35 +53,99 @@ def test_spectrogram_generated_on_demand(tiny_app):
     app.stop()
 
 
-def test_daylight_filter_discards_night_detection():
+def _daylight_processor(**df):
+    """Processor with the daylight filter targeting the owl (index 1)."""
     s = Settings()
     s.models = [ModelSettings(model_id=M, threshold=0.5)]
     s.daylight_filter.enabled = True
-    s.location.latitude = 52.5
+    s.daylight_filter.species = df.pop("species", ["Strix aluco"])
+    s.daylight_filter.offset_hours = df.pop("offset_hours", 0.0)
+    s.location.latitude = df.pop("latitude", 52.5)
     s.location.longitude = 13.4
-    import datetime
+    assert not df
+    return s, Processor(s, {M: make_labels()})
 
-    # 2026-06-01 00:30 UTC in Berlin = night
-    night = datetime.datetime(2026, 6, 1, 0, 30,
-                              tzinfo=datetime.timezone.utc).timestamp()
-    noon = datetime.datetime(2026, 6, 1, 12, 0,
-                             tzinfo=datetime.timezone.utc).timestamp()
-    p = Processor(s, {M: make_labels()}, clock=lambda: night)
-    p.submit(WindowPrediction(source_id="s", model_id=M, start_time=night,
-                              end_time=night + 3, indices=[0],
+
+import datetime as _dt  # noqa: E402
+
+_NOON = _dt.datetime(2026, 6, 1, 12, 0,
+                     tzinfo=_dt.timezone.utc).timestamp()
+_NIGHT = _dt.datetime(2026, 6, 1, 0, 30,
+                      tzinfo=_dt.timezone.utc).timestamp()
+
+
+def _owl_at(p, when, idx=1):
+    p.submit(WindowPrediction(source_id="s", model_id=M, start_time=when,
+                              end_time=when + 3, indices=[idx],
                               confidences=[0.9]))
-    assert p.flush(now=night + 100) == []
+    return p.flush(now=when + 100)
+
+
+def test_daylight_filter_discards_listed_species_in_daylight():
+    """checkDaylightFilter contract (daylight_filter_test.go): a LISTED
+    (nocturnal) species detected inside the daylight window is the
+    likely misidentification and is discarded; the same species at
+    night passes, and unlisted species pass at any hour."""
+    s, p = _daylight_processor()
+    assert _owl_at(p, _NOON) == []                 # owl at noon: discarded
     assert p.stats.discard_reasons.get("daylight filter") == 1
+    assert len(_owl_at(p, _NIGHT)) == 1            # owl at night: kept
+    assert len(_owl_at(p, _NOON, idx=0)) == 1      # blackbird at noon: kept
 
-    # daytime passes
-    p.submit(WindowPrediction(source_id="s", model_id=M, start_time=noon,
-                              end_time=noon + 3, indices=[0],
-                              confidences=[0.9]))
-    assert len(p.flush(now=noon + 100)) == 1
 
-    # nocturnal opt-out: owls at night pass
-    s.species.config["Strix aluco"] = {"daylight": False}
-    p.submit(WindowPrediction(source_id="s", model_id=M, start_time=night,
-                              end_time=night + 3, indices=[1],
-                              confidences=[0.9]))
-    assert len(p.flush(now=night + 100)) == 1
+def test_daylight_filter_offsets_and_inverted_window():
+    # positive offset shrinks the window: dawn+offset pushes past an
+    # early-morning detection time → that time no longer counts as
+    # daylight (TestIsDaylightWithPositiveOffset)
+    early = _dt.datetime(2026, 6, 1, 3, 30,       # Berlin civil dawn ~02:40 UTC
+                         tzinfo=_dt.timezone.utc).timestamp()
+    s, p = _daylight_processor()
+    assert _owl_at(p, early) == []                 # inside plain window
+    s2, p2 = _daylight_processor(offset_hours=2.0)
+    assert len(_owl_at(p2, early)) == 1            # shrunk window: night now
+    # negative offset expands the window: late-evening owl now discarded
+    late = _dt.datetime(2026, 6, 1, 20, 30,
+                        tzinfo=_dt.timezone.utc).timestamp()
+    s3, p3 = _daylight_processor(offset_hours=-2.0)
+    assert _owl_at(p3, late) == []
+    # inverted window (absurd offset): NO time is daylight → all pass
+    s4, p4 = _daylight_processor(offset_hours=12.0)
+    assert len(_owl_at(p4, _NOON)) == 1            # TestIsDaylightInvertedWindow
+
+
+def test_daylight_filter_empty_list_and_no_location_inactive():
+    # empty species list = exclusionary filter filters NOTHING
+    # (TestInitDaylightFilterEmptySpeciesList)
+    s, p = _daylight_processor(species=[])
+    assert len(_owl_at(p, _NOON)) == 1
+    # unconfigured location: filter inactive with a warning
+    # (TestInitDaylightFilterUnconfiguredLocation)
+    s2, p2 = _daylight_processor(latitude=None)
+    assert len(_owl_at(p2, _NOON)) == 1
+
+
+def test_daylight_filter_resolves_common_names_and_reinit():
+    # config entries may be common names (resolveSpeciesFilter), and
+    # rebuild is safe to re-call on settings refresh
+    # (TestInitDaylightFilterReInitialization)
+    s, p = _daylight_processor(species=["Tawny Owl"])
+    assert "strix aluco" in p._daylight_species
+    assert _owl_at(p, _NOON) == []
+    s.daylight_filter.species = []
+    p.rebuild_daylight_filter()
+    assert p._daylight_species == frozenset()
+    assert len(_owl_at(p, _NOON)) == 1
+
+
+def test_daylight_filter_fails_open_on_sun_error(monkeypatch):
+    """suncalc failure → allow the detection (fail open,
+    checkDaylightFilter error branch)."""
+    import birdnet_go_tpu.utils.suncalc as sc
+
+    s, p = _daylight_processor()
+
+    def boom(*a, **k):
+        raise ValueError("no sun today")
+
+    monkeypatch.setattr(sc, "in_daylight_window", boom)
+    assert len(_owl_at(p, _NOON)) == 1
