@@ -250,10 +250,24 @@ def enqueue_actions(queue: JobQueue, actions: list[Any],
     return n
 
 
-def clip_filename(detection: Detection, fmt: str = "wav") -> str:
-    """Deterministic clip name: <scientific>_<conf>_<timestamp>.<fmt>."""
+def clip_filename(detection: Detection, fmt: str = "wav",
+                  duration_seconds: int = 0) -> str:
+    """Deterministic clip path (processor.go buildClipPath):
+    year/month/<scientific>_<conf>p_<timestamp>Z[_<dur>s].<fmt> — the
+    year/month nesting keeps long-running deployments out of
+    100k-files-in-one-directory territory; the optional duration suffix
+    marks extended-capture session clips."""
     ts = detection.timestamp or None
-    stamp = (ts.strftime("%Y%m%dT%H%M%S") if ts else
-             f"{detection.begin_seconds:.0f}")
+    if ts is not None:
+        stamp = ts.strftime("%Y%m%dT%H%M%S") + "Z"
+        prefix = f"{ts.strftime('%Y')}/{ts.strftime('%m')}/"
+    else:
+        stamp = f"{detection.begin_seconds:.0f}"
+        prefix = ""
     sci = detection.species.scientific.replace(" ", "_").lower()
-    return f"{sci}_{int(round(detection.confidence * 100))}p_{stamp}.{fmt}"
+    dur = f"_{duration_seconds}s" if duration_seconds else ""
+    # defense in depth (buildClipPath wav fallback, GitHub #2810): an
+    # empty/whitespace format must never write an extension-less path
+    fmt = (fmt or "").strip().lstrip(".") or "wav"
+    return (f"{prefix}{sci}_{int(round(detection.confidence * 100))}p_"
+            f"{stamp}{dur}.{fmt}")

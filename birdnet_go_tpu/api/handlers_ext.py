@@ -332,7 +332,7 @@ class ExtendedHandlers:
         status = "unavailable"
         if row.get("clip_name"):
             png = self._sandboxed_media(
-                str(Path(row["clip_name"]).with_suffix(".png").name))
+                str(Path(row["clip_name"]).with_suffix(".png")))
             wav = self._sandboxed_media(row["clip_name"])
             if png is not None and png.is_file():
                 status = "ready"
@@ -1053,10 +1053,13 @@ class ExtendedHandlers:
         if not base.is_dir():
             return _json({"files": []})
         files = []
-        for p in sorted(base.iterdir()):
+        # clips nest under year/month (buildClipPath layout); name is the
+        # clip-dir-relative path the media endpoints accept
+        for p in sorted(base.rglob("*")):
             if p.is_file():
                 st = p.stat()
-                files.append({"name": p.name, "size_bytes": st.st_size,
+                files.append({"name": p.relative_to(base).as_posix(),
+                              "size_bytes": st.st_size,
                               "modified": st.st_mtime})
         return _json({"files": files, "count": len(files)})
 

@@ -262,8 +262,10 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         r.add_get(f"{v2}/models/installed", self.h_models_installed)
         r.add_post(f"{v2}/models/load/{{id}}", self.h_model_load)
         r.add_post(f"{v2}/models/unload/{{id}}", self.h_model_unload)
-        r.add_get(f"{v2}/media/audio/{{filename}}", self.h_media_audio)
-        r.add_get(f"{v2}/media/spectrogram/{{filename}}",
+        # {filename:.+} admits the clips' year/month subpaths; the
+        # sandbox resolver rejects traversal
+        r.add_get(f"{v2}/media/audio/{{filename:.+}}", self.h_media_audio)
+        r.add_get(f"{v2}/media/spectrogram/{{filename:.+}}",
                   self.h_media_spectrogram)
         r.add_get(f"{v2}/spectrogram/{{id}}", self.h_spectrogram_by_id)
         # embedded SPA (reference: frontend/ Svelte app via embed.go;
@@ -1227,7 +1229,7 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         row = self.ctx.datastore.get_detection(int(request.match_info["id"]))
         if row is None or not row.get("clip_name"):
             return _json({"error": "not found"}, status=404)
-        png_name = str(Path(row["clip_name"]).with_suffix(".png").name)
+        png_name = str(Path(row["clip_name"]).with_suffix(".png"))
         target = self._sandboxed_media(png_name)
         if target is None:
             return _json({"error": "not found"}, status=404)

@@ -1207,8 +1207,6 @@ class Application:
                 if not is_raw_rate and cb.sample_rate > 48000:
                     downsample_to = export_rate = 48000
                 _, suffix = resolve_format(s.export.format, export_rate)
-                clip_name = actions_mod.clip_filename(
-                    d, suffix.lstrip("."))
                 clip_start = d.begin_seconds - s.export.pre_capture_seconds
                 if item.extended:
                     # one clip spanning the whole calling session
@@ -1216,6 +1214,12 @@ class Application:
                     clip_end = d.end_seconds
                 else:
                     clip_end = clip_start + s.export.clip_length_seconds
+                clip_name = actions_mod.clip_filename(
+                    d, suffix.lstrip("."),
+                    # duration suffix marks session clips
+                    # (generateClipNameWithDuration)
+                    duration_seconds=(int(round(clip_end - clip_start))
+                                      if item.extended else 0))
                 self.jobqueue.enqueue(
                     actions_mod.SaveAudioAction(
                         capture_buffer=cb, start_time=clip_start,
@@ -1231,8 +1235,9 @@ class Application:
                     retry=RetryConfig(enabled=True, max_retries=10,
                                       initial_delay=1.0, max_delay=10.0))
                 # spectrogram pre-render from the same wall-clock span
-                # (reference: DatabaseAction → PreRenderer.Submit)
-                png_name = Path(clip_name).with_suffix(".png").name
+                # (reference: DatabaseAction → PreRenderer.Submit); the
+                # PNG mirrors the clip's year/month subpath
+                png_name = str(Path(clip_name).with_suffix(".png"))
                 self.jobqueue.enqueue(
                     functools.partial(self._prerender_clip, cb, clip_start,
                                       clip_end, Path(s.export.path) / png_name),

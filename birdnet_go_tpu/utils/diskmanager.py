@@ -51,7 +51,9 @@ class DiskManager:
         if self.policy.mode == "none" or not self.clip_dir.is_dir():
             return CleanupResult()
         now = now or time.time()
-        files = [p for p in self.clip_dir.iterdir()
+        # rglob: clips nest under year/month (buildClipPath layout);
+        # legacy flat files still match
+        files = [p for p in self.clip_dir.rglob("*")
                  if p.is_file() and p.suffix.lower() in _MEDIA_EXTS]
         res = CleanupResult(scanned=len(files))
         locked = self._locked_clip_names()
@@ -75,7 +77,11 @@ class DiskManager:
                 victims.append(p)
                 acc += p.stat().st_size
         for p in victims:
-            if p.name in locked:
+            # locked_clip_names stores DB clip_name values — relative
+            # paths under the clip dir for nested clips, bare names for
+            # legacy flat ones; check both forms
+            rel = p.relative_to(self.clip_dir).as_posix()
+            if rel in locked or p.name in locked:
                 res.spared_locked += 1
                 continue
             try:
@@ -107,7 +113,8 @@ class DiskManager:
             db_clips = {r["clip_name"] for r in
                         self.datastore.search_detections(limit=100000)
                         if r.get("clip_name")}
-        fs_clips = {p.name for p in self.clip_dir.iterdir()
+        fs_clips = {p.relative_to(self.clip_dir).as_posix()
+                    for p in self.clip_dir.rglob("*")
                     if p.is_file() and p.suffix.lower() in _MEDIA_EXTS
                     and p.suffix.lower() != ".png"} \
             if self.clip_dir.is_dir() else set()

@@ -15,6 +15,7 @@ from birdnet_go_tpu.integrations.mqtt import (
     _topic_matches,
 )
 from birdnet_go_tpu.utils.circuit import CircuitBreaker, CircuitOpenError
+from tests.test_app_integration import tiny_app  # noqa: F401 (fixture)
 from birdnet_go_tpu.utils.diskmanager import DiskManager, RetentionPolicy
 from birdnet_go_tpu.utils.events import Event, EventBus
 from birdnet_go_tpu.utils.health import CheckResult, HealthRegistry
@@ -406,6 +407,87 @@ def test_diskmanager_reconcile(tmp_path):
     rec = dm.reconcile()
     assert rec["orphan_files"] == ["orphan.wav"]
     assert rec["missing_files"] == ["missing.wav"]
+
+
+def test_diskmanager_nested_year_month_layout(tmp_path):
+    """Clips nest under year/month (buildClipPath layout): retention
+    scans recursively, locked protection matches the DB's RELATIVE
+    clip_name, and reconcile reports relative paths."""
+    import os
+    import time
+
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    sub = tmp_path / "2026" / "03"
+    sub.mkdir(parents=True)
+    old = sub / "old.wav"
+    locked = sub / "locked.flac"
+    old.write_bytes(b"RIFF")
+    locked.write_bytes(b"fLaC")
+    t_old = time.time() - 40 * 86400
+    os.utime(old, (t_old, t_old))
+    os.utime(locked, (t_old, t_old))
+
+    ds = Datastore(":memory:")
+    det_id = ds.insert_detection(_detection(),
+                                 clip_name="2026/03/locked.flac")
+    ds.lock_detection(det_id)
+    ds.insert_detection(_detection(), clip_name="2026/04/missing.wav")
+
+    dm = DiskManager(tmp_path, RetentionPolicy(mode="age", max_age_days=30),
+                     datastore=ds)
+    res = dm.cleanup()
+    assert res.deleted == 1 and res.spared_locked == 1
+    assert not old.exists() and locked.exists()
+    rec = dm.reconcile()
+    assert rec["orphan_files"] == []           # locked.flac has a DB row
+    assert rec["missing_files"] == ["2026/04/missing.wav"]
+
+
+def test_media_endpoints_serve_nested_clip_paths(tiny_app):
+    """/audio/:id and /media/* resolve year/month-nested clip names;
+    traversal outside the clip dir stays rejected."""
+    import urllib.error
+    import urllib.request
+    from pathlib import Path
+
+    import numpy as np
+    import pytest
+
+    from birdnet_go_tpu.audio.wav import write_wav
+    from tests.test_realtime_core import _detection
+
+    app = tiny_app
+    app.start(warmup=False)
+    port = app.settings.webserver.port
+    clips = Path(app.settings.export.path) / "2026" / "03"
+    clips.mkdir(parents=True, exist_ok=True)
+    t = np.arange(24000) / 48000.0
+    write_wav(clips / "nested.wav",
+              (0.4 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32), 48000)
+    det_id = app.datastore.insert_detection(
+        _detection(), clip_name="2026/03/nested.wav")
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/audio/{det_id}",
+            timeout=10) as r:
+        assert r.read()[:4] == b"RIFF"
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/media/audio/2026/03/nested.wav",
+            timeout=10) as r:
+        assert r.read()[:4] == b"RIFF"
+    # percent-encoded separators (encodeURIComponent) also resolve
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/media/audio/"
+            "2026%2F03%2Fnested.wav", timeout=10) as r:
+        assert r.read()[:4] == b"RIFF"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/media/audio/"
+            "2026/03/../../../../etc/passwd", timeout=10)
+    assert e.value.code == 404
+    app.stop()
 
 
 def test_notification_inbox_persists_across_restart(tmp_path):

@@ -149,3 +149,38 @@ def test_daylight_filter_fails_open_on_sun_error(monkeypatch):
 
     monkeypatch.setattr(sc, "in_daylight_window", boom)
     assert len(_owl_at(p, _NOON)) == 1
+
+
+def test_clip_filename_layout_table():
+    """buildClipPath contract (clip_name_test.go / build_clip_path_test.go):
+    year/month nesting, lowercase underscored scientific name, NNp
+    confidence, compact UTC-style timestamp with literal Z, optional
+    _<dur>s suffix, and never an extension-less / dot-terminated path."""
+    import datetime
+
+    from birdnet_go_tpu.analysis.actions import clip_filename
+    from birdnet_go_tpu.analysis.results import Detection
+    from birdnet_go_tpu.taxonomy.labels import Species
+
+    ts = datetime.datetime(2026, 3, 7, 14, 5, 9)
+    d = Detection(species=Species("Strix aluco", "Tawny Owl"),
+                  confidence=0.874, begin_seconds=100.0, end_seconds=112.0,
+                  model_id="BirdNET_V2.4", source_id="s1", timestamp=ts)
+    assert clip_filename(d, "flac") == \
+        "2026/03/strix_aluco_87p_20260307T140509Z.flac"
+    # duration suffix marks extended-capture session clips
+    # (TestGenerateClipNameWithDuration)
+    assert clip_filename(d, "wav", duration_seconds=45) == \
+        "2026/03/strix_aluco_87p_20260307T140509Z_45s.wav"
+    # empty/dotted formats fall back to wav and never end in a dot
+    # (TestBuildClipPath_EmptyTypeFallsBackToWav / NeverEndsInDot)
+    for bad in ("", " ", ".", ".mp3"):
+        name = clip_filename(d, bad)
+        assert not name.endswith(".") and "." in name.rsplit("/", 1)[-1]
+    assert clip_filename(d, "").endswith(".wav")
+    assert clip_filename(d, ".mp3").endswith(".mp3")
+    # no timestamp → no year/month prefix (nothing to derive it from)
+    d2 = Detection(species=Species("Parus major", "Great Tit"),
+                   confidence=0.5, begin_seconds=33.0, end_seconds=45.0,
+                   model_id="BirdNET_V2.4", source_id="s1", timestamp=None)
+    assert clip_filename(d2, "wav") == "parus_major_50p_33.wav"
