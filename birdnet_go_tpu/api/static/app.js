@@ -75,6 +75,14 @@ export function table(headers, rows) {
       el("tr", {}, r.map((c) => el("td", {}, c))))));
 }
 
+/** Standardized weather icon code (integrations/weather.py) → glyph.
+    One vocabulary regardless of provider (yr.no / OpenWeather / PWS). */
+export function weatherGlyph(icon) {
+  return ({ "01": "☀", "02": "🌤", "03": "⛅", "04": "☁", "09": "🌦",
+            "10": "🌧", "11": "⛈", "12": "🌨", "13": "❄", "50": "🌫",
+          })[icon] || "";
+}
+
 export function isoDaysAgo(n) {
   const d = new Date(Date.now() - n * 86400e3);
   return d.toISOString().slice(0, 10);

@@ -3,7 +3,7 @@
    live-WAV stream — same pattern the reference's SPA uses over HLS),
    daily activity, stream health. */
 
-import { api, el, clear, fmtNum, fmtTime, confMeter, t, subscribe, isoDaysAgo, onCleanup } from "../app.js";
+import { api, el, clear, fmtNum, fmtTime, confMeter, t, subscribe, isoDaysAgo, onCleanup, weatherGlyph } from "../app.js";
 import { barChart, sparkline } from "../charts.js";
 import { maybeShowWizard } from "./onboarding.js";
 
@@ -322,7 +322,8 @@ async function renderWeather(card) {
       const last = (w.hours || []).slice(-1)[0] || {};
       body.append(
         wtile(t("temp_now"), last.temperature != null
-              ? `${last.temperature} °C` : "–"),
+              ? `${weatherGlyph(last.icon)} ${last.temperature} °C`.trim()
+              : "–"),
         wtile(t("range"), w.temp_min != null
               ? `${w.temp_min}–${w.temp_max} °C` : "–"),
         wtile(t("wind"), last.wind_speed != null

@@ -7,7 +7,7 @@
    (hero grid + taxonomy card + tabbed content). */
 
 import { api, el, clear, fmtTime, fmtNum, toast, t,
-         confirmDialog } from "../app.js";
+         confirmDialog, weatherGlyph } from "../app.js";
 import { spectrogramPlayer } from "./player.js";
 
 export async function detectionDetailView(outlet, rest) {
@@ -107,7 +107,7 @@ export async function detectionDetailView(outlet, rest) {
       new Date(r.time * 1000).getHours() === hr) || (rows || [])[0];
     if (!w) return;
     metaCard.append(el("div", { class: "sub" }, [
-      w.description,
+      `${weatherGlyph(w.icon)} ${w.description || ""}`.trim(),
       w.temperature != null ? `${Math.round(w.temperature)}°` : null,
       w.wind_speed != null ? `${t("wind")} ${w.wind_speed} m/s` : null,
       w.humidity != null ? `${t("humidity")} ${Math.round(w.humidity)}%`

@@ -136,7 +136,8 @@ CREATE TABLE IF NOT EXISTS hourly_weather (
     id INTEGER PRIMARY KEY AUTOINCREMENT,
     time REAL NOT NULL UNIQUE,
     temperature REAL, humidity REAL, pressure REAL,
-    wind_speed REAL, wind_deg REAL, clouds REAL, description TEXT
+    wind_speed REAL, wind_deg REAL, clouds REAL, description TEXT,
+    icon TEXT
 );
 """
 
@@ -168,6 +169,11 @@ class Datastore:
             self._conn.execute(
                 "ALTER TABLE dynamic_thresholds"
                 " ADD COLUMN last_learned_at REAL NOT NULL DEFAULT 0")
+        wcols = {r[1] for r in self._conn.execute(
+            "PRAGMA table_info(hourly_weather)")}
+        if "icon" not in wcols:
+            self._conn.execute(
+                "ALTER TABLE hourly_weather ADD COLUMN icon TEXT")
 
     def close(self) -> None:
         with self._lock:
@@ -1110,12 +1116,12 @@ class Datastore:
 
     def save_hourly_weather(self, time_unix: float, **fields) -> None:
         cols = ["temperature", "humidity", "pressure", "wind_speed",
-                "wind_deg", "clouds", "description"]
+                "wind_deg", "clouds", "description", "icon"]
         vals = [fields.get(c) for c in cols]
         with self._lock:
             self._conn.execute(
                 "INSERT OR REPLACE INTO hourly_weather (time, "
-                + ", ".join(cols) + ") VALUES (?,?,?,?,?,?,?,?)",
+                + ", ".join(cols) + ") VALUES (?,?,?,?,?,?,?,?,?)",
                 (time_unix, *vals))
             self._conn.commit()
 

@@ -365,6 +365,58 @@ def test_weather_yrno_parse_and_poll():
     rows = ds.get_hourly_weather("2026-08-16")
     assert rows and rows[0]["temperature"] == 18.5
     assert rows[0]["description"] == "cloudy"
+    assert rows[0]["icon"] == "04"          # standardized code persisted
+
+
+def test_weather_icon_code_tables():
+    """Standardized icon mapping (icon_codes_test.go:
+    TestYrNoSymbolToIcon_Coverage / TestOpenWeatherToIcon_DayNightParity
+    / TestGetStandardIconCode_UnknownCode)."""
+    from birdnet_go_tpu.integrations.weather import (
+        ICON_DESCRIPTION,
+        ICON_UNKNOWN,
+        infer_wunderground_icon,
+        openweather_icon,
+        yrno_symbol_icon,
+    )
+
+    cases = {
+        "clearsky_day": "01", "clearsky_night": "01",
+        "clearsky_polartwilight": "01",
+        "fair_day": "02", "partlycloudy_night": "03", "cloudy": "04",
+        "fog": "50",
+        "lightrainshowers_day": "09", "heavyrainshowers_night": "09",
+        "lightrain": "10", "rain": "10", "heavyrain": "10",
+        "rainshowersandthunder_day": "11", "heavyrainandthunder": "11",
+        # yr.no's own typo'd symbols still resolve
+        "lightssleetshowersandthunder_day": "11",
+        "lightssnowshowersandthunder_night": "11",
+        "lightsleet": "12", "heavysleetshowers_polartwilight": "12",
+        "snow": "13", "heavysnowshowers_day": "13",
+        "snowandthunder": "11",
+        "": "unknown", "martian_dust": "unknown",
+    }
+    for symbol, want in cases.items():
+        assert yrno_symbol_icon(symbol) == want, symbol
+    # day/night parity + passthrough of the numeric part
+    for num in ("01", "02", "03", "04", "09", "10", "11", "13", "50"):
+        assert openweather_icon(num + "d") == num
+        assert openweather_icon(num + "n") == num
+    assert openweather_icon("99x") == ICON_UNKNOWN
+    # every mapped code has a description
+    for symbol in cases.values():
+        assert symbol in ICON_DESCRIPTION
+    # measurement inference (InferWundergroundIcon thresholds)
+    assert infer_wunderground_icon(20, 12, 50, 400, 20) == "11"  # storm
+    assert infer_wunderground_icon(-3, 1, 80, 10, 2) == "13"     # snow
+    assert infer_wunderground_icon(10, 1, 80, 10, 2) == "10"     # rain
+    assert infer_wunderground_icon(2, None, 95, 1, 0) == "50"    # fog
+    assert infer_wunderground_icon(15, 0, 90, 1, 0) == "04"      # night hum
+    assert infer_wunderground_icon(15, 0, 70, 1, 0) == "03"
+    assert infer_wunderground_icon(15, 0, 40, 1, 0) == "01"
+    assert infer_wunderground_icon(25, 0, 40, 700, 0) == "01"    # day SR
+    assert infer_wunderground_icon(25, 0, 40, 300, 0) == "03"
+    assert infer_wunderground_icon(25, 0, 40, 100, 0) == "04"
 
 
 # -- disk manager ------------------------------------------------------------------------------------
