@@ -60,6 +60,8 @@ class ExtendedHandlers:
         r.add_post(f"{v2}/system/control", self.h_control_send)
         r.add_get(f"{v2}/system/diagnostics", self.h_diagnostics)
         r.add_get(f"{v2}/system/database", self.h_database_details)
+        r.add_post(f"{v2}/system/storage/reconcile",
+                   self.h_storage_reconcile)
         # devices / streams
         r.add_get(f"{v2}/devices", self.h_devices)
         r.add_post(f"{v2}/streams/test", self.h_stream_test)
@@ -1047,6 +1049,27 @@ class ExtendedHandlers:
             headers={"Content-Type": "application/zip",
                      "Content-Disposition":
                      f'attachment; filename="{bundle.name}"'})
+
+    async def h_storage_reconcile(self, request):
+        """Run one clip-orphan reconcile pass on demand (clears DANGLING
+        clip_name DB references, never files; clip_reconcile.go). Also
+        returns the report-only orphan/missing view."""
+        dm = self.ctx.diskmanager
+        if dm is None:
+            from birdnet_go_tpu.utils.diskmanager import (
+                DiskManager,
+                RetentionPolicy,
+            )
+
+            dm = DiskManager(self.ctx.settings.export.path,
+                             RetentionPolicy(mode="none"),
+                             datastore=self.ctx.datastore)
+        loop = asyncio.get_event_loop()
+        passed = await loop.run_in_executor(None, dm.reconcile_orphans_pass)
+        report = await loop.run_in_executor(None, dm.reconcile)
+        return _json({"pass": passed, "report": {
+            "orphan_files": report["orphan_files"][:200],
+            "missing_files": report["missing_files"][:200]}})
 
     async def h_fs_clips(self, request):
         base = Path(self.ctx.settings.export.path)

@@ -145,6 +145,21 @@ export async function systemView(outlet) {
       .slice().sort((a, b) => b.rows - a.rows).slice(0, 8);
     body.append(table([t("name"), t("count")],
       top.map((tb) => [tb.table, fmtNum(tb.rows)])));
+    // clip-reference reconcile: clears dangling clip_name refs (never
+    // deletes files) — POST /system/storage/reconcile
+    const recOut = el("span", { class: "sub" });
+    body.append(el("div", { class: "row" },
+      el("button", { class: "small", onclick: async () => {
+        recOut.textContent = "…";
+        try {
+          const r = await api("/system/storage/reconcile",
+                              { method: "POST", body: {} });
+          recOut.textContent = r.pass.aborted
+            ? `${t("aborted")}: ${r.pass.abort_reason}`
+            : `${r.pass.cleared} ${t("cleared")} / ${r.pass.scanned}`
+              + ` · ${r.report.missing_files.length} ${t("missing")}`;
+        } catch (e) { recOut.textContent = e.message; }
+      } }, t("reconcile_clips")), recOut));
     grid.append(card(t("database"), body));
   } catch (e) { grid.append(card(t("database"), err(e))); }
 

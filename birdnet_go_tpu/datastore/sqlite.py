@@ -1125,6 +1125,32 @@ class Datastore:
                 (time_unix, *vals))
             self._conn.commit()
 
+    def get_clip_references(self, after_id: int = 0,
+                            limit: int = 200) -> list[dict[str, Any]]:
+        """Keyset-paginated projection for the clip reconcile crawler
+        (GetNoteClipReferences): rows with a non-empty clip_name and
+        id > after_id, ascending. end_time is the capture COMPLETION
+        time used for the recency guard."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT id, clip_name, end_time FROM detections"
+                " WHERE id > ? AND clip_name != ''"
+                " ORDER BY id ASC LIMIT ?", (after_id, limit)).fetchall()
+        return [{"id": r[0], "clip_name": r[1], "end_time": r[2]}
+                for r in rows]
+
+    def clear_clip_names(self, clip_names: list[str]) -> int:
+        """Batch-clear clip_name for rows matching the given DB-format
+        values (ClearNoteClipPathsByNames). Never touches disk."""
+        if not clip_names:
+            return 0
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE detections SET clip_name = '' WHERE clip_name IN ("
+                + ",".join("?" * len(clip_names)) + ")", clip_names)
+            self._conn.commit()
+            return cur.rowcount
+
     def get_hourly_weather(self, date: str) -> list[dict[str, Any]]:
         t0 = _dt.datetime.strptime(date, "%Y-%m-%d").timestamp()
         with self._lock:

@@ -123,6 +123,84 @@ class DiskManager:
             "missing_files": sorted(db_clips - fs_clips),
         }
 
+    # -- orphan reference reconcile (clip_reconcile.go) --------------------------------
+
+    # Age below which a detection's clip may still be being written by
+    # the encoder — keyed on the detection's COMPLETION time, never its
+    # begin time (an extended capture starts minutes before its tail is
+    # written). ClipRecencyWindow.
+    CLIP_RECENCY_WINDOW = 600.0
+    RECONCILE_CHUNK = 200
+
+    def reconcile_orphans_pass(self, now: float | None = None,
+                               chunk_pause: float = 0.0) -> dict:
+        """Clear DB clip_name references whose audio file is confirmed
+        missing (ghosts from failed exports). NEVER deletes files; only
+        clears references so clip_name stays a truthful signal.
+
+        Fail-safe guards (leave a stale reference rather than risk
+        mass-clearing on a detached volume):
+        - directory-present: unconfigured/missing clip dir aborts;
+        - detached-storage: a chunk where EVERY evaluable row is an
+          orphan (zero positive evidence storage is attached) aborts;
+        - recency: rows completed within CLIP_RECENCY_WINDOW (or with
+          unknown completion time) are skipped — a clip still being
+          encoded is never cleared.
+        """
+        res = {"scanned": 0, "cleared": 0, "aborted": False,
+               "abort_reason": ""}
+        if self.datastore is None:
+            res.update(aborted=True, abort_reason="no datastore")
+            return res
+        base = self.clip_dir
+        if not base.is_dir():
+            res.update(aborted=True,
+                       abort_reason="clip directory unavailable")
+            return res
+        now = now or time.time()
+        after = 0
+        while not self._stop.is_set():
+            rows = self.datastore.get_clip_references(
+                after, self.RECONCILE_CHUNK)
+            if not rows:
+                return res
+            res["scanned"] += len(rows)
+            after = rows[-1]["id"]
+            orphans, evaluable, present_seen = [], 0, False
+            for r in rows:
+                done = r.get("end_time") or 0
+                if not done or now - done < self.CLIP_RECENCY_WINDOW:
+                    continue                       # recency guard
+                name = r["clip_name"]
+                p = Path(name)
+                if p.is_absolute() or ".." in p.parts:
+                    continue                       # never resolve outside
+                try:
+                    exists = (base / p).is_file()
+                except OSError:
+                    continue                       # indeterminate: skip
+                evaluable += 1
+                if exists:
+                    present_seen = True
+                else:
+                    orphans.append(name)
+            if evaluable and not present_seen:
+                # detached-storage guard: an all-orphan chunk is more
+                # likely an unmounted share than a thousand failed
+                # exports — abort with nothing cleared this chunk
+                res.update(aborted=True,
+                           abort_reason="no positive evidence storage is "
+                                        "attached (all-orphan chunk)")
+                return res
+            if orphans:
+                res["cleared"] += self.datastore.clear_clip_names(orphans)
+                log.info("clip reconcile: cleared %d orphan references",
+                         len(orphans))
+            if chunk_pause and self._stop.wait(chunk_pause):
+                break
+        res.update(aborted=True, abort_reason="shutdown")
+        return res
+
     # -- background loop ---------------------------------------------------------------
 
     def start(self, interval_seconds: float = 3600.0) -> None:
@@ -147,3 +225,10 @@ class DiskManager:
                              res.deleted, res.freed_bytes / 1e6)
             except Exception:
                 log.exception("cleanup failed")
+            try:
+                rec = self.reconcile_orphans_pass(chunk_pause=3.0)
+                if rec["aborted"] and rec["abort_reason"] != "shutdown":
+                    log.warning("clip reconcile aborted: %s",
+                                rec["abort_reason"])
+            except Exception:
+                log.exception("clip reconcile failed")

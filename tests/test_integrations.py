@@ -497,6 +497,86 @@ def test_diskmanager_nested_year_month_layout(tmp_path):
     assert rec["missing_files"] == ["2026/04/missing.wav"]
 
 
+def test_reconcile_orphans_pass_guards(tmp_path):
+    """clip_reconcile.go contract: clears dangling clip_name refs only
+    with positive evidence storage is attached; all-orphan chunks,
+    missing base dirs, and recent rows never clear anything; pagination
+    covers every chunk. Files are NEVER deleted."""
+    import time
+
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    old_ts = time.time() - 3600
+
+    def seed(ds, n_present, n_ghost, ts=None):
+        ids = []
+        for i in range(n_present):
+            name = f"2026/01/present{i}.wav"
+            f = tmp_path / name
+            f.parent.mkdir(parents=True, exist_ok=True)
+            f.write_bytes(b"RIFF")
+            ids.append(ds.insert_detection(
+                _detection(ts=ts or old_ts), clip_name=name))
+        for i in range(n_ghost):
+            ids.append(ds.insert_detection(
+                _detection(ts=ts or old_ts),
+                clip_name=f"2026/01/ghost{i}.wav"))
+        return ids
+
+    # positive-evidence pass: ghosts cleared, present refs kept
+    ds = Datastore(":memory:")
+    seed(ds, n_present=2, n_ghost=3)
+    dm = DiskManager(tmp_path, RetentionPolicy(), datastore=ds)
+    res = dm.reconcile_orphans_pass()
+    assert not res["aborted"] and res["cleared"] == 3
+    refs = ds.get_clip_references()
+    assert len(refs) == 2                       # ghosts now empty
+    assert all("present" in r["clip_name"] for r in refs)
+    assert (tmp_path / "2026/01/present0.wav").exists()
+
+    # detached-storage guard: ALL rows orphan → abort, nothing cleared
+    ds2 = Datastore(":memory:")
+    seed(ds2, n_present=0, n_ghost=5)
+    dm2 = DiskManager(tmp_path, RetentionPolicy(), datastore=ds2)
+    res2 = dm2.reconcile_orphans_pass()
+    assert res2["aborted"] and "all-orphan" in res2["abort_reason"]
+    assert len(ds2.get_clip_references()) == 5
+
+    # recency guard: a fresh ghost (encoder may still be writing) stays
+    ds3 = Datastore(":memory:")
+    seed(ds3, n_present=1, n_ghost=0)
+    ds3.insert_detection(_detection(ts=time.time()),
+                         clip_name="2026/01/encoding.wav")
+    dm3 = DiskManager(tmp_path, RetentionPolicy(), datastore=ds3)
+    res3 = dm3.reconcile_orphans_pass()
+    assert res3["cleared"] == 0 and not res3["aborted"]
+
+    # directory-present guard
+    dm4 = DiskManager(tmp_path / "unmounted", RetentionPolicy(),
+                      datastore=ds)
+    res4 = dm4.reconcile_orphans_pass()
+    assert res4["aborted"] and "unavailable" in res4["abort_reason"]
+
+    # keyset pagination across chunks (every chunk holds positive
+    # evidence, so the walk completes and clears all ghosts)
+    ds5 = Datastore(":memory:")
+    for i in range(12):
+        if i % 3 == 0:
+            name = f"2026/02/p{i}.wav"
+            f = tmp_path / name
+            f.parent.mkdir(parents=True, exist_ok=True)
+            f.write_bytes(b"RIFF")
+        else:
+            name = f"2026/02/g{i}.wav"
+        ds5.insert_detection(_detection(ts=old_ts), clip_name=name)
+    dm5 = DiskManager(tmp_path, RetentionPolicy(), datastore=ds5)
+    dm5.RECONCILE_CHUNK = 4
+    res5 = dm5.reconcile_orphans_pass()
+    assert not res5["aborted"]
+    assert res5["scanned"] == 12 and res5["cleared"] == 8
+
+
 def test_media_endpoints_serve_nested_clip_paths(tiny_app):
     """/audio/:id and /media/* resolve year/month-nested clip names;
     traversal outside the clip dir stays rejected."""
