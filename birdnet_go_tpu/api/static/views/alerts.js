@@ -110,7 +110,22 @@ export async function alertsView(outlet) {
         el("option", { value: p, selected: p === "normal" ? "" : null }, p)));
     const template = el("input", {
       value: "{common_name} detected ({confidence:.0%})", size: 40 });
+    // system-metric rule fields (resource monitor → threshold rules)
+    const metric = el("select", {},
+      ["", "cpu", "memory", "disk"].map((m) =>
+        el("option", { value: m }, m || "(detections)")));
+    const threshold = el("input", { type: "number", min: 0, max: 100,
+                                    value: "90", size: 6 });
+    const sustained = el("input", { type: "number", min: 0, value: "0",
+                                    size: 7, title: "seconds above "
+                                    + "threshold before firing" });
     formCard.append(el("h2", {}, t("new_rule")),
+      el("div", { class: "field-row" },
+        el("label", {}, t("metric")), metric),
+      el("div", { class: "field-row" },
+        el("label", {}, t("threshold_pct")), threshold),
+      el("div", { class: "field-row" },
+        el("label", {}, t("sustained_s")), sustained),
       el("div", { class: "field-row" }, el("label", {}, "name"), name),
       el("div", { class: "field-row" }, el("label", {}, "species"), species),
       el("div", { class: "field-row" },
@@ -140,6 +155,15 @@ export async function alertsView(outlet) {
         priority: priority.value,
         message_template: template.value,
       };
+      if (metric.value) {
+        body.metric = metric.value;
+        body.threshold = Number(threshold.value) || 0;
+        body.sustained_seconds = Number(sustained.value) || 0;
+        // a metric rule's default template is server-side; only send
+        // the detection-shaped default if the user customized it
+        if (template.value.includes("{common_name}"))
+          delete body.message_template;
+      }
       try {
         await api("/alerts/rules", { method: "POST", body });
         toast(t("rule_created"));

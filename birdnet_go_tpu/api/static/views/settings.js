@@ -420,6 +420,10 @@ const RULE_FIELDS = [
   // with "" (AlertRule.message_template); clearing it falls back to the
   // default too (empty text fields are omitted from the PATCH body)
   ["message_template", "{common_name} detected ({confidence:.0%})", "text"],
+  // system-metric rules (cpu/memory/disk %, fed by the resource
+  // monitor): metric set = metric rule; empty = detection rule
+  ["metric", "", "text"], ["threshold", 0, "number"],
+  ["sustained_seconds", 0, "number"], ["path", "", "text"],
 ];
 
 /** Generic array-of-objects editor (notification targets, alert rules):

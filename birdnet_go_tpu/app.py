@@ -62,6 +62,7 @@ class Application:
         self.weather_poller = None
         self.notifications = None
         self.diskmanager = None
+        self.sysmonitor = None
         self.species_tracker = None
         self.watchdog = None
         self.quiet_hours = None
@@ -345,6 +346,14 @@ class Application:
         self.alerting = AlertingEngine(
             notification_service=self.notifications)
         self._load_alert_rules()
+
+        # system resource monitor → alerting metric rules
+        # (internal/monitor: pure collector; thresholds live in rules)
+        self.sysmonitor = None
+        if s.monitoring.enabled:
+            from birdnet_go_tpu.utils.monitor import SystemMonitor
+
+            self.sysmonitor = SystemMonitor(self.alerting, s)
 
         # backup manager
         if s.backup.enabled:
@@ -982,6 +991,8 @@ class Application:
                         self.mqtt.publish(topic, cfg, retain=True)
         if self.weather_poller is not None:
             self.weather_poller.start()
+        if self.sysmonitor is not None:
+            self.sysmonitor.start()
         if self.diskmanager is not None:
             self.diskmanager.start(
                 self.settings.retention.check_interval_hours * 3600)
@@ -1067,6 +1078,8 @@ class Application:
             self.mqtt.stop()
         if self.weather_poller is not None:
             self.weather_poller.stop()
+        if self.sysmonitor is not None:
+            self.sysmonitor.stop()
         if self.diskmanager is not None:
             self.diskmanager.stop()
         if self.api is not None:

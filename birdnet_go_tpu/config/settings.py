@@ -261,6 +261,21 @@ class AlertingSettings:
 
 
 @dataclasses.dataclass
+class MonitoringSettings:
+    """System resource monitor (internal/monitor README): a pure metric
+    collector feeding cpu/memory/per-mount-disk samples into the
+    alerting engine. Thresholds live in metric ALERT RULES, not here."""
+
+    enabled: bool = True
+    check_interval_seconds: float = 60.0
+    cpu: bool = True
+    memory: bool = True
+    disk: bool = True
+    # extra disk paths; database/clips/config mounts are auto-detected
+    disk_paths: list[str] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class RetentionSettings:
     mode: str = "none"                 # none|age|usage
     max_age_days: float = 30.0
@@ -428,6 +443,8 @@ class Settings:
         default_factory=RetentionSettings)
     alerting: AlertingSettings = dataclasses.field(
         default_factory=AlertingSettings)
+    monitoring: MonitoringSettings = dataclasses.field(
+        default_factory=MonitoringSettings)
     backup: BackupSettings = dataclasses.field(default_factory=BackupSettings)
     liveness: LivenessSettings = dataclasses.field(
         default_factory=LivenessSettings)
