@@ -94,6 +94,17 @@ class ExtendedHandlers:
                   self.h_species_daily_summary)
         r.add_get(f"{v2}/analytics/trends", self.h_trends)
         r.add_get(f"{v2}/analytics/dashboard/kpis", self.h_dashboard_kpis)
+        # insights (analytics/insights.go RegisterInsightsRoutes)
+        r.add_get(f"{v2}/insights/expected-today",
+                  self.h_insights_expected_today)
+        r.add_get(f"{v2}/insights/expected-today/regional",
+                  self.h_insights_expected_regional)
+        r.add_get(f"{v2}/insights/phantom-species",
+                  self.h_insights_phantom)
+        r.add_get(f"{v2}/insights/dawn-chorus",
+                  self.h_insights_dawn_chorus)
+        r.add_get(f"{v2}/insights/migration", self.h_insights_migration)
+        r.add_get(f"{v2}/dashboard/kpis", self.h_insights_kpis)
         # weather
         r.add_get(f"{v2}/weather/daily/{{date}}", self.h_weather_daily)
         r.add_get(f"{v2}/weather/sun/{{date}}", self.h_weather_sun)
@@ -770,6 +781,162 @@ class ExtendedHandlers:
             "species_total": ds.count_species(),
             "sources_active": len(self.ctx.engine.sources()),
             "models_loaded": list(self.ctx.classifiers),
+        })
+
+    # -- insights (analytics/insights.go) -------------------------------------------
+
+    @staticmethod
+    def _thumb_url(scientific: str) -> str:
+        from urllib.parse import quote
+
+        return f"/api/v2/species/thumbnail?name={quote(scientific)}"
+
+    async def h_insights_expected_today(self, request):
+        """Species expected today from day-of-year history
+        (GET /insights/expected-today, insights.go:288-337)."""
+        from birdnet_go_tpu.analysis import insights as ins
+
+        today = _dt.date.today()
+        ranges = ins.build_year_ranges(today)
+        rows = self.ctx.datastore.insights_expected_species(ranges)
+        years = {r0[:4] for r0, _ in ranges}
+        return _json({
+            "species": [{
+                "scientific_name": r["scientific_name"],
+                "common_name": r["common_name"],
+                "years_seen": r["years_seen"],
+                "last_seen_date": r["last_seen_date"],
+                "thumbnail_url": self._thumb_url(r["scientific_name"]),
+            } for r in rows],
+            "day_of_year": today.timetuple().tm_yday,
+            "years_of_data": len(years),
+        })
+
+    async def h_insights_expected_regional(self, request):
+        """Regionally expected species from eBird, minus locally known
+        ones (GET /insights/expected-today/regional,
+        insights.go:340-418). available=false when eBird or the site
+        location is unconfigured."""
+        from birdnet_go_tpu.analysis import insights as ins
+
+        s = self.ctx.settings
+        if (not s.ebird.enabled or not s.ebird.api_token
+                or s.location.latitude is None
+                or s.location.longitude is None):
+            return _json({"species": [], "available": False})
+        try:
+            obs = await asyncio.get_event_loop().run_in_executor(
+                None, lambda: self._ebird.recent_observations(
+                    s.location.latitude, s.location.longitude,
+                    back_days=14))
+        except Exception as e:
+            return _json({"error": f"ebird query failed: {e}"},
+                         status=502)
+        local = {r["scientific_name"]
+                 for r in self.ctx.datastore.insights_expected_species(
+                     ins.build_year_ranges(_dt.date.today()))}
+        seen: set[str] = set()
+        items = []
+        for o in obs:
+            sci = o.get("sciName", "")
+            if not sci or sci in local or sci in seen:
+                continue
+            seen.add(sci)
+            items.append({
+                "scientific_name": sci,
+                "common_name": o.get("comName", ""),
+                "observation_date": o.get("obsDt", ""),
+                "location_name": o.get("locName", ""),
+            })
+        return _json({"species": items, "available": True})
+
+    async def h_insights_phantom(self, request):
+        """Frequent low-confidence species
+        (GET /insights/phantom-species, insights.go:421-459)."""
+        from birdnet_go_tpu.analysis import insights as ins
+
+        since = time.time() - ins.PHANTOM_PERIOD_DAYS * 86400
+        rows = self.ctx.datastore.insights_phantom_species(
+            since, ins.PHANTOM_MIN_DETECTIONS,
+            ins.PHANTOM_MAX_AVG_CONFIDENCE)
+        return _json({
+            "species": [{
+                "scientific_name": r["scientific_name"],
+                "common_name": r["common_name"],
+                "detection_count": r["detection_count"],
+                "avg_confidence": round(r["avg_confidence"], 4),
+                "max_confidence": round(r["max_confidence"], 4),
+                "thumbnail_url": self._thumb_url(r["scientific_name"]),
+            } for r in rows],
+            "period_days": ins.PHANTOM_PERIOD_DAYS,
+            "confidence_threshold": ins.PHANTOM_MAX_AVG_CONFIDENCE,
+            "min_detections": ins.PHANTOM_MIN_DETECTIONS,
+        })
+
+    async def h_insights_dawn_chorus(self, request):
+        """Species ranked by average earliest dawn-band detection
+        (GET /insights/dawn-chorus, insights.go:462-538)."""
+        from birdnet_go_tpu.analysis import insights as ins
+
+        since = time.time() - ins.DAWN_CHORUS_PERIOD_DAYS * 86400
+        raw = self.ctx.datastore.insights_dawn_chorus_raw(
+            since, ins.DAWN_CHORUS_START_HOUR, ins.DAWN_CHORUS_END_HOUR)
+        items = ins.aggregate_dawn_chorus(raw)
+        for it in items:
+            it["thumbnail_url"] = self._thumb_url(it["scientific_name"])
+        return _json({
+            "species": items,
+            "period_days": ins.DAWN_CHORUS_PERIOD_DAYS,
+            "start_hour": ins.DAWN_CHORUS_START_HOUR,
+            "end_hour": ins.DAWN_CHORUS_END_HOUR,
+        })
+
+    async def h_insights_migration(self, request):
+        """New arrivals + gone-quiet species (GET /insights/migration,
+        insights.go:541-600)."""
+        from birdnet_go_tpu.analysis import insights as ins
+
+        today = _dt.date.today()
+        recent = (today - _dt.timedelta(
+            days=ins.MIGRATION_RECENT_DAYS)).isoformat()
+        arrivals = self.ctx.datastore.insights_new_arrivals(recent)
+        quiet = self.ctx.datastore.insights_gone_quiet(
+            recent, ins.MIGRATION_MIN_TOTAL)
+        return _json({
+            "new_arrivals": [{
+                "scientific_name": a["scientific_name"],
+                "common_name": a["common_name"],
+                "first_detected": a["first_detected"],
+                "detection_count": a["detection_count"],
+                "thumbnail_url": self._thumb_url(a["scientific_name"]),
+            } for a in arrivals],
+            "gone_quiet": [{
+                "scientific_name": q["scientific_name"],
+                "common_name": q["common_name"],
+                "last_detected": q["last_detected"],
+                "days_since": (today - _dt.date.fromisoformat(
+                    q["last_detected"])).days,
+                "total_detections": q["total_detections"],
+                "thumbnail_url": self._thumb_url(q["scientific_name"]),
+            } for q in quiet],
+            "recent_days": ins.MIGRATION_RECENT_DAYS,
+            "min_total_detections": ins.MIGRATION_MIN_TOTAL,
+        })
+
+    async def h_insights_kpis(self, request):
+        """Headline dashboard KPIs with the consecutive-day streak
+        (GET /dashboard/kpis, insights.go:603-660)."""
+        from birdnet_go_tpu.analysis.insights import calculate_streak
+
+        today = _dt.date.today().isoformat()
+        k = self.ctx.datastore.insights_dashboard_kpis(today)
+        days, start = calculate_streak(k["recent_dates"], today)
+        return _json({
+            "lifetime_species": k["lifetime_species"],
+            "today_detections": k["today_detections"],
+            "best_day": {"date": k["best_day_date"],
+                         "count": k["best_day_count"]},
+            "detection_streak": {"days": days, "start_date": start},
         })
 
     # -- weather -----------------------------------------------------------------------------------

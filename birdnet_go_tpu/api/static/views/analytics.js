@@ -211,6 +211,33 @@ export async function analyticsView(outlet) {
         barChart((hourly || []).map((v, h) => ({ label: String(h), value: v })),
                  { xLabelEvery: 3, height: 150 })));
     } catch (e) { /* optional */ }
+    // insights: dawn chorus leaders (per-species average earliest
+    // detection in the 04-10 band) + phantom species (frequent but
+    // chronically low-confidence → likely misidentifications)
+    try {
+      const dc = await api("/insights/dawn-chorus");
+      const rows = (dc.species || []).slice(0, 10);
+      if (rows.length)
+        four.append(el("div", { class: "card" },
+          el("h2", {}, "🌅 " + t("dawn_chorus_leaders")),
+          table([t("species"), t("avg_first"), t("earliest"), t("days")],
+            rows.map((r) => [r.common_name || r.scientific_name,
+              r.avg_first_detection, r.earliest_detection,
+              String(r.days_observed)]))));
+    } catch (e) { /* optional */ }
+    try {
+      const ph = await api("/insights/phantom-species");
+      const rows = (ph.species || []).slice(0, 10);
+      if (rows.length)
+        four.append(el("div", { class: "card" },
+          el("h2", {}, "👻 " + t("phantom_species")),
+          el("div", { class: "hint" }, t("phantom_species_hint")),
+          table([t("species"), t("count"), t("avg_conf"), t("max_conf")],
+            rows.map((r) => [r.common_name || r.scientific_name,
+              fmtNum(r.detection_count),
+              (r.avg_confidence * 100).toFixed(0) + "%",
+              (r.max_confidence * 100).toFixed(0) + "%"]))));
+    } catch (e) { /* optional */ }
     // database stats + today's rollup (daily events)
     try {
       const [db, ev] = await Promise.all([

@@ -26,14 +26,16 @@ export async function dashboardView(outlet) {
   const weatherCard = el("div", { class: "card" });
   const gridCard = el("div", { class: "card" });
   const newSpeciesCard = el("div", { class: "card" });
+  const insightsCard = el("div", { class: "card" });
   outlet.append(kpiRow, hearingCard, el("div", { class: "grid cols-2" },
                            liveCard, activityCard), gridCard,
-                newSpeciesCard, cardsWrap,
+                insightsCard, newSpeciesCard, cardsWrap,
                 el("div", { class: "grid cols-2" },
                    healthCard, weatherCard));
   renderWeather(weatherCard);
   renderSpeciesGrid(gridCard);
   renderNewSpecies(newSpeciesCard);
+  renderInsights(insightsCard);
 
   // dashboard edit mode (reference DashboardEditMode.svelte): per-section
   // show/hide toggles, persisted per browser in localStorage
@@ -43,6 +45,7 @@ export async function dashboardView(outlet) {
     ["live", t("live_audio"), liveCard],
     ["activity", t("activity_by_hour"), activityCard],
     ["grid", t("todays_species"), gridCard],
+    ["insights", t("insights"), insightsCard],
     ["newspecies", t("new_species"), newSpeciesCard],
     ["recent", t("recent_detections"), cardsWrap],
     ["health", t("sources"), healthCard],
@@ -217,6 +220,66 @@ export async function dashboardView(outlet) {
           `${r.common_name || r.scientific_name} · ${r.first_date}`);
       })));
     } catch (e) { card.remove(); }
+  }
+
+  // insights strip (reference insights.go: /dashboard/kpis streak +
+  // /insights/expected-today + /insights/migration): streak/best-day
+  // tiles, species expected around this day-of-year from past years,
+  // and migration movement (new arrivals / gone quiet)
+  async function renderInsights(card) {
+    try {
+      const [kpis, expected, mig] = await Promise.all([
+        api("/dashboard/kpis"), api("/insights/expected-today"),
+        api("/insights/migration")]);
+      const chip = (r, cls, label) => {
+        const thumb = el("img", { loading: "lazy", alt: "",
+          style: "width:22px;height:22px;border-radius:50%;"
+            + "object-fit:cover;vertical-align:middle;margin-right:5px",
+          src: r.thumbnail_url });
+        thumb.addEventListener("error", () => thumb.remove());
+        return el("span", { class: "pill " + cls,
+                            title: r.scientific_name }, thumb,
+          `${r.common_name || r.scientific_name}${label}`);
+      };
+      card.append(el("h2", {}, "💡 " + t("insights")));
+      const streak = kpis.detection_streak || {};
+      card.append(el("div", { class: "grid cols-4" },
+        itile(t("detection_streak"),
+              streak.days ? `🔥 ${streak.days}` : "0",
+              streak.start_date ? t("since") + " " + streak.start_date
+                                : ""),
+        itile(t("best_day"), fmtNum((kpis.best_day || {}).count || 0),
+              (kpis.best_day || {}).date || ""),
+        itile(t("lifetime_species"), fmtNum(kpis.lifetime_species)),
+        itile(t("detections_today"), fmtNum(kpis.today_detections))));
+      const exp = (expected.species || []).slice(0, 10);
+      if (exp.length)
+        card.append(
+          el("h3", {}, t("expected_today")),
+          el("div", { class: "chip-wrap" }, exp.map((r) =>
+            chip(r, "", ` · ${r.years_seen}/${expected.years_of_data}y`))));
+      const arrivals = (mig.new_arrivals || []).slice(0, 8);
+      const quiet = (mig.gone_quiet || []).slice(0, 8);
+      if (arrivals.length)
+        card.append(
+          el("h3", {}, "→ " + t("new_arrivals")),
+          el("div", { class: "chip-wrap" }, arrivals.map((r) =>
+            chip(r, "good", ` · ${r.first_detected}`))));
+      if (quiet.length)
+        card.append(
+          el("h3", {}, "← " + t("gone_quiet")),
+          el("div", { class: "chip-wrap" }, quiet.map((r) =>
+            chip(r, "warn", ` · ${r.days_since}d`))));
+      if (!exp.length && !arrivals.length && !quiet.length
+          && !streak.days) { card.remove(); return; }
+    } catch (e) { card.remove(); }
+  }
+
+  function itile(label, value, hint) {
+    return el("div", { class: "stat" },
+      el("div", { class: "label" }, label),
+      el("div", { class: "value" }, value),
+      hint ? el("div", { class: "hint" }, hint) : null);
   }
 
   async function renderCards() {

@@ -885,6 +885,131 @@ class Datastore:
         with self._lock:
             return [dict(r) for r in self._conn.execute(sql, (since_date,))]
 
+    # -- insights (reference: datastore/v2/repository/insights_impl.go; all
+    # queries exclude detections whose LATEST review verdict is
+    # false_positive — falsePositiveExclusion analogue) ---------------------------
+
+    _FP_EXCLUDE = (
+        "id NOT IN (SELECT r1.detection_id FROM reviews r1"
+        " WHERE r1.verdict = 'false_positive'"
+        " AND r1.id = (SELECT MAX(r2.id) FROM reviews r2"
+        " WHERE r2.detection_id = r1.detection_id))")
+
+    def insights_expected_species(
+            self, date_ranges: list[tuple[str, str]]
+    ) -> list[dict[str, Any]]:
+        """Species historically seen in any of the (inclusive) date
+        ranges: years_seen = distinct calendar years, last_seen_date =
+        most recent date (insights_impl.go GetExpectedSpeciesToday)."""
+        if not date_ranges:
+            return []
+        ors = " OR ".join(["date BETWEEN ? AND ?"] * len(date_ranges))
+        args = [d for rng in date_ranges for d in rng]
+        sql = (f"SELECT scientific_name,"
+               f" MAX(common_name) AS common_name,"
+               f" COUNT(DISTINCT substr(date, 1, 4)) AS years_seen,"
+               f" MAX(date) AS last_seen_date FROM detections"
+               f" WHERE ({ors}) AND {self._FP_EXCLUDE}"
+               f" GROUP BY scientific_name ORDER BY years_seen DESC,"
+               f" scientific_name")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(sql, args)]
+
+    def insights_phantom_species(self, since_unix: float,
+                                 min_detections: int = 3,
+                                 max_avg_confidence: float = 0.6
+                                 ) -> list[dict[str, Any]]:
+        """Frequent but chronically low-confidence species — likely
+        misidentifications (insights_impl.go GetPhantomSpecies)."""
+        sql = (f"SELECT scientific_name,"
+               f" MAX(common_name) AS common_name,"
+               f" COUNT(*) AS detection_count,"
+               f" AVG(confidence) AS avg_confidence,"
+               f" MAX(confidence) AS max_confidence FROM detections"
+               f" WHERE timestamp >= ? AND {self._FP_EXCLUDE}"
+               f" GROUP BY scientific_name"
+               f" HAVING COUNT(*) >= ? AND AVG(confidence) < ?"
+               f" ORDER BY avg_confidence ASC")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                sql, (since_unix, min_detections, max_avg_confidence))]
+
+    def insights_dawn_chorus_raw(self, since_unix: float,
+                                 start_hour: int = 4, end_hour: int = 10
+                                 ) -> list[dict[str, Any]]:
+        """Per (species, date) earliest detection time inside the dawn
+        band [start_hour, end_hour) — the handler aggregates averages
+        (insights_impl.go GetDawnChorusRaw; time is already local)."""
+        sql = (f"SELECT scientific_name,"
+               f" MAX(common_name) AS common_name, date,"
+               f" MIN(time) AS earliest_time FROM detections"
+               f" WHERE timestamp >= ?"
+               f" AND CAST(substr(time, 1, 2) AS INTEGER) >= ?"
+               f" AND CAST(substr(time, 1, 2) AS INTEGER) < ?"
+               f" AND {self._FP_EXCLUDE}"
+               f" GROUP BY scientific_name, date")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                sql, (since_unix, start_hour, end_hour))]
+
+    def insights_new_arrivals(self, recent_date: str
+                              ) -> list[dict[str, Any]]:
+        """Species whose FIRST-EVER detection falls on/after recent_date
+        (insights_impl.go GetNewArrivals)."""
+        sql = (f"SELECT scientific_name,"
+               f" MAX(common_name) AS common_name,"
+               f" MIN(date) AS first_detected,"
+               f" COUNT(*) AS detection_count FROM detections"
+               f" WHERE {self._FP_EXCLUDE} GROUP BY scientific_name"
+               f" HAVING MIN(date) >= ? ORDER BY first_detected DESC")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                sql, (recent_date,))]
+
+    def insights_gone_quiet(self, recent_date: str,
+                            min_total_detections: int = 5
+                            ) -> list[dict[str, Any]]:
+        """Previously regular species with no detection since recent_date
+        (insights_impl.go GetGoneQuiet)."""
+        sql = (f"SELECT scientific_name,"
+               f" MAX(common_name) AS common_name,"
+               f" MAX(date) AS last_detected,"
+               f" COUNT(*) AS total_detections FROM detections"
+               f" WHERE {self._FP_EXCLUDE} GROUP BY scientific_name"
+               f" HAVING COUNT(*) >= ? AND MAX(date) < ?"
+               f" ORDER BY last_detected DESC")
+        with self._lock:
+            return [dict(r) for r in self._conn.execute(
+                sql, (min_total_detections, recent_date))]
+
+    def insights_dashboard_kpis(self, today: str) -> dict[str, Any]:
+        """Headline KPIs: lifetime species, today's detections, best day
+        within the trailing year, and the last 90 distinct active dates
+        for the caller's streak math (insights_impl.go
+        GetDashboardKPIs)."""
+        year_ago = f"{int(today[:4]) - 1}{today[4:]}"
+        with self._lock:
+            (lifetime,) = self._conn.execute(
+                "SELECT COUNT(DISTINCT scientific_name) FROM detections"
+                f" WHERE {self._FP_EXCLUDE}").fetchone()
+            (today_n,) = self._conn.execute(
+                "SELECT COUNT(*) FROM detections WHERE date = ?"
+                f" AND {self._FP_EXCLUDE}", (today,)).fetchone()
+            best = self._conn.execute(
+                "SELECT date, COUNT(*) AS n FROM detections"
+                f" WHERE date >= ? AND {self._FP_EXCLUDE}"
+                " GROUP BY date ORDER BY n DESC, date DESC LIMIT 1",
+                (year_ago,)).fetchone()
+            dates = [r[0] for r in self._conn.execute(
+                "SELECT DISTINCT date FROM detections"
+                f" WHERE {self._FP_EXCLUDE}"
+                " ORDER BY date DESC LIMIT 90")]
+        return {"lifetime_species": int(lifetime),
+                "today_detections": int(today_n),
+                "best_day_date": best["date"] if best else "",
+                "best_day_count": int(best["n"]) if best else 0,
+                "recent_dates": dates}
+
     # -- dynamic thresholds ----------------------------------------------------------
 
     def save_dynamic_thresholds(self, state: dict[tuple[str, str], Any]

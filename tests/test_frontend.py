@@ -142,6 +142,10 @@ def test_ui_consumes_every_api_group():
         "/detections/export", "/system/database",
         "/system/inference/spans", "/species/taxonomy",
         "/weather/hourly/", "/system/info",
+        # insights group (analytics/insights.go)
+        "/dashboard/kpis", "/insights/expected-today",
+        "/insights/migration", "/insights/dawn-chorus",
+        "/insights/phantom-species",
     ]
     missing = [c for c in consumed if c not in js]
     assert not missing, f"UI consumers missing for: {missing}"
