@@ -209,6 +209,8 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         r.add_post(f"{v2}/detections/{{id}}/review", self.h_review)
         r.add_post(f"{v2}/detections/{{id}}/lock", self.h_lock)
         r.add_post(f"{v2}/detections/search", self.h_search)
+        # reference route shape (detections/handler.go:123 g.POST("/search"))
+        r.add_post(f"{v2}/search", self.h_search)
         # analytics
         r.add_get(f"{v2}/analytics/summary", self.h_summary)
         r.add_get(f"{v2}/analytics/daily", self.h_daily)
@@ -395,9 +397,32 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         return _json({"locked": locked})
 
     async def h_search(self, request):
+        """POST /detections/search (reference also exposes it as
+        POST /api/v2/search — detections/search.go HandleSearch):
+        adds time_of_day bands, exact scientific-name expansion,
+        multi-key sort, and total/pages for the pager."""
         body = await request.json()
-        rows = self.ctx.datastore.search_detections(
+        tod = body.get("time_of_day") or body.get("timeOfDay")
+        if isinstance(tod, str):
+            tod = [tod] if tod and tod != "any" else None
+        sort_by = body.get("sort_by") or body.get("sortBy")
+        if sort_by is not None and sort_by not in (
+                self.ctx.datastore._SORTS):
+            return _json({"error": f"invalid sort_by '{sort_by}'"},
+                         status=400)
+        if tod:
+            bad = [t for t in tod
+                   if t.lower() not in ("dawn", "day", "dusk", "night")]
+            if bad:
+                return _json(
+                    {"error": f"invalid time_of_day {bad}; use "
+                     "dawn/day/dusk/night"}, status=400)
+        limit = min(int(body.get("limit", 100)), 1000)
+        offset = int(body.get("offset", 0))
+        rows, total = self.ctx.datastore.search_detections(
             species=body.get("species"),
+            species_scientific=body.get("species_scientific")
+            or body.get("speciesScientific"),
             date_from=body.get("from"), date_to=body.get("to"),
             source_id=body.get("source"),
             model_id=body.get("model"),
@@ -405,11 +430,13 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             max_confidence=body.get("max_confidence"),
             hour_from=body.get("hour_from"), hour_to=body.get("hour_to"),
             verified=body.get("verified"), locked=body.get("locked"),
-            limit=min(int(body.get("limit", 100)), 1000),
-            offset=int(body.get("offset", 0)),
-            order=body.get("order", "desc"))
+            time_of_day=tod, sort_by=sort_by,
+            limit=limit, offset=offset,
+            order=body.get("order", "desc"), with_total=True)
         return _json({"detections": self._annotate_nonbird(rows),
-                      "count": len(rows)})
+                      "count": len(rows), "total": total,
+                      "pages": (total + limit - 1) // limit if limit
+                      else 1})
 
     async def h_detections_export(self, request):
         """CSV export of the filtered detection table. The reference's
@@ -441,6 +468,10 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
                 hour_from=_i("hour_from"), hour_to=_i("hour_to"),
                 verified=q.get("verified") or None,
                 locked={"true": True, "false": False}.get(q.get("locked")),
+                time_of_day=[b for b in
+                             q.get("time_of_day", "").split(",") if b]
+                or None,
+                sort_by=q.get("sort_by") or None,
                 limit=max(1, min(int(q.get("limit", 100000)), 1000000)),
                 order=q.get("order", "desc"))
             buf = io.StringIO()

@@ -46,9 +46,30 @@ export async function detectionsView(outlet) {
     el("option", { value: "" }, t("any_lock_state")),
     el("option", { value: "true" }, t("lock")),
     el("option", { value: "false" }, t("unlock")));
+  // multi-key sort (search_advanced.go SortBy vocabulary)
   const orderSel = el("select", {},
-    el("option", { value: "desc" }, t("newest_first")),
-    el("option", { value: "asc" }, t("oldest_first")));
+    el("option", { value: "date_desc" }, t("newest_first")),
+    el("option", { value: "date_asc" }, t("oldest_first")),
+    el("option", { value: "species_asc" }, t("species") + " A→Z"),
+    el("option", { value: "species_desc" }, t("species") + " Z→A"),
+    el("option", { value: "confidence_desc" }, t("confidence") + " ↓"),
+    el("option", { value: "confidence_asc" }, t("confidence") + " ↑"));
+  // time-of-day band chips (search_advanced.go:282-317 dawn/day/dusk/
+  // night approximation bands)
+  const todSel = new Set();
+  const todWrap = el("span", { class: "row" },
+    [["dawn", "🌅"], ["day", "☀️"], ["dusk", "🌇"], ["night", "🌙"]]
+      .map(([band, glyph]) => {
+        const b = el("button", { class: "small", title: t("tod_" + band) },
+                     glyph);
+        b.addEventListener("click", () => {
+          if (todSel.has(band)) { todSel.delete(band); b.classList.remove("primary"); }
+          else { todSel.add(band); b.classList.add("primary"); }
+          state.offset = 0;
+          load();
+        });
+        return b;
+      }));
   const sourceSel = el("select", {}, el("option", { value: "" },
                                         t("any_source")));
   const modelSel = el("select", {}, el("option", { value: "" },
@@ -93,8 +114,8 @@ export async function detectionsView(outlet) {
   paintModeBtn();
   outlet.append(el("div", { class: "filters" },
     range, customWrap, species, minConf, maxConf, hourFrom, hourTo,
-    verified, lockedSel, orderSel, sourceSel, modelSel, applyBtn,
-    exportBtn, modeBtn));
+    todWrap, verified, lockedSel, orderSel, sourceSel, modelSel,
+    applyBtn, exportBtn, modeBtn));
 
   // ---- bulk bar ----
   const bulkInfo = el("span", { class: "sub" }, "");
@@ -132,7 +153,8 @@ export async function detectionsView(outlet) {
     if (hourTo.value !== "") f.hour_to = Number(hourTo.value);
     if (verified.value) f.verified = verified.value;
     if (lockedSel.value) f.locked = lockedSel.value === "true";
-    f.order = orderSel.value;
+    if (todSel.size) f.time_of_day = [...todSel];
+    f.sort_by = orderSel.value;
     if (sourceSel.value) f.source = sourceSel.value;
     if (modelSel.value) f.model = modelSel.value;
     return f;
@@ -166,10 +188,10 @@ export async function detectionsView(outlet) {
   async function load() {
     const body = { ...currentFilters(), limit: state.limit,
                    offset: state.offset };
-    let detections, count;
+    let detections, count, total;
     try {
-      ({ detections, count } = await api("/detections/search",
-                                         { method: "POST", body }));
+      ({ detections, count, total } = await api("/detections/search",
+                                                { method: "POST", body }));
     } catch (e) { toast(e.message, true); return; }
     // a re-render detaches players — a detached HTMLMediaElement keeps
     // playing with no visible controls, so stop ALL audio first
@@ -187,7 +209,7 @@ export async function detectionsView(outlet) {
       const grid = el("div", { class: "det-cards" });
       for (const d of detections) grid.append(cardFor(d));
       tableCard.append(grid);
-      paintPager(detections, count);
+      paintPager(detections, count, total);
       return;
     }
     const selAll = el("input", { type: "checkbox" });
@@ -209,20 +231,23 @@ export async function detectionsView(outlet) {
     for (const d of detections) tb.append(row(d));
     tbl.append(tb);
     tableCard.append(tbl);
-    paintPager(detections, count);
+    paintPager(detections, count, total);
     syncBulk();
   }
 
-  function paintPager(detections, count) {
+  function paintPager(detections, count, total) {
     clear(pager);
+    const known = typeof total === "number";
+    const last = known && state.offset + state.limit >= total;
     pager.append(
       el("button", { class: "small", disabled: state.offset === 0 ? "" : null,
         onclick: () => { state.offset = Math.max(0, state.offset - state.limit); load(); } },
         "‹ " + t("prev")),
       el("span", { class: "sub" },
-         ` ${state.offset + 1}–${state.offset + detections.length} `),
+         ` ${state.offset + 1}–${state.offset + detections.length}`
+         + (known ? ` / ${total} ` : " ")),
       el("button", { class: "small",
-        disabled: count < state.limit ? "" : null,
+        disabled: (known ? last : count < state.limit) ? "" : null,
         onclick: () => { state.offset += state.limit; load(); } }, t("next_page")));
   }
 

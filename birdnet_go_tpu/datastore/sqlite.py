@@ -403,6 +403,22 @@ class Datastore:
             self._conn.commit()
             return int(cur.lastrowid)
 
+    # fixed time-of-day bands (search_advanced.go:282-317 — the reference
+    # approximates dawn/day/dusk/night with static local-time windows)
+    _TOD_BANDS = {
+        "dawn": "(time >= '05:00:00' AND time < '07:00:00')",
+        "day": "(time >= '07:00:00' AND time < '18:00:00')",
+        "dusk": "(time >= '18:00:00' AND time < '20:00:00')",
+        "night": "(time >= '20:00:00' OR time < '05:00:00')",
+    }
+    _SORTS = {
+        "date_desc": "timestamp DESC", "date_asc": "timestamp ASC",
+        "species_asc": "common_name ASC, timestamp DESC",
+        "species_desc": "common_name DESC, timestamp DESC",
+        "confidence_asc": "confidence ASC, timestamp DESC",
+        "confidence_desc": "confidence DESC, timestamp DESC",
+    }
+
     def search_detections(self, species: str | None = None,
                           date_from: str | None = None,
                           date_to: str | None = None,
@@ -415,14 +431,30 @@ class Datastore:
                           verified: str | None = None,
                           locked: bool | None = None,
                           limit: int = 100, offset: int = 0,
-                          order: str = "desc") -> list[dict[str, Any]]:
-        """Advanced search (datastore/interfaces.go search filters):
-        confidence band, time-of-day window, verification state
-        ('correct' | 'false_positive' | 'unreviewed'), lock state, model."""
+                          order: str = "desc",
+                          time_of_day: list[str] | None = None,
+                          species_scientific: list[str] | None = None,
+                          sort_by: str | None = None,
+                          with_total: bool = False):
+        """Advanced search (datastore/search_advanced.go filters):
+        free-text species substring OR exact scientific-name list,
+        confidence band, hour window or named time-of-day bands,
+        verification state ('correct' | 'false_positive' | 'unreviewed'),
+        lock state, model, multi-key sort. with_total=True returns
+        (rows, total_matching) for pagination."""
         clauses, args = [], []
-        if species:
-            clauses.append("(scientific_name = ? OR common_name LIKE ?)")
-            args += [species, f"%{species}%"]
+        if species or species_scientific:
+            # free-text substring on either name column, OR-ed with
+            # locale-resolved exact scientific names (HandleSearch
+            # mergeSpeciesScientific, search.go:80-85)
+            ors = []
+            if species:
+                ors.append("scientific_name = ? OR common_name LIKE ?")
+                args += [species, f"%{species}%"]
+            for sci in (species_scientific or [])[:50]:
+                ors.append("scientific_name = ?")
+                args.append(sci)
+            clauses.append("(" + " OR ".join(ors) + ")")
         if date_from:
             clauses.append("date >= ?"); args.append(date_from)
         if date_to:
@@ -448,6 +480,11 @@ class Datastore:
             if hour_to is not None:
                 clauses.append("CAST(substr(time, 1, 2) AS INTEGER) <= ?")
                 args.append(hour_to)
+        if time_of_day:
+            bands = [self._TOD_BANDS[t.lower()] for t in time_of_day
+                     if t.lower() in self._TOD_BANDS]
+            if bands:
+                clauses.append("(" + " OR ".join(bands) + ")")
         if locked is not None:
             clauses.append("locked = ?"); args.append(1 if locked else 0)
         if verified == "unreviewed":
@@ -457,18 +494,28 @@ class Datastore:
                 "id IN (SELECT detection_id FROM reviews WHERE verdict = ?)")
             args.append(verified)
         where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
-        direction = "DESC" if order.lower() != "asc" else "ASC"
+        if sort_by in self._SORTS:
+            order_sql = self._SORTS[sort_by]
+        else:
+            order_sql = "timestamp " + (
+                "DESC" if order.lower() != "asc" else "ASC")
         # latest review verdict rides along so the browser can render
         # verification badges without N+1 review lookups (reference
         # VerificationBadges.svelte / ReviewCard.svelte)
         sql = (f"SELECT *, (SELECT verdict FROM reviews rv"
                f" WHERE rv.detection_id = detections.id"
                f" ORDER BY rv.id DESC LIMIT 1) AS verdict"
-               f" FROM detections {where} ORDER BY timestamp"
-               f" {direction} LIMIT ? OFFSET ?")
-        args += [limit, offset]
+               f" FROM detections {where} ORDER BY {order_sql}"
+               f" LIMIT ? OFFSET ?")
         with self._lock:
-            return [dict(r) for r in self._conn.execute(sql, args)]
+            rows = [dict(r) for r in self._conn.execute(
+                sql, args + [limit, offset])]
+            if not with_total:
+                return rows
+            (total,) = self._conn.execute(
+                f"SELECT COUNT(*) FROM detections {where}",
+                args).fetchone()
+        return rows, int(total)
 
     def recent_detections(self, limit: int = 10) -> list[dict[str, Any]]:
         return self.search_detections(limit=limit)
