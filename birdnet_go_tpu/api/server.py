@@ -211,6 +211,11 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         r.add_post(f"{v2}/detections/search", self.h_search)
         # reference route shape (detections/handler.go:123 g.POST("/search"))
         r.add_post(f"{v2}/search", self.h_search)
+        # batch operations (detections/detections_batch.go, handler.go:162-166)
+        r.add_post(f"{v2}/detections/batch/delete", self.h_batch_delete)
+        r.add_post(f"{v2}/detections/batch/review", self.h_batch_review)
+        r.add_post(f"{v2}/detections/batch/lock", self.h_batch_lock)
+        r.add_post(f"{v2}/detections/batch/resolve", self.h_batch_resolve)
         # analytics
         r.add_get(f"{v2}/analytics/summary", self.h_summary)
         r.add_get(f"{v2}/analytics/daily", self.h_daily)
@@ -395,6 +400,129 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
         if not ok:
             return _json({"error": "not found"}, status=404)
         return _json({"locked": locked})
+
+    # -- batch operations (detections_batch.go) ------------------------------------
+
+    _MAX_BATCH = 500   # detections_batch.go:26 maxBatchSize
+
+    @staticmethod
+    def _batch_ids(body):
+        """Validate + dedupe a batch id list (deduplicateIDs +
+        size guards, detections_batch.go:13-23,68-82). Returns
+        (ids, error_response)."""
+        ids = body.get("ids") or []
+        if not ids:
+            return None, _json({"error": "at least one id is required"},
+                               status=400)
+        if len(ids) > ApiServer._MAX_BATCH:
+            return None, _json(
+                {"error": f"batch size {len(ids)} exceeds maximum "
+                 f"{ApiServer._MAX_BATCH}"}, status=400)
+        seen, out = set(), []
+        for i in ids:
+            try:
+                n = int(i)
+            except (TypeError, ValueError):
+                continue
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+        return out, None
+
+    async def h_batch_delete(self, request):
+        """POST /detections/batch/delete — locked and missing rows are
+        counted as skipped, never an error (detections_batch.go:68-119).
+        Clip files are reclaimed by the orphan-reconcile pass, matching
+        the single-delete path."""
+        ids, err = self._batch_ids(await request.json())
+        if err:
+            return err
+        ds = self.ctx.datastore
+        processed = skipped = 0
+        for det_id in ids:
+            try:
+                ok = ds.delete_detection(det_id)
+            except PermissionError:      # locked
+                skipped += 1
+                continue
+            processed += 1 if ok else 0
+            skipped += 0 if ok else 1
+        return _json({"processed": processed, "skipped": skipped})
+
+    async def h_batch_review(self, request):
+        """POST /detections/batch/review — one verdict applied to many;
+        locked rows skipped (detections_batch.go:122-178)."""
+        body = await request.json()
+        verdict = body.get("verified") or body.get("verdict") or ""
+        if verdict not in ("correct", "false_positive"):
+            return _json({"error": "verified must be correct or"
+                          " false_positive"}, status=400)
+        ids, err = self._batch_ids(body)
+        if err:
+            return err
+        ds = self.ctx.datastore
+        processed = skipped = 0
+        for det_id in ids:
+            row = ds.get_detection(det_id)
+            if row is None or row.get("locked"):
+                skipped += 1
+                continue
+            ds.review_detection(det_id, verdict,
+                                body.get("comment", ""))
+            processed += 1
+        return _json({"processed": processed, "skipped": skipped})
+
+    async def h_batch_lock(self, request):
+        """POST /detections/batch/lock — already-locked rows are skipped
+        when locking; unlock processes everything
+        (detections_batch.go:181-229)."""
+        body = await request.json()
+        locked = bool(body.get("locked", True))
+        ids, err = self._batch_ids(body)
+        if err:
+            return err
+        ds = self.ctx.datastore
+        processed = skipped = 0
+        for det_id in ids:
+            row = ds.get_detection(det_id)
+            if row is None or (locked and row.get("locked")):
+                skipped += 1
+                continue
+            ds.lock_detection(det_id, locked)
+            processed += 1
+        return _json({"processed": processed, "skipped": skipped})
+
+    async def h_batch_resolve(self, request):
+        """POST /detections/batch/resolve — turn a filter query into an
+        id list for a follow-up batch call; refuses over-broad queries
+        (detections_batch.go:232-299). queryType species/search/hourly
+        is auto-inferred from the populated field like detections.go
+        341-348."""
+        body = await request.json()
+        hour_from = hour_to = None
+        hour = str(body.get("hour", "") or "")
+        if hour:
+            try:
+                h = int(hour)
+            except ValueError:
+                return _json({"error": "invalid hour"}, status=400)
+            if not 0 <= h <= 23:
+                return _json({"error": "invalid hour"}, status=400)
+            duration = max(1, int(body.get("duration", 1) or 1))
+            hour_from, hour_to = h, (h + duration - 1) % 24
+        rows, total = self.ctx.datastore.search_detections(
+            species=body.get("species") or body.get("search") or None,
+            date_from=body.get("date") or None,
+            date_to=body.get("date") or None,
+            hour_from=hour_from, hour_to=hour_to,
+            limit=self._MAX_BATCH + 1, with_total=True)
+        if total > self._MAX_BATCH:
+            return _json(
+                {"error": f"query matched {total} detections, maximum "
+                 f"is {self._MAX_BATCH}; narrow the filters"},
+                status=400)
+        ids = [str(r["id"]) for r in rows]
+        return _json({"ids": ids, "count": len(ids)})
 
     async def h_search(self, request):
         """POST /detections/search (reference also exposes it as

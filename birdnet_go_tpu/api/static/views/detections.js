@@ -125,6 +125,10 @@ export async function detectionsView(outlet) {
     el("button", { class: "small",
                    onclick: () => bulk("review", "false_positive") },
        "✗ " + t("false_positive")),
+    el("button", { class: "small", onclick: () => bulk("lock") },
+       "🔒 " + t("lock")),
+    el("button", { class: "small", onclick: () => bulk("unlock") },
+       "🔓 " + t("unlock")),
     el("button", { class: "small danger", onclick: () => bulk("delete") },
        t("delete")),
     bulkInfo);
@@ -165,23 +169,29 @@ export async function detectionsView(outlet) {
       .map((c) => Number(c.value));
   }
 
+  // one round trip per action via the batch endpoints
+  // (detections_batch.go); locked rows come back as `skipped`
   async function bulk(action, verdict) {
-    const ids = selectedIds();
+    const ids = selectedIds().map(String);
     if (!ids.length) return;
     if (action === "delete"
         && !(await confirmDialog(
           `${t("delete")} ${ids.length} — ${t("are_you_sure")}`))) return;
-    let ok = 0, failed = 0;
-    for (const id of ids) {
-      try {
-        if (action === "delete") await api(`/detections/${id}`, { method: "DELETE" });
-        else await api(`/detections/${id}/review`,
-                       { method: "POST", body: { verdict } });
-        ok++;
-      } catch (e) { failed++; }
-    }
-    toast(`${action}: ${ok} ok${failed ? `, ${failed} failed` : ""}`,
-          failed > 0);
+    try {
+      let res;
+      if (action === "delete")
+        res = await api("/detections/batch/delete",
+                        { method: "POST", body: { ids } });
+      else if (action === "review")
+        res = await api("/detections/batch/review",
+                        { method: "POST", body: { ids, verified: verdict } });
+      else
+        res = await api("/detections/batch/lock",
+                        { method: "POST",
+                          body: { ids, locked: action === "lock" } });
+      toast(`✓ ${res.processed}${res.skipped
+            ? ` · ${res.skipped} ⏭` : ""}`, false);
+    } catch (e) { toast(e.message, true); }
     load();
   }
 

@@ -449,8 +449,10 @@ class Datastore:
             # mergeSpeciesScientific, search.go:80-85)
             ors = []
             if species:
-                ors.append("scientific_name = ? OR common_name LIKE ?")
-                args += [species, f"%{species}%"]
+                # substring on BOTH name columns (search.go TextQuery →
+                # scientific/common-name substring path)
+                ors.append("scientific_name LIKE ? OR common_name LIKE ?")
+                args += [f"%{species}%", f"%{species}%"]
             for sci in (species_scientific or [])[:50]:
                 ors.append("scientific_name = ?")
                 args.append(sci)

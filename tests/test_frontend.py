@@ -146,6 +146,9 @@ def test_ui_consumes_every_api_group():
         "/dashboard/kpis", "/insights/expected-today",
         "/insights/migration", "/insights/dawn-chorus",
         "/insights/phantom-species",
+        # batch operations (detections_batch.go)
+        "/detections/batch/delete", "/detections/batch/review",
+        "/detections/batch/lock",
     ]
     missing = [c for c in consumed if c not in js]
     assert not missing, f"UI consumers missing for: {missing}"

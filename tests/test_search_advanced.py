@@ -117,3 +117,60 @@ def test_search_api_total_pages_and_alias(tiny_app):
     assert st == 400
     st, body = post("/search", {"sort_by": "by_magic"})
     assert st == 400
+
+
+def test_batch_operations(tiny_app):
+    """detections_batch.go semantics: locked rows are skipped (never an
+    error), dedupe, resolve caps over-broad queries."""
+    app = tiny_app
+    app.start(warmup=False)
+    base = f"http://127.0.0.1:{app.settings.webserver.port}/api/v2"
+    ds = app.datastore
+    ids = [_seed(ds, "Batchus birdus", f"10:0{i}:00") for i in range(4)]
+    ds.lock_detection(ids[0], True)
+
+    def post(path, body):
+        r = urllib.request.Request(
+            base + path, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    # resolve by species → ids (cap honored elsewhere)
+    st, body = post("/detections/batch/resolve",
+                    {"species": "Batchus birdus"})
+    assert st == 200 and body["count"] == 4
+    assert set(map(int, body["ids"])) == set(ids)
+    # review: locked row skipped, duplicates deduped
+    st, body = post("/detections/batch/review",
+                    {"ids": [str(i) for i in ids] + [str(ids[1])],
+                     "verified": "correct"})
+    assert st == 200
+    assert body == {"processed": 3, "skipped": 1}
+    # lock: already-locked is skipped
+    st, body = post("/detections/batch/lock",
+                    {"ids": [str(i) for i in ids], "locked": True})
+    assert body == {"processed": 3, "skipped": 1}
+    # unlock processes everything
+    st, body = post("/detections/batch/lock",
+                    {"ids": [str(i) for i in ids], "locked": False})
+    assert body == {"processed": 4, "skipped": 0}
+    # delete: re-lock one, it survives as skipped; missing ids skip too
+    ds.lock_detection(ids[2], True)
+    st, body = post("/detections/batch/delete",
+                    {"ids": [str(i) for i in ids] + ["999999"]})
+    assert body == {"processed": 3, "skipped": 2}
+    assert ds.get_detection(ids[2]) is not None
+    # guards: empty and oversized id lists
+    st, _ = post("/detections/batch/delete", {"ids": []})
+    assert st == 400
+    st, _ = post("/detections/batch/delete",
+                 {"ids": [str(n) for n in range(501)]})
+    assert st == 400
+    # bad verdict vocabulary
+    st, _ = post("/detections/batch/review",
+                 {"ids": ["1"], "verified": "maybe"})
+    assert st == 400
