@@ -140,6 +140,13 @@ class ExtendedHandlers:
         r.add_get(f"{v2}/imports/jobs", self.h_import_jobs)
         r.add_get(f"{v2}/imports/jobs/{{id}}", self.h_import_job)
         r.add_post(f"{v2}/imports/jobs/{{id}}/cancel", self.h_import_cancel)
+        # live migration (reference internal/datastore/v2/migration)
+        r.add_get(f"{v2}/migration/status", self.h_migration_status)
+        r.add_post(f"{v2}/migration/start", self.h_migration_start)
+        r.add_post(f"{v2}/migration/pause", self.h_migration_ctl)
+        r.add_post(f"{v2}/migration/resume", self.h_migration_ctl)
+        r.add_post(f"{v2}/migration/cancel", self.h_migration_ctl)
+        r.add_post(f"{v2}/migration/rollback", self.h_migration_ctl)
         # models install
         r.add_post(f"{v2}/models/install/{{id}}", self.h_model_install)
         r.add_get(f"{v2}/models/install/{{id}}/progress",
@@ -1118,6 +1125,56 @@ class ExtendedHandlers:
 
             self._import_mgr_obj = ImportJobManager(self.ctx.datastore)
         return self._import_mgr_obj
+
+    # -- live migration (reference internal/datastore/v2/migration) ---------
+
+    async def h_migration_status(self, request):
+        worker = getattr(self, "_migration_worker", None)
+        if worker is None:
+            # surface persisted state even before a worker exists this boot
+            from birdnet_go_tpu.datastore.migration import MigrationStateStore
+            st = MigrationStateStore(self.ctx.datastore).get()
+            return _json({"state": st["state"],
+                          "total_records": st["total_records"],
+                          "migrated_records": st["migrated_records"],
+                          "legacy_path": st["legacy_path"],
+                          "error": st["error"]})
+        return _json(worker.status())
+
+    async def h_migration_start(self, request):
+        from birdnet_go_tpu.datastore.migration import MigrationWorker
+
+        body = await request.json()
+        path = body.get("path", "")
+        if not Path(path).is_file():
+            return _json({"error": f"no such file: {path}"}, status=400)
+        worker = getattr(self, "_migration_worker", None)
+        if worker is None or not (worker._thread and
+                                  worker._thread.is_alive()):
+            worker = MigrationWorker(
+                self.ctx.datastore, path,
+                dual_write=bool(body.get("dual_write", True)))
+            self._migration_worker = worker
+        try:
+            await asyncio.get_event_loop().run_in_executor(
+                None, worker.start)
+        except (RuntimeError, ValueError) as e:
+            return _json({"error": str(e)}, status=409)
+        return _json(worker.status(), status=202)
+
+    async def h_migration_ctl(self, request):
+        worker = getattr(self, "_migration_worker", None)
+        if worker is None:
+            return _json({"error": "no migration this session"}, status=404)
+        action = request.path.rsplit("/", 1)[-1]
+        try:
+            await asyncio.get_event_loop().run_in_executor(
+                None, {"pause": worker.pause, "resume": worker.resume,
+                       "cancel": worker.cancel,
+                       "rollback": worker.rollback}[action])
+        except RuntimeError as e:
+            return _json({"error": str(e)}, status=409)
+        return _json(worker.status())
 
     async def h_import_birdnet_go(self, request):
         """Migrate a reference BirdNET-Go SQLite database in place:

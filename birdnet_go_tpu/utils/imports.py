@@ -218,6 +218,70 @@ class ImportJobManager:
 
 # -- legacy BirdNET-Go database import ----------------------------------------------
 
+def open_birdnet_go_db(db_path: str | Path):
+    """Open a reference GORM SQLite database read-only; returns
+    (connection, table-name set). Raises ValueError if it isn't one."""
+    import sqlite3
+
+    conn = sqlite3.connect(f"file:{Path(db_path)}?mode=ro", uri=True)
+    conn.row_factory = sqlite3.Row
+    tables = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    if "notes" not in tables:
+        conn.close()
+        raise ValueError("not a BirdNET-Go database (no notes table)")
+    return conn, tables
+
+
+def legacy_note_entry(conn, tables: set, n) -> dict | None:
+    """Convert one reference `notes` row (plus its results/reviews/comments/
+    locks satellites) into our normalized entry dict, or None when the row's
+    date/time is unparseable. Shared by the one-shot importer and the live
+    migration worker (datastore/migration.py)."""
+    try:
+        when = _dt.datetime.strptime(
+            f"{n['date']} {n['time']}", "%Y-%m-%d %H:%M:%S")
+    except (ValueError, TypeError):
+        return None
+    det = Detection(
+        species=Species(n["scientific_name"] or "",
+                        n["common_name"] or ""),
+        confidence=float(n["confidence"] or 0.0),
+        begin_seconds=0.0, end_seconds=3.0,
+        model_id="BirdNET_V2.4",           # legacy DB is v2.4-only
+        source_id="import:birdnet-go",
+        timestamp=when,
+        species_code=n["species_code"] or "")
+    entry = {"detection": det, "results": [], "review": None,
+             "comments": [], "locked": False, "legacy_id": n["id"]}
+    nid = n["id"]
+    if "results" in tables:
+        for r in conn.execute(
+                "SELECT species, confidence FROM results"
+                " WHERE note_id = ? ORDER BY confidence DESC",
+                (nid,)):
+            # label format "Scientific_Common" (detection/species.go)
+            sci, _, common = (r["species"] or "").partition("_")
+            entry["results"].append(
+                (sci, common, float(r["confidence"] or 0.0)))
+    if "note_reviews" in tables:
+        row = conn.execute(
+            "SELECT verified FROM note_reviews WHERE note_id = ?",
+            (nid,)).fetchone()
+        if row and row["verified"]:
+            entry["review"] = row["verified"]
+    if "note_comments" in tables:
+        entry["comments"] = [
+            r["entry"] for r in conn.execute(
+                "SELECT entry FROM note_comments WHERE note_id = ?"
+                " ORDER BY created_at", (nid,))]
+    if "note_locks" in tables:
+        entry["locked"] = conn.execute(
+            "SELECT 1 FROM note_locks WHERE note_id = ?",
+            (nid,)).fetchone() is not None
+    return entry
+
+
 def parse_birdnet_go_db(db_path: str | Path) -> list[dict]:
     """Read the reference's GORM SQLite schema (datastore/model.go: notes +
     note_reviews/note_comments/note_locks/results) into normalized rows so
@@ -225,61 +289,15 @@ def parse_birdnet_go_db(db_path: str | Path) -> list[dict]:
 
     Returns dicts: {detection: Detection, results: [(sci, common, conf)],
     review: str|None, comments: [str], locked: bool}."""
-    import sqlite3
-
-    conn = sqlite3.connect(f"file:{Path(db_path)}?mode=ro", uri=True)
-    conn.row_factory = sqlite3.Row
+    conn, tables = open_birdnet_go_db(db_path)
     try:
-        tables = {r[0] for r in conn.execute(
-            "SELECT name FROM sqlite_master WHERE type='table'")}
-        if "notes" not in tables:
-            raise ValueError("not a BirdNET-Go database (no notes table)")
         out = []
         for n in conn.execute(
                 "SELECT id, date, time, scientific_name, common_name,"
                 " species_code, confidence, clip_name FROM notes"):
-            try:
-                when = _dt.datetime.strptime(
-                    f"{n['date']} {n['time']}", "%Y-%m-%d %H:%M:%S")
-            except (ValueError, TypeError):
-                continue
-            det = Detection(
-                species=Species(n["scientific_name"] or "",
-                                n["common_name"] or ""),
-                confidence=float(n["confidence"] or 0.0),
-                begin_seconds=0.0, end_seconds=3.0,
-                model_id="BirdNET_V2.4",           # legacy DB is v2.4-only
-                source_id="import:birdnet-go",
-                timestamp=when,
-                species_code=n["species_code"] or "")
-            entry = {"detection": det, "results": [], "review": None,
-                     "comments": [], "locked": False}
-            nid = n["id"]
-            if "results" in tables:
-                for r in conn.execute(
-                        "SELECT species, confidence FROM results"
-                        " WHERE note_id = ? ORDER BY confidence DESC",
-                        (nid,)):
-                    # label format "Scientific_Common" (detection/species.go)
-                    sci, _, common = (r["species"] or "").partition("_")
-                    entry["results"].append(
-                        (sci, common, float(r["confidence"] or 0.0)))
-            if "note_reviews" in tables:
-                row = conn.execute(
-                    "SELECT verified FROM note_reviews WHERE note_id = ?",
-                    (nid,)).fetchone()
-                if row and row["verified"]:
-                    entry["review"] = row["verified"]
-            if "note_comments" in tables:
-                entry["comments"] = [
-                    r["entry"] for r in conn.execute(
-                        "SELECT entry FROM note_comments WHERE note_id = ?"
-                        " ORDER BY created_at", (nid,))]
-            if "note_locks" in tables:
-                entry["locked"] = conn.execute(
-                    "SELECT 1 FROM note_locks WHERE note_id = ?",
-                    (nid,)).fetchone() is not None
-            out.append(entry)
+            entry = legacy_note_entry(conn, tables, n)
+            if entry is not None:
+                out.append(entry)
         return out
     finally:
         conn.close()

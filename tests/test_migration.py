@@ -1,0 +1,281 @@
+"""Live migration machinery (datastore/migration.py).
+
+Mirrors the reference's migration suite shape
+(internal/datastore/v2/migration/worker_test.go,
+state_manager_test.go): state transitions, batch resume, validation
+catch-up, dual-write, cutover tail sync, cancel/rollback.
+"""
+
+import datetime
+import sqlite3
+import time
+
+import pytest
+
+from birdnet_go_tpu.analysis.results import Detection
+from birdnet_go_tpu.datastore.migration import (
+    MigrationStateStore, MigrationWorker)
+from birdnet_go_tpu.datastore.sqlite import Datastore
+from birdnet_go_tpu.taxonomy.labels import Species
+
+from tests.test_catalog_imports_train import _make_legacy_db
+
+
+def _legacy_with_n(path, n):
+    """A legacy DB with n generated notes rows (plus the 2 fixture rows)."""
+    _make_legacy_db(path)
+    conn = sqlite3.connect(path)
+    for i in range(n):
+        minute = i % 60
+        hour = 6 + (i // 60) % 12
+        conn.execute(
+            "INSERT INTO notes (date, time, scientific_name, common_name,"
+            " species_code, confidence, clip_name) VALUES (?,?,?,?,?,?,?)",
+            ("2024-05-02", f"{hour:02d}:{minute:02d}:{i % 60:02d}",
+             f"Species s{i}", f"Common c{i}", f"sp{i}", 0.5 + (i % 40) / 100,
+             ""))
+    conn.commit()
+    conn.close()
+
+
+def _wait_state(worker, state, timeout=15.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if worker.store.get()["state"] == state:
+            return
+        time.sleep(0.02)
+    raise AssertionError(
+        f"never reached {state}; stuck at {worker.store.get()['state']}"
+        f" err={worker.store.get()['error']}")
+
+
+def test_full_migration_completes(tmp_path):
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 250)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=64, sleep_between=0.0)
+    w.start()
+    _wait_state(w, "completed")
+    st = w.status()
+    assert st["migrated_records"] == 252
+    assert st["progress_pct"] == 100.0
+    assert ds.count_detections() == 252
+    # fidelity spot-check: fixture row 1 satellites carried over
+    rows = ds.search_detections(species="Turdus merula")
+    assert rows and rows[0]["locked"] == 1
+    assert ds.get_reviews(rows[0]["id"])[0]["verdict"] == "correct"
+    # dual-write hook removed after completion
+    assert w._uninstall_hook is None
+    w.stop()
+
+
+def test_restart_resumes_from_persisted_state(tmp_path):
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 300)
+    db = tmp_path / "native.db"
+    ds = Datastore(db)
+    w = MigrationWorker(ds, legacy, batch_size=32, sleep_between=0.0)
+    w.start()
+    # stop mid-flight, simulating a crash
+    deadline = time.monotonic() + 15
+    while w.store.get()["migrated_records"] < 40:
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    w.stop()
+    done_before = w.store.get()["migrated_records"]
+    assert 0 < done_before < 302
+
+    ds2 = Datastore(db)
+    st = MigrationStateStore(ds2).get()
+    assert st["migrated_records"] == done_before   # persisted
+    # resume must not duplicate any already-migrated row
+    MigrationStateStore(ds2).update(state="paused", paused_from="migrating")
+    w2 = MigrationWorker(ds2, legacy, batch_size=64, sleep_between=0.0)
+    w2.resume()
+    _wait_state(w2, "completed")
+    assert ds2.count_detections() == 302
+    w2.stop()
+
+
+def test_pause_resume(tmp_path):
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 400)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=16, sleep_between=0.01)
+    w.start()
+    w.pause()
+    _wait_state(w, "paused")
+    frozen = w.store.get()["migrated_records"]
+    time.sleep(0.15)
+    assert w.store.get()["migrated_records"] == frozen
+    w.resume()
+    _wait_state(w, "completed")
+    assert ds.count_detections() == 402
+    w.stop()
+
+
+def test_cancel_keeps_rows_rollback_removes_them(tmp_path):
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 200)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=16, sleep_between=0.01)
+    w.start()
+    deadline = time.monotonic() + 15
+    while w.store.get()["migrated_records"] < 30:
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    w.cancel()
+    w.stop()
+    assert w.store.get()["state"] == "cancelled"
+    kept = ds.count_detections()
+    assert kept >= 30                       # cancel keeps migrated rows
+
+    w.rollback()                            # rollback removes them
+    assert ds.count_detections() == 0
+    assert w.store.get()["state"] == "idle"
+    assert w.store.map_count() == 0
+    # and a fresh start can run to completion afterwards
+    w2 = MigrationWorker(ds, legacy, batch_size=128, sleep_between=0.0)
+    w2.start()
+    _wait_state(w2, "completed")
+    assert ds.count_detections() == 202
+    w2.stop()
+
+
+def test_rollback_refused_after_completion(tmp_path):
+    legacy = tmp_path / "legacy.db"
+    _make_legacy_db(legacy)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=8, sleep_between=0.0)
+    w.start()
+    _wait_state(w, "completed")
+    with pytest.raises(RuntimeError, match="rollback unavailable"):
+        w.rollback()
+    w.stop()
+
+
+def test_dual_write_appends_to_legacy_until_cutover(tmp_path):
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 150)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=16, sleep_between=0.01)
+    w.start()
+    # a live detection lands while migration runs
+    deadline = time.monotonic() + 15
+    while w._uninstall_hook is None:
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    live = Detection(
+        species=Species("Parus major", "Great Tit"), confidence=0.88,
+        begin_seconds=0.0, end_seconds=3.0, model_id="BirdNET_V2.4",
+        source_id="rtsp:cam1",
+        timestamp=datetime.datetime(2024, 6, 1, 7, 30, 0),
+        species_code="gretit1")
+    ds.insert_detection(live)
+    _wait_state(w, "completed")
+    w.stop()
+    # the live detection was dual-written into the legacy notes table...
+    conn = sqlite3.connect(legacy)
+    row = conn.execute("SELECT date, time, confidence FROM notes"
+                       " WHERE scientific_name = 'Parus major'").fetchone()
+    conn.close()
+    assert row == ("2024-06-01", "07:30:00", 0.88)
+    assert w.status()["dual_write"]["written"] == 1
+    # ...and cutover's tail sync mapped it WITHOUT duplicating it natively
+    assert len(ds.search_detections(species="Parus major")) == 1
+    assert ds.count_detections() == 153
+
+
+def test_validation_catchup_covers_midstream_inserts(tmp_path):
+    """Rows inserted behind the scan cursor are caught by the validation
+    catch-up rescan (worker.go validateWithCounts + runCatchUp)."""
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 60)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=16, sleep_between=0.01,
+                        dual_write=False)
+    w.start()
+    deadline = time.monotonic() + 15
+    while w.store.get()["migrated_records"] < 20:
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    # an external writer (old deployment still running) appends a row
+    conn = sqlite3.connect(legacy)
+    conn.execute(
+        "INSERT INTO notes (date, time, scientific_name, common_name,"
+        " species_code, confidence, clip_name) VALUES"
+        " ('2024-05-03','09:00:00','Late bird','Late','lb1',0.7,'')")
+    conn.commit()
+    conn.close()
+    _wait_state(w, "completed")
+    assert ds.count_detections() == 63      # 2 fixture + 60 + 1 late
+    w.stop()
+
+
+def test_start_refused_when_already_running_or_done(tmp_path):
+    legacy = tmp_path / "legacy.db"
+    _make_legacy_db(legacy)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=8, sleep_between=0.0)
+    w.start()
+    _wait_state(w, "completed")
+    with pytest.raises(RuntimeError, match="already completed"):
+        w.start()
+    w.stop()
+
+
+def test_not_a_birdnet_db_rejected(tmp_path):
+    bogus = tmp_path / "bogus.db"
+    sqlite3.connect(bogus).executescript(
+        "CREATE TABLE x (id INTEGER);").connection.close()
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, bogus)
+    with pytest.raises(ValueError, match="no notes table"):
+        w.start()
+
+
+def test_status_shape():
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, "/nonexistent")
+    st = w.status()
+    assert st["state"] == "idle"
+    assert st["progress_pct"] == 0.0
+    assert st["dual_write"]["queued"] == 0
+
+
+# -- HTTP surface (handlers_ext.py migration group) ---------------------------
+
+from tests.test_app_integration import tiny_app  # noqa: E402,F401  (fixture)
+
+
+def test_migration_endpoints_live(tmp_path, tiny_app):
+    import json
+    import urllib.request
+
+    tiny_app.start(warmup=False)
+    try:
+        port = tiny_app.settings.webserver.port
+
+        def req(path, method="GET", body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v2{path}", data=data,
+                headers={"Content-Type": "application/json"}, method=method)
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return json.loads(resp.read())
+
+        assert req("/migration/status")["state"] == "idle"
+        legacy = tmp_path / "legacy.db"
+        _legacy_with_n(legacy, 120)
+        out = req("/migration/start", "POST", {"path": str(legacy)})
+        assert out["state"] in ("migrating", "validating", "cutover",
+                                "completed")
+        deadline = time.monotonic() + 20
+        while req("/migration/status")["state"] != "completed":
+            assert time.monotonic() < deadline
+            time.sleep(0.1)
+        st = req("/migration/status")
+        assert st["migrated_records"] == 122
+        assert st["progress_pct"] == 100.0
+    finally:
+        tiny_app.stop()
