@@ -163,6 +163,69 @@ export async function systemView(outlet) {
     grid.append(card(t("database"), body));
   } catch (e) { grid.append(card(t("database"), err(e))); }
 
+  // legacy migration (datastore/migration.py — background dual-write worker)
+  try {
+    const body = el("div", {});
+    const info = el("div", { class: "sub", style: "margin-bottom:6px" });
+    const bar = el("div", { class: "meter", style:
+      "height:8px;background:var(--border);border-radius:4px;overflow:hidden" });
+    const fill = el("div", { style:
+      "height:100%;width:0%;background:var(--accent)" });
+    bar.append(fill);
+    const ctlOut = el("span", { class: "sub" });
+    const pathIn = el("input", { type: "text", placeholder: t("mig_db_path"),
+                                 style: "flex:1" });
+    const post = (action, reqBody) => async () => {
+      ctlOut.textContent = "…";
+      try {
+        await api(`/migration/${action}`,
+                  { method: "POST", body: reqBody || {} });
+        ctlOut.textContent = "";
+        ensurePolling((await refresh()).state);
+      } catch (e) { ctlOut.textContent = e.message; }
+    };
+    const startBtn = el("button", { class: "small",
+      onclick: () => post("start", { path: pathIn.value })() },
+      t("mig_start"));
+    const ctls = el("div", { class: "row", style: "margin-top:6px" },
+      el("button", { class: "small", onclick: post("pause") }, t("mig_pause")),
+      el("button", { class: "small", onclick: post("resume") }, t("mig_resume")),
+      el("button", { class: "small danger", onclick: post("rollback") },
+         t("mig_rollback")),
+      ctlOut);
+    async function refresh() {
+      const m = await api("/migration/status");
+      const pct = m.progress_pct ?? 0;
+      fill.style.width = `${pct}%`;
+      info.textContent = [
+        m.state,
+        m.total_records ? `${fmtNum(m.migrated_records)} / ${fmtNum(m.total_records)} (${pct}%)` : null,
+        m.records_per_second ? `${m.records_per_second}/s` : null,
+        m.eta_seconds != null ? `ETA ${Math.round(m.eta_seconds)}s` : null,
+        m.error ? `⚠ ${m.error}` : null,
+      ].filter(Boolean).join(" · ");
+      const active = ["migrating", "validating", "cutover", "paused"]
+        .includes(m.state);
+      ctls.style.display = active ? "" : "none";
+      startRow.style.display = active ? "none" : "";
+      return m;
+    }
+    const startRow = el("div", { class: "row", style: "margin-top:6px" },
+                        pathIn, startBtn);
+    body.append(info, bar, startRow, ctls);
+    let iv = null;
+    function ensurePolling(state) {
+      const running = ["migrating", "validating", "cutover"].includes(state);
+      if (running && iv == null) {
+        iv = setInterval(() => refresh().then((m) => ensurePolling(m.state))
+          .catch(() => { clearInterval(iv); iv = null; }), 2000);
+      } else if (!running && iv != null) { clearInterval(iv); iv = null; }
+    }
+    onCleanup(() => { if (iv != null) clearInterval(iv); });
+    ensurePolling((await refresh()).state);
+    grid.append(card(t("migration"), body));
+  } catch (e) { grid.append(card(t("migration"), err(e))); }
+
   // devices
   try {
     const { devices, alsa_available } = await api("/devices");
