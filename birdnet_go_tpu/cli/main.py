@@ -81,6 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--database", default="data/birdnet.db")
     imp.add_argument("--min-confidence", type=float, default=0.0)
 
+    mig = sub.add_parser(
+        "migrate", help="migrate a BirdNET-Go legacy database (resumable; "
+                        "state persists across interrupts)")
+    mig.add_argument("legacy", help="path to the legacy BirdNET-Go sqlite DB")
+    mig.add_argument("--database", default="data/birdnet.db")
+    mig.add_argument("--batch-size", type=int, default=500)
+    mig.add_argument("--rollback", action="store_true",
+                     help="undo a previous unfinished migration instead")
+
     mdl = sub.add_parser("model", help="model gallery: list/install/remove")
     mdl.add_argument("action", choices=["list", "install", "remove"])
     mdl.add_argument("model_id", nargs="?")
@@ -177,6 +186,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_train(args)
     if args.command == "import":
         return _cmd_import(args)
+    if args.command == "migrate":
+        return _cmd_migrate(args)
     if args.command == "model":
         return _cmd_model(args)
     if args.command == "support":
@@ -488,6 +499,54 @@ def _cmd_import(args) -> int:
     print(f"scanned {res.scanned}, imported {res.imported}, "
           f"skipped {res.skipped}, errors {res.errors}")
     return 0 if res.errors == 0 else 1
+
+
+def _cmd_migrate(args) -> int:
+    """Foreground legacy→native migration (same worker the server drives
+    via /api/v2/migration; dual-write disabled since nothing is live)."""
+    import time as _time
+
+    from birdnet_go_tpu.datastore.migration import MigrationWorker
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+
+    ds = Datastore(args.database)
+    w = MigrationWorker(ds, args.legacy, batch_size=args.batch_size,
+                        sleep_between=0.0, dual_write=False)
+    if args.rollback:
+        try:
+            w.rollback()
+        except RuntimeError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print("rolled back: migration state reset, migrated rows removed")
+        return 0
+    try:
+        w.start()
+    except (RuntimeError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    last_pct = -1.0
+    while True:
+        st = w.status()
+        if st["progress_pct"] != last_pct:
+            last_pct = st["progress_pct"]
+            eta = (f", ETA {st['eta_seconds']:.0f}s"
+                   if st["eta_seconds"] else "")
+            print(f"\r{st['state']}: {st['migrated_records']}/"
+                  f"{st['total_records']} ({st['progress_pct']}%)"
+                  f" {st['records_per_second']}/s{eta}   ",
+                  end="", flush=True)
+        if st["state"] in ("completed", "failed", "cancelled"):
+            print()
+            if st["error"]:
+                print(f"error: {st['error']}", file=sys.stderr)
+            w.stop()
+            return 0 if st["state"] == "completed" else 1
+        if st["state"] == "paused":      # auto-pause after repeated errors
+            print(f"\npaused: {st['error']}", file=sys.stderr)
+            w.stop()
+            return 1
+        _time.sleep(0.2)
 
 
 def _cmd_model(args) -> int:

@@ -167,3 +167,37 @@ def test_bypass_subnets_narrowing():
     assert not is_local_address("8.8.8.8", ["8.8.8.0/24"])
     # all-public config falls back to the private defaults (not open)
     assert is_local_address("192.168.1.9", ["8.8.8.0/24"])
+
+
+def test_migrate_command(tmp_path, capsys):
+    from tests.test_migration import _legacy_with_n
+
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 80)
+    db = tmp_path / "native.db"
+
+    rc = cli.main(["migrate", str(legacy), "--database", str(db),
+                   "--batch-size", "32"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "completed: 82/82 (100.0%)" in out
+
+    # second run refuses: state is persisted in the target DB
+    rc2 = cli.main(["migrate", str(legacy), "--database", str(db)])
+    assert rc2 == 1
+    assert "already completed" in capsys.readouterr().err
+
+    # rollback after cutover is refused — the native DB is now the record
+    rc3 = cli.main(["migrate", str(legacy), "--database", str(db),
+                    "--rollback"])
+    assert rc3 == 1
+    assert "rollback unavailable" in capsys.readouterr().err
+
+    # rollback of an *unfinished* migration resets state + removes rows
+    from birdnet_go_tpu.datastore.migration import MigrationStateStore
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    MigrationStateStore(Datastore(db)).update(state="cancelled")
+    rc4 = cli.main(["migrate", str(legacy), "--database", str(db),
+                    "--rollback"])
+    assert rc4 == 0
+    assert Datastore(db).count_detections() == 0
