@@ -1157,7 +1157,7 @@ class ExtendedHandlers:
             self._migration_worker = worker
         try:
             await asyncio.get_event_loop().run_in_executor(
-                None, worker.start)
+                None, worker.start, bool(body.get("force", False)))
         except (RuntimeError, ValueError) as e:
             return _json({"error": str(e)}, status=409)
         return _json(worker.status(), status=202)

@@ -191,8 +191,7 @@ export async function systemView(outlet) {
       el("button", { class: "small", onclick: post("pause") }, t("mig_pause")),
       el("button", { class: "small", onclick: post("resume") }, t("mig_resume")),
       el("button", { class: "small danger", onclick: post("rollback") },
-         t("mig_rollback")),
-      ctlOut);
+         t("mig_rollback")));
     async function refresh() {
       const m = await api("/migration/status");
       const pct = m.progress_pct ?? 0;
@@ -212,7 +211,8 @@ export async function systemView(outlet) {
     }
     const startRow = el("div", { class: "row", style: "margin-top:6px" },
                         pathIn, startBtn);
-    body.append(info, bar, startRow, ctls);
+    // ctlOut sits outside both rows so start errors show while idle too
+    body.append(info, bar, startRow, ctls, ctlOut);
     let iv = null;
     function ensurePolling(state) {
       const running = ["migrating", "validating", "cutover"].includes(state);

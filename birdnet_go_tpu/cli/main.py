@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     mig.add_argument("--batch-size", type=int, default=500)
     mig.add_argument("--rollback", action="store_true",
                      help="undo a previous unfinished migration instead")
+    mig.add_argument("--force", action="store_true",
+                     help="start over a completed migration (e.g. to absorb"
+                          " a second legacy database; dedup prevents"
+                          " duplicates)")
 
     mdl = sub.add_parser("model", help="model gallery: list/install/remove")
     mdl.add_argument("action", choices=["list", "install", "remove"])
@@ -521,7 +525,7 @@ def _cmd_migrate(args) -> int:
         print("rolled back: migration state reset, migrated rows removed")
         return 0
     try:
-        w.start()
+        w.start(force=args.force)
     except (RuntimeError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

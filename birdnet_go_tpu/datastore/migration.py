@@ -158,12 +158,22 @@ class MigrationWorker:
 
     # -- lifecycle (worker.go:247-344) -------------------------------------
 
-    def start(self) -> None:
+    def start(self, force: bool = False) -> None:
+        """Begin (or re-begin) the migration. A completed run blocks new
+        starts unless `force` — which resets the state row and the
+        legacy-id map so a *different* legacy DB can be absorbed (existing
+        native rows stay; timestamp+species dedup prevents duplicates)."""
         st = self.store.get()
         if st["state"] in ("migrating", "validating", "cutover"):
             raise RuntimeError(f"migration already {st['state']}")
         if st["state"] == "completed":
-            raise RuntimeError("migration already completed")
+            if not force:
+                raise RuntimeError(
+                    "migration already completed (use force to migrate "
+                    "another database)")
+            self.store.map_clear()
+            self.store.update(state="idle", migrated_records=0,
+                              last_migrated_id=0, completed_at=None)
         conn, _tables = open_birdnet_go_db(self.legacy_path)  # validates
         total = conn.execute("SELECT COUNT(*) FROM notes").fetchone()[0]
         conn.close()

@@ -279,3 +279,36 @@ def test_migration_endpoints_live(tmp_path, tiny_app):
         assert st["progress_pct"] == 100.0
     finally:
         tiny_app.stop()
+
+
+def test_force_start_absorbs_second_legacy_db(tmp_path):
+    """After one completed migration, force-start absorbs a different
+    legacy DB; timestamp+species dedup keeps shared rows single."""
+    a = tmp_path / "a.db"
+    b = tmp_path / "b.db"
+    _legacy_with_n(a, 30)          # fixture 2 + 30
+    _make_legacy_db(b)             # fixture 2 only (overlaps a's fixtures)
+    import sqlite3 as _s
+    conn = _s.connect(b)
+    conn.execute(
+        "INSERT INTO notes (date, time, scientific_name, common_name,"
+        " species_code, confidence, clip_name) VALUES"
+        " ('2024-07-01','06:00:00','Only in B','B only','ob1',0.8,'')")
+    conn.commit(); conn.close()
+
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, a, batch_size=64, sleep_between=0.0)
+    w.start()
+    _wait_state(w, "completed")
+    w.stop()
+    assert ds.count_detections() == 32
+
+    w2 = MigrationWorker(ds, b, batch_size=64, sleep_between=0.0)
+    with pytest.raises(RuntimeError, match="force"):
+        w2.start()
+    w2.start(force=True)
+    _wait_state(w2, "completed")
+    w2.stop()
+    # only B's unique row was added; the 2 shared fixture rows deduped
+    assert ds.count_detections() == 33
+    assert len(ds.search_detections(species="Only in B")) == 1
