@@ -312,3 +312,34 @@ def test_force_start_absorbs_second_legacy_db(tmp_path):
     # only B's unique row was added; the 2 shared fixture rows deduped
     assert ds.count_detections() == 33
     assert len(ds.search_detections(species="Only in B")) == 1
+
+
+def test_auto_pause_after_consecutive_errors(tmp_path):
+    """Repeated batch failures auto-pause with the error recorded
+    (worker.go:1221 handleError / DefaultMaxConsecutiveErrors), and a
+    manual resume picks up where it left off."""
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 40)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=8, sleep_between=0.0,
+                        error_backoff=0.01, max_consecutive_errors=3,
+                        dual_write=False)
+    orig = ds.insert_detection
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    ds.insert_detection = boom
+    w.start()
+    _wait_state(w, "paused")
+    st = w.store.get()
+    assert st["paused_from"] == "migrating"
+    assert st["consecutive_errors"] == 3
+    assert "disk full" in st["error"]
+
+    ds.insert_detection = orig              # operator fixed the disk
+    w.resume()
+    _wait_state(w, "completed")
+    assert ds.count_detections() == 42
+    assert w.store.get()["error"] is None
+    w.stop()
