@@ -1165,7 +1165,16 @@ class ExtendedHandlers:
     async def h_migration_ctl(self, request):
         worker = getattr(self, "_migration_worker", None)
         if worker is None:
-            return _json({"error": "no migration this session"}, status=404)
+            # server restarted mid-migration: rebuild the worker from the
+            # persisted state so resume/cancel/rollback keep working
+            from birdnet_go_tpu.datastore.migration import (
+                MigrationStateStore, MigrationWorker)
+            st = MigrationStateStore(self.ctx.datastore).get()
+            if not st["legacy_path"] or st["state"] in ("idle", "completed"):
+                return _json({"error": "no migration this session"},
+                             status=404)
+            worker = MigrationWorker(self.ctx.datastore, st["legacy_path"])
+            self._migration_worker = worker
         action = request.path.rsplit("/", 1)[-1]
         try:
             await asyncio.get_event_loop().run_in_executor(

@@ -213,12 +213,15 @@ export async function systemView(outlet) {
                         pathIn, startBtn);
     // ctlOut sits outside both rows so start errors show while idle too
     body.append(info, bar, startRow, ctls, ctlOut);
-    let iv = null;
+    let iv = null, pollFails = 0;
     function ensurePolling(state) {
       const running = ["migrating", "validating", "cutover"].includes(state);
       if (running && iv == null) {
-        iv = setInterval(() => refresh().then((m) => ensurePolling(m.state))
-          .catch(() => { clearInterval(iv); iv = null; }), 2000);
+        iv = setInterval(() => refresh()
+          .then((m) => { pollFails = 0; ensurePolling(m.state); })
+          .catch(() => {   // tolerate transient blips; give up after 5
+            if (++pollFails >= 5) { clearInterval(iv); iv = null; }
+          }), 2000);
       } else if (!running && iv != null) { clearInterval(iv); iv = null; }
     }
     onCleanup(() => { if (iv != null) clearInterval(iv); });

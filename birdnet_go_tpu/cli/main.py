@@ -526,7 +526,14 @@ def _cmd_migrate(args) -> int:
         return 0
     try:
         w.start(force=args.force)
-    except (RuntimeError, ValueError) as e:
+    except RuntimeError as e:
+        if "paused" in str(e):      # auto-resume an interrupted/paused run
+            print("resuming paused migration")
+            w.resume()
+        else:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     last_pct = -1.0

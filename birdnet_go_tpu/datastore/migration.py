@@ -72,9 +72,16 @@ class MigrationStateStore:
               started_at REAL, completed_at REAL, error TEXT);
             CREATE TABLE IF NOT EXISTS migration_map (
               legacy_id INTEGER PRIMARY KEY,
-              det_id INTEGER NOT NULL);
+              det_id INTEGER NOT NULL,
+              created INTEGER NOT NULL DEFAULT 1);
             INSERT OR IGNORE INTO migration_state (id) VALUES (1);
             """)
+            try:    # map tables from earlier builds lack the created flag
+                datastore._conn.execute(
+                    "ALTER TABLE migration_map ADD COLUMN created INTEGER"
+                    " NOT NULL DEFAULT 1")
+            except Exception:
+                pass
             datastore._conn.commit()
 
     def get(self) -> dict[str, Any]:
@@ -91,11 +98,14 @@ class MigrationStateStore:
                 tuple(fields.values()))
             self._ds._conn.commit()
 
-    def map_insert(self, legacy_id: int, det_id: int) -> None:
+    def map_insert(self, legacy_id: int, det_id: int,
+                   created: bool = True) -> None:
+        """created=False records a dedup mapping onto a row that existed
+        before the migration — rollback must not delete those."""
         with self._ds._lock:
             self._ds._conn.execute(
-                "INSERT OR IGNORE INTO migration_map VALUES (?, ?)",
-                (legacy_id, det_id))
+                "INSERT OR IGNORE INTO migration_map VALUES (?, ?, ?)",
+                (legacy_id, det_id, 1 if created else 0))
             self._ds._conn.commit()
 
     def map_has(self, legacy_id: int) -> bool:
@@ -109,10 +119,12 @@ class MigrationStateStore:
             return self._ds._conn.execute(
                 "SELECT COUNT(*) FROM migration_map").fetchone()[0]
 
-    def map_det_ids(self) -> list[int]:
+    def map_det_ids(self, created_only: bool = False) -> list[int]:
+        q = "SELECT det_id FROM migration_map"
+        if created_only:
+            q += " WHERE created = 1"
         with self._ds._lock:
-            return [r[0] for r in self._ds._conn.execute(
-                "SELECT det_id FROM migration_map")]
+            return [r[0] for r in self._ds._conn.execute(q)]
 
     def map_clear(self) -> None:
         with self._ds._lock:
@@ -158,14 +170,35 @@ class MigrationWorker:
 
     # -- lifecycle (worker.go:247-344) -------------------------------------
 
+    def _alive(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def _spawn(self) -> None:
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self._run, name="migration-worker", daemon=True)
+        self._thread.start()
+
     def start(self, force: bool = False) -> None:
-        """Begin (or re-begin) the migration. A completed run blocks new
-        starts unless `force` — which resets the state row and the
-        legacy-id map so a *different* legacy DB can be absorbed (existing
-        native rows stay; timestamp+species dedup prevents duplicates)."""
+        """Begin the migration — or, when the persisted state says a run
+        was interrupted (crash/restart left it mid-flight with no live
+        thread), resume it in place keeping all progress. A completed run
+        blocks new starts unless `force` — which resets the state row and
+        the legacy-id map so a *different* legacy DB can be absorbed
+        (existing native rows stay; timestamp+species dedup prevents
+        duplicates)."""
         st = self.store.get()
         if st["state"] in ("migrating", "validating", "cutover"):
-            raise RuntimeError(f"migration already {st['state']}")
+            if self._alive():
+                raise RuntimeError(f"migration already {st['state']}")
+            if st["legacy_path"] and st["legacy_path"] != self.legacy_path:
+                raise RuntimeError(
+                    f"an interrupted migration of {st['legacy_path']} is "
+                    "pending; resume/cancel/rollback it first")
+            self._spawn()               # resume the interrupted run
+            return
+        if st["state"] == "paused":
+            raise RuntimeError("migration paused; resume to continue")
         if st["state"] == "completed":
             if not force:
                 raise RuntimeError(
@@ -181,10 +214,7 @@ class MigrationWorker:
                           total_records=total, started_at=time.time(),
                           error=None, consecutive_errors=0,
                           validation_attempts=0)
-        self._stop.clear()
-        self._thread = threading.Thread(
-            target=self._run, name="migration-worker", daemon=True)
-        self._thread.start()
+        self._spawn()
 
     def pause(self) -> None:
         st = self.store.get()
@@ -199,11 +229,11 @@ class MigrationWorker:
                               paused_from=None, consecutive_errors=0,
                               error=None)
             self._wake.set()
-            if self._thread is None or not self._thread.is_alive():
-                self._stop.clear()
-                self._thread = threading.Thread(
-                    target=self._run, name="migration-worker", daemon=True)
-                self._thread.start()
+            if not self._alive():
+                self._spawn()
+        elif (st["state"] in ("migrating", "validating", "cutover")
+              and not self._alive()):
+            self._spawn()       # interrupted run (crash/restart)
 
     def cancel(self) -> None:
         """Stop and mark cancelled; migrated rows are kept (reference
@@ -219,14 +249,17 @@ class MigrationWorker:
             self._thread.join(timeout)
 
     def rollback(self) -> None:
-        """Remove every migrated detection and reset to idle
-        (state_manager.go:359 Rollback). Refused after cutover completes —
-        at that point the native datastore is the system of record."""
+        """Remove every detection the migration CREATED (dedup-only map
+        entries point at rows that predate it and are left alone) and
+        reset to idle (state_manager.go:359 Rollback). Refused after
+        cutover completes — at that point the native datastore is the
+        system of record."""
         st = self.store.get()
         if st["state"] == "completed":
             raise RuntimeError("migration completed; rollback unavailable")
         self.stop()
-        for det_id in self.store.map_det_ids():
+        self.uninstall_dual_write()
+        for det_id in self.store.map_det_ids(created_only=True):
             try:
                 # locks carried over from legacy were created by the
                 # migration itself, so it may remove them on rollback
@@ -250,6 +283,11 @@ class MigrationWorker:
         if not self.dual_write_enabled or self._uninstall_hook is not None:
             return
         orig = self.ds.insert_detection
+        if getattr(orig, "_migration_dual_write", False):
+            # another worker's stale wrapper: never stack wrappers
+            log.warning("dual-write: insert_detection already wrapped; "
+                        "not stacking")
+            return
 
         def wrapped(d, clip_name=None, **kw):
             det_id = orig(d, clip_name=clip_name, **kw)
@@ -261,6 +299,7 @@ class MigrationWorker:
                     self._dw_queue.append((d, clip_name))
             return det_id
 
+        wrapped._migration_dual_write = True
         self.ds.insert_detection = wrapped
         self._uninstall_hook = lambda: setattr(
             self.ds, "insert_detection", orig)
@@ -273,37 +312,64 @@ class MigrationWorker:
     def _drain_dual_write(self) -> None:
         if not self._dw_queue:
             return
+        import datetime as _dt
         import sqlite3
+
         with self._dw_lock:
             pending = []
             while self._dw_queue:
                 pending.append(self._dw_queue.popleft())
+            conn = None
             try:
                 conn = sqlite3.connect(self.legacy_path, timeout=5.0)
                 cols = {r[1] for r in conn.execute(
                     "PRAGMA table_info(notes)")}
-                for d, clip_name in pending:
-                    import datetime as _dt
-                    when = d.timestamp or _dt.datetime.now()
-                    row = {"date": when.strftime("%Y-%m-%d"),
-                           "time": when.strftime("%H:%M:%S"),
-                           "scientific_name": d.species.scientific,
-                           "common_name": d.species.common,
-                           "species_code": d.species_code,
-                           "confidence": d.confidence,
-                           "clip_name": clip_name or ""}
-                    row = {k: v for k, v in row.items() if k in cols}
-                    conn.execute(
-                        f"INSERT INTO notes ({', '.join(row)}) VALUES"
-                        f" ({', '.join('?' * len(row))})",
-                        tuple(row.values()))
-                    self._dw_written += 1
-                conn.commit()
-                conn.close()
             except Exception:
-                self._dw_dropped += len(pending)
-                log.exception("dual-write drain failed (%d rows dropped)",
-                              len(pending))
+                # legacy DB briefly unreachable (e.g. locked by the old
+                # deployment): re-queue and retry at the next drain
+                if conn is not None:
+                    conn.close()
+                log.warning("dual-write drain: legacy DB unreachable, "
+                            "%d rows re-queued", len(pending))
+                for item in reversed(pending):
+                    if len(self._dw_queue) < DUAL_WRITE_QUEUE_MAX:
+                        self._dw_queue.appendleft(item)
+                    else:
+                        self._dw_dropped += 1
+                return
+            ok = bad = 0
+            try:
+                for d, clip_name in pending:
+                    try:
+                        when = d.timestamp or _dt.datetime.now()
+                        row = {"date": when.strftime("%Y-%m-%d"),
+                               "time": when.strftime("%H:%M:%S"),
+                               "scientific_name": d.species.scientific,
+                               "common_name": d.species.common,
+                               "species_code": d.species_code,
+                               "confidence": d.confidence,
+                               "clip_name": clip_name or ""}
+                        row = {k: v for k, v in row.items() if k in cols}
+                        conn.execute(
+                            f"INSERT INTO notes ({', '.join(row)}) VALUES"
+                            f" ({', '.join('?' * len(row))})",
+                            tuple(row.values()))
+                        ok += 1
+                    except Exception:
+                        bad += 1
+                        log.exception("dual-write: row rejected by legacy")
+                conn.commit()
+            except Exception:
+                # commit failed: nothing landed, the whole batch is lost
+                log.exception("dual-write drain commit failed "
+                              "(%d rows dropped)", len(pending))
+                bad, ok = len(pending), 0
+            finally:
+                conn.close()
+            # counted only after a successful commit — status must never
+            # claim rows as written that are not durably in the legacy DB
+            self._dw_written += ok
+            self._dw_dropped += bad
 
     # -- run loop (worker.go:346-455) ---------------------------------------
 
@@ -311,9 +377,20 @@ class MigrationWorker:
         import sqlite3 as _sqlite3
 
         conn = None
+        prev_sync = None
         try:
             conn, tables = open_birdnet_go_db(self.legacy_path)
             self.install_dual_write()
+            # WAL + synchronous=NORMAL makes the per-row commits of the
+            # batch loop cheap (no fsync per commit); the migration is
+            # resumable, so relaxed last-commit durability is safe here
+            try:
+                with self.ds._lock:
+                    prev_sync = self.ds._conn.execute(
+                        "PRAGMA synchronous").fetchone()[0]
+                    self.ds._conn.execute("PRAGMA synchronous=NORMAL")
+            except Exception:
+                prev_sync = None
             while not self._stop.is_set():
                 try:
                     st = self.store.get()
@@ -321,6 +398,9 @@ class MigrationWorker:
                     break            # target datastore closed at shutdown
                 state = st["state"]
                 if state == "paused":
+                    # dual-write keeps flowing while paused — losing live
+                    # detections from the legacy DB would break rollback
+                    self._drain_dual_write()
                     self._wake.wait(0.25)
                     self._wake.clear()
                     continue
@@ -357,12 +437,16 @@ class MigrationWorker:
             self._drain_dual_write()
             if conn is not None:
                 conn.close()
-            try:
-                final = self.store.get()["state"]
-            except Exception:   # datastore already closed at shutdown
-                final = "idle"
-            if final in ("completed", "cancelled", "failed", "idle"):
-                self.uninstall_dual_write()
+            if prev_sync is not None:
+                try:
+                    with self.ds._lock:
+                        self.ds._conn.execute(
+                            f"PRAGMA synchronous={int(prev_sync)}")
+                except Exception:
+                    pass
+            # always unhook on thread exit: a dormant worker must not keep
+            # queueing live detections (a resume re-installs the hook)
+            self.uninstall_dual_write()
 
     def _ingest_legacy_row(self, conn, tables, n) -> bool:
         """Migrate one legacy `notes` row into the native store, recording
@@ -377,14 +461,18 @@ class MigrationWorker:
             self.store.map_insert(n["id"], -1)
             return False
         d = entry["detection"]
+        # second-granularity match: legacy date/time (and hence dual-write
+        # round-trips) carry whole seconds, while native rows store
+        # fractional wall-clock floats — an exact-equality probe would
+        # miss every dual-written row and re-insert it at cutover
         ts = d.timestamp.timestamp()
         with self.ds._lock:
             dup = self.ds._conn.execute(
-                "SELECT id FROM detections WHERE timestamp = ?"
-                " AND scientific_name = ? LIMIT 1",
-                (ts, d.species.scientific)).fetchone()
+                "SELECT id FROM detections WHERE timestamp >= ?"
+                " AND timestamp < ? AND scientific_name = ? LIMIT 1",
+                (ts, ts + 1.0, d.species.scientific)).fetchone()
         if dup is not None:
-            self.store.map_insert(n["id"], dup[0])
+            self.store.map_insert(n["id"], dup[0], created=False)
             return False
         det_id = self.ds.insert_detection(
             d, clip_name=None, results=entry["results"] or None)
@@ -489,7 +577,10 @@ class MigrationWorker:
             "legacy_path": st["legacy_path"],
             "total_records": total,
             "migrated_records": done,
-            "progress_pct": round(100.0 * done / total, 1) if total else 0.0,
+            # clamped: cutover tail rows can push the map past the total
+            # frozen at validation time
+            "progress_pct": min(100.0, round(100.0 * done / total, 1))
+            if total else 0.0,
             "records_per_second": round(rate, 1),
             "eta_seconds": round(eta, 1) if eta is not None else None,
             "last_migrated_id": st["last_migrated_id"],

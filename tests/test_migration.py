@@ -88,10 +88,11 @@ def test_restart_resumes_from_persisted_state(tmp_path):
     ds2 = Datastore(db)
     st = MigrationStateStore(ds2).get()
     assert st["migrated_records"] == done_before   # persisted
-    # resume must not duplicate any already-migrated row
-    MigrationStateStore(ds2).update(state="paused", paused_from="migrating")
+    assert st["state"] == "migrating"              # interrupted mid-flight
+    # start() on a fresh worker resumes the interrupted run in place
+    # without duplicating any already-migrated row
     w2 = MigrationWorker(ds2, legacy, batch_size=64, sleep_between=0.0)
-    w2.resume()
+    w2.start()
     _wait_state(w2, "completed")
     assert ds2.count_detections() == 302
     w2.stop()
@@ -165,11 +166,14 @@ def test_dual_write_appends_to_legacy_until_cutover(tmp_path):
     while w._uninstall_hook is None:
         assert time.monotonic() < deadline
         time.sleep(0.01)
+    # fractional timestamp, as the live processor produces: the legacy
+    # round-trip truncates to whole seconds, and tail-sync dedup must
+    # still recognize the row (second-granularity match)
     live = Detection(
         species=Species("Parus major", "Great Tit"), confidence=0.88,
         begin_seconds=0.0, end_seconds=3.0, model_id="BirdNET_V2.4",
         source_id="rtsp:cam1",
-        timestamp=datetime.datetime(2024, 6, 1, 7, 30, 0),
+        timestamp=datetime.datetime(2024, 6, 1, 7, 30, 0, 456789),
         species_code="gretit1")
     ds.insert_detection(live)
     _wait_state(w, "completed")
@@ -343,3 +347,49 @@ def test_auto_pause_after_consecutive_errors(tmp_path):
     assert ds.count_detections() == 42
     assert w.store.get()["error"] is None
     w.stop()
+
+
+def test_start_while_paused_refused_no_second_thread(tmp_path):
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 300)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=8, sleep_between=0.01)
+    w.start()
+    w.pause()
+    _wait_state(w, "paused")
+    with pytest.raises(RuntimeError, match="resume"):
+        w.start()
+    assert w.store.get()["state"] == "paused"     # untouched
+    w.resume()
+    _wait_state(w, "completed")
+    w.stop()
+
+
+def test_rollback_spares_preexisting_rows(tmp_path):
+    """Dedup-mapped rows predate the migration; rollback must not delete
+    them (migration_map.created flag)."""
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 50)
+    ds = Datastore(":memory:")
+    # a detection that existed before migration, colliding with legacy row 1
+    pre = Detection(
+        species=Species("Turdus merula", "Eurasian Blackbird"),
+        confidence=0.91, begin_seconds=0.0, end_seconds=3.0,
+        model_id="BirdNET_V2.4", source_id="soundcard",
+        timestamp=datetime.datetime(2024, 5, 1, 4, 55, 0, 250000),
+        species_code="eurbla")
+    pre_id = ds.insert_detection(pre)
+
+    w = MigrationWorker(ds, legacy, batch_size=16, sleep_between=0.01,
+                        dual_write=False)
+    w.start()
+    deadline = time.monotonic() + 15
+    while w.store.get()["migrated_records"] < 30:
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    w.cancel()
+    w.stop()
+    w.rollback()
+    # every migration-created row is gone, the pre-existing one remains
+    assert ds.count_detections() == 1
+    assert ds.get_detection(pre_id) is not None
