@@ -106,8 +106,12 @@ def test_pause_resume(tmp_path):
     w.start()
     w.pause()
     _wait_state(w, "paused")
+    # the batch in flight when pause() landed may still complete (the
+    # reference worker also finishes its current batch); wait for it,
+    # then the count must hold still
+    time.sleep(0.2)
     frozen = w.store.get()["migrated_records"]
-    time.sleep(0.15)
+    time.sleep(0.2)
     assert w.store.get()["migrated_records"] == frozen
     w.resume()
     _wait_state(w, "completed")
