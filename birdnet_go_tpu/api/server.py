@@ -1272,6 +1272,29 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             for k in ("enqueued", "completed", "failed", "dropped"):
                 REGISTRY.gauge(f"birdnet_jobqueue_{k}_total").set(
                     getattr(st, k))
+        # live migration progress (reference migration_telemetry.go); read
+        # from the persisted state row so it reports across restarts too
+        ds = self.ctx.datastore
+        if ds is not None:
+            try:
+                with ds._lock:
+                    row = ds._conn.execute(
+                        "SELECT state, total_records, migrated_records"
+                        " FROM migration_state WHERE id = 1").fetchone()
+            except Exception:       # table absent: no migration ever ran
+                row = None
+            if row is not None:
+                from birdnet_go_tpu.datastore.migration import STATES
+                code = (STATES.index(row["state"])
+                        if row["state"] in STATES else -1)
+                REGISTRY.gauge(
+                    "birdnet_migration_state",
+                    "0=idle 1=migrating 2=validating 3=cutover 4=completed"
+                    " 5=paused 6=cancelled 7=failed").set(code)
+                REGISTRY.gauge("birdnet_migration_records_total").set(
+                    row["total_records"])
+                REGISTRY.gauge("birdnet_migration_records_migrated").set(
+                    row["migrated_records"])
 
     async def h_resources(self, request):
         from birdnet_go_tpu.utils.sysmonitor import resources

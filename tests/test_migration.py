@@ -285,6 +285,13 @@ def test_migration_endpoints_live(tmp_path, tiny_app):
         st = req("/migration/status")
         assert st["migrated_records"] == 122
         assert st["progress_pct"] == 100.0
+
+        # Prometheus surface (reference migration_telemetry.go)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=10) as resp:
+            text = resp.read().decode()
+        assert "birdnet_migration_state 4" in text      # completed
+        assert "birdnet_migration_records_migrated 122" in text
     finally:
         tiny_app.stop()
 
