@@ -68,6 +68,7 @@ class MigrationStateStore:
               migrated_records INTEGER NOT NULL DEFAULT 0,
               last_migrated_id INTEGER NOT NULL DEFAULT 0,
               validation_attempts INTEGER NOT NULL DEFAULT 0,
+              validation_mapped INTEGER NOT NULL DEFAULT -1,
               consecutive_errors INTEGER NOT NULL DEFAULT 0,
               started_at REAL, completed_at REAL, error TEXT);
             CREATE TABLE IF NOT EXISTS migration_map (
@@ -80,6 +81,12 @@ class MigrationStateStore:
                 datastore._conn.execute(
                     "ALTER TABLE migration_map ADD COLUMN created INTEGER"
                     " NOT NULL DEFAULT 1")
+            except Exception:
+                pass
+            try:    # state rows from earlier builds lack validation_mapped
+                datastore._conn.execute(
+                    "ALTER TABLE migration_state ADD COLUMN"
+                    " validation_mapped INTEGER NOT NULL DEFAULT -1")
             except Exception:
                 pass
             datastore._conn.commit()
@@ -213,7 +220,7 @@ class MigrationWorker:
         self.store.update(state="migrating", legacy_path=self.legacy_path,
                           total_records=total, started_at=time.time(),
                           error=None, consecutive_errors=0,
-                          validation_attempts=0)
+                          validation_attempts=0, validation_mapped=-1)
         self._spawn()
 
     def pause(self) -> None:
@@ -270,7 +277,8 @@ class MigrationWorker:
         self.store.map_clear()
         self.store.update(state="idle", migrated_records=0,
                           last_migrated_id=0, total_records=0,
-                          validation_attempts=0, consecutive_errors=0,
+                          validation_attempts=0, validation_mapped=-1,
+                          consecutive_errors=0,
                           started_at=None, completed_at=None, error=None,
                           paused_from=None)
 
@@ -337,9 +345,11 @@ class MigrationWorker:
                     else:
                         self._dw_dropped += 1
                 return
-            ok = bad = 0
+            accepted: list = []   # rows whose INSERT succeeded pre-commit
+            bad = 0
             try:
-                for d, clip_name in pending:
+                for item in pending:
+                    d, clip_name = item
                     try:
                         when = d.timestamp or _dt.datetime.now()
                         row = {"date": when.strftime("%Y-%m-%d"),
@@ -354,21 +364,32 @@ class MigrationWorker:
                             f"INSERT INTO notes ({', '.join(row)}) VALUES"
                             f" ({', '.join('?' * len(row))})",
                             tuple(row.values()))
-                        ok += 1
+                        accepted.append(item)
                     except Exception:
                         bad += 1
                         log.exception("dual-write: row rejected by legacy")
                 conn.commit()
             except Exception:
-                # commit failed: nothing landed, the whole batch is lost
-                log.exception("dual-write drain commit failed "
-                              "(%d rows dropped)", len(pending))
-                bad, ok = len(pending), 0
+                # commit failed (e.g. transient SQLITE_BUSY from the old
+                # deployment): nothing landed, so re-queue the batch like
+                # the unreachable-DB branch — only individually-rejected
+                # rows are dropped. Losing the batch here would silently
+                # break the lossless-rollback guarantee dual-write exists
+                # to provide.
+                log.warning("dual-write drain commit failed: %d rows "
+                            "re-queued, %d rejected", len(accepted), bad)
+                for item in reversed(accepted):
+                    if len(self._dw_queue) < DUAL_WRITE_QUEUE_MAX:
+                        self._dw_queue.appendleft(item)
+                    else:
+                        self._dw_dropped += 1
+                self._dw_dropped += bad
+                return
             finally:
                 conn.close()
             # counted only after a successful commit — status must never
             # claim rows as written that are not durably in the legacy DB
-            self._dw_written += ok
+            self._dw_written += len(accepted)
             self._dw_dropped += bad
 
     # -- run loop (worker.go:346-455) ---------------------------------------
@@ -419,6 +440,13 @@ class MigrationWorker:
                     errs = st["consecutive_errors"] + 1
                     log.exception("migration batch failed (%d consecutive)",
                                   errs)
+                    # re-read before auto-pausing: a cancel()/pause() that
+                    # landed while this batch was in flight must not be
+                    # overwritten with 'paused' (a later resume() would
+                    # revive a run the operator cancelled)
+                    cur = self.store.get()["state"]
+                    if cur != state or self._stop.is_set():
+                        continue
                     if errs >= self.max_consecutive_errors:
                         # auto-pause, operator can resume (worker.go:1221)
                         self.store.update(state="paused",
@@ -464,13 +492,21 @@ class MigrationWorker:
         # second-granularity match: legacy date/time (and hence dual-write
         # round-trips) carry whole seconds, while native rows store
         # fractional wall-clock floats — an exact-equality probe would
-        # miss every dual-written row and re-insert it at cutover
+        # miss every dual-written row and re-insert it at cutover.
+        # Confidence must match too: it round-trips exactly through the
+        # legacy REAL column, so dual-write echoes and force-restart
+        # re-absorptions still dedup, while genuinely distinct legacy rows
+        # at the same second (e.g. the same species heard on two source
+        # nodes) migrate as separate detections instead of being silently
+        # collapsed (reference parse keeps both).
         ts = d.timestamp.timestamp()
         with self.ds._lock:
             dup = self.ds._conn.execute(
                 "SELECT id FROM detections WHERE timestamp >= ?"
-                " AND timestamp < ? AND scientific_name = ? LIMIT 1",
-                (ts, ts + 1.0, d.species.scientific)).fetchone()
+                " AND timestamp < ? AND scientific_name = ?"
+                " AND ABS(confidence - ?) < 1e-9 LIMIT 1",
+                (ts, ts + 1.0, d.species.scientific,
+                 d.confidence)).fetchone()
         if dup is not None:
             self.store.map_insert(n["id"], dup[0], created=False)
             return False
@@ -507,16 +543,29 @@ class MigrationWorker:
 
     def _validate(self, conn, st) -> None:
         """Count comparison with bounded catch-up (worker.go:1280,
-        validationCatchUpPercent)."""
-        legacy = conn.execute("SELECT COUNT(*) FROM notes").fetchone()[0]
+        validationCatchUpPercent).
+
+        The target is frozen at the ids the scan has already covered
+        (id <= last_migrated_id): under sustained live dual-write (or an
+        external writer appending to legacy) a whole-table count keeps
+        growing forever, and each validate→catch-up cycle would burn a
+        retry until the run spuriously 'failed' — new tail rows are
+        cutover tail-sync's job, not validation's. Catch-up passes that
+        made forward progress also reset the retry budget."""
+        legacy = conn.execute(
+            "SELECT COUNT(*) FROM notes WHERE id <= ?",
+            (st["last_migrated_id"],)).fetchone()[0]
         mapped = self.store.map_count()
         if mapped >= legacy:
-            self.store.update(state="cutover", total_records=legacy)
+            self.store.update(state="cutover", total_records=legacy,
+                              validation_mapped=-1)
             return
         missing = legacy - mapped
         threshold = max(VALIDATION_CATCHUP_MIN,
                         legacy * VALIDATION_CATCHUP_PERCENT / 100.0)
         attempts = st["validation_attempts"] + 1
+        if st["validation_mapped"] >= 0 and mapped > st["validation_mapped"]:
+            attempts = 1        # the last catch-up made forward progress
         if attempts > VALIDATION_MAX_RETRIES:
             self.store.update(state="failed", validation_attempts=attempts,
                               error=f"validation failed: {missing} of "
@@ -526,6 +575,7 @@ class MigrationWorker:
             # catch-up: rescan from the start; migration_map dedups
             self.store.update(state="migrating", last_migrated_id=0,
                               validation_attempts=attempts,
+                              validation_mapped=mapped,
                               total_records=legacy)
         else:
             self.store.update(state="failed", validation_attempts=attempts,

@@ -404,3 +404,145 @@ def test_rollback_spares_preexisting_rows(tmp_path):
     # every migration-created row is gone, the pre-existing one remains
     assert ds.count_detections() == 1
     assert ds.get_detection(pre_id) is not None
+
+
+def test_dual_write_commit_failure_requeues(tmp_path, monkeypatch):
+    """A failed legacy commit (e.g. transient SQLITE_BUSY from the old
+    deployment) must re-queue the batch like the unreachable-DB branch,
+    not drop it — dropping silently breaks lossless rollback."""
+    legacy = tmp_path / "legacy.db"
+    _make_legacy_db(legacy)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy)
+    live = Detection(
+        species=Species("Parus major", "Great Tit"), confidence=0.88,
+        begin_seconds=0.0, end_seconds=3.0, model_id="BirdNET_V2.4",
+        source_id="rtsp:cam1",
+        timestamp=datetime.datetime(2024, 6, 1, 7, 30, 0, 456789),
+        species_code="gretit1")
+    w._dw_queue.append((live, None))
+
+    real_connect = sqlite3.connect
+
+    class _CommitFails:
+        def __init__(self, conn):
+            self._conn = conn
+
+        def __getattr__(self, name):
+            return getattr(self._conn, name)
+
+        def commit(self):
+            raise sqlite3.OperationalError("database is locked")
+
+    monkeypatch.setattr(
+        sqlite3, "connect",
+        lambda *a, **kw: _CommitFails(real_connect(*a, **kw)))
+    w._drain_dual_write()
+    monkeypatch.setattr(sqlite3, "connect", real_connect)
+
+    # nothing written, nothing dropped — the row is back in the queue
+    assert w._dw_written == 0 and w._dw_dropped == 0
+    assert len(w._dw_queue) == 1
+
+    w._drain_dual_write()              # legacy DB recovered
+    assert w._dw_written == 1 and len(w._dw_queue) == 0
+    conn = sqlite3.connect(legacy)
+    n = conn.execute("SELECT COUNT(*) FROM notes"
+                     " WHERE scientific_name = 'Parus major'").fetchone()[0]
+    conn.close()
+    assert n == 1
+
+
+def test_same_second_distinct_legacy_rows_both_migrate(tmp_path):
+    """Two source nodes logging the same species in the same second are
+    distinct legacy rows (different confidence); the dual-write dedup
+    probe must not collapse them — the reference keeps both."""
+    legacy = tmp_path / "legacy.db"
+    _make_legacy_db(legacy)
+    conn = sqlite3.connect(legacy)
+    for conf in (0.61, 0.87):
+        conn.execute(
+            "INSERT INTO notes (date, time, scientific_name, common_name,"
+            " species_code, confidence, clip_name) VALUES"
+            " ('2024-05-02','07:15:30','Cyanistes caeruleus',"
+            "'Eurasian Blue Tit','blutit1',?,'')", (conf,))
+    conn.commit(); conn.close()
+
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=16, sleep_between=0.0)
+    w.start()
+    _wait_state(w, "completed")
+    w.stop()
+    rows = ds.search_detections(species="Cyanistes caeruleus")
+    assert sorted(round(r["confidence"], 2) for r in rows) == [0.61, 0.87]
+    assert ds.count_detections() == 4      # 2 fixture + both blue tits
+
+
+def test_cancel_not_overwritten_by_auto_pause(tmp_path):
+    """cancel() landing while the Nth failing batch is in flight must win:
+    the auto-pause handler re-reads state and skips its 'paused' write."""
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 50)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, sleep_between=0.0, error_backoff=0.01,
+                        max_consecutive_errors=1, dual_write=False)
+
+    def cancelled_midway(conn, tables, st):
+        w.cancel()                     # operator cancels mid-batch
+        raise RuntimeError("batch blew up")
+
+    w._migrate_batch = cancelled_midway
+    w.start()
+    w._thread.join(10)
+    assert not w._thread.is_alive()
+    assert w.store.get()["state"] == "cancelled"
+
+
+def test_validation_ignores_tail_appends_and_resets_on_progress(tmp_path):
+    """Validation freezes its target at the scanned id range: rows an
+    external writer (or our own dual-write) keeps appending are cutover
+    tail-sync's job and must not burn validation retries. Catch-up passes
+    that made forward progress reset the retry budget."""
+    from birdnet_go_tpu.datastore import migration as mig
+    from birdnet_go_tpu.utils.imports import open_birdnet_go_db
+
+    legacy = tmp_path / "legacy.db"
+    _legacy_with_n(legacy, 50)
+    ds = Datastore(":memory:")
+    w = MigrationWorker(ds, legacy, batch_size=64, sleep_between=0.0,
+                        dual_write=False)
+    w.start()
+    _wait_state(w, "completed")
+    w.stop()
+
+    # an external writer keeps appending beyond the scanned range
+    conn = sqlite3.connect(legacy)
+    for i in range(10):
+        conn.execute(
+            "INSERT INTO notes (date, time, scientific_name, common_name,"
+            " species_code, confidence, clip_name) VALUES"
+            " ('2024-05-04','10:00:00','Tail bird','Tail','tb1',0.7,'')")
+    conn.commit(); conn.close()
+
+    # re-enter validation with the retry budget already exhausted: the
+    # frozen count ignores the 10 tail rows, so it passes to cutover
+    w.store.update(state="validating",
+                   validation_attempts=mig.VALIDATION_MAX_RETRIES)
+    lconn, _t = open_birdnet_go_db(legacy)
+    w._validate(lconn, w.store.get())
+    assert w.store.get()["state"] == "cutover"
+
+    # genuine small gap + forward progress since the last attempt ⇒
+    # catch-up continues with the retry counter reset, not exhausted
+    with ds._lock:
+        ds._conn.execute("DELETE FROM migration_map WHERE legacy_id IN"
+                         " (SELECT legacy_id FROM migration_map LIMIT 3)")
+        ds._conn.commit()
+    w.store.update(state="validating",
+                   validation_attempts=mig.VALIDATION_MAX_RETRIES,
+                   validation_mapped=10)    # well below current map count
+    w._validate(lconn, w.store.get())
+    lconn.close()
+    st = w.store.get()
+    assert st["state"] == "migrating"       # catch-up, not failed
+    assert st["validation_attempts"] == 1   # reset by forward progress
