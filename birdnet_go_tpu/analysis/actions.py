@@ -242,10 +242,12 @@ class CompositeAction:
 
 
 def enqueue_actions(queue: JobQueue, actions: list[Any],
-                    retry: RetryConfig | None = None) -> int:
+                    retry: RetryConfig | None = None,
+                    category: str = "other") -> int:
     n = 0
     for a in actions:
-        if queue.enqueue(a.execute, a.description, retry=retry):
+        if queue.enqueue(a.execute, a.description, retry=retry,
+                         category=category):
             n += 1
     return n
 

@@ -1186,7 +1186,7 @@ class Application:
         for act in custom:
             self.jobqueue.enqueue(
                 act.execute, f"command {d.species.common}",
-                retry=RetryConfig(enabled=False))
+                retry=RetryConfig(enabled=False), category="command")
         if has_custom and not run_defaults:
             return
         labels = self.labels.get(d.model_id)
@@ -1246,7 +1246,8 @@ class Application:
                         normalization=s.export.normalization).execute,
                     f"save clip {clip_name}",
                     retry=RetryConfig(enabled=True, max_retries=10,
-                                      initial_delay=1.0, max_delay=10.0))
+                                      initial_delay=1.0, max_delay=10.0),
+                    category="clip")
                 # spectrogram pre-render from the same wall-clock span
                 # (reference: DatabaseAction → PreRenderer.Submit); the
                 # PNG mirrors the clip's year/month subpath
@@ -1256,7 +1257,8 @@ class Application:
                                       clip_end, Path(s.export.path) / png_name),
                     f"prerender {png_name}",
                     retry=RetryConfig(enabled=True, max_retries=10,
-                                      initial_delay=1.0, max_delay=10.0))
+                                      initial_delay=1.0, max_delay=10.0),
+                    category="spectrogram")
 
         payload = {
             "scientific_name": d.species.scientific,
@@ -1297,7 +1299,8 @@ class Application:
                                             f"detection {d.label}").execute,
                 f"composite {d.label}",
                 retry=RetryConfig(enabled=True, max_retries=3,
-                                  initial_delay=2.0))
+                                  initial_delay=2.0),
+                category="composite")
 
         if self.birdweather is not None \
                 and tr.track(EventType.BIRDWEATHER_SUBMIT, common, sci):
@@ -1307,7 +1310,8 @@ class Application:
                                   ts_iso),
                 f"birdweather {d.species.common}",
                 retry=RetryConfig(enabled=True, max_retries=3,
-                                  initial_delay=5.0))
+                                  initial_delay=5.0),
+                category="birdweather")
 
         # new-species notification (species tracker) + alerting rules
         novelty = None
@@ -1323,7 +1327,7 @@ class Application:
                     self.alerting.on_detection,
                     {k: v for k, v in payload.items()},
                     novelty.is_new_lifetime if novelty else False),
-                f"alert rules {d.species.common}")
+                f"alert rules {d.species.common}", category="alert")
         if novelty is not None:
             # with window semantics a species stays "new" for days — the
             # notification itself is suppressed per suppression hours
@@ -1344,7 +1348,8 @@ class Application:
                                  f"({d.species.scientific}) — first ever "
                                  f"detection, confidence {d.confidence:.2f}"),
                         priority="high", payload=payload)),
-                    f"notify new species {d.species.common}")
+                    f"notify new species {d.species.common}",
+                    category="notify")
 
     def export_clip_for_detection(self, det_id: int) -> tuple[int, dict]:
         """On-demand clip (re)export for a stored detection — the

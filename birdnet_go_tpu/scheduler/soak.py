@@ -141,7 +141,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             db_writes["n"] += 1
 
         jobqueue.enqueue(run, f"save {d.species.scientific}",
-                         retry=RetryConfig(enabled=False))
+                         retry=RetryConfig(enabled=False),
+                         category="database")
 
     processor = Processor(settings, {spec.model_id: labels},
                           on_approved=on_approved)

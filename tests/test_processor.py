@@ -363,6 +363,55 @@ def test_job_queue_drop_when_full():
     assert q.stats.dropped == 1
 
 
+def test_job_queue_priority_shedding_order():
+    """When full, a critical job (clip/database) evicts the newest
+    low-priority pending job; low-priority incoming is dropped outright;
+    equal-priority incoming never evicts (VERDICT r3 #1; reference drop
+    accounting jobqueue/queue.go:59-204)."""
+    q = JobQueue(capacity=3, workers=1)   # not started: nothing drains
+    assert q.enqueue(lambda: None, "log1", category="log")
+    assert q.enqueue(lambda: None, "mqtt1", category="mqtt")
+    assert q.enqueue(lambda: None, "clip1", category="clip")
+    # full. Incoming clip save evicts the newest low-priority job (mqtt1)
+    assert q.enqueue(lambda: None, "clip2", category="clip")
+    assert q.stats.by_category["mqtt"]["dropped"] == 1
+    assert q.stats.by_category["mqtt"]["shed"] == 1
+    assert q.stats.shed == 1
+    # incoming low-priority job is dropped, nothing evicted
+    assert not q.enqueue(lambda: None, "alert1", category="alert")
+    assert q.stats.by_category["alert"]["dropped"] == 1
+    # normal-priority incoming evicts remaining low (log1)
+    assert q.enqueue(lambda: None, "spect1", category="spectrogram")
+    assert q.stats.by_category["log"]["shed"] == 1
+    # queue now: clip1, clip2, spect1 — a critical incoming may still
+    # evict the normal-priority spectrogram job...
+    assert q.enqueue(lambda: None, "clip3", category="clip")
+    assert q.stats.by_category["spectrogram"]["shed"] == 1
+    # ...but with only critical peers left it cannot evict and is dropped
+    assert not q.enqueue(lambda: None, "clip4", category="clip")
+    assert q.stats.by_category["clip"]["dropped"] == 1
+    assert q.stats.by_category["clip"]["shed"] == 0
+    assert q.stats.dropped == 5  # mqtt1, alert1, log1, spect1, clip4
+    assert q.stats.shed == 3
+
+
+def test_job_queue_bands_drain_critical_first():
+    """Workers drain the critical band before normal before low, so under
+    a burst clip saves and DB writes run ahead of notification fan-out."""
+    q = JobQueue(capacity=16, workers=1)
+    order = []
+    q.enqueue(lambda: order.append("log"), "l", category="log")
+    q.enqueue(lambda: order.append("alert"), "a", category="alert")
+    q.enqueue(lambda: order.append("spect"), "s", category="spectrogram")
+    q.enqueue(lambda: order.append("db"), "d", category="database")
+    q.enqueue(lambda: order.append("clip"), "c", category="clip")
+    q.start()
+    q.stop(drain=True)
+    assert order == ["db", "clip", "spect", "log", "alert"]
+    assert q.stats.completed == 5
+    assert q.stats.by_category["database"]["completed"] == 1
+
+
 # -- ultrasonic CV filter (processor.go:881-893 applyUltrasonicFilter) -------------
 
 @pytest.mark.parametrize("cv,enabled,kept", [
