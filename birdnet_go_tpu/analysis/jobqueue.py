@@ -113,7 +113,12 @@ class JobQueueStats:
 
     def bump(self, category: str, counter: str, n: int = 1) -> None:
         setattr(self, counter, getattr(self, counter) + n)
-        self._cat(category)[counter] += n
+        c = self._cat(category)
+        c[counter] += n
+        # shed-order forensics: stamp each category's first drop so an
+        # overload run can prove which action types shed, in what order
+        if counter == "dropped" and "first_drop_t" not in c:
+            c["first_drop_t"] = round(time.monotonic(), 3)
 
 
 class JobQueue:

@@ -131,6 +131,13 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--device", choices=["tpu", "stub"], default="stub")
     sk.add_argument("--max-batch", type=int, default=256)
     sk.add_argument("--db", default=":memory:")
+    sk.add_argument("--models", default="BirdNET_V2.4")
+    sk.add_argument("--action-mix", choices=["db", "realistic"],
+                    default="realistic")
+    sk.add_argument("--clips-dir", default=None)
+    sk.add_argument("--burst-at", type=float, default=None)
+    sk.add_argument("--burst-seconds", type=float, default=30.0)
+    sk.add_argument("--hit-stride", type=int, default=64)
     sk.add_argument("--out", default=None)
 
     s = sub.add_parser("serve", help="realtime analysis server")
@@ -184,7 +191,15 @@ def main(argv: list[str] | None = None) -> int:
                           "--seconds", str(args.seconds),
                           "--device", args.device,
                           "--max-batch", str(args.max_batch),
-                          "--db", args.db]
+                          "--db", args.db,
+                          "--models", args.models,
+                          "--action-mix", args.action_mix,
+                          "--burst-seconds", str(args.burst_seconds),
+                          "--hit-stride", str(args.hit_stride)]
+                         + (["--clips-dir", args.clips_dir]
+                            if args.clips_dir else [])
+                         + (["--burst-at", str(args.burst_at)]
+                            if args.burst_at is not None else [])
                          + (["--out", args.out] if args.out else []))
     if args.command == "train":
         return _cmd_train(args)

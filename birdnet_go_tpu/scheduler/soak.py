@@ -61,12 +61,25 @@ class CalibratedStubBatcher(_loop.HostBatcher):
     def __init__(self, spec, max_batch: int = 256, top_k: int = 10,
                  on_result=None, pipeline_depth: int = 2,
                  base_ms: float = 8.4, per_window_us: float = 33.0,
-                 num_species: int = 6522, hit_stride: int = 64):
+                 num_species: int = 6522, hit_stride: int = 64,
+                 hit_modulus: int | None = None):
         self._init_host(spec, max_batch, top_k, on_result, pipeline_depth)
         self.base_ms = base_ms
         self.per_window_us = per_window_us
         self.hit_stride = hit_stride
         self.num_species = num_species
+        # hit species index wraps at hit_modulus: a multi-model soak uses
+        # the smallest participating head so the SAME (synthetic) species
+        # name fires for a given stream across all model families —
+        # that is what exercises cross-model consensus (processor
+        # ModelContributions; reference processor.go:203-229)
+        self.hit_modulus = hit_modulus or num_species
+        # burst mode: EVERY stream detects its species every window (the
+        # r3 real-TPU random-init overload profile, bounded to per-source
+        # species so the 1-vCPU host measures jobqueue shedding rather
+        # than flusher saturation) — used to prove which action types
+        # shed first under saturation
+        self.burst = False
         self._dma = np.zeros_like(self._staged_bufs[0])
         rng = np.random.default_rng(7)
         self._low_vals = (0.05 + 0.25 * rng.random((max_batch, top_k))
@@ -95,9 +108,10 @@ class CalibratedStubBatcher(_loop.HostBatcher):
                 sid_n[j] = j
         vals = self._low_vals[:n].copy()
         idx = self._idx[:n].copy()
-        hits = sid_n % self.hit_stride == 0
+        hits = (np.ones(n, bool) if self.burst
+                else sid_n % self.hit_stride == 0)
         vals[hits, 0] = 0.93
-        idx[hits, 0] = (sid_n[hits] * 37) % self.num_species
+        idx[hits, 0] = (sid_n[hits] * 37) % self.hit_modulus
         return vals, idx, None
 
 
@@ -107,123 +121,225 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
              max_dispatches_per_tick: int = 8,
              collect_cap: int = 1024, timescale: float = 1.0,
              stub_base_ms: float = 8.4, stub_per_window_us: float = 33.0,
-             ring_seconds: float = 27.0) -> dict[str, Any]:
-    """Run the soak; returns the result record (see module docstring)."""
+             ring_seconds: float = 27.0,
+             models: tuple[str, ...] = ("BirdNET_V2.4",),
+             action_mix: str = "realistic", clips_dir: str | None = None,
+             burst_at: float | None = None, burst_seconds: float = 0.0,
+             hit_stride: int = 64, sim_mqtt_ms: float = 8.0,
+             sim_alert_ms: float = 3.0) -> dict[str, Any]:
+    """Run the soak; returns the result record (see module docstring).
+
+    `models` may list several families (e.g. BirdNET_V2.4 + Perch_V2 at
+    their native 48k/3s and 32k/5s rates, or the 256 kHz raw-rate bat
+    model): streams split evenly, every family sees the SAME source ids,
+    and matching hit species exercise cross-model consensus
+    (reference orchestrator.go:499 + processor.go:203-229,
+    BASELINE.json configs[4]).
+
+    `action_mix="realistic"` enqueues the production action bundle per
+    approval — composite DB save, clip write (real file I/O), log line,
+    MQTT publish + alert evaluation (sleep stand-ins calibrated to
+    typical integration RTTs) — so jobqueue behavior under load is
+    measured with production-shaped traffic. A burst leg
+    (`burst_at`/`burst_seconds`) flips every stream to detecting every
+    window mid-run, proving which action categories shed, in order,
+    while clip/database jobs survive (VERDICT r3 #1).
+    """
+    from birdnet_go_tpu.analysis.actions import DatabaseAction
     from birdnet_go_tpu.analysis.jobqueue import JobQueue, RetryConfig
     from birdnet_go_tpu.analysis.processor import FlushLoop, Processor
     from birdnet_go_tpu.config.settings import Settings
     from birdnet_go_tpu.datastore.sqlite import Datastore
-    from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+    from birdnet_go_tpu.models.registry import MODEL_REGISTRY
     from birdnet_go_tpu.native.lib import StreamFarm, available
     from birdnet_go_tpu.scheduler.loop import DeviceLoop, ModelBatcher
-    from birdnet_go_tpu.taxonomy.labels import load_labels
+    from birdnet_go_tpu.taxonomy.labels import synthetic_labels
 
     if not available():
         raise RuntimeError("native stream farm required for the soak")
-
-    model = BirdNETv24()
-    spec = model.spec
+    unknown = [m for m in models if m not in MODEL_REGISTRY]
+    if unknown:
+        raise ValueError(f"unknown model(s): {unknown}")
+    specs = [MODEL_REGISTRY[m] for m in models]
+    if device == "tpu" and list(models) != ["BirdNET_V2.4"]:
+        raise ValueError("tpu soak mode is single-model BirdNET_V2.4 "
+                         "(multi-model device residency is measured by "
+                         "bench.py); use --device stub for consensus legs")
+    per_model_streams = max(1, streams // len(specs))
+    # synthetic labels for every family: hit indices below the smallest
+    # head width resolve to the SAME species name in all families, which
+    # is what makes cross-model consensus observable in a synthetic soak
+    hit_modulus = min(s.num_species for s in specs)
+    labels_by_model = {s.model_id: synthetic_labels(s.num_species)
+                       for s in specs}
     settings = Settings()
-    labels = load_labels(model_id=spec.model_id,
-                         expected_count=model.num_species)
     store = Datastore(db_path)
     jobqueue = JobQueue()
     jobqueue.start()
-    db_writes = {"n": 0}
+
+    import tempfile
+
+    own_clips_tmp = None
+    if action_mix == "realistic" and clips_dir is None:
+        own_clips_tmp = tempfile.TemporaryDirectory(prefix="soak_clips_")
+        clips_dir = own_clips_tmp.name
+    from pathlib import Path
+
+    clips_path = Path(clips_dir) if clips_dir else None
+    if clips_path is not None:
+        clips_path.mkdir(parents=True, exist_ok=True)
+    _clip_blob = bytes(4096)    # clip-write stand-in: real file I/O,
+    #                             bounded size (a full WAV would be ~100×)
+
+    counters = {"approved": 0, "db": 0, "clips": 0, "consensus": 0,
+                "mqtt": 0, "alerts": 0}
 
     def on_approved(d, item):
-        from birdnet_go_tpu.analysis.actions import DatabaseAction
-
+        counters["approved"] += 1
+        if len(item.contributions) >= 2:
+            counters["consensus"] += 1
         act = DatabaseAction(detection=d, store=store)
 
-        def run():
+        def run_db():
             act.execute()
-            db_writes["n"] += 1
+            counters["db"] += 1
 
-        jobqueue.enqueue(run, f"save {d.species.scientific}",
+        jobqueue.enqueue(run_db, f"save {d.species.scientific}",
                          retry=RetryConfig(enabled=False),
-                         category="database")
+                         category="composite")
+        if action_mix != "realistic":
+            return
+        seq = counters["approved"]
+        path = clips_path / f"{d.source_id.replace(':', '_')}_{seq}.clip"
 
-    processor = Processor(settings, {spec.model_id: labels},
+        def run_clip(path=path):
+            path.write_bytes(_clip_blob)
+            counters["clips"] += 1
+
+        jobqueue.enqueue(run_clip, f"clip {path.name}",
+                         retry=RetryConfig(enabled=True, max_retries=3,
+                                           initial_delay=0.2, max_delay=1.0),
+                         category="clip")
+        jobqueue.enqueue(
+            lambda sci=d.species.scientific:
+            log.debug("detection logged: %s", sci),
+            "log detection", category="log")
+
+        def run_mqtt():
+            time.sleep(sim_mqtt_ms / 1000.0)   # broker RTT stand-in
+            counters["mqtt"] += 1
+
+        jobqueue.enqueue(run_mqtt, "mqtt publish", category="mqtt")
+
+        def run_alert():
+            time.sleep(sim_alert_ms / 1000.0)  # rules+webhook stand-in
+            counters["alerts"] += 1
+
+        jobqueue.enqueue(run_alert, "alert eval", category="alert")
+
+    processor = Processor(settings, labels_by_model,
                           on_approved=on_approved)
     flusher = FlushLoop(processor)
 
     lat_chunks: list[np.ndarray] = []
     submitted = {"n": 0}
+    epoch = {"t": 0.0}
 
-    def on_batch(meta, vals, idx, cv):
-        """One call per harvested device batch: vectorized latency sample
-        + Processor.submit_batch (no per-window Python objects)."""
-        n = len(meta)
-        ends = np.fromiter((w.end_time for w in meta), np.float64, n)
-        lat_chunks.append(time.time_ns() - (ends * 1e9).astype(np.int64))
-        submitted["n"] += n
-        processor.submit_batch(
-            spec.model_id, [w.source_id for w in meta],
-            [w.start_time for w in meta], ends, vals, idx,
-            ultrasonic_cv=cv)
-
-    calibration: dict[str, Any] = {}
-    if device == "tpu":
-        import jax
-
-        from birdnet_go_tpu.inference.backend import JaxClassifier
-
-        params = jax.device_put(model.init(jax.random.PRNGKey(0)))
-        clf = JaxClassifier(model, params)
-        batcher: Any = ModelBatcher(clf, max_batch=max_batch)
-        batcher.on_batch = on_batch
-        log.info("warming up the real device step (batch %d)...", max_batch)
-        compile_s = batcher.warmup()
-        calibration = {"mode": "real device",
-                       "warmup_compile_s": round(compile_s, 1)}
-    else:
-        batcher = CalibratedStubBatcher(
-            spec, max_batch=max_batch,
-            base_ms=stub_base_ms, per_window_us=stub_per_window_us,
-            num_species=model.num_species)
-        batcher.on_batch = on_batch
-        calibration = {
-            "mode": "calibrated stub",
-            "device_batch_latency_model_ms":
-                f"{stub_base_ms} + n*{stub_per_window_us}/1000",
-            "calibration_source": "BENCH on-device batch step (bench.py "
-                                  "scan-length differencing, real TPU)",
-            "note": "host plane fully real (C++ synthesis/rings/packing, "
-                    "staging+DMA copies, scheduler, processor, datastore);"
-                    " device compute replaced by measured-latency stub — "
-                    "device capacity proven separately by bench.py",
-        }
+    def make_on_batch(spec, rt_dur):
+        def on_batch(meta, vals, idx, cv):
+            """One call per harvested device batch: vectorized latency
+            sample + Processor.submit_batch. The latency deadline is the
+            REALTIME end of the window (start + clip_samples/effective
+            rate — for the bat raw-rate trick that is 0.56 s, not the
+            3 s model-time duration commit_block stores)."""
+            n = len(meta)
+            starts = np.fromiter((w.start_time for w in meta),
+                                 np.float64, n)
+            rt_ends = starts + rt_dur
+            lat_chunks.append(
+                time.time_ns() - (rt_ends * 1e9).astype(np.int64))
+            submitted["n"] += n
+            processor.submit_batch(
+                spec.model_id, [w.source_id for w in meta],
+                [w.start_time for w in meta],
+                np.fromiter((w.end_time for w in meta), np.float64, n),
+                vals, idx, ultrasonic_cv=cv)
+        return on_batch
 
     # stream connects spread over several hops (real fleets don't all
     # connect inside one hop), bounding the first-window surge; larger
     # farms get a longer ramp — the surge scales with stream count but
     # drain capacity doesn't
-    stagger = 8 if streams <= 5000 else 16
-    farm = StreamFarm(streams, spec.sample_rate, spec.clip_samples,
-                      spec.clip_samples // 2, ring_seconds=ring_seconds,
-                      n_waveforms=32, seed=11, timescale=timescale,
-                      stagger_hops=stagger)
-    names = [f"farm:{i}" for i in range(streams)]
-    meta_buf = np.empty((max(collect_cap, max_batch), 3), np.int64)
-    clip_sec = spec.clip_samples / spec.sample_rate
-    epoch = {"t": 0.0}
+    stagger = 8 if per_model_streams <= 5000 else 16
+    names = [f"farm:{i}" for i in range(per_model_streams)]
 
-    def fill(view):
-        """Zero-copy ingest: the C++ farm packs ready windows DIRECTLY
-        into the batcher's staging buffer (one memcpy fewer per window
-        than the block-provider path)."""
-        n = farm.collect(view, meta_buf)
-        if n == 0:
-            return 0, (), ()
-        sids = [names[meta_buf[j, 0]] for j in range(n)]
-        sts = epoch["t"] + meta_buf[:n, 2] / 1e9 - clip_sec
-        return n, sids, sts
-
+    calibration: dict[str, Any] = {}
     loop = DeviceLoop(tick_seconds=tick_ms / 1000.0,
                       max_dispatches_per_tick=max_dispatches_per_tick)
-    loop.add_batcher(batcher)
-    loop.add_fill_provider(spec.model_id, fill)
+    farms: list[tuple[Any, Any]] = []       # (spec, farm)
+    batchers: list[Any] = []
+    stub_batchers: list[Any] = []
+    for mi, spec in enumerate(specs):
+        eff_rate = spec.effective_sample_rate
+        rt_dur = spec.clip_samples / eff_rate
+        if device == "tpu":
+            import jax
+
+            from birdnet_go_tpu.inference.backend import JaxClassifier
+            from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+
+            model = BirdNETv24()
+            params = jax.device_put(model.init(jax.random.PRNGKey(0)))
+            clf = JaxClassifier(model, params)
+            batcher: Any = ModelBatcher(clf, max_batch=max_batch)
+            batcher.on_batch = make_on_batch(spec, rt_dur)
+            log.info("warming up the real device step (batch %d)...",
+                     max_batch)
+            compile_s = batcher.warmup()
+            calibration = {"mode": "real device",
+                           "warmup_compile_s": round(compile_s, 1)}
+        else:
+            batcher = CalibratedStubBatcher(
+                spec, max_batch=max_batch,
+                base_ms=stub_base_ms, per_window_us=stub_per_window_us,
+                num_species=spec.num_species, hit_stride=hit_stride,
+                hit_modulus=hit_modulus)
+            batcher.on_batch = make_on_batch(spec, rt_dur)
+            stub_batchers.append(batcher)
+            calibration = {
+                "mode": "calibrated stub",
+                "device_batch_latency_model_ms":
+                    f"{stub_base_ms} + n*{stub_per_window_us}/1000",
+                "calibration_source": "BENCH on-device batch step "
+                                      "(bench.py scan-length "
+                                      "differencing, real TPU)",
+                "note": "host plane fully real (C++ synthesis/rings/"
+                        "packing, staging+DMA copies, scheduler, "
+                        "processor, datastore); device compute replaced "
+                        "by measured-latency stub — device capacity "
+                        "proven separately by bench.py",
+            }
+        farm = StreamFarm(per_model_streams, eff_rate, spec.clip_samples,
+                          spec.clip_samples // 2,
+                          ring_seconds=ring_seconds, n_waveforms=32,
+                          seed=11 + mi, timescale=timescale,
+                          stagger_hops=stagger)
+        meta_buf = np.empty((max(collect_cap, max_batch), 3), np.int64)
+
+        def fill(view, farm=farm, meta_buf=meta_buf, rt_dur=rt_dur):
+            """Zero-copy ingest: the C++ farm packs ready windows
+            DIRECTLY into this model's staging buffer."""
+            n = farm.collect(view, meta_buf)
+            if n == 0:
+                return 0, (), ()
+            sids = [names[meta_buf[j, 0]] for j in range(n)]
+            sts = epoch["t"] + meta_buf[:n, 2] / 1e9 - rt_dur
+            return n, sids, sts
+
+        loop.add_batcher(batcher)
+        loop.add_fill_provider(spec.model_id, fill)
+        farms.append((spec, farm))
+        batchers.append(batcher)
 
     log.info("prewarming processor gates + taxonomy tables...")
     processor.prewarm()
@@ -254,57 +370,108 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     flusher.start()
     loop.start()                      # collector first: the farm's initial
     epoch["t"] = time.time()          # window surge (every stream's first
-    farm.start()                      # windows inside a few ticks) drains
-    t0 = time.monotonic()             # from tick one
+    for _spec, farm in farms:         # windows inside a few ticks) drains
+        farm.start()                  # from tick one
+    t0 = time.monotonic()
     samples = []
+    burst_was_on = False
     try:
         while time.monotonic() - t0 < seconds:
             time.sleep(5.0)
-            fs = farm.stats()
+            t_el = time.monotonic() - t0
+            burst_on = (burst_at is not None
+                        and burst_at <= t_el < burst_at + burst_seconds)
+            if burst_on != burst_was_on:
+                log.info("burst %s at t=%.0fs",
+                         "ON" if burst_on else "OFF", t_el)
+                for b in stub_batchers:
+                    b.burst = burst_on
+                burst_was_on = burst_on
+            fstats = [f.stats() for _s, f in farms]
+            jq = jobqueue.stats
             samples.append({
-                "t": round(time.monotonic() - t0, 1),
-                "windows": int(batcher.stats.windows_processed),
-                "emitted": int(fs["windows_emitted"]),
-                "ready_backlog": int(fs["ready_windows"]),
-                "lost_samples": int(fs["samples_lost"]),
+                "t": round(t_el, 1),
+                "windows": int(sum(b.stats.windows_processed
+                                   for b in batchers)),
+                "emitted": int(sum(fs["windows_emitted"]
+                                   for fs in fstats)),
+                "ready_backlog": int(sum(fs["ready_windows"]
+                                         for fs in fstats)),
+                "lost_samples": int(sum(fs["samples_lost"]
+                                        for fs in fstats)),
                 "dropped": int(loop.windows_dropped),
                 "ticks": int(loop.ticks),
                 "tick_busy_ms": round(loop.tick_busy_ms, 1),
+                "jq_pending": jobqueue.pending(),
+                "jq_dropped_by_cat": {
+                    c: v["dropped"]
+                    for c, v in jq.by_category.items() if v["dropped"]},
+                **({"burst": True} if burst_on else {}),
             })
             log.info("soak %s", samples[-1])
         elapsed = time.monotonic() - t0
     finally:
-        farm.stop()
+        for _spec, farm in farms:
+            farm.stop()
         loop.stop()
         flusher.stop()
         gc.callbacks.remove(_gc_cb)
         processor.flush(now=time.time() + 1e6)
-        jobqueue.stop(drain=True)
-    fs = farm.stats()
+        jobqueue.stop(drain=True, timeout=30.0)
 
     lat = (np.concatenate(lat_chunks) if lat_chunks
            else np.empty(0, np.int64)) / 1e6   # → ms
     # steady-state window: skip the first 20% (startup backlog drain)
     steady = lat[len(lat) // 5:] if len(lat) >= 10 else lat
-    windows_done = int(batcher.stats.windows_processed)
+    windows_done = int(sum(b.stats.windows_processed for b in batchers))
     rate = windows_done / elapsed
-    # steady-state rate from the timeline's second half (excludes the 3 s
+    # steady-state rate from the timeline's second half (excludes the
     # initial window fill, which depresses the naive whole-run average)
     steady_rate = rate
     if len(samples) >= 4:
         a, b_ = samples[len(samples) // 2], samples[-1]
         if b_["t"] > a["t"]:
             steady_rate = (b_["windows"] - a["windows"]) / (b_["t"] - a["t"])
+    jq = jobqueue.stats
+    critical_dropped = sum(
+        v["dropped"] for c, v in jq.by_category.items()
+        if c in ("clip", "database", "composite"))
+    shed_order = [c for c, v in sorted(
+        ((c, v) for c, v in jq.by_category.items()
+         if v.get("first_drop_t") is not None),
+        key=lambda cv: cv[1]["first_drop_t"])]
+    clip_files = (len(list(clips_path.glob("*.clip")))
+                  if clips_path is not None else 0)
+    per_model = {}
+    total_expected_wps = 0.0
+    for (spec, farm), b in zip(farms, batchers):
+        fs = farm.stats()
+        rt_hop = (spec.clip_samples // 2) / spec.effective_sample_rate
+        expected = per_model_streams / rt_hop
+        total_expected_wps += expected
+        per_model[spec.model_id] = {
+            "streams": per_model_streams,
+            "windows_processed": int(b.stats.windows_processed),
+            "expected_windows_per_second": round(expected, 1),
+            "overruns": int(b.stats.overruns),
+            "samples_lost": int(fs["samples_lost"]),
+            "windows_emitted": int(fs["windows_emitted"]),
+        }
     record = {
-        "streams": streams,
+        "streams": per_model_streams * len(specs),
+        "models": list(models),
         "device": device,
         "calibration": calibration,
         "seconds": round(elapsed, 1),
         "windows_processed": windows_done,
         "windows_per_second": round(rate, 1),
         "steady_windows_per_second": round(steady_rate, 1),
-        "stream_equivalents_sustained": round(steady_rate * clip_sec / 2, 1),
-        "expected_windows_per_second": round(streams / (clip_sec / 2), 1),
+        "stream_equivalents_sustained": round(
+            steady_rate / total_expected_wps
+            * per_model_streams * len(specs), 1) if total_expected_wps
+        else 0.0,
+        "expected_windows_per_second": round(total_expected_wps, 1),
+        "per_model": per_model,
         "latency_ms": {
             "p50": round(float(np.percentile(steady, 50)), 1),
             "p95": round(float(np.percentile(steady, 95)), 1),
@@ -312,14 +479,32 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             "max": round(float(steady.max()), 1),
         } if len(steady) else {},
         "drop_accounting": {
-            "farm_samples_lost": int(fs["samples_lost"]),
+            "farm_samples_lost": int(sum(
+                m["samples_lost"] for m in per_model.values())),
             "scheduler_windows_dropped": int(loop.windows_dropped),
-            "batcher_overruns": int(batcher.stats.overruns),
-            "jobqueue_dropped": int(jobqueue.stats.dropped),
+            "batcher_overruns": int(sum(
+                m["overruns"] for m in per_model.values())),
+            "jobqueue_dropped": int(jq.dropped),
+            "jobqueue_dropped_critical": int(critical_dropped),
+            "jobqueue_shed": int(jq.shed),
         },
+        "jobqueue_by_category": jq.by_category,
+        "shed_order": shed_order,
+        "actions": {
+            "mix": action_mix,
+            "approved": counters["approved"],
+            "detections_persisted": counters["db"],
+            "clips_written": counters["clips"],
+            "clip_files_on_disk": clip_files,
+            "mqtt_published": counters["mqtt"],
+            "alerts_evaluated": counters["alerts"],
+            "consensus_detections": counters["consensus"],
+        },
+        "burst": ({"at_seconds": burst_at, "seconds": burst_seconds}
+                  if burst_at is not None else None),
         "processor": {
             "windows_submitted": submitted["n"],
-            "detections_persisted": db_writes["n"],
+            "detections_persisted": counters["db"],
         },
         "host": {"cpus": __import__("os").cpu_count(),
                  "maxrss_mb": resource.getrusage(
@@ -328,6 +513,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         "timeline": samples,
     }
     store.close()
+    if own_clips_tmp is not None:
+        own_clips_tmp.cleanup()
     return record
 
 
@@ -335,17 +522,38 @@ def main(argv=None) -> int:
     import argparse
 
     p = argparse.ArgumentParser(description="full-pipeline stream soak")
-    p.add_argument("--streams", type=int, default=2500)
+    p.add_argument("--streams", type=int, default=2500,
+                   help="total streams (split across --models)")
     p.add_argument("--seconds", type=float, default=120.0)
     p.add_argument("--device", choices=["tpu", "stub"], default="stub")
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--db", default=":memory:")
+    p.add_argument("--models", default="BirdNET_V2.4",
+                   help="comma-separated model families (each gets "
+                        "streams/N streams; shared source ids exercise "
+                        "cross-model consensus)")
+    p.add_argument("--action-mix", choices=["db", "realistic"],
+                   default="realistic")
+    p.add_argument("--clips-dir", default=None,
+                   help="where clip jobs write (default: a temp dir)")
+    p.add_argument("--burst-at", type=float, default=None,
+                   help="seconds into the run to start an every-stream-"
+                        "detects overload burst")
+    p.add_argument("--burst-seconds", type=float, default=30.0)
+    p.add_argument("--hit-stride", type=int, default=64,
+                   help="1 detection-bearing stream per N (steady state)")
     p.add_argument("--out", default=None, help="append record to JSON file")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     rec = run_soak(streams=args.streams, seconds=args.seconds,
                    device=args.device, max_batch=args.max_batch,
-                   db_path=args.db)
+                   db_path=args.db,
+                   models=tuple(m.strip() for m in args.models.split(",")
+                                if m.strip()),
+                   action_mix=args.action_mix, clips_dir=args.clips_dir,
+                   burst_at=args.burst_at,
+                   burst_seconds=args.burst_seconds,
+                   hit_stride=args.hit_stride)
     print(json.dumps(rec, indent=1))
     if args.out:
         try:
@@ -356,8 +564,10 @@ def main(argv=None) -> int:
         doc["runs"].append(rec)
         with open(args.out, "w") as f:
             json.dump(doc, f, indent=1)
-    ok = (rec["drop_accounting"]["farm_samples_lost"] == 0
-          and rec["drop_accounting"]["scheduler_windows_dropped"] == 0)
+    da = rec["drop_accounting"]
+    ok = (da["farm_samples_lost"] == 0
+          and da["scheduler_windows_dropped"] == 0
+          and da["jobqueue_dropped_critical"] == 0)
     return 0 if ok else 1
 
 

@@ -278,3 +278,40 @@ def test_device_loop_zero_copy_fill_provider():
     for src in {s for s, _ in results}:
         sts = [t for s, t in results if s == src]
         assert sts == sorted(sts)
+
+
+def test_multi_model_soak_smoke(tmp_path):
+    """Short end-to-end soak across two model families with the
+    realistic action mix and a burst window: both families process
+    windows at their native rates, hit species line up across models
+    (cross-model consensus observed), clips land on disk, and no
+    critical (clip/database) jobs are ever dropped.
+
+    Reference: orchestrator.go:499 multi-model prediction +
+    processor.go:203-229 ModelContributions consensus."""
+    from birdnet_go_tpu.scheduler.soak import run_soak
+
+    rec = run_soak(streams=60, seconds=12.0, device="stub",
+                   models=("BirdNET_V2.4", "Perch_V2"),
+                   action_mix="realistic",
+                   clips_dir=str(tmp_path / "clips"),
+                   burst_at=4.0, burst_seconds=4.0, hit_stride=8,
+                   tick_ms=50, stub_base_ms=0.5, stub_per_window_us=5.0)
+    assert rec["models"] == ["BirdNET_V2.4", "Perch_V2"]
+    pm = rec["per_model"]
+    assert pm["BirdNET_V2.4"]["windows_processed"] > 0
+    assert pm["Perch_V2"]["windows_processed"] > 0
+    # 48k/3s hops 1.5 s vs 32k/5s hops 2.5 s: the v2.4 family emits more
+    # windows per stream (the exact ratio in a 12 s test is skewed by the
+    # connect stagger ramp, which delays 5 s-window streams up to 8 hops)
+    ratio = (pm["BirdNET_V2.4"]["windows_processed"]
+             / max(1, pm["Perch_V2"]["windows_processed"]))
+    assert 1.2 < ratio < 8.0
+    a = rec["actions"]
+    assert a["approved"] > 0
+    assert a["consensus_detections"] > 0          # both models contributed
+    assert a["clip_files_on_disk"] == a["clips_written"]
+    da = rec["drop_accounting"]
+    assert da["farm_samples_lost"] == 0
+    assert da["jobqueue_dropped_critical"] == 0
+    assert rec["processor"]["detections_persisted"] == a["approved"]
