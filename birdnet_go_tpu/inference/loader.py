@@ -181,6 +181,17 @@ def load_model(model_id: str, checkpoint: str | None = None, seed: int = 0,
     return model, model.init(jax.random.PRNGKey(seed))
 
 
+def geomodel_weights_installed(checkpoint: str | None = None) -> bool:
+    """True when load_geomodel would serve trained weights rather than
+    deterministic random init (whose scores are plausible-looking
+    nonsense — callers presenting range-filter output to a user must
+    surface that)."""
+    if checkpoint:
+        return True
+    installed = model_home() / "Geomodel"
+    return installed.is_dir() and any(installed.iterdir())
+
+
 def load_geomodel(checkpoint: str | None = None, num_species: int = 6522,
                   seed: int = 7) -> tuple[Geomodel, Any]:
     from birdnet_go_tpu.inference.checkpoint import load_params

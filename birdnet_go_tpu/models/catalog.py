@@ -125,6 +125,31 @@ class ModelManager:
 
     # -- install -------------------------------------------------------------------
 
+    def _stage_labels(self, model_id: str, dest_dir: Path) -> int:
+        """Copy the vendored label tables for this model next to the
+        weights (the reference keeps labels+weights together —
+        models_embedded.go:14-22), so a deployment that installs a model
+        artifact gets its species names even when no shared data dir is
+        configured. Returns the number of locale files staged."""
+        from birdnet_go_tpu.taxonomy.labels import resolve_data_dir
+
+        base = resolve_data_dir()
+        if base is None:
+            return 0
+        src = base / "labels" / ("V2.4" if model_id == "BirdNET_V2.4"
+                                 else model_id)
+        if not src.is_dir():
+            return 0
+        out = dest_dir / "labels"
+        out.mkdir(exist_ok=True)
+        n = 0
+        for f in sorted(src.glob("*.txt")):
+            (out / f.name).write_bytes(f.read_bytes())
+            n += 1
+        if n:
+            log.info("staged %d label file(s) beside %s", n, model_id)
+        return n
+
     def install_from_file(self, model_id: str, artifact: str | Path,
                           file_name: str | None = None) -> Path:
         """Install a local .tflite/.onnx artifact (import staging path)."""
@@ -138,6 +163,7 @@ class ModelManager:
         tmp = dest.with_suffix(dest.suffix + ".tmp")
         tmp.write_bytes(src.read_bytes())
         tmp.rename(dest)
+        self._stage_labels(model_id, dest_dir)
         log.info("installed %s from %s", model_id, src)
         return dest
 
@@ -177,6 +203,7 @@ class ModelManager:
         tmp = dest.with_suffix(dest.suffix + ".tmp")
         tmp.write_bytes(b"".join(chunks))
         tmp.rename(dest)
+        self._stage_labels(entry.model_id, dest_dir)
         log.info("installed %s (%d bytes, sha256 verified)",
                  entry.model_id, dest.stat().st_size)
         return dest

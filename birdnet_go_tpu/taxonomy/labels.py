@@ -16,9 +16,15 @@ import os
 from pathlib import Path
 
 _DATA_ENV = "BIRDNET_TPU_DATA"
+# Shipped data: the 42-locale v2.4 label files, eBird code map, and genus
+# taxonomy are vendored under <repo>/data/taxonomy (the reference embeds
+# the same tables into its binary — internal/classifier/data/,
+# models_embedded.go:14-22), so a fresh clone serves real species names
+# with no external mounts. cwd-relative ./data/taxonomy still wins for
+# deployments that stage their own tables beside the working directory.
 _DEFAULT_DATA_DIRS = (
     "./data/taxonomy",
-    "/root/reference/internal/classifier/data",   # dev convenience mount
+    str(Path(__file__).resolve().parents[2] / "data" / "taxonomy"),
 )
 _V24_LABEL_TEMPLATE = "labels/V2.4/BirdNET_GLOBAL_6K_V2.4_Labels_{locale}.txt"
 _EBIRD_JSON = "eBird_taxonomy_codes_2021E.json"
@@ -97,22 +103,39 @@ def load_labels(data_dir: str | Path | None = None, locale: str = "en_us",
     files (tests, fresh installs before `model install`).
     """
     base = resolve_data_dir(str(data_dir) if data_dir else None)
+    candidates: list[Path] = []
     if base is not None:
         if model_id == "BirdNET_V2.4":
-            path = base / _V24_LABEL_TEMPLATE.format(locale=locale)
-            if not path.is_file():
-                path = base / _V24_LABEL_TEMPLATE.format(locale="en_us")
+            candidates.append(base / _V24_LABEL_TEMPLATE.format(locale=locale))
+            candidates.append(base / _V24_LABEL_TEMPLATE.format(locale="en_us"))
         else:
-            path = base / "labels" / model_id / f"{locale}.txt"
-        if path.is_file():
-            lines = path.read_text(encoding="utf-8").splitlines()
-            species = [Species.parse(ln) for ln in lines if ln.strip()]
-            # A label set that doesn't match the model head is unusable —
-            # fall back to synthetic of the right width (mirrors the
-            # reference's label-count validation at model load).
-            if expected_count is None or len(species) == expected_count:
-                codes = load_ebird_codes(base)
-                return LabelSet(species=species, locale=locale, codes=codes)
+            candidates.append(base / "labels" / model_id / f"{locale}.txt")
+    # `model install` stages labels beside the weights (catalog.py
+    # _stage_labels), so an installed model resolves its species names
+    # even when no shared data dir exists on this host
+    try:
+        from birdnet_go_tpu.inference.loader import model_home
+
+        staged = model_home() / model_id / "labels"
+        if model_id == "BirdNET_V2.4":
+            for loc in (locale, "en_us"):
+                candidates.append(
+                    staged / Path(_V24_LABEL_TEMPLATE.format(locale=loc)).name)
+        else:
+            candidates.append(staged / f"{locale}.txt")
+    except Exception:                      # pragma: no cover — import cycle
+        pass
+    for path in candidates:
+        if not path.is_file():
+            continue
+        lines = path.read_text(encoding="utf-8").splitlines()
+        species = [Species.parse(ln) for ln in lines if ln.strip()]
+        # A label set that doesn't match the model head is unusable —
+        # fall back to synthetic of the right width (mirrors the
+        # reference's label-count validation at model load).
+        if expected_count is None or len(species) == expected_count:
+            codes = load_ebird_codes(base) if base is not None else None
+            return LabelSet(species=species, locale=locale, codes=codes)
     n = expected_count or 6522
     return synthetic_labels(n, locale=locale)
 

@@ -29,7 +29,9 @@ log = logging.getLogger("birdnet_tpu.openfauna")
 _DATA_ENV = "BIRDNET_TPU_DATA"
 _DEFAULT_DIRS = (
     "./data/openfauna",
-    "/root/reference/internal/openfauna/data",    # dev convenience mount
+    # vendored dataset (aliases + metadata tables; reference ships the
+    # same files embedded — internal/openfauna/data)
+    str(Path(__file__).resolve().parents[2] / "data" / "openfauna"),
 )
 
 _lock = threading.Lock()

@@ -19,7 +19,9 @@ log = logging.getLogger("birdnet_tpu.speciesdict")
 _DATA_ENV = "BIRDNET_TPU_DATA"
 _DEFAULT_DIRS = (
     "./data/speciesdict",
-    "/root/reference/internal/speciesdict/data",   # dev convenience mount
+    # vendored per-locale dictionaries (reference embeds the same
+    # .json.gz blobs — internal/speciesdict/data)
+    str(Path(__file__).resolve().parents[2] / "data" / "speciesdict"),
 )
 
 

@@ -346,3 +346,49 @@ def test_dataset_split_and_eval_metrics(tmp_path):
     m = evaluate(jax.jit(make_eval_step(apply_fn)), {}, val, batch_size=5)
     assert abs(m["accuracy"] - want) < 1e-6
     assert m["n"] == len(val)
+
+
+def test_vendored_species_data_ships_with_repo(monkeypatch):
+    """A fresh clone resolves REAL species names with no reference mount
+    and no $BIRDNET_TPU_DATA: the 42-locale v2.4 label files, eBird code
+    map, genus taxonomy, openfauna aliases, and speciesdict blobs are
+    vendored under <repo>/data (reference embeds the same tables —
+    internal/classifier/data/, models_embedded.go:14-22)."""
+    monkeypatch.delenv("BIRDNET_TPU_DATA", raising=False)
+    monkeypatch.chdir("/")                 # no cwd-relative ./data either
+    from birdnet_go_tpu.taxonomy import openfauna, speciesdict
+    from birdnet_go_tpu.taxonomy.labels import load_labels, resolve_data_dir
+
+    base = resolve_data_dir()
+    assert base is not None and (base / "genus_taxonomy.json").is_file()
+    ls = load_labels(locale="fr")
+    assert len(ls.species) == 6522
+    assert ls.species[0].scientific == "Abroscopus albogularis"
+    assert ls.species[0].common                 # real localized name
+    assert "Synthetica" not in ls.species[0].scientific
+    assert ls.code_for(ls.species[0])           # eBird code map loaded
+    assert len(openfauna.load_aliases()) > 100
+    assert "en" in speciesdict.available_locales()
+
+
+def test_model_install_stages_labels_beside_weights(tmp_path, monkeypatch):
+    """`model install` copies the model's label tables next to the
+    artifact, and load_labels falls back to them when no shared data dir
+    exists on the host (reference keeps labels+weights together)."""
+    from birdnet_go_tpu.models.catalog import ModelManager
+    from birdnet_go_tpu.taxonomy import labels as labels_mod
+
+    art = tmp_path / "model.tflite"
+    art.write_bytes(b"\x00" * 64)
+    mgr = ModelManager(home=tmp_path / "home")
+    mgr.install_from_file("BirdNET_V2.4", art)
+    staged = tmp_path / "home" / "BirdNET_V2.4" / "labels"
+    assert len(list(staged.glob("*.txt"))) == 42
+
+    # host with NO data dir at all: only the staged copies resolve
+    monkeypatch.delenv("BIRDNET_TPU_DATA", raising=False)
+    monkeypatch.setattr(labels_mod, "_DEFAULT_DATA_DIRS", ())
+    monkeypatch.setenv("BIRDNET_TPU_MODELS", str(tmp_path / "home"))
+    ls = labels_mod.load_labels(model_id="BirdNET_V2.4", locale="de")
+    assert len(ls.species) == 6522
+    assert "Synthetica" not in ls.species[0].scientific

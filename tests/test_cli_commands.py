@@ -201,3 +201,17 @@ def test_migrate_command(tmp_path, capsys):
                     "--rollback"])
     assert rc4 == 0
     assert Datastore(db).count_detections() == 0
+
+
+def test_rangefilter_warns_on_random_init(tmp_path, monkeypatch, capsys):
+    """With no geomodel artifact installed, the rangefilter CLI must say
+    so IN ITS OUTPUT — random-init occurrence scores are plausible-
+    looking nonsense (VERDICT r3 weak #4; loader warning alone hides in
+    the log)."""
+    monkeypatch.setenv("BIRDNET_TPU_MODELS", str(tmp_path / "empty"))
+    rc = cli.main(["rangefilter", "--latitude", "60.1",
+                   "--longitude", "24.9", "--rf-threshold", "0.0"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "random-init geomodel" in out.out
+    assert "no geomodel weights installed" in out.err
