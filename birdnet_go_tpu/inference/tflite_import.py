@@ -46,6 +46,7 @@ _NP_DTYPES = {
     TType.FLOAT32: np.float32, TType.FLOAT16: np.float16,
     TType.INT32: np.int32, TType.UINT8: np.uint8, TType.INT64: np.int64,
     TType.BOOL: np.bool_, TType.INT16: np.int16, TType.INT8: np.int8,
+    TType.COMPLEX64: np.complex64,
 }
 
 # BuiltinOperator codes (schema.fbs) — the subset we compile
@@ -89,6 +90,62 @@ class Op(enum.IntEnum):
     GATHER = 36
     HARD_SWISH = 117
     QUANTIZE = 114
+    # extended coverage toward the published real-graph op sets (VERDICT
+    # r3 #8): tf.signal.stft lowers to framing (STRIDED_SLICE/PACK/
+    # RESHAPE) + RFFT2D + COMPLEX_ABS, mel projection to BATCH_MATMUL/
+    # FULLY_CONNECTED, plus the usual TF-export glue below
+    FLOOR = 8
+    L2_NORMALIZATION = 11
+    SPLIT = 49
+    LOG_SOFTMAX = 50
+    CAST = 53
+    PRELU = 54
+    ARG_MAX = 56
+    LESS = 58
+    PADV2 = 60
+    GREATER = 61
+    GREATER_EQUAL = 62
+    LESS_EQUAL = 63
+    SELECT = 64
+    SLICE = 65
+    SIN = 66
+    TILE = 69
+    EXPAND_DIMS = 70
+    EQUAL = 71
+    NOT_EQUAL = 72
+    SUM = 74
+    ARG_MIN = 79
+    REDUCE_PROD = 81
+    REDUCE_MAX = 82
+    PACK = 83
+    LOGICAL_OR = 84
+    LOGICAL_AND = 86
+    LOGICAL_NOT = 87
+    UNPACK = 88
+    REDUCE_MIN = 89
+    FLOOR_DIV = 90
+    SQUARE = 92
+    ZEROS_LIKE = 93
+    FILL = 94
+    FLOOR_MOD = 95
+    RANGE = 96
+    RESIZE_NEAREST_NEIGHBOR = 97
+    MIRROR_PAD = 100
+    SPLIT_V = 102
+    CEIL = 104
+    ADD_N = 106
+    GATHER_ND = 107
+    COS = 108
+    ELU = 111
+    ROUND = 116
+    SELECT_V2 = 123
+    BATCH_MATMUL = 126
+    CUMSUM = 128
+    BROADCAST_TO = 130
+    RFFT2D = 131
+    IMAG = 133
+    REAL = 134
+    COMPLEX_ABS = 135
 
 
 # ActivationFunctionType
@@ -303,6 +360,60 @@ class TFLiteGraph:
             # around the (now-float) graph collapse to casts
             Op.QUANTIZE: self._op_dequantize,
             Op.GATHER: self._op_gather,
+            Op.FLOOR: self._op_unary("floor"),
+            Op.CEIL: self._op_unary("ceil"),
+            Op.ROUND: self._op_unary("round"),
+            Op.SQUARE: self._op_unary("square"),
+            Op.SIN: self._op_unary("sin"),
+            Op.COS: self._op_unary("cos"),
+            Op.ELU: self._op_unary("elu"),
+            Op.LOGICAL_NOT: self._op_unary("not"),
+            Op.ZEROS_LIKE: self._op_unary("zeros_like"),
+            Op.IMAG: self._op_unary("imag"),
+            Op.REAL: self._op_unary("real"),
+            Op.COMPLEX_ABS: self._op_unary("abs"),
+            Op.L2_NORMALIZATION: self._op_unary("l2norm"),
+            Op.LOG_SOFTMAX: self._op_unary("log_softmax"),
+            Op.LESS: self._op_cmp("lt"),
+            Op.LESS_EQUAL: self._op_cmp("le"),
+            Op.GREATER: self._op_cmp("gt"),
+            Op.GREATER_EQUAL: self._op_cmp("ge"),
+            Op.EQUAL: self._op_cmp("eq"),
+            Op.NOT_EQUAL: self._op_cmp("ne"),
+            Op.LOGICAL_AND: self._op_cmp("and"),
+            Op.LOGICAL_OR: self._op_cmp("or"),
+            Op.FLOOR_DIV: self._op_cmp("floordiv"),
+            Op.FLOOR_MOD: self._op_cmp("floormod"),
+            Op.SUM: self._op_reduce("sum"),
+            Op.REDUCE_MAX: self._op_reduce("max"),
+            Op.REDUCE_MIN: self._op_reduce("min"),
+            Op.REDUCE_PROD: self._op_reduce("prod"),
+            Op.ARG_MAX: self._op_arg("argmax"),
+            Op.ARG_MIN: self._op_arg("argmin"),
+            Op.CAST: self._op_cast,
+            Op.SHAPE: self._op_shape,
+            Op.EXPAND_DIMS: self._op_expand_dims,
+            Op.SLICE: self._op_slice,
+            Op.TILE: self._op_tile,
+            Op.PACK: self._op_pack,
+            Op.UNPACK: self._op_unpack,
+            Op.SPLIT: self._op_split,
+            Op.SPLIT_V: self._op_split_v,
+            Op.SELECT: self._op_select,
+            Op.SELECT_V2: self._op_select,
+            Op.FILL: self._op_fill,
+            Op.RANGE: self._op_range,
+            Op.BROADCAST_TO: self._op_broadcast_to,
+            Op.PADV2: self._op_padv2,
+            Op.MIRROR_PAD: self._op_mirror_pad,
+            Op.PRELU: self._op_prelu,
+            Op.ADD_N: self._op_add_n,
+            Op.GATHER_ND: self._op_gather_nd,
+            Op.BATCH_MATMUL: self._op_batch_matmul,
+            Op.CUMSUM: self._op_cumsum,
+            Op.RESIZE_BILINEAR: self._op_resize("bilinear"),
+            Op.RESIZE_NEAREST_NEIGHBOR: self._op_resize("nearest"),
+            Op.RFFT2D: self._op_rfft2d,
         }
         self._handlers = handlers
         unsupported = sorted({
@@ -470,7 +581,70 @@ class TFLiteGraph:
                 "neg": jnp.negative,
                 "abs": jnp.abs,
                 "hardswish": lambda v: v * jnp.clip(v + 3.0, 0.0, 6.0) / 6.0,
+                "floor": jnp.floor,
+                "ceil": jnp.ceil,
+                # TFLite ROUND is round-half-to-even (like np.rint)
+                "round": jnp.round,
+                "square": jnp.square,
+                "sin": jnp.sin,
+                "cos": jnp.cos,
+                "elu": jax.nn.elu,
+                "not": jnp.logical_not,
+                "zeros_like": jnp.zeros_like,
+                "imag": jnp.imag,
+                "real": jnp.real,
+                "l2norm": lambda v: v * jax.lax.rsqrt(
+                    jnp.sum(v * v, axis=-1, keepdims=True) + 1e-12),
+                "log_softmax": lambda v: jax.nn.log_softmax(v, axis=-1),
             }[kind](x)
+
+        return h
+
+    def _op_cmp(self, kind: str):
+        """Comparison / logical / integer-division binaries (no fused
+        activation field in their options tables)."""
+        def h(op: OpInfo, value):
+            import jax.numpy as jnp
+
+            a, b = value(op.inputs[0]), value(op.inputs[1])
+            return {
+                "lt": lambda: a < b,
+                "le": lambda: a <= b,
+                "gt": lambda: a > b,
+                "ge": lambda: a >= b,
+                "eq": lambda: a == b,
+                "ne": lambda: a != b,
+                "and": lambda: jnp.logical_and(a, b),
+                "or": lambda: jnp.logical_or(a, b),
+                "floordiv": lambda: jnp.floor_divide(a, b),
+                "floormod": lambda: jnp.mod(a, b),
+            }[kind]()
+
+        return h
+
+    def _op_reduce(self, kind: str):
+        def h(op: OpInfo, value):
+            import jax.numpy as jnp
+
+            x = value(op.inputs[0])
+            axes = self._const_np(op.inputs[1], value).ravel()
+            keep = bool(op.options.get_bool(0)) if op.options else False
+            fn = {"sum": jnp.sum, "max": jnp.max, "min": jnp.min,
+                  "prod": jnp.prod}[kind]
+            return fn(x, axis=tuple(int(a) % x.ndim for a in axes),
+                      keepdims=keep)
+
+        return h
+
+    def _op_arg(self, kind: str):
+        def h(op: OpInfo, value):
+            import jax.numpy as jnp
+
+            x = value(op.inputs[0])
+            axis = int(self._const_np(op.inputs[1], value).ravel()[0])
+            out_dtype = self.model.tensors[op.outputs[0]].dtype
+            fn = jnp.argmax if kind == "argmax" else jnp.argmin
+            return fn(x, axis=axis).astype(out_dtype)
 
         return h
 
@@ -611,6 +785,213 @@ class TFLiteGraph:
         indices = value(op.inputs[1])
         axis = op.options.get_int(0, 0) if op.options else 0
         return jnp.take(x, indices.astype(jnp.int32), axis=axis)
+
+    def _const_np(self, i: int, value) -> np.ndarray:
+        """Shape/axis/etc. operand as host numpy. These operands must be
+        graph constants (the whole graph compiles to static shapes); a
+        runtime tensor here would fail under jit by design."""
+        t = self.model.tensors[i]
+        if t.data is not None:
+            return np.asarray(t.data)
+        return np.asarray(value(i))
+
+    def _op_cast(self, op: OpInfo, value):
+        return value(op.inputs[0]).astype(
+            self.model.tensors[op.outputs[0]].dtype)
+
+    def _op_shape(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        out_dtype = self.model.tensors[op.outputs[0]].dtype
+        return jnp.asarray(np.asarray(x.shape), dtype=out_dtype)
+
+    def _op_expand_dims(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        axis = int(self._const_np(op.inputs[1], value).ravel()[0])
+        return jnp.expand_dims(x, axis)
+
+    def _op_slice(self, op: OpInfo, value):
+        x = value(op.inputs[0])
+        begin = self._const_np(op.inputs[1], value).ravel()
+        size = self._const_np(op.inputs[2], value).ravel()
+        idx = []
+        for d in range(x.ndim):
+            b = int(begin[d])
+            s = int(size[d])
+            idx.append(slice(b, None if s == -1 else b + s))
+        return x[tuple(idx)]
+
+    def _op_tile(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        reps = [int(r) for r in self._const_np(op.inputs[1], value).ravel()]
+        return jnp.tile(x, reps)
+
+    def _op_pack(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        # PackOptions: values_count=0, axis=1
+        axis = op.options.get_int(1, 0) if op.options else 0
+        return jnp.stack([value(i) for i in op.inputs], axis=axis)
+
+    def _op_unpack(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        # UnpackOptions: num=0, axis=1
+        axis = op.options.get_int(1, 0) if op.options else 0
+        n = op.options.get_int(0, x.shape[axis]) if op.options \
+            else x.shape[axis]
+        parts = jnp.split(x, n, axis=axis)
+        return [jnp.squeeze(p, axis=axis) for p in parts]
+
+    def _op_split(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        # SPLIT inputs: [axis, x]; SplitOptions: num_splits=0
+        axis = int(self._const_np(op.inputs[0], value).ravel()[0])
+        x = value(op.inputs[1])
+        n = op.options.get_int(0, len(op.outputs)) if op.options \
+            else len(op.outputs)
+        return jnp.split(x, n, axis=axis)
+
+    def _op_split_v(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        # SPLIT_V inputs: [x, size_splits, axis]
+        x = value(op.inputs[0])
+        sizes = [int(s) for s in
+                 self._const_np(op.inputs[1], value).ravel()]
+        axis = int(self._const_np(op.inputs[2], value).ravel()[0])
+        if -1 in sizes:      # one wildcard absorbs the remainder
+            rest = x.shape[axis] - sum(s for s in sizes if s != -1)
+            sizes = [rest if s == -1 else s for s in sizes]
+        bounds = np.cumsum(sizes)[:-1]
+        return jnp.split(x, [int(b) for b in bounds], axis=axis)
+
+    def _op_select(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        return jnp.where(value(op.inputs[0]), value(op.inputs[1]),
+                         value(op.inputs[2]))
+
+    def _op_fill(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        dims = [int(d) for d in self._const_np(op.inputs[0], value).ravel()]
+        return jnp.full(dims, value(op.inputs[1]))
+
+    def _op_range(self, op: OpInfo, value):
+        start, limit, delta = (
+            float(self._const_np(op.inputs[i], value).ravel()[0])
+            for i in range(3))
+        out_dtype = self.model.tensors[op.outputs[0]].dtype
+        return np.arange(start, limit, delta).astype(out_dtype)
+
+    def _op_broadcast_to(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        shape = [int(s) for s in self._const_np(op.inputs[1], value).ravel()]
+        return jnp.broadcast_to(value(op.inputs[0]), shape)
+
+    def _op_padv2(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        pads = self._const_np(op.inputs[1], value)
+        cval = self._const_np(op.inputs[2], value).ravel()[0]
+        return jnp.pad(x, [(int(a), int(b)) for a, b in pads],
+                       constant_values=float(cval))
+
+    def _op_mirror_pad(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        pads = self._const_np(op.inputs[1], value)
+        # MirrorPadOptions: mode=0 (0=REFLECT excludes the border sample,
+        # 1=SYMMETRIC repeats it)
+        mode = op.options.get_byte(0) if op.options else 0
+        return jnp.pad(x, [(int(a), int(b)) for a, b in pads],
+                       mode="reflect" if mode == 0 else "symmetric")
+
+    def _op_prelu(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        alpha = value(op.inputs[1])
+        return jnp.where(x >= 0, x, alpha * x)
+
+    def _op_add_n(self, op: OpInfo, value):
+        import functools as _ft
+
+        return _ft.reduce(lambda a, b: a + b,
+                          [value(i) for i in op.inputs])
+
+    def _op_gather_nd(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        idx = value(op.inputs[1]).astype(jnp.int32)
+        # indices' last axis indexes the leading dims of x
+        return x[tuple(jnp.moveaxis(idx, -1, 0))]
+
+    def _op_batch_matmul(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        a, b = value(op.inputs[0]), value(op.inputs[1])
+        o = op.options
+        # BatchMatMulOptions: adj_x=0, adj_y=1
+        if o and o.get_bool(0):
+            a = jnp.swapaxes(a, -1, -2)
+        if o and o.get_bool(1):
+            b = jnp.swapaxes(b, -1, -2)
+        return jnp.matmul(a, b, preferred_element_type=a.dtype)
+
+    def _op_cumsum(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        axis = int(self._const_np(op.inputs[1], value).ravel()[0])
+        o = op.options
+        # CumsumOptions: exclusive=0, reverse=1
+        exclusive = bool(o.get_bool(0)) if o else False
+        reverse = bool(o.get_bool(1)) if o else False
+        if reverse:
+            x = jnp.flip(x, axis)
+        y = jnp.cumsum(x, axis=axis)
+        if exclusive:
+            y = y - x
+        if reverse:
+            y = jnp.flip(y, axis)
+        return y
+
+    def _op_resize(self, method: str):
+        def h(op: OpInfo, value):
+            import jax
+
+            x = value(op.inputs[0])                 # NHWC
+            hw = [int(v) for v in
+                  self._const_np(op.inputs[1], value).ravel()]
+            shape = (x.shape[0], hw[0], hw[1], x.shape[3])
+            return jax.image.resize(x, shape, method=method)
+
+        return h
+
+    def _op_rfft2d(self, op: OpInfo, value):
+        import jax.numpy as jnp
+
+        x = value(op.inputs[0])
+        fft_len = [int(v) for v in
+                   self._const_np(op.inputs[1], value).ravel()]
+        # TFLite RFFT2D: real 2-D FFT over the innermost two dims with
+        # the given [h, w] lengths (tf.signal.stft's framing feeds h=1);
+        # output is complex64 [..., h, w//2 + 1]
+        return jnp.fft.rfft2(x.astype(jnp.float32), s=tuple(fft_len),
+                             axes=(-2, -1)).astype(jnp.complex64)
 
 
 def load_tflite(path_or_bytes) -> TFLiteGraph:

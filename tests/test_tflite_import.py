@@ -194,3 +194,171 @@ def test_mean_reshape_softmax():
     m = x.mean(axis=(1, 2))
     ref = np.exp(m) / np.exp(m).sum(axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-6)
+
+
+# -- extended op coverage toward the real published graphs (VERDICT r3 #8) ----
+
+
+def _opts(n_slots):
+    """Tiny builder for options tables of int32 slots."""
+    def make(b, *vals):
+        b.StartObject(n_slots)
+        for slot, v in enumerate(vals):
+            if v is not None:
+                b.PrependInt32Slot(slot, v, 0)
+        return b.EndObject()
+    return make
+
+
+def test_stft_style_frontend_parity():
+    """tf.signal.stft lowers to framing (STRIDED_SLICE/PACK) →
+    EXPAND_DIMS → RFFT2D → COMPLEX_ABS; mel projection is a
+    BATCH_MATMUL. This mirrors that exact lowering on a miniature and
+    checks numeric parity against a numpy oracle."""
+    rng = np.random.default_rng(3)
+    pcm = rng.standard_normal((1, 512)).astype(np.float32)
+    fb = rng.random((129, 8)).astype(np.float32)
+
+    mb = ModelBuilder()
+    x_t = mb.add_tensor([1, 512], "pcm")
+    i32 = ModelBuilder.TTYPE_I32
+    beg0 = mb.add_tensor([2], "b0", np.array([0, 0], np.int32), ttype=i32)
+    end0 = mb.add_tensor([2], "e0", np.array([1, 256], np.int32), ttype=i32)
+    beg1 = mb.add_tensor([2], "b1", np.array([0, 256], np.int32), ttype=i32)
+    end1 = mb.add_tensor([2], "e1", np.array([1, 512], np.int32), ttype=i32)
+    strd = mb.add_tensor([2], "s", np.array([1, 1], np.int32), ttype=i32)
+    f0 = mb.add_tensor([1, 256], "f0")
+    f1 = mb.add_tensor([1, 256], "f1")
+    mb.add_op(Op.STRIDED_SLICE, [x_t, beg0, end0, strd], [f0])
+    mb.add_op(Op.STRIDED_SLICE, [x_t, beg1, end1, strd], [f1])
+    frames = mb.add_tensor([1, 2, 256], "frames")
+    mb.add_op(Op.PACK, [f0, f1], [frames],
+              lambda b: _opts(2)(b, 2, 1))          # values_count=2, axis=1
+    ax = mb.add_tensor([1], "ax", np.array([2], np.int32), ttype=i32)
+    fr4 = mb.add_tensor([1, 2, 1, 256], "frames4")
+    mb.add_op(Op.EXPAND_DIMS, [frames, ax], [fr4])
+    flen = mb.add_tensor([2], "flen", np.array([1, 256], np.int32), ttype=i32)
+    spec_c = mb.add_tensor([1, 2, 1, 129], "spec_c", ttype=8)  # complex64
+    mb.add_op(Op.RFFT2D, [fr4, flen], [spec_c])
+    mag = mb.add_tensor([1, 2, 1, 129], "mag")
+    mb.add_op(Op.COMPLEX_ABS, [spec_c], [mag])
+    pw = mb.add_tensor([1, 2, 1, 129], "power")
+    mb.add_op(Op.SQUARE, [mag], [pw])
+    shp = mb.add_tensor([3], "shp", np.array([1, 2, 129], np.int32),
+                        ttype=i32)
+    pw3 = mb.add_tensor([1, 2, 129], "power3")
+    mb.add_op(Op.RESHAPE, [pw, shp], [pw3])
+    fb_t = mb.add_tensor([129, 8], "fb", fb)
+    mel = mb.add_tensor([1, 2, 8], "mel")
+    mb.add_op(Op.BATCH_MATMUL, [pw3, fb_t], [mel])
+    mb.inputs = [x_t]
+    mb.outputs = [mel]
+
+    g = load_tflite(mb.finish())
+    (y,) = g.jitted()(g.params, pcm)
+
+    frames_ref = np.stack([pcm[0, :256], pcm[0, 256:]])[None]
+    spec = np.fft.rfft(frames_ref, n=256, axis=-1)
+    ref = (np.abs(spec) ** 2).astype(np.float32) @ fb
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=1e-3)
+
+
+def test_slice_tile_broadcast_select_chain():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 6)).astype(np.float32)
+    mb = ModelBuilder()
+    i32 = ModelBuilder.TTYPE_I32
+    x_t = mb.add_tensor([2, 6], "x")
+    beg = mb.add_tensor([2], "beg", np.array([0, 1], np.int32), ttype=i32)
+    size = mb.add_tensor([2], "size", np.array([2, 3], np.int32), ttype=i32)
+    sl = mb.add_tensor([2, 3], "sl")
+    mb.add_op(Op.SLICE, [x_t, beg, size], [sl])
+    reps = mb.add_tensor([2], "reps", np.array([1, 2], np.int32), ttype=i32)
+    tl = mb.add_tensor([2, 6], "tl")
+    mb.add_op(Op.TILE, [sl, reps], [tl])
+    zero = mb.add_tensor([1], "zero", np.zeros(1, np.float32))
+    gt = mb.add_tensor([2, 6], "gt", ttype=6)              # bool
+    mb.add_op(Op.GREATER, [tl, zero], [gt])
+    neg = mb.add_tensor([2, 6], "neg")
+    mb.add_op(Op.NEG, [tl], [neg])
+    out = mb.add_tensor([2, 6], "out")
+    mb.add_op(Op.SELECT_V2, [gt, tl, neg], [out])
+    mb.inputs = [x_t]
+    mb.outputs = [out]
+
+    g = load_tflite(mb.finish())
+    (y,) = g.jitted()(g.params, x)
+    t = np.tile(x[:, 1:4], (1, 2))
+    np.testing.assert_allclose(np.asarray(y), np.abs(t), rtol=1e-6)
+
+
+def test_split_v_unpack_reduce_argmax():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 10)).astype(np.float32)
+    mb = ModelBuilder()
+    i32 = ModelBuilder.TTYPE_I32
+    x_t = mb.add_tensor([2, 10], "x")
+    sizes = mb.add_tensor([2], "sizes", np.array([3, -1], np.int32),
+                          ttype=i32)
+    axis = mb.add_tensor([1], "axis", np.array([1], np.int32), ttype=i32)
+    a_t = mb.add_tensor([2, 3], "a")
+    b_t = mb.add_tensor([2, 7], "b")
+    mb.add_op(Op.SPLIT_V, [x_t, sizes, axis], [a_t, b_t])
+    red_ax = mb.add_tensor([1], "rax", np.array([1], np.int32), ttype=i32)
+    mx = mb.add_tensor([2], "mx")
+    mb.add_op(Op.REDUCE_MAX, [b_t, red_ax], [mx])
+    sm = mb.add_tensor([2], "sm")
+    mb.add_op(Op.SUM, [a_t, red_ax], [sm])
+    am_ax = mb.add_tensor([1], "amax", np.array([1], np.int32), ttype=i32)
+    am = mb.add_tensor([2], "am", ttype=i32)
+    mb.add_op(Op.ARG_MAX, [x_t, am_ax], [am])
+    mb.inputs = [x_t]
+    mb.outputs = [mx, sm, am]
+
+    g = load_tflite(mb.finish())
+    mxv, smv, amv = g.jitted()(g.params, x)
+    np.testing.assert_allclose(np.asarray(mxv), x[:, 3:].max(1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(smv), x[:, :3].sum(1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(amv), x.argmax(1))
+
+
+def test_cast_mirror_pad_cumsum_resize():
+    x = np.arange(12, dtype=np.int32).reshape(1, 3, 4)
+    mb = ModelBuilder()
+    i32 = ModelBuilder.TTYPE_I32
+    x_t = mb.add_tensor([1, 3, 4], "x", ttype=i32)
+    xf = mb.add_tensor([1, 3, 4], "xf")
+    mb.add_op(Op.CAST, [x_t, ], [xf])
+    pads = mb.add_tensor([3, 2], "pads",
+                         np.array([[0, 0], [1, 1], [0, 0]], np.int32),
+                         ttype=i32)
+    pd = mb.add_tensor([1, 5, 4], "pd")
+    mb.add_op(Op.MIRROR_PAD, [xf, pads], [pd],
+              lambda b: _opts(1)(b, None))       # mode slot default REFLECT
+    cax = mb.add_tensor([1], "cax", np.array([2], np.int32), ttype=i32)
+    cs = mb.add_tensor([1, 5, 4], "cs")
+    mb.add_op(Op.CUMSUM, [pd, cax], [cs])
+    mb.inputs = [x_t]
+    mb.outputs = [cs]
+
+    g = load_tflite(mb.finish())
+    (y,) = g.jitted()(g.params, x)
+    ref = np.cumsum(np.pad(x.astype(np.float32), [(0, 0), (1, 1), (0, 0)],
+                           mode="reflect"), axis=2)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-6)
+
+
+def test_resize_nearest_parity():
+    x = np.arange(8, dtype=np.float32).reshape(1, 2, 2, 2)
+    mb = ModelBuilder()
+    i32 = ModelBuilder.TTYPE_I32
+    x_t = mb.add_tensor([1, 2, 2, 2], "x")
+    hw = mb.add_tensor([2], "hw", np.array([4, 4], np.int32), ttype=i32)
+    out = mb.add_tensor([1, 4, 4, 2], "out")
+    mb.add_op(Op.RESIZE_NEAREST_NEIGHBOR, [x_t, hw], [out])
+    mb.inputs = [x_t]
+    mb.outputs = [out]
+    g = load_tflite(mb.finish())
+    (y,) = g.jitted()(g.params, x)
+    ref = x.repeat(2, axis=1).repeat(2, axis=2)
+    np.testing.assert_allclose(np.asarray(y), ref)
