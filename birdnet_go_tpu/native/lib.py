@@ -164,6 +164,10 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
             lib.bn_farm_stats.argtypes = [ctypes.c_void_p,
                                           ctypes.POINTER(ctypes.c_int64)]
+            if hasattr(lib, "bn_farm_grow"):
+                lib.bn_farm_grow.restype = ctypes.c_int64
+                lib.bn_farm_grow.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_double]
         lib.bn_version.restype = ctypes.c_char_p
         _lib = lib
         log.info("native host library loaded: %s",
@@ -316,11 +320,25 @@ class StreamFarm:
             len(out)))
 
     def stats(self) -> dict:
-        buf = (ctypes.c_int64 * 6)()
+        buf = (ctypes.c_int64 * 8)()
         self._lib.bn_farm_stats(self._h, buf)
         return {"samples_generated": buf[0], "windows_emitted": buf[1],
                 "samples_lost": buf[2], "ready_windows": buf[3],
-                "n_streams": buf[4], "ring_capacity": buf[5]}
+                "n_streams": buf[4], "ring_capacity": buf[5],
+                # max unread samples ever observed on any stream — the
+                # slack a host stall actually consumed; adaptive ring
+                # sizing keys on this (VERDICT r3 #7)
+                "backlog_high_water": buf[6]}
+
+    def grow(self, new_ring_seconds: float) -> int:
+        """Grow every stream's ring to new_ring_seconds of slack in
+        place, preserving unread audio (stop-the-world; one memcpy
+        pass). Returns the new capacity in samples (0 on failure;
+        unchanged capacity when not larger)."""
+        if not hasattr(self._lib, "bn_farm_grow"):
+            return 0
+        return int(self._lib.bn_farm_grow(
+            self._h, ctypes.c_double(new_ring_seconds)))
 
     def close(self) -> None:
         if getattr(self, "_h", None):

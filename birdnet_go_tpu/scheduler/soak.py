@@ -375,10 +375,40 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     t0 = time.monotonic()
     samples = []
     burst_was_on = False
+    ring_grown: list[dict] = []
+    max_ring_seconds = ring_seconds * 4
     try:
         while time.monotonic() - t0 < seconds:
             time.sleep(5.0)
             t_el = time.monotonic() - t0
+            # adaptive capture-ring slack (VERDICT r3 #7): when a host
+            # stall has consumed >60% of the ring, double it (bounded)
+            # BEFORE the next stall of the same size clobbers — a
+            # production VM sees repeated scheduler steals of similar
+            # magnitude (r3 run 3: 25 s steal vs 27 s ring → 330M
+            # samples lost)
+            for spec, farm in farms:
+                fs_now = farm.stats()
+                cap = fs_now["ring_capacity"]
+                hw = fs_now.get("backlog_high_water", 0)
+                if cap and hw > 0.6 * cap:
+                    cur_s = cap / spec.effective_sample_rate
+                    new_s = min(cur_s * 2, max_ring_seconds)
+                    if new_s > cur_s:
+                        got = farm.grow(new_s)
+                        if got:
+                            ring_grown.append({
+                                "t": round(t_el, 1),
+                                "model": spec.model_id,
+                                "used_pct": round(100.0 * hw / cap, 1),
+                                "ring_seconds": round(
+                                    got / spec.effective_sample_rate, 1),
+                            })
+                            log.warning(
+                                "ring slack %.0f%% consumed — grew %s "
+                                "ring to %.0fs", 100.0 * hw / cap,
+                                spec.model_id,
+                                got / spec.effective_sample_rate)
             burst_on = (burst_at is not None
                         and burst_at <= t_el < burst_at + burst_seconds)
             if burst_on != burst_was_on:
@@ -502,6 +532,16 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         },
         "burst": ({"at_seconds": burst_at, "seconds": burst_seconds}
                   if burst_at is not None else None),
+        "ring": {
+            "initial_seconds": ring_seconds,
+            "grown": ring_grown,
+            "backlog_high_water_pct": {
+                spec.model_id: round(
+                    100.0 * farm.stats().get("backlog_high_water", 0)
+                    / max(1, farm.stats()["ring_capacity"]), 1)
+                for spec, farm in farms},
+            "scheduler_stall_ms_max": round(loop.stall_ms_max, 1),
+        },
         "processor": {
             "windows_submitted": submitted["n"],
             "detections_persisted": counters["db"],

@@ -44,6 +44,8 @@ struct StreamRing {
     int64_t lost = 0;            // overwritten samples (accounted drops)
     int64_t windows = 0;         // windows emitted
     int64_t next_index = 0;      // window index of the next read
+    int64_t backlog_hw = 0;      // max unread samples ever observed —
+                                 // the slack a host stall actually used
     int32_t wave = 0;            // waveform bank entry
     int64_t phase = 0;           // read phase into the waveform
     int64_t offset = 0;          // stream start offset (samples) — staggers
@@ -140,6 +142,12 @@ void ring_write_from_bank(Farm* f, int64_t s, int64_t n) {
         done += m;
     }
     r.wpos += n;
+    // slack-usage high-water: how far behind the consumer has ever been.
+    // This is what adaptive ring sizing keys on — a host stall that used
+    // 90% of the slack means the NEXT one of the same size may clobber
+    // (r3 soak run 3: a 25 s firecracker steal blew a 27 s ring).
+    unread = r.wpos - r.rpos;
+    if (unread > r.backlog_hw) r.backlog_hw = unread;
 }
 
 void generator_main(Farm* f) {
@@ -335,18 +343,64 @@ BN_API int64_t bn_farm_collect(void* h, int16_t* out, int64_t* meta,
     return count;
 }
 
-// stats out[6]: samples_generated, windows_emitted, samples_lost,
-//               ready_windows, n_streams, capacity
+// Grow every stream's ring to new_ring_seconds of slack IN PLACE, keeping
+// all unread samples: the adaptive-slack response when the observed
+// backlog high-water approaches capacity (a production VM sees repeated
+// scheduler steals of similar magnitude — size the ring from the worst
+// one observed, don't hope). Stop-the-world: takes every stripe lock in
+// index order (same order as all other lockers — deadlock-free), then
+// re-lays each stream's unread region into the larger ring. The pause is
+// one big memcpy pass (~GB/s); callers trigger it from a monitoring tick,
+// not the hot path. Returns the new capacity in samples, or 0 on failure.
+BN_API int64_t bn_farm_grow(void* h, double new_ring_seconds) {
+    auto* f = static_cast<Farm*>(h);
+    if (!f) return 0;
+    int64_t new_cap = static_cast<int64_t>(new_ring_seconds * f->rate);
+    if (new_cap <= f->capacity) return f->capacity;   // never shrink
+    std::vector<int16_t> fresh;
+    try {
+        fresh.assign(static_cast<size_t>(f->n_streams * new_cap), 0);
+    } catch (const std::bad_alloc&) {
+        return 0;
+    }
+    for (int i = 0; i < Farm::kStripes; ++i) f->mu[i].lock();
+    for (int64_t s = 0; s < f->n_streams; ++s) {
+        StreamRing& r = f->st[static_cast<size_t>(s)];
+        const int16_t* old_ring = f->rings.data() + s * f->capacity;
+        int16_t* new_ring = fresh.data() + s * new_cap;
+        // copy the unread region [rpos, wpos) to the same absolute
+        // positions modulo the NEW capacity
+        for (int64_t pos = r.rpos; pos < r.wpos; ) {
+            int64_t src = pos % f->capacity;
+            int64_t dst = pos % new_cap;
+            int64_t run = r.wpos - pos;
+            if (f->capacity - src < run) run = f->capacity - src;
+            if (new_cap - dst < run) run = new_cap - dst;
+            std::memcpy(new_ring + dst, old_ring + src,
+                        static_cast<size_t>(run) * sizeof(int16_t));
+            pos += run;
+        }
+    }
+    f->rings.swap(fresh);
+    f->capacity = new_cap;
+    for (int i = Farm::kStripes - 1; i >= 0; --i) f->mu[i].unlock();
+    return new_cap;
+}
+
+// stats out[8]: samples_generated, windows_emitted, samples_lost,
+//               ready_windows, n_streams, capacity, backlog_high_water,
+//               reserved
 BN_API void bn_farm_stats(void* h, int64_t* out) {
     auto* f = static_cast<Farm*>(h);
     if (!f || !out) return;
-    int64_t windows = 0, lost = 0, ready = 0;
+    int64_t windows = 0, lost = 0, ready = 0, hw = 0;
     for (int64_t s = 0; s < f->n_streams; ++s) {
         std::lock_guard<std::mutex> lock(f->stripe(s));
         const StreamRing& r = f->st[static_cast<size_t>(s)];
         windows += r.windows;
         lost += r.lost;
         ready += (r.wpos - r.rpos) / f->hop;
+        if (r.backlog_hw > hw) hw = r.backlog_hw;
     }
     out[0] = f->generated.load(std::memory_order_relaxed);
     out[1] = windows;
@@ -354,4 +408,6 @@ BN_API void bn_farm_stats(void* h, int64_t* out) {
     out[3] = ready;
     out[4] = f->n_streams;
     out[5] = f->capacity;
+    out[6] = hw;
+    out[7] = 0;
 }

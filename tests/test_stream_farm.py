@@ -315,3 +315,39 @@ def test_multi_model_soak_smoke(tmp_path):
     assert da["farm_samples_lost"] == 0
     assert da["jobqueue_dropped_critical"] == 0
     assert rec["processor"]["detections_persisted"] == a["approved"]
+
+
+def test_farm_grow_preserves_backlog_and_tracks_high_water(tmp_path):
+    """Adaptive ring slack (VERDICT r3 #7): bn_farm_grow enlarges every
+    ring in place keeping all unread audio — windows collected across
+    the grow stay contiguous with chained overlaps and nothing is lost —
+    and stats expose the backlog high-water the sizing decision keys on."""
+    farm = _farm(n_streams=2, timescale=20.0, ring_seconds=6.0)
+    farm.start()
+    try:
+        # no collection: let ~2/3 of the 6 s ring fill (stream time)
+        time.sleep(0.2)
+        s1 = farm.stats()
+        assert s1["backlog_high_water"] > 0
+        assert s1["samples_lost"] == 0
+        new_cap = farm.grow(24.0)
+        assert new_cap == 24 * RATE
+        assert farm.stats()["ring_capacity"] == new_cap
+        # keep generating past the OLD capacity — would have clobbered
+        time.sleep(0.35)           # ~7 s stream time > old 6 s ring
+        assert farm.stats()["samples_lost"] == 0
+        windows = _drain(farm, 1.0)
+    finally:
+        farm.stop()
+        farm.close()
+    overlap = WINDOW - HOP
+    assert farm.stats()["samples_lost"] == 0
+    for sid, ws in windows.items():
+        idxs = [i for i, _, _ in ws]
+        assert idxs == list(range(idxs[0], idxs[0] + len(ws)))
+        for (_, _, w1), (_, _, w2) in zip(ws, ws[1:]):
+            assert np.array_equal(w1[-overlap:], w2[:overlap])
+    # growing smaller is refused (capacity unchanged)
+    farm2 = _farm(n_streams=1, ring_seconds=6.0)
+    assert farm2.grow(2.0) == 6 * RATE
+    farm2.close()
