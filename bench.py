@@ -284,6 +284,79 @@ def main() -> None:
         wps_i8 = BATCH * MEASURE_ITERS / elapsed_i8
         streams_i8 = wps_i8 * WINDOW_HOP_SECONDS
 
+    # int8 FC heads (VERDICT r3 #3): the conv int8 lowering misses the
+    # MXU 2x rate, but the classifier heads are plain dots. Time the two
+    # production head Gemms — v2.4's real 1280x6522 classifier (from the
+    # loaded params) and a Perch-shaped 1280x14795 Gemm — as bf16 vs
+    # int8x int8->int32, isolated via the same scan-length differencing.
+    from birdnet_go_tpu.models import layers as L
+    from birdnet_go_tpu.ops.quant import apply_dense_int8, quantize_dense_head
+
+    if degraded:
+        int8_heads = {"skipped": "degraded host"}
+    else:
+        emb_host = np.abs(rng.standard_normal((BATCH, 1280))
+                          ).astype(np.float32)
+        emb = jax.device_put(jnp.asarray(emb_host))
+        perch_w = (rng.standard_normal((1280, 14795)) * 0.03
+                   ).astype(np.float32)
+        heads_f = {
+            "v24": {k: jnp.asarray(v) for k, v in
+                    host_params0["classifier"].items()},
+            "perch": {"w": jnp.asarray(perch_w)},
+        }
+        heads_q = jax.device_put({
+            k: quantize_dense_head(
+                jax.tree_util.tree_map(np.asarray, v))
+            for k, v in heads_f.items()})
+
+        def _heads_scan(fn, heads, n):
+            def body(c, _):
+                x = emb + c
+                s = jnp.sum(fn(heads["v24"], x)) \
+                    + jnp.sum(fn(heads["perch"], x))
+                return (s * 1e-12).astype(jnp.float32), None
+
+            last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return last
+
+        def _time_heads(fn, heads):
+            k = 8
+            short = jax.jit(functools.partial(_heads_scan, fn, heads, 1))
+            longr = jax.jit(functools.partial(_heads_scan, fn, heads,
+                                              1 + k))
+            float(short())
+            float(longr())
+            slopes = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                float(short())
+                ts = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(longr())
+                tl = time.perf_counter() - t0
+                slopes.append(max(0.0, (tl - ts) / k * 1000.0))
+            slopes.sort()
+            return slopes[len(slopes) // 2]
+
+        ms_bf16 = _time_heads(
+            lambda p, x: L.apply_dense(p, x, jnp.bfloat16), heads_f)
+        ms_int8 = _time_heads(apply_dense_int8, heads_q)
+        gflop = 2.0 * BATCH * 1280 * (6522 + 14795) / 1e9
+        int8_heads = {
+            "batch": BATCH,
+            "bf16_ms": round(ms_bf16, 3),
+            "int8_ms": round(ms_int8, 3),
+            "speedup": round(ms_bf16 / ms_int8, 3) if ms_int8 else None,
+            "gflop_per_batch": round(gflop, 2),
+            "note": "both production head Gemms (v2.4 1280x6522 real "
+                    "params + Perch-shaped 1280x14795) per step; "
+                    "int8 = dynamic per-row activation scales, "
+                    "per-channel weights, int32 accumulate "
+                    "(tests/test_quantized.py holds the parity gate: "
+                    "max confidence delta <0.02, top-10 overlap >=9/10)",
+        }
+
     print(json.dumps({
         **({"accelerator_unavailable": True,
             "degraded_note": "TPU transport failed the bounded probe; "
@@ -322,6 +395,7 @@ def main() -> None:
                     "graph counts XLA's upcast expansion, not the "
                     "logical FLOPs",
         },
+        "int8_heads": int8_heads,
     }))
 
 

@@ -238,3 +238,48 @@ def apply_efficientnet_int8(q: dict, mel: jnp.ndarray, cfg) -> dict:
     logits = L.apply_dense(q["classifier"], emb, jnp.float32)
     return {"logits": logits.astype(jnp.float32),
             "embedding": emb.astype(jnp.float32)}
+
+
+# ------------------------------------------------------- int8 dense heads
+
+
+def quantize_dense_head(p: dict, calib_x: np.ndarray | None = None) -> dict:
+    """Quantize ONE dense classifier head for int8 MXU execution.
+
+    The r3 bench showed XLA's TPU lowering of int8 *convolutions* misses
+    the MXU's 2x int8 rate (BENCH_r03 int8_ptq note) — but the FC heads
+    (BirdNET v2.4's 1280x6522 classifier, Perch's 1280x14795 Gemm) are
+    plain dots where `lax.dot_general(int8, int8) -> int32` does hit it
+    (VERDICT r3 #3). Weights get per-output-channel symmetric scales;
+    activations are quantized DYNAMICALLY per row at runtime (TFLite
+    dynamic-range-quantization semantics), so no activation calibration
+    is needed — `calib_x` is accepted for API symmetry and ignored.
+    """
+    w_f = np.asarray(p["w"], np.float32)            # [cin, cout]
+    amax = np.maximum(np.abs(w_f).max(axis=0), 1e-12)
+    w_scale = (amax / _QMAX).astype(np.float32)
+    w_q = np.clip(np.round(w_f / w_scale), -127, 127).astype(np.int8)
+    q = {"w_q": w_q, "w_scale": w_scale}
+    if "b" in p:
+        q["b"] = np.asarray(p["b"], np.float32)
+    return q
+
+
+def apply_dense_int8(q: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Embeddings [B, cin] -> logits f32 [B, cout], int8xint8->int32 dot.
+
+    The per-row activation scale and both dequant epilogues are
+    elementwise and fuse; the dot itself runs with int8 operands and an
+    int32 accumulator — `preferred_element_type=jnp.int32` is what keeps
+    XLA from upcasting the operands (the failure mode the conv path hit).
+    """
+    x_f = x.astype(jnp.float32)
+    x_scale = jnp.maximum(jnp.max(jnp.abs(x_f), axis=-1, keepdims=True),
+                          1e-12) * (1.0 / _QMAX)
+    x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(x_q, q["w_q"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (x_scale * q["w_scale"])
+    if "b" in q:
+        y = y + q["b"]
+    return y

@@ -27,6 +27,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <new>
 #include <random>
@@ -62,7 +63,12 @@ struct Farm {
     int64_t capacity;            // ring capacity (samples)
     double timescale;
 
-    std::vector<int16_t> rings;      // n_streams * capacity
+    // Raw array, NOT std::vector: at 5,000 streams × 27 s the rings are
+    // ~13 GB, and vector's value-initialization (a giant memset) on a
+    // 1-vCPU host costs minutes during an adaptive grow. Fresh mmap'd
+    // pages are kernel-zeroed anyway, and correctness never depends on
+    // ring content outside [rpos, wpos).
+    std::unique_ptr<int16_t[]> rings;    // n_streams * capacity
     std::vector<int16_t> tails;      // n_streams * overlap (prev window tail)
     std::vector<StreamRing> st;
     std::vector<std::vector<int16_t>> bank;
@@ -115,7 +121,7 @@ void ring_write_from_bank(Farm* f, int64_t s, int64_t n) {
     StreamRing& r = f->st[static_cast<size_t>(s)];
     const std::vector<int16_t>& w = f->bank[static_cast<size_t>(r.wave)];
     const int64_t wlen = static_cast<int64_t>(w.size());
-    int16_t* ring = f->rings.data() + s * f->capacity;
+    int16_t* ring = f->rings.get() + s * f->capacity;
     // overwrite accounting (consumer behind): advance rpos
     int64_t unread = r.wpos - r.rpos;
     int64_t clobbered = unread + n - f->capacity;
@@ -220,7 +226,8 @@ BN_API void* bn_farm_create(int64_t n_streams, int64_t rate,
     f->capacity = cap > 2 * window ? cap : 2 * window;
     f->timescale = timescale > 0 ? timescale : 1.0;
     try {
-        f->rings.assign(static_cast<size_t>(n_streams * f->capacity), 0);
+        f->rings.reset(new int16_t[static_cast<size_t>(
+            n_streams * f->capacity)]());   // zeroed once at create
         f->tails.assign(static_cast<size_t>(n_streams * f->overlap), 0);
         f->st.resize(static_cast<size_t>(n_streams));
         if (n_waveforms <= 0) n_waveforms = 16;
@@ -304,7 +311,7 @@ BN_API int64_t bn_farm_collect(void* h, int16_t* out, int64_t* meta,
         int64_t s = (k + f->rotate) % f->n_streams;
         std::lock_guard<std::mutex> lock(f->stripe(s));
         StreamRing& r = f->st[static_cast<size_t>(s)];
-        int16_t* ring = f->rings.data() + s * f->capacity;
+        int16_t* ring = f->rings.get() + s * f->capacity;
         int16_t* tail = f->tails.data() + s * f->overlap;
         while (count < max_windows && r.wpos - r.rpos >= f->hop) {
             int16_t* w = out + count * f->window;
@@ -349,25 +356,29 @@ BN_API int64_t bn_farm_collect(void* h, int16_t* out, int64_t* meta,
 // scheduler steals of similar magnitude — size the ring from the worst
 // one observed, don't hope). Stop-the-world: takes every stripe lock in
 // index order (same order as all other lockers — deadlock-free), then
-// re-lays each stream's unread region into the larger ring. The pause is
-// one big memcpy pass (~GB/s); callers trigger it from a monitoring tick,
-// not the hot path. Returns the new capacity in samples, or 0 on failure.
+// re-lays each stream's unread region into the larger ring. The new
+// allocation is deliberately UNINITIALIZED (a 2× grow at 5,000×27 s is
+// ~26 GB — value-initializing it cost minutes of memset on a 1-vCPU
+// host and froze the sampling thread; ring content outside [rpos, wpos)
+// is never read, so zeroing buys nothing). The locked pause is only the
+// unread-region memcpy, proportional to the actual backlog. Each
+// stream's backlog high-water is re-based to its CURRENT backlog so one
+// historic stall can't trigger a cascade of further grows. Returns the
+// new capacity in samples, or 0 on failure.
 BN_API int64_t bn_farm_grow(void* h, double new_ring_seconds) {
     auto* f = static_cast<Farm*>(h);
     if (!f) return 0;
     int64_t new_cap = static_cast<int64_t>(new_ring_seconds * f->rate);
     if (new_cap <= f->capacity) return f->capacity;   // never shrink
-    std::vector<int16_t> fresh;
-    try {
-        fresh.assign(static_cast<size_t>(f->n_streams * new_cap), 0);
-    } catch (const std::bad_alloc&) {
-        return 0;
-    }
+    std::unique_ptr<int16_t[]> fresh(
+        new (std::nothrow) int16_t[static_cast<size_t>(
+            f->n_streams * new_cap)]);
+    if (!fresh) return 0;
     for (int i = 0; i < Farm::kStripes; ++i) f->mu[i].lock();
     for (int64_t s = 0; s < f->n_streams; ++s) {
         StreamRing& r = f->st[static_cast<size_t>(s)];
-        const int16_t* old_ring = f->rings.data() + s * f->capacity;
-        int16_t* new_ring = fresh.data() + s * new_cap;
+        const int16_t* old_ring = f->rings.get() + s * f->capacity;
+        int16_t* new_ring = fresh.get() + s * new_cap;
         // copy the unread region [rpos, wpos) to the same absolute
         // positions modulo the NEW capacity
         for (int64_t pos = r.rpos; pos < r.wpos; ) {
@@ -380,6 +391,7 @@ BN_API int64_t bn_farm_grow(void* h, double new_ring_seconds) {
                         static_cast<size_t>(run) * sizeof(int16_t));
             pos += run;
         }
+        r.backlog_hw = r.wpos - r.rpos;
     }
     f->rings.swap(fresh);
     f->capacity = new_cap;
