@@ -126,7 +126,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
              action_mix: str = "realistic", clips_dir: str | None = None,
              burst_at: float | None = None, burst_seconds: float = 0.0,
              hit_stride: int = 64, sim_mqtt_ms: float = 8.0,
-             sim_alert_ms: float = 3.0) -> dict[str, Any]:
+             sim_alert_ms: float = 3.0,
+             calibrate_rate: float | None = None) -> dict[str, Any]:
     """Run the soak; returns the result record (see module docstring).
 
     `models` may list several families (e.g. BirdNET_V2.4 + Perch_V2 at
@@ -237,6 +238,24 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
 
         jobqueue.enqueue(run_alert, "alert eval", category="alert")
 
+    # Real-TPU runs serve random-init weights, whose sigmoid scores make
+    # nearly EVERY window clear the default 0.8 threshold — the r3 TPU
+    # soak persisted 17k detections from 7k windows and saturated the
+    # jobqueue with an unrealistic load profile. Calibration observes
+    # the first few thousand windows' top-1 confidences and sets the
+    # per-model threshold at the (1 − target_rate) quantile, so
+    # detections/s matches a production-shaped rate (VERDICT r3 #1:
+    # "production thresholds or calibrated synthetic logits").
+    cal = None
+    if calibrate_rate:
+        from birdnet_go_tpu.config.settings import ModelSettings
+
+        settings.models = [ModelSettings(model_id=s.model_id,
+                                         threshold=1.01)   # mute until set
+                           for s in specs]
+        cal = {"target": float(calibrate_rate), "need": 4096,
+               "chunks": [], "thr": None}
+
     processor = Processor(settings, labels_by_model,
                           on_approved=on_approved)
     flusher = FlushLoop(processor)
@@ -258,6 +277,24 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             rt_ends = starts + rt_dur
             lat_chunks.append(
                 time.time_ns() - (rt_ends * 1e9).astype(np.int64))
+            if cal is not None and cal["thr"] is None:
+                cal["chunks"].append(np.asarray(vals[:, 0]))
+                seen = sum(len(c) for c in cal["chunks"])
+                if seen >= cal["need"]:
+                    allv = np.concatenate(cal["chunks"])
+                    thr = float(np.clip(
+                        np.quantile(allv, 1.0 - cal["target"]),
+                        0.05, 0.999))
+                    cal["thr"] = thr
+                    # ModelSettings objects are shared with the
+                    # processor's snapshot — mutating them takes effect
+                    # on the next submit
+                    for ms in settings.models:
+                        ms.threshold = thr
+                    log.info("calibrated threshold %.4f from %d windows"
+                             " (target %.2f%% detection-bearing)",
+                             thr, seen, 100 * cal["target"])
+                return           # calibration windows are not submitted
             submitted["n"] += n
             processor.submit_batch(
                 spec.model_id, [w.source_id for w in meta],
@@ -487,6 +524,12 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             "samples_lost": int(fs["samples_lost"]),
             "windows_emitted": int(fs["windows_emitted"]),
         }
+    if cal is not None:
+        calibration["threshold_calibration"] = {
+            "threshold": cal["thr"],
+            "target_detection_rate": cal["target"],
+            "windows_sampled": int(sum(len(c) for c in cal["chunks"])),
+        }
     record = {
         "streams": per_model_streams * len(specs),
         "models": list(models),
@@ -582,12 +625,20 @@ def main(argv=None) -> int:
     p.add_argument("--burst-seconds", type=float, default=30.0)
     p.add_argument("--hit-stride", type=int, default=64,
                    help="1 detection-bearing stream per N (steady state)")
+    p.add_argument("--calibrate-rate", type=float, default=None,
+                   help="tpu mode: auto-set the confidence threshold so "
+                        "this fraction of windows detects (default 0.015 "
+                        "on --device tpu; random-init weights otherwise "
+                        "make every window a detection)")
     p.add_argument("--out", default=None, help="append record to JSON file")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    cal_rate = args.calibrate_rate
+    if cal_rate is None and args.device == "tpu":
+        cal_rate = 0.015
     rec = run_soak(streams=args.streams, seconds=args.seconds,
                    device=args.device, max_batch=args.max_batch,
-                   db_path=args.db,
+                   db_path=args.db, calibrate_rate=cal_rate,
                    models=tuple(m.strip() for m in args.models.split(",")
                                 if m.strip()),
                    action_mix=args.action_mix, clips_dir=args.clips_dir,
