@@ -625,6 +625,10 @@ def main(argv=None) -> int:
     p.add_argument("--burst-seconds", type=float, default=30.0)
     p.add_argument("--hit-stride", type=int, default=64,
                    help="1 detection-bearing stream per N (steady state)")
+    p.add_argument("--sim-mqtt-ms", type=float, default=8.0,
+                   help="simulated MQTT publish RTT per job")
+    p.add_argument("--sim-alert-ms", type=float, default=3.0,
+                   help="simulated alert-evaluation latency per job")
     p.add_argument("--calibrate-rate", type=float, default=None,
                    help="tpu mode: auto-set the confidence threshold so "
                         "this fraction of windows detects (default 0.015 "
@@ -644,7 +648,9 @@ def main(argv=None) -> int:
                    action_mix=args.action_mix, clips_dir=args.clips_dir,
                    burst_at=args.burst_at,
                    burst_seconds=args.burst_seconds,
-                   hit_stride=args.hit_stride)
+                   hit_stride=args.hit_stride,
+                   sim_mqtt_ms=args.sim_mqtt_ms,
+                   sim_alert_ms=args.sim_alert_ms)
     print(json.dumps(rec, indent=1))
     if args.out:
         try:

@@ -47,6 +47,9 @@ struct StreamRing {
     int64_t next_index = 0;      // window index of the next read
     int64_t backlog_hw = 0;      // max unread samples ever observed —
                                  // the slack a host stall actually used
+    int64_t cap = 0;             // THIS stream's ring capacity — grows
+                                 // independently so adaptive slack never
+                                 // stops the world
     int32_t wave = 0;            // waveform bank entry
     int64_t phase = 0;           // read phase into the waveform
     int64_t offset = 0;          // stream start offset (samples) — staggers
@@ -63,12 +66,13 @@ struct Farm {
     int64_t capacity;            // ring capacity (samples)
     double timescale;
 
-    // Raw array, NOT std::vector: at 5,000 streams × 27 s the rings are
-    // ~13 GB, and vector's value-initialization (a giant memset) on a
-    // 1-vCPU host costs minutes during an adaptive grow. Fresh mmap'd
-    // pages are kernel-zeroed anyway, and correctness never depends on
-    // ring content outside [rpos, wpos).
-    std::unique_ptr<int16_t[]> rings;    // n_streams * capacity
+    // Per-stream raw blocks (not one contiguous vector): adaptive grow
+    // re-allocates ONE stream at a time under its own stripe lock, so
+    // enlarging 5,000 rings never stops the whole farm; allocations are
+    // deliberately uninitialized (value-initializing ~13 GB cost minutes
+    // of memset on a 1-vCPU host, and correctness never depends on ring
+    // content outside [rpos, wpos)).
+    std::vector<std::unique_ptr<int16_t[]>> rings;   // [n_streams][cap]
     std::vector<int16_t> tails;      // n_streams * overlap (prev window tail)
     std::vector<StreamRing> st;
     std::vector<std::vector<int16_t>> bank;
@@ -121,10 +125,11 @@ void ring_write_from_bank(Farm* f, int64_t s, int64_t n) {
     StreamRing& r = f->st[static_cast<size_t>(s)];
     const std::vector<int16_t>& w = f->bank[static_cast<size_t>(r.wave)];
     const int64_t wlen = static_cast<int64_t>(w.size());
-    int16_t* ring = f->rings.get() + s * f->capacity;
+    int16_t* ring = f->rings[static_cast<size_t>(s)].get();
+    const int64_t cap = r.cap;
     // overwrite accounting (consumer behind): advance rpos
     int64_t unread = r.wpos - r.rpos;
-    int64_t clobbered = unread + n - f->capacity;
+    int64_t clobbered = unread + n - cap;
     if (clobbered > 0) {
         // keep rpos window-aligned so later windows stay hop-aligned in
         // stream time: drop whole hops
@@ -135,8 +140,8 @@ void ring_write_from_bank(Farm* f, int64_t s, int64_t n) {
     }
     int64_t done = 0;
     while (done < n) {
-        int64_t start = (r.wpos + done) % f->capacity;
-        int64_t run = f->capacity - start;
+        int64_t start = (r.wpos + done) % cap;
+        int64_t run = cap - start;
         int64_t src = r.phase % wlen;
         int64_t srun = wlen - src;
         int64_t m = n - done;
@@ -163,6 +168,7 @@ void generator_main(Farm* f) {
             std::chrono::duration<double>(clock::now() - f->epoch).count();
         const int64_t target =
             static_cast<int64_t>(elapsed * f->timescale * f->rate);
+        int64_t max_deficit = 0;
         for (int64_t s = 0; s < f->n_streams; ++s) {
             std::lock_guard<std::mutex> lock(f->stripe(s));
             int64_t have = f->st[static_cast<size_t>(s)].wpos;
@@ -173,28 +179,38 @@ void generator_main(Farm* f) {
                 // bound a single catch-up burst to one ring's worth;
                 // the skipped stream time is lost WITH accounting, and
                 // the write's clobber path realigns rpos to whole hops
-                if (need > f->capacity) {
-                    StreamRing& r = f->st[static_cast<size_t>(s)];
-                    int64_t skip = need - f->capacity;
-                    r.lost += skip;
-                    r.wpos += skip;
-                    need = f->capacity;
+                StreamRing& rs = f->st[static_cast<size_t>(s)];
+                if (need > rs.cap) {
+                    int64_t skip = need - rs.cap;
+                    rs.lost += skip;
+                    rs.wpos += skip;
+                    need = rs.cap;
                 }
-                // ...and to 0.5 s per stream per pass: writing a whole
-                // ring (seconds of samples) under the stripe lock for
-                // THOUSANDS of streams in one sweep starves collect()
-                // for multi-second stretches, turning one host hiccup
-                // into a loss cascade (observed at 2,500 streams).
-                // Nothing is lost by the bound — wpos lags target and
-                // the next pass continues (20x realtime catch-up).
-                const int64_t burst = f->rate / 2;
+                // ...and per stream per pass: 0.5 s in steady state
+                // (writing a whole ring under the stripe lock for
+                // THOUSANDS of streams in one sweep starves collect()),
+                // but up to 4 s when this stream is far behind — after
+                // a host stall the catch-up rate MUST exceed line rate
+                // or the deficit never closes (observed: a 30 s steal
+                // at 5,000 streams left the 0.5 s bound pinned at
+                // ~1x line rate forever; a 4 s write under one stripe
+                // lock is still only ~384 KB of memcpy).
+                int64_t burst = f->rate / 2;
+                if (need > 4 * f->rate) burst = 4 * f->rate;
                 if (need > burst) need = burst;
                 ring_write_from_bank(f, s, need);
+                int64_t left = target_s
+                    - f->st[static_cast<size_t>(s)].wpos;
+                if (left > max_deficit) max_deficit = left;
             }
         }
         f->generated.store(target * f->n_streams,
                            std::memory_order_relaxed);
-        std::this_thread::sleep_for(std::chrono::milliseconds(25));
+        // work-conserving catch-up: skip the idle nap while any stream
+        // is more than 2 s behind realtime
+        if (max_deficit < 2 * f->rate) {
+            std::this_thread::sleep_for(std::chrono::milliseconds(25));
+        }
     }
 }
 
@@ -226,8 +242,11 @@ BN_API void* bn_farm_create(int64_t n_streams, int64_t rate,
     f->capacity = cap > 2 * window ? cap : 2 * window;
     f->timescale = timescale > 0 ? timescale : 1.0;
     try {
-        f->rings.reset(new int16_t[static_cast<size_t>(
-            n_streams * f->capacity)]());   // zeroed once at create
+        f->rings.resize(static_cast<size_t>(n_streams));
+        for (int64_t s = 0; s < n_streams; ++s) {
+            f->rings[static_cast<size_t>(s)].reset(
+                new int16_t[static_cast<size_t>(f->capacity)]);
+        }
         f->tails.assign(static_cast<size_t>(n_streams * f->overlap), 0);
         f->st.resize(static_cast<size_t>(n_streams));
         if (n_waveforms <= 0) n_waveforms = 16;
@@ -243,6 +262,7 @@ BN_API void* bn_farm_create(int64_t n_streams, int64_t rate,
     std::mt19937_64 rng(seed ^ 0x9e3779b97f4a7c15ull);
     for (int64_t s = 0; s < n_streams; ++s) {
         StreamRing& r = f->st[static_cast<size_t>(s)];
+        r.cap = f->capacity;
         r.wave = static_cast<int32_t>(s % n_waveforms);
         r.gain = 1.0f;
         r.phase = static_cast<int64_t>(rng() % static_cast<uint64_t>(rate));
@@ -311,14 +331,14 @@ BN_API int64_t bn_farm_collect(void* h, int16_t* out, int64_t* meta,
         int64_t s = (k + f->rotate) % f->n_streams;
         std::lock_guard<std::mutex> lock(f->stripe(s));
         StreamRing& r = f->st[static_cast<size_t>(s)];
-        int16_t* ring = f->rings.get() + s * f->capacity;
+        int16_t* ring = f->rings[static_cast<size_t>(s)].get();
         int16_t* tail = f->tails.data() + s * f->overlap;
         while (count < max_windows && r.wpos - r.rpos >= f->hop) {
             int16_t* w = out + count * f->window;
             std::memcpy(w, tail,
                         static_cast<size_t>(f->overlap) * sizeof(int16_t));
-            int64_t start = r.rpos % f->capacity;
-            int64_t first = f->capacity - start;
+            int64_t start = r.rpos % r.cap;
+            int64_t first = r.cap - start;
             if (first > f->hop) first = f->hop;
             std::memcpy(w + f->overlap, ring + start,
                         static_cast<size_t>(first) * sizeof(int16_t));
@@ -350,52 +370,50 @@ BN_API int64_t bn_farm_collect(void* h, int16_t* out, int64_t* meta,
     return count;
 }
 
-// Grow every stream's ring to new_ring_seconds of slack IN PLACE, keeping
-// all unread samples: the adaptive-slack response when the observed
-// backlog high-water approaches capacity (a production VM sees repeated
+// Grow every stream's ring to new_ring_seconds of slack, keeping all
+// unread samples: the adaptive-slack response when the observed backlog
+// high-water approaches capacity (a production VM sees repeated
 // scheduler steals of similar magnitude — size the ring from the worst
-// one observed, don't hope). Stop-the-world: takes every stripe lock in
-// index order (same order as all other lockers — deadlock-free), then
-// re-lays each stream's unread region into the larger ring. The new
-// allocation is deliberately UNINITIALIZED (a 2× grow at 5,000×27 s is
-// ~26 GB — value-initializing it cost minutes of memset on a 1-vCPU
-// host and froze the sampling thread; ring content outside [rpos, wpos)
-// is never read, so zeroing buys nothing). The locked pause is only the
-// unread-region memcpy, proportional to the actual backlog. Each
-// stream's backlog high-water is re-based to its CURRENT backlog so one
+// one observed, don't hope). INCREMENTAL: each stream re-allocates and
+// copies under its OWN stripe lock, so the farm as a whole never stops
+// — the generator and collector keep running on every other stream
+// (the earlier stop-the-world variant held all locks for the whole
+// multi-GB copy and stalled a 5,000-stream soak for ~30 s). New blocks
+// are uninitialized (content outside [rpos, wpos) is never read). Each
+// stream's backlog high-water re-bases to its current backlog so one
 // historic stall can't trigger a cascade of further grows. Returns the
-// new capacity in samples, or 0 on failure.
+// new capacity in samples, or 0 on allocation failure.
 BN_API int64_t bn_farm_grow(void* h, double new_ring_seconds) {
     auto* f = static_cast<Farm*>(h);
     if (!f) return 0;
     int64_t new_cap = static_cast<int64_t>(new_ring_seconds * f->rate);
     if (new_cap <= f->capacity) return f->capacity;   // never shrink
-    std::unique_ptr<int16_t[]> fresh(
-        new (std::nothrow) int16_t[static_cast<size_t>(
-            f->n_streams * new_cap)]);
-    if (!fresh) return 0;
-    for (int i = 0; i < Farm::kStripes; ++i) f->mu[i].lock();
     for (int64_t s = 0; s < f->n_streams; ++s) {
+        std::unique_ptr<int16_t[]> fresh(
+            new (std::nothrow) int16_t[static_cast<size_t>(new_cap)]);
+        if (!fresh) return 0;
+        std::lock_guard<std::mutex> lock(f->stripe(s));
         StreamRing& r = f->st[static_cast<size_t>(s)];
-        const int16_t* old_ring = f->rings.get() + s * f->capacity;
-        int16_t* new_ring = fresh.get() + s * new_cap;
+        if (r.cap >= new_cap) continue;      // concurrent grow raced us
+        const int16_t* old_ring = f->rings[static_cast<size_t>(s)].get();
         // copy the unread region [rpos, wpos) to the same absolute
         // positions modulo the NEW capacity
         for (int64_t pos = r.rpos; pos < r.wpos; ) {
-            int64_t src = pos % f->capacity;
+            int64_t src = pos % r.cap;
             int64_t dst = pos % new_cap;
             int64_t run = r.wpos - pos;
-            if (f->capacity - src < run) run = f->capacity - src;
+            if (r.cap - src < run) run = r.cap - src;
             if (new_cap - dst < run) run = new_cap - dst;
-            std::memcpy(new_ring + dst, old_ring + src,
+            std::memcpy(fresh.get() + dst, old_ring + src,
                         static_cast<size_t>(run) * sizeof(int16_t));
             pos += run;
         }
+        f->rings[static_cast<size_t>(s)].swap(fresh);
+        r.cap = new_cap;
         r.backlog_hw = r.wpos - r.rpos;
+        // old block frees here, outside no other lock
     }
-    f->rings.swap(fresh);
     f->capacity = new_cap;
-    for (int i = Farm::kStripes - 1; i >= 0; --i) f->mu[i].unlock();
     return new_cap;
 }
 
