@@ -377,7 +377,11 @@ def main() -> None:
                         "e2e includes the dev tunnel's ~85 MB/s H2D — a "
                         "locally-attached chip's PCIe H2D for the 74 MB "
                         "megabatch is ~5 ms (assumption, not measured "
-                        "here)",
+                        "here). p95 of the differenced slopes is "
+                        "tunnel-jitter-bound and drifts run to run (r2 "
+                        "10.6 -> r3 16.9 ms while p50 improved — "
+                        "transport noise, not a device regression); "
+                        "treat p50 as the stable figure",
         "device_kind": device_kind,
         "assumed_peak_tflops_bf16": peak,
         "flops_per_window_g": round(flops_per_window / 1e9, 3)
