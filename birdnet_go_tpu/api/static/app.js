@@ -91,7 +91,9 @@ export function isoDaysAgo(n) {
 let toastTimer = null;
 export function toast(msg, isError = false) {
   document.querySelectorAll(".toast").forEach((t) => t.remove());
-  const t = el("div", { class: "toast" + (isError ? " err" : "") }, msg);
+  // role=alert/status: announced by screen readers without focus moves
+  const t = el("div", { class: "toast" + (isError ? " err" : ""),
+                        role: isError ? "alert" : "status" }, msg);
   document.body.append(t);
   clearTimeout(toastTimer);
   toastTimer = setTimeout(() => t.remove(), 4000);
@@ -168,13 +170,22 @@ export function route(name, loader) { routes[name] = loader; }
 let viewCleanups = [];
 export function onCleanup(fn) { viewCleanups.push(fn); }
 let navToken = 0;
+let currentQuery = new URLSearchParams();
+
+/** Query part of the current hash route (#/view?k=v) — lets charts deep-
+    link into pre-filtered views (analytics cell → detections). */
+export function viewQuery() { return currentQuery; }
 
 export async function navigate() {
   const token = ++navToken;
   for (const fn of viewCleanups.splice(0)) {
     try { fn(); } catch (e) { /* teardown must never block navigation */ }
   }
-  const hash = (location.hash || "#/dashboard").slice(2);
+  const full = (location.hash || "#/dashboard").slice(2);
+  // deep links carry filters after '?' (#/detections?species=…): the
+  // query never participates in route resolution
+  const [hash, query] = full.split("?");
+  currentQuery = new URLSearchParams(query || "");
   const [name, ...rest] = hash.split("/");
   const outlet = document.getElementById("outlet");
   document.querySelectorAll("nav.sidebar a[data-route]").forEach((a) => {
@@ -195,6 +206,9 @@ export async function navigate() {
     view.append(el("div", { class: "card" },
       el("h2", {}, t("error")), el("p", { class: "sub" }, e.message)));
   }
+  // a11y: route changes move focus to the content region so keyboard /
+  // screen-reader users land on the new view, not mid-sidebar
+  if (token === navToken) outlet.focus({ preventScroll: true });
 }
 
 // ------------------------------------------------------------ SSE helper

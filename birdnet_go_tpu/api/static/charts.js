@@ -4,7 +4,7 @@
    surface ring, per-mark hover tooltips (bars/cells) and a crosshair
    tooltip on lines. Labels/values wear text tokens, never series color. */
 
-import { el, fmtNum } from "./app.js";
+import { el, fmtNum, t } from "./app.js";
 
 const NS = "http://www.w3.org/2000/svg";
 
@@ -12,6 +12,19 @@ function svgEl(tag, attrs = {}) {
   const node = document.createElementNS(NS, tag);
   for (const [k, v] of Object.entries(attrs)) node.setAttribute(k, v);
   return node;
+}
+
+
+// Interactive mark helper: pointer + keyboard activation (charts must be
+// drillable without a mouse — Enter/Space trigger the same handler).
+function makeClickable(node, handler) {
+  node.style.cursor = "pointer";
+  node.setAttribute("tabindex", "0");
+  node.setAttribute("role", "button");
+  node.addEventListener("click", handler);
+  node.addEventListener("keydown", (ev) => {
+    if (ev.key === "Enter" || ev.key === " ") { ev.preventDefault(); handler(ev); }
+  });
 }
 
 function niceTicks(max, n = 4) {
@@ -67,7 +80,8 @@ function grid(svg, pad, plotW, plotH, ticks, max, fmt = fmtNum) {
 
 /** Vertical bar chart: data = [{label, value}]. Sequential single-hue. */
 export function barChart(data, { height = 180, color = "var(--seq-400)",
-                                 xLabelEvery = 1, fmt = fmtNum } = {}) {
+                                 xLabelEvery = 1, fmt = fmtNum,
+                                 onClick = null } = {}) {
   const pad = { l: 42, r: 8, t: 8, b: 22 };
   const width = 640;
   const { wrap, svg, tip, plotW, plotH } = chartFrame(width, height, pad);
@@ -100,6 +114,7 @@ export function barChart(data, { height = 180, color = "var(--seq-400)",
       path.removeAttribute("opacity");
       tip.style.display = "none";
     });
+    if (onClick) makeClickable(hit, () => onClick(d));
     svg.append(path, hit);
     if (i % xLabelEvery === 0) {
       const lbl = svgEl("text", {
@@ -145,91 +160,170 @@ export function hBarChart(data, { color = "var(--seq-400)",
     hit.addEventListener("pointermove", (ev) =>
       showTip(wrap, tip, ev.clientX, ev.clientY, [[d.label, fmt(d.value)]]));
     hit.addEventListener("pointerleave", () => tip.style.display = "none");
-    if (onClick) {
-      hit.style.cursor = "pointer";
-      hit.addEventListener("click", () => onClick(d));
-    }
+    if (onClick) makeClickable(hit, () => onClick(d));
     svg.append(bar, name, val, hit);
   });
   return wrap;
 }
 
-/** Line chart with crosshair tooltip. series = [{name, color, points:
-    [{x label, y}]}] — all series share x positions. */
+/** Line chart with crosshair tooltip, click-to-toggle legend, and
+    drag-to-zoom x brush (double-click or the reset chip restores the
+    full domain). series = [{name, color, points: [{x label, y}]}] —
+    all series share x positions. */
 export function lineChart(series, { height = 200, fmt = fmtNum } = {}) {
-  const pad = { l: 42, r: 10, t: 10, b: 22 };
-  const width = 640;
-  const { wrap, svg, tip, plotW, plotH } = chartFrame(width, height, pad);
-  const n = series[0]?.points.length || 0;
-  if (!n) { wrap.append(el("div", { class: "empty" }, "No data")); return wrap; }
-  const max = Math.max(...series.flatMap((s) => s.points.map((p) => p.y)), 1);
-  const ticks = niceTicks(max);
-  const top = ticks[ticks.length - 1];
-  grid(svg, pad, plotW, plotH, ticks, top, fmt);
-  const xAt = (i) => pad.l + (n === 1 ? plotW / 2 : (i / (n - 1)) * plotW);
-  const yAt = (v) => pad.t + plotH - (v / top) * plotH;
-  for (const s of series) {
-    const dAttr = s.points.map((p, i) =>
-      `${i === 0 ? "M" : "L"}${xAt(i).toFixed(1)},${yAt(p.y).toFixed(1)}`).join(" ");
-    if (s.area) {
-      svg.append(svgEl("path", {
-        d: `${dAttr} L${xAt(n - 1)},${pad.t + plotH} L${xAt(0)},${pad.t + plotH} Z`,
-        fill: s.color, opacity: 0.1 }));
+  const hidden = new Set();
+  let dom = null;                       // [i0, i1] zoomed index range
+  const box = el("div");
+  const controls = el("div", { class: "legend" });
+  const container = el("div", {}, box, controls);
+
+  function rebuildControls() {
+    controls.replaceChildren();
+    if (series.length >= 2) {
+      for (const s of series) {
+        const item = el("span", { tabindex: "0", role: "button",
+                                  "aria-pressed": String(!hidden.has(s.name)),
+                                  style: "cursor:pointer"
+                                    + (hidden.has(s.name)
+                                       ? ";opacity:.35" : "") },
+          el("span", { class: "key", style: `background:${s.color}` }),
+          s.name);
+        const toggle = () => {
+          if (hidden.has(s.name)) hidden.delete(s.name);
+          else if (hidden.size < series.length - 1) hidden.add(s.name);
+          draw();
+        };
+        item.addEventListener("click", toggle);
+        item.addEventListener("keydown", (ev) => {
+          if (ev.key === "Enter" || ev.key === " ") { ev.preventDefault(); toggle(); }
+        });
+        controls.append(item);
+      }
     }
-    svg.append(svgEl("path", {
-      d: dAttr, fill: "none", stroke: s.color, "stroke-width": 2,
-      "stroke-linejoin": "round", "stroke-linecap": "round" }));
-    // end marker: ≥8px with 2px surface ring
-    const last = s.points[n - 1];
-    svg.append(svgEl("circle", { cx: xAt(n - 1), cy: yAt(last.y), r: 6,
-                                 fill: "var(--surface-1)" }));
-    svg.append(svgEl("circle", { cx: xAt(n - 1), cy: yAt(last.y), r: 4,
-                                 fill: s.color }));
+    if (dom) {
+      const reset = el("button", { class: "small" }, t("reset_zoom"));
+      reset.addEventListener("click", () => { dom = null; draw(); });
+      controls.append(reset);
+    }
   }
-  // x labels (sparse)
-  const every = Math.ceil(n / 8);
-  series[0].points.forEach((p, i) => {
-    if (i % every !== 0 && i !== n - 1) return;
-    const lbl = svgEl("text", { x: xAt(i), y: height - 7,
-      "text-anchor": "middle", "font-size": 10.5, fill: "var(--text-muted)" });
-    lbl.textContent = p.x;
-    svg.append(lbl);
-  });
-  // crosshair + one tooltip for every series at the snapped X
-  const cross = svgEl("line", { y1: pad.t, y2: pad.t + plotH,
-    stroke: "var(--text-muted)", "stroke-width": 1, visibility: "hidden" });
-  svg.append(cross);
-  const hit = svgEl("rect", { x: pad.l, y: pad.t, width: plotW, height: plotH,
-                              fill: "transparent" });
-  hit.addEventListener("pointermove", (ev) => {
-    const box = svg.getBoundingClientRect();
-    const fx = (ev.clientX - box.left) * (width / box.width);
-    const i = Math.max(0, Math.min(n - 1,
+
+  function draw() {
+    box.replaceChildren();
+    const vis = series.filter((s) => !hidden.has(s.name));
+    const base = dom ? [dom[0], dom[1]] : null;
+    const sliced = vis.map((s) => ({ ...s,
+      points: base ? s.points.slice(base[0], base[1] + 1) : s.points }));
+    box.append(drawPlot(sliced, (a, b) => {
+      const off = base ? base[0] : 0;
+      dom = [off + a, off + b];
+      draw();
+    }, () => { if (dom) { dom = null; draw(); } }));
+    rebuildControls();
+  }
+
+  function drawPlot(vis, onBrush, onResetGesture) {
+    const pad = { l: 42, r: 10, t: 10, b: 22 };
+    const width = 640;
+    const { wrap, svg, tip, plotW, plotH } = chartFrame(width, height, pad);
+    const n = vis[0]?.points.length || 0;
+    if (!n) { wrap.append(el("div", { class: "empty" }, "No data")); return wrap; }
+    const max = Math.max(...vis.flatMap((s) => s.points.map((p) => p.y)), 1);
+    const ticks = niceTicks(max);
+    const top = ticks[ticks.length - 1];
+    grid(svg, pad, plotW, plotH, ticks, top, fmt);
+    const xAt = (i) => pad.l + (n === 1 ? plotW / 2 : (i / (n - 1)) * plotW);
+    const yAt = (v) => pad.t + plotH - (v / top) * plotH;
+    for (const s of vis) {
+      const dAttr = s.points.map((p, i) =>
+        `${i === 0 ? "M" : "L"}${xAt(i).toFixed(1)},${yAt(p.y).toFixed(1)}`).join(" ");
+      if (s.area) {
+        svg.append(svgEl("path", {
+          d: `${dAttr} L${xAt(n - 1)},${pad.t + plotH} L${xAt(0)},${pad.t + plotH} Z`,
+          fill: s.color, opacity: 0.1 }));
+      }
+      svg.append(svgEl("path", {
+        d: dAttr, fill: "none", stroke: s.color, "stroke-width": 2,
+        "stroke-linejoin": "round", "stroke-linecap": "round" }));
+      // end marker: ≥8px with 2px surface ring
+      const last = s.points[n - 1];
+      svg.append(svgEl("circle", { cx: xAt(n - 1), cy: yAt(last.y), r: 6,
+                                   fill: "var(--surface-1)" }));
+      svg.append(svgEl("circle", { cx: xAt(n - 1), cy: yAt(last.y), r: 4,
+                                   fill: s.color }));
+    }
+    // x labels (sparse)
+    const every = Math.ceil(n / 8);
+    vis[0].points.forEach((p, i) => {
+      if (i % every !== 0 && i !== n - 1) return;
+      const lbl = svgEl("text", { x: xAt(i), y: height - 7,
+        "text-anchor": "middle", "font-size": 10.5, fill: "var(--text-muted)" });
+      lbl.textContent = p.x;
+      svg.append(lbl);
+    });
+    // crosshair + one tooltip for every series at the snapped X
+    const cross = svgEl("line", { y1: pad.t, y2: pad.t + plotH,
+      stroke: "var(--text-muted)", "stroke-width": 1, visibility: "hidden" });
+    svg.append(cross);
+    const sel = svgEl("rect", { y: pad.t, height: plotH,
+      fill: "var(--seq-400)", opacity: 0.15, visibility: "hidden" });
+    svg.append(sel);
+    const hit = svgEl("rect", { x: pad.l, y: pad.t, width: plotW, height: plotH,
+                                fill: "transparent" });
+    const fxOf = (ev) => {
+      const boxr = svg.getBoundingClientRect();
+      return (ev.clientX - boxr.left) * (width / boxr.width);
+    };
+    const idxOf = (fx) => Math.max(0, Math.min(n - 1,
       Math.round((fx - pad.l) / (plotW / Math.max(1, n - 1)))));
-    cross.setAttribute("x1", xAt(i));
-    cross.setAttribute("x2", xAt(i));
-    cross.setAttribute("visibility", "visible");
-    showTip(wrap, tip, ev.clientX, ev.clientY,
-            [[series[0].points[i].x, ""]].concat(
-              series.map((s) => [s.name, fmt(s.points[i].y)])));
-  });
-  hit.addEventListener("pointerleave", () => {
-    cross.setAttribute("visibility", "hidden");
-    tip.style.display = "none";
-  });
-  svg.append(hit);
-  if (series.length >= 2) {
-    const legend = el("div", { class: "legend" }, series.map((s) =>
-      el("span", {}, el("span", { class: "key",
-                                  style: `background:${s.color}` }), s.name)));
-    wrap.append(legend);
+    let brush0 = null;            // [fx, index] at pointerdown
+    hit.addEventListener("pointerdown", (ev) => {
+      brush0 = [fxOf(ev), idxOf(fxOf(ev))];
+      hit.setPointerCapture(ev.pointerId);
+    });
+    hit.addEventListener("pointerup", (ev) => {
+      if (!brush0) return;
+      const [fx0, i0] = brush0;
+      brush0 = null;
+      sel.setAttribute("visibility", "hidden");
+      const fx1 = fxOf(ev);
+      const i1 = idxOf(fx1);
+      // a real drag (not a click) spanning ≥2 points zooms
+      if (Math.abs(fx1 - fx0) > 8 && Math.abs(i1 - i0) >= 1 && n > 2) {
+        onBrush(Math.min(i0, i1), Math.max(i0, i1));
+      }
+    });
+    hit.addEventListener("dblclick", onResetGesture);
+    hit.addEventListener("pointermove", (ev) => {
+      const fx = fxOf(ev);
+      if (brush0) {
+        sel.setAttribute("x", Math.min(brush0[0], fx));
+        sel.setAttribute("width", Math.abs(fx - brush0[0]));
+        sel.setAttribute("visibility", "visible");
+        return;
+      }
+      const i = idxOf(fx);
+      cross.setAttribute("x1", xAt(i));
+      cross.setAttribute("x2", xAt(i));
+      cross.setAttribute("visibility", "visible");
+      showTip(wrap, tip, ev.clientX, ev.clientY,
+              [[vis[0].points[i].x, ""]].concat(
+                vis.map((s) => [s.name, fmt(s.points[i].y)])));
+    });
+    hit.addEventListener("pointerleave", () => {
+      cross.setAttribute("visibility", "hidden");
+      tip.style.display = "none";
+    });
+    svg.append(hit);
+    return wrap;
   }
-  return wrap;
+
+  draw();
+  return container;
 }
 
 /** Heatmap grid: rows × cols with sequential fill.
     data = {rows: [label], cols: [label], values: [[v]]}. */
-export function heatmap(data, { fmt = fmtNum } = {}) {
+export function heatmap(data, { fmt = fmtNum, onCellClick = null } = {}) {
   const cell = 17, gap = 2;
   const pad = { l: 78, t: 4, r: 4, b: 20 };
   const width = pad.l + data.cols.length * (cell + gap) + pad.r;
@@ -254,6 +348,7 @@ export function heatmap(data, { fmt = fmtNum } = {}) {
       rect.addEventListener("pointermove", (ev) =>
         showTip(wrap, tip, ev.clientX, ev.clientY, [[`${rl} · ${cl}`, fmt(v)]]));
       rect.addEventListener("pointerleave", () => tip.style.display = "none");
+      if (onCellClick) makeClickable(rect, () => onCellClick(rl, cl, v));
       svg.append(rect);
     });
   });

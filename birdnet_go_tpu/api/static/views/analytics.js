@@ -94,7 +94,14 @@ export async function analyticsView(outlet) {
       grid.append(card(t("heatmap") + " (date × hour)", shown.length
         ? heatmap({ rows: shown.map((d) => d.slice(5)),
                     cols: [...Array(24).keys()].map(String),
-                    values: shown.map((d) => res[d]) })
+                    values: shown.map((d) => res[d]) },
+                  // drill: cell → detections pre-filtered to that
+                  // date + hour (deep link — app.js viewQuery)
+                  { onCellClick: (rl, cl) => {
+                      const full = shown.find((d) => d.slice(5) === rl);
+                      if (full) location.hash =
+                        `#/detections?date=${full}&hour=${cl}`;
+                    } })
         : el("div", { class: "empty" }, t("no_data"))));
       if (dates.length) hourlyTotals = [...Array(24).keys()].map((h) =>
         dates.reduce((s, d) => s + (res[d][h] || 0), 0));
@@ -209,7 +216,9 @@ export async function analyticsView(outlet) {
       const { hourly } = await api("/analytics/dawn-chorus");
       four.append(card(t("dawn_chorus") + " (today by hour)",
         barChart((hourly || []).map((v, h) => ({ label: String(h), value: v })),
-                 { xLabelEvery: 3, height: 150 })));
+                 { xLabelEvery: 3, height: 150,
+                   onClick: (d) => location.hash =
+                     `#/detections?from=${isoDaysAgo(0)}&hour=${d.label}` })));
     } catch (e) { /* optional */ }
     // insights: dawn chorus leaders (per-species average earliest
     // detection in the 04-10 band) + phantom species (frequent but

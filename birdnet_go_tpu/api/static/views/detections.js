@@ -2,7 +2,7 @@
    lock / delete / comments / audio, and bulk actions over a selection. */
 
 import { api, el, clear, fmtTime, confMeter, toast, t, isoDaysAgo,
-         confirmDialog } from "../app.js";
+         confirmDialog, viewQuery } from "../app.js";
 import { spectrogramPlayer } from "./player.js";
 
 export async function detectionsView(outlet) {
@@ -140,6 +140,29 @@ export async function detectionsView(outlet) {
   outlet.append(tableCard, pager);
 
   applyBtn.addEventListener("click", () => { state.offset = 0; load(); });
+
+  // deep links (#/detections?species=…&date=…&hour=…) pre-fill the
+  // filters — analytics charts drill straight into the matching slice
+  const q = viewQuery();
+  if (q.has("species")) species.value = q.get("species");
+  if (q.has("date")) {
+    range.value = "custom";
+    customWrap.style.display = "";
+    dateFrom.value = q.get("date");
+    dateTo.value = q.get("date");
+  }
+  if (q.has("from")) {
+    range.value = "custom";
+    customWrap.style.display = "";
+    dateFrom.value = q.get("from");
+    if (q.has("to")) dateTo.value = q.get("to");
+  }
+  if (q.has("hour")) {
+    hourFrom.value = q.get("hour");
+    hourTo.value = q.get("hour");
+  }
+  if (q.has("model")) modelSel.value = q.get("model");
+  if (q.has("verified")) verified.value = q.get("verified");
   await load();
 
   function currentFilters() {
