@@ -138,6 +138,7 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--burst-at", type=float, default=None)
     sk.add_argument("--burst-seconds", type=float, default=30.0)
     sk.add_argument("--hit-stride", type=int, default=64)
+    sk.add_argument("--burst-stride", type=int, default=1)
     sk.add_argument("--sim-mqtt-ms", type=float, default=8.0)
     sk.add_argument("--sim-alert-ms", type=float, default=3.0)
     sk.add_argument("--calibrate-rate", type=float, default=None)
@@ -199,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
                           "--action-mix", args.action_mix,
                           "--burst-seconds", str(args.burst_seconds),
                           "--hit-stride", str(args.hit_stride),
+                          "--burst-stride", str(args.burst_stride),
                           "--sim-mqtt-ms", str(args.sim_mqtt_ms),
                           "--sim-alert-ms", str(args.sim_alert_ms)]
                          + (["--calibrate-rate", str(args.calibrate_rate)]

@@ -328,7 +328,11 @@ class StreamFarm:
                 # max unread samples ever observed on any stream — the
                 # slack a host stall actually consumed; adaptive ring
                 # sizing keys on this (VERDICT r3 #7)
-                "backlog_high_water": buf[6]}
+                "backlog_high_water": buf[6],
+                # current generator lag behind realtime (max over
+                # streams): the capture-side stall signal — lets slack
+                # grow MID-stall, before the catch-up flood arrives
+                "generator_deficit": buf[7]}
 
     def grow(self, new_ring_seconds: float) -> int:
         """Grow every stream's ring to new_ring_seconds of slack in

@@ -80,6 +80,7 @@ class CalibratedStubBatcher(_loop.HostBatcher):
         # than flusher saturation) — used to prove which action types
         # shed first under saturation
         self.burst = False
+        self.burst_stride = 1      # 1 = every stream; 8 = every 8th
         self._dma = np.zeros_like(self._staged_bufs[0])
         rng = np.random.default_rng(7)
         self._low_vals = (0.05 + 0.25 * rng.random((max_batch, top_k))
@@ -108,8 +109,8 @@ class CalibratedStubBatcher(_loop.HostBatcher):
                 sid_n[j] = j
         vals = self._low_vals[:n].copy()
         idx = self._idx[:n].copy()
-        hits = (np.ones(n, bool) if self.burst
-                else sid_n % self.hit_stride == 0)
+        stride = self.burst_stride if self.burst else self.hit_stride
+        hits = sid_n % stride == 0
         vals[hits, 0] = 0.93
         idx[hits, 0] = (sid_n[hits] * 37) % self.hit_modulus
         return vals, idx, None
@@ -125,7 +126,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
              models: tuple[str, ...] = ("BirdNET_V2.4",),
              action_mix: str = "realistic", clips_dir: str | None = None,
              burst_at: float | None = None, burst_seconds: float = 0.0,
-             hit_stride: int = 64, sim_mqtt_ms: float = 8.0,
+             hit_stride: int = 64, burst_stride: int = 1,
+             sim_mqtt_ms: float = 8.0,
              sim_alert_ms: float = 3.0,
              calibrate_rate: float | None = None) -> dict[str, Any]:
     """Run the soak; returns the result record (see module docstring).
@@ -341,6 +343,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                 base_ms=stub_base_ms, per_window_us=stub_per_window_us,
                 num_species=spec.num_species, hit_stride=hit_stride,
                 hit_modulus=hit_modulus)
+            batcher.burst_stride = max(1, int(burst_stride))
             batcher.on_batch = make_on_batch(spec, rt_dur)
             stub_batchers.append(batcher)
             calibration = {
@@ -427,7 +430,12 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             for spec, farm in farms:
                 fs_now = farm.stats()
                 cap = fs_now["ring_capacity"]
-                hw = fs_now.get("backlog_high_water", 0)
+                # consumer-side signal (collector behind: unread piles
+                # up) OR capture-side signal (generator behind realtime
+                # during a CPU throttle: the catch-up flood will need
+                # ring room the backlog can't predict)
+                hw = max(fs_now.get("backlog_high_water", 0),
+                         fs_now.get("generator_deficit", 0) * 2)
                 if cap and hw > 0.6 * cap:
                     cur_s = cap / spec.effective_sample_rate
                     new_s = min(cur_s * 2, max_ring_seconds)
@@ -573,7 +581,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             "alerts_evaluated": counters["alerts"],
             "consensus_detections": counters["consensus"],
         },
-        "burst": ({"at_seconds": burst_at, "seconds": burst_seconds}
+        "burst": ({"at_seconds": burst_at, "seconds": burst_seconds,
+                   "stride": burst_stride}
                   if burst_at is not None else None),
         "ring": {
             "initial_seconds": ring_seconds,
@@ -623,6 +632,10 @@ def main(argv=None) -> int:
                    help="seconds into the run to start an every-stream-"
                         "detects overload burst")
     p.add_argument("--burst-seconds", type=float, default=30.0)
+    p.add_argument("--burst-stride", type=int, default=1,
+                   help="during the burst, every Nth stream detects "
+                        "every window (1 = total saturation; 8 ≈ a 10x "
+                        "detection storm)")
     p.add_argument("--hit-stride", type=int, default=64,
                    help="1 detection-bearing stream per N (steady state)")
     p.add_argument("--sim-mqtt-ms", type=float, default=8.0,
@@ -649,6 +662,7 @@ def main(argv=None) -> int:
                    burst_at=args.burst_at,
                    burst_seconds=args.burst_seconds,
                    hit_stride=args.hit_stride,
+                   burst_stride=args.burst_stride,
                    sim_mqtt_ms=args.sim_mqtt_ms,
                    sim_alert_ms=args.sim_alert_ms)
     print(json.dumps(rec, indent=1))

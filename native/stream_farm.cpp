@@ -88,6 +88,11 @@ struct Farm {
     std::thread gen;
     std::atomic<bool> stop{false};
     std::atomic<int64_t> generated{0};
+    // capture-side stall signal: how far the generator currently lags
+    // realtime (max over streams, samples). The consumer-side backlog
+    // high-water cannot see a generator stall (nothing is being
+    // written), so adaptive slack keys on BOTH.
+    std::atomic<int64_t> deficit{0};
     std::chrono::steady_clock::time_point epoch;
     bool started = false;
 };
@@ -189,14 +194,17 @@ void generator_main(Farm* f) {
                 // ...and per stream per pass: 0.5 s in steady state
                 // (writing a whole ring under the stripe lock for
                 // THOUSANDS of streams in one sweep starves collect()),
-                // but up to 4 s when this stream is far behind — after
-                // a host stall the catch-up rate MUST exceed line rate
-                // or the deficit never closes (observed: a 30 s steal
-                // at 5,000 streams left the 0.5 s bound pinned at
-                // ~1x line rate forever; a 4 s write under one stripe
-                // lock is still only ~384 KB of memcpy).
+                // 1 s when this stream is far behind. Catch-up must
+                // exceed line rate or a deficit never closes (observed:
+                // a 30 s CPU throttle at 5,000 streams left the 0.5 s
+                // bound pinned at ~1x line rate forever) — but only
+                // MODESTLY: a 4 s/pass variant rushed 30 s of audio
+                // faster than the collector could drain and clobbered
+                // the rings it was refilling. ~1.3-2x line rate drains
+                // a stall in a couple of stall-lengths while the
+                // scheduler absorbs the elevated window rate.
                 int64_t burst = f->rate / 2;
-                if (need > 4 * f->rate) burst = 4 * f->rate;
+                if (need > 2 * f->rate) burst = f->rate;
                 if (need > burst) need = burst;
                 ring_write_from_bank(f, s, need);
                 int64_t left = target_s
@@ -206,11 +214,8 @@ void generator_main(Farm* f) {
         }
         f->generated.store(target * f->n_streams,
                            std::memory_order_relaxed);
-        // work-conserving catch-up: skip the idle nap while any stream
-        // is more than 2 s behind realtime
-        if (max_deficit < 2 * f->rate) {
-            std::this_thread::sleep_for(std::chrono::milliseconds(25));
-        }
+        f->deficit.store(max_deficit, std::memory_order_relaxed);
+        std::this_thread::sleep_for(std::chrono::milliseconds(25));
     }
 }
 
@@ -439,5 +444,5 @@ BN_API void bn_farm_stats(void* h, int64_t* out) {
     out[4] = f->n_streams;
     out[5] = f->capacity;
     out[6] = hw;
-    out[7] = 0;
+    out[7] = f->deficit.load(std::memory_order_relaxed);
 }
