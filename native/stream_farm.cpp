@@ -428,7 +428,17 @@ BN_API int64_t bn_farm_grow(void* h, double new_ring_seconds) {
 BN_API void bn_farm_stats(void* h, int64_t* out) {
     auto* f = static_cast<Farm*>(h);
     if (!f || !out) return;
-    int64_t windows = 0, lost = 0, ready = 0, hw = 0;
+    int64_t windows = 0, lost = 0, ready = 0, hw = 0, deficit = 0;
+    // deficit is computed HERE from the wall clock, not read from the
+    // generator: a throttled/starved generator cannot report its own
+    // lag (it stalls mid-pass), and the whole point of the signal is to
+    // grow slack while the generator is down
+    const int64_t target = f->started
+        ? static_cast<int64_t>(
+              std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - f->epoch).count()
+              * f->timescale * f->rate)
+        : 0;
     for (int64_t s = 0; s < f->n_streams; ++s) {
         std::lock_guard<std::mutex> lock(f->stripe(s));
         const StreamRing& r = f->st[static_cast<size_t>(s)];
@@ -436,6 +446,8 @@ BN_API void bn_farm_stats(void* h, int64_t* out) {
         lost += r.lost;
         ready += (r.wpos - r.rpos) / f->hop;
         if (r.backlog_hw > hw) hw = r.backlog_hw;
+        int64_t ts = target - r.offset;
+        if (ts > 0 && ts - r.wpos > deficit) deficit = ts - r.wpos;
     }
     out[0] = f->generated.load(std::memory_order_relaxed);
     out[1] = windows;
@@ -444,5 +456,5 @@ BN_API void bn_farm_stats(void* h, int64_t* out) {
     out[4] = f->n_streams;
     out[5] = f->capacity;
     out[6] = hw;
-    out[7] = f->deficit.load(std::memory_order_relaxed);
+    out[7] = deficit;
 }
