@@ -23,18 +23,18 @@ TPU-layout design (everything lane-aligned, no cross-lane reshapes):
   16.9 → v3 12.6 ms. (Same sweep: G=16+unroll 14.7, G=8+fori 17.1 —
   BOTH changes are needed; bf16 staging measured 12.8, within noise of
   f32, so staging stays f32.)
-- v4 (packed=True, OFF by default): the stage-1 DFT input is REAL, so
-  S[16−r] = conj(S[r]) — a stage-timing probe showed stage 1 at 9.0 of
-  v3's 12.5 ms, at its MXU pass floor. One PACKED real [16,16] matrix
-  (rows re(S[0..8]), im(S[1..7])) replaces the separate re/im dots,
-  halving stage-1 passes; the conjugate-symmetry signs for r > 8 are
-  pre-baked into per-residue stage-2 twiddle slab PAIRS
+- v4 (packed=True, the DEFAULT since round 4): the stage-1 DFT input is
+  REAL, so S[16−r] = conj(S[r]) — a stage-timing probe showed stage 1
+  at 9.0 of v3's 12.5 ms, at its MXU pass floor. One PACKED real
+  [16,16] matrix (rows re(S[0..8]), im(S[1..7])) replaces the separate
+  re/im dots, halving stage-1 passes; the conjugate-symmetry signs for
+  r > 8 are pre-baked into per-residue stage-2 twiddle slab PAIRS
   (twa·sr + twb·si, K=128 each) and r ∈ {0, 8} skip the imaginary dot
-  entirely. Scratch S also halves. Parity-tested in interpret mode,
-  but its FIRST remote TPU compile did not return within 69 min (the
-  v3 shape compiled in ~3 min the same day), so it ships opt-in via
-  BIRDNET_MEL_PACKED=1 until a successful on-device compile + timing
-  is recorded.
+  entirely. Scratch S also halves. Parity-tested in interpret mode AND
+  landed on device in round 4: v5e compile 32–66 s (the r3 69-min
+  compile hang never reproduced), interleaved A/B medians over 6
+  trials: v4 8.23 ms vs v3 9.08 ms per 1024-batch (−9.4%, spread
+  <0.15 ms). BIRDNET_MEL_PACKED=0 restores v3.
 - stage 2 per residue r: one packed dot [F, 256] @ [256, 2·J2] computing
   re|im together from the adjacent sr|si scratch halves. J2 is trimmed to
   the mel filterbank's actual bin support (bin = r + 16·j; fmax=15 kHz →
@@ -162,15 +162,15 @@ def melspec_fused(pcm_i16: jnp.ndarray, cfg: MelConfig,
     `unroll` statically unrolls the stage-1 group loop so Mosaic can
     software-pipeline the VPU gather of group i+1 under group i's dots.
     `packed` selects the v4 conjugate-symmetry stage 1 (half the MXU
-    passes); default comes from BIRDNET_MEL_PACKED (off until its TPU
-    compile behavior is validated — see header)."""
+    passes); ON by default — measured 8.23 vs 9.08 ms/1024-batch on
+    v5e (see header); BIRDNET_MEL_PACKED=0 restores v3."""
     import os
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if packed is None:
-        packed = os.environ.get("BIRDNET_MEL_PACKED", "0") == "1"
+        packed = os.environ.get("BIRDNET_MEL_PACKED", "1") == "1"
 
     if cfg.power != 2.0:
         raise ValueError("fused kernel supports power spectrogram only")
