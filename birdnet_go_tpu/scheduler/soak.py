@@ -653,9 +653,13 @@ def main(argv=None) -> int:
     cal_rate = args.calibrate_rate
     if cal_rate is None and args.device == "tpu":
         cal_rate = 0.015
+    # tpu mode pays a ~30 ms tunnel RTT per dispatch in this dev
+    # environment: a 500 ms tick amortizes it (the r3 tpu runs' setting)
+    tick_ms = 500 if args.device == "tpu" else 100
     rec = run_soak(streams=args.streams, seconds=args.seconds,
                    device=args.device, max_batch=args.max_batch,
                    db_path=args.db, calibrate_rate=cal_rate,
+                   tick_ms=tick_ms,
                    models=tuple(m.strip() for m in args.models.split(",")
                                 if m.strip()),
                    action_mix=args.action_mix, clips_dir=args.clips_dir,
