@@ -300,10 +300,11 @@ def main() -> None:
     if degraded:
         int8_heads = {"skipped": "degraded host"}
     else:
-        emb_host = np.abs(rng.standard_normal((BATCH, 1280))
+        cin = int(host_params0["classifier"]["w"].shape[0])
+        emb_host = np.abs(rng.standard_normal((BATCH, cin))
                           ).astype(np.float32)
         emb = jax.device_put(jnp.asarray(emb_host))
-        perch_w = (rng.standard_normal((1280, 14795)) * 0.03
+        perch_w = (rng.standard_normal((cin, 14795)) * 0.03
                    ).astype(np.float32)
         heads_f = {
             "v24": {k: jnp.asarray(v) for k, v in
@@ -347,7 +348,8 @@ def main() -> None:
         ms_bf16 = _time_heads(
             lambda p, x: L.apply_dense(p, x, jnp.bfloat16), heads_f)
         ms_int8 = _time_heads(apply_dense_int8, heads_q)
-        gflop = 2.0 * BATCH * 1280 * (6522 + 14795) / 1e9
+        v24_cout = int(host_params0["classifier"]["w"].shape[1])
+        gflop = 2.0 * BATCH * cin * (v24_cout + 14795) / 1e9
         int8_heads = {
             "batch": BATCH,
             "bf16_ms": round(ms_bf16, 3),

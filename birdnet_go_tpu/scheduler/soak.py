@@ -266,7 +266,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     submitted = {"n": 0}
     epoch = {"t": 0.0}
 
-    def make_on_batch(spec, rt_dur):
+    def make_on_batch(spec, rt_dur, batcher=None):
         def on_batch(meta, vals, idx, cv):
             """One call per harvested device batch: vectorized latency
             sample + Processor.submit_batch. The latency deadline is the
@@ -284,10 +284,24 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                 seen = sum(len(c) for c in cal["chunks"])
                 if seen >= cal["need"]:
                     allv = np.concatenate(cal["chunks"])
-                    thr = float(np.clip(
-                        np.quantile(allv, 1.0 - cal["target"]),
-                        0.05, 0.999))
+                    q = float(np.quantile(allv, 1.0 - cal["target"]))
+                    if q > 0.998 and batcher is not None \
+                            and batcher.sensitivity > 1e-4:
+                        # random-init logits saturate the sigmoid: no
+                        # threshold separates a wall of 1.0s. Halve the
+                        # sigmoid sensitivity (the reference's own
+                        # score-spreading knob) and re-sample.
+                        batcher.sensitivity *= 0.5
+                        cal["chunks"].clear()
+                        log.info("calibration: scores saturated (q=%.4f)"
+                                 " — sensitivity lowered to %.4f",
+                                 q, batcher.sensitivity)
+                        return
+                    thr = float(np.clip(q, 0.05, 0.999))
                     cal["thr"] = thr
+                    cal["sensitivity"] = float(
+                        batcher.sensitivity if batcher is not None
+                        else 1.0)
                     # ModelSettings objects are shared with the
                     # processor's snapshot — mutating them takes effect
                     # on the next submit
@@ -331,7 +345,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             params = jax.device_put(model.init(jax.random.PRNGKey(0)))
             clf = JaxClassifier(model, params)
             batcher: Any = ModelBatcher(clf, max_batch=max_batch)
-            batcher.on_batch = make_on_batch(spec, rt_dur)
+            batcher.on_batch = make_on_batch(spec, rt_dur, batcher)
             log.info("warming up the real device step (batch %d)...",
                      max_batch)
             compile_s = batcher.warmup()
@@ -535,6 +549,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     if cal is not None:
         calibration["threshold_calibration"] = {
             "threshold": cal["thr"],
+            "sensitivity": cal.get("sensitivity"),
             "target_detection_rate": cal["target"],
             "windows_sampled": int(sum(len(c) for c in cal["chunks"])),
         }
