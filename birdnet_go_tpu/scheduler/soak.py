@@ -255,7 +255,10 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         settings.models = [ModelSettings(model_id=s.model_id,
                                          threshold=1.01)   # mute until set
                            for s in specs]
-        cal = {"target": float(calibrate_rate), "need": 4096,
+        # tpu-leg windows arrive at tunnel pace (~55/s at 100 streams),
+        # so attempts must be small and the sensitivity steps large or
+        # calibration eats the whole run
+        cal = {"target": float(calibrate_rate), "need": 1024,
                "chunks": [], "thr": None}
 
     processor = Processor(settings, labels_by_model,
@@ -288,10 +291,10 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                     if q > 0.998 and batcher is not None \
                             and batcher.sensitivity > 1e-4:
                         # random-init logits saturate the sigmoid: no
-                        # threshold separates a wall of 1.0s. Halve the
-                        # sigmoid sensitivity (the reference's own
+                        # threshold separates a wall of 1.0s. Cut the
+                        # sigmoid sensitivity hard (the reference's own
                         # score-spreading knob) and re-sample.
-                        batcher.sensitivity *= 0.5
+                        batcher.sensitivity *= 0.1
                         cal["chunks"].clear()
                         log.info("calibration: scores saturated (q=%.4f)"
                                  " — sensitivity lowered to %.4f",
