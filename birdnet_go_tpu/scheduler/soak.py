@@ -259,7 +259,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         # so attempts must be small and the sensitivity steps large or
         # calibration eats the whole run
         cal = {"target": float(calibrate_rate), "need": 1024,
-               "chunks": [], "thr": None}
+               "chunks": [], "thr": None, "skip": 0}
 
     processor = Processor(settings, labels_by_model,
                           on_approved=on_approved)
@@ -283,6 +283,15 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             lat_chunks.append(
                 time.time_ns() - (rt_ends * 1e9).astype(np.int64))
             if cal is not None and cal["thr"] is None:
+                if cal["skip"] > 0:
+                    # batches dispatched BEFORE a sensitivity change are
+                    # still in the pipeline; their old-scale scores must
+                    # not pollute the new sample (observed: one stale
+                    # 0.01-sensitivity batch pushed the quantile to
+                    # 0.847 while every fresh 0.001 score was <=0.575
+                    # — the run then approved nothing)
+                    cal["skip"] -= 1
+                    return
                 cal["chunks"].append(np.asarray(vals[:, 0]))
                 seen = sum(len(c) for c in cal["chunks"])
                 if seen >= cal["need"]:
@@ -296,6 +305,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                         # score-spreading knob) and re-sample.
                         batcher.sensitivity *= 0.1
                         cal["chunks"].clear()
+                        cal["skip"] = getattr(batcher, "pipeline_depth",
+                                              2) + 1
                         log.info("calibration: scores saturated (q=%.4f)"
                                  " — sensitivity lowered to %.4f",
                                  q, batcher.sensitivity)
@@ -615,6 +626,9 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         "processor": {
             "windows_submitted": submitted["n"],
             "detections_persisted": counters["db"],
+            "results_processed": int(processor.stats.results_processed),
+            "pending_peak": int(processor.stats.detections_pending),
+            "discard_reasons": dict(processor.stats.discard_reasons),
         },
         "host": {"cpus": __import__("os").cpu_count(),
                  "maxrss_mb": resource.getrusage(
