@@ -314,3 +314,72 @@ def test_fuzz_analysis_buffer_windows(overlap, read, chunks):
                 w[overlap:], src[consumed:consumed + read])
             consumed += read
             prev_tail = w[len(w) - overlap:] if overlap else prev_tail
+
+
+def test_jobqueue_priority_concurrent_stress():
+    """Hammer the priority job queue from parallel producers across all
+    bands while workers drain and retries recycle: counters must balance
+    exactly (enqueued = completed + failed + still-pending + requeue
+    drops) and no critical job may be lost while lower-priority jobs
+    remain shed-able. Guards the band/eviction locking added in round 4."""
+    import random
+    import threading
+    import time as _t
+
+    from birdnet_go_tpu.analysis.jobqueue import JobQueue, RetryConfig
+
+    q = JobQueue(capacity=64, workers=3)
+    q.start()
+    done = {"critical": 0, "low": 0, "normal": 0}
+    done_lock = threading.Lock()
+    cats = [("database", "critical"), ("clip", "critical"),
+            ("spectrogram", "normal"), ("log", "low"), ("mqtt", "low"),
+            ("alert", "low")]
+
+    def produce(seed):
+        rng = random.Random(seed)
+        for _ in range(400):
+            cat, band = rng.choice(cats)
+
+            def work(band=band):
+                with done_lock:
+                    done[band] += 1
+
+            def flaky(band=band, rng_val=rng.random()):
+                if rng_val < 0.5:
+                    raise RuntimeError("transient")
+                with done_lock:
+                    done[band] += 1
+
+            if rng.random() < 0.1:
+                q.enqueue(flaky, "flaky",
+                          retry=RetryConfig(enabled=True, max_retries=2,
+                                            initial_delay=0.001,
+                                            max_delay=0.002),
+                          category=cat)
+            else:
+                q.enqueue(work, "w", category=cat)
+            if rng.random() < 0.05:
+                _t.sleep(0.001)
+
+    threads = [threading.Thread(target=produce, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    q.stop(drain=True, timeout=20.0)
+
+    st = q.stats
+    # exact ledger: every ATTEMPT ends exactly one way — completed,
+    # failed permanently, or dropped (at enqueue, by eviction, or on a
+    # full-queue retry requeue). Nothing is double-counted or lost.
+    assert q.pending() == 0
+    assert st.completed + st.failed + st.dropped == 1600
+    assert st.shed <= st.dropped
+    # shedding discipline: critical jobs are never evicted
+    for cat in ("database", "clip"):
+        assert st.by_category.get(cat, {}).get("shed", 0) == 0
+    # per-category ledgers sum to the global ones
+    for counter in ("enqueued", "completed", "failed", "dropped", "shed"):
+        assert getattr(st, counter) == sum(
+            v[counter] for v in st.by_category.values())
