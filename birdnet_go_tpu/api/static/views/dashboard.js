@@ -175,7 +175,10 @@ export async function dashboardView(outlet) {
     const byHour = await api("/analytics/hourly");   // bare int[24]
     activityCard.append(el("h2", {}, t("activity_by_hour")),
       barChart(byHour.map((v, h) => ({ label: String(h), value: v })),
-               { xLabelEvery: 3, height: 170 }));
+               { xLabelEvery: 3, height: 170,
+                 // drill into that hour's detections (deep link)
+                 onClick: (d) => location.hash =
+                   `#/detections?hour_from=${d.label}&hour_to=${d.label}` }));
   } catch (e) { activityCard.append(el("div", { class: "empty" }, e.message)); }
 
   await renderCards();

@@ -161,8 +161,22 @@ export async function detectionsView(outlet) {
     hourFrom.value = q.get("hour");
     hourTo.value = q.get("hour");
   }
-  if (q.has("model")) modelSel.value = q.get("model");
-  if (q.has("verified")) verified.value = q.get("verified");
+  if (q.has("hour_from")) hourFrom.value = q.get("hour_from");
+  if (q.has("hour_to")) hourTo.value = q.get("hour_to");
+  if (q.has("min_confidence")) minConf.value = q.get("min_confidence");
+  if (q.has("max_confidence")) maxConf.value = q.get("max_confidence");
+  if (q.has("locked")) lockedSel.value = q.get("locked");
+  if (q.has("sort_by")) orderSel.value = q.get("sort_by");
+  if (q.has("source")) sourceSel.value = q.get("source");
+  if (q.has("time_of_day")) {
+    for (const band of q.get("time_of_day").split(",")) {
+      if (band) todSel.add(band);
+    }
+    todWrap.querySelectorAll("button").forEach((b, i) => {
+      const band = ["dawn", "day", "dusk", "night"][i];
+      b.classList.toggle("primary", todSel.has(band));
+    });
+  }
   await load();
 
   function currentFilters() {
@@ -218,7 +232,19 @@ export async function detectionsView(outlet) {
     load();
   }
 
+  function syncHash() {
+    const qs = new URLSearchParams();
+    for (const [k, v] of Object.entries(currentFilters())) {
+      if (k === "sort_by" && v === "date_desc") continue;
+      qs.set(k, Array.isArray(v) ? v.join(",") : String(v));
+    }
+    const s = qs.toString();
+    // replaceState: updates the shareable URL without firing hashchange
+    history.replaceState(null, "", `#/detections${s ? "?" + s : ""}`);
+  }
+
   async function load() {
+    syncHash();
     const body = { ...currentFilters(), limit: state.limit,
                    offset: state.offset };
     let detections, count, total;
