@@ -19,7 +19,16 @@ the HBM traffic that bounds the MBConv stack (see ARCHITECTURE.md
 - SE blocks and the classifier head stay in f32/bf16 (tiny tensors).
 
 Accuracy contract: top-K parity is validated against the f32 model
-(tests/test_quantized.py); int8 is opt-in via ModelSettings.precision.
+(tests/test_quantized.py).
+
+Production status (measured, BENCH_r03/r04): the int8 BACKBONE is a
+negative on TPU — XLA's conv lowering upcasts instead of hitting the
+MXU's 2x int8 rate (speedup ~0.3x), so bf16 stays the serving path and
+this module is kept as the artifact-compat/CPU-edge path plus the
+benchmark's honest negative leg. The int8 FC HEADS (below) are a
+measured +17% on the head Gemms via a plain int8 dot — real but ~0.2%
+of the whole step, so they are likewise not wired into serving; the
+bench's int8_heads leg records the result each round.
 """
 
 from __future__ import annotations
