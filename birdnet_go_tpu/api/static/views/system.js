@@ -94,7 +94,20 @@ export async function systemView(outlet) {
         tile(t("approved"), fmtNum(s.processor?.approved)),
         tile(t("discarded"), fmtNum(s.processor?.discarded)),
         tile(t("jobs_completed"), fmtNum(s.jobqueue?.completed)),
-        tile(t("jobs_dropped"), fmtNum(s.jobqueue?.dropped))));
+        tile(t("jobs_dropped"), fmtNum(s.jobqueue?.dropped)),
+        tile(t("jobs_shed"), fmtNum(s.jobqueue?.shed)),
+        tile(t("stall_high_water"),
+             s.stall_ms_max != null ? `${fmtNum(s.stall_ms_max)} ms` : "–")));
+    // per-action-category ledger: under overload the queue sheds
+    // low-priority work first — this table shows WHICH actions shed
+    const cats = Object.entries(s.jobqueue?.by_category || {});
+    if (cats.length) {
+      body.append(el("h2", {}, t("actions_by_category")),
+        table([t("category"), t("completed"), t("failed"),
+               t("jobs_dropped"), t("jobs_shed")],
+          cats.map(([c, v]) => [c, fmtNum(v.completed), fmtNum(v.failed),
+                                fmtNum(v.dropped), fmtNum(v.shed)])));
+    }
     // configured per-model capacity ceiling (max_batch × dispatches/tick)
     const caps = Object.entries(s.models || {});
     if (caps.length) {
