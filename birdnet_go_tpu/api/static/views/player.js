@@ -11,7 +11,8 @@ import { el, onCleanup, t } from "../app.js";
 /** Build a click-to-seek spectrogram player for one detection.
     Returns the wrapper element; `wrap.refreshSpectrogram()` reloads the
     image after a server-side regenerate. */
-export function spectrogramPlayer(detId, { size = "lg" } = {}) {
+export function spectrogramPlayer(detId, { size = "lg",
+                                           rates = null } = {}) {
   const img = el("img", { alt: "spectrogram", draggable: "false",
     src: `/api/v2/spectrogram/${detId}?size=${size}` });
   const head = el("div", { class: "playhead" });
@@ -20,8 +21,45 @@ export function spectrogramPlayer(detId, { size = "lg" } = {}) {
   const clock = el("span", { class: "play-clock" }, "");
   const audio = el("audio", { preload: "metadata",
     src: `/api/v2/audio/${detId}` });
-  const wrap = el("div", { class: "spec-player" },
-                  img, head, btn, clock, audio);
+  // playback-rate control (SpectrogramControls.svelte): essential for
+  // bat clips — 256 kHz echolocation is only audible slowed 10-20x
+  const rateList = rates || [0.05, 0.1, 0.25, 0.5, 1, 1.5, 2];
+  const rateSel = el("select", { class: "play-rate",
+                                 "aria-label": t("playback_rate") },
+    rateList.map((r) => el("option", { value: String(r),
+                                       ...(r === 1 ? { selected: "" } : {}) },
+                           `${r}×`)));
+  rateSel.addEventListener("click", (ev) => ev.stopPropagation());
+  rateSel.addEventListener("change", () => {
+    audio.preservesPitch = false;      // slowed bat calls must drop pitch
+    audio.playbackRate = Number(rateSel.value);
+  });
+  const wrap = el("div", { class: "spec-player", tabindex: "0",
+                           role: "group",
+                           "aria-label": t("listen") },
+                  img, head, btn, clock, rateSel, audio);
+
+  // keyboard transport (reference ReviewModal bindings): space toggles,
+  // arrows scrub ±1 s (shift: ±5 s), Home restarts
+  wrap.addEventListener("keydown", (ev) => {
+    if (ev.target === rateSel) return;
+    const dur = audio.duration;
+    if (ev.key === " " || ev.key === "k") {
+      ev.preventDefault(); toggle();
+    } else if (ev.key === "ArrowRight" && isFinite(dur)) {
+      ev.preventDefault();
+      audio.currentTime = Math.min(dur, audio.currentTime
+                                   + (ev.shiftKey ? 5 : 1));
+      paint();
+    } else if (ev.key === "ArrowLeft" && isFinite(dur)) {
+      ev.preventDefault();
+      audio.currentTime = Math.max(0, audio.currentTime
+                                   - (ev.shiftKey ? 5 : 1));
+      paint();
+    } else if (ev.key === "Home") {
+      ev.preventDefault(); audio.currentTime = 0; paint();
+    }
+  });
 
   // a missing spectrogram must not kill the audio controls, and
   // Regenerate must be able to bring the image back
@@ -36,7 +74,9 @@ export function spectrogramPlayer(detId, { size = "lg" } = {}) {
     head.style.display = "";
     noImg.remove();
   });
-  audio.addEventListener("error", () => { btn.remove(); clock.remove(); });
+  audio.addEventListener("error", () => {
+    btn.remove(); clock.remove(); rateSel.remove();
+  });
 
   // click on the image seeks; the x fraction maps to clip time
   wrap.addEventListener("click", (ev) => {
