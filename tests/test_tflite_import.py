@@ -362,3 +362,54 @@ def test_resize_nearest_parity():
     (y,) = g.jitted()(g.params, x)
     ref = x.repeat(2, axis=1).repeat(2, axis=2)
     np.testing.assert_allclose(np.asarray(y), ref)
+
+
+def test_stft_lowering_gather_framing_mid_scale():
+    """The real tf.signal.stft export frames via gathers over precomputed
+    index tables at tens of frames per window — exercise that lowering at
+    a realistic frame count (43 frames x 2048-point rFFT) end-to-end
+    through the importer against a numpy oracle."""
+    rng = np.random.default_rng(9)
+    sr, n_fft, hop = 48000, 2048, 1024
+    frames = (sr - n_fft) // hop + 1          # 45 at 1 s
+    pcm = rng.standard_normal((1, sr)).astype(np.float32)
+    fb = rng.random((n_fft // 2 + 1, 64)).astype(np.float32)
+    idx = (np.arange(frames)[:, None] * hop
+           + np.arange(n_fft)[None, :]).astype(np.int32)
+
+    mb = ModelBuilder()
+    i32 = ModelBuilder.TTYPE_I32
+    x_t = mb.add_tensor([1, sr], "pcm")
+    idx_t = mb.add_tensor([frames, n_fft], "frame_idx", idx, ttype=i32)
+    fr = mb.add_tensor([1, frames, n_fft], "frames")
+    mb.add_op(Op.GATHER, [x_t, idx_t], [fr],
+              lambda b: _opts(1)(b, 1))              # axis=1
+    ax = mb.add_tensor([1], "ax", np.array([2], np.int32), ttype=i32)
+    fr4 = mb.add_tensor([1, frames, 1, n_fft], "frames4")
+    mb.add_op(Op.EXPAND_DIMS, [fr, ax], [fr4])
+    flen = mb.add_tensor([2], "flen", np.array([1, n_fft], np.int32),
+                         ttype=i32)
+    spec = mb.add_tensor([1, frames, 1, n_fft // 2 + 1], "spec", ttype=8)
+    mb.add_op(Op.RFFT2D, [fr4, flen], [spec])
+    mag = mb.add_tensor([1, frames, 1, n_fft // 2 + 1], "mag")
+    mb.add_op(Op.COMPLEX_ABS, [spec], [mag])
+    pw = mb.add_tensor([1, frames, 1, n_fft // 2 + 1], "pw")
+    mb.add_op(Op.SQUARE, [mag], [pw])
+    shp = mb.add_tensor([3], "shp",
+                        np.array([1, frames, n_fft // 2 + 1], np.int32),
+                        ttype=i32)
+    pw3 = mb.add_tensor([1, frames, n_fft // 2 + 1], "pw3")
+    mb.add_op(Op.RESHAPE, [pw, shp], [pw3])
+    fb_t = mb.add_tensor(list(fb.shape), "fb", fb)
+    mel = mb.add_tensor([1, frames, 64], "mel")
+    mb.add_op(Op.BATCH_MATMUL, [pw3, fb_t], [mel])
+    mb.inputs = [x_t]
+    mb.outputs = [mel]
+
+    g = load_tflite(mb.finish())
+    (y,) = g.jitted()(g.params, pcm)
+
+    fr_ref = pcm[0][idx]                              # [frames, n_fft]
+    ref = (np.abs(np.fft.rfft(fr_ref, axis=-1)) ** 2) @ fb
+    np.testing.assert_allclose(np.asarray(y)[0], ref, rtol=3e-4,
+                               atol=2e-2)
