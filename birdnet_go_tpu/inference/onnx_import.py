@@ -548,6 +548,214 @@ def _dequantize_linear(node: OnnxNode, value):
     return (x - shaped(zp, x)) * shaped(scale, x)
 
 
+
+def _cval(value, name) -> np.ndarray:
+    """Shape-like operand as host numpy: initializer, or a Constant-node
+    output already materialized in the environment."""
+    try:
+        return np.asarray(value.const(name))
+    except KeyError:
+        return np.asarray(value(name))
+
+
+def _arg(kind):
+    def h(node: OnnxNode, value):
+        import jax.numpy as jnp
+
+        x = value(node.inputs[0])
+        axis = int(node.attrs.get("axis", 0))
+        keep = bool(node.attrs.get("keepdims", 1))
+        fn = jnp.argmax if kind == "max" else jnp.argmin
+        y = fn(x, axis=axis).astype(jnp.int64)
+        return jnp.expand_dims(y, axis) if keep else y
+
+    return h
+
+
+def _topk(node: OnnxNode, value):
+    import jax
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    k = int(_cval(value, node.inputs[1]).ravel()[0])
+    axis = int(node.attrs.get("axis", -1))
+    largest = bool(node.attrs.get("largest", 1))
+    moved = jnp.moveaxis(x, axis, -1)
+    vals, idx = jax.lax.top_k(moved if largest else -moved, k)
+    if not largest:
+        vals = -vals
+    return (jnp.moveaxis(vals, -1, axis),
+            jnp.moveaxis(idx.astype(jnp.int64), -1, axis))
+
+
+def _tile(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    reps = [int(r) for r in _cval(value, node.inputs[1]).ravel()]
+    return jnp.tile(value(node.inputs[0]), reps)
+
+
+def _range_op(node: OnnxNode, value):
+    start, limit, delta = (_cval(value, i).ravel()[0] for i in node.inputs)
+    return np.arange(start, limit, delta)
+
+
+def _constant_of_shape(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    shape = [int(s) for s in _cval(value, node.inputs[0]).ravel()]
+    fill = node.attrs.get("value")
+    fill = np.asarray(fill).ravel()[0] if fill is not None else np.float32(0)
+    return jnp.full(shape, fill, dtype=np.asarray(fill).dtype)
+
+
+def _cumsum(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    axis = int(_cval(value, node.inputs[1]).ravel()[0])
+    if node.attrs.get("reverse"):
+        x = jnp.flip(x, axis)
+    y = jnp.cumsum(x, axis=axis)
+    if node.attrs.get("exclusive"):
+        y = y - x
+    if node.attrs.get("reverse"):
+        y = jnp.flip(y, axis)
+    return y
+
+
+def _mod(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    a, b = value(node.inputs[0]), value(node.inputs[1])
+    return jnp.fmod(a, b) if node.attrs.get("fmod") else jnp.mod(a, b)
+
+
+def _gather_elements(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    idx = value(node.inputs[1]).astype(jnp.int64)
+    axis = int(node.attrs.get("axis", 0))
+    return jnp.take_along_axis(x, idx, axis=axis)
+
+
+def _resize(node: OnnxNode, value):
+    """Resize (NCHW image semantics): scales or sizes input, nearest or
+    linear mode — the subset real vision/audio export graphs use."""
+    import jax
+
+    x = value(node.inputs[0])
+    mode = node.attrs.get("mode", b"nearest")
+    mode = mode.decode() if isinstance(mode, bytes) else mode
+    sizes = None
+    if len(node.inputs) > 3 and node.inputs[3]:
+        sizes = [int(s) for s in _cval(value, node.inputs[3]).ravel()]
+    elif len(node.inputs) > 2 and node.inputs[2]:
+        scales = _cval(value, node.inputs[2]).ravel()
+        if len(scales):
+            sizes = [int(round(d * s)) for d, s in zip(x.shape, scales)]
+    if sizes is None:
+        return x
+    method = "nearest" if mode == "nearest" else "linear"
+    return jax.image.resize(x, sizes, method=method)
+
+
+# ---- opset-17 signal ops: the lowering real audio graphs (Perch-class
+# models with in-graph mel front ends) use for tf.signal.stft ----------------
+
+
+def _window(kind):
+    def h(node: OnnxNode, value):
+        size = int(_cval(value, node.inputs[0]).ravel()[0])
+        periodic = int(node.attrs.get("periodic", 1))
+        n = size if periodic else size - 1
+        i = np.arange(size, dtype=np.float64)
+        if kind == "hann":
+            w = 0.5 - 0.5 * np.cos(2 * np.pi * i / max(1, n))
+        elif kind == "hamming":
+            w = 25 / 46 - (1 - 25 / 46) * np.cos(2 * np.pi * i / max(1, n))
+        else:                                  # blackman
+            w = (0.42 - 0.5 * np.cos(2 * np.pi * i / max(1, n))
+                 + 0.08 * np.cos(4 * np.pi * i / max(1, n)))
+        return w.astype(np.float32)
+
+    return h
+
+
+def _mel_weight_matrix(node: OnnxNode, value):
+    """MelWeightMatrix (ONNX spec formula: HTK mels, triangular)."""
+    nmel, dftlen, sr, lo, hi = (
+        _cval(value, i).ravel()[0] for i in node.inputs)
+    nmel, dftlen, sr = int(nmel), int(dftlen), int(sr)
+    nbins = dftlen // 2 + 1
+
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    edges_hz = mel2hz(np.linspace(hz2mel(float(lo)), hz2mel(float(hi)),
+                                  nmel + 2))
+    bin_hz = np.arange(nbins) * sr / dftlen
+    w = np.zeros((nbins, nmel), np.float32)
+    for m in range(nmel):
+        left, center, right = edges_hz[m], edges_hz[m + 1], edges_hz[m + 2]
+        up = (bin_hz - left) / max(center - left, 1e-12)
+        down = (right - bin_hz) / max(right - center, 1e-12)
+        w[:, m] = np.clip(np.minimum(up, down), 0.0, None)
+    return w
+
+
+def _dft(node: OnnxNode, value):
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    if node.attrs.get("inverse"):
+        raise NotImplementedError("inverse DFT")
+    axis = int(node.attrs.get("axis", 1))
+    onesided = int(node.attrs.get("onesided", 0))
+    # input may carry a trailing [..., 1] real / [..., 2] complex axis
+    if x.shape[-1] == 1:
+        x = x[..., 0]
+    fft = (jnp.fft.rfft if onesided else jnp.fft.fft)(
+        x.astype(jnp.float32), axis=axis)
+    return jnp.stack([fft.real, fft.imag], axis=-1).astype(jnp.float32)
+
+
+def _stft(node: OnnxNode, value):
+    """STFT (opset 17): signal [B, L] or [B, L, 1], frame_step, optional
+    window [W], optional frame_length; onesided attr. Output
+    [B, frames, dft_size//2+1, 2] (real|imag)."""
+    import jax.numpy as jnp
+
+    x = value(node.inputs[0])
+    step = int(_cval(value, node.inputs[1]).ravel()[0])
+    window = None
+    if len(node.inputs) > 2 and node.inputs[2]:
+        window = value(node.inputs[2])
+    if len(node.inputs) > 3 and node.inputs[3]:
+        frame_len = int(_cval(value, node.inputs[3]).ravel()[0])
+    elif window is not None:
+        frame_len = int(window.shape[0])
+    else:
+        raise ValueError("STFT needs window or frame_length")
+    onesided = int(node.attrs.get("onesided", 1))
+    if x.ndim == 3 and x.shape[-1] == 1:
+        x = x[..., 0]
+    length = x.shape[-1]
+    frames = (length - frame_len) // step + 1
+    idx = (np.arange(frames)[:, None] * step
+           + np.arange(frame_len)[None, :])
+    framed = x[..., idx]                     # [B, frames, frame_len]
+    if window is not None:
+        framed = framed * window.astype(framed.dtype)
+    fft = (jnp.fft.rfft if onesided else jnp.fft.fft)(
+        framed.astype(jnp.float32), axis=-1)
+    return jnp.stack([fft.real, fft.imag], axis=-1).astype(jnp.float32)
+
+
 def _build_ops():
     import jax
     import jax.numpy as jnp
@@ -628,6 +836,32 @@ def _build_ops():
         # fast path — ARCHITECTURE.md "int8 quantization").
         "QuantizeLinear": _quantize_linear,
         "DequantizeLinear": _dequantize_linear,
+        "Sin": _elementwise(jnp.sin),
+        "Cos": _elementwise(jnp.cos),
+        "Not": _elementwise(jnp.logical_not),
+        "And": _elementwise(jnp.logical_and),
+        "Or": _elementwise(jnp.logical_or),
+        "Xor": _elementwise(jnp.logical_xor),
+        "GreaterOrEqual": _elementwise(lambda a, b: a >= b),
+        "LessOrEqual": _elementwise(lambda a, b: a <= b),
+        "Mod": _mod,
+        "CumSum": _cumsum,
+        "ReduceProd": _reduce(jnp.prod),
+        "ArgMax": _arg("max"),
+        "ArgMin": _arg("min"),
+        "TopK": _topk,
+        "Tile": _tile,
+        "Range": _range_op,
+        "ConstantOfShape": _constant_of_shape,
+        "GatherElements": _gather_elements,
+        "Resize": _resize,
+        # opset-17 signal ops (real in-graph mel front ends)
+        "HannWindow": _window("hann"),
+        "HammingWindow": _window("hamming"),
+        "BlackmanWindow": _window("blackman"),
+        "MelWeightMatrix": _mel_weight_matrix,
+        "DFT": _dft,
+        "STFT": _stft,
     }
 
 

@@ -248,3 +248,84 @@ def test_qdq_quantized_onnx_graph():
     x_fq = np.clip(np.round(x / 0.05), -128, 127) * 0.05   # fake-quant
     expect = x_fq @ (w_q.astype(np.float32) * w_scale[:, None]).T
     np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_stft_mel_frontend_parity():
+    """The opset-17 signal lowering real audio graphs use for an
+    in-graph mel front end: HannWindow → STFT → |·|² (via the real/imag
+    planes) → MelWeightMatrix matmul — numeric parity vs numpy."""
+    rng = np.random.default_rng(7)
+    sr, frame_len, step = 16000, 512, 256
+    pcm = rng.standard_normal((1, 4096)).astype(np.float32)
+    nodes = [
+        ob.node("HannWindow", ["flen"], ["win"]),
+        ob.node("STFT", ["x", "step", "win"], ["spec"],
+                [ob.attr_int("onesided", 1)]),
+        # power = re² + im²: Slice the last axis then square-sum
+        ob.node("Mul", ["spec", "spec"], ["sq"]),
+        ob.node("ReduceSum", ["sq"], ["pw"],
+                [ob.attr_ints("axes", [-1]), ob.attr_int("keepdims", 0)]),
+        ob.node("MelWeightMatrix",
+                ["nmel", "dlen", "srate", "lo", "hi"], ["fb"]),
+        ob.node("MatMul", ["pw", "fb"], ["mel"]),
+    ]
+    inits = [
+        ob.tensor_proto("flen", np.array(frame_len, np.int64)),
+        ob.tensor_proto("step", np.array(step, np.int64)),
+        ob.tensor_proto("nmel", np.array(40, np.int64)),
+        ob.tensor_proto("dlen", np.array(frame_len, np.int64)),
+        ob.tensor_proto("srate", np.array(sr, np.int64)),
+        ob.tensor_proto("lo", np.array(20.0, np.float32)),
+        ob.tensor_proto("hi", np.array(8000.0, np.float32)),
+    ]
+    buf = ob.model(nodes, inits, inputs=["x"], outputs=["mel"])
+    g = load_onnx(buf)
+    (y,) = g.jitted()(g.params, pcm)
+
+    n = np.arange(frame_len)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * n / frame_len)
+    frames = (pcm.shape[1] - frame_len) // step + 1
+    idx = np.arange(frames)[:, None] * step + n[None, :]
+    spec = np.fft.rfft(pcm[0][idx] * win, axis=-1)
+    power = np.abs(spec) ** 2
+
+    from birdnet_go_tpu.inference.onnx_import import _mel_weight_matrix
+
+    class _N:
+        inputs = ["nmel", "dlen", "srate", "lo", "hi"]
+    consts = {"nmel": 40, "dlen": frame_len, "srate": sr,
+              "lo": 20.0, "hi": 8000.0}
+
+    def val(name):
+        return np.asarray(consts[name])
+    val.const = val
+    fb = _mel_weight_matrix(_N(), val)
+    ref = power @ fb
+    np.testing.assert_allclose(np.asarray(y)[0], ref, rtol=3e-4, atol=2e-2)
+
+
+def test_topk_argmax_tile_range_ops():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 6)).astype(np.float32)
+    nodes = [
+        ob.node("TopK", ["x", "k"], ["tv", "ti"],
+                [ob.attr_int("axis", -1), ob.attr_int("largest", 1)]),
+        ob.node("ArgMax", ["x"], ["am"],
+                [ob.attr_int("axis", 1), ob.attr_int("keepdims", 0)]),
+        ob.node("Tile", ["x", "reps"], ["tl"]),
+        ob.node("CumSum", ["x", "cax"], ["cs"]),
+    ]
+    inits = [ob.tensor_proto("k", np.array([3], np.int64)),
+             ob.tensor_proto("reps", np.array([1, 2], np.int64)),
+             ob.tensor_proto("cax", np.array(1, np.int64))]
+    buf = ob.model(nodes, inits, inputs=["x"],
+                   outputs=["tv", "ti", "am", "tl", "cs"])
+    g = load_onnx(buf)
+    tv, ti, am, tl, cs = g.jitted()(g.params, x)
+    order = np.argsort(-x, axis=1)[:, :3]
+    np.testing.assert_allclose(np.asarray(tv),
+                               np.take_along_axis(x, order, 1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ti), order)
+    np.testing.assert_array_equal(np.asarray(am), x.argmax(1))
+    np.testing.assert_allclose(np.asarray(tl), np.tile(x, (1, 2)))
+    np.testing.assert_allclose(np.asarray(cs), np.cumsum(x, 1), rtol=1e-6)
