@@ -484,3 +484,95 @@ def test_aac_depacketizer_asymmetric_index_lengths():
     pcm = dep.decode(payload)
     assert len(pcm) == 3 * 1024                  # ALL three AUs decoded
     dep.close()
+
+
+def test_rtsp_multimodel_consensus_full_app(tmp_path):
+    """North-star config 5 (BASELINE.json configs[4]): RTSP streams ×
+    {BirdNET_V2.4 48k/3s, Perch_V2 32k/5s} through ONE Application —
+    shared ingest fans into per-model analysis buffers at native rates,
+    the device loop runs both batchers, and the processor's pending map
+    merges per-model hits so stored detections carry model_contributions
+    from BOTH families (reference orchestrator.go:499 +
+    processor.go:203-229)."""
+    import jax
+    import jax.numpy as jnp
+
+    import birdnet_go_tpu.app as app_mod
+    from birdnet_go_tpu.app import Application
+    from birdnet_go_tpu.config.settings import ModelSettings, Settings
+    from birdnet_go_tpu.models.birdnet_v24 import BirdNETv24
+    from birdnet_go_tpu.models.efficientnet import (
+        BlockSpec,
+        EfficientNetConfig,
+    )
+    from birdnet_go_tpu.models.perch_v2 import PerchV2
+    from birdnet_go_tpu.ops.melspec import MelConfig
+
+    def tiny_load_model(model_id, checkpoint=None, seed=0, **kw):
+        if model_id == "Perch_V2":
+            m = PerchV2(num_species=6,
+                        mel=MelConfig(sample_rate=32000, n_fft=256,
+                                      hop=8192, n_mels=16),
+                        compute_dtype=jnp.float32)
+        else:
+            m = BirdNETv24(num_species=6,
+                           mel=MelConfig(sample_rate=48000, n_fft=256,
+                                         hop=8192, n_mels=16),
+                           compute_dtype=jnp.float32)
+        m.net = EfficientNetConfig(blocks=(BlockSpec(1, 8, 3, 2, 1),),
+                                   embedding_dim=16, num_classes=6)
+        return m, m.init(jax.random.PRNGKey(0))
+
+    real_load = app_mod.load_model
+    app_mod.load_model = tiny_load_model
+    try:
+        t = np.arange(48000 * 14) / 48000.0
+        sig = (8000 * np.sin(2 * np.pi * 1500 * t)).astype(np.int16)
+        srv = MiniRtspServer(sig, rate=48000, codec="L16", packet_ms=20,
+                             realtime=False)
+        srv.start()
+
+        s = Settings()
+        # 6 synthetic species in BOTH families → identical label names →
+        # the same scientific name accumulates contributions from both
+        s.models = [ModelSettings(model_id="BirdNET_V2.4", threshold=0.0),
+                    ModelSettings(model_id="Perch_V2", threshold=0.0)]
+        s.database.path = str(tmp_path / "consensus.db")
+        s.export.enabled = False
+        s.webserver.enabled = False
+        s.deep_detection.level = 0
+        s.export.clip_length_seconds = 4.0
+        s.export.pre_capture_seconds = 1.0
+        s.realtime.tick_ms = 20
+        s.realtime.max_batch = 8
+        s.realtime.sources = [{"type": "rtsp", "url": srv.url,
+                               "id": "ipcam", "client": "native"}]
+        app = Application(s)
+        app.setup()
+        app.start(warmup=False)
+        try:
+            # wait until both models have produced windows, then flush
+            deadline = time.time() + 40
+            multi = None
+            while time.time() < deadline:
+                app.processor.flush(now=time.time() + 1e6)
+                for row in app.datastore.recent_detections(20):
+                    full = app.datastore.get_detection(row["id"])
+                    models = {c["model_id"] for c in full["contributions"]}
+                    if {"BirdNET_V2.4", "Perch_V2"} <= models:
+                        multi = full
+                        break
+                if multi:
+                    break
+                time.sleep(0.4)
+            assert multi is not None, "no cross-model consensus detection"
+            assert multi["source_id"] == "ipcam"
+            # both families contributed real hit counts
+            by_model = {c["model_id"]: c for c in multi["contributions"]}
+            assert by_model["BirdNET_V2.4"]["hit_count"] >= 1
+            assert by_model["Perch_V2"]["hit_count"] >= 1
+        finally:
+            app.stop()
+            srv.stop()
+    finally:
+        app_mod.load_model = real_load
