@@ -213,3 +213,87 @@ def test_sse_stream_delivers_detection(tiny_app):
     assert any("connected" in e for e in events)
     assert any("Great Tit" in e for e in events)
     app.stop()
+
+
+def test_config1_overlap_deepdetection_rangefilter(tiny_app, monkeypatch):
+    """North-star config 1: overlap windows + Deep Detection repeat
+    confirmation + geomodel range filter, composed in ONE realtime app.
+    Only range-included species may persist, and each persisted item must
+    carry >= the level's required hit count (false_positive_filter.go
+    semantics at level 2 / overlap 2.0: >=2 confirmations)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import birdnet_go_tpu.app as app_mod
+    from birdnet_go_tpu.analysis import deep_detection
+
+    # tiny_app is used only for its load_model monkeypatch; this test
+    # builds its OWN Application (the fixture's instance already ran
+    # setup() with different settings)
+    from birdnet_go_tpu.app import Application
+    from birdnet_go_tpu.config.settings import ModelSettings, Settings
+
+    s = Settings()
+    s.models = [ModelSettings(model_id="BirdNET_V2.4", threshold=0.0)]
+    s.database.path = ":memory:"
+    s.realtime.tick_ms = 20
+    s.realtime.max_batch = 8
+
+    class FakeGeomodel:
+        def apply(self, params, coords):
+            # species 0 and 2 occur here; the rest are out of range
+            n = coords.shape[0]
+            scores = jnp.zeros((n, 6), jnp.float32)
+            return scores.at[:, 0].set(0.9).at[:, 2].set(0.8)
+
+    monkeypatch.setattr(app_mod, "load_geomodel",
+                        lambda num_species=6, **kw: (FakeGeomodel(), {}))
+    s.range_filter.enabled = True
+    s.location.latitude = 60.2
+    s.location.longitude = 24.9
+    s.models[0].overlap = 2.0                  # windows every 1 s
+    s.deep_detection.level = 2
+    s.realtime.sources = [{"type": "tone", "id": "tone0", "freq": 1800}]
+    s.export.enabled = False
+    s.webserver.enabled = False
+
+    app = Application(s)
+    app.setup()
+    required = deep_detection.min_detections(2, 2.0)
+    assert required >= 2
+    inc = app.processor.included_species
+    assert inc is not None and len([n for n in inc
+                                    if n.startswith("Synthetica")]) == 2
+
+    app.start(warmup=False)
+    try:
+        import time as _t
+
+        deadline = _t.time() + 40
+        rows = []
+        while _t.time() < deadline:
+            # let repeat hits accrue between forced flushes — flushing
+            # every instant would discard every pending at 1/required
+            # hits (exactly what Deep Detection is supposed to reject)
+            _t.sleep(2.0)
+            app.processor.flush(now=_t.time() + 1e6)
+            rows = app.datastore.recent_detections(50)
+            if len(rows) >= 2:
+                break
+        st = app.processor.stats
+        assert rows, (
+            f"no detections approved (submitted={st.results_processed} "
+            f"filtered={st.detections_filtered} "
+            f"reasons={dict(st.discard_reasons)} "
+            f"pending={len(app.processor.pending_snapshot())})")
+        allowed = {sp for sp in inc}
+        for r in rows:
+            assert r["scientific_name"] in allowed
+            full = app.datastore.get_detection(r["id"])
+            assert sum(c["hit_count"] for c in full["contributions"]) \
+                >= required
+        # the filter actually discarded out-of-range species
+        assert app.processor.stats.discard_reasons.get(
+            "range filter", 0) + app.processor.stats.detections_filtered > 0
+    finally:
+        app.stop()
