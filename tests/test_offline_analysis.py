@@ -127,3 +127,50 @@ def test_range_filter_validation(rng_key):
         rf.predict(0.0, -181.0, 1)
     scores = rf.predict(60.0, 24.9, 23)
     assert scores.shape == (8,)
+
+
+def test_perch_offline_analysis_with_taxonomy_mapping(tmp_path):
+    """North-star config 2: Perch-family batch file analysis — a 48 kHz
+    WAV resamples to the model's native 32 kHz / 5 s windows, and label
+    names flow through the taxonomy alias map (openfauna): a detection
+    under a model-era legacy name resolves to the same canonical species
+    the rest of the system keys on."""
+    from birdnet_go_tpu.models.perch_v2 import PerchV2
+    from birdnet_go_tpu.taxonomy.labels import LabelSet, Species
+    from birdnet_go_tpu.taxonomy.openfauna import canonical_name
+
+    m = PerchV2(num_species=4,
+                mel=MelConfig(sample_rate=32000, n_fft=512, hop=4096,
+                              n_mels=32),
+                compute_dtype=jnp.float32)
+    m.net = EfficientNetConfig(blocks=(BlockSpec(1, 8, 3, 2, 1),),
+                               embedding_dim=16, num_classes=4)
+    clf = JaxClassifier(m, m.init(jax.random.PRNGKey(3)))
+    assert m.spec.sample_rate == 32000 and m.spec.clip_seconds == 5.0
+
+    # Perch's 2023-era label list uses the legacy dove name; openfauna
+    # maps it to the current canonical binomial
+    legacy = "Streptopelia senegalensis"
+    labels = LabelSet(species=[
+        Species(legacy, "Laughing Dove"),
+        Species("Parus major", "Great Tit"),
+        Species("Human vocal", "Human vocal"),
+        Species("Strix aluco", "Tawny Owl")], locale="en", codes=None)
+    assert canonical_name(legacy) != legacy       # alias table is live
+
+    rng = np.random.default_rng(5)
+    wav = tmp_path / "soundscape48k.wav"
+    write_wav(wav, (rng.standard_normal(48000 * 12) * 2000
+                    ).astype(np.int16), 48000)
+    an = OfflineAnalyzer(clf, labels,
+                         OfflineConfig(threshold=0.0, batch_size=4))
+    report = an.analyze_file(str(wav))
+    # 12 s at 5 s windows / 5 s hop → 2 full + 1 padded
+    assert len(report.windows) == 3
+    assert report.windows[1].begin_seconds == pytest.approx(5.0)
+    assert report.detections
+    names = {d.species.scientific for d in report.detections}
+    assert names <= {legacy, "Parus major", "Human vocal", "Strix aluco"}
+    # the Raven table renders with the detection rows intact
+    table = format_raven_table(report.detections, "soundscape48k.wav")
+    assert len(table.splitlines()) >= 1 + len(report.detections)
