@@ -22,7 +22,8 @@ TPU-layout design (everything lane-aligned, no cross-lane reshapes):
   i's dots. Measured on v5e, 1024 windows: v1 34.6 → v2 (G=16+fori)
   16.9 → v3 12.6 ms. (Same sweep: G=16+unroll 14.7, G=8+fori 17.1 —
   BOTH changes are needed; bf16 staging measured 12.8, within noise of
-  f32, so staging stays f32.)
+  f32, so staging stays f32 — re-measured under v4 in round 4:
+  bf16 8.59 vs f32 8.27 ms median, still no win.)
 - v4 (packed=True, the DEFAULT since round 4): the stage-1 DFT input is
   REAL, so S[16−r] = conj(S[r]) — a stage-timing probe showed stage 1
   at 9.0 of v3's 12.5 ms, at its MXU pass floor. One PACKED real
