@@ -127,6 +127,14 @@ class JobQueue:
 
     def __init__(self, capacity: int = DEFAULT_CAPACITY, workers: int = 4):
         self.capacity = capacity
+        self.stats = JobQueueStats()
+        # Pre-seed every known category: API threads serialize stats
+        # (vars()/asdict) WITHOUT the stats lock, and a first-ever bump of
+        # a new category would otherwise insert a dict key mid-iteration
+        # (RuntimeError in the reader). Unknown custom categories are
+        # folded into "other" at enqueue for the same reason.
+        for cat in CATEGORY_PRIORITY:
+            self.stats._cat(cat)
         self._bands: dict[int, collections.deque[Job]] = {
             PRIORITY_CRITICAL: collections.deque(),
             PRIORITY_NORMAL: collections.deque(),
@@ -137,7 +145,6 @@ class JobQueue:
         self._workers = workers
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
-        self.stats = JobQueueStats()
         self._stats_lock = threading.Lock()
 
     def start(self) -> None:
@@ -174,7 +181,9 @@ class JobQueue:
         log/MQTT/alert fan-out (VERDICT r3 #1; reference treats drops as
         accounted overload behavior, jobqueue/queue.go:59-204).
         """
-        priority = CATEGORY_PRIORITY.get(category, PRIORITY_NORMAL)
+        if category not in CATEGORY_PRIORITY:
+            category = "other"
+        priority = CATEGORY_PRIORITY[category]
         job = Job(action=action, description=description,
                   retry=retry or RetryConfig(),
                   category=category, priority=priority)

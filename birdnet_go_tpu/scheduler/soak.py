@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import logging
 import resource
+import threading
 import time
 from typing import Any
 
@@ -196,16 +197,22 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
 
     counters = {"approved": 0, "db": 0, "clips": 0, "consensus": 0,
                 "mqtt": 0, "alerts": 0}
+    # jobs run on 4 worker threads; dict += is a read-modify-write race
+    counters_lock = threading.Lock()
+
+    def bump(key):
+        with counters_lock:
+            counters[key] += 1
 
     def on_approved(d, item):
-        counters["approved"] += 1
+        counters["approved"] += 1          # flusher thread only
         if len(item.contributions) >= 2:
             counters["consensus"] += 1
         act = DatabaseAction(detection=d, store=store)
 
         def run_db():
             act.execute()
-            counters["db"] += 1
+            bump("db")
 
         jobqueue.enqueue(run_db, f"save {d.species.scientific}",
                          retry=RetryConfig(enabled=False),
@@ -217,7 +224,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
 
         def run_clip(path=path):
             path.write_bytes(_clip_blob)
-            counters["clips"] += 1
+            bump("clips")
 
         jobqueue.enqueue(run_clip, f"clip {path.name}",
                          retry=RetryConfig(enabled=True, max_retries=3,
@@ -230,13 +237,13 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
 
         def run_mqtt():
             time.sleep(sim_mqtt_ms / 1000.0)   # broker RTT stand-in
-            counters["mqtt"] += 1
+            bump("mqtt")
 
         jobqueue.enqueue(run_mqtt, "mqtt publish", category="mqtt")
 
         def run_alert():
             time.sleep(sim_alert_ms / 1000.0)  # rules+webhook stand-in
-            counters["alerts"] += 1
+            bump("alerts")
 
         jobqueue.enqueue(run_alert, "alert eval", category="alert")
 
