@@ -45,6 +45,22 @@ export async function helpView(outlet) {
       el("li", {}, t("include_expected")),
       el("li", {}, t("include_logs")))));
 
+  // ---- keyboard shortcuts (the round-4 interactivity additions) ----
+  const kbd = (k) => el("kbd", {}, k);
+  const row = (keys, what) => el("tr", {},
+    el("td", {}, keys.map((k, i) => [i ? " / " : "", kbd(k)])),
+    el("td", { class: "sub" }, what));
+  outlet.append(el("div", { class: "card" },
+    el("h2", {}, t("keyboard_shortcuts")),
+    el("table", { class: "data" }, el("tbody", {},
+      row(["Space", "k"], t("ks_play_pause")),
+      row(["←", "→"], t("ks_scrub")),
+      row(["Shift+←", "Shift+→"], t("ks_scrub_fast")),
+      row(["Home"], t("ks_restart")),
+      row(["Enter"], t("ks_activate_mark")),
+      row([t("ks_drag")], t("ks_zoom")),
+      row([t("ks_double_click")], t("reset_zoom"))))));
+
   // ---- quick links (reference Help.svelte quickLinks) ----
   const link = (href, label) =>
     el("a", { href, target: "_blank", rel: "noopener noreferrer",

@@ -239,6 +239,7 @@ def test_no_untranslated_literals_in_views():
         "Ogg Opus", "FLAC", "AAC", "WAV", "MP3", "SoundHandler",
         "BirdNET-TPU",    # product name
         "Wikipedia", "iNaturalist",   # external-service proper nouns
+        "Space", "Home", "Enter",     # physical key labels (<kbd>)
     }
     pat = re.compile(
         r'''["'](?:[^\w"']{1,2} )?'''   # optional emoji/arrow prefix (⬇ , ▶ )
