@@ -386,7 +386,19 @@ class ExtendedHandlers:
     async def h_sys_jobs(self, request):
         import dataclasses as dc
 
-        return _json(dc.asdict(self.ctx.jobqueue.stats))
+        st = dc.asdict(self.ctx.jobqueue.stats)
+        # shed-order forensics: categories ordered by their first drop —
+        # under overload this shows WHICH actions shed, in what order
+        # (priority bands guarantee low-priority categories lead)
+        st["shed_order"] = [
+            c for c, v in sorted(
+                ((c, v) for c, v in st["by_category"].items()
+                 if v.get("first_drop_t") is not None),
+                key=lambda cv: cv[1]["first_drop_t"])]
+        st["pending_by_band"] = {
+            str(band): n
+            for band, n in self.ctx.jobqueue.pending_by_band().items()}
+        return _json(st)
 
     async def h_control_signals(self, request):
         from birdnet_go_tpu.config.control import ControlSignal

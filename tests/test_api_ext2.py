@@ -240,3 +240,16 @@ def test_metrics_history_endpoint(served):  # noqa: F811
     assert len(body["samples"]) >= 1
     s = body["samples"][0]
     assert "time" in s and "memory_pct" in s
+
+
+def test_sys_jobs_shed_order_and_bands(served):  # noqa: F811
+    """/system/jobs carries the per-category ledger plus shed-order and
+    band-depth forensics (round-4 priority jobqueue observability)."""
+    app, port = served
+    d = _req(port, "/system/jobs")
+    assert "by_category" in d and "shed_order" in d
+    assert isinstance(d["shed_order"], list)
+    assert set(d["pending_by_band"]) == {"0", "1", "2"}
+    # all production categories pre-seeded (race-free reader contract)
+    for cat in ("database", "clip", "log", "mqtt", "alert"):
+        assert cat in d["by_category"]
