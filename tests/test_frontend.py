@@ -329,3 +329,38 @@ def test_js_semantic_gate_catches_seeded_bugs():
     # 4. template-literal expressions are analyzed too
     tmpl = "export function f(x) { return `v=${x} ${missingVar}`; }"
     assert any(n == "missingVar" for n, _l in undefined_references(tmpl))
+
+
+def test_js_semantic_tokenizer_robust_to_mutations():
+    """Mutating real view sources (truncation, random byte edits) must
+    produce either a clean tokenization or JsTokenizeError — never an
+    unhandled exception — so a half-saved file can't crash the CI gate
+    with a confusing traceback."""
+    import random
+
+    from tests.js_semantic import (
+        JsTokenizeError,
+        duplicate_block_declarations,
+        tokenize,
+        undefined_references,
+    )
+
+    rng = random.Random(42)
+    src = (STATIC / "views" / "dashboard.js").read_text()
+    for trial in range(60):
+        mutated = src
+        kind = trial % 3
+        if kind == 0:                       # truncate anywhere
+            mutated = src[:rng.randrange(1, len(src))]
+        elif kind == 1:                     # splice random chars
+            i = rng.randrange(len(src))
+            mutated = src[:i] + rng.choice("`'\"/{}()[]\\$") + src[i:]
+        else:                               # delete a random span
+            i = rng.randrange(len(src) - 50)
+            mutated = src[:i] + src[i + rng.randrange(1, 50):]
+        try:
+            tokenize(mutated)
+            undefined_references(mutated)
+            duplicate_block_declarations(mutated)
+        except JsTokenizeError:
+            pass                            # clean, expected failure mode
