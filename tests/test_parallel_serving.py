@@ -65,3 +65,25 @@ def test_head_params_are_tensor_parallel():
     assert w.sharding.spec == P(None, "model")
     shard_shapes = {s.data.shape for s in w.addressable_shards}
     assert shard_shapes == {(64, 128)}           # 256 species / 2
+
+
+def test_mesh_odd_counts_and_overcommit():
+    """Verify-skill probes: odd device counts build valid meshes (6 →
+    3×2, 1 → 1×1, 5 → 5×1), requesting more devices than visible raises,
+    and an impossible explicit split raises."""
+    import pytest
+
+    m6 = make_mesh(6)
+    assert m6.devices.size == 6
+    assert dict(zip(m6.axis_names, m6.devices.shape)) == {"data": 3,
+                                                          "model": 2}
+    m1 = make_mesh(1)
+    assert dict(zip(m1.axis_names, m1.devices.shape)) == {"data": 1,
+                                                          "model": 1}
+    m5 = make_mesh(5)
+    assert dict(zip(m5.axis_names, m5.devices.shape)) == {"data": 5,
+                                                          "model": 1}
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(64)
+    with pytest.raises(ValueError, match="mesh"):
+        make_mesh(6, data_axis=4, model_axis=2)
