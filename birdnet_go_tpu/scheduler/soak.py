@@ -130,7 +130,10 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
              hit_stride: int = 64, burst_stride: int = 1,
              sim_mqtt_ms: float = 8.0,
              sim_alert_ms: float = 3.0,
-             calibrate_rate: float | None = None) -> dict[str, Any]:
+             calibrate_rate: float | None = None,
+             stall_at: float | None = None,
+             stall_seconds: float = 0.0,
+             sample_seconds: float = 5.0) -> dict[str, Any]:
     """Run the soak; returns the result record (see module docstring).
 
     `models` may list several families (e.g. BirdNET_V2.4 + Perch_V2 at
@@ -450,12 +453,27 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     t0 = time.monotonic()
     samples = []
     burst_was_on = False
+    stalled = {"done": False, "until": None}
     ring_grown: list[dict] = []
     max_ring_seconds = ring_seconds * 4
     try:
         while time.monotonic() - t0 < seconds:
-            time.sleep(5.0)
+            time.sleep(sample_seconds)
             t_el = time.monotonic() - t0
+            # induced collector stall (CI-reproducible stand-in for the
+            # host steals observed in production/r3): stop the tick loop
+            # outright — the farm keeps capturing, backlog builds, and
+            # the adaptive-slack machinery must absorb it without loss
+            if stall_at is not None and not stalled["done"] \
+                    and t_el >= stall_at:
+                log.warning("inducing %.0fs collector stall", stall_seconds)
+                loop.stop()
+                stalled["done"] = True
+                stalled["until"] = t_el + stall_seconds
+            if stalled["until"] is not None and t_el >= stalled["until"]:
+                log.warning("collector stall over — resuming")
+                loop.start()
+                stalled["until"] = None
             # adaptive capture-ring slack (VERDICT r3 #7): when a host
             # stall has consumed >60% of the ring, double it (bounded)
             # BEFORE the next stall of the same size clobbers — a

@@ -351,3 +351,23 @@ def test_farm_grow_preserves_backlog_and_tracks_high_water(tmp_path):
     farm2 = _farm(n_streams=1, ring_seconds=6.0)
     assert farm2.grow(2.0) == 6 * RATE
     farm2.close()
+
+
+def test_soak_induced_stall_absorbed_by_adaptive_slack(tmp_path):
+    """VERDICT r3 #7 'Done', CI-reproducible: a deliberate collector
+    stall longer than the initial ring slack (timescale-accelerated) is
+    absorbed — the deficit/backlog signals grow the rings mid-stall and
+    the run ends with ZERO samples lost and full recovery."""
+    from birdnet_go_tpu.scheduler.soak import run_soak
+
+    rec = run_soak(streams=20, seconds=24.0, device="stub",
+                   ring_seconds=6.0, timescale=4.0,
+                   stall_at=6.0, stall_seconds=4.0,   # 16 s stream > 6 s ring
+                   action_mix="db", tick_ms=50, sample_seconds=1.0,
+                   stub_base_ms=0.5, stub_per_window_us=5.0)
+    assert rec["ring"]["grown"], "ring never grew during the stall"
+    assert rec["drop_accounting"]["farm_samples_lost"] == 0
+    assert rec["drop_accounting"]["scheduler_windows_dropped"] == 0
+    # recovery: the backlog drained after the stall (final sample small)
+    assert rec["timeline"][-1]["ready_backlog"] < 200
+    assert rec["windows_processed"] > 0
