@@ -91,8 +91,11 @@ class Job:
 
 
 def _category_counters() -> dict[str, int]:
+    # first_drop_t pre-seeded as None: readers serialize these dicts
+    # without the stats lock, so no key may ever be INSERTED after
+    # creation (value updates are safe; size changes race iterators)
     return {"enqueued": 0, "completed": 0, "failed": 0, "retried": 0,
-            "dropped": 0, "shed": 0}
+            "dropped": 0, "shed": 0, "first_drop_t": None}
 
 
 @dataclasses.dataclass
@@ -117,7 +120,7 @@ class JobQueueStats:
         c[counter] += n
         # shed-order forensics: stamp each category's first drop so an
         # overload run can prove which action types shed, in what order
-        if counter == "dropped" and "first_drop_t" not in c:
+        if counter == "dropped" and c["first_drop_t"] is None:
             c["first_drop_t"] = round(time.monotonic(), 3)
 
 
