@@ -704,6 +704,10 @@ def main(argv=None) -> int:
                         "this fraction of windows detects (default 0.015 "
                         "on --device tpu; random-init weights otherwise "
                         "make every window a detection)")
+    p.add_argument("--stall-at", type=float, default=None,
+                   help="seconds into the run to induce a collector "
+                        "stall (tick loop stopped) — adaptive-slack demo")
+    p.add_argument("--stall-seconds", type=float, default=0.0)
     p.add_argument("--out", default=None, help="append record to JSON file")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -725,7 +729,9 @@ def main(argv=None) -> int:
                    hit_stride=args.hit_stride,
                    burst_stride=args.burst_stride,
                    sim_mqtt_ms=args.sim_mqtt_ms,
-                   sim_alert_ms=args.sim_alert_ms)
+                   sim_alert_ms=args.sim_alert_ms,
+                   stall_at=args.stall_at,
+                   stall_seconds=args.stall_seconds)
     print(json.dumps(rec, indent=1))
     if args.out:
         try:
