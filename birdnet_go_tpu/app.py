@@ -919,6 +919,8 @@ class Application:
         elif stype == "tone":
             src = ToneSource(self.engine, source_id=cfg.get("id", "tone0"),
                              freq_hz=float(cfg.get("freq", 1000.0)),
+                             rate=int(cfg.get("rate", 48000)),
+                             pulse_hz=float(cfg.get("pulse", 0.0)),
                              speed=float(cfg.get("speed", 1.0)))
         elif stype in ("rtsp", "http"):
             from birdnet_go_tpu.audio.ffmpeg import (

@@ -84,15 +84,23 @@ class FileLoopSource:
 
 
 class ToneSource:
-    """Synthetic sine source (tests / demo without audio files)."""
+    """Synthetic sine source (tests / demo without audio files).
+
+    `pulse_hz` > 0 applies on/off keying at that rate — a bat-call-like
+    pulsed ultrasonic signal whose band energy varies frame-to-frame
+    (high CV), as opposed to the steady tone the ultrasonic validation
+    filter is designed to reject (ultrasonic/filter.go:20-71 semantics).
+    """
 
     def __init__(self, engine, source_id: str = "tone0", rate: int = 48000,
                  freq_hz: float = 1000.0, amplitude: float = 0.3,
-                 chunk_seconds: float = 0.1, speed: float = 1.0):
+                 chunk_seconds: float = 0.1, speed: float = 1.0,
+                 pulse_hz: float = 0.0):
         self.engine = engine
         self.rate = rate
         self.freq = freq_hz
         self.amp = amplitude
+        self.pulse_hz = pulse_hz
         self.chunk = max(1, int(rate * chunk_seconds))
         self.speed = speed
         self.source = AudioSource(source_id=source_id,
@@ -122,8 +130,10 @@ class ToneSource:
         n = int(self.rate * seconds)
         t = (np.arange(n) + self._phase) / self.rate
         self._phase += n
-        pcm = (self.amp * 32767 * np.sin(2 * np.pi * self.freq * t)
-               ).astype(np.int16)
+        wave = self.amp * 32767 * np.sin(2 * np.pi * self.freq * t)
+        if self.pulse_hz > 0:
+            wave = wave * (np.sin(2 * np.pi * self.pulse_hz * t) > 0)
+        pcm = wave.astype(np.int16)
         self.engine.ingest(self.source.source_id, pcm)
 
     def _run(self) -> None:

@@ -297,3 +297,133 @@ def test_config1_overlap_deepdetection_rangefilter(tiny_app, monkeypatch):
             "range filter", 0) + app.processor.stats.detections_filtered > 0
     finally:
         app.stop()
+
+
+def test_config3_bat_256khz_ultrasonic_pipeline(tmp_path, monkeypatch):
+    """North-star config 3 (BASELINE.json configs[3]): BattyBirdNET
+    regional bat classifier fed 256 kHz ultrasonic capture through ONE
+    realtime app — the raw-rate "slow-down trick" path end to end.
+
+    Proves, in one run (reference semantics cited per leg):
+    - 256 kHz audio is fed UNRESAMPLED, so each 144,000-sample model
+      window spans 0.5625 s of wall clock (detection-pipeline.md:103-117);
+    - the on-device ultrasonic CV filter rejects steady-tone windows and
+      passes pulsed bat-call-like windows (ultrasonic/filter.go:20-71,
+      processor.go:881-893);
+    - bat-model clips export at the NATIVE rate so echolocation content
+      survives (export.go / app.py raw-rate branch);
+    - Deep Detection uses the bat level by default (defaults.go:106-108).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import birdnet_go_tpu.app as app_mod
+    from birdnet_go_tpu.analysis import deep_detection
+    from birdnet_go_tpu.inference import loader
+    from birdnet_go_tpu.models.bat import BatClassifier
+    from birdnet_go_tpu.models.efficientnet import BlockSpec, EfficientNetConfig
+    from birdnet_go_tpu.ops.melspec import MelConfig
+
+    def tiny_bat(model_id, checkpoint=None, seed=0, **kw):
+        assert model_id == "BattyBirdNET"
+        m = BatClassifier(num_species=6,
+                          mel=MelConfig(sample_rate=48000, n_fft=256,
+                                        hop=8192, n_mels=16),
+                          compute_dtype=jnp.float32)
+        m.net = EfficientNetConfig(blocks=(BlockSpec(1, 8, 3, 2, 1),),
+                                   embedding_dim=16, num_classes=6)
+        return m, m.init(jax.random.PRNGKey(0))
+
+    monkeypatch.setattr(loader, "load_model", tiny_bat)
+    monkeypatch.setattr(app_mod, "load_model", tiny_bat)
+
+    s = Settings()
+    s.models = [ModelSettings(model_id="BattyBirdNET", threshold=0.0)]
+    s.database.path = str(tmp_path / "bat.db")
+    s.export.enabled = True
+    s.export.format = "wav"
+    s.export.path = str(tmp_path / "clips")
+    s.export.clip_length_seconds = 1.0
+    s.export.pre_capture_seconds = 0.2
+    s.realtime.tick_ms = 20
+    s.realtime.max_batch = 8
+    s.realtime.capture_buffer_seconds = 10.0
+    # two 256 kHz ultrasonic sources: a pulsed 30 kHz "bat call" (band
+    # energy varies frame to frame => high CV, passes) and a steady
+    # 30 kHz tone (CV ~ 0 => the filter's designed reject)
+    s.realtime.sources = [
+        {"type": "tone", "id": "bat-pulsed", "freq": 30000,
+         "rate": 256000, "pulse": 25, "speed": 2.0},
+        {"type": "tone", "id": "bat-steady", "freq": 30000,
+         "rate": 256000, "speed": 2.0},
+    ]
+    s.webserver.enabled = False
+    assert s.ultrasonic_filter.enabled          # on by default
+
+    app = Application(s)
+    app.setup()
+    # bat models take the bat Deep Detection level by default (level 2
+    # at default overlap -> 1 confirmation; the LEVEL selection is what
+    # is under test here, config 1 covers multi-hit confirmation)
+    level, overlap = app.processor._deep_detection_params("BattyBirdNET")
+    assert level == s.deep_detection.bat_level == 2
+    assert deep_detection.min_detections(level, overlap) >= 1
+
+    app.start(warmup=False)
+    try:
+        deadline = time.time() + 60
+        pulsed_rows, us_discards = [], 0
+        while time.time() < deadline:
+            time.sleep(1.0)
+            app.processor.flush(now=time.time() + 1e6)
+            rows = app.datastore.recent_detections(100)
+            pulsed_rows = [r for r in rows
+                           if r["source_id"] == "bat-pulsed"]
+            us_discards = app.processor.stats.discard_reasons.get(
+                "ultrasonic filter", 0)
+            if len(pulsed_rows) >= 2 and us_discards >= 2:
+                break
+        st = app.processor.stats
+        assert pulsed_rows, (
+            f"no pulsed-source detections (processed="
+            f"{st.results_processed} reasons={dict(st.discard_reasons)})")
+        assert us_discards >= 2, (
+            f"steady-tone windows not rejected by the ultrasonic filter "
+            f"(reasons={dict(st.discard_reasons)})")
+
+        # slow-down trick: the 256 kHz source is tapped UNRESAMPLED
+        # (resampler None, buffer timeline at the raw rate), so a
+        # 144,000-sample nominal-3 s window spans 0.5625 s of wall clock
+        for sid in ("bat-pulsed", "bat-steady"):
+            tap = app.engine._streams[sid].taps[0]
+            assert tap.resampler is None
+            assert tap.rate == 256000
+        # stored rows span merged repeat hits, but no single-window span
+        # can be shorter than one raw-rate window (0.5625 s)
+        for r in pulsed_rows:
+            assert r["end_time"] - r["begin_time"] >= 0.5625 - 1e-6, r
+
+        # steady-tone approvals can only come from the zero-prefixed
+        # FIRST window (step edge => high CV); steady state must reject
+        steady_rows = [r for r in app.datastore.recent_detections(100)
+                       if r["source_id"] == "bat-steady"]
+        assert len(steady_rows) <= 6, \
+            f"steady tone kept detecting: {len(steady_rows)} rows"
+
+        # native-rate clip export: wait for a pulsed clip file, read it
+        from birdnet_go_tpu.audio.wav import read_wav
+
+        clip_dir = tmp_path / "clips"
+        deadline = time.time() + 30
+        wavs = []
+        while time.time() < deadline:
+            wavs = list(clip_dir.rglob("*.wav"))
+            if wavs:
+                break
+            time.sleep(0.5)
+        assert wavs, "no clip exported"
+        _, info = read_wav(wavs[0])
+        assert info.sample_rate == 256000, \
+            f"bat clip must keep the native rate, got {info.sample_rate}"
+    finally:
+        app.stop()
