@@ -364,3 +364,67 @@ def test_js_semantic_tokenizer_robust_to_mutations():
             duplicate_block_declarations(mutated)
         except JsTokenizeError:
             pass                            # clean, expected failure mode
+
+
+def test_every_spa_fetch_resolves_to_a_registered_route(tiny_app):
+    """Reverse of test_ui_consumes_every_api_group: every URL the SPA
+    actually requests (api()/subscribe() helpers, absolute /api/v2
+    literals in src/href/EventSource/WebSocket) must match a route
+    registered on the real server — the 404 class a browser e2e would
+    catch at runtime (frontend/tests/e2e intent), statically."""
+    aio = tiny_app.api.build_app()
+    canon = set()
+    for r in aio.router.routes():
+        try:
+            canon.add(r.resource.canonical)
+        except AttributeError:
+            pass
+    assert any(c.startswith("/api/v2/") for c in canon)
+
+    HOLE = "\x00"                     # template ${...} splice marker
+    call_re = re.compile(
+        r"\b(?:api|subscribe)\(\s*(?:\"([^\"]*)\"|`([^`]*)`)")
+    abs_re = re.compile(r"[\"'`](/api/v2/[^\"'`]*)[\"'`]")
+
+    def normalize(p):
+        p = re.sub(r"\$\{[^}]*\}", HOLE, p)
+        return p.split("?", 1)[0].split("#", 1)[0]
+
+    fetched = {}                      # path -> first "file:line" seen
+    for f in sorted(STATIC.rglob("*.js")) + [STATIC / "index.html"]:
+        src = f.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            for m in call_re.finditer(line):
+                rel = normalize(m.group(1) or m.group(2))
+                if rel.startswith("/"):
+                    fetched.setdefault("/api/v2" + rel,
+                                       f"{f.name}:{i}")
+            for m in abs_re.finditer(line):
+                fetched.setdefault(normalize(m.group(1)), f"{f.name}:{i}")
+
+    assert len(fetched) > 120, \
+        f"extractor regressed: only {len(fetched)} SPA URLs found"
+
+    def seg_matches(p, c):
+        if c.startswith("{") and c.endswith("}"):
+            return True               # route param matches anything
+        rex = re.escape(p).replace(re.escape(HOLE), ".+")
+        return re.fullmatch(rex, c) is not None
+
+    def resolves(path):
+        if path.endswith("/") or path.endswith(HOLE):
+            # concat/prefix idiom: any deeper route under the prefix
+            base = path.rstrip(HOLE)
+            return any(c.startswith(base) for c in canon)
+        ps = path.split("/")
+        for c in canon:
+            cs = c.split("/")
+            if len(cs) == len(ps) and all(
+                    seg_matches(p, s) for p, s in zip(ps, cs)):
+                return True
+        return False
+
+    dangling = {p: at for p, at in fetched.items() if not resolves(p)}
+    assert not dangling, \
+        "SPA requests URLs with no registered route:\n" + "\n".join(
+            f"  {p}  (first at {at})" for p, at in sorted(dangling.items()))
