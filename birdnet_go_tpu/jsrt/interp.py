@@ -1,0 +1,1165 @@
+"""jsrt tree-walking evaluator.
+
+Single-threaded with an explicit job queue: microtasks (promise
+reactions) and virtual-time timers.  `await` drives the queue inline —
+sound here because the host fetch is synchronous under the hood — so an
+await that can never settle is detected and reported as a deadlock
+instead of hanging CI.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .values import (UNDEF, BoundFunction, HostObject, JSArray, JSFunction,
+                     JSMap, JSObject, JSPromise, JSRegExp, JSSet, JSThrow,
+                     NativeFunction, is_callable, map_key)
+
+
+class _ShortCircuit:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+
+_SC = _ShortCircuit()
+
+
+class BreakEx(Exception):
+    pass
+
+
+class ContinueEx(Exception):
+    pass
+
+
+class ReturnEx(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class DeadlockError(RuntimeError):
+    pass
+
+
+class Scope:
+    __slots__ = ("vars", "parent", "is_function")
+
+    def __init__(self, parent=None, is_function=False):
+        self.vars = {}
+        self.parent = parent
+        self.is_function = is_function
+
+    def declare(self, name, value=UNDEF):
+        self.vars[name] = value
+
+    def declare_var(self, name):
+        s = self
+        while not s.is_function and s.parent is not None:
+            s = s.parent
+        if name not in s.vars:
+            s.vars[name] = UNDEF
+
+    def lookup(self, name):
+        s = self
+        while s is not None:
+            if name in s.vars:
+                return s
+            s = s.parent
+        return None
+
+    def get(self, name):
+        s = self.lookup(name)
+        if s is None:
+            raise JSThrow.error(None, "ReferenceError",
+                                f"{name} is not defined")
+        return s.vars[name]
+
+    def set(self, name, value):
+        s = self.lookup(name)
+        if s is None:
+            # sloppy-mode global write; keep it an error — the SPA is
+            # module code where this would be a ReferenceError
+            raise JSThrow.error(None, "ReferenceError",
+                                f"{name} is not defined")
+        s.vars[name] = value
+
+
+class Interp:
+    def __init__(self, global_scope: Scope | None = None):
+        from . import builtins as _b
+        self.globals = global_scope or Scope(is_function=True)
+        self.microtasks = []              # list of (fn,) thunks
+        self.timers = {}                  # id -> (due, fn, interval_ms|None)
+        self._timer_seq = 0
+        self._vclock = 0.0
+        self.call_stack = []              # (fn_name, path, line)
+        self.cur_line = 0
+        self.cur_path = "<js>"
+        self.console_errors = []          # harness asserts this is empty
+        self.rejected = []                # (promise, value) unhandled so far
+        self._b = _b
+        _b.install_globals(self)
+
+    # ========================================================== job queue
+
+    def enqueue_micro(self, fn):
+        self.microtasks.append(fn)
+
+    def set_timer(self, fn, delay_ms, interval=False):
+        self._timer_seq += 1
+        tid = self._timer_seq
+        self.timers[tid] = [self._vclock + max(0.0, float(delay_ms)), fn,
+                            float(delay_ms) if interval else None]
+        return tid
+
+    def clear_timer(self, tid):
+        self.timers.pop(tid, None)
+
+    def run_microtasks(self, limit=100_000):
+        n = 0
+        while self.microtasks:
+            fn = self.microtasks.pop(0)
+            fn()
+            n += 1
+            if n > limit:
+                raise DeadlockError("microtask queue never drained")
+        return n
+
+    def fire_next_timer(self):
+        """Advance virtual time to the next timer and fire it."""
+        if not self.timers:
+            return False
+        tid = min(self.timers, key=lambda t: (self.timers[t][0], t))
+        due, fn, interval = self.timers[tid]
+        self._vclock = max(self._vclock, due)
+        if interval is None:
+            del self.timers[tid]
+        else:
+            self.timers[tid][0] = self._vclock + interval
+        fn()
+        return True
+
+    def drain_jobs(self, max_timer_fires=8):
+        """Post-render settle: microtasks to exhaustion, then a bounded
+        number of timer fires (intervals would otherwise run forever)."""
+        self.run_microtasks()
+        fires = 0
+        while self.timers and fires < max_timer_fires:
+            if not self.fire_next_timer():
+                break
+            self.run_microtasks()
+            fires += 1
+
+    # ========================================================== promises
+
+    def promise(self):
+        return JSPromise()
+
+    def resolve_promise(self, p: JSPromise, value):
+        if p.state != "pending":
+            return
+        if isinstance(value, JSPromise):
+            self._adopt(p, value)
+            return
+        p.state = "fulfilled"
+        p.value = value
+        self._flush_promise(p)
+
+    def reject_promise(self, p: JSPromise, value):
+        if p.state != "pending":
+            return
+        p.state = "rejected"
+        p.value = value
+        if not getattr(p, "_handled", False) and not p.callbacks:
+            self.rejected.append((p, value))
+        self._flush_promise(p)
+
+    def _adopt(self, outer, inner):
+        def on_f(v):
+            self.resolve_promise(outer, v)
+
+        def on_r(v):
+            self.reject_promise(outer, v)
+
+        self.promise_then(inner, on_f, on_r)
+
+    def _flush_promise(self, p):
+        cbs, p.callbacks = p.callbacks, []
+        for on_f, on_r in cbs:
+            if p.state == "fulfilled":
+                self.enqueue_micro(lambda v=p.value, f=on_f: f(v))
+            else:
+                self.enqueue_micro(lambda v=p.value, r=on_r: r(v))
+
+    def promise_then(self, p: JSPromise, on_f, on_r):
+        """Register python callbacks; returns nothing."""
+        p._handled = True
+        self.rejected = [(q, v) for q, v in self.rejected if q is not p]
+        if p.state == "pending":
+            p.callbacks.append((on_f, on_r))
+        elif p.state == "fulfilled":
+            self.enqueue_micro(lambda v=p.value: on_f(v))
+        else:
+            self.enqueue_micro(lambda v=p.value: on_r(v))
+
+    def await_value(self, value):
+        """`await expr` — drive the job queue until the promise settles."""
+        if isinstance(value, JSPromise):
+            value._handled = True
+            self.rejected = [(q, v) for q, v in self.rejected
+                             if q is not value]
+        if not isinstance(value, JSPromise):
+            self.run_microtasks()
+            return value
+        spins = 0
+        while value.state == "pending":
+            if self.microtasks:
+                self.run_microtasks()
+                continue
+            if self.timers and self.fire_next_timer():
+                continue
+            raise DeadlockError(
+                f"await at {self.cur_path}:{self.cur_line} can never "
+                "settle (no pending jobs)")
+        if spins > 1_000_000:  # pragma: no cover
+            raise DeadlockError("await spun out")
+        if value.state == "rejected":
+            raise JSThrow(value.value)
+        return value.value
+
+    # ======================================================== module exec
+
+    def exec_program(self, ast, scope, module=None):
+        assert ast[0] == "program"
+        body = ast[1]
+        self.hoist(body, scope)
+        for stmt in body:
+            self.exec_stmt(stmt, scope, module)
+
+    def hoist(self, stmts, scope):
+        for s in stmts:
+            node = s[2] if s[0] == "stmt" else s
+            if node[0] == "func":
+                scope.declare(node[1], self.make_function(node, scope))
+            elif node[0] == "export" and node[1][2][0] == "func":
+                inner = node[1][2]
+                scope.declare(inner[1], self.make_function(inner, scope))
+            elif node[0] == "var" and node[1] == "var":
+                for pat, _ in node[2]:
+                    for n in pattern_names(pat):
+                        scope.declare_var(n)
+
+    def make_function(self, node, scope, is_arrow=False, this_val=None):
+        if is_arrow:
+            _, params, body, is_async, expr_body = node
+            name = None
+        else:
+            _, name, params, body, is_async = node
+        plist, rest = params
+        return JSFunction(name, plist, rest, body, scope,
+                          is_async=is_async, is_arrow=is_arrow,
+                          expr_body=(node[4] if is_arrow else False),
+                          this_val=this_val, path=self.cur_path)
+
+    # ======================================================== statements
+
+    def exec_stmt(self, s, scope, module=None):
+        typ = s[0]
+        if typ == "stmt":
+            self.cur_line = s[1]
+            return self.exec_stmt(s[2], scope, module)
+        if typ == "expr":
+            self.eval(s[1], scope)
+            return
+        if typ == "var":
+            for pat, init in s[2]:
+                val = self.eval(init, scope) if init is not None else UNDEF
+                self.bind_pattern(pat, val, scope, declare=True)
+            return
+        if typ == "func":
+            # already hoisted; re-binding keeps later textual defs correct
+            scope.declare(s[1], self.make_function(s, scope))
+            return
+        if typ == "return":
+            raise ReturnEx(self.eval(s[1], scope) if s[1] is not None
+                           else UNDEF)
+        if typ == "if":
+            if js_truthy(self.eval(s[1], scope)):
+                self.exec_stmt(s[2], scope, module)
+            elif s[3] is not None:
+                self.exec_stmt(s[3], scope, module)
+            return
+        if typ == "block":
+            inner = Scope(scope)
+            self.hoist(s[1], inner)
+            for st in s[1]:
+                self.exec_stmt(st, inner, module)
+            return
+        if typ == "while":
+            while js_truthy(self.eval(s[1], scope)):
+                try:
+                    self.exec_stmt(s[2], scope, module)
+                except BreakEx:
+                    break
+                except ContinueEx:
+                    continue
+            return
+        if typ == "dowhile":
+            while True:
+                try:
+                    self.exec_stmt(s[1], scope, module)
+                except BreakEx:
+                    break
+                except ContinueEx:
+                    pass
+                if not js_truthy(self.eval(s[2], scope)):
+                    break
+            return
+        if typ == "for":
+            _, init, test, update, body = s
+            fscope = Scope(scope)
+            if init is not None:
+                self.exec_stmt(init, fscope, module)
+            while test is None or js_truthy(self.eval(test, fscope)):
+                # per-iteration binding: copy loop vars so closures in the
+                # body capture this iteration's values (let semantics)
+                iscope = Scope(scope)
+                iscope.vars.update(fscope.vars)
+                try:
+                    self.exec_stmt(body, iscope, module)
+                except BreakEx:
+                    fscope.vars.update(
+                        {k: v for k, v in iscope.vars.items()
+                         if k in fscope.vars})
+                    break
+                except ContinueEx:
+                    pass
+                fscope.vars.update({k: v for k, v in iscope.vars.items()
+                                    if k in fscope.vars})
+                if update is not None:
+                    self.eval(update, fscope)
+            return
+        if typ in ("forof", "forin"):
+            _, kind, pat, obj_node, body = s
+            obj = self.eval(obj_node, scope)
+            seq = (self.js_iterate(obj) if typ == "forof"
+                   else self.js_keys(obj))
+            for item in seq:
+                iscope = Scope(scope)
+                if kind is None:
+                    self.assign_pattern(pat, item, scope)
+                else:
+                    self.bind_pattern(pat, item, iscope, declare=True)
+                try:
+                    self.exec_stmt(body, iscope, module)
+                except BreakEx:
+                    break
+                except ContinueEx:
+                    continue
+            return
+        if typ == "break":
+            raise BreakEx()
+        if typ == "continue":
+            raise ContinueEx()
+        if typ == "throw":
+            raise JSThrow(self.eval(s[1], scope),
+                          stack=[(self.cur_path, self.cur_line)])
+        if typ == "try":
+            _, block, param, catch, fin = s
+            try:
+                try:
+                    self.exec_stmt(block, scope, module)
+                except JSThrow as t:
+                    if catch is None:
+                        raise
+                    cscope = Scope(scope)
+                    if param is not None:
+                        self.bind_pattern(param, t.value, cscope,
+                                          declare=True)
+                    self.exec_stmt(catch, cscope, module)
+            finally:
+                if fin is not None:
+                    self.exec_stmt(fin, scope, module)
+            return
+        if typ == "switch":
+            disc = self.eval(s[1], scope)
+            sscope = Scope(scope)
+            matched = False
+            try:
+                for test, body in s[2]:
+                    if not matched and test is not None \
+                            and js_strict_eq(disc, self.eval(test, sscope)):
+                        matched = True
+                    if matched:
+                        for st in body:
+                            self.exec_stmt(st, sscope, module)
+                if not matched:
+                    run = False
+                    for test, body in s[2]:
+                        if test is None:
+                            run = True
+                        if run:
+                            for st in body:
+                                self.exec_stmt(st, sscope, module)
+            except BreakEx:
+                pass
+            return
+        if typ == "empty":
+            return
+        if typ == "import":
+            if module is None:
+                raise JSThrow.type_error("import outside a module")
+            ns = module.loader.load(s[2], referrer=module.path)
+            for imported, local in s[1]:
+                if imported not in ns.exports:
+                    raise JSThrow.type_error(
+                        f"{s[2]} has no export named '{imported}' "
+                        f"(imported by {module.path})")
+                scope.declare(local, ns.exports[imported])
+            return
+        if typ == "export":
+            inner = s[1]
+            node = inner[2] if inner[0] == "stmt" else inner
+            self.exec_stmt(inner, scope, module)
+            if module is not None:
+                if node[0] == "func":
+                    module.exports[node[1]] = scope.get(node[1])
+                elif node[0] == "var":
+                    for pat, _ in node[2]:
+                        for n in pattern_names(pat):
+                            module.exports[n] = scope.get(n)
+                            module.live_exports.append((n, scope))
+            return
+        if typ == "exportnames":
+            if module is not None:
+                for local, exported in s[1]:
+                    module.exports[exported] = scope.get(local)
+            return
+        if typ == "exportdefault":
+            if module is not None:
+                module.exports["default"] = self.eval(s[1], scope)
+            return
+        raise JSThrow.type_error(f"unknown statement {typ}")
+
+    # ======================================================= expressions
+
+    def eval(self, node, scope):
+        v = self.eval_chain(node, scope)
+        return UNDEF if v is _SC else v
+
+    def eval_chain(self, node, scope):
+        typ = node[0]
+        if typ == "num" or typ == "str":
+            return node[1]
+        if typ == "ident":
+            return scope.get(node[1])
+        if typ == "lit":
+            return {"null": None, "true": True, "false": False,
+                    "undefined": UNDEF}[node[1]]
+        if typ == "this":
+            s = scope.lookup("this")
+            return s.vars["this"] if s else UNDEF
+        if typ == "tpl":
+            quasis, exprs = node[1], node[2]
+            out = [quasis[0]]
+            for q, e in zip(quasis[1:], exprs):
+                out.append(js_str(self.eval(e, scope)))
+                out.append(q)
+            return "".join(out)
+        if typ == "regex":
+            return self._b.make_regex(node[1], node[2])
+        if typ == "array":
+            items = []
+            for el in node[1]:
+                if el is None:
+                    items.append(UNDEF)
+                elif el[0] == "spread":
+                    items.extend(self.js_iterate(self.eval(el[1], scope)))
+                else:
+                    items.append(self.eval(el, scope))
+            return JSArray(items)
+        if typ == "object":
+            props = {}
+            for p in node[1]:
+                if p[0] == "spread":
+                    src = self.eval(p[1], scope)
+                    for k in self.js_keys(src):
+                        props[k] = self.get_member(src, k)
+                    continue
+                _, key, value, computed = p
+                k = js_str(self.eval(key, scope)) if computed else key[1]
+                props[k] = self.eval(value, scope)
+            return JSObject(props)
+        if typ == "arrow":
+            this_s = scope.lookup("this")
+            this_val = this_s.vars["this"] if this_s else UNDEF
+            return self.make_function(node, scope, is_arrow=True,
+                                      this_val=this_val)
+        if typ == "funcexpr":
+            fn = JSFunction(node[1], node[2][0], node[2][1], node[3], scope,
+                            is_async=node[4], path=self.cur_path)
+            return fn
+        if typ == "member":
+            _, obj_node, prop, computed, optional = node
+            obj = self.eval_chain(obj_node, scope)
+            if obj is _SC:
+                return _SC
+            if optional and (obj is None or obj is UNDEF):
+                return _SC
+            name = js_str(self.eval(prop, scope)) if computed else prop
+            return self.get_member(obj, name)
+        if typ == "call":
+            _, callee, args, optional = node
+            if callee[0] == "member":
+                _, obj_node, prop, computed, copt = callee
+                obj = self.eval_chain(obj_node, scope)
+                if obj is _SC:
+                    return _SC
+                if copt and (obj is None or obj is UNDEF):
+                    return _SC
+                name = (js_str(self.eval(prop, scope)) if computed else prop)
+                fn = self.get_member(obj, name)
+                this = obj
+            else:
+                fn = self.eval_chain(callee, scope)
+                if fn is _SC:
+                    return _SC
+                this = UNDEF
+                name = getattr(fn, "name", "<fn>")
+            if optional and (fn is None or fn is UNDEF):
+                return _SC
+            argv = self.eval_args(args, scope)
+            if not is_callable(fn):
+                raise JSThrow.type_error(
+                    f"{describe_callee(callee)} is not a function "
+                    f"(got {js_typeof(fn)}) at {self.cur_path}:{self.cur_line}")
+            return self.call(fn, this, argv)
+        if typ == "new":
+            ctor = self.eval(node[1], scope)
+            argv = self.eval_args(node[2], scope)
+            return self.construct(ctor, argv)
+        if typ == "assign":
+            _, op, target, value_node = node
+            if op == "=":
+                val = self.eval(value_node, scope)
+                self.assign_target(target, val, scope)
+                return val
+            if op in ("&&=", "||=", "??="):
+                cur = self.eval(target, scope)
+                need = ((op == "&&=" and js_truthy(cur))
+                        or (op == "||=" and not js_truthy(cur))
+                        or (op == "??=" and (cur is None or cur is UNDEF)))
+                if not need:
+                    return cur
+                val = self.eval(value_node, scope)
+                self.assign_target(target, val, scope)
+                return val
+            cur = self.eval(target, scope)
+            rhs = self.eval(value_node, scope)
+            val = binary_op(op[:-1], cur, rhs)
+            self.assign_target(target, val, scope)
+            return val
+        if typ == "passign":
+            val = self.eval(node[2], scope)
+            self.assign_pattern(node[1], val, scope)
+            return val
+        if typ == "cond":
+            return (self.eval(node[2], scope)
+                    if js_truthy(self.eval(node[1], scope))
+                    else self.eval(node[3], scope))
+        if typ == "logical":
+            op = node[1]
+            left = self.eval(node[2], scope)
+            if op == "&&":
+                return self.eval(node[3], scope) if js_truthy(left) else left
+            if op == "||":
+                return left if js_truthy(left) else self.eval(node[3], scope)
+            return (self.eval(node[3], scope)
+                    if left is None or left is UNDEF else left)
+        if typ == "binary":
+            op = node[1]
+            left = self.eval(node[2], scope)
+            right = self.eval(node[3], scope)
+            if op == "in":
+                return self.js_has(right, js_str(left))
+            if op == "instanceof":
+                return self._b.js_instanceof(left, right)
+            return binary_op(op, left, right)
+        if typ == "unary":
+            op = node[1]
+            if op == "typeof":
+                operand = node[2]
+                if operand[0] == "ident" and scope.lookup(operand[1]) is None:
+                    return "undefined"
+                return js_typeof(self.eval(operand, scope))
+            if op == "delete":
+                operand = node[2]
+                if operand[0] == "member":
+                    obj = self.eval(operand[1], scope)
+                    name = (js_str(self.eval(operand[2], scope))
+                            if operand[3] else operand[2])
+                    self.delete_member(obj, name)
+                return True
+            v = self.eval(node[2], scope)
+            if op == "!":
+                return not js_truthy(v)
+            if op == "-":
+                return js_neg(to_number(v))
+            if op == "+":
+                return to_number(v)
+            if op == "~":
+                return float(~to_int32(v))
+            if op == "void":
+                return UNDEF
+        if typ == "update":
+            _, op, prefix, target = node
+            cur = to_number(self.eval(target, scope))
+            new = js_num_add(cur, 1 if op == "++" else -1)
+            self.assign_target(target, new, scope)
+            return new if prefix else cur
+        if typ == "seq":
+            v = UNDEF
+            for e in node[1]:
+                v = self.eval(e, scope)
+            return v
+        if typ == "await":
+            return self.await_value(self.eval(node[1], scope))
+        if typ == "spread":
+            raise JSThrow.type_error("unexpected spread")
+        if typ == "tagged":
+            raise JSThrow.type_error("tagged templates unsupported")
+        if typ == "shortdefault":
+            raise JSThrow.type_error("invalid shorthand default outside "
+                                     "destructuring")
+        raise JSThrow.type_error(f"unknown expression {typ}")
+
+    def eval_args(self, args, scope):
+        argv = []
+        for a in args:
+            if a[0] == "spread":
+                argv.extend(self.js_iterate(self.eval(a[1], scope)))
+            else:
+                argv.append(self.eval(a, scope))
+        return argv
+
+    # ===================================================== call machinery
+
+    def call(self, fn, this, args):
+        if isinstance(fn, BoundFunction):
+            return self.call(fn.target, fn.this_val, fn.args + args)
+        if isinstance(fn, NativeFunction) or (
+                isinstance(fn, HostObject)
+                and callable(getattr(fn, "fn", None))):
+            return fn.fn(self, this, args)
+        assert isinstance(fn, JSFunction)
+        if len(self.call_stack) > 400:
+            raise JSThrow.error(None, "RangeError",
+                                "maximum call stack size exceeded")
+        scope = Scope(fn.env, is_function=True)
+        if fn.is_arrow:
+            scope.declare("this", fn.this_val)
+        else:
+            scope.declare("this", this)
+        for idx, (pat, default) in enumerate(fn.params):
+            val = args[idx] if idx < len(args) else UNDEF
+            if val is UNDEF and default is not None:
+                val = self.eval(default, scope)
+            self.bind_pattern(pat, val, scope, declare=True)
+        if fn.rest is not None:
+            scope.declare(fn.rest, JSArray(list(args[len(fn.params):])))
+        self.call_stack.append((fn.name, fn.path, self.cur_line))
+        prev_path = self.cur_path
+        self.cur_path = fn.path
+        try:
+            if fn.is_async:
+                p = self.promise()
+                try:
+                    result = self._run_body(fn, scope)
+                    self.resolve_promise(p, result)
+                except JSThrow as t:
+                    self.reject_promise(p, t.value)
+                return p
+            return self._run_body(fn, scope)
+        finally:
+            self.call_stack.pop()
+            self.cur_path = prev_path
+
+    def _run_body(self, fn, scope):
+        if fn.is_arrow and fn.expr_body:
+            return self.eval(fn.body, scope)
+        try:
+            assert fn.body[0] == "block"
+            self.hoist(fn.body[1], scope)
+            for st in fn.body[1]:
+                self.exec_stmt(st, scope)
+        except ReturnEx as r:
+            return r.value
+        return UNDEF
+
+    def construct(self, ctor, args):
+        if isinstance(ctor, NativeFunction) or (
+                isinstance(ctor, HostObject) and hasattr(ctor, "ctor")):
+            if getattr(ctor, "ctor", None) is None:
+                raise JSThrow.type_error(
+                    f"{getattr(ctor, 'name', '?')} is not a constructor")
+            return ctor.ctor(self, args)
+        if isinstance(ctor, JSFunction):
+            obj = JSObject()
+            result = self.call(ctor, obj, args)
+            return result if isinstance(result, (JSObject, JSArray)) else obj
+        raise JSThrow.type_error("not a constructor")
+
+    # ================================================== member protocol
+
+    def get_member(self, obj, name):
+        if obj is None or obj is UNDEF:
+            raise JSThrow.type_error(
+                f"cannot read properties of {js_str(obj)} (reading "
+                f"'{name}') at {self.cur_path}:{self.cur_line}")
+        if isinstance(obj, HostObject):
+            return obj.js_get(name)
+        if isinstance(obj, str):
+            return self._b.string_member(self, obj, name)
+        if isinstance(obj, JSArray):
+            if name == "length":
+                return len(obj.items)
+            if isinstance(name, str) and name.lstrip("-").isdigit():
+                i = int(name)
+                return (obj.items[i] if 0 <= i < len(obj.items) else UNDEF)
+            return self._b.array_member(self, obj, name)
+        if isinstance(obj, JSObject):
+            if name in obj.props:
+                return obj.props[name]
+            return self._b.object_member(self, obj, name)
+        if isinstance(obj, bool):
+            if name == "toString":
+                return NativeFunction("toString",
+                                      lambda i, t, a, o=obj: js_str(o))
+            return UNDEF
+        if isinstance(obj, (int, float)):
+            return self._b.number_member(self, obj, name)
+        if isinstance(obj, (JSFunction, NativeFunction, BoundFunction)):
+            return self._b.function_member(self, obj, name)
+        if isinstance(obj, JSPromise):
+            return self._b.promise_member(self, obj, name)
+        if isinstance(obj, JSMap):
+            return self._b.map_member(self, obj, name)
+        if isinstance(obj, JSSet):
+            return self._b.set_member(self, obj, name)
+        if isinstance(obj, JSRegExp):
+            return self._b.regex_member(self, obj, name)
+        raise JSThrow.type_error(
+            f"cannot read '{name}' of {type(obj).__name__}")
+
+    def set_member(self, obj, name, value):
+        if isinstance(obj, HostObject):
+            obj.js_set(name, value)
+            return
+        if isinstance(obj, JSObject):
+            obj.props[name] = value
+            return
+        if isinstance(obj, JSArray):
+            if name == "length":
+                n = int(to_number(value))
+                del obj.items[n:]
+                while len(obj.items) < n:
+                    obj.items.append(UNDEF)
+                return
+            if isinstance(name, str) and name.isdigit():
+                i = int(name)
+                while len(obj.items) <= i:
+                    obj.items.append(UNDEF)
+                obj.items[i] = value
+                return
+        if isinstance(obj, JSRegExp) and name == "lastIndex":
+            obj.last_index = int(to_number(value))
+            return
+        raise JSThrow.type_error(
+            f"cannot set '{name}' on {js_typeof(obj)} "
+            f"at {self.cur_path}:{self.cur_line}")
+
+    def delete_member(self, obj, name):
+        if isinstance(obj, JSObject):
+            obj.props.pop(name, None)
+        elif isinstance(obj, HostObject):
+            obj.js_delete(name)
+        elif isinstance(obj, JSArray) and name.isdigit():
+            i = int(name)
+            if 0 <= i < len(obj.items):
+                obj.items[i] = UNDEF
+
+    def js_has(self, obj, name):
+        if isinstance(obj, JSObject):
+            return name in obj.props
+        if isinstance(obj, HostObject):
+            return obj.js_has(name)
+        if isinstance(obj, JSArray):
+            return name.isdigit() and int(name) < len(obj.items)
+        if isinstance(obj, JSMap):
+            return map_key(name) in obj.entries
+        return False
+
+    def js_keys(self, obj):
+        if isinstance(obj, JSObject):
+            return list(obj.props.keys())
+        if isinstance(obj, JSArray):
+            return [str(i) for i in range(len(obj.items))]
+        if isinstance(obj, HostObject):
+            return list(obj.js_keys())
+        if obj is None or obj is UNDEF:
+            return []
+        return []
+
+    def js_iterate(self, obj):
+        if isinstance(obj, JSArray):
+            return list(obj.items)
+        if isinstance(obj, str):
+            return list(obj)
+        if isinstance(obj, JSMap):
+            return [JSArray([k, v]) for k, v in obj.entries.values()]
+        if isinstance(obj, JSSet):
+            return list(obj.entries.values())
+        if isinstance(obj, HostObject):
+            it = obj.js_get("__iterate__")
+            if it is not UNDEF:
+                return it(self)
+        if isinstance(obj, JSObject):
+            ent = obj.props.get("__entries__")
+            if isinstance(ent, JSArray):
+                return list(ent.items)
+        raise JSThrow.type_error(
+            f"{js_typeof(obj)} is not iterable at "
+            f"{self.cur_path}:{self.cur_line}")
+
+    # ====================================================== destructuring
+
+    def bind_pattern(self, pat, value, scope, declare=False):
+        self._pattern(pat, value, scope, declare)
+
+    def assign_pattern(self, pat, value, scope):
+        self._pattern(pat, value, scope, False)
+
+    def assign_target(self, target, value, scope):
+        if target[0] == "ident":
+            scope.set(target[1], value)
+        elif target[0] == "member":
+            obj = self.eval(target[1], scope)
+            name = (js_str(self.eval(target[2], scope)) if target[3]
+                    else target[2])
+            self.set_member(obj, name, value)
+        else:
+            raise JSThrow.type_error(
+                f"invalid assignment target {target[0]}")
+
+    def _pattern(self, pat, value, scope, declare):
+        typ = pat[0]
+        if typ == "pid":
+            if declare:
+                scope.declare(pat[1], value)
+            else:
+                scope.set(pat[1], value)
+            return
+        if typ == "pmember":
+            self.assign_target(pat[1], value, scope)
+            return
+        if typ == "pdefault":
+            if value is UNDEF:
+                value = self.eval(pat[2], scope)
+            self._pattern(pat[1], value, scope, declare)
+            return
+        if typ == "parr":
+            items = self.js_iterate(value)
+            for i, el in enumerate(pat[1]):
+                if el is None:
+                    continue
+                sub, default = el
+                v = items[i] if i < len(items) else UNDEF
+                if v is UNDEF and default is not None:
+                    v = self.eval(default, scope)
+                self._pattern(sub, v, scope, declare)
+            if pat[2] is not None:
+                rest = JSArray(list(items[len(pat[1]):]))
+                if declare:
+                    scope.declare(pat[2], rest)
+                else:
+                    scope.set(pat[2], rest)
+            return
+        if typ == "pobj":
+            if value is None or value is UNDEF:
+                raise JSThrow.type_error(
+                    f"cannot destructure {js_str(value)} at "
+                    f"{self.cur_path}:{self.cur_line}")
+            used = set()
+            for key, computed, sub, default in pat[1]:
+                k = js_str(self.eval(key, scope)) if computed else key[1]
+                used.add(k)
+                v = self.get_member(value, k)
+                if v is UNDEF and default is not None:
+                    v = self.eval(default, scope)
+                self._pattern(sub, v, scope, declare)
+            if pat[2] is not None:
+                rest = JSObject({k: self.get_member(value, k)
+                                 for k in self.js_keys(value)
+                                 if k not in used})
+                if declare:
+                    scope.declare(pat[2], rest)
+                else:
+                    scope.set(pat[2], rest)
+            return
+        raise JSThrow.type_error(f"unknown pattern {typ}")
+
+
+def pattern_names(pat):
+    typ = pat[0]
+    if typ == "pid":
+        return [pat[1]]
+    if typ == "pdefault":
+        return pattern_names(pat[1])
+    if typ == "parr":
+        out = []
+        for el in pat[1]:
+            if el is not None:
+                out.extend(pattern_names(el[0]))
+        if pat[2]:
+            out.append(pat[2])
+        return out
+    if typ == "pobj":
+        out = []
+        for _, _, sub, _ in pat[1]:
+            out.extend(pattern_names(sub))
+        if pat[2]:
+            out.append(pat[2])
+        return out
+    return []
+
+
+def describe_callee(node):
+    if node[0] == "ident":
+        return node[1]
+    if node[0] == "member" and not node[3]:
+        return f"….{node[2]}"
+    return "<expression>"
+
+
+# ============================================================ coercions
+
+def js_truthy(v):
+    if v is UNDEF or v is None:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return not (v == 0 or (isinstance(v, float) and math.isnan(v)))
+    if isinstance(v, str):
+        return len(v) > 0
+    return True
+
+
+def js_typeof(v):
+    if v is UNDEF:
+        return "undefined"
+    if v is None:
+        return "object"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if is_callable(v):
+        return "function"
+    return "object"
+
+
+def js_str(v):
+    if isinstance(v, str):
+        return v
+    if v is UNDEF:
+        return "undefined"
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return format_number(v)
+    if isinstance(v, JSArray):
+        return ",".join("" if (x is None or x is UNDEF) else js_str(x)
+                        for x in v.items)
+    if isinstance(v, JSObject):
+        if "message" in v.props and "name" in v.props:
+            return f"{js_str(v.props['name'])}: {js_str(v.props['message'])}"
+        return "[object Object]"
+    if isinstance(v, (JSFunction, NativeFunction, BoundFunction)):
+        name = getattr(v, "name", "")
+        return f"function {name}() {{ [native code] }}"
+    if isinstance(v, JSRegExp):
+        return f"/{v.source}/{v.flags}"
+    if isinstance(v, HostObject):
+        s = v.js_get("__str__")
+        if isinstance(s, str):
+            return s
+        return f"[object {type(v).__name__}]"
+    return str(v)
+
+
+def format_number(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == int(v) and abs(v) < 1e21:
+        return str(int(v))
+    return repr(v)
+
+
+def to_number(v):
+    if isinstance(v, bool):
+        return 1 if v else 0
+    if isinstance(v, (int, float)):
+        return v
+    if v is None:
+        return 0
+    if v is UNDEF:
+        return float("nan")
+    if isinstance(v, str):
+        s = v.strip()
+        if s == "":
+            return 0
+        try:
+            if s.startswith(("0x", "0X")):
+                return int(s, 16)
+            f = float(s)
+            return int(f) if f.is_integer() and "e" not in s.lower() \
+                and "." not in s else f
+        except ValueError:
+            return float("nan")
+    if isinstance(v, JSArray):
+        if not v.items:
+            return 0
+        if len(v.items) == 1:
+            return to_number(v.items[0])
+    if isinstance(v, HostObject):
+        n = v.js_get("__num__")           # valueOf hook (Date)
+        if isinstance(n, (int, float)) and not isinstance(n, bool):
+            return n
+    return float("nan")
+
+
+def to_int32(v):
+    n = to_number(v)
+    if isinstance(n, float) and (math.isnan(n) or math.isinf(n)):
+        return 0
+    n = int(n)
+    n &= 0xFFFFFFFF
+    return n - 0x100000000 if n >= 0x80000000 else n
+
+
+def js_num_add(a, b):
+    r = a + b
+    return r
+
+
+def js_neg(n):
+    return -n
+
+
+def binary_op(op, left, right):
+    if op == "+":
+        if isinstance(left, str) or isinstance(right, str) \
+                or isinstance(left, (JSArray, JSObject)) \
+                or isinstance(right, (JSArray, JSObject)):
+            return js_str(left) + js_str(right)
+        return to_number(left) + to_number(right)
+    if op == "-":
+        return to_number(left) - to_number(right)
+    if op == "*":
+        return to_number(left) * to_number(right)
+    if op == "/":
+        ln, rn = to_number(left), to_number(right)
+        if rn == 0:
+            if (isinstance(ln, float) and math.isnan(ln)) or ln == 0:
+                return float("nan")
+            return float("inf") if (ln > 0) == (rn >= 0) else float("-inf")
+        return ln / rn
+    if op == "%":
+        ln, rn = to_number(left), to_number(right)
+        if rn == 0:
+            return float("nan")
+        return math.fmod(ln, rn)
+    if op == "**":
+        return to_number(left) ** to_number(right)
+    if op in ("<", ">", "<=", ">="):
+        if isinstance(left, str) and isinstance(right, str):
+            a, b = left, right
+        else:
+            a, b = to_number(left), to_number(right)
+            if (isinstance(a, float) and math.isnan(a)) or \
+                    (isinstance(b, float) and math.isnan(b)):
+                return False
+        return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b}[op]
+    if op == "===":
+        return js_strict_eq(left, right)
+    if op == "!==":
+        return not js_strict_eq(left, right)
+    if op == "==":
+        return js_loose_eq(left, right)
+    if op == "!=":
+        return not js_loose_eq(left, right)
+    if op == "&":
+        return float(to_int32(left) & to_int32(right))
+    if op == "|":
+        return float(to_int32(left) | to_int32(right))
+    if op == "^":
+        return float(to_int32(left) ^ to_int32(right))
+    if op == "<<":
+        return float(to_int32(to_int32(left) << (to_int32(right) & 31)))
+    if op == ">>":
+        return float(to_int32(left) >> (to_int32(right) & 31))
+    if op == ">>>":
+        return float((to_int32(left) & 0xFFFFFFFF) >> (to_int32(right) & 31))
+    raise JSThrow.type_error(f"unknown operator {op}")
+
+
+def js_strict_eq(a, b):
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if math.isnan(float(a)) or math.isnan(float(b)):
+            return False
+        return float(a) == float(b)
+    if type(a) is not type(b):
+        if a is UNDEF or b is UNDEF or a is None or b is None:
+            return a is b
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    if a is None and b is None:
+        return True
+    if a is UNDEF and b is UNDEF:
+        return True
+    return a is b
+
+
+def js_loose_eq(a, b):
+    nullish_a = a is None or a is UNDEF
+    nullish_b = b is None or b is UNDEF
+    if nullish_a or nullish_b:
+        return nullish_a and nullish_b
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    if isinstance(a, (int, float, bool)) or isinstance(b, (int, float, bool)):
+        na, nb = to_number(a if not isinstance(a, (JSArray,)) else js_str(a)), \
+                 to_number(b if not isinstance(b, (JSArray,)) else js_str(b))
+        if isinstance(na, float) and math.isnan(na):
+            return False
+        if isinstance(nb, float) and math.isnan(nb):
+            return False
+        return float(na) == float(nb)
+    return a is b

@@ -1,0 +1,277 @@
+"""jsrt interpreter unit tests: language semantics, builtins, DOM shim.
+
+The runtime exists to execute the SPA in CI (reference analogue:
+frontend/tests/e2e). These tests pin the language subset and —
+critically — prove the gate FAILS on broken code (mutation checks at
+the bottom): a gate that cannot fail is not a gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from birdnet_go_tpu.jsrt.interp import DeadlockError, Interp, Scope, js_str
+from birdnet_go_tpu.jsrt.parser import JSSyntaxError, parse
+from birdnet_go_tpu.jsrt.values import UNDEF, JSThrow
+
+
+def run(src):
+    it = Interp()
+    scope = Scope(parent=it.globals, is_function=True)
+    scope.declare("this", UNDEF)
+    it.exec_program(parse(src), scope)
+    it.drain_jobs()
+    return scope, it
+
+
+def result(src, var="r"):
+    scope, _ = run(src)
+    return scope.get(var)
+
+
+# ------------------------------------------------------------- language
+
+CASES = [
+    ("let r = [1,2,3].map(v => v*2).join('-');", "2-4-6"),
+    ("const {a = 5, b: {c} = {c: 9}} = {a: undefined}; let r = a + c;", 14),
+    ("let r = 0; for (const [k,v] of Object.entries({x:1,y:2})) r += v;", 3),
+    ("let o=[]; for (let i=0;i<3;i++) o.push(()=>i);"
+     "let r=o.map(f=>f()).join(',');", "0,1,2"),
+    ("let r = `a${1+1}b${'x'.toUpperCase()}`;", "a2bX"),
+    ("let o = {n: 1, m(){ return this.n + 1; }}; let r = o.m();", 2),
+    ("let r = [3,1,2].sort((a,b)=>a-b).join('');", "123"),
+    ("let r = 'a-b_c'.replace(/[-_]/g, '+');", "a+b+c"),
+    ("let r; try { null.x; } catch (e) { r = e.name; }", "TypeError"),
+    ("let a = {b: null}; let r = a.b?.c ?? 'dflt';", "dflt"),
+    ("let m = new Map([['k', 4]]); let r = m.get('k') + m.size;", 5),
+    ("let r = 0; switch (2) { case 1: r=1; break; case 2: r=2;"
+     " case 3: r+=10; break; default: r=99; }", 12),
+    ("function g(...rest){ return rest.length; } let r = g(1,2,3);", 3),
+    ("let r = Math.max(...[4,9,2]);", 9),
+    ("let r = JSON.parse(JSON.stringify({a:[1,2],b:'x'})).a[1];", 2),
+    ("let x=1; x ||= 5; let y=0; y ||= 7; let r = x+y;", 8),
+    ("let r = [...new Set([1,2,2,3])].length;", 3),
+    ("let s=''; outer: { s='no-labels'; } let r = 1;", None),  # skipped below
+    ("let r = typeof missingIdent;", "undefined"),
+    ("let r = (0.1*3).toFixed(2);", "0.30"),
+    ("let r = 7 % -2;", 1),                    # JS remainder keeps sign of 7
+    ("let r = ('5'|0) + 1;", 6),
+    ("let r = [10,1,5].sort().join(',');", "1,10,5"),  # default lexicographic
+    ("let u = new URLSearchParams('a=1'); u.append('a','2');"
+     "let r = u.getAll('a').join('+');", "1+2"),
+    ("let r = encodeURIComponent('a b/c');", "a%20b%2Fc"),
+    ("let r = new Date('2026-03-01T00:00:00Z').getUTCMonth();", 2),
+    ("let d = new Date('2026-01-31T12:00:00Z'); d.setUTCDate(32);"
+     "let r = d.toISOString().slice(0,10);", "2026-02-01"),
+    ("let r = 'héllo'.length;", 5),
+    ("let o = {a:1, b:2}; let {a, ...rest} = o;"
+     "let r = a + Object.keys(rest).length;", 2),
+    ("let arr=[1,[2,[3]]]; let r = arr.flat(2).join('');", "123"),
+]
+
+
+@pytest.mark.parametrize("src,expect", [c for c in CASES if c[1] is not None])
+def test_language_case(src, expect):
+    assert js_str(result(src)) == js_str(expect)
+
+
+def test_labels_are_rejected_cleanly():
+    # labels are outside the supported subset: a clean SyntaxError, not a
+    # crash (the SPA gate would name file:line)
+    with pytest.raises((JSSyntaxError, JSThrow)):
+        run("outer: for (;;) { break outer; }")
+
+
+def test_async_await_and_timers():
+    scope, _ = run("""
+        async function slow(v){
+          await new Promise(res => setTimeout(res, 10));
+          return v * 2;
+        }
+        async function main(){
+          const [a, b] = await Promise.all([slow(1), slow(2)]);
+          return a + b;
+        }
+        let r; main().then(v => r = v);
+    """)
+    assert scope.get("r") == 6
+
+
+def test_async_rejection_reaches_catch():
+    scope, _ = run("""
+        async function boom(){ throw new Error('nope'); }
+        let r; boom().catch(e => r = e.message);
+    """)
+    assert scope.get("r") == "nope"
+
+
+def test_unhandled_rejection_is_recorded():
+    _, it = run("""
+        async function boom(){ throw new Error('lost'); }
+        boom();
+    """)
+    assert it.rejected, "unhandled rejection must be recorded"
+    assert "lost" in js_str(it.rejected[0][1])
+
+
+def test_await_deadlock_is_detected():
+    with pytest.raises(DeadlockError):
+        run("""
+            async function hang(){ await new Promise(() => {}); }
+            let r; hang().then(() => r = 1);
+            await hang();
+        """)
+
+
+def test_debounce_timer_coalesces():
+    scope, _ = run("""
+        const debounce = (fn, ms) => {
+          let h;
+          return (...a) => { clearTimeout(h); h = setTimeout(() => fn(...a), ms); };
+        };
+        let hits = 0;
+        const d = debounce(() => hits++, 50);
+        d(); d(); d();
+        let r;
+        (async () => {
+          await new Promise(res => setTimeout(res, 100));
+          r = hits;
+        })();
+    """)
+    assert scope.get("r") == 1
+
+
+# ------------------------------------------------------------------ DOM
+
+def _dom_session():
+    from birdnet_go_tpu.jsrt.runner import BrowserSession
+
+    def no_fetch(url, method, headers, body):
+        return 200, b"{}", []
+    return BrowserSession("http://t", fetch_fn=no_fetch)
+
+
+def _run_in(session, src):
+    from birdnet_go_tpu.jsrt.runner import Module
+    module = Module("<test>")
+    module.loader = session.loader
+    scope = session.loader.exec_module(src, module)
+    session.interp.drain_jobs()
+    return scope
+
+
+def test_dom_tree_and_selectors():
+    s = _dom_session()
+    scope = _run_in(s, """
+        // the session pre-loads the real index.html shell, so scope the
+        // assertion with a value-qualified attribute selector
+        const nav = document.createElement('nav');
+        nav.className = 'sidebar';
+        const a1 = document.createElement('a');
+        a1.setAttribute('data-route', 'jsrt-test');
+        const a2 = document.createElement('a');
+        nav.append(a1, a2);
+        document.body.append(nav);
+        let r = document.querySelectorAll(
+            'nav.sidebar a[data-route=jsrt-test]').length;
+        let conn = a1.isConnected;
+        a1.remove();
+        let conn2 = a1.isConnected;
+    """)
+    assert scope.get("r") == 1
+    assert scope.get("conn") is True
+    assert scope.get("conn2") is False
+
+
+def test_event_bubbling_and_stop():
+    s = _dom_session()
+    scope = _run_in(s, """
+        const outer = document.createElement('div');
+        const inner = document.createElement('button');
+        outer.append(inner);
+        document.body.append(outer);
+        let seq = [];
+        outer.addEventListener('click', () => seq.push('outer'));
+        inner.addEventListener('click', (ev) => { seq.push('inner'); });
+        inner.click();
+        let r = seq.join(',');
+    """)
+    assert scope.get("r") == "inner,outer"
+
+
+def test_classlist_and_dataset():
+    s = _dom_session()
+    scope = _run_in(s, """
+        const d = document.createElement('div');
+        d.classList.add('a', 'b');
+        d.classList.toggle('a');
+        d.dataset.fooBar = 'x';
+        let r = d.className + '|' + d.dataset.fooBar
+              + '|' + d.getAttribute('data-foo-bar');
+    """)
+    assert scope.get("r") == "b|x|x"
+
+
+def test_mutation_observer_fires_on_removal():
+    s = _dom_session()
+    scope = _run_in(s, """
+        const overlay = document.createElement('div');
+        document.body.append(overlay);
+        let r = 0;
+        new MutationObserver((_, obs) => {
+          if (!overlay.isConnected) { obs.disconnect(); r = 1; }
+        }).observe(document.body, { childList: true });
+        overlay.remove();
+    """)
+    assert scope.get("r") == 1
+
+
+def test_textcontent_and_after():
+    s = _dom_session()
+    scope = _run_in(s, """
+        const p = document.createElement('p');
+        const a = document.createElement('span');
+        a.textContent = 'one';
+        p.append(a);
+        a.after(document.createTextNode('two'));
+        let r = p.textContent;
+    """)
+    assert scope.get("r") == "onetwo"
+
+
+# ------------------------------------------------- the gate can fail
+
+def test_broken_module_is_reported():
+    s = _dom_session()
+    with pytest.raises(JSThrow) as exc:
+        _run_in(s, "const x = {}; x.definitely.not.there;")
+    # x.definitely is undefined; reading .not on it is the failure
+    assert "reading 'not'" in str(exc.value.value.props["message"])
+
+
+def test_calling_missing_export_is_reported():
+    s = _dom_session()
+    with pytest.raises(JSThrow) as exc:
+        _run_in(s, "let v = 1; v();")
+    assert "not a function" in str(exc.value.value.props["message"])
+
+
+def test_fetch_flows_through_promise():
+    from birdnet_go_tpu.jsrt.runner import BrowserSession
+    calls = []
+
+    def fetch(url, method, headers, body):
+        calls.append((method, url, body))
+        return 200, b'{"count": 3}', [("Content-Type", "application/json")]
+    s = BrowserSession("http://t", fetch_fn=fetch)
+    scope = _run_in(s, """
+        let r;
+        (async () => {
+          const resp = await fetch('/api/v2/x', { method: 'POST',
+            headers: {'X-Y': 'z'}, body: JSON.stringify({a: 1}) });
+          const data = await resp.json();
+          r = resp.status * 1000 + data.count;
+        })();
+    """)
+    assert scope.get("r") == 200003
+    assert calls == [("POST", "/api/v2/x", b'{"a":1}')]

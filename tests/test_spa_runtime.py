@@ -1,0 +1,198 @@
+"""SPA runtime gate: execute every view in the jsrt interpreter against
+the REAL in-process API server.
+
+This is the in-CI replacement for the reference's Playwright e2e suite
+(/root/reference/frontend/tests/e2e) in an image with no browser/node:
+the full ES-module SPA (shell boot, router, i18n, views, charts) runs
+in birdnet_go_tpu.jsrt with a DOM shim, and fetch() performs real HTTP
+against the live server — so a runtime TypeError in any view's render
+path, an unhandled promise rejection, a console.error, or a fetch of an
+unregistered route fails CI here, not in production.
+
+Unlike tests/test_browser_e2e.py (which self-skips without a browser),
+this test ALWAYS runs.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from tests.test_app_integration import tiny_app  # noqa: F401  (fixture)
+from tests.test_realtime_core import _detection
+
+# substrings that indicate a swallowed runtime error rendered into an
+# error boundary (views catch per-card errors and print e.message)
+ERROR_SIGNATURES = (
+    "cannot read properties", "is not a function", "is not defined",
+    "[object Object]", "undefined is not", "unexpected token",
+)
+
+VIEWS = ["dashboard", "detections", "analytics", "species", "system",
+         "settings", "models", "notifications", "alerts", "range",
+         "imports", "help"]
+
+
+@pytest.fixture()
+def spa(tiny_app):  # noqa: F811
+    """Live server + booted jsrt browser session, with one detection."""
+    from birdnet_go_tpu.jsrt.runner import BrowserSession
+
+    tiny_app.datastore.insert_detection(_detection())
+    tiny_app.start(warmup=False)
+    base = (f"http://{tiny_app.settings.webserver.host}:"
+            f"{tiny_app.settings.webserver.port}")
+    session = BrowserSession(base)
+    session.boot()
+    yield tiny_app, session
+    tiny_app.stop()
+
+
+def _assert_clean(session, context):
+    assert not session.errors, f"{context}: " + "\n".join(session.errors)
+    txt = session.text().lower()
+    hits = [sig for sig in ERROR_SIGNATURES if sig in txt]
+    assert not hits, (f"{context}: error signature {hits} rendered "
+                      f"into the view:\n{session.text()[:800]}")
+
+
+def test_boot_renders_shell_and_dashboard(spa):
+    _, session = spa
+    _assert_clean(session, "boot")
+    # sidebar is localized by the inline module
+    assert "Dashboard" in session.doc.root.text_content()
+    # dashboard view rendered into the outlet with real content
+    assert len(session.text()) > 50
+    # boot hit the real API
+    routes = [u for (_, u, _s) in session.fetch_log]
+    assert "/api/v2/auth/status" in routes
+
+
+def test_every_view_renders_against_live_api(spa):
+    _, session = spa
+    for view in VIEWS:
+        session.navigate(view)
+        _assert_clean(session, f"view {view}")
+        assert len(session.text()) > 20, f"view {view} rendered nothing"
+    # every fetch the views issued must have been answered by a
+    # registered route — 404s on API paths mean a broken URL in the SPA
+    misses = [(m, u, st) for (m, u, st) in session.fetch_log
+              if st in (404, -1) and u.startswith("/api/")]
+    assert not misses, f"views fetched unregistered routes: {misses}"
+
+
+def test_detail_and_species_routes_render_seeded_data(spa):
+    _, session = spa
+    session.navigate("detection/1")
+    _assert_clean(session, "detection detail")
+    assert "Turdus merula" in session.text()
+
+    session.navigate("species/Turdus%20merula")
+    _assert_clean(session, "species detail")
+    assert "Turdus" in session.text()
+
+
+def test_detections_range_select_interaction(spa):
+    _, session = spa
+    session.navigate("detections")
+    selects = [s for s in session.query("select")
+               if any(o.text_content() == "Today"
+                      for o in s.descendants() if o.tag == "option")]
+    assert selects, "date-range select not rendered"
+    today = next(o.attrs.get("value") for o in selects[0].descendants()
+                 if o.tag == "option" and o.text_content() == "Today")
+    session.input(selects[0], today)
+    apply_btns = [b for b in session.query("button")
+                  if b.text_content() == "Apply"]
+    assert apply_btns, "Apply button not rendered"
+    n_fetches = len(session.fetch_log)
+    session.click(apply_btns[0])
+    _assert_clean(session, "after Apply with range=Today")
+    assert len(session.fetch_log) > n_fetches, "apply issued no fetch"
+    # the reload must carry the narrowed range to the server
+    assert any("/detections" in u for (_, u, _s)
+               in session.fetch_log[n_fetches:])
+
+
+def test_modal_closes_on_escape(spa):
+    _, session = spa
+    session.navigate("detections")
+    # the seeded detection row exposes a detail action; opening any modal
+    # is view-specific, so exercise the primitive directly through app.js
+    from birdnet_go_tpu.jsrt.runner import Module
+    module = Module("<modal-test>")
+    module.loader = session.loader
+    session.loader.exec_module(
+        """
+        import { modal } from "/static/app.js";
+        modal("jsrt-test-modal");
+        """, module)
+    session.interp.drain_jobs()
+    assert session.query(".modal-overlay"), "modal did not open"
+    session.keydown("Escape")
+    assert not session.query(".modal-overlay"), "Escape did not close modal"
+    _assert_clean(session, "modal escape")
+
+
+def test_language_switch_localizes_sidebar(spa):
+    tiny, session = spa
+    from birdnet_go_tpu.jsrt.runner import BrowserSession
+
+    base = (f"http://{tiny.settings.webserver.host}:"
+            f"{tiny.settings.webserver.port}")
+    de = BrowserSession(base)
+    de.interp.globals.get("localStorage").data["lang"] = "de"
+    de.boot()
+    assert not de.errors, "\n".join(de.errors)
+    text = de.doc.root.text_content()
+    assert "Einstellungen" in text, "sidebar not localized to de"
+
+
+def test_gate_fails_on_injected_view_error(tmp_path):
+    """Mutation check: a TypeError planted in a view MUST be caught.
+
+    Without this, a silently-broken interpreter (e.g. one that swallows
+    exceptions) would keep the suite green while the SPA is broken.
+    """
+    from birdnet_go_tpu.jsrt.runner import STATIC_DIR, BrowserSession
+
+    broken = tmp_path / "static"
+    shutil.copytree(STATIC_DIR, broken)
+    dash = broken / "views" / "dashboard.js"
+    src = dash.read_text()
+    # sabotage the view's entry: first statement dereferences undefined
+    needle = "export async function dashboardView"
+    assert needle in src
+    src = src.replace(
+        needle + "(view",
+        needle + "(view, __rest) { undefined.boom; }\n"
+        "async function __disabledDashboardView(view", 1)
+    dash.write_text(src)
+
+    def fake_fetch(url, method, headers, body):
+        return 200, b"{}", [("Content-Type", "application/json")]
+
+    session = BrowserSession("http://t", static_dir=broken,
+                             fetch_fn=fake_fetch)
+    session.boot()
+    session.navigate("dashboard")
+    rendered = session.text().lower()
+    caught = session.errors or any(sig in rendered
+                                   for sig in ERROR_SIGNATURES)
+    assert caught, "gate failed to surface an injected view TypeError"
+
+
+def test_gate_fails_on_unregistered_route(tmp_path):
+    """Mutation check #2: a view fetching a nonexistent API path must
+    surface as a 404 in the fetch log (the route-coverage assertion in
+    test_every_view_renders_against_live_api would then fail)."""
+    from birdnet_go_tpu.jsrt.runner import BrowserSession
+
+    def fetch_404(url, method, headers, body):
+        return 404, b'{"error": "no such route"}', []
+
+    session = BrowserSession("http://t", fetch_fn=fetch_404)
+    session.boot()
+    misses = [u for (_, u, st) in session.fetch_log if st == 404]
+    assert misses, "404 responses must be visible in the fetch log"
