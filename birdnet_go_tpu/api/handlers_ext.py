@@ -1512,20 +1512,30 @@ class ExtendedHandlers:
 
         body = _strip_masked(await request.json())
         updated = []
-        for section, value in body.items():
-            if not hasattr(self.ctx.settings, section):
-                continue
-            target = getattr(self.ctx.settings, section)
-            if section == "models" and isinstance(value, list):
-                self.ctx.settings.models = [
-                    _merge_dataclass(ModelSettings(), v) for v in value]
-            elif dataclasses.is_dataclass(target) and isinstance(value,
-                                                                 dict):
-                _merge_dataclass(target, value)
-            else:
-                setattr(self.ctx.settings, section, value)
-            updated.append(section)
-        warnings = self.ctx.settings.validate()
+        # snapshot + rollback on type mismatch, same contract as the
+        # per-section PATCH: 400, live tree untouched
+        import copy
+
+        from birdnet_go_tpu.config.settings import restore_settings_in_place
+        snapshot = copy.deepcopy(self.ctx.settings)
+        try:
+            for section, value in body.items():
+                if not hasattr(self.ctx.settings, section):
+                    continue
+                target = getattr(self.ctx.settings, section)
+                if section == "models" and isinstance(value, list):
+                    self.ctx.settings.models = [
+                        _merge_dataclass(ModelSettings(), v) for v in value]
+                elif dataclasses.is_dataclass(target) and isinstance(value,
+                                                                     dict):
+                    _merge_dataclass(target, value)
+                else:
+                    setattr(self.ctx.settings, section, value)
+                updated.append(section)
+            warnings = self.ctx.settings.validate()
+        except (TypeError, ValueError) as e:
+            restore_settings_in_place(self.ctx.settings, snapshot)
+            return _json({"error": str(e)}, status=400)
         if self.ctx.control is not None and updated:
             # a full-document write may touch anything: fire the broad set
             for sig in (ControlSignal.RELOAD_THRESHOLDS,

@@ -1008,22 +1008,33 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
                          status=404)
         body = _strip_masked(await request.json())
         target = getattr(self.ctx.settings, section)
-        if section == "models" and isinstance(body, list):
-            # the models section is a LIST of ModelSettings — raw dicts
-            # would corrupt settings and crash validate() (same special
-            # case as the full PUT path)
-            from birdnet_go_tpu.config.settings import ModelSettings
+        # Snapshot for rollback: a type-mismatched value must 400 and
+        # leave the live tree untouched, never corrupt it and 500 in a
+        # later validate() (found by the SPA runtime gate).
+        import copy
 
-            self.ctx.settings.models = [
-                _merge_dataclass(ModelSettings(), v) for v in body]
-        elif section == "models":
-            return _json({"error": "models section must be a list"},
-                         status=400)
-        elif dataclasses.is_dataclass(target) and isinstance(body, dict):
-            _merge_dataclass(target, body)
-        else:
-            setattr(self.ctx.settings, section, body)
-        warnings = self.ctx.settings.validate()
+        from birdnet_go_tpu.config.settings import restore_settings_in_place
+        snapshot = copy.deepcopy(self.ctx.settings)
+        try:
+            if section == "models" and isinstance(body, list):
+                # the models section is a LIST of ModelSettings — raw
+                # dicts would corrupt settings and crash validate() (same
+                # special case as the full PUT path)
+                from birdnet_go_tpu.config.settings import ModelSettings
+
+                self.ctx.settings.models = [
+                    _merge_dataclass(ModelSettings(), v) for v in body]
+            elif section == "models":
+                return _json({"error": "models section must be a list"},
+                             status=400)
+            elif dataclasses.is_dataclass(target) and isinstance(body, dict):
+                _merge_dataclass(target, body)
+            else:
+                setattr(self.ctx.settings, section, body)
+            warnings = self.ctx.settings.validate()
+        except (TypeError, ValueError) as e:
+            restore_settings_in_place(self.ctx.settings, snapshot)
+            return _json({"error": str(e)}, status=400)
         signals = {
             "range_filter": [ControlSignal.REBUILD_RANGE_FILTER],
             "species": [ControlSignal.RELOAD_SPECIES_CONFIG],

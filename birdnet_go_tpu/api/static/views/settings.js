@@ -160,7 +160,7 @@ export async function settingsView(outlet) {
             msg = `≥ ${spec.minimum}`;
           else if (spec.maximum !== undefined && n > spec.maximum)
             msg = `≤ ${spec.maximum}`;
-          else if (spec.type === "integer" && !Number.isInteger(n))
+          else if (specType(spec) === "integer" && !Number.isInteger(n))
             msg = t("must_be_integer");
         }
       } else if (inp.dataset.type === "json" && inp.value !== "") {
@@ -236,14 +236,28 @@ export async function settingsView(outlet) {
     }
   }
 
+  /** Effective schema type: nullable fields arrive as
+      anyOf [{type: X}, {type: "null"}] — unwrap to X. */
+  function specType(spec) {
+    if (!spec) return "";
+    if (spec.type) return spec.type;
+    const alt = (spec.anyOf || []).find((a) => a.type && a.type !== "null");
+    return alt ? alt.type : "";
+  }
+
   function fieldRow(key, label, v, spec) {
     let input;
     if (typeof v === "boolean") {
       input = el("input", { type: "checkbox", "data-key": key });
       input.checked = v;
-    } else if (typeof v === "number") {
+    } else if (typeof v === "number"
+               || (v == null && (specType(spec) === "number"
+                                 || specType(spec) === "integer"))) {
+      // null-valued numeric fields (e.g. location before first setup)
+      // must still save as numbers — a text input here serialized
+      // "13.405" as a string and the server rejected it
       input = el("input", { type: "number", step: "any", "data-key": key,
-                            "data-type": "number", value: v });
+                            "data-type": "number", value: v ?? "" });
     } else if (Array.isArray(v)
                && (v.length ? v.every((x) => typeof x === "string")
                             : spec?.items?.type === "string")) {
@@ -255,7 +269,7 @@ export async function settingsView(outlet) {
       input = el("input", { "data-key": key, value: v ?? "" });
     }
     const hint = spec
-      ? `${spec.type || ""}${spec.default !== undefined
+      ? `${specType(spec)}${spec.default !== undefined
           ? ` · default ${JSON.stringify(spec.default)}` : ""}`
       : "";
     if (hint) input.title = hint;

@@ -527,7 +527,58 @@ def _from_dict(cls, data: dict[str, Any]):
     return cls(**kwargs)
 
 
+def _coerce_scalar(annot: str, val: Any, key: str) -> Any:
+    """Coerce an incoming PATCH value to the field's annotated scalar
+    type, or raise ValueError.  An API client sending "13.4" where a
+    float is declared must get a 400, not corrupt the live settings
+    tree and 500 later in validate() (found by the SPA runtime gate:
+    a schema-less null field serialized numbers as strings)."""
+    if val is None:
+        return None
+    if "float" in annot:
+        if isinstance(val, bool):
+            raise ValueError(f"{key}: expected number, got boolean")
+        if isinstance(val, (int, float)):
+            return float(val)
+        if isinstance(val, str):
+            try:
+                return float(val)
+            except ValueError:
+                raise ValueError(f"{key}: expected number, got {val!r}")
+        raise ValueError(f"{key}: expected number, got "
+                         f"{type(val).__name__}")
+    if annot.startswith("int") or " int" in annot:
+        if isinstance(val, bool):
+            raise ValueError(f"{key}: expected integer, got boolean")
+        if isinstance(val, int):
+            return val
+        if isinstance(val, float) and val.is_integer():
+            return int(val)
+        if isinstance(val, str):
+            try:
+                return int(val)
+            except ValueError:
+                raise ValueError(f"{key}: expected integer, got {val!r}")
+        raise ValueError(f"{key}: expected integer, got "
+                         f"{type(val).__name__}")
+    if annot == "bool" or annot.startswith("bool"):
+        if isinstance(val, bool):
+            return val
+        raise ValueError(f"{key}: expected boolean, got "
+                         f"{type(val).__name__}")
+    if annot.startswith("str"):
+        if isinstance(val, str):
+            return val
+        if isinstance(val, (int, float)) and not isinstance(val, bool):
+            return str(val)
+        raise ValueError(f"{key}: expected string, got "
+                         f"{type(val).__name__}")
+    return val
+
+
 def _merge_dataclass(instance, data: dict[str, Any]):
+    types = ({f.name: str(f.type) for f in dataclasses.fields(instance)}
+             if dataclasses.is_dataclass(instance) else {})
     for key, val in (data or {}).items():
         if not hasattr(instance, key):
             continue
@@ -535,8 +586,27 @@ def _merge_dataclass(instance, data: dict[str, Any]):
         if dataclasses.is_dataclass(cur) and isinstance(val, dict):
             _merge_dataclass(cur, val)
         else:
+            annot = types.get(key, "")
+            if annot and not isinstance(val, (dict, list)):
+                val = _coerce_scalar(annot, val, key)
             setattr(instance, key, val)
     return instance
+
+
+def restore_settings_in_place(instance, snapshot) -> None:
+    """Roll a Settings tree back to a deepcopy snapshot WITHOUT
+    replacing the dataclass objects — long-lived components hold
+    references to the live section instances."""
+    import copy
+
+    for f in dataclasses.fields(instance):
+        cur = getattr(instance, f.name)
+        snap = getattr(snapshot, f.name)
+        if dataclasses.is_dataclass(cur) and dataclasses.is_dataclass(snap) \
+                and type(cur) is type(snap):
+            restore_settings_in_place(cur, snap)
+        else:
+            setattr(instance, f.name, copy.deepcopy(snap))
 
 
 def default_settings() -> Settings:

@@ -39,6 +39,11 @@ def spa(tiny_app):  # noqa: F811
     """Live server + booted jsrt browser session, with one detection."""
     from birdnet_go_tpu.jsrt.runner import BrowserSession
 
+    # isolate the wizard-dismissed marker (data_dir falls back to the
+    # CWD-relative data/ when unset — must not leak across runs)
+    import pathlib
+    tiny_app.settings.data_dir = str(
+        pathlib.Path(tiny_app.settings.database.path).parent)
     tiny_app.datastore.insert_detection(_detection())
     tiny_app.start(warmup=False)
     base = (f"http://{tiny_app.settings.webserver.host}:"
@@ -147,6 +152,142 @@ def test_language_switch_localizes_sidebar(spa):
     assert not de.errors, "\n".join(de.errors)
     text = de.doc.root.text_content()
     assert "Einstellungen" in text, "sidebar not localized to de"
+
+
+def test_onboarding_wizard_full_flow(spa):
+    """Drive the first-run wizard end to end through the real UI fetch
+    layer: location PATCH → skip source → finish (dismiss POST).
+    Reference: frontend onboarding flow; the Playwright recipe's
+    'settings PATCH round trip' pass condition."""
+    import json
+    import urllib.request
+
+    tiny, session = spa
+    base = (f"http://{tiny.settings.webserver.host}:"
+            f"{tiny.settings.webserver.port}")
+
+    # location is unconfigured in the fixture → wizard must be up
+    assert session.query(".wizard-overlay"), "wizard did not appear"
+
+    def wizard_button(label):
+        # i18n decorates labels ("Next →"); match on the word
+        btns = [b for b in session.query(".wizard-overlay button")
+                if label in b.text_content()]
+        assert btns, f"wizard button {label!r} not found"
+        return btns[0]
+
+    inputs = session.query(".wizard-overlay input")
+    assert len(inputs) >= 2
+    session.input(inputs[0], "51.4778")
+    session.input(inputs[1], "-0.0014")
+    session.click(wizard_button("Next"))
+    _assert_clean(session, "wizard step1 → step2")
+    assert ("PATCH", "/api/v2/settings/location", 200) in session.fetch_log
+
+    session.click(wizard_button("Skip"))          # step2 → step3
+    session.click(wizard_button("Finish"))        # dismiss + reload
+    _assert_clean(session, "wizard finish")
+    assert not session.query(".wizard-overlay"), "wizard did not close"
+    assert ("POST", "/api/v2/app/wizard/dismiss", 200) in session.fetch_log
+    assert session.interp.globals.get("location").reloads >= 1
+
+    # the PATCH really landed server-side
+    with urllib.request.urlopen(base + "/api/v2/settings", timeout=5) as r:
+        cfg = json.loads(r.read())
+    assert abs(cfg["location"]["latitude"] - 51.4778) < 1e-6
+
+
+def test_detection_row_opens_spectrogram_drawer(spa):
+    _, session = spa
+    session.navigate("detections")
+    toggles = [b for b in session.query("button")
+               if b.text_content() == "∿"]
+    assert toggles, "spectrogram toggle not rendered for the seeded row"
+    session.click(toggles[0])
+    _assert_clean(session, "open spectro drawer")
+    assert session.query(".spectro-row .spec-player"), \
+        "player drawer did not render"
+    session.click(toggles[0])
+    assert not session.query(".spectro-row"), "drawer did not close"
+
+
+def test_settings_view_patch_round_trip(spa):
+    """Edit location.longitude through the real settings UI and verify
+    the PATCH persisted server-side (Playwright recipe pass condition)."""
+    import json
+    import urllib.request
+
+    tiny, session = spa
+    base = (f"http://{tiny.settings.webserver.host}:"
+            f"{tiny.settings.webserver.port}")
+    session.navigate("settings")
+    _assert_clean(session, "settings render")
+
+    fields = {}
+    for row in session.query(".field-row"):
+        labels = [c for c in row.descendants() if c.tag == "label"]
+        if labels and labels[0].text_content().strip() in ("latitude",
+                                                           "longitude"):
+            inputs = [c for c in row.descendants() if c.tag == "input"]
+            if inputs:
+                fields[labels[0].text_content().strip()] = inputs[0]
+    assert set(fields) == {"latitude", "longitude"}, \
+        "location fields not rendered in settings"
+    # null-valued numeric fields must render as number inputs (schema
+    # typing — regression found by this gate)
+    assert fields["longitude"].attrs.get("type") == "number"
+    # validate() clears half-set locations, so set both
+    session.input(fields["latitude"], "52.52")
+    session.input(fields["longitude"], "13.405")
+
+    from birdnet_go_tpu.jsrt.dom import select
+    section = fields["longitude"]
+    while section is not None and section.tag != "details":
+        section = section.parent
+    assert section is not None
+    saves = [b for b in select(section, "button")
+             if "Save" in b.text_content()]
+    assert saves, "section Save button not found"
+    session.click(saves[0])
+    _assert_clean(session, "settings save")
+    assert any(m == "PATCH" and u.startswith("/api/v2/settings")
+               and st == 200 for (m, u, st) in session.fetch_log)
+
+    with urllib.request.urlopen(base + "/api/v2/settings", timeout=5) as r:
+        cfg = json.loads(r.read())
+    assert abs(cfg["location"]["longitude"] - 13.405) < 1e-6
+
+
+def test_settings_patch_type_mismatch_is_400(spa):
+    """Regression (found by this gate): PATCH /settings/location with a
+    string where a float is declared used to corrupt the live settings
+    tree and 500 inside validate(). Contract now: 400, tree untouched."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    tiny, _ = spa
+    base = (f"http://{tiny.settings.webserver.host}:"
+            f"{tiny.settings.webserver.port}")
+    req = urllib.request.Request(
+        base + "/api/v2/settings/location",
+        data=b'{"latitude":null,"longitude":"not-a-number"}',
+        headers={"Content-Type": "application/json"}, method="PATCH")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=5)
+    assert exc.value.code == 400
+    assert "longitude" in json.loads(exc.value.read())["error"]
+    # live tree untouched and still typed
+    assert tiny.settings.location.longitude is None
+    # numeric strings ARE coerced (lenient clients)
+    req2 = urllib.request.Request(
+        base + "/api/v2/settings/location",
+        data=b'{"latitude":"51.5","longitude":"13.405"}',
+        headers={"Content-Type": "application/json"}, method="PATCH")
+    with urllib.request.urlopen(req2, timeout=5) as r:
+        assert r.status == 200
+    assert tiny.settings.location.longitude == pytest.approx(13.405)
+    assert isinstance(tiny.settings.location.longitude, float)
 
 
 def test_gate_fails_on_injected_view_error(tmp_path):
