@@ -7,7 +7,9 @@ error — the gap static asset tests can't cover (VERDICT r2 missing #2).
 This image has no browser/node, so the test self-skips unless Playwright
 and a Chromium binary are importable/launchable; the scripted recipe in
 .claude/skills/verify/SKILL.md mirrors these steps for manual runs on a
-workstation. The in-CI JS gates remain tests/test_frontend.py (module
+workstation. The ALWAYS-ON in-CI equivalent is tests/test_spa_runtime.py,
+which executes every view in the in-repo jsrt interpreter against the
+live server; tests/test_frontend.py keeps the static gates (module
 graph, import/export resolution, brace balance).
 """
 
