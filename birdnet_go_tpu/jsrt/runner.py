@@ -721,6 +721,33 @@ class BrowserSession:
             self._record_throw(f"keydown {key}", t)
         self._collect_console()
 
+    def arm_modal(self, button_text, attempts=100):
+        """Answer the NEXT modal/confirm dialog by clicking the first
+        button whose label contains button_text.
+
+        Needed because jsrt's `await` drives the job queue inline: a
+        handler that awaits confirmDialog() would otherwise deadlock
+        (the resolving click can only come from the harness).  Armed as
+        a virtual-time timer, the click fires from inside the await
+        loop itself — the same way a user's click interleaves in a real
+        browser event loop."""
+        from .dom import dispatch, select
+
+        state = {"left": attempts}
+
+        def attempt():
+            overlays = self.query(".modal-overlay")
+            if overlays:
+                for b in select(overlays[-1], "button"):
+                    if button_text in b.text_content():
+                        dispatch(self.interp, b, Event("click", b))
+                        return
+            state["left"] -= 1
+            if state["left"] > 0:
+                self.interp.set_timer(attempt, 1)
+
+        self.interp.set_timer(attempt, 1)
+
     def outlet(self):
         for el in self.doc.root.descendants():
             if el.attrs.get("id") == "outlet":

@@ -258,6 +258,101 @@ def test_settings_view_patch_round_trip(spa):
     assert abs(cfg["location"]["longitude"] - 13.405) < 1e-6
 
 
+def test_alerts_rule_create_and_delete_flow(spa):
+    """Create an alert rule through the real editor, see it listed,
+    then delete it (confirm dialog answered via arm_modal)."""
+    _, session = spa
+    session.navigate("alerts")
+
+    def field(label):
+        for row in session.query(".field-row"):
+            labels = [c for c in row.descendants() if c.tag == "label"]
+            if labels and labels[0].text_content().strip() == label:
+                for c in row.descendants():
+                    if c.tag in ("input", "select"):
+                        return c
+        raise AssertionError(f"form field {label!r} not found")
+
+    session.input(field("name"), "jsrt smoke rule")
+    create = [b for b in session.query("button")
+              if "Create" in b.text_content()]
+    assert create, "Create rule button not rendered"
+    session.click(create[0])
+    _assert_clean(session, "rule create")
+    assert ("POST", "/api/v2/alerts/rules", 200) in session.fetch_log
+    assert "jsrt smoke rule" in session.text()
+
+    # delete it (the 🗑 button issues the DELETE directly)
+    dels = session.query("button.danger")
+    assert dels, "rule delete button not rendered"
+    session.click(dels[-1])
+    _assert_clean(session, "rule delete")
+    assert ("DELETE", "/api/v2/alerts/rules/jsrt-smoke-rule", 200) \
+        in session.fetch_log
+
+
+def test_detections_bulk_review_flow(spa):
+    """Select the seeded row, bulk-mark it correct, verify the review
+    landed in the datastore."""
+    tiny, session = spa
+    session.navigate("detections")
+    boxes = session.query("input.sel")
+    assert boxes, "row selection checkbox not rendered"
+    box = boxes[0]
+    box.props["checked"] = True
+    from birdnet_go_tpu.jsrt.dom import Event, dispatch
+    dispatch(session.interp, box, Event("change", box))
+    session.interp.drain_jobs()
+
+    marks = [b for b in session.query("button")
+             if b.text_content().startswith("✓")]
+    assert marks, "bulk correct button not rendered"
+    session.arm_modal("Confirm")
+    session.click(marks[0])
+    _assert_clean(session, "bulk review")
+    assert any(m == "POST" and "/review" in u and st == 200
+               for (m, u, st) in session.fetch_log), session.fetch_log[-8:]
+    reviews = tiny.datastore.get_reviews(1)
+    assert [r["verdict"] for r in reviews] == ["correct"]
+
+
+def test_notifications_send_test_and_mark_read(spa):
+    _, session = spa
+    session.navigate("notifications")
+    send = [b for b in session.query("button")
+            if "test" in b.text_content().lower()]
+    assert send, "Send test button not rendered"
+    session.click(send[0])
+    _assert_clean(session, "send test notification")
+    assert any(m == "POST" and "/notifications" in u and st == 200
+               for (m, u, st) in session.fetch_log)
+    mark = [b for b in session.query("button")
+            if "read" in b.text_content().lower()]
+    assert mark, "Mark all read button not rendered"
+    session.click(mark[0])
+    _assert_clean(session, "mark all read")
+
+
+def test_analytics_drilldown_deep_links_into_detections(spa):
+    """Clicking a drillable mark must deep-link into the detections view
+    with the filter carried in the hash query."""
+    _, session = spa
+    session.navigate("analytics")
+    _assert_clean(session, "analytics render")
+    marks = session.query("[role=button]")
+    if not marks:
+        pytest.skip("no drillable marks with a single seeded detection")
+    before = session.location.hash
+    session.click(marks[0])
+    _assert_clean(session, "drill-down click")
+    # either a deep link navigated us, or the mark opened a modal —
+    # both are valid drill targets; a no-op is not
+    assert session.location.hash != before \
+        or session.query(".modal-overlay"), "mark click did nothing"
+    if session.location.hash != before:
+        assert session.location.hash.startswith("#/"), session.location.hash
+
+
 def test_settings_patch_type_mismatch_is_400(spa):
     """Regression (found by this gate): PATCH /settings/location with a
     string where a float is declared used to corrupt the live settings
