@@ -323,6 +323,10 @@ class FetchResponse(HostObject):
                 i.resolve_promise(p, self.body.decode("utf-8", "replace"))
                 return p
             return nf("text", _text)
+        if name == "clone":
+            return nf("clone", lambda i, t, a: FetchResponse(
+                self.status, self.body, list(self.headers.items()),
+                self.url))
         if name == "blob" or name == "arrayBuffer":
             def _blob(i, t, a):
                 p = i.promise()
@@ -615,12 +619,20 @@ class BrowserSession:
     # -------------------------------------------------------------- fetch
 
     def _js_fetch(self, interp, this, args):
-        from .builtins import js_to_py
         from .interp import js_str
-        url = js_str(args[0])
+        target = args[0]
+        req_method = None
+        if isinstance(target, HostObject):
+            # Request-like (service worker fetch event): url + method
+            u = target.js_get("url")
+            if isinstance(u, str):
+                m = target.js_get("method")
+                req_method = m if isinstance(m, str) else None
+                target = u
+        url = js_str(target)
         opts = args[1] if len(args) > 1 and isinstance(args[1], JSObject) \
             else JSObject({})
-        method = js_str(opts.props.get("method", "GET"))
+        method = js_str(opts.props.get("method", req_method or "GET"))
         headers = {}
         hdr_obj = opts.props.get("headers")
         if isinstance(hdr_obj, JSObject):
@@ -786,6 +798,224 @@ class BrowserSession:
 def _str(interp, v):
     from .interp import js_str
     return js_str(v)
+
+
+# ======================================================== service worker
+
+
+class _SWCache(HostObject):
+    def __init__(self, store):
+        self.store = store                # url -> FetchResponse
+
+    def js_get(self, name):
+        if name == "addAll":
+            def _add_all(i, t, a):
+                p = i.promise()
+                try:
+                    for u in i.js_iterate(a[0]):
+                        url = _str(i, u)
+                        fetch_fn = i.globals.get("fetch")
+                        resp_p = i.call(fetch_fn, UNDEF, [url])
+                        resp = i.await_value(resp_p)
+                        if not (200 <= resp.status < 300):
+                            raise JSThrow.type_error(
+                                f"addAll: {url} returned {resp.status}")
+                        self.store[url] = resp
+                    i.resolve_promise(p, UNDEF)
+                except JSThrow as t2:
+                    i.reject_promise(p, t2.value)
+                return p
+            return nf("addAll", _add_all)
+        if name == "match":
+            def _match(i, t, a):
+                req = a[0]
+                url = (_str(i, req.js_get("url"))
+                       if isinstance(req, HostObject) else _str(i, req))
+                from urllib.parse import urlsplit
+                path = urlsplit(url).path or url
+                p = i.promise()
+                i.resolve_promise(p, self.store.get(path, UNDEF))
+                return p
+            return nf("match", _match)
+        if name == "put":
+            def _put(i, t, a):
+                req, resp = a[0], a[1]
+                url = (_str(i, req.js_get("url"))
+                       if isinstance(req, HostObject) else _str(i, req))
+                from urllib.parse import urlsplit
+                self.store[urlsplit(url).path or url] = resp
+                p = i.promise()
+                i.resolve_promise(p, UNDEF)
+                return p
+            return nf("put", _put)
+        if name == "delete":
+            def _del(i, t, a):
+                self.store.pop(_str(i, a[0]), None)
+                p = i.promise()
+                i.resolve_promise(p, True)
+                return p
+            return nf("delete", _del)
+        return UNDEF
+
+
+class _SWCacheStorage(HostObject):
+    def __init__(self):
+        self.caches = {}                  # name -> dict
+
+    def js_get(self, name):
+        if name == "open":
+            def _open(i, t, a):
+                cname = _str(i, a[0])
+                p = i.promise()
+                i.resolve_promise(
+                    p, _SWCache(self.caches.setdefault(cname, {})))
+                return p
+            return nf("open", _open)
+        if name == "keys":
+            def _keys(i, t, a):
+                p = i.promise()
+                i.resolve_promise(p, JSArray(list(self.caches.keys())))
+                return p
+            return nf("keys", _keys)
+        if name == "delete":
+            def _del(i, t, a):
+                existed = self.caches.pop(_str(i, a[0]), None) is not None
+                p = i.promise()
+                i.resolve_promise(p, existed)
+                return p
+            return nf("delete", _del)
+        if name == "match":
+            def _match(i, t, a):
+                for store in self.caches.values():
+                    cache = _SWCache(store)
+                    return cache.js_get("match").fn(i, t, a)
+                p = i.promise()
+                i.resolve_promise(p, UNDEF)
+                return p
+            return nf("match", _match)
+        return UNDEF
+
+
+class _SWScope(HostObject):
+    def __init__(self):
+        self.listeners = {}
+        self.skipped_waiting = False
+        self.claimed = False
+
+    def js_get(self, name):
+        if name == "addEventListener":
+            def _ael(i, t, a):
+                self.listeners.setdefault(_str(i, a[0]), []).append(a[1])
+                return UNDEF
+            return nf("addEventListener", _ael)
+        if name == "skipWaiting":
+            def _sw(i, t, a):
+                self.skipped_waiting = True
+                p = i.promise()
+                i.resolve_promise(p, UNDEF)
+                return p
+            return nf("skipWaiting", _sw)
+        if name == "clients":
+            scope = self
+
+            class _Clients(HostObject):
+                def js_get(self, cname):
+                    if cname == "claim":
+                        def _claim(i, t, a):
+                            scope.claimed = True
+                            p = i.promise()
+                            i.resolve_promise(p, UNDEF)
+                            return p
+                        return nf("claim", _claim)
+                    return UNDEF
+            return _Clients()
+        return UNDEF
+
+
+class _SWEvent(Event):
+    """install/activate/fetch event with waitUntil + respondWith."""
+
+    def __init__(self, type_, request=None):
+        super().__init__(type_)
+        self.request = request
+        self.waited = []                  # promises anchored by waitUntil
+        self.response = None              # respondWith operand
+
+    def js_get(self, name):
+        if name == "waitUntil":
+            def _wu(i, t, a):
+                self.waited.append(a[0])
+                return UNDEF
+            return nf("waitUntil", _wu)
+        if name == "respondWith":
+            def _rw(i, t, a):
+                self.response = a[0]
+                return UNDEF
+            return nf("respondWith", _rw)
+        if name == "request" and self.request is not None:
+            return self.request
+        return super().js_get(name)
+
+
+class _SWRequest(HostObject):
+    def __init__(self, url, method="GET"):
+        self.url = url
+        self.method = method
+
+    def js_get(self, name):
+        if name == "url":
+            return self.url
+        if name == "method":
+            return self.method
+        return UNDEF
+
+
+class ServiceWorkerHarness:
+    """Execute sw.js in a worker-like scope wired to a BrowserSession's
+    fetch.  install verifies every SHELL URL actually serves; fetch
+    events exercise the cache strategy (reference PWA behavior)."""
+
+    def __init__(self, session: BrowserSession):
+        self.session = session
+        self.interp = session.interp
+        self.scope = _SWScope()
+        self.cache_storage = _SWCacheStorage()
+
+    def run(self):
+        src = (Path(self.session.loader.static_dir) / "sw.js").read_text()
+        from .parser import parse as _parse
+        ast = _parse(src, "sw.js")
+        sw_scope = Scope(parent=self.interp.globals, is_function=True)
+        sw_scope.declare("this", self.scope)
+        sw_scope.declare("self", self.scope)
+        sw_scope.declare("caches", self.cache_storage)
+        sw_scope.declare("clients", self.scope.js_get("clients"))
+        self.interp.exec_program(ast, sw_scope)
+        self.interp.drain_jobs()
+
+    def _dispatch(self, ev):
+        for fn in self.scope.listeners.get(ev.type, []):
+            self.interp.call(fn, UNDEF, [ev])
+        for p in ev.waited:
+            self.interp.await_value(p)
+        self.interp.drain_jobs()
+        return ev
+
+    def install(self):
+        return self._dispatch(_SWEvent("install"))
+
+    def activate(self):
+        return self._dispatch(_SWEvent("activate"))
+
+    def fetch(self, url, method="GET"):
+        """Returns the FetchResponse the SW responded with, or None when
+        the SW let the request pass through to the network."""
+        if url.startswith("/"):
+            url = self.session.base_url + url
+        ev = self._dispatch(_SWEvent("fetch", _SWRequest(url, method)))
+        if ev.response is None:
+            return None
+        return self.interp.await_value(ev.response)
 
 
 def run_module(path, base_url="http://127.0.0.1:1", fetch_fn=None):

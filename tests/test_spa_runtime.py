@@ -385,6 +385,68 @@ def test_settings_patch_type_mismatch_is_400(spa):
     assert isinstance(tiny.settings.location.longitude, float)
 
 
+def test_service_worker_installs_and_serves_shell(spa):
+    """Execute sw.js: install must fetch every SHELL URL from the real
+    server (catching stale paths when a view file moves), activate must
+    clean old caches, and the fetch strategy must be cache-first for
+    static assets and pass-through for /api."""
+    from birdnet_go_tpu.jsrt.runner import ServiceWorkerHarness
+
+    _, session = spa
+    sw = ServiceWorkerHarness(session)
+    sw.run()
+    sw.cache_storage.caches["birdnet-tpu-v0-stale"] = {}
+    sw.install()
+    assert not session.errors, "\n".join(session.errors)
+    assert sw.scope.skipped_waiting
+    shell = sw.cache_storage.caches.get("birdnet-tpu-v3")
+    assert shell and len(shell) >= 18, \
+        f"shell precache incomplete: {sorted((shell or {}).keys())}"
+
+    sw.activate()
+    assert sw.scope.claimed
+    assert "birdnet-tpu-v0-stale" not in sw.cache_storage.caches
+
+    # /api is never intercepted (live data must not be stale)
+    assert sw.fetch("/api/v2/health") is None
+    # static assets serve cache-first: plant a stale sentinel and check
+    # (a) the stale copy is returned instantly, (b) the anchored
+    # revalidation replaced it with the fresh network copy
+    from birdnet_go_tpu.jsrt.runner import FetchResponse
+    stale = FetchResponse(200, b"stale-sentinel", [], "/static/app.js")
+    shell["/static/app.js"] = stale
+    resp = sw.fetch("/static/app.js")
+    assert resp is not None and resp.body == b"stale-sentinel"
+    refreshed = shell["/static/app.js"]
+    assert refreshed.body != b"stale-sentinel", \
+        "stale-while-revalidate never updated the cache"
+    # and POSTs pass through even for static paths
+    assert sw.fetch("/static/app.js", method="POST") is None
+
+
+def test_all_locales_boot_without_errors(spa):
+    """Boot the SPA once per shipped locale — a broken message bundle
+    (bad interpolation, missing key crash) must fail CI, not a user."""
+    from birdnet_go_tpu.jsrt.runner import BrowserSession, Module
+
+    tiny, session = spa
+    base = (f"http://{tiny.settings.webserver.host}:"
+            f"{tiny.settings.webserver.port}")
+    module = Module("<langs>")
+    module.loader = session.loader
+    scope = session.loader.exec_module(
+        'import { LANGS } from "/static/app.js";'
+        "let codes = LANGS.join(',');", module)
+    codes = scope.get("codes").split(",")
+    assert len(codes) >= 15, codes
+    for code in codes:
+        s = BrowserSession(base)
+        s.interp.globals.get("localStorage").data["lang"] = code
+        s.boot()
+        assert not s.errors, f"locale {code}: " + "\n".join(s.errors)
+        assert len(s.text()) > 20, f"locale {code} rendered nothing"
+
+
 def test_gate_fails_on_injected_view_error(tmp_path):
     """Mutation check: a TypeError planted in a view MUST be caught.
 
