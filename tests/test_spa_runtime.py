@@ -385,6 +385,96 @@ def test_settings_patch_type_mismatch_is_400(spa):
     assert isinstance(tiny.settings.location.longitude, float)
 
 
+def test_detail_comment_thread_flow(spa):
+    """Add a comment on the detail view and see it in the thread and in
+    the datastore (reference notesTab)."""
+    tiny, session = spa
+    session.navigate("detection/1")
+    # the thread lives behind the notes tab
+    tabs = session.query("[role=tab]")
+    notes = [b for b in tabs if b.attrs.get("data-tab") == "notes"]
+    assert notes, f"notes tab missing: {[b.attrs for b in tabs]}"
+    session.click(notes[0])
+    _assert_clean(session, "notes tab")
+    inputs = [e for e in session.outlet().descendants()
+              if e.tag == "input"
+              and "comment" in e.attrs.get("placeholder", "").lower()]
+    assert inputs, "comment input not rendered on the notes tab"
+    box = inputs[0]
+    session.input(box, "jsrt was here")
+    row = box.parent
+    saves = [b for b in row.children
+             if getattr(b, "tag", "") == "button"]
+    assert saves, "comment save button not rendered"
+    session.click(saves[0])
+    _assert_clean(session, "comment add")
+    assert any(m == "POST" and u.endswith("/detections/1/comments")
+               and st == 200 for (m, u, st) in session.fetch_log)
+    assert "jsrt was here" in session.text()
+    assert any(c["text"] == "jsrt was here"
+               for c in tiny.datastore.list_comments(1))
+
+
+def test_sse_events_drive_live_updates(spa):
+    """Feed synthetic SSE events through the stubbed EventSources and
+    assert the live-update render paths execute: 'currently hearing'
+    pills, the 1/3-octave sound-level canvas, the detections 'N new'
+    pill, and the unread-notifications badge."""
+    import json as _j
+    import urllib.request
+
+    tiny, session = spa
+    base = (f"http://{tiny.settings.webserver.host}:"
+            f"{tiny.settings.webserver.port}")
+    session.navigate("dashboard")
+
+    def source(path):
+        es = [e for e in session.event_sources
+              if e.url.endswith(path) and not e.closed]
+        assert es, (f"no live EventSource for {path}: "
+                    f"{[(e.url, e.closed) for e in session.event_sources]}")
+        return es[-1]
+
+    # currently-hearing pending broadcast
+    source("/detections/pending/stream").emit(
+        session.interp, "pending", _j.dumps([{
+            "source_id": "tone0", "models": ["BirdNET_V2.4"],
+            "common_name": "Eurasian Blackbird",
+            "scientific_name": "Turdus merula",
+            "count": 3, "confidence": 0.91}]))
+    session.interp.drain_jobs()
+    _assert_clean(session, "pending SSE")
+    assert "Eurasian Blackbird ×3 91%" in session.text()
+
+    # sound-level bars (canvas paints; must not throw)
+    source("/soundlevels/stream").emit(
+        session.interp, "soundlevel", _j.dumps({
+            "tone0": {"levels_db": [-60, -48, -33, -20, -41]}}))
+    session.interp.drain_jobs()
+    _assert_clean(session, "soundlevel SSE")
+
+    # new-detection event → 'N new' pill refetch
+    source("/detections/stream").emit(session.interp, "detection", "{}")
+    session.interp.drain_jobs()
+    _assert_clean(session, "detection SSE")
+    assert "new" in session.text()
+
+    # unread badge: create a real notification server-side, then nudge
+    # the app-lifetime stream
+    req = urllib.request.Request(
+        base + "/api/v2/notifications/test", data=b"{}",
+        headers={"Content-Type": "application/json"}, method="POST")
+    urllib.request.urlopen(req, timeout=5)
+    source("/notifications/stream").emit(
+        session.interp, "notification", "{}")
+    session.interp.drain_jobs()
+    _assert_clean(session, "notification SSE")
+    badge = [e for e in session.doc.root.descendants()
+             if e.attrs.get("id") == "notif-badge"][0]
+    assert badge.text_content().strip().isdigit() \
+        and int(badge.text_content()) >= 1, badge.text_content()
+
+
 def test_service_worker_installs_and_serves_shell(spa):
     """Execute sw.js: install must fetch every SHELL URL from the real
     server (catching stale paths when a view file moves), activate must
