@@ -52,7 +52,7 @@ async function dynThresholds(slot, card) {
         } }, "reset")])));
     body.append(el("div", { class: "row", style: "margin-top:8px" },
       el("button", { class: "small danger", onclick: async () => {
-        const { cleared } = await api("/dynamic-thresholds",
+        const { cleared = 0 } = await api("/dynamic-thresholds",
                                       { method: "DELETE" });
         toast(`Cleared ${cleared} learned thresholds`);
       } }, t("clear_all"))));
@@ -200,7 +200,7 @@ async function integrations(slot, card) {
 async function streamTools(slot, card) {
   const body = el("div");
   try {
-    const { active } = await api("/system/audio/active");
+    const { active = [] } = await api("/system/audio/active");
     if (active.length) {
       body.append(table([t("source"), "Buffered (s)", ""],
         active.map((a) => [a.source_id,
@@ -282,7 +282,7 @@ async function network(slot, card) {
 
 // ---- operational events + diagnostics ----
 async function opsEvents(slot, card) {
-  const { events } = await api("/system/events/operational?limit=10");
+  const { events = [] } = await api("/system/events/operational?limit=10");
   const body = el("div");
   body.append(el("div", { class: "row", style: "margin-bottom:8px" },
     el("button", { class: "small primary", onclick: async () => {

@@ -111,7 +111,7 @@ export async function analyticsView(outlet) {
     const diel = el("div", { class: "grid cols-2" });
     grid.append(diel);
     try {
-      const { species } = await api(
+      const { species = [] } = await api(
         `/analytics/time-of-day?from=${from}&to=${to}&top=8`);
       diel.append(card(t("species_by_hour"), species.length
         ? ridgeline(species.map((s) => ({
@@ -188,7 +188,7 @@ export async function analyticsView(outlet) {
 
     // succession: monthly composition (top species share per month)
     try {
-      const { succession } = await api(
+      const { succession = [] } = await api(
         `/analytics/succession?from=${from}&to=${to}&top=5`);
       if (succession.length) {
         grid.append(card("Succession (monthly top-5 share)",
@@ -213,7 +213,7 @@ export async function analyticsView(outlet) {
     } catch (e) { four.append(card(t("newest_species"), err(e))); }
     // dawn chorus: today's hour-of-day activity histogram
     try {
-      const { hourly } = await api("/analytics/dawn-chorus");
+      const { hourly = [] } = await api("/analytics/dawn-chorus");
       four.append(card(t("dawn_chorus") + " (today by hour)",
         barChart((hourly || []).map((v, h) => ({ label: String(h), value: v })),
                  { xLabelEvery: 3, height: 150,
@@ -306,7 +306,7 @@ async function speciesDetail(d, from, to) {
         { xLabelEvery: 4, height: 140 }));
   } catch (e) { /* optional */ }
   try {
-    const { species } = await api(
+    const { species = [] } = await api(
       `/analytics/time-of-day?from=${from}&to=${to}`
       + `&species=${encodeURIComponent(d.sci)}`);
     if (species.length) body.append(el("h3", {}, t("activity_by_hour")),

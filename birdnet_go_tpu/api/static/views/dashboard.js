@@ -105,7 +105,7 @@ export async function dashboardView(outlet) {
     }
   };
   try {
-    const { pending } = await api("/detections/pending");
+    const { pending = [] } = await api("/detections/pending");
     renderPending(pending);
   } catch (e) { /* optional */ }
   subscribe("/detections/pending/stream", (kind, data) => {
@@ -128,8 +128,8 @@ export async function dashboardView(outlet) {
       stat(t("species_today"), kpis.species_today,
            `${fmtNum(kpis.species_total)} all time`),
       stat(t("active_sources"), kpis.sources_active),
-      stat(t("models"), kpis.models_loaded.length,
-           kpis.models_loaded.join(", ")));
+      stat(t("models"), (kpis.models_loaded || []).length,
+           (kpis.models_loaded || []).join(", ")));
   } catch (e) { kpiRow.append(el("div", { class: "empty" }, e.message)); }
 
   // live audio + analyser spectrogram
@@ -172,7 +172,8 @@ export async function dashboardView(outlet) {
 
   // daily activity bars
   try {
-    const byHour = await api("/analytics/hourly");   // bare int[24]
+    const resp = await api("/analytics/hourly");      // bare int[24]
+    const byHour = Array.isArray(resp) ? resp : [];
     activityCard.append(el("h2", {}, t("activity_by_hour")),
       barChart(byHour.map((v, h) => ({ label: String(h), value: v })),
                { xLabelEvery: 3, height: 170,
@@ -187,7 +188,7 @@ export async function dashboardView(outlet) {
     renderCards();
     // "N new since you opened the page" pill on the section header
     try {
-      const { count } = await api(`/detections/new?since=${loadedAt}`);
+      const { count = 0 } = await api(`/detections/new?since=${loadedAt}`);
       const h2 = cardsWrap.querySelector("h2");
       let pill = h2.querySelector(".pill");
       if (!pill) {
@@ -506,7 +507,7 @@ async function renderLive(card) {
 async function renderSpeciesGrid(card) {
   card.append(el("h2", {}, t("todays_species")));
   try {
-    const { species } = await api("/analytics/species/daily");
+    const { species = [] } = await api("/analytics/species/daily");
     if (!species.length) {
       card.append(el("div", { class: "empty" }, t("no_data")));
       return;

@@ -237,7 +237,7 @@ export async function detectionDetailView(outlet, rest) {
   async function renderNotes(host) {
     let commentList = [];
     try {
-      ({ comments: commentList } = await api(`/detections/${id}/comments`));
+      ({ comments: commentList = [] } = await api(`/detections/${id}/comments`));
     } catch (e) { /* empty thread */ }
     const list = el("div", {});
     const paint = () => {
@@ -317,7 +317,7 @@ export async function detectionDetailView(outlet, rest) {
         } }, "🗑 " + t("delete"))));
     // review history
     try {
-      const { reviews } = await api(`/detections/${id}/reviews`);
+      const { reviews = [] } = await api(`/detections/${id}/reviews`);
       if (reviews && reviews.length) {
         host.append(el("h3", {}, t("history")),
           el("div", {}, reviews.map((r) => el("div", { class: "sub" },

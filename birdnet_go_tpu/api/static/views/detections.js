@@ -249,7 +249,7 @@ export async function detectionsView(outlet) {
                    offset: state.offset };
     let detections, count, total;
     try {
-      ({ detections, count, total } = await api("/detections/search",
+      ({ detections = [], count = 0, total = 0 } = await api("/detections/search",
                                                 { method: "POST", body }));
     } catch (e) { toast(e.message, true); return; }
     // a re-render detaches players — a detached HTMLMediaElement keeps

@@ -25,7 +25,7 @@ export async function notificationsView(outlet) {
   subscribe("/notifications/stream", render);
 
   async function render() {
-    const { notifications } = await api("/notifications?limit=100");
+    const { notifications = [] } = await api("/notifications?limit=100");
     clear(list);
     if (!notifications.length) {
       list.append(el("div", { class: "empty" }, t("no_data")));
@@ -92,8 +92,10 @@ export async function modelsView(outlet) {
             } }, t("load"))])));
     clear(catalogCard);
     catalogCard.append(el("h2", {}, t("catalog")));
+    const installedList = Array.isArray(installed)
+      ? installed : (installed?.installed || installed?.models || []);
     const installedIds = new Set(
-      (installed || []).map((i) => i.model_id || i.id));
+      installedList.map((i) => i.model_id || i.id));
     catalogCard.append(table(
       [t("model"), t("description"), t("size"), ""],
       (Array.isArray(catalog) ? catalog : []).map((c) => [
@@ -157,7 +159,7 @@ export async function speciesView(outlet, rest) {
     const q = search.value.trim();
     clear(results);
     if (q.length < 2) { renderDetected(); return; }
-    const { species } = await api(`/species/search?q=${encodeURIComponent(q)}`);
+    const { species = [] } = await api(`/species/search?q=${encodeURIComponent(q)}`);
     results.append(table([t("common_name"), t("scientific"), t("taxonomy")],
       species.map((s) => [s.common_name,
         el("em", {}, s.scientific_name),
@@ -173,7 +175,7 @@ export async function speciesView(outlet, rest) {
 
   await renderDetected();
   async function renderDetected() {
-    const { species } = await api("/species");
+    const { species = [] } = await api("/species");
     clear(results);
     results.append(el("h2", {}, t("detected_species")));
     if (!species.length) {
@@ -265,13 +267,13 @@ async function speciesPage(outlet, sci) {
     .catch(() => null);
 
   const weeks = await phenoP;
-  if (weeks && weeks.some((w) => w.count > 0)) {
+  if (Array.isArray(weeks) && weeks.some((w) => w.count > 0)) {
     charts.append(card(t("phenology"), barChart(weeks.map((w) => ({
       label: String(w.week), value: w.count })),
       { xLabelEvery: 4, height: 150 })));
   }
   const tod = await todP;
-  if (tod && tod.species.length) {
+  if (tod && Array.isArray(tod.species) && tod.species.length) {
     charts.append(card(t("activity_clock"),
                        radialClock(tod.species[0].hourly)));
   }
@@ -290,7 +292,7 @@ async function speciesPage(outlet, sci) {
 
   // recent detections of this species
   {
-    const { detections } = (await detP) || { detections: [] };
+    const { detections = [] } = (await detP) || {};
     if (detections.length) {
       outlet.append(el("div", { class: "card" },
         el("h2", {}, t("recent_detections")),
@@ -317,7 +319,7 @@ function speciesThumb(scientific) {
 async function renderTree(card) {
   card.append(el("h2", {}, t("taxonomy")));
   try {
-    const { tree, genera, species } = await api("/taxonomy/tree");
+    const { tree = {}, genera = 0, species = 0 } = await api("/taxonomy/tree");
     card.append(el("p", { class: "sub" },
       `${genera ?? Object.keys(tree).length} genera · `
       + `${species ?? "?"} species in the primary model`));
@@ -350,7 +352,7 @@ async function renderTree(card) {
 async function renderExtras(card) {
   card.append(el("h2", {}, t("name_dictionaries")));
   try {
-    const { locales } = await api("/species/locales");
+    const { locales = [] } = await api("/species/locales");
     const sel = el("select", {}, (locales || []).map((l) =>
       el("option", { value: l }, l)));
     card.append(el("div", { class: "row" }, sel,
@@ -446,7 +448,7 @@ export async function importsView(outlet) {
       // viewInterval: survives a failed poll (server restart mid-import)
       // and dies with the view instead of firing forever
       const timer = viewInterval(async () => {
-        const { jobs } = await api("/imports/jobs");
+        const { jobs = [] } = await api("/imports/jobs");
         renderJobs();
         if (!jobs.some((j) => j.status === "running"
                         || j.status === "pending")) clearInterval(timer);
@@ -455,7 +457,7 @@ export async function importsView(outlet) {
   }
 
   async function renderJobs() {
-    const { jobs } = await api("/imports/jobs");
+    const { jobs = [] } = await api("/imports/jobs");
     clear(jobsCard);
     jobsCard.append(el("h2", {}, t("jobs")));
     if (!jobs.length) {

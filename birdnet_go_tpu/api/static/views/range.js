@@ -62,7 +62,7 @@ export async function rangeView(outlet) {
       const res = Number(resolution.value);
       const data = await api(
         `/range/heatmap?resolution=${res}&week=${week.value}`);
-      const { lats, lons, values } = data;
+      const { lats = [], lons = [], values = [] } = data;
       const g = canvas.getContext("2d");
       g.clearRect(0, 0, canvas.width, canvas.height);
       let max = 0;
@@ -94,7 +94,7 @@ export async function rangeView(outlet) {
 
   // ---- per-species scores at the configured location ----
   try {
-    const { species } = await api("/range/species/scores?limit=25");
+    const { species = [] } = await api("/range/species/scores?limit=25");
     scoresCard.append(el("h2", {}, t("top_species_here")),
       species && species.length
         ? table([t("species"), t("score")], species.map((s) => [
@@ -134,7 +134,7 @@ export async function rangeView(outlet) {
 
   // ---- included species list ----
   try {
-    const [{ species }, { count }] = await Promise.all([
+    const [{ species = [] }, { count = 0 }] = await Promise.all([
       api("/range/species/list"), api("/range/species/count")]);
     listCard.append(el("h2", {}, `Included species (${fmtNum(count)})`));
     if (!species.length) {

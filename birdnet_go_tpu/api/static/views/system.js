@@ -25,7 +25,7 @@ export async function systemView(outlet) {
     const h = await api("/health");
     grid.append(card(`${t("health")} — ${h.status}`, table(
       [t("check"), t("state"), t("detail")],
-      h.checks.map((c) => [c.name,
+      (h.checks || []).map((c) => [c.name,
         el("span", { class: "pill " + (c.healthy ? "good" : "bad") },
            c.healthy ? "ok" : "failing"), c.detail]))));
   } catch (e) { grid.append(card(t("health"), err(e))); }
@@ -45,7 +45,7 @@ export async function systemView(outlet) {
 
   // resource history sparklines (system metrics history)
   try {
-    const { samples } = await api("/system/metrics/history?limit=120");
+    const { samples = [] } = await api("/system/metrics/history?limit=120");
     if (samples.length > 1) {
       const row = (label, key) => el("div", { class: "row" },
         el("span", { class: "sub", style: "width:90px" }, label),
@@ -71,7 +71,7 @@ export async function systemView(outlet) {
         String(m.last_latency_ms != null
                ? Math.round(m.last_latency_ms) : "–")])));
     try {
-      const { summary, spans } = await api("/system/inference/spans"
+      const { summary = {}, spans = [] } = await api("/system/inference/spans"
                                            + "?limit=120");
       if (spans.length > 1) {
         body.append(el("div", { class: "row", style: "margin-top:6px" },
@@ -122,7 +122,7 @@ export async function systemView(outlet) {
 
   // processes + disks
   try {
-    const { processes } = await api("/system/processes?limit=8");
+    const { processes = [] } = await api("/system/processes?limit=8");
     grid.append(card(t("processes"), table(
       ["PID", t("name"), "RSS", "CPU s"],
       processes.map((p) => [String(p.pid), p.name,
@@ -130,7 +130,7 @@ export async function systemView(outlet) {
         String(p.cpu_seconds)]))));
   } catch (e) { grid.append(card(t("processes"), err(e))); }
   try {
-    const { disks } = await api("/system/disks");
+    const { disks = [] } = await api("/system/disks");
     grid.append(card(t("disks"), table(
       [t("mount"), "FS", t("used")],
       disks.map((d) => [d.mountpoint, d.fstype,
@@ -244,7 +244,7 @@ export async function systemView(outlet) {
 
   // devices
   try {
-    const { devices, alsa_available } = await api("/devices");
+    const { devices = [], alsa_available = false } = await api("/devices");
     grid.append(card(`${t("devices")} (ALSA ${alsa_available ? "✓" : "–"})`,
       devices.length ? table(["#", "ID", t("description"), "PCM"],
         devices.map((d) => [String(d.index), d.id, d.description,
@@ -265,7 +265,7 @@ export async function systemView(outlet) {
 
   // control signals
   try {
-    const { signals } = await api("/system/control/signals");
+    const { signals = [] } = await api("/system/control/signals");
     const sel = el("select", {}, signals.map((s) =>
       el("option", { value: s }, s)));
     grid.append(card(t("control_bus"), el("div", { class: "row" }, sel,

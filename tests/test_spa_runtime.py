@@ -552,11 +552,12 @@ def test_gate_fails_on_injected_view_error(tmp_path):
     # sabotage the view's entry: first statement dereferences undefined
     needle = "export async function dashboardView"
     assert needle in src
-    src = src.replace(
-        needle + "(view",
-        needle + "(view, __rest) { undefined.boom; }\n"
-        "async function __disabledDashboardView(view", 1)
-    dash.write_text(src)
+    sabotaged = src.replace(
+        needle,
+        needle + "(...__args) { undefined.boom; }\n"
+        "async function __disabledDashboardView", 1)
+    assert sabotaged != src, "sabotage did not apply"
+    dash.write_text(sabotaged)
 
     def fake_fetch(url, method, headers, body):
         return 200, b"{}", [("Content-Type", "application/json")]
@@ -569,6 +570,29 @@ def test_gate_fails_on_injected_view_error(tmp_path):
     caught = session.errors or any(sig in rendered
                                    for sig in ERROR_SIGNATURES)
     assert caught, "gate failed to surface an injected view TypeError"
+
+
+def test_degraded_api_renders_no_typeerrors():
+    """Every view must tolerate valid-but-empty API payloads ({} for
+    every route): an older server, a proxy stripping fields, or a
+    mid-migration deployment must degrade to empty states, never to
+    TypeError text in an error boundary.  This sweep found (and now
+    guards) 18 unguarded field accesses across 7 view modules."""
+    from birdnet_go_tpu.jsrt.runner import BrowserSession
+
+    def empty_fetch(url, method, headers, body):
+        return 200, b"{}", [("Content-Type", "application/json")]
+
+    session = BrowserSession("http://degraded", fetch_fn=empty_fetch)
+    session.boot()
+    assert not session.errors, "\n".join(session.errors)
+    for view in VIEWS + ["detection/1", "species/Turdus%20merula"]:
+        session.navigate(view)
+        assert not session.errors, f"{view}: " + "\n".join(session.errors)
+        txt = session.text().lower()
+        hits = [sig for sig in ERROR_SIGNATURES if sig in txt]
+        assert not hits, (f"view {view} leaked a TypeError under a "
+                          f"degraded API: {hits}\n{session.text()[:400]}")
 
 
 def test_gate_fails_on_unregistered_route(tmp_path):
