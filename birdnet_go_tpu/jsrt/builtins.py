@@ -81,12 +81,30 @@ def _js_regex_to_py(src):
 
 
 def regex_member(interp, rx: JSRegExp, name):
+    sticky = "g" in rx.flags or "y" in rx.flags
+
+    def _search(s):
+        """Search honoring lastIndex for /g regexes (JS semantics: exec
+        and test advance lastIndex so while-exec loops terminate)."""
+        start = rx.last_index if sticky else 0
+        if start > len(s):
+            rx.last_index = 0
+            return None
+        m = rx.regex.search(s, start)
+        if m is None:
+            if sticky:
+                rx.last_index = 0
+            return None
+        if sticky:
+            # zero-width matches still advance (JS moves one forward)
+            rx.last_index = m.end() if m.end() > m.start() else m.end() + 1
+        return m
+
     if name == "test":
-        return nf("test", lambda i, t, a:
-                  rx.regex.search(_s(a, 0)) is not None)
+        return nf("test", lambda i, t, a: _search(_s(a, 0)) is not None)
     if name == "exec":
         def _exec(i, t, a):
-            m = rx.regex.search(_s(a, 0))
+            m = _search(_s(a, 0))
             if m is None:
                 return None
             arr = JSArray([m.group(0)]
@@ -214,18 +232,22 @@ def string_member(interp, s: str, name):
                 return pat.regex.sub(dollar, s, count=count)
             pstr = js_str(pat)
             if is_callable(rep):
-                def do_one(txt):
-                    idx = txt.find(pstr)
+                # scan forward from the end of each replacement so a
+                # replacement containing the pattern can't loop forever
+                out = []
+                pos = 0
+                while True:
+                    idx = s.find(pstr, pos)
                     if idx < 0:
-                        return txt, False
-                    rv = js_str(i.call(rep, UNDEF, [pstr, idx, s]))
-                    return txt[:idx] + rv + txt[idx + len(pstr):], True
-                out, changed = do_one(s)
-                while is_all and changed:
-                    out2, changed = do_one(out)
-                    if changed:
-                        out = out2
-                return out
+                        out.append(s[pos:])
+                        break
+                    out.append(s[pos:idx])
+                    out.append(js_str(i.call(rep, UNDEF, [pstr, idx, s])))
+                    pos = idx + max(len(pstr), 1)
+                    if not is_all:
+                        out.append(s[pos:])
+                        break
+                return "".join(out)
             rs = js_str(rep)
             return s.replace(pstr, rs) if is_all else s.replace(pstr, rs, 1)
         return nf(name, _replace)
@@ -235,7 +257,9 @@ def string_member(interp, s: str, name):
             if not isinstance(pat, JSRegExp):
                 pat = make_regex(js_str(pat), "")
             if "g" in pat.flags:
-                found = pat.regex.findall(s)
+                # findall would yield group TUPLES for patterns with
+                # captures; JS g-match returns whole-match strings
+                found = [m.group(0) for m in pat.regex.finditer(s)]
                 return JSArray(found) if found else None
             mo = pat.regex.search(s)
             if mo is None:
@@ -1460,7 +1484,9 @@ def _parse_int(s, radix=10):
     neg = s.startswith("-")
     if s[:1] in "+-":
         s = s[1:]
-    if radix == 16 and s[:2].lower() == "0x":
+    if s[:2].lower() == "0x" and radix in (10, 16):
+        # JS auto-detects the 0x prefix with the default radix
+        radix = 16
         s = s[2:]
     digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
     out = 0

@@ -37,6 +37,7 @@ class Event(HostObject):
         self.fields = fields
         self.default_prevented = False
         self.propagation_stopped = False
+        self.immediate_stopped = False
 
     def js_get(self, name):
         if name == "type":
@@ -51,11 +52,19 @@ class Event(HostObject):
                 self.default_prevented = True
                 return UNDEF
             return nf("preventDefault", _pd)
-        if name == "stopPropagation" or name == "stopImmediatePropagation":
+        if name == "stopPropagation":
             def _sp(i, t, a):
+                # remaining listeners on the SAME node still run; only
+                # the bubble to ancestors stops
                 self.propagation_stopped = True
                 return UNDEF
             return nf(name, _sp)
+        if name == "stopImmediatePropagation":
+            def _sip(i, t, a):
+                self.propagation_stopped = True
+                self.immediate_stopped = True
+                return UNDEF
+            return nf(name, _sip)
         if name in self.fields:
             return self.fields[name]
         defaults = {"key": "", "clientX": 0, "clientY": 0, "data": "",
@@ -88,7 +97,7 @@ class EventTargetMixin:
         event.current_target = self
         for fn in list(self._listeners().get(event.type, [])):
             interp.call(fn, self, [event])
-            if event.propagation_stopped:
+            if getattr(event, "immediate_stopped", False):
                 break
 
 
@@ -607,6 +616,9 @@ class Element(Node):
                 tn = TextNode(js_str(value))
                 tn.parent = self
                 self.children.append(tn)
+            # childList observers must see textContent replacement too
+            if getattr(self.doc, "interp", None) is not None:
+                self.doc.notify_mutation(self.doc.interp, self)
             return
         if name == "value":
             self.props["value"] = js_str(value)
@@ -757,33 +769,32 @@ def matches(el, groups):
 
 
 def _match_chain(el, chain):
-    # match last compound against el, then walk ancestors for the rest
+    # match last compound against el, then the rest against ancestors
+    # WITH backtracking: committing to the nearest matching ancestor is
+    # wrong when the chain mixes descendant and '>' combinators
     idx = len(chain) - 1
     if idx < 0 or not _match_compound(el, chain[idx]):
         return False
-    node = el.parent
-    idx -= 1
-    require_parent = False
-    while idx >= 0:
-        part = chain[idx]
-        if part == ">":
-            require_parent = True
-            idx -= 1
-            continue
-        if require_parent:
-            if node is None or not _match_compound(node, part):
-                return False
-            node = node.parent
-            require_parent = False
-            idx -= 1
-            continue
-        while node is not None and not _match_compound(node, part):
-            node = node.parent
-        if node is None:
+    return _match_ancestors(el.parent, chain, idx - 1)
+
+
+def _match_ancestors(node, chain, idx):
+    if idx < 0:
+        return True
+    part = chain[idx]
+    if part == ">":
+        if idx - 1 < 0 or node is None:
             return False
-        node = node.parent
-        idx -= 1
-    return True
+        if not _match_compound(node, chain[idx - 1]):
+            return False
+        return _match_ancestors(node.parent, chain, idx - 2)
+    n = node
+    while n is not None:
+        if _match_compound(n, part) \
+                and _match_ancestors(n.parent, chain, idx - 1):
+            return True
+        n = n.parent
+    return False
 
 
 def _match_compound(el, c):
@@ -851,6 +862,7 @@ class Document(Node):
     def __init__(self):
         self.doc = self
         self.parent = None
+        self.interp = None                # set by the owning session
         self.listeners = {}
         self.root = Element(self, "html")
         self.body = Element(self, "body")

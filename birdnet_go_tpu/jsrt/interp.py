@@ -90,7 +90,14 @@ class Scope:
 
 class Interp:
     def __init__(self, global_scope: Scope | None = None):
+        import sys
+
         from . import builtins as _b
+        # each JS frame costs ~15 Python frames: the 400-frame JS guard
+        # in call() needs ~6k Python frames of headroom or Python's own
+        # RecursionError escapes as a raw crash before the JS RangeError
+        if sys.getrecursionlimit() < 20_000:
+            sys.setrecursionlimit(20_000)
         self.globals = global_scope or Scope(is_function=True)
         self.microtasks = []              # list of (fn,) thunks
         self.timers = {}                  # id -> (due, fn, interval_ms|None)
@@ -215,7 +222,6 @@ class Interp:
         if not isinstance(value, JSPromise):
             self.run_microtasks()
             return value
-        spins = 0
         while value.state == "pending":
             if self.microtasks:
                 self.run_microtasks()
@@ -225,8 +231,6 @@ class Interp:
             raise DeadlockError(
                 f"await at {self.cur_path}:{self.cur_line} can never "
                 "settle (no pending jobs)")
-        if spins > 1_000_000:  # pragma: no cover
-            raise DeadlockError("await spun out")
         if value.state == "rejected":
             raise JSThrow(value.value)
         return value.value
@@ -617,8 +621,19 @@ class Interp:
                 return UNDEF
         if typ == "update":
             _, op, prefix, target = node
+            delta = 1 if op == "++" else -1
+            if target[0] == "member":
+                # evaluate the object expression ONCE — obj().n++ must
+                # not call obj() twice
+                obj = self.eval(target[1], scope)
+                name = (js_str(self.eval(target[2], scope)) if target[3]
+                        else target[2])
+                cur = to_number(self.get_member(obj, name))
+                new = js_num_add(cur, delta)
+                self.set_member(obj, name, new)
+                return new if prefix else cur
             cur = to_number(self.eval(target, scope))
-            new = js_num_add(cur, 1 if op == "++" else -1)
+            new = js_num_add(cur, delta)
             self.assign_target(target, new, scope)
             return new if prefix else cur
         if typ == "seq":
@@ -730,6 +745,8 @@ class Interp:
             if isinstance(name, str) and name.lstrip("-").isdigit():
                 i = int(name)
                 return (obj.items[i] if 0 <= i < len(obj.items) else UNDEF)
+            if obj.props and name in obj.props:
+                return obj.props[name]
             return self._b.array_member(self, obj, name)
         if isinstance(obj, JSObject):
             if name in obj.props:
@@ -775,6 +792,11 @@ class Interp:
                     obj.items.append(UNDEF)
                 obj.items[i] = value
                 return
+            # expando property on an array — legal JS (a.total = 5)
+            if obj.props is None:
+                obj.props = {}
+            obj.props[name] = value
+            return
         if isinstance(obj, JSRegExp) and name == "lastIndex":
             obj.last_index = int(to_number(value))
             return

@@ -197,9 +197,14 @@ class Parser:
                 break
         return ("var", kind, decls)
 
+    _CONTEXTUAL = ("get", "set", "of", "from", "async", "static")
+
     def func_decl(self, is_async):
         self.expect("kw", "function")
-        name = self.expect("ident").value
+        if self.at_any("kw", self._CONTEXTUAL):
+            name = self.next().value          # contextual keyword as name
+        else:
+            name = self.expect("ident").value
         params = self.param_list()
         body = self.block()
         return ("func", name, params, body, is_async)

@@ -532,6 +532,7 @@ class BrowserSession:
         self.interp = Interp()
         self.loader = ModuleLoader(self.interp, static_dir)
         self.doc = Document()
+        self.doc.interp = self.interp
         self.event_sources = []
         self.websockets = []
         self.fetch_log = []
@@ -886,10 +887,16 @@ class _SWCacheStorage(HostObject):
             return nf("delete", _del)
         if name == "match":
             def _match(i, t, a):
-                for store in self.caches.values():
-                    cache = _SWCache(store)
-                    return cache.js_get("match").fn(i, t, a)
+                from urllib.parse import urlsplit
+                req = a[0]
+                url = (_str(i, req.js_get("url"))
+                       if isinstance(req, HostObject) else _str(i, req))
+                path = urlsplit(url).path or url
                 p = i.promise()
+                for store in self.caches.values():
+                    if path in store:        # first cache with a hit wins
+                        i.resolve_promise(p, store[path])
+                        return p
                 i.resolve_promise(p, UNDEF)
                 return p
             return nf("match", _match)

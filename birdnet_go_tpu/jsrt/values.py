@@ -42,10 +42,11 @@ class JSObject:
 
 
 class JSArray:
-    __slots__ = ("items",)
+    __slots__ = ("items", "props")
 
     def __init__(self, items=None):
         self.items = items if items is not None else []
+        self.props = None                 # expando properties (rare)
 
     def __repr__(self):  # pragma: no cover
         return f"JSArray({self.items!r})"

@@ -141,6 +141,112 @@ def test_debounce_timer_coalesces():
     assert scope.get("r") == 1
 
 
+# -------------------------------------------- review-finding regressions
+
+def test_replaceall_callback_containing_pattern_terminates():
+    assert result("let r = 'aba'.replaceAll('a', (m) => 'aa');") == "aabaa"
+
+
+def test_global_regex_exec_loop_terminates():
+    scope, _ = run("""
+        const re = /a/g;
+        let n = 0;
+        while (re.exec('aaa') !== null && n < 10) n++;
+        let r = n;
+    """)
+    assert scope.get("r") == 3
+
+
+def test_global_regex_test_advances_lastindex():
+    scope, _ = run("""
+        const re = /\\d+/g;
+        let r = [re.test('a1b22'), re.test('a1b22'), re.test('a1b22')]
+            .join(',');
+    """)
+    assert scope.get("r") == "true,true,false"
+
+
+def test_deep_recursion_raises_js_rangeerror_not_python_crash():
+    scope, _ = run("""
+        function f(n){ return n <= 0 ? 0 : f(n - 1) + 1; }
+        let r;
+        try { f(2000); r = 'no-limit'; }
+        catch (e) { r = e.name; }
+    """)
+    assert scope.get("r") == "RangeError"
+
+
+def test_array_expando_property_is_legal():
+    assert result("const a = [1, 2]; a.total = 5; let r = a.total + a.length;") == 7
+
+
+def test_global_match_with_groups_returns_whole_matches():
+    assert js_str(result(
+        "let r = 'a1 b2'.match(/([a-z])(\\d)/g).join('+');")) == "a1+b2"
+
+
+def test_member_update_evaluates_object_once():
+    scope, _ = run("""
+        let calls = 0;
+        const o = { n: 1 };
+        function get(){ calls++; return o; }
+        get().n++;
+        let r = calls * 10 + o.n;
+    """)
+    assert scope.get("r") == 12
+
+
+def test_parseint_autodetects_hex_prefix():
+    assert result("let r = parseInt('0x10');") == 16
+
+
+def test_stoppropagation_keeps_same_node_listeners():
+    s = _dom_session()
+    scope = _run_in(s, """
+        const b = document.createElement('button');
+        const outer = document.createElement('div');
+        outer.append(b);
+        document.body.append(outer);
+        let seq = [];
+        b.addEventListener('click', (ev) => { seq.push('one'); ev.stopPropagation(); });
+        b.addEventListener('click', () => seq.push('two'));
+        outer.addEventListener('click', () => seq.push('outer'));
+        b.click();
+        let r = seq.join(',');
+    """)
+    assert scope.get("r") == "one,two"
+
+
+def test_textcontent_assignment_notifies_observers():
+    s = _dom_session()
+    scope = _run_in(s, """
+        const host = document.createElement('div');
+        host.append(document.createElement('span'));
+        document.body.append(host);
+        let r = 0;
+        new MutationObserver((_, obs) => { obs.disconnect(); r = 1; })
+          .observe(host, { childList: true });
+        host.textContent = '';
+    """)
+    assert scope.get("r") == 1
+
+
+def test_selector_backtracking_mixed_combinators():
+    s = _dom_session()
+    scope = _run_in(s, """
+        // div.a.x > div.b > div.a > div.b > span — ".x > .b span" must
+        // match via the OUTER .b even though the inner .b is nearer
+        const mk = (cls) => { const d = document.createElement('div');
+                              d.className = cls; return d; };
+        const x = mk('a x'), b1 = mk('b'), a2 = mk('a'), b2 = mk('b');
+        const leaf = document.createElement('span');
+        b2.append(leaf); a2.append(b2); b1.append(a2); x.append(b1);
+        document.body.append(x);
+        let r = leaf.matches('.x > .b span');
+    """)
+    assert scope.get("r") is True
+
+
 # ------------------------------------------------------------------ DOM
 
 def _dom_session():
