@@ -46,15 +46,22 @@ class DeadlockError(RuntimeError):
 
 
 class Scope:
-    __slots__ = ("vars", "parent", "is_function")
+    __slots__ = ("vars", "parent", "is_function", "consts")
 
     def __init__(self, parent=None, is_function=False):
         self.vars = {}
         self.parent = parent
         self.is_function = is_function
+        self.consts = None                # names declared const (lazy)
 
-    def declare(self, name, value=UNDEF):
+    def declare(self, name, value=UNDEF, const=False):
         self.vars[name] = value
+        if const:
+            if self.consts is None:
+                self.consts = set()
+            self.consts.add(name)
+        elif self.consts is not None:
+            self.consts.discard(name)
 
     def declare_var(self, name):
         s = self
@@ -85,6 +92,9 @@ class Scope:
             # module code where this would be a ReferenceError
             raise JSThrow.error(None, "ReferenceError",
                                 f"{name} is not defined")
+        if s.consts is not None and name in s.consts:
+            raise JSThrow.type_error(
+                f"assignment to constant variable '{name}'")
         s.vars[name] = value
 
 
@@ -280,9 +290,11 @@ class Interp:
             self.eval(s[1], scope)
             return
         if typ == "var":
+            is_const = s[1] == "const"
             for pat, init in s[2]:
                 val = self.eval(init, scope) if init is not None else UNDEF
-                self.bind_pattern(pat, val, scope, declare=True)
+                self.bind_pattern(pat, val, scope, declare=True,
+                                  const=is_const)
             return
         if typ == "func":
             # already hoisted; re-binding keeps later textual defs correct
@@ -357,7 +369,8 @@ class Interp:
                 if kind is None:
                     self.assign_pattern(pat, item, scope)
                 else:
-                    self.bind_pattern(pat, item, iscope, declare=True)
+                    self.bind_pattern(pat, item, iscope, declare=True,
+                                      const=kind == "const")
                 try:
                     self.exec_stmt(body, iscope, module)
                 except BreakEx:
@@ -423,7 +436,8 @@ class Interp:
                     raise JSThrow.type_error(
                         f"{s[2]} has no export named '{imported}' "
                         f"(imported by {module.path})")
-                scope.declare(local, ns.exports[imported])
+                # ES import bindings are immutable
+                scope.declare(local, ns.exports[imported], const=True)
             return
         if typ == "export":
             inner = s[1]
@@ -859,8 +873,8 @@ class Interp:
 
     # ====================================================== destructuring
 
-    def bind_pattern(self, pat, value, scope, declare=False):
-        self._pattern(pat, value, scope, declare)
+    def bind_pattern(self, pat, value, scope, declare=False, const=False):
+        self._pattern(pat, value, scope, declare, const)
 
     def assign_pattern(self, pat, value, scope):
         self._pattern(pat, value, scope, False)
@@ -877,11 +891,11 @@ class Interp:
             raise JSThrow.type_error(
                 f"invalid assignment target {target[0]}")
 
-    def _pattern(self, pat, value, scope, declare):
+    def _pattern(self, pat, value, scope, declare, const=False):
         typ = pat[0]
         if typ == "pid":
             if declare:
-                scope.declare(pat[1], value)
+                scope.declare(pat[1], value, const=const)
             else:
                 scope.set(pat[1], value)
             return
@@ -891,7 +905,7 @@ class Interp:
         if typ == "pdefault":
             if value is UNDEF:
                 value = self.eval(pat[2], scope)
-            self._pattern(pat[1], value, scope, declare)
+            self._pattern(pat[1], value, scope, declare, const)
             return
         if typ == "parr":
             items = self.js_iterate(value)
@@ -902,11 +916,11 @@ class Interp:
                 v = items[i] if i < len(items) else UNDEF
                 if v is UNDEF and default is not None:
                     v = self.eval(default, scope)
-                self._pattern(sub, v, scope, declare)
+                self._pattern(sub, v, scope, declare, const)
             if pat[2] is not None:
                 rest = JSArray(list(items[len(pat[1]):]))
                 if declare:
-                    scope.declare(pat[2], rest)
+                    scope.declare(pat[2], rest, const=const)
                 else:
                     scope.set(pat[2], rest)
             return
@@ -922,13 +936,13 @@ class Interp:
                 v = self.get_member(value, k)
                 if v is UNDEF and default is not None:
                     v = self.eval(default, scope)
-                self._pattern(sub, v, scope, declare)
+                self._pattern(sub, v, scope, declare, const)
             if pat[2] is not None:
                 rest = JSObject({k: self.get_member(value, k)
                                  for k in self.js_keys(value)
                                  if k not in used})
                 if declare:
-                    scope.declare(pat[2], rest)
+                    scope.declare(pat[2], rest, const=const)
                 else:
                     scope.set(pat[2], rest)
             return
@@ -1090,6 +1104,8 @@ def js_num_add(a, b):
 
 
 def js_neg(n):
+    if n == 0:
+        return -float(n)                  # preserve signed zero
     return -n
 
 
@@ -1109,7 +1125,9 @@ def binary_op(op, left, right):
         if rn == 0:
             if (isinstance(ln, float) and math.isnan(ln)) or ln == 0:
                 return float("nan")
-            return float("inf") if (ln > 0) == (rn >= 0) else float("-inf")
+            # signed zero: 1/-0 is -Infinity
+            rpos = math.copysign(1.0, float(rn)) > 0
+            return float("inf") if (ln > 0) == rpos else float("-inf")
         return ln / rn
     if op == "%":
         ln, rn = to_number(left), to_number(right)

@@ -323,10 +323,7 @@ class Parser:
                         f"{self.path}:{tok.line}: bad import specifier")
                 imported = tok.value
                 local = imported
-                if self.at("kw", "from") and not self.at("punct", "}"):
-                    pass
-                if self.eat("ident", "as") or (self.at("ident")
-                                               and self.peek().value == "as"):
+                if self.eat("ident", "as"):
                     local = self.expect("ident").value
                 specs.append((imported, local))
                 if not self.eat("punct", ","):

@@ -247,6 +247,23 @@ def test_selector_backtracking_mixed_combinators():
     assert scope.get("r") is True
 
 
+def test_const_reassignment_throws():
+    scope, _ = run("""
+        const c = 1;
+        let r;
+        try { c = 2; r = 'no-error'; } catch (e) { r = e.name; }
+    """)
+    assert scope.get("r") == "TypeError"
+
+
+def test_let_shadowing_const_name_is_fine():
+    assert result("const c = 1; { let c = 5; c = 6; } let r = c;") == 1
+
+
+def test_negative_zero_division():
+    assert js_str(result("let r = 1 / -0;")) == "-Infinity"
+
+
 # ------------------------------------------------------------------ DOM
 
 def _dom_session():
