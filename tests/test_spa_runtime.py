@@ -572,6 +572,45 @@ def test_gate_fails_on_injected_view_error(tmp_path):
     assert caught, "gate failed to surface an injected view TypeError"
 
 
+def test_system_backup_now_and_verify_flow(spa):
+    """Drive the System page's database panel: Backup now writes a real
+    archive, Verify backup decrypts + hash-audits + integrity-checks it
+    (reference backup/restore verification path), all through the UI."""
+    _, session = spa
+    session.navigate("system")
+
+    def button(label):
+        btns = [b for b in session.query("button")
+                if b.text_content().strip() == label]
+        assert btns, f"{label!r} button not rendered"
+        return btns[0]
+
+    session.click(button("Backup now"))
+    _assert_clean(session, "backup now")
+    assert ("POST", "/api/v2/system/database/backup", 200) \
+        in session.fetch_log
+    toasts = session.query(".toast")
+    assert toasts and "Backup written" in toasts[-1].text_content()
+
+    session.click(button("Verify backup"))
+    _assert_clean(session, "verify backup")
+    assert ("POST", "/api/v2/system/database/backup/verify", 200) \
+        in session.fetch_log
+    toasts = session.query(".toast")
+    assert toasts and "verified" in toasts[-1].text_content().lower()
+
+
+def test_range_rebuild_flow(spa):
+    _, session = spa
+    session.navigate("range")
+    btns = [b for b in session.query("button")
+            if b.text_content().strip() == "Rebuild now"]
+    assert btns, "range rebuild button not rendered"
+    session.click(btns[0])
+    _assert_clean(session, "range rebuild")
+    assert ("POST", "/api/v2/range/rebuild", 200) in session.fetch_log
+
+
 def test_degraded_api_renders_no_typeerrors():
     """Every view must tolerate valid-but-empty API payloads ({} for
     every route): an older server, a proxy stripping fields, or a
