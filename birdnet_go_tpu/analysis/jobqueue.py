@@ -144,6 +144,7 @@ class JobQueue:
             PRIORITY_LOW: collections.deque(),
         }
         self._size = 0
+        self._inflight = 0   # popped but not yet terminal/requeued
         self._cv = threading.Condition()
         self._workers = workers
         self._threads: list[threading.Thread] = []
@@ -162,9 +163,17 @@ class JobQueue:
 
     def stop(self, drain: bool = True, timeout: float = 10.0) -> None:
         if drain:
+            # Drain on queued + in-flight, not pending() alone: a popped
+            # job is invisible to pending() while it executes, and if it
+            # fails with retry enabled it re-enters the queue AFTER a
+            # pending()==0 sample — stop would then strand it (ledger off
+            # by one; the r4 stress flake).
             deadline = time.monotonic() + timeout
-            while self.pending() and time.monotonic() < deadline:
+            while self.outstanding() and time.monotonic() < deadline:
                 time.sleep(0.01)
+            if self.outstanding():
+                log.warning("jobqueue stop: drain deadline hit with %d "
+                            "jobs outstanding", self.outstanding())
         self._stop.set()
         with self._cv:
             self._cv.notify_all()
@@ -235,6 +244,11 @@ class JobQueue:
         with self._cv:
             return self._size
 
+    def outstanding(self) -> int:
+        """Queued + in-flight work; drain is complete only at zero."""
+        with self._cv:
+            return self._size + self._inflight
+
     def pending_by_band(self) -> dict[int, int]:
         with self._cv:
             return {band: len(q) for band, q in self._bands.items()}
@@ -256,6 +270,7 @@ class JobQueue:
                         job = q.popleft()
                         if job.not_before <= now:
                             self._size -= 1
+                            self._inflight += 1
                             return job
                         q.append(job)       # not due yet, rotate
                 # only delayed retries pending: nap until one comes due
@@ -266,7 +281,14 @@ class JobQueue:
             job = self._pop()
             if job is None:
                 return
-            self._execute(job)
+            try:
+                self._execute(job)
+            finally:
+                # decrement only after the job is terminal-counted or
+                # requeued (where _size sees it again)
+                with self._cv:
+                    self._inflight -= 1
+                    self._cv.notify_all()
 
     def _execute(self, job: Job) -> None:
         job.status = JobStatus.RUNNING

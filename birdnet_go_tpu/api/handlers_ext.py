@@ -1526,16 +1526,28 @@ class ExtendedHandlers:
                 if section == "models" and isinstance(value, list):
                     self.ctx.settings.models = [
                         _merge_dataclass(ModelSettings(), v) for v in value]
-                elif dataclasses.is_dataclass(target) and isinstance(value,
-                                                                     dict):
+                elif dataclasses.is_dataclass(target):
+                    if not isinstance(value, dict):
+                        # same contract as the per-section PATCH: a scalar
+                        # must never replace a dataclass subtree
+                        restore_settings_in_place(self.ctx.settings,
+                                                  snapshot)
+                        return _json(
+                            {"error": f"section {section!r} requires an "
+                                      f"object body, got "
+                                      f"{type(value).__name__}"},
+                            status=400)
                     _merge_dataclass(target, value)
                 else:
                     setattr(self.ctx.settings, section, value)
                 updated.append(section)
             warnings = self.ctx.settings.validate()
-        except (TypeError, ValueError) as e:
+        except Exception as e:
+            # broad on purpose: the snapshot restore must ALWAYS run
+            # (advisor r4, medium — same hole as the PATCH path)
             restore_settings_in_place(self.ctx.settings, snapshot)
-            return _json({"error": str(e)}, status=400)
+            status = 400 if isinstance(e, (TypeError, ValueError)) else 500
+            return _json({"error": str(e)}, status=status)
         if self.ctx.control is not None and updated:
             # a full-document write may touch anything: fire the broad set
             for sig in (ControlSignal.RELOAD_THRESHOLDS,

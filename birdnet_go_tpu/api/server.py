@@ -1027,14 +1027,26 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             elif section == "models":
                 return _json({"error": "models section must be a list"},
                              status=400)
-            elif dataclasses.is_dataclass(target) and isinstance(body, dict):
+            elif dataclasses.is_dataclass(target):
+                if not isinstance(body, dict):
+                    # a scalar body would REPLACE the dataclass subtree
+                    # (settings.location = "hello") and validate() would
+                    # then AttributeError on every later request
+                    return _json(
+                        {"error": f"section {section!r} requires an "
+                                  f"object body, got "
+                                  f"{type(body).__name__}"}, status=400)
                 _merge_dataclass(target, body)
             else:
                 setattr(self.ctx.settings, section, body)
             warnings = self.ctx.settings.validate()
-        except (TypeError, ValueError) as e:
+        except Exception as e:
+            # broad on purpose: the snapshot restore must ALWAYS run —
+            # any escape here leaves the live tree corrupted for every
+            # later request (advisor r4, medium)
             restore_settings_in_place(self.ctx.settings, snapshot)
-            return _json({"error": str(e)}, status=400)
+            status = 400 if isinstance(e, (TypeError, ValueError)) else 500
+            return _json({"error": str(e)}, status=status)
         signals = {
             "range_filter": [ControlSignal.REBUILD_RANGE_FILTER],
             "species": [ControlSignal.RELOAD_SPECIES_CONFIG],

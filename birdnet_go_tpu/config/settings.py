@@ -535,7 +535,13 @@ def _coerce_scalar(annot: str, val: Any, key: str) -> Any:
     a schema-less null field serialized numbers as strings)."""
     if val is None:
         return None
-    if "float" in annot:
+    # Anchor on the first non-None union member: "float | None" → float
+    # branch, but "list[float]" / "dict[str, float]" must NOT — substring
+    # matching would coerce a scalar into a container-typed field, and
+    # unions outside the heuristics fell through silently (advisor r4).
+    members = [m.strip() for m in annot.split("|")] if annot else []
+    annot = next((m for m in members if m != "None"), "")
+    if annot == "float":
         if isinstance(val, bool):
             raise ValueError(f"{key}: expected number, got boolean")
         if isinstance(val, (int, float)):
@@ -547,7 +553,7 @@ def _coerce_scalar(annot: str, val: Any, key: str) -> Any:
                 raise ValueError(f"{key}: expected number, got {val!r}")
         raise ValueError(f"{key}: expected number, got "
                          f"{type(val).__name__}")
-    if annot.startswith("int") or " int" in annot:
+    if annot == "int":
         if isinstance(val, bool):
             raise ValueError(f"{key}: expected integer, got boolean")
         if isinstance(val, int):
@@ -561,12 +567,12 @@ def _coerce_scalar(annot: str, val: Any, key: str) -> Any:
                 raise ValueError(f"{key}: expected integer, got {val!r}")
         raise ValueError(f"{key}: expected integer, got "
                          f"{type(val).__name__}")
-    if annot == "bool" or annot.startswith("bool"):
+    if annot == "bool":
         if isinstance(val, bool):
             return val
         raise ValueError(f"{key}: expected boolean, got "
                          f"{type(val).__name__}")
-    if annot.startswith("str"):
+    if annot == "str":
         if isinstance(val, str):
             return val
         if isinstance(val, (int, float)) and not isinstance(val, bool):

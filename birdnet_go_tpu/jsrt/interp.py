@@ -136,6 +136,20 @@ class Interp:
     def clear_timer(self, tid):
         self.timers.pop(tid, None)
 
+    LOOP_BUDGET = 2_000_000   # per single loop execution
+
+    def _loop_tick(self, iters):
+        """Iteration budget for while/for/dowhile: an accidental infinite
+        loop in a view must fail the always-on CI gate with a
+        DeadlockError, not hang it (advisor r4). The budget is per loop
+        execution, mirroring run_microtasks' queue limit."""
+        iters += 1
+        if iters > self.LOOP_BUDGET:
+            raise DeadlockError(
+                f"loop at {self.cur_path}:{self.cur_line} exceeded "
+                f"{self.LOOP_BUDGET} iterations")
+        return iters
+
     def run_microtasks(self, limit=100_000):
         n = 0
         while self.microtasks:
@@ -160,12 +174,22 @@ class Interp:
         fn()
         return True
 
-    def drain_jobs(self, max_timer_fires=8):
+    def drain_jobs(self, max_timer_fires=8, settle_ms=1000.0):
         """Post-render settle: microtasks to exhaustion, then a bounded
-        number of timer fires (intervals would otherwise run forever)."""
+        number of timer fires (intervals would otherwise run forever).
+
+        Only timers due within `settle_ms` of virtual time fire — a real
+        browser does not run a 4 s toast-removal timeout in the immediate
+        aftermath of a click, and neither should the harness.  An `await`
+        inside a handler still drives long timers through await_value's
+        own loop, so sleeps longer than the horizon cannot deadlock."""
         self.run_microtasks()
+        horizon = self._vclock + settle_ms
         fires = 0
         while self.timers and fires < max_timer_fires:
+            tid = min(self.timers, key=lambda t: (self.timers[t][0], t))
+            if self.timers[tid][0] > horizon:
+                break
             if not self.fire_next_timer():
                 break
             self.run_microtasks()
@@ -316,7 +340,9 @@ class Interp:
                 self.exec_stmt(st, inner, module)
             return
         if typ == "while":
+            iters = 0
             while js_truthy(self.eval(s[1], scope)):
+                iters = self._loop_tick(iters)
                 try:
                     self.exec_stmt(s[2], scope, module)
                 except BreakEx:
@@ -325,7 +351,9 @@ class Interp:
                     continue
             return
         if typ == "dowhile":
+            iters = 0
             while True:
+                iters = self._loop_tick(iters)
                 try:
                     self.exec_stmt(s[1], scope, module)
                 except BreakEx:
@@ -340,7 +368,9 @@ class Interp:
             fscope = Scope(scope)
             if init is not None:
                 self.exec_stmt(init, fscope, module)
+            iters = 0
             while test is None or js_truthy(self.eval(test, fscope)):
+                iters = self._loop_tick(iters)
                 # per-iteration binding: copy loop vars so closures in the
                 # body capture this iteration's values (let semantics)
                 iscope = Scope(scope)

@@ -57,11 +57,19 @@ class ModuleLoader:
 
     def resolve(self, spec, referrer=None):
         if spec.startswith("/static/"):
-            return (self.static_dir / spec[len("/static/"):]).resolve()
-        if spec.startswith("/"):
-            return (self.static_dir / spec.lstrip("/")).resolve()
-        base = Path(referrer).parent if referrer else self.static_dir
-        return (base / spec).resolve()
+            path = (self.static_dir / spec[len("/static/"):]).resolve()
+        elif spec.startswith("/"):
+            path = (self.static_dir / spec.lstrip("/")).resolve()
+        else:
+            base = Path(referrer).parent if referrer else self.static_dir
+            path = (base / spec).resolve()
+        # confine to the SPA directory: a '../'-bearing spec must not
+        # escape static_dir (advisor r4)
+        root = self.static_dir.resolve()
+        if path != root and root not in path.parents:
+            raise JSThrow.type_error(
+                f"module not found: {spec} (outside static dir)")
+        return path
 
     def load(self, spec, referrer=None):
         path = self.resolve(spec, referrer)

@@ -49,6 +49,11 @@ def tiny_app(tmp_path, monkeypatch):
     settings.export.path = str(tmp_path / "clips")
     settings.export.clip_length_seconds = 4.0
     settings.export.pre_capture_seconds = 1.0
+    # local backup target so the System page's Backup now / Verify flow is
+    # exercisable (BackupManager's scheduler waits interval_hours before
+    # its first run, so this adds no background work to other tests)
+    settings.backup.enabled = True
+    settings.backup.target_dir = str(tmp_path / "backups")
     settings.webserver.host = "127.0.0.1"
     settings.webserver.port = port
     settings.realtime.tick_ms = 20

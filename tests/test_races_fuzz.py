@@ -383,3 +383,45 @@ def test_jobqueue_priority_concurrent_stress():
     for counter in ("enqueued", "completed", "failed", "dropped", "shed"):
         assert getattr(st, counter) == sum(
             v[counter] for v in st.by_category.values())
+
+
+def test_jobqueue_stop_drain_waits_for_inflight_retry():
+    """Regression for the r4 ledger flake: a job that is IN FLIGHT when
+    stop(drain=True) samples the queue must not be stranded when it
+    requeues itself for retry after the sample. pending() cannot see a
+    popped job, so drain must wait on outstanding() (queued + in-flight)
+    — otherwise completed+failed+dropped comes up one short and the job
+    sits in the bands forever (jobqueue/queue.go:59-204 lifecycle:
+    every job ends exactly one way)."""
+    import threading
+    import time as _t
+
+    from birdnet_go_tpu.analysis.jobqueue import JobQueue, RetryConfig
+
+    q = JobQueue(capacity=8, workers=1)
+    q.start()
+    started = threading.Event()
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        started.set()
+        _t.sleep(0.05)      # hold the job in flight across the sample
+        if len(calls) == 1:
+            raise RuntimeError("transient")
+
+    q.enqueue(flaky, "inflight-retry",
+              retry=RetryConfig(enabled=True, max_retries=2,
+                                initial_delay=0.001, max_delay=0.002),
+              category="database")
+    assert started.wait(5), "job never started"
+    # the queue LOOKS empty (job is in flight), but drain must still wait
+    assert q.pending() == 0
+    assert q.outstanding() == 1
+    q.stop(drain=True, timeout=10.0)
+
+    st = q.stats
+    assert q.pending() == 0, "retried job stranded in the queue"
+    assert st.completed == 1 and st.failed == 0 and st.dropped == 0
+    assert st.retried == 1
+    assert st.completed + st.failed + st.dropped == 1
