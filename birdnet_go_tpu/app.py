@@ -264,7 +264,9 @@ class Application:
         self.hls = HlsManager(self.engine)
         self.device_loop = DeviceLoop(
             tick_seconds=s.realtime.tick_ms / 1000,
-            max_dispatches_per_tick=s.realtime.max_dispatches_per_tick)
+            max_dispatches_per_tick=s.realtime.max_dispatches_per_tick,
+            min_tick_seconds=(getattr(s.realtime, "min_tick_ms", 0) or 0)
+            / 1000 or None)
         for ms in enabled:
             clf = self.classifiers[ms.model_id]
             self.device_loop.add_batcher(ModelBatcher(

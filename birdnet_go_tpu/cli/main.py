@@ -142,6 +142,9 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--sim-mqtt-ms", type=float, default=8.0)
     sk.add_argument("--sim-alert-ms", type=float, default=3.0)
     sk.add_argument("--calibrate-rate", type=float, default=None)
+    sk.add_argument("--min-tick-ms", type=int, default=15,
+                    help="adaptive tick floor when the host is idle "
+                         "(0 = fixed tick)")
     sk.add_argument("--out", default=None)
 
     s = sub.add_parser("serve", help="realtime analysis server")
@@ -202,7 +205,8 @@ def main(argv: list[str] | None = None) -> int:
                           "--hit-stride", str(args.hit_stride),
                           "--burst-stride", str(args.burst_stride),
                           "--sim-mqtt-ms", str(args.sim_mqtt_ms),
-                          "--sim-alert-ms", str(args.sim_alert_ms)]
+                          "--sim-alert-ms", str(args.sim_alert_ms),
+                          "--min-tick-ms", str(args.min_tick_ms)]
                          + (["--calibrate-rate", str(args.calibrate_rate)]
                             if args.calibrate_rate is not None else [])
                          + (["--clips-dir", args.clips_dir]

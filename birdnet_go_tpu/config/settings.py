@@ -161,6 +161,10 @@ class RealtimeSettings:
     quiet_hours: list[Any] = dataclasses.field(default_factory=list)
     # scheduler
     tick_ms: int = 100                # buffer monitor poll (buffer_manager.go:392)
+    # adaptive cadence floor: the loop ticks this fast when the host is
+    # idle (end-to-end latency quantizes to the tick period); stretches
+    # back to tick_ms as tick busy time grows. 0/None = fixed tick.
+    min_tick_ms: int = 15
     max_batch: int = 256              # device megabatch size per model
     # device batches a model may dispatch per tick (the steady-state
     # ceiling is max_batch × max_dispatches_per_tick per tick); >1 removes

@@ -105,6 +105,13 @@ class HostBatcher:
     def _collect(self, handle, meta):
         raise NotImplementedError
 
+    def _ready(self, handle):
+        """Non-blocking completion probe for an in-flight handle: True =
+        harvest will not block, False = still running, None = unknown
+        (subclass cannot probe — the loop falls back to depth-based
+        harvesting only)."""
+        return None
+
     def warmup(self) -> float:
         return 0.0
 
@@ -242,6 +249,18 @@ class HostBatcher:
             n += self.harvest()
         return n
 
+    def harvest_ready(self) -> int:
+        """Harvest every in-flight batch that has already completed,
+        oldest-first, WITHOUT blocking. This is the end-to-end-latency
+        lever: without it a batch dispatched at tick T waits until the
+        pipeline refills to depth (T+depth ticks) before fan-out — +200 ms
+        at a 100 ms tick, the dominant term in the r4 soak's 270-320 ms
+        pipeline p50 against a ~10 ms device step."""
+        n = 0
+        while self._inflight and self._ready(self._inflight[0][0]) is True:
+            n += self.harvest()
+        return n
+
 
 class ModelBatcher(HostBatcher):
     """Packs ready windows from N streams into device megabatches for one
@@ -332,6 +351,21 @@ class ModelBatcher(HostBatcher):
         cv_np = np.asarray(cv) if cv is not None else None
         return vals_np, idx_np, cv_np
 
+    def _ready(self, handle):
+        # jax.Array.is_ready() is a PJRT buffer-state query, not a data
+        # fetch. BIRDNET_TPU_EAGER_HARVEST=0 disables the probe (falls
+        # back to depth-based harvesting) for platforms where the async
+        # event plumbing is unreliable (the axon dev tunnel).
+        import os
+        if os.environ.get("BIRDNET_TPU_EAGER_HARVEST", "1") == "0":
+            return None
+        vals, idx, cv = handle
+        try:
+            return bool(vals.is_ready() and idx.is_ready()
+                        and (cv is None or cv.is_ready()))
+        except (AttributeError, RuntimeError):
+            return None
+
 
 class DeviceLoop:
     """Tick loop: drains ready windows from registered window sources into
@@ -339,8 +373,18 @@ class DeviceLoop:
     (device work is async; the thread only stages/harvests)."""
 
     def __init__(self, tick_seconds: float = 0.1,
-                 max_dispatches_per_tick: int = 8):
+                 max_dispatches_per_tick: int = 8,
+                 min_tick_seconds: float | None = None):
         self.tick_seconds = tick_seconds
+        # Adaptive cadence floor: when the host plane is idle the loop
+        # ticks this fast (collect-wait and harvest-wait both quantize to
+        # the tick period, so a 100 ms tick alone puts ~150 ms on every
+        # window's end-to-end latency). As tick busy time grows the
+        # period stretches back toward tick_seconds (duty cycle ≤ ~50%),
+        # so saturated throughput behavior is byte-identical to a fixed
+        # tick. None disables (fixed tick).
+        self.min_tick_seconds = (min(min_tick_seconds, tick_seconds)
+                                 if min_tick_seconds else tick_seconds)
         self.max_dispatches_per_tick = max(1, int(max_dispatches_per_tick))
         self.batchers: dict[str, ModelBatcher] = {}
         # window providers: callables returning iterable of
@@ -373,6 +417,7 @@ class DeviceLoop:
         # streams); surfaced at /system/scheduler.
         self.stall_ms_max = 0.0
         self._last_tick_start: float | None = None
+        self._cur_period = tick_seconds   # adaptive period actually used
         # device-failure breaker: consecutive run_tick exceptions (an
         # unreachable accelerator fails every tick)
         self.consecutive_tick_failures = 0
@@ -410,7 +455,7 @@ class DeviceLoop:
         t_tick = time.monotonic()
         if self._last_tick_start is not None:
             stall = (t_tick - self._last_tick_start
-                     - self.tick_seconds) * 1000.0
+                     - self._cur_period) * 1000.0
             if stall > self.stall_ms_max:
                 self.stall_ms_max = stall
         self._last_tick_start = t_tick
@@ -503,6 +548,11 @@ class DeviceLoop:
         for model_id, b in batchers.items():
             n = b.dispatch() if budget.get(model_id, 0) > 0 else 0
             dispatched += n
+            # eager harvest: fan out every batch the device already
+            # finished (non-blocking probe) — without this a batch waits
+            # for the pipeline to refill to depth before its results move
+            if hasattr(b, "harvest_ready"):
+                b.harvest_ready()
             # low-traffic latency: a batch dispatched on a quiet tick would
             # otherwise wait for the NEXT dispatch to push the pipeline to
             # depth before being harvested — up to a full window hop later.
@@ -542,6 +592,8 @@ class DeviceLoop:
             }
         return {
             "tick_seconds": self.tick_seconds,
+            "min_tick_seconds": self.min_tick_seconds,
+            "current_period_ms": round(self._cur_period * 1000.0, 1),
             "max_dispatches_per_tick": self.max_dispatches_per_tick,
             "windows_dropped": self.windows_dropped,
             "tick_busy_ms": round(self.tick_busy_ms, 2),
@@ -573,6 +625,7 @@ class DeviceLoop:
     def _run(self) -> None:
         next_tick = time.monotonic()
         while not self._stop.is_set():
+            t0 = time.monotonic()
             try:
                 self.run_tick()
                 if self.consecutive_tick_failures:
@@ -597,7 +650,14 @@ class DeviceLoop:
 
                     errors_mod.from_exception(e, "scheduler",
                                               errors_mod.Category.MODEL)
-            next_tick += self.tick_seconds
+            # adaptive cadence: latency-sensitive when idle (min_tick),
+            # amortizing when busy (period = 2×busy, capped at the
+            # nominal tick → duty cycle stays ≤ ~50% and saturated
+            # behavior is identical to a fixed tick)
+            busy = time.monotonic() - t0
+            self._cur_period = min(self.tick_seconds,
+                                   max(self.min_tick_seconds, 2.0 * busy))
+            next_tick += self._cur_period
             delay = next_tick - time.monotonic()
             if delay > 0:
                 self._stop.wait(delay)

@@ -1,6 +1,8 @@
 """Realtime core: streaming resampler continuity, engine fan-out, the
 batched device loop, results queue, and datastore."""
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -388,6 +390,116 @@ def test_device_loop_failure_breaker(monkeypatch):
     assert tagged == ["scheduler"]         # once per outage, at tick 30
     assert loop.consecutive_tick_failures == 0   # reset on recovery
     assert "consecutive_tick_failures" in loop.capacity_info()
+
+
+class _ProbeBatcher:
+    """HostBatcher with a controllable readiness probe (handles are
+    plain dicts; _ready reads their flag)."""
+
+    def __new__(cls):
+        from birdnet_go_tpu.scheduler.loop import HostBatcher
+
+        class _B(HostBatcher):
+            def __init__(self, spec):
+                self._init_host(spec, max_batch=2, top_k=1,
+                                on_result=None, pipeline_depth=4)
+
+            def _launch(self, staged, n):
+                return {"ready": False, "n": n}
+
+            def _ready(self, handle):
+                return handle["ready"]
+
+            def _collect(self, handle, meta):
+                handle["collected"] = True
+                n = len(meta)
+                return (np.zeros((n, 1), np.float32),
+                        np.zeros((n, 1), np.int32), None)
+
+        return _B(ModelSpec(model_id="m", display_name="m",
+                            sample_rate=48000, clip_seconds=3.0,
+                            num_species=1))
+
+
+def test_harvest_ready_is_nonblocking_and_ordered():
+    """harvest_ready() fans out exactly the completed in-flight batches,
+    oldest-first, and never touches an unfinished one — the
+    end-to-end-latency lever (a batch must not wait for the pipeline to
+    refill to depth before its results move)."""
+    b = _ProbeBatcher()
+    done = []
+    b.on_batch = lambda meta, v, i, cv: done.append(len(meta))
+    pcm = np.zeros(144000, np.int16)
+    handles = []
+    for k in range(3):
+        b.offer(pcm, f"s{k}", float(k))
+        b.dispatch()
+        handles.append(b._inflight[-1][0])
+    assert b.harvest_ready() == 0 and done == []     # nothing finished
+    handles[0]["ready"] = True
+    handles[2]["ready"] = True                       # out of order
+    assert b.harvest_ready() == 1                    # only the oldest —
+    assert done == [1]                               # #1 still blocks #2
+    handles[1]["ready"] = True
+    assert b.harvest_ready() == 2
+    assert done == [1, 1, 1] and b.inflight_depth == 0
+
+
+def test_model_batcher_ready_probe_real_device():
+    """ModelBatcher._ready uses jax.Array.is_ready(): eventually True
+    after dispatch (CPU backend), and gated off by
+    BIRDNET_TPU_EAGER_HARVEST=0."""
+    import os
+
+    clf = _TinyClassifier()
+    out = []
+    b = ModelBatcher(clf, max_batch=2, top_k=2,
+                     on_result=lambda w, v, i: out.append(w))
+    b.offer(np.zeros(144000, np.int16), "s", 0.0)
+    b.dispatch()
+    deadline = time.monotonic() + 30
+    while b.inflight_depth and time.monotonic() < deadline:
+        b.harvest_ready()
+        time.sleep(0.005)
+    assert len(out) == 1                 # probe turned True, fan-out ran
+    b.offer(np.zeros(144000, np.int16), "s", 1.0)
+    b.dispatch()
+    os.environ["BIRDNET_TPU_EAGER_HARVEST"] = "0"
+    try:
+        assert b._ready(b._inflight[0][0]) is None   # probe disabled
+        assert b.harvest_ready() == 0                # falls back to depth
+    finally:
+        del os.environ["BIRDNET_TPU_EAGER_HARVEST"]
+    b.harvest_all()
+
+
+def test_device_loop_adaptive_cadence():
+    """With a min-tick floor an idle loop runs at the floor (latency
+    quantizes to the period); without one it stays at the nominal tick;
+    at saturation the period formula (2×busy capped at tick) returns to
+    the nominal tick, so throughput behavior is unchanged."""
+    loop = DeviceLoop(tick_seconds=0.1, min_tick_seconds=0.005)
+    loop.start()
+    time.sleep(0.5)
+    loop.stop()
+    assert loop.ticks >= 20           # ≫ the 5 ticks a fixed 100 ms gives
+    assert loop._cur_period <= 0.01   # idle → floor
+
+    fixed = DeviceLoop(tick_seconds=0.05)   # no floor → fixed cadence
+    fixed.start()
+    time.sleep(0.4)
+    fixed.stop()
+    assert fixed.ticks <= 10
+    assert fixed._cur_period == 0.05
+
+    # saturated: run_tick busy ≥ tick/2 ⇒ period == nominal tick
+    busy_loop = DeviceLoop(tick_seconds=0.02, min_tick_seconds=0.001)
+    orig = busy_loop.run_tick
+    busy_loop.run_tick = lambda: (time.sleep(0.015), orig())[1]
+    busy_loop.start()
+    time.sleep(0.3)
+    busy_loop.stop()
+    assert abs(busy_loop._cur_period - 0.02) < 1e-9
 
 
 # -- results queue ----------------------------------------------------------------------
