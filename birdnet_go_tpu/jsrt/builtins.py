@@ -978,6 +978,14 @@ class JSURL(HostObject):
 
 
 def js_instanceof(value, ctor):
+    from .values import JSClass
+    if isinstance(ctor, JSClass):
+        c = getattr(value, "klass", None)
+        while c is not None:
+            if c is ctor:
+                return True
+            c = c.parent
+        return False
     name = getattr(ctor, "name", None)
     table = {
         "Array": JSArray, "Object": (JSObject, JSArray), "Map": JSMap,

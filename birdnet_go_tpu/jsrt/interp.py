@@ -11,9 +11,9 @@ from __future__ import annotations
 
 import math
 
-from .values import (UNDEF, BoundFunction, HostObject, JSArray, JSFunction,
-                     JSMap, JSObject, JSPromise, JSRegExp, JSSet, JSThrow,
-                     NativeFunction, is_callable, map_key)
+from .values import (UNDEF, BoundFunction, HostObject, JSArray, JSClass,
+                     JSFunction, JSMap, JSObject, JSPromise, JSRegExp, JSSet,
+                     JSThrow, NativeFunction, is_callable, map_key)
 
 
 class _ShortCircuit:
@@ -303,6 +303,87 @@ class Interp:
                           expr_body=(node[4] if is_arrow else False),
                           this_val=this_val, path=self.cur_path)
 
+    def make_class(self, node, scope):
+        _, name, parent_node, members = node
+        parent = None
+        if parent_node is not None:
+            parent = self.eval(parent_node, scope)
+            if not isinstance(parent, JSClass):
+                raise JSThrow.type_error(
+                    f"class {name or ''} extends a non-class "
+                    f"({js_typeof(parent)}) at "
+                    f"{self.cur_path}:{self.cur_line}")
+        klass = JSClass(name, parent)
+        for kind, key, computed, is_static, value in members:
+            k = js_str(self.eval(key, scope)) if computed else key[1]
+            if kind == "field":
+                if is_static:
+                    s2 = Scope(scope, is_function=True)
+                    s2.declare("this", klass)
+                    klass.statics[k] = (self.eval(value, s2)
+                                        if value is not None else UNDEF)
+                else:
+                    # instance fields evaluate per-construct, base-first,
+                    # in the class's definition env with this bound
+                    klass.fields.append((k, value, scope))
+                continue
+            fn = self.eval(value, scope)
+            fn.name = k
+            fn.home_class = klass
+            if kind == "get":
+                (klass.static_getters if is_static else klass.getters)[k] = fn
+            elif kind == "set":
+                (klass.static_setters if is_static else klass.setters)[k] = fn
+            elif k == "constructor" and not is_static:
+                klass.ctor = fn
+            else:
+                (klass.statics if is_static else klass.methods)[k] = fn
+        return klass
+
+    def _init_fields(self, klass, obj):
+        chain = []
+        c = klass
+        while c is not None:
+            chain.append(c)
+            c = c.parent
+        for c in reversed(chain):                      # base-first
+            for k, expr, env in c.fields:
+                s = Scope(env, is_function=True)
+                s.declare("this", obj)
+                s.declare("__home__", c)
+                obj.props[k] = (self.eval(expr, s)
+                                if expr is not None else UNDEF)
+
+    def _run_ctor_chain(self, klass, this, args):
+        """Nearest constructor up the chain runs (an implicit derived
+        constructor forwards its arguments to the parent — which is
+        exactly what skipping ctor-less classes does)."""
+        c = klass
+        while c is not None and c.ctor is None:
+            c = c.parent
+        if c is not None:
+            self.call(c.ctor, this, args)
+
+    def _super_home(self, scope):
+        s = scope.lookup("__home__")
+        home = s.vars["__home__"] if s else None
+        if home is None or home.parent is None:
+            raise JSThrow.error(
+                None, "SyntaxError",
+                f"'super' outside a derived-class method at "
+                f"{self.cur_path}:{self.cur_line}")
+        return home
+
+    def _super_get(self, parent, this, name):
+        c = parent
+        while c is not None:
+            if name in c.getters:
+                return self.call(c.getters[name], this, [])
+            if name in c.methods:
+                return c.methods[name]
+            c = c.parent
+        return UNDEF
+
     # ======================================================== statements
 
     def exec_stmt(self, s, scope, module=None):
@@ -323,6 +404,9 @@ class Interp:
         if typ == "func":
             # already hoisted; re-binding keeps later textual defs correct
             scope.declare(s[1], self.make_function(s, scope))
+            return
+        if typ == "classdecl":
+            scope.declare(s[1], self.make_class(s, scope))
             return
         if typ == "return":
             raise ReturnEx(self.eval(s[1], scope) if s[1] is not None
@@ -474,7 +558,7 @@ class Interp:
             node = inner[2] if inner[0] == "stmt" else inner
             self.exec_stmt(inner, scope, module)
             if module is not None:
-                if node[0] == "func":
+                if node[0] in ("func", "classdecl"):
                     module.exports[node[1]] = scope.get(node[1])
                 elif node[0] == "var":
                     for pat, _ in node[2]:
@@ -551,8 +635,21 @@ class Interp:
             fn = JSFunction(node[1], node[2][0], node[2][1], node[3], scope,
                             is_async=node[4], path=self.cur_path)
             return fn
+        if typ == "classexpr":
+            return self.make_class(node, scope)
+        if typ == "super":
+            raise JSThrow.error(
+                None, "SyntaxError",
+                "'super' is only valid as super(...) or super.member")
         if typ == "member":
             _, obj_node, prop, computed, optional = node
+            if obj_node[0] == "super":
+                home = self._super_home(scope)
+                this_s = scope.lookup("this")
+                this = this_s.vars["this"] if this_s else UNDEF
+                name = (js_str(self.eval(prop, scope)) if computed
+                        else prop)
+                return self._super_get(home.parent, this, name)
             obj = self.eval_chain(obj_node, scope)
             if obj is _SC:
                 return _SC
@@ -562,6 +659,28 @@ class Interp:
             return self.get_member(obj, name)
         if typ == "call":
             _, callee, args, optional = node
+            if callee[0] == "super":
+                # super(...): run the parent constructor chain on this
+                home = self._super_home(scope)
+                this_s = scope.lookup("this")
+                this = this_s.vars["this"] if this_s else UNDEF
+                argv = self.eval_args(args, scope)
+                self._run_ctor_chain(home.parent, this, argv)
+                return UNDEF
+            if callee[0] == "member" and callee[1][0] == "super":
+                _, _sup, prop, computed, _copt = callee
+                home = self._super_home(scope)
+                this_s = scope.lookup("this")
+                this = this_s.vars["this"] if this_s else UNDEF
+                name = (js_str(self.eval(prop, scope)) if computed
+                        else prop)
+                fn = self._super_get(home.parent, this, name)
+                argv = self.eval_args(args, scope)
+                if not is_callable(fn):
+                    raise JSThrow.type_error(
+                        f"super.{name} is not a function at "
+                        f"{self.cur_path}:{self.cur_line}")
+                return self.call(fn, this, argv)
             if callee[0] == "member":
                 _, obj_node, prop, computed, copt = callee
                 obj = self.eval_chain(obj_node, scope)
@@ -723,6 +842,8 @@ class Interp:
             scope.declare("this", fn.this_val)
         else:
             scope.declare("this", this)
+        if fn.home_class is not None:      # super resolution for methods
+            scope.declare("__home__", fn.home_class)
         for idx, (pat, default) in enumerate(fn.params):
             val = args[idx] if idx < len(args) else UNDEF
             if val is UNDEF and default is not None:
@@ -760,6 +881,11 @@ class Interp:
         return UNDEF
 
     def construct(self, ctor, args):
+        if isinstance(ctor, JSClass):
+            obj = JSObject(klass=ctor)
+            self._init_fields(ctor, obj)
+            self._run_ctor_chain(ctor, obj, args)
+            return obj
         if isinstance(ctor, NativeFunction) or (
                 isinstance(ctor, HostObject) and hasattr(ctor, "ctor")):
             if getattr(ctor, "ctor", None) is None:
@@ -795,7 +921,25 @@ class Interp:
         if isinstance(obj, JSObject):
             if name in obj.props:
                 return obj.props[name]
+            c = obj.klass
+            while c is not None:               # class instance protocol
+                if name in c.getters:
+                    return self.call(c.getters[name], obj, [])
+                if name in c.methods:
+                    return c.methods[name]
+                c = c.parent
             return self._b.object_member(self, obj, name)
+        if isinstance(obj, JSClass):
+            c = obj
+            while c is not None:               # statics are inherited
+                if name in c.static_getters:
+                    return self.call(c.static_getters[name], obj, [])
+                if name in c.statics:
+                    return c.statics[name]
+                c = c.parent
+            if name == "name":
+                return obj.name
+            return UNDEF
         if isinstance(obj, bool):
             if name == "toString":
                 return NativeFunction("toString",
@@ -821,7 +965,22 @@ class Interp:
             obj.js_set(name, value)
             return
         if isinstance(obj, JSObject):
+            c = obj.klass
+            while c is not None:               # setter accessors first
+                if name in c.setters:
+                    self.call(c.setters[name], obj, [value])
+                    return
+                c = c.parent
             obj.props[name] = value
+            return
+        if isinstance(obj, JSClass):
+            c = obj
+            while c is not None:
+                if name in c.static_setters:
+                    self.call(c.static_setters[name], obj, [value])
+                    return
+                c = c.parent
+            obj.statics[name] = value
             return
         if isinstance(obj, JSArray):
             if name == "length":
@@ -1036,7 +1195,7 @@ def js_typeof(v):
         return "number"
     if isinstance(v, str):
         return "string"
-    if is_callable(v):
+    if is_callable(v) or isinstance(v, JSClass):
         return "function"
     return "object"
 

@@ -169,9 +169,7 @@ class Parser:
             if kw == "export":
                 return self.export_stmt()
             if kw == "class":
-                raise JSSyntaxError(
-                    f"{self.path}:{t.line}: class declarations are outside "
-                    "the supported SPA subset")
+                return self.class_decl()
         e = self.expression()
         self.semi()
         return ("expr", e)
@@ -224,6 +222,85 @@ class Parser:
                 break
         self.expect("punct", ")")
         return (params, rest)
+
+    def class_decl(self, as_expr=False):
+        """ES class: methods, get/set accessors, static members, instance
+        and static fields, extends + super. Not covered (clean syntax
+        error): generator methods, private #fields, static blocks."""
+        self.expect("kw", "class")
+        name = None
+        if self.at("ident") or self.at_any("kw", self._CONTEXTUAL):
+            name = self.next().value
+        parent = None
+        if self.eat("kw", "extends"):
+            parent = self.call_member(self.primary())
+        members = self.class_body()
+        return ("classexpr" if as_expr else "classdecl", name, parent,
+                members)
+
+    def _kw_is_member_name(self, k=0) -> bool:
+        """At position k sits a kw (static/async/get/set); is it being
+        used as the MEMBER NAME rather than a modifier? True when the
+        next token starts a method/field continuation."""
+        nxt = self.peek(k + 1)
+        return nxt.type == "punct" and nxt.value in ("(", "=", ";", "}")
+
+    def class_body(self):
+        self.expect("punct", "{")
+        members = []   # (kind, key_node, computed, is_static, value_node)
+        while not self.at("punct", "}"):
+            if self.eat("punct", ";"):
+                continue
+            line = self.peek().line
+            is_static = False
+            if self.at("kw", "static") and not self._kw_is_member_name():
+                self.next()
+                is_static = True
+            is_async = False
+            if self.at("kw", "async") and not self._kw_is_member_name() \
+                    and not self.peek(1).nl_before:
+                self.next()
+                is_async = True
+            kind = "method"
+            for acc in ("get", "set"):
+                if self.at("kw", acc) and not self._kw_is_member_name():
+                    self.next()
+                    kind = acc
+                    break
+            if self.at("punct", "*"):
+                raise JSSyntaxError(
+                    f"{self.path}:{line}: generator methods are outside "
+                    "the supported subset (private #fields die in the "
+                    "lexer)")
+            computed = False
+            if self.eat("punct", "["):
+                key = self.assignment()
+                self.expect("punct", "]")
+                computed = True
+            else:
+                kt = self.next()
+                if kt.type in ("ident", "kw", "str"):
+                    key = ("str", kt.value)
+                elif kt.type == "num":
+                    key = ("str", _num_key(kt.value))
+                else:
+                    raise JSSyntaxError(
+                        f"{self.path}:{kt.line}: bad class member name "
+                        f"{kt.value!r}")
+            if self.at("punct", "("):
+                params = self.param_list()
+                body = self.block()
+                members.append((kind, key, computed, is_static,
+                                ("funcexpr", None, params, body, is_async)))
+                continue
+            if kind in ("get", "set"):
+                raise JSSyntaxError(
+                    f"{self.path}:{line}: accessor needs a body")
+            init = self.assignment() if self.eat("punct", "=") else None
+            self.semi()
+            members.append(("field", key, computed, is_static, init))
+        self.expect("punct", "}")
+        return members
 
     def if_stmt(self):
         self.expect("kw", "if")
@@ -565,6 +642,11 @@ class Parser:
                 callee = self.call_member(self.primary(), no_call=True)
                 args = self.arguments() if self.at("punct", "(") else []
                 return ("new", callee, args)
+            if kw == "class":
+                self.i -= 1
+                return self.class_decl(as_expr=True)
+            if kw == "super":
+                return ("super",)
             if kw in ("get", "set", "of", "from", "static", "await", "async"):
                 # contextual keywords in identifier position
                 return ("ident", kw)

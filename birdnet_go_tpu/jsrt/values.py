@@ -31,10 +31,11 @@ UNDEF = _Undefined()
 
 
 class JSObject:
-    __slots__ = ("props",)
+    __slots__ = ("props", "klass")
 
-    def __init__(self, props=None):
+    def __init__(self, props=None, klass=None):
         self.props = props if props is not None else {}
+        self.klass = klass                # JSClass for class instances
 
     def __repr__(self):  # pragma: no cover - debug aid
         inner = ", ".join(f"{k}: {v!r}" for k, v in list(self.props.items())[:6])
@@ -52,10 +53,35 @@ class JSArray:
         return f"JSArray({self.items!r})"
 
 
+class JSClass:
+    """An ES class: constructor + method/accessor tables + a parent link.
+    Instances are plain JSObjects whose `klass` slot points here; method
+    and accessor lookup walks the parent chain, so own props stay the
+    only enumerable state (Object.keys / JSON / spread semantics hold)."""
+
+    __slots__ = ("name", "parent", "ctor", "methods", "getters", "setters",
+                 "statics", "static_getters", "static_setters", "fields")
+
+    def __init__(self, name, parent=None):
+        self.name = name or "<anonymous class>"
+        self.parent = parent
+        self.ctor = None
+        self.methods = {}
+        self.getters = {}
+        self.setters = {}
+        self.statics = {}                 # static methods AND field values
+        self.static_getters = {}
+        self.static_setters = {}
+        self.fields = []                  # (key, init_expr|None, def_env)
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"<class {self.name}>"
+
+
 class JSFunction:
     __slots__ = ("name", "params", "rest", "body", "env", "is_async",
                  "is_arrow", "expr_body", "this_val", "bound_this",
-                 "bound_args", "path")
+                 "bound_args", "path", "home_class")
 
     def __init__(self, name, params, rest, body, env, is_async=False,
                  is_arrow=False, expr_body=False, this_val=None, path="<js>"):
@@ -71,6 +97,7 @@ class JSFunction:
         self.bound_this = None
         self.bound_args = None
         self.path = path
+        self.home_class = None            # JSClass for methods (super)
 
 
 class NativeFunction:

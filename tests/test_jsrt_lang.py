@@ -75,6 +75,82 @@ def test_language_case(src, expect):
     assert js_str(result(src)) == js_str(expect)
 
 
+CLASS_CASES = [
+    # constructor + method + this
+    ("class A { constructor(x){ this.x = x; } twice(){ return this.x*2; } }"
+     "let r = new A(21).twice();", 42),
+    # instance fields (initialized before ctor) + defaults
+    ("class A { n = 5; constructor(){ this.m = this.n + 1; } }"
+     "let a = new A(); let r = a.n + a.m;", 11),
+    # getters/setters
+    ("class T { #x; get v(){ return this._v ?? 0; }"
+     " set v(x){ this._v = x * 10; } }", None),   # private field: rejected
+    ("class T { get v(){ return (this._v ?? 0) + 1; }"
+     " set v(x){ this._v = x * 10; } }"
+     "let t = new T(); t.v = 4; let r = t.v;", 41),
+    # static methods, static fields, inherited statics
+    ("class A { static k = 7; static mk(){ return this.k; } }"
+     "class B extends A {} let r = B.mk() + A.k;", 14),
+    # extends: super() and super.method()
+    ("class Animal { constructor(name){ this.name = name; }"
+     "  speak(){ return this.name + ' makes a sound'; } }"
+     "class Dog extends Animal {"
+     "  constructor(name){ super(name); this.kind = 'dog'; }"
+     "  speak(){ return super.speak() + ': woof'; } }"
+     "let r = new Dog('Rex').speak();", "Rex makes a sound: woof"),
+    # implicit derived constructor forwards arguments
+    ("class A { constructor(x){ this.x = x; } } class B extends A {}"
+     "let r = new B(9).x;", 9),
+    # instanceof walks the chain; unrelated class is false
+    ("class A {} class B extends A {} class C {}"
+     "let b = new B();"
+     "let r = (b instanceof B) + (b instanceof A) + (b instanceof C);", 2),
+    # class expression + typeof
+    ("const K = class { go(){ return 3; } };"
+     "let r = (typeof K === 'function') ? new K().go() : -1;", 3),
+    # computed method names
+    ("const name = 'dyn'; class A { [name](){ return 8; } }"
+     "let r = new A().dyn();", 8),
+    # methods are not own-enumerable: JSON / Object.keys see data only
+    ("class A { m(){} constructor(){ this.a = 1; } }"
+     "let r = JSON.stringify(new A()) + Object.keys(new A()).length;",
+     '{"a":1}1'),
+    # method extracted and re-attached still binds this at call site
+    ("class A { constructor(){ this.v = 2; } get2(){ return this.v; } }"
+     "const a = new A(); const o = { v: 5, f: a.get2 }; let r = o.f();", 5),
+    # setter inherited from parent
+    ("class P { set w(x){ this._w = x + 1; } get w(){ return this._w; } }"
+     "class Q extends P {} const q = new Q(); q.w = 10; let r = q.w;", 11),
+    # async method resolves through await
+    ("class A { async f(){ return 6; } }"
+     "let r; (async () => { r = await new A().f(); })();", 6),
+]
+
+
+@pytest.mark.parametrize("src,expect",
+                         [c for c in CLASS_CASES if c[1] is not None])
+def test_class_case(src, expect):
+    assert js_str(result(src)) == js_str(expect)
+
+
+def test_class_unsupported_pieces_reject_cleanly():
+    with pytest.raises(SyntaxError):             # private #fields (lexer)
+        parse("class T { #x = 1; }")
+    with pytest.raises(JSSyntaxError):           # generator methods
+        parse("class T { *gen(){} }")
+    with pytest.raises(JSThrow):                 # extends a non-class
+        run("class A extends 5 {}")
+    with pytest.raises(JSThrow):                 # super outside derived
+        run("class A { m(){ return super.m(); } } new A().m();")
+
+
+def test_class_field_initializers_run_per_instance():
+    scope, _ = run("class A { items = []; }"
+                   "const a = new A(), b = new A();"
+                   "a.items.push(1); let r = b.items.length;")
+    assert scope.get("r") == 0
+
+
 def test_labels_are_rejected_cleanly():
     # labels are outside the supported subset: a clean SyntaxError, not a
     # crash (the SPA gate would name file:line)
