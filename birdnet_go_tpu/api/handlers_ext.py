@@ -1547,7 +1547,9 @@ class ExtendedHandlers:
             # (advisor r4, medium — same hole as the PATCH path)
             restore_settings_in_place(self.ctx.settings, snapshot)
             status = 400 if isinstance(e, (TypeError, ValueError)) else 500
-            return _json({"error": str(e)}, status=status)
+            return _json({"error": str(e),
+                          **({"field": e.key}
+                             if hasattr(e, "key") else {})}, status=status)
         if self.ctx.control is not None and updated:
             # a full-document write may touch anything: fire the broad set
             for sig in (ControlSignal.RELOAD_THRESHOLDS,

@@ -1046,7 +1046,11 @@ class ApiServer(ExtendedHandlers, AuthHandlers, TerminalHandlers):
             # later request (advisor r4, medium)
             restore_settings_in_place(self.ctx.settings, snapshot)
             status = 400 if isinstance(e, (TypeError, ValueError)) else 500
-            return _json({"error": str(e)}, status=status)
+            # CoerceError names the offending field — structured so the
+            # SPA anchors the message to the input instead of a toast
+            return _json({"error": str(e),
+                          **({"field": e.key}
+                             if hasattr(e, "key") else {})}, status=status)
         signals = {
             "range_filter": [ControlSignal.REBUILD_RANGE_FILTER],
             "species": [ControlSignal.RELOAD_SPECIES_CONFIG],

@@ -180,12 +180,19 @@ export async function settingsView(outlet) {
     function showWarnings(warnings) {
       warnBox.replaceChildren();
       warnBox.style.display = warnings.length ? "" : "none";
-      // attribute each warning to its field when the text names one
+      // attribute each warning to its field when the text names one:
+      // red border + the message inline next to the input (reference
+      // Settings.svelte per-field feedback), plus the section banner
       for (const w of warnings) {
         warnBox.append(el("div", {}, `⚠ ${w}`));
         body.querySelectorAll("[data-key]").forEach((inp) => {
           const field = inp.dataset.key.split(".").pop();
-          if (w.includes(field)) inp.classList.add("invalid");
+          if (!w.includes(field)) return;
+          inp.classList.add("invalid");
+          const prev = inp.nextElementSibling;
+          if (prev && prev.classList?.contains("field-error"))
+            prev.remove();
+          inp.after(el("span", { class: "field-error" }, w));
         });
       }
     }
@@ -232,7 +239,27 @@ export async function settingsView(outlet) {
           + (sigs.length ? ` → ${sigs.join(", ")}` : ""));
         showWarnings(out.warnings || []);
         (out.warnings || []).forEach((w) => toast(w, true));
-      } catch (e) { toast(e.message, true); }
+      } catch (e) {
+        // a structured 400 names the offending field (CoerceError.key);
+        // validate() errors name fields only in prose — match either
+        // way and anchor the server message to the input instead of
+        // only toasting it
+        const field = e.data && e.data.field;
+        let anchored = false;
+        body.querySelectorAll("[data-key]").forEach((inp) => {
+          const leaf = inp.dataset.key.split(".").pop();
+          const hit = field ? leaf === field
+            : new RegExp(`\\b${leaf}\\b`).test(e.message);
+          if (!hit) return;
+          inp.classList.add("invalid");
+          const prev = inp.nextElementSibling;
+          if (prev && prev.classList?.contains("field-error"))
+            prev.remove();
+          inp.after(el("span", { class: "field-error" }, e.message));
+          anchored = true;
+        });
+        if (!anchored) toast(e.message, true);
+      }
     }
   }
 

@@ -531,9 +531,20 @@ def _from_dict(cls, data: dict[str, Any]):
     return cls(**kwargs)
 
 
+class CoerceError(ValueError):
+    """A PATCH value that cannot become the field's annotated type.
+    Carries the offending field name so the API can return a structured
+    {"error", "field"} 400 and the SPA can anchor the message to the
+    input (reference: per-field validation feedback, Settings.svelte)."""
+
+    def __init__(self, key: str, msg: str):
+        super().__init__(msg)
+        self.key = key
+
+
 def _coerce_scalar(annot: str, val: Any, key: str) -> Any:
     """Coerce an incoming PATCH value to the field's annotated scalar
-    type, or raise ValueError.  An API client sending "13.4" where a
+    type, or raise CoerceError.  An API client sending "13.4" where a
     float is declared must get a 400, not corrupt the live settings
     tree and 500 later in validate() (found by the SPA runtime gate:
     a schema-less null field serialized numbers as strings)."""
@@ -547,19 +558,19 @@ def _coerce_scalar(annot: str, val: Any, key: str) -> Any:
     annot = next((m for m in members if m != "None"), "")
     if annot == "float":
         if isinstance(val, bool):
-            raise ValueError(f"{key}: expected number, got boolean")
+            raise CoerceError(key, f"{key}: expected number, got boolean")
         if isinstance(val, (int, float)):
             return float(val)
         if isinstance(val, str):
             try:
                 return float(val)
             except ValueError:
-                raise ValueError(f"{key}: expected number, got {val!r}")
-        raise ValueError(f"{key}: expected number, got "
+                raise CoerceError(key, f"{key}: expected number, got {val!r}")
+        raise CoerceError(key, f"{key}: expected number, got "
                          f"{type(val).__name__}")
     if annot == "int":
         if isinstance(val, bool):
-            raise ValueError(f"{key}: expected integer, got boolean")
+            raise CoerceError(key, f"{key}: expected integer, got boolean")
         if isinstance(val, int):
             return val
         if isinstance(val, float) and val.is_integer():
@@ -568,20 +579,20 @@ def _coerce_scalar(annot: str, val: Any, key: str) -> Any:
             try:
                 return int(val)
             except ValueError:
-                raise ValueError(f"{key}: expected integer, got {val!r}")
-        raise ValueError(f"{key}: expected integer, got "
+                raise CoerceError(key, f"{key}: expected integer, got {val!r}")
+        raise CoerceError(key, f"{key}: expected integer, got "
                          f"{type(val).__name__}")
     if annot == "bool":
         if isinstance(val, bool):
             return val
-        raise ValueError(f"{key}: expected boolean, got "
+        raise CoerceError(key, f"{key}: expected boolean, got "
                          f"{type(val).__name__}")
     if annot == "str":
         if isinstance(val, str):
             return val
         if isinstance(val, (int, float)) and not isinstance(val, bool):
             return str(val)
-        raise ValueError(f"{key}: expected string, got "
+        raise CoerceError(key, f"{key}: expected string, got "
                          f"{type(val).__name__}")
     return val
 

@@ -70,6 +70,24 @@ def test_put_settings_non_dict_section_400_and_tree_intact(tiny_app):
     app.stop()
 
 
+def test_patch_settings_coerce_400_names_the_field(tiny_app):
+    """A type-mismatched scalar returns a STRUCTURED 400 naming the
+    offending field (CoerceError.key) so the SPA can anchor the message
+    to the input (reference Settings.svelte per-field feedback)."""
+    app = tiny_app
+    app.start(warmup=False)
+    port = app.settings.webserver.port
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(
+            _req(port, "/settings/location", {"latitude": "abc"}),
+            timeout=5)
+    assert exc.value.code == 400
+    body = json.loads(exc.value.read())
+    assert body["field"] == "latitude"
+    assert "expected number" in body["error"]
+    app.stop()
+
+
 def test_jsrt_infinite_loop_raises_deadlock_not_hang():
     """An accidental `while (true) {}` in a view must fail the CI gate
     with DeadlockError, not hang it (advisor r4)."""

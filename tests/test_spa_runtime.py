@@ -29,9 +29,9 @@ ERROR_SIGNATURES = (
     "[object Object]", "undefined is not", "unexpected token",
 )
 
-VIEWS = ["dashboard", "detections", "analytics", "species", "system",
-         "settings", "models", "notifications", "alerts", "range",
-         "imports", "help"]
+VIEWS = ["dashboard", "detections", "search", "analytics", "species",
+         "system", "settings", "models", "notifications", "alerts",
+         "range", "imports", "help"]
 
 
 @pytest.fixture()
@@ -118,6 +118,98 @@ def test_detections_range_select_interaction(spa):
     # the reload must carry the narrowed range to the server
     assert any("/detections" in u for (_, u, _s)
                in session.fetch_log[n_fetches:])
+
+
+def _btn(session, label, exact=False):
+    hits = [b for b in session.query("button")
+            if (b.text_content() == label if exact
+                else label in b.text_content())]
+    assert hits, f"button {label!r} not rendered"
+    return hits[0]
+
+
+def test_search_view_query_save_and_review_flow(spa):
+    """Search view (reference Search.svelte): run a complex query against
+    the live POST /detections/search, validate ranges client-side, save a
+    named search, reload it from the chip, and review a result in place."""
+    _, session = spa
+    session.navigate("search")
+    _assert_clean(session, "search view")
+    query = next(i for i in session.query("input")
+                 if i.attrs.get("placeholder", "").startswith("Species"))
+    session.input(query, "Turdus")
+    n0 = len(session.fetch_log)
+    session.click(_btn(session, "Search"))
+    _assert_clean(session, "after search")
+    assert any(u == "/api/v2/detections/search" and m == "POST"
+               for (m, u, _s) in session.fetch_log[n0:])
+    assert "Turdus merula" in session.text()
+
+    # client-side range validation: min% above max% never hits the API
+    inputs = session.query("input")
+    conf = [i for i in inputs if i.attrs.get("type") == "number"]
+    session.input(conf[0], "90")
+    session.input(conf[1], "10")
+    n1 = len(session.fetch_log)
+    session.click(_btn(session, "Search"))
+    assert not any(u == "/api/v2/detections/search"
+                   for (_m, u, _s) in session.fetch_log[n1:]), \
+        "invalid range was sent to the server"
+    assert "confidence" in session.text().lower()      # toast shown
+    session.input(conf[0], "")
+    session.input(conf[1], "")
+
+    # save the query under a name (modal), chip appears and persists
+    session.click(_btn(session, "Save search"))
+    name_input = next(i for i in session.query("input")
+                      if i.attrs.get("placeholder", "").startswith("Name"))
+    session.input(name_input, "blackbirds")
+    session.click(_btn(session, "Save", exact=True))
+    _assert_clean(session, "after save search")
+    assert "blackbirds" in session.text()
+    session.navigate("dashboard")
+    session.navigate("search")
+    assert "blackbirds" in session.text(), "saved search did not persist"
+
+    # clicking the chip re-runs the saved query
+    n2 = len(session.fetch_log)
+    session.click(_btn(session, "blackbirds"))
+    _assert_clean(session, "after loading saved search")
+    assert any(u == "/api/v2/detections/search"
+               for (_m, u, _s) in session.fetch_log[n2:])
+    assert "Turdus merula" in session.text()
+
+    # in-place review: ✓ posts to /review and re-renders with the badge
+    session.click(_btn(session, "✓"))
+    _assert_clean(session, "after review")
+    assert any("/review" in u and m == "POST"
+               for (m, u, _s) in session.fetch_log[n2:])
+
+
+def test_settings_server_error_anchors_to_field(spa):
+    """A server-side rejection (validate(): latitude out of range —
+    invisible to the client-side schema, which carries no min/max for
+    location) renders as an inline .field-error NEXT TO the latitude
+    input, not just a toast (reference Settings.svelte per-field
+    feedback)."""
+    _, session = spa
+    session.navigate("settings")
+    lat = next(i for i in session.query("input")
+               if i.attrs.get("data-key") == "latitude")
+    session.input(lat, "400")          # client-valid number, server-invalid
+    section = lat
+    while section is not None and section.tag != "details":
+        section = section.parent
+    assert section is not None, "latitude input not inside a section card"
+    save = next(b for b in section.descendants()
+                if b.tag == "button" and b.text_content() == "Save")
+    session.click(save)
+    errs = [n for n in section.descendants()
+            if "field-error" in n.attrs.get("class", "")]
+    assert errs, "no inline field error rendered"
+    assert "latitude" in errs[0].text_content()
+    # the input itself is flagged
+    assert "invalid" in lat.attrs.get("class", "")
 
 
 def test_modal_closes_on_escape(spa):
