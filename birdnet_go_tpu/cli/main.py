@@ -124,6 +124,27 @@ def build_parser() -> argparse.ArgumentParser:
     gs = sub.add_parser("gen-schema",
                         help="print the configuration JSON schema")
 
+    va = sub.add_parser(
+        "verify-artifact",
+        help="import a .tflite/.onnx artifact, fingerprint its outputs "
+             "on a deterministic input, diff a Raven table against the "
+             "recorded golden (record-on-first-run), and audit op "
+             "coverage — one-command real-weight parity readiness")
+    va.add_argument("artifact", nargs="?", default=None,
+                    help=".tflite or .onnx file (omit with --audit)")
+    va.add_argument("--wav", default=None,
+                    help="also analyze this WAV and diff the Raven table")
+    va.add_argument("--golden", default="data/golden_artifacts",
+                    help="golden dir (fingerprints + Raven fixtures, "
+                         "keyed by artifact sha256)")
+    va.add_argument("--no-golden", action="store_true",
+                    help="compute only; skip golden record/compare")
+    va.add_argument("--model-id", default="BirdNET_V2.4",
+                    help="family registry entry for the analyze leg")
+    va.add_argument("--audit", action="store_true",
+                    help="print the op-inventory audit (expected family "
+                         "ops vs importer tables) and exit")
+
     sk = sub.add_parser("soak", help="full-pipeline concurrent-stream soak "
                         "(ingest→scheduler→processor→datastore)")
     sk.add_argument("--streams", type=int, default=2500)
@@ -232,7 +253,39 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_notify(args)
     if args.command == "gen-schema":
         return _cmd_gen_schema(args)
+    if args.command == "verify-artifact":
+        return _cmd_verify_artifact(args)
     return 2
+
+
+def _cmd_verify_artifact(args) -> int:
+    from birdnet_go_tpu.inference.opaudit import audit_table
+
+    if args.audit or args.artifact is None:
+        print(audit_table())
+        if args.artifact is None:
+            return 0
+    from birdnet_go_tpu.inference.verify_artifact import verify_artifact
+
+    rep = verify_artifact(
+        args.artifact, wav=args.wav,
+        golden_dir=None if args.no_golden else args.golden,
+        model_id=args.model_id)
+    print(f"artifact    {rep.artifact}")
+    print(f"sha256      {rep.sha256}")
+    print(f"format      {rep.format}")
+    print(f"ops         {sum(rep.ops.values())} nodes, "
+          f"{len(rep.ops)} kinds: "
+          + ", ".join(f"{k}×{v}" for k, v in rep.ops.items()))
+    print(f"inputs      {rep.input_shapes}")
+    print(f"outputs     {rep.output_shapes}")
+    print(f"fingerprint {rep.fingerprint}")
+    print(f"golden      {rep.golden_status}")
+    print(f"raven       {rep.raven_status}")
+    for d in rep.details:
+        print(f"  · {d}")
+    print("PASS" if rep.ok else "FAIL")
+    return 0 if rep.ok else 1
 
 
 def _load_classifier(args, range_mask=None):

@@ -53,6 +53,9 @@ class OnnxGraphDef:
     inputs: list[str]                      # runtime inputs (non-initializer)
     outputs: list[str]
     name: str = ""
+    # declared input shapes from ValueInfoProto (0 = symbolic dim);
+    # absent for models that omit value_info shapes
+    input_shapes: dict[str, tuple] = dataclasses.field(default_factory=dict)
 
 
 def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
@@ -148,18 +151,39 @@ def parse_onnx(buf: bytes) -> OnnxGraphDef:
             outputs=[x.decode() for x in nf.get(2, [])],
             attrs=attrs, name=nf.get(3, [b""])[0].decode()))
 
-    def _vi_names(field):
+    def _vi(field):
+        """(name, shape|None) per ValueInfoProto: name=1, type=2 →
+        TypeProto.tensor_type=1 → TensorTypeProto.shape=2 →
+        TensorShapeProto.dim=1 → Dimension.dim_value=1 (0 / absent for
+        symbolic dims)."""
         out = []
         for vi in g.get(field, []):
             vf = pw.decode_message(vi)
-            out.append(vf.get(1, [b""])[0].decode())
+            name = vf.get(1, [b""])[0].decode()
+            shape = None
+            try:
+                tt = pw.decode_message(
+                    pw.decode_message(vf.get(2, [b""])[0]).get(1, [b""])[0])
+                sh = tt.get(2)
+                if sh is not None:
+                    dims = []
+                    for d in pw.decode_message(sh[0]).get(1, []):
+                        df = pw.decode_message(d)
+                        dims.append(int(pw.signed(df.get(1, [0])[0])))
+                    shape = tuple(dims)
+            except Exception:
+                pass
+            out.append((name, shape))
         return out
 
-    inputs = [n for n in _vi_names(11) if n not in initializers]
-    outputs = _vi_names(12)
+    in_vi = [(n, s) for n, s in _vi(11) if n not in initializers]
+    inputs = [n for n, _ in in_vi]
+    outputs = [n for n, _ in _vi(12)]
     return OnnxGraphDef(nodes=nodes, initializers=initializers,
                         inputs=inputs, outputs=outputs,
-                        name=g.get(2, [b""])[0].decode())
+                        name=g.get(2, [b""])[0].decode(),
+                        input_shapes={n: s for n, s in in_vi
+                                      if s is not None})
 
 
 # ---------------------------------------------------------------------------
@@ -866,6 +890,12 @@ def _build_ops():
 
 
 _ONNX_OPS: dict[str, Callable] = _build_ops()
+
+
+def supported_ops() -> frozenset[str]:
+    """ONNX op types the compiler handles — audit surface for
+    `verify-artifact --audit` (VERDICT r4 #5)."""
+    return frozenset(_build_ops())
 
 
 def load_onnx(path_or_bytes) -> OnnxGraph:

@@ -598,6 +598,12 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                                          for fs in fstats)),
                 "lost_samples": int(sum(fs["samples_lost"]
                                         for fs in fstats)),
+                # generator lag in stream-seconds: distinguishes "farm
+                # produced late" from "pipeline drained late" when
+                # latency spikes (both look identical downstream)
+                "gen_deficit_s": round(max(
+                    fs.get("generator_deficit", 0) for fs in fstats)
+                    / specs[0].effective_sample_rate, 2),
                 "dropped": int(loop.windows_dropped),
                 "ticks": int(loop.ticks),
                 "tick_busy_ms": round(loop.tick_busy_ms, 1),
