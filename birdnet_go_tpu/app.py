@@ -966,6 +966,25 @@ class Application:
         self.jobqueue.start()
         self.prerenderer.start()
         self.flusher.start()
+        # Periodic dynamic-threshold persistence (reference
+        # threshold_persistence.go DefaultPersistInterval = 30 s): a
+        # crash must lose at most one interval of learned thresholds,
+        # not everything since boot (shutdown-only persistence did).
+        if self.settings.dynamic_threshold.enabled:
+            self._threshold_persist_stop = threading.Event()
+
+            def _persist_loop() -> None:
+                while not self._threshold_persist_stop.wait(30.0):
+                    try:
+                        self.datastore.save_dynamic_thresholds(
+                            self.processor.dynamic.snapshot())
+                    except Exception:
+                        log.exception("threshold persistence failed")
+
+            self._threshold_persist_thread = threading.Thread(
+                target=_persist_loop, name="threshold-persist",
+                daemon=True)
+            self._threshold_persist_thread.start()
         # Always prewarm the processor's fast gates + lazy taxonomy tables
         # (cheap vs XLA warmup; skipping it stalls the first harvested
         # batch for seconds on large label sets — see Processor.prewarm).
@@ -1070,6 +1089,10 @@ class Application:
                                       "source_id", "?"))
         self.device_loop.stop()
         self.flusher.stop()
+        if getattr(self, "_threshold_persist_stop", None) is not None:
+            self._threshold_persist_stop.set()
+            self._threshold_persist_thread = None
+            self._threshold_persist_stop = None
         self.processor.flush(now=time.time() + 1e6)   # final drain
         if self.settings.dynamic_threshold.enabled and self.datastore:
             self.datastore.save_dynamic_thresholds(

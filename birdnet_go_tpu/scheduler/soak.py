@@ -77,6 +77,19 @@ def _unthrottled_latency(bucket_lat, total_windows: int) -> dict:
     }
 
 
+def _spin_ms(n: int = 2_000_000) -> float:
+    """Wall time of a fixed CPU-bound loop — a frequency/priority
+    throttle detector. /proc/stat steal catches hypervisor steals, but
+    this VM also exhibits stretches where wall time advances and steal
+    stays ~0 yet every thread (incl. the C++ generator) computes at a
+    fraction of speed; a calibrated spin makes those visible."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i & 7
+    return (time.perf_counter() - t0) * 1000.0
+
+
 def _cpu_steal() -> tuple[int, int] | None:
     """(steal_jiffies, total_jiffies) from /proc/stat, or None. The soak
     VM's vCPU is credit-throttled (CLAUDE.md): the hypervisor steals the
@@ -613,6 +626,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                     for c, v in jq.by_category.items() if v["dropped"]},
                 **({"steal_pct": steal_pct}
                    if steal_pct is not None else {}),
+                "spin_ms": round(_spin_ms(), 1),
                 **({"lat_p50_ms": round(float(np.percentile(blat, 50)), 1)}
                    if len(blat) else {}),
                 **({"burst": True} if burst_on else {}),

@@ -249,8 +249,16 @@ BN_API void* bn_farm_create(int64_t n_streams, int64_t rate,
     try {
         f->rings.resize(static_cast<size_t>(n_streams));
         for (int64_t s = 0; s < n_streams; ++s) {
+            // value-init (): pre-faults every ring page NOW, at create.
+            // Lazily-touched rings (plain new[]) cost ~1.3M first-touch
+            // page faults spread over the first ring-fill (27 s × 2,000
+            // streams = 5.2 GB): on a 1-vCPU host the fault+zero tax ran
+            // the generator at ~0.4× line rate from t≈17 until the last
+            // page was touched (t≈39), a one-time multi-second latency
+            // wave the soak measured as pipeline lag (r5 diag: deficit
+            // onset/recovery matched first-touch completion exactly).
             f->rings[static_cast<size_t>(s)].reset(
-                new int16_t[static_cast<size_t>(f->capacity)]);
+                new int16_t[static_cast<size_t>(f->capacity)]());
         }
         f->tails.assign(static_cast<size_t>(n_streams * f->overlap), 0);
         f->st.resize(static_cast<size_t>(n_streams));
