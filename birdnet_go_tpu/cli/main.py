@@ -166,7 +166,22 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--min-tick-ms", type=int, default=15,
                     help="adaptive tick floor when the host is idle "
                          "(0 = fixed tick)")
+    sk.add_argument("--durable", action="store_true",
+                    help="crash-durability mode (see soak --help)")
+    sk.add_argument("--persist-interval", type=float, default=30.0)
     sk.add_argument("--out", default=None)
+
+    rc = sub.add_parser(
+        "recover",
+        help="startup crash recovery: reopen the database (WAL replay), "
+             "verify integrity, restore dynamic thresholds, reconcile "
+             "clip↔DB orphans both ways, resync the species tracker, "
+             "audit for double-counted detections — prints the ledger")
+    rc.add_argument("--db", required=True, help="sqlite database path")
+    rc.add_argument("--clips-dir", default=None, help="clip directory")
+    rc.add_argument("--ignore-recency", action="store_true",
+                    help="bypass the clip recency guards (testing only: "
+                         "sweeps/clears orphans regardless of age)")
 
     s = sub.add_parser("serve", help="realtime analysis server")
     s.add_argument("--config", default=None, help="YAML config file")
@@ -227,7 +242,9 @@ def main(argv: list[str] | None = None) -> int:
                           "--burst-stride", str(args.burst_stride),
                           "--sim-mqtt-ms", str(args.sim_mqtt_ms),
                           "--sim-alert-ms", str(args.sim_alert_ms),
-                          "--min-tick-ms", str(args.min_tick_ms)]
+                          "--min-tick-ms", str(args.min_tick_ms),
+                          "--persist-interval", str(args.persist_interval)]
+                         + (["--durable"] if args.durable else [])
                          + (["--calibrate-rate", str(args.calibrate_rate)]
                             if args.calibrate_rate is not None else [])
                          + (["--clips-dir", args.clips_dir]
@@ -255,7 +272,23 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_gen_schema(args)
     if args.command == "verify-artifact":
         return _cmd_verify_artifact(args)
+    if args.command == "recover":
+        return _cmd_recover(args)
     return 2
+
+
+def _cmd_recover(args) -> int:
+    import json as _json
+    import time as _time
+
+    from birdnet_go_tpu.analysis.recovery import recover_startup
+
+    now = _time.time() + (3600.0 if args.ignore_recency else 0.0)
+    ledger = recover_startup(args.db, clips_dir=args.clips_dir, now=now)
+    print(_json.dumps(ledger, indent=1))
+    ok = (ledger["integrity"] == "ok"
+          and ledger["duplicate_detections"] == 0)
+    return 0 if ok else 1
 
 
 def _cmd_verify_artifact(args) -> int:

@@ -652,6 +652,44 @@ class Datastore:
             (n,) = self._conn.execute(sql, args).fetchone()
             return int(n)
 
+    # -- crash recovery / maintenance ------------------------------------------------
+
+    def integrity_check(self) -> str:
+        """`PRAGMA integrity_check` first row — 'ok' on a healthy file.
+        Run after reopening a database whose writer was SIGKILLed; SQLite
+        replays or rolls back the WAL on open, this verifies the result
+        (reference restart path: main.go:63-83 reopens the store before
+        services start)."""
+        with self._lock:
+            (res,) = self._conn.execute("PRAGMA integrity_check").fetchone()
+            return str(res)
+
+    def wal_checkpoint(self) -> dict[str, int]:
+        """TRUNCATE-checkpoint the WAL into the main file. Returns
+        {busy, log_frames, checkpointed_frames}; log_frames > 0 before
+        the call means the killed process left unsynced WAL frames that
+        this recovery folded in."""
+        with self._lock:
+            busy, log_n, ckpt = self._conn.execute(
+                "PRAGMA wal_checkpoint(TRUNCATE)").fetchone()
+            return {"busy": int(busy), "log_frames": int(log_n),
+                    "checkpointed_frames": int(ckpt)}
+
+    def count_duplicate_detections(self) -> int:
+        """Rows beyond the first sharing (source, model, species,
+        begin_time) — the double-count audit after a crash+restart. A
+        legitimate pipeline never emits two detections of one species
+        from one source/model at the identical window start; any excess
+        means restart re-persisted work the killed process already
+        committed."""
+        with self._lock:
+            (n,) = self._conn.execute(
+                "SELECT COALESCE(SUM(c - 1), 0) FROM ("
+                " SELECT COUNT(*) AS c FROM detections"
+                " GROUP BY source_id, model_id, scientific_name,"
+                " begin_time)").fetchone()
+            return int(n)
+
     # -- analytics ----------------------------------------------------------------
 
     def species_summary(self, date_from: str | None = None,

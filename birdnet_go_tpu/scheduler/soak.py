@@ -196,6 +196,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
              calibrate_rate: float | None = None,
              stall_at: float | None = None,
              stall_seconds: float = 0.0,
+             durable: bool = False,
+             persist_interval_s: float = 30.0,
              sample_seconds: float = 5.0) -> dict[str, Any]:
     """Run the soak; returns the result record (see module docstring).
 
@@ -274,7 +276,20 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         counters["approved"] += 1          # flusher thread only
         if len(item.contributions) >= 2:
             counters["consensus"] += 1
-        act = DatabaseAction(detection=d, store=store)
+        seq = counters["approved"]
+        # durable mode writes media-suffixed clips and records the name
+        # on the detection row (reference: the note is saved with its
+        # clip path; the clip export runs as a separate retried action —
+        # exactly the two-step a crash can tear, which the recovery
+        # reconcile must heal in either direction)
+        realistic = action_mix == "realistic"
+        path = None
+        if realistic:
+            ext = ".wav" if durable else ".clip"
+            path = clips_path / f"{d.source_id.replace(':', '_')}_{seq}{ext}"
+        act = DatabaseAction(
+            detection=d, store=store,
+            clip_name=path.name if durable and path is not None else None)
 
         def run_db():
             act.execute()
@@ -283,10 +298,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         jobqueue.enqueue(run_db, f"save {d.species.scientific}",
                          retry=RetryConfig(enabled=False),
                          category="composite")
-        if action_mix != "realistic":
+        if not realistic:
             return
-        seq = counters["approved"]
-        path = clips_path / f"{d.source_id.replace(':', '_')}_{seq}.clip"
 
         def run_clip(path=path):
             path.write_bytes(_clip_blob)
@@ -334,8 +347,30 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         cal = {"target": float(calibrate_rate), "need": 1024,
                "chunks": [], "thr": None, "skip": 0}
 
+    if durable:
+        # crash-durability mode (VERDICT r4 #4): dynamic thresholds learn
+        # from the stub's 0.93-confidence hits (> trigger 0.90), restore
+        # from the previous run's snapshot, and persist periodically so a
+        # SIGKILL loses at most one interval — mirroring the Application
+        # wiring (app.py) and threshold_persistence.go semantics.
+        settings.dynamic_threshold.enabled = True
     processor = Processor(settings, labels_by_model,
                           on_approved=on_approved)
+    persist_stop = None
+    if durable:
+        processor.dynamic.restore(store.load_dynamic_thresholds())
+        persist_stop = threading.Event()
+
+        def _persist_loop():
+            while not persist_stop.wait(persist_interval_s):
+                try:
+                    store.save_dynamic_thresholds(
+                        processor.dynamic.snapshot())
+                except Exception:
+                    log.exception("threshold persistence failed")
+
+        threading.Thread(target=_persist_loop, name="threshold-persist",
+                         daemon=True).start()
     flusher = FlushLoop(processor)
 
     lat_chunks: list[np.ndarray] = []
@@ -641,6 +676,9 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         gc.callbacks.remove(_gc_cb)
         processor.flush(now=time.time() + 1e6)
         jobqueue.stop(drain=True, timeout=30.0)
+        if persist_stop is not None:
+            persist_stop.set()
+            store.save_dynamic_thresholds(processor.dynamic.snapshot())
 
     lat = (np.concatenate(lat_chunks) if lat_chunks
            else np.empty(0, np.int64)) / 1e6   # → ms
@@ -663,7 +701,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         ((c, v) for c, v in jq.by_category.items()
          if v.get("first_drop_t") is not None),
         key=lambda cv: cv[1]["first_drop_t"])]
-    clip_files = (len(list(clips_path.glob("*.clip")))
+    clip_files = (sum(1 for p in clips_path.iterdir()
+                      if p.suffix in (".clip", ".wav"))
                   if clips_path is not None else 0)
     per_model = {}
     total_expected_wps = 0.0
@@ -735,6 +774,11 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         "burst": ({"at_seconds": burst_at, "seconds": burst_seconds,
                    "stride": burst_stride}
                   if burst_at is not None else None),
+        **({"durable": {
+            "db_path": db_path,
+            "persist_interval_s": persist_interval_s,
+            "thresholds_persisted": len(processor.dynamic.snapshot()),
+        }} if durable else {}),
         "ring": {
             "initial_seconds": ring_seconds,
             "grown": ring_grown,
@@ -808,6 +852,13 @@ def main(argv=None) -> int:
     p.add_argument("--min-tick-ms", type=int, default=15,
                    help="adaptive tick floor when the host is idle "
                         "(0 = fixed tick)")
+    p.add_argument("--durable", action="store_true",
+                   help="crash-durability mode: dynamic thresholds "
+                        "learn/persist periodically, clips are recorded "
+                        "on detection rows — pair with --db/--clips-dir "
+                        "and 'birdnet-tpu recover' after a kill")
+    p.add_argument("--persist-interval", type=float, default=30.0,
+                   help="durable mode: threshold snapshot interval (s)")
     p.add_argument("--out", default=None, help="append record to JSON file")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -834,7 +885,9 @@ def main(argv=None) -> int:
                    sim_mqtt_ms=args.sim_mqtt_ms,
                    sim_alert_ms=args.sim_alert_ms,
                    stall_at=args.stall_at,
-                   stall_seconds=args.stall_seconds)
+                   stall_seconds=args.stall_seconds,
+                   durable=args.durable,
+                   persist_interval_s=args.persist_interval)
     print(json.dumps(rec, indent=1))
     if args.out:
         try:
