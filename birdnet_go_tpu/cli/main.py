@@ -150,6 +150,9 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--streams", type=int, default=2500)
     sk.add_argument("--seconds", type=float, default=120.0)
     sk.add_argument("--device", choices=["tpu", "stub"], default="stub")
+    sk.add_argument("--ingest", choices=["farm", "rtsp"], default="farm",
+                    help="window source: C++ synthesis farm, or real RTSP "
+                         "sessions through the consolidated native demux")
     sk.add_argument("--max-batch", type=int, default=256)
     sk.add_argument("--db", default=":memory:")
     sk.add_argument("--models", default="BirdNET_V2.4")
@@ -233,6 +236,7 @@ def main(argv: list[str] | None = None) -> int:
         return soak_main(["--streams", str(args.streams),
                           "--seconds", str(args.seconds),
                           "--device", args.device,
+                          "--ingest", args.ingest,
                           "--max-batch", str(args.max_batch),
                           "--db", args.db,
                           "--models", args.models,

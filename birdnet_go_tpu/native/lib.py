@@ -168,6 +168,37 @@ def _load():
                 lib.bn_farm_grow.restype = ctypes.c_int64
                 lib.bn_farm_grow.argtypes = [ctypes.c_void_p,
                                              ctypes.c_double]
+        if hasattr(lib, "bn_rtspd_create"):
+            lib.bn_rtspd_create.restype = ctypes.c_void_p
+            lib.bn_rtspd_create.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_double]
+            lib.bn_rtspd_add.restype = ctypes.c_int
+            lib.bn_rtspd_add.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+                ctypes.c_int64, ctypes.c_char_p]
+            lib.bn_rtspd_start.restype = ctypes.c_int
+            lib.bn_rtspd_start.argtypes = [ctypes.c_void_p]
+            lib.bn_rtspd_stop.argtypes = [ctypes.c_void_p]
+            lib.bn_rtspd_destroy.argtypes = [ctypes.c_void_p]
+            lib.bn_rtspd_collect.restype = ctypes.c_int64
+            lib.bn_rtspd_collect.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+            lib.bn_rtspd_stats.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_int64)]
+            lib.bn_rtsps_create.restype = ctypes.c_void_p
+            lib.bn_rtsps_create.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_uint64, ctypes.c_int64]
+            lib.bn_rtsps_port.restype = ctypes.c_int64
+            lib.bn_rtsps_port.argtypes = [ctypes.c_void_p]
+            lib.bn_rtsps_start.restype = ctypes.c_int
+            lib.bn_rtsps_start.argtypes = [ctypes.c_void_p]
+            lib.bn_rtsps_stop.argtypes = [ctypes.c_void_p]
+            lib.bn_rtsps_destroy.argtypes = [ctypes.c_void_p]
+            lib.bn_rtsps_stats.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_int64)]
         lib.bn_version.restype = ctypes.c_char_p
         _lib = lib
         log.info("native host library loaded: %s",
@@ -347,6 +378,123 @@ class StreamFarm:
     def close(self) -> None:
         if getattr(self, "_h", None):
             self._lib.bn_farm_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class RtspDemux:
+    """Consolidated native RTSP ingest (rtsp_plane.cpp): ONE epoll thread
+    owns every session's handshake, RTP demux, payload decode, and
+    analysis-ring write — the 2,000-stream answer to the reference's
+    FFmpeg-subprocess-per-stream model (stream.go:471-1534, SURVEY §7
+    "consolidated demux strategy"). collect() is a StreamFarm.collect
+    drop-in, so the DeviceLoop fill path is shared with the soak farm."""
+
+    def __init__(self, n_streams: int, sample_rate: int = 48000,
+                 window_samples: int = 144000, hop_samples: int = 72000,
+                 ring_seconds: float = 12.0):
+        lib = _load()
+        if lib is None or not hasattr(lib, "bn_rtspd_create"):
+            raise RuntimeError("native rtsp demux unavailable")
+        self._lib = lib
+        self.n_streams = n_streams
+        self.sample_rate = sample_rate
+        self.window_samples = window_samples
+        self.hop_samples = hop_samples
+        self._h = lib.bn_rtspd_create(n_streams, sample_rate,
+                                      window_samples, hop_samples,
+                                      ring_seconds)
+        if not self._h:
+            raise RuntimeError("bn_rtspd_create failed")
+
+    def add(self, idx: int, host: str, port: int, path: str = "/") -> None:
+        if not self._lib.bn_rtspd_add(self._h, idx, host.encode(), port,
+                                      path.encode()):
+            raise ValueError(f"bn_rtspd_add({idx}) failed")
+
+    def start(self) -> None:
+        if not self._lib.bn_rtspd_start(self._h):
+            raise RuntimeError("bn_rtspd_start failed")
+
+    def stop(self) -> None:
+        if self._h:
+            self._lib.bn_rtspd_stop(self._h)
+
+    def collect(self, out: np.ndarray, meta: np.ndarray) -> int:
+        """Drain ready windows into out[n, window] int16 + meta[n, 3]
+        int64 (stream_id, window_index, ready_ns-since-demux-start)."""
+        return int(self._lib.bn_rtspd_collect(
+            self._h, _i16_ptr(out),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(out)))
+
+    def stats(self) -> dict:
+        buf = (ctypes.c_int64 * 12)()
+        self._lib.bn_rtspd_stats(self._h, buf)
+        return {"samples_received": buf[0], "windows_emitted": buf[1],
+                "samples_lost": buf[2], "ready_windows": buf[3],
+                "connected": buf[4], "restarts": buf[5],
+                "bytes_received": buf[6], "packets": buf[7],
+                "backlog_high_water": buf[8],
+                # the demux thread's own CLOCK_THREAD_CPUTIME_ID — divide
+                # by streams x wall time for measured ingest CPU/stream
+                "demux_cpu_ns": buf[9],
+                "n_streams": buf[10], "ring_capacity": buf[11]}
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.bn_rtspd_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class RtspLoadServer:
+    """Single-threaded epoll RTSP/L16 load server (test rig) — paces N
+    realtime sessions from a pre-byteswapped waveform bank so the demux
+    can be proven at 500+ streams over real TCP on one core. Drops whole
+    packets with accounting when a client stalls (bounded-queue
+    contract)."""
+
+    def __init__(self, port: int = 0, rate: int = 48000,
+                 n_waveforms: int = 8, seed: int = 1, pkt_ms: int = 50):
+        lib = _load()
+        if lib is None or not hasattr(lib, "bn_rtsps_create"):
+            raise RuntimeError("native rtsp load server unavailable")
+        self._lib = lib
+        self._h = lib.bn_rtsps_create(port, rate, n_waveforms, seed,
+                                      pkt_ms)
+        if not self._h:
+            raise RuntimeError("bn_rtsps_create failed (port in use?)")
+        self.port = int(lib.bn_rtsps_port(self._h))
+
+    def start(self) -> None:
+        if not self._lib.bn_rtsps_start(self._h):
+            raise RuntimeError("bn_rtsps_start failed")
+
+    def stop(self) -> None:
+        if self._h:
+            self._lib.bn_rtsps_stop(self._h)
+
+    def stats(self) -> dict:
+        buf = (ctypes.c_int64 * 6)()
+        self._lib.bn_rtsps_stats(self._h, buf)
+        return {"accepted": buf[0], "playing": buf[1],
+                "samples_sent": buf[2], "samples_dropped": buf[3],
+                "server_cpu_ns": buf[4], "port": buf[5]}
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.bn_rtsps_destroy(self._h)
             self._h = None
 
     def __del__(self):

@@ -181,6 +181,7 @@ class CalibratedStubBatcher(_loop.HostBatcher):
 
 def run_soak(streams: int = 2500, seconds: float = 120.0,
              device: str = "stub", max_batch: int = 256,
+             ingest: str = "farm",
              db_path: str = ":memory:", tick_ms: int = 100,
              min_tick_ms: int = 15,
              max_dispatches_per_tick: int = 8,
@@ -229,6 +230,12 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
 
     if not available():
         raise RuntimeError("native stream farm required for the soak")
+    if ingest not in ("farm", "rtsp"):
+        raise ValueError(f"unknown ingest mode: {ingest}")
+    if ingest == "rtsp" and (len(models) != 1 or device == "tpu"):
+        # the RTSP leg proves the CONSOLIDATED DEMUX at scale (SURVEY §7);
+        # consensus / real-device variation is the farm legs' job
+        raise ValueError("--ingest rtsp is single-model, stub-device")
     unknown = [m for m in models if m not in MODEL_REGISTRY]
     if unknown:
         raise ValueError(f"unknown model(s): {unknown}")
@@ -446,7 +453,8 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
     # farms get a longer ramp — the surge scales with stream count but
     # drain capacity doesn't
     stagger = 8 if per_model_streams <= 5000 else 16
-    names = [f"farm:{i}" for i in range(per_model_streams)]
+    names = [f"{ingest}:{i}" for i in range(per_model_streams)]
+    rtsp_server = None
 
     calibration: dict[str, Any] = {}
     loop = DeviceLoop(tick_seconds=tick_ms / 1000.0,
@@ -497,11 +505,32 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                         "by measured-latency stub — device capacity "
                         "proven separately by bench.py",
             }
-        farm = StreamFarm(per_model_streams, eff_rate, spec.clip_samples,
-                          spec.clip_samples // 2,
-                          ring_seconds=ring_seconds, n_waveforms=32,
-                          seed=11 + mi, timescale=timescale,
-                          stagger_hops=stagger)
+        if ingest == "rtsp":
+            # consolidated native demux over REAL TCP/RTSP (rtsp_plane.cpp):
+            # one in-process epoll load server paces per_model_streams
+            # realtime L16 sessions; ONE demux thread owns every session's
+            # handshake, RTP demux, decode, and ring write. collect() is a
+            # StreamFarm drop-in, so everything downstream is unchanged —
+            # this leg differs from the farm legs ONLY in how samples
+            # arrive (SURVEY §7 "2,000 streams needs a consolidated demux
+            # strategy"; reference: one FFmpeg subprocess per stream,
+            # ffmpeg/stream.go:471-1534).
+            from birdnet_go_tpu.native.lib import RtspDemux, RtspLoadServer
+
+            rtsp_server = RtspLoadServer(rate=eff_rate, n_waveforms=32,
+                                         seed=11 + mi, pkt_ms=50)
+            rtsp_server.start()
+            farm: Any = RtspDemux(per_model_streams, eff_rate,
+                                  spec.clip_samples, spec.clip_samples // 2,
+                                  ring_seconds=ring_seconds)
+            for i in range(per_model_streams):
+                farm.add(i, "127.0.0.1", rtsp_server.port, f"/cam{i}")
+        else:
+            farm = StreamFarm(per_model_streams, eff_rate, spec.clip_samples,
+                              spec.clip_samples // 2,
+                              ring_seconds=ring_seconds, n_waveforms=32,
+                              seed=11 + mi, timescale=timescale,
+                              stagger_hops=stagger)
         meta_buf = np.empty((max(collect_cap, max_batch), 3), np.int64)
 
         def fill(view, farm=farm, meta_buf=meta_buf, rt_dur=rt_dur):
@@ -592,7 +621,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                 # ring room the backlog can't predict)
                 hw = max(fs_now.get("backlog_high_water", 0),
                          fs_now.get("generator_deficit", 0) * 2)
-                if cap and hw > 0.6 * cap:
+                if cap and hw > 0.6 * cap and hasattr(farm, "grow"):
                     cur_s = cap / spec.effective_sample_rate
                     new_s = min(cur_s * 2, max_ring_seconds)
                     if new_s > cur_s:
@@ -668,9 +697,15 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             })
             log.info("soak %s", samples[-1])
         elapsed = time.monotonic() - t0
+        # snapshot ingest stats while sessions are still up — teardown
+        # closes every connection, which would zero connected_at_end
+        rtsp_snapshot = (farms[0][1].stats()
+                         if rtsp_server is not None else None)
     finally:
         for _spec, farm in farms:
             farm.stop()
+        if rtsp_server is not None:
+            rtsp_server.stop()
         loop.stop()
         flusher.stop()
         gc.callbacks.remove(_gc_cb)
@@ -726,10 +761,34 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             "target_detection_rate": cal["target"],
             "windows_sampled": int(sum(len(c) for c in cal["chunks"])),
         }
+    ingest_rec: dict[str, Any] = {"type": ingest}
+    if rtsp_server is not None:
+        ds = rtsp_snapshot
+        ss = rtsp_server.stats()
+        ingest_rec.update({
+            "protocol": "RTSP/TCP-interleaved, L16 realtime sessions",
+            "connected_at_end": ds["connected"],
+            "session_restarts": ds["restarts"],
+            "samples_sent": ss["samples_sent"],
+            "samples_received": ds["samples_received"],
+            "samples_dropped_by_server": ss["samples_dropped"],
+            "bytes_received": ds["bytes_received"],
+            "rtp_packets": ds["packets"],
+            # the demux thread's own CLOCK_THREAD_CPUTIME_ID — measured
+            # ingest cost, not an estimate (VERDICT r4 #3)
+            "demux_cpu_core_pct": round(
+                100.0 * ds["demux_cpu_ns"] / 1e9 / elapsed, 2),
+            "demux_cpu_us_per_stream_second": round(
+                ds["demux_cpu_ns"] / 1000.0
+                / (per_model_streams * elapsed), 2),
+            "loadgen_cpu_core_pct": round(
+                100.0 * ss["server_cpu_ns"] / 1e9 / elapsed, 2),
+        })
     record = {
         "streams": per_model_streams * len(specs),
         "models": list(models),
         "device": device,
+        "ingest": ingest_rec,
         "calibration": calibration,
         "seconds": round(elapsed, 1),
         "windows_processed": windows_done,
@@ -816,6 +875,10 @@ def main(argv=None) -> int:
                    help="total streams (split across --models)")
     p.add_argument("--seconds", type=float, default=120.0)
     p.add_argument("--device", choices=["tpu", "stub"], default="stub")
+    p.add_argument("--ingest", choices=["farm", "rtsp"], default="farm",
+                   help="window source: C++ synthesis farm, or real "
+                        "RTSP/TCP sessions through the consolidated "
+                        "native demux (rtsp_plane.cpp)")
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--db", default=":memory:")
     p.add_argument("--models", default="BirdNET_V2.4",
@@ -872,7 +935,8 @@ def main(argv=None) -> int:
     tick_ms = 500 if args.device == "tpu" else 100
     min_tick_ms = 0 if args.device == "tpu" else args.min_tick_ms
     rec = run_soak(streams=args.streams, seconds=args.seconds,
-                   device=args.device, max_batch=args.max_batch,
+                   device=args.device, ingest=args.ingest,
+                   max_batch=args.max_batch,
                    db_path=args.db, calibrate_rate=cal_rate,
                    tick_ms=tick_ms, min_tick_ms=min_tick_ms,
                    models=tuple(m.strip() for m in args.models.split(",")

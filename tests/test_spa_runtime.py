@@ -16,6 +16,7 @@ this test ALWAYS runs.
 from __future__ import annotations
 
 import shutil
+from pathlib import Path
 
 import pytest
 
@@ -581,7 +582,14 @@ def test_service_worker_installs_and_serves_shell(spa):
     sw.install()
     assert not session.errors, "\n".join(session.errors)
     assert sw.scope.skipped_waiting
-    shell = sw.cache_storage.caches.get("birdnet-tpu-v3")
+    # the live cache name comes from sw.js itself — a version bump must
+    # not silently leave this test asserting against a dead cache
+    import re as _re
+
+    sw_src = (Path(__file__).parent.parent
+              / "birdnet_go_tpu/api/static/sw.js").read_text()
+    cache_name = _re.search(r'const CACHE = "([^"]+)"', sw_src).group(1)
+    shell = sw.cache_storage.caches.get(cache_name)
     assert shell and len(shell) >= 18, \
         f"shell precache incomplete: {sorted((shell or {}).keys())}"
 
