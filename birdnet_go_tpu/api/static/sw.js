@@ -1,7 +1,7 @@
 /* PWA service worker: pre-cache the app shell, cache-first for static
    assets, network-only for /api (live data must never be stale). */
 
-const CACHE = "birdnet-tpu-v4";
+const CACHE = "birdnet-tpu-v5";
 const SHELL = [
   "/", "/static/app.css", "/static/app.js", "/static/i18n.js",
   "/static/charts.js", "/static/views/player.js",
@@ -11,7 +11,8 @@ const SHELL = [
   "/static/views/system.js", "/static/views/misc.js",
   "/static/views/alerts.js", "/static/views/range.js",
   "/static/views/onboarding.js", "/static/views/admin.js",
-  "/static/views/search.js",
+  "/static/views/search.js", "/static/views/about.js",
+  "/static/views/reportbug.js",
 ];
 
 self.addEventListener("install", (ev) => {

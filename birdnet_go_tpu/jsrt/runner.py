@@ -563,7 +563,8 @@ class BrowserSession:
         g.declare("self", self.window)
         g.declare("document", self.doc)
         g.declare("location", self.location)
-        g.declare("navigator", Navigator(self.interp))
+        self.navigator = Navigator(self.interp)
+        g.declare("navigator", self.navigator)
         g.declare("localStorage", Storage())
         g.declare("sessionStorage", Storage())
         g.declare("history", JSObject({

@@ -32,7 +32,7 @@ ERROR_SIGNATURES = (
 
 VIEWS = ["dashboard", "detections", "search", "analytics", "species",
          "system", "settings", "models", "notifications", "alerts",
-         "range", "imports", "help"]
+         "range", "imports", "help", "about", "reportbug"]
 
 
 @pytest.fixture()
@@ -709,6 +709,34 @@ def test_range_rebuild_flow(spa):
     session.click(btns[0])
     _assert_clean(session, "range rebuild")
     assert ("POST", "/api/v2/range/rebuild", 200) in session.fetch_log
+
+
+def test_about_and_reportbug_views(spa):
+    """Dedicated #/about and #/reportbug pages (VERDICT r4 #7; reference
+    About.svelte / ReportBug.svelte): About shows live version info from
+    /system/info; ReportBug pre-fills a copyable system-info block and
+    links the support dump + GitHub issue flow."""
+    _, session = spa
+    session.navigate("about")
+    _assert_clean(session, "about")
+    txt = session.text()
+    assert "BirdNET-TPU" in txt
+    assert "Credits" in txt and "Technology" in txt and "License" in txt
+    # version table filled from the live /system/info endpoint
+    assert any(u.endswith("/system/info") for (_, u, _s) in
+               session.fetch_log)
+
+    session.navigate("reportbug")
+    _assert_clean(session, "reportbug")
+    txt = session.text()
+    assert "System information" in txt
+    assert "Version:" in txt and "Python:" in txt   # pre-filled block
+    # copy-to-clipboard flows through the navigator.clipboard shim
+    btn = next(b for b in session.query("button")
+               if "Copy" in b.text_content())
+    session.click(btn)
+    writes = session.navigator.clipboard_writes
+    assert writes and "Version:" in writes[-1]
 
 
 def test_degraded_api_renders_no_typeerrors():
