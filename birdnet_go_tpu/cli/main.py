@@ -171,6 +171,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "(0 = fixed tick)")
     sk.add_argument("--durable", action="store_true",
                     help="crash-durability mode (see soak --help)")
+    sk.add_argument("--kitchen-sink", action="store_true",
+                    help="run every aux plane concurrently during the soak")
     sk.add_argument("--persist-interval", type=float, default=30.0)
     sk.add_argument("--out", default=None)
 
@@ -249,6 +251,7 @@ def main(argv: list[str] | None = None) -> int:
                           "--min-tick-ms", str(args.min_tick_ms),
                           "--persist-interval", str(args.persist_interval)]
                          + (["--durable"] if args.durable else [])
+                         + (["--kitchen-sink"] if args.kitchen_sink else [])
                          + (["--calibrate-rate", str(args.calibrate_rate)]
                             if args.calibrate_rate is not None else [])
                          + (["--clips-dir", args.clips_dir]

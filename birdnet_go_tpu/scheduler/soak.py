@@ -106,6 +106,184 @@ def _cpu_steal() -> tuple[int, int] | None:
         return None
 
 
+class _AuxPlanes:
+    """Everything-on-at-once auxiliary load (VERDICT r4 #8 "kitchen
+    sink"): a live HLS session cutting real AAC/FLAC fMP4 segments from a
+    tone capture, per-second sound-level computation (IEC third-octave +
+    BS.1770 LUFS), spectrogram pre-rendering to PNG, periodic range-filter
+    (geomodel MLP) rebuilds, and a dual-write legacy-DB migration against
+    the soak's OWN datastore — all inside the soak process, to prove the
+    aux planes don't contaminate the hot path. The reference runs all of
+    this concurrently in one process (audio_pipeline_service.go:139)."""
+
+    def __init__(self, store):
+        import sqlite3
+        import tempfile
+
+        self.counters = {"hls_segments": 0, "soundlevel_blocks": 0,
+                         "lufs_blocks": 0, "range_rebuilds": 0,
+                         "aux_errors": 0}
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._tmp = tempfile.TemporaryDirectory(prefix="soak_aux_")
+        self.store = store
+
+        # tone bank shared by the HLS / soundlevel / spectrogram planes
+        t = np.arange(48000 * 3) / 48000.0
+        self._tone = (8000 * np.sin(2 * np.pi * 1200 * t)
+                      + 1500 * np.sin(2 * np.pi * 7300 * t)).astype(np.int16)
+
+        # legacy DB for the live dual-write migration (miniature of the
+        # reference GORM schema — datastore/model.go)
+        self._legacy = f"{self._tmp.name}/legacy.db"
+        conn = sqlite3.connect(self._legacy)
+        conn.executescript("""
+        CREATE TABLE notes (id INTEGER PRIMARY KEY, source_node TEXT,
+          date TEXT, time TEXT, scientific_name TEXT, common_name TEXT,
+          species_code TEXT, confidence REAL, latitude REAL,
+          longitude REAL, threshold REAL, sensitivity REAL,
+          clip_name TEXT);
+        CREATE TABLE results (id INTEGER PRIMARY KEY, note_id INTEGER,
+          species TEXT, confidence REAL);
+        CREATE TABLE note_reviews (id INTEGER PRIMARY KEY, note_id INTEGER,
+          verified TEXT, created_at TEXT, updated_at TEXT);
+        CREATE TABLE note_comments (id INTEGER PRIMARY KEY,
+          note_id INTEGER, entry TEXT, created_at TEXT, updated_at TEXT);
+        CREATE TABLE note_locks (id INTEGER PRIMARY KEY, note_id INTEGER,
+          locked_at TEXT);
+        """)
+        # sized so the copy spans a full 240 s leg (~650 rows/s at
+        # batch 200 / 0.25 s sleep) — the hot path must coexist with the
+        # migration for the WHOLE soak, not a warmup sliver
+        rows = [("2024-05-02", f"{6 + (i // 60) % 12:02d}:{i % 60:02d}:00",
+                 f"Migratus species{i}", f"Migrant {i}", f"mig{i}",
+                 0.5 + (i % 40) / 100.0, "") for i in range(150_000)]
+        conn.executemany(
+            "INSERT INTO notes (date, time, scientific_name, common_name,"
+            " species_code, confidence, clip_name) VALUES (?,?,?,?,?,?,?)",
+            rows)
+        conn.commit()
+        conn.close()
+        self.migration = None
+        self.prerenderer = None
+
+    def _spawn(self, fn, name):
+        th = threading.Thread(target=fn, name=name, daemon=True)
+        th.start()
+        self._threads.append(th)
+
+    def start(self):
+        from birdnet_go_tpu.analysis.spectrogram import PreRenderer
+        from birdnet_go_tpu.audio.buffers import CaptureBuffer
+        from birdnet_go_tpu.audio.hlsmux import HlsSession
+        from birdnet_go_tpu.datastore.migration import MigrationWorker
+
+        cb = CaptureBuffer(48000, capacity_seconds=30.0)
+        sess = HlsSession("aux:hls", cb, segment_seconds=2.0)
+
+        def hls_plane():
+            pos = 0
+            while not self._stop.wait(0.25):
+                chunk = np.resize(self._tone[pos:pos + 12000], 12000)
+                pos = (pos + 12000) % len(self._tone)
+                try:
+                    cb.write(chunk)
+                    if sess.tick():
+                        self.counters["hls_segments"] += 1
+                except Exception:
+                    log.exception("aux hls")
+                    self.counters["aux_errors"] += 1
+
+        def soundlevel_plane():
+            import jax.numpy as jnp
+
+            from birdnet_go_tpu.audio.audionorm import measure_lufs
+            from birdnet_go_tpu.ops.soundlevel import (
+                SoundLevelConfig,
+                band_levels_db,
+            )
+
+            cfg = SoundLevelConfig(sample_rate=48000)
+            pcm_f = self._tone[:48000].astype(np.float32) / 32768.0
+            while not self._stop.wait(1.0):
+                try:
+                    np.asarray(band_levels_db(jnp.asarray(pcm_f), cfg))
+                    self.counters["soundlevel_blocks"] += 1
+                    measure_lufs(pcm_f, 48000)
+                    self.counters["lufs_blocks"] += 1
+                except Exception:
+                    log.exception("aux soundlevel")
+                    self.counters["aux_errors"] += 1
+
+        self.prerenderer = PreRenderer(workers=1)
+        self.prerenderer.start()
+
+        def spectro_plane():
+            i = 0
+            while not self._stop.wait(2.0):
+                try:
+                    self.prerenderer.submit(
+                        self._tone, 48000,
+                        f"{self._tmp.name}/spec_{i % 8}.png", width=400)
+                    i += 1
+                except Exception:
+                    log.exception("aux spectrogram")
+                    self.counters["aux_errors"] += 1
+
+        def range_plane():
+            import jax
+
+            from birdnet_go_tpu.models.geomodel import (
+                Geomodel,
+                GeomodelConfig,
+            )
+
+            gm = Geomodel(GeomodelConfig(hidden=(256, 256)))
+            params = gm.init(jax.random.PRNGKey(3))
+            grid = np.stack([
+                np.random.default_rng(5).uniform(-60, 60, 256),
+                np.random.default_rng(6).uniform(-180, 180, 256),
+                np.full(256, 21.0)], axis=-1).astype(np.float32)
+            while not self._stop.wait(45.0):
+                try:
+                    scores = np.asarray(gm.apply(params, grid))
+                    (scores > 0.03).sum()     # included-species count
+                    self.counters["range_rebuilds"] += 1
+                except Exception:
+                    log.exception("aux range rebuild")
+                    self.counters["aux_errors"] += 1
+
+        self.migration = MigrationWorker(self.store, self._legacy,
+                                         batch_size=200,
+                                         sleep_between=0.25)
+        self.migration.start()
+        self._spawn(hls_plane, "aux-hls")
+        self._spawn(soundlevel_plane, "aux-soundlevel")
+        self._spawn(spectro_plane, "aux-spectrogram")
+        self._spawn(range_plane, "aux-range")
+
+    def stop_and_record(self) -> dict:
+        self._stop.set()
+        for th in self._threads:
+            th.join(timeout=10)
+        mig = {}
+        if self.migration is not None:
+            try:
+                mig = self.migration.status()
+                self.migration.stop()
+            except Exception:
+                log.exception("aux migration stop")
+        if self.prerenderer is not None:
+            self.prerenderer.stop()
+            self.counters["spectrograms_rendered"] = self.prerenderer.rendered
+            self.counters["spectrograms_dropped"] = self.prerenderer.dropped
+        self._tmp.cleanup()
+        return {**self.counters,
+                "migration": {k: mig.get(k) for k in
+                              ("state", "migrated_records",
+                               "total_records", "dual_write")}}
+
+
 class CalibratedStubBatcher(_loop.HostBatcher):
     """ModelBatcher drop-in whose 'device' is a latency model calibrated
     from the real chip's measured batch step (BENCH_r02: p50 8.4 ms at
@@ -199,6 +377,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
              stall_seconds: float = 0.0,
              durable: bool = False,
              persist_interval_s: float = 30.0,
+             kitchen_sink: bool = False,
              sample_seconds: float = 5.0) -> dict[str, Any]:
     """Run the soak; returns the result record (see module docstring).
 
@@ -574,6 +753,10 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
                 gc_pauses.append(round(dt, 1))
 
     gc.callbacks.append(_gc_cb)
+    aux = None
+    if kitchen_sink:
+        aux = _AuxPlanes(store)
+        aux.start()
     flusher.start()
     loop.start()                      # collector first: the farm's initial
     epoch["t"] = time.time()          # window surge (every stream's first
@@ -706,6 +889,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
             farm.stop()
         if rtsp_server is not None:
             rtsp_server.stop()
+        aux_rec = aux.stop_and_record() if aux is not None else None
         loop.stop()
         flusher.stop()
         gc.callbacks.remove(_gc_cb)
@@ -833,6 +1017,7 @@ def run_soak(streams: int = 2500, seconds: float = 120.0,
         "burst": ({"at_seconds": burst_at, "seconds": burst_seconds,
                    "stride": burst_stride}
                   if burst_at is not None else None),
+        **({"aux_planes": aux_rec} if aux_rec is not None else {}),
         **({"durable": {
             "db_path": db_path,
             "persist_interval_s": persist_interval_s,
@@ -922,6 +1107,11 @@ def main(argv=None) -> int:
                         "and 'birdnet-tpu recover' after a kill")
     p.add_argument("--persist-interval", type=float, default=30.0,
                    help="durable mode: threshold snapshot interval (s)")
+    p.add_argument("--kitchen-sink", action="store_true",
+                   help="run every aux plane concurrently (live HLS, "
+                        "sound-level, spectrogram pre-render, range "
+                        "rebuilds, dual-write migration) to prove they "
+                        "don't contaminate the hot path")
     p.add_argument("--out", default=None, help="append record to JSON file")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -951,7 +1141,8 @@ def main(argv=None) -> int:
                    stall_at=args.stall_at,
                    stall_seconds=args.stall_seconds,
                    durable=args.durable,
-                   persist_interval_s=args.persist_interval)
+                   persist_interval_s=args.persist_interval,
+                   kitchen_sink=args.kitchen_sink)
     print(json.dumps(rec, indent=1))
     if args.out:
         try:
