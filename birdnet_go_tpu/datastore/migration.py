@@ -106,14 +106,20 @@ class MigrationStateStore:
             self._ds._conn.commit()
 
     def map_insert(self, legacy_id: int, det_id: int,
-                   created: bool = True) -> None:
+                   created: bool = True, commit: bool = True) -> None:
         """created=False records a dedup mapping onto a row that existed
-        before the migration — rollback must not delete those."""
+        before the migration — rollback must not delete those.
+
+        commit=False defers durability to the caller's batch-level
+        store.update() commit: a crash between the detection insert and
+        the map commit is safe because resume re-scans and the
+        timestamp+species dedup re-maps the row without re-inserting."""
         with self._ds._lock:
             self._ds._conn.execute(
                 "INSERT OR IGNORE INTO migration_map VALUES (?, ?, ?)",
                 (legacy_id, det_id, 1 if created else 0))
-            self._ds._conn.commit()
+            if commit:
+                self._ds._conn.commit()
 
     def map_has(self, legacy_id: int) -> bool:
         with self._ds._lock:
@@ -486,7 +492,7 @@ class MigrationWorker:
             return False
         entry = legacy_note_entry(conn, tables, n)
         if entry is None:            # unparseable date/time: count, skip
-            self.store.map_insert(n["id"], -1)
+            self.store.map_insert(n["id"], -1, commit=False)
             return False
         d = entry["detection"]
         # second-granularity match: legacy date/time (and hence dual-write
@@ -508,7 +514,8 @@ class MigrationWorker:
                 (ts, ts + 1.0, d.species.scientific,
                  d.confidence)).fetchone()
         if dup is not None:
-            self.store.map_insert(n["id"], dup[0], created=False)
+            self.store.map_insert(n["id"], dup[0], created=False,
+                                  commit=False)
             return False
         det_id = self.ds.insert_detection(
             d, clip_name=None, results=entry["results"] or None)
@@ -518,7 +525,7 @@ class MigrationWorker:
             self.ds.add_comment(det_id, text)
         if entry["locked"]:
             self.ds.lock_detection(det_id, True)
-        self.store.map_insert(n["id"], det_id)
+        self.store.map_insert(n["id"], det_id, commit=False)
         return True
 
     def _migrate_batch(self, conn, tables, st) -> None:

@@ -502,3 +502,40 @@ def test_results_persisted_and_served():
     assert ds.latest_hourly_weather() is None
     assert ds.locked_clip_names() == []
     ds.optimize()   # VACUUM/ANALYZE must not raise
+
+
+def test_daily_events_incremental_rollup_matches_recompute():
+    """insert_detection maintains daily_events incrementally
+    (_bump_daily_events): O(log n) per insert instead of the full-day
+    rescan that made bulk ingest quadratic (measured 79% of migration
+    CPU). Contract: after any insert sequence — repeated species,
+    out-of-order times, multiple days — the incremental rollup equals a
+    full recompute, including the distinct-species counter."""
+    from birdnet_go_tpu.datastore.sqlite import Datastore
+    from tests.test_realtime_core import _detection
+
+    ds = Datastore(":memory:")
+    day0 = 1_700_000_000.0 - (1_700_000_000.0 % 86400)
+    seq = [("Turdus merula", day0 + 9 * 3600),       # day 1
+           ("Strix aluco", day0 + 7 * 3600),         # earlier time, new sp
+           ("Turdus merula", day0 + 22 * 3600),      # repeat sp, latest
+           ("Parus major", day0 + 12 * 3600),        # third species
+           ("Strix aluco", day0 + 86400 + 3600)]     # day 2
+    for sci, ts in seq:
+        ds.insert_detection(_detection(sci=sci, ts=ts))
+    for date in {ds.get_detection(i + 1)["date"] for i in range(len(seq))}:
+        inc = ds.get_daily_events(date)
+        assert inc == ds.save_daily_events(date), date
+    day1 = ds.get_daily_events(ds.get_detection(1)["date"])
+    assert day1["detections"] == 4 and day1["species"] == 3
+    assert day1["first_detection"] < day1["last_detection"]
+
+    # a rollup row pre-seeded by a recompute over an empty day ('' times)
+    # must not win the MIN() against a real first time
+    ds.save_daily_events("2031-01-01")
+    import datetime
+    ts = datetime.datetime(2031, 1, 1, 10, 30).timestamp()
+    ds.insert_detection(_detection(ts=ts))
+    ev = ds.get_daily_events("2031-01-01")
+    assert ev["first_detection"] == "10:30:00" == ev["last_detection"]
+    assert ev == ds.save_daily_events("2031-01-01")
