@@ -19,6 +19,9 @@ class MelCnnModel:
     # None = auto: fused Pallas front end on TPU when the mel config is
     # kernel-eligible (n_fft 2048, hop % 128 == 0, power spectrogram)
     use_fused_frontend: bool | None = None
+    # store inter-block activations as int8 in HBM (measured experiment —
+    # see ARCHITECTURE's int8 decision log before enabling)
+    act_int8: bool = False
 
     def features(self, pcm: jnp.ndarray) -> jnp.ndarray:
         """float32 PCM [B, T] → mel features NHWC [B, frames, mels, 1]."""
@@ -27,7 +30,8 @@ class MelCnnModel:
     def apply(self, params, pcm: jnp.ndarray, train: bool = False):
         feats = self.features(pcm).astype(self.compute_dtype)
         return apply_efficientnet(params, feats, self.net, train=train,
-                                  compute_dtype=self.compute_dtype)
+                                  compute_dtype=self.compute_dtype,
+                                  act_int8=self.act_int8)
 
     def _fused_ok(self) -> bool:
         if self.use_fused_frontend is not None:
@@ -49,7 +53,8 @@ class MelCnnModel:
                               out_dtype=self.compute_dtype)
             feats = m[..., None]
             return apply_efficientnet(params, feats, self.net, train=train,
-                                      compute_dtype=self.compute_dtype)
+                                      compute_dtype=self.compute_dtype,
+                                      act_int8=self.act_int8)
         pcm = pcm_i16.astype(jnp.float32) * (1.0 / 32768.0)
         return self.apply(params, pcm, train)
 

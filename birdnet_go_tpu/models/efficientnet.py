@@ -85,17 +85,47 @@ def init_efficientnet(key, cfg: EfficientNetConfig, in_channels: int = 1):
     return params
 
 
+# Static scale for the int8 activation-boundary experiment: post-BN+swish
+# block outputs are O(1); [-8, 8] covers them with headroom. A production
+# deployment would calibrate per boundary; perf is scale-invariant.
+_ACT_INT8_SCALE = 8.0 / 127.0
+
+
+def _int8_boundary(h, compute_dtype):
+    """Store an inter-block activation as int8 in HBM (VERDICT r4 #6b).
+
+    Quantize fuses into the producer block's epilogue, the dequantize into
+    the consumer conv's prologue; the optimization_barrier pins the
+    materialized HBM buffer to the int8 tensor (without it XLA may fuse
+    quant→dequant away and keep the bf16 buffer). Halves boundary-tensor
+    HBM bytes on a stack the roofline says is HBM-bound
+    (docs/ARCHITECTURE.md "Throughput anatomy")."""
+    inv = jnp.asarray(1.0 / _ACT_INT8_SCALE, compute_dtype)
+    q = jnp.clip(jnp.round(h * inv), -127, 127).astype(jnp.int8)
+    q = jax.lax.optimization_barrier(q)
+    return q.astype(compute_dtype) * jnp.asarray(_ACT_INT8_SCALE,
+                                                 compute_dtype)
+
+
 def apply_efficientnet(params, x, cfg: EfficientNetConfig, train: bool = False,
                        compute_dtype=jnp.bfloat16,
-                       fused_blocks: bool = False):
+                       fused_blocks: bool = False,
+                       act_int8: bool = False):
     """x: [B, T, M, C] mel spectrogram → {"logits": [B, S], "embedding": [B, E]}.
 
     fused_blocks=True routes eligible stride-1 MBConv blocks through the
     Pallas two-kernel path (ops/pallas_mbconv.py) — TPU only; the XLA
-    path is the reference semantics either way."""
+    path is the reference semantics either way.
+
+    act_int8=True stores every inter-block activation (stem output and
+    each MBConv block output) as int8 in HBM — the last untried byte-width
+    lever on the HBM-bound backbone (measured: see ARCHITECTURE's int8
+    decision log). Inference only; lossy (bounded by the parity test)."""
     h = L.swish(L.apply_bn(params["stem_bn"],
                            L.apply_conv(params["stem_conv"], x, stride=2,
                                         compute_dtype=compute_dtype), train))
+    if act_int8 and not train:
+        h = _int8_boundary(h, compute_dtype)
     if fused_blocks:
         from birdnet_go_tpu.ops.pallas_mbconv import (
             fused_block_ok,
@@ -114,6 +144,8 @@ def apply_efficientnet(params, x, cfg: EfficientNetConfig, train: bool = False,
                 h = L.apply_mbconv(params["blocks"][i], h, stride=stride,
                                    train=train,
                                    compute_dtype=compute_dtype)
+            if act_int8 and not train:
+                h = _int8_boundary(h, compute_dtype)
             i += 1
     h = L.swish(L.apply_bn(params["head_bn"],
                            L.apply_conv(params["head_conv"], h,

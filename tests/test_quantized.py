@@ -132,3 +132,43 @@ def test_int8_dense_head_parity_full_width():
             t_ref = set(np.argsort(ref[r])[-10:])
             t_got = set(np.argsort(got[r])[-10:])
             assert len(t_ref & t_got) >= 9
+
+
+def test_int8_activation_boundaries_parity(tiny):
+    """int8-stored inter-block activations (VERDICT r4 #6b): quantize in
+    each block's epilogue, dequantize in the next prologue — the HBM
+    byte-width lever on the conv-boundary-bound backbone. Contract: the
+    lossy boundary cast stays within the same confidence tolerance as the
+    int8 head (<0.02 post-sigmoid) and preserves top-5 ordering, and the
+    compiled graph really materializes s8 buffers at the boundaries."""
+    from birdnet_go_tpu.models.efficientnet import apply_efficientnet
+    from birdnet_go_tpu.ops.postprocess import sigmoid_confidence
+
+    m, params = tiny
+    feats = jnp.asarray(_mels(m, n=1)[0])
+    ref = apply_efficientnet(params, feats, m.net,
+                             compute_dtype=jnp.float32)["logits"]
+    got = apply_efficientnet(params, feats, m.net,
+                             compute_dtype=jnp.float32,
+                             act_int8=True)["logits"]
+    c_ref = np.asarray(sigmoid_confidence(ref, 1.0))
+    c_got = np.asarray(sigmoid_confidence(got, 1.0))
+    assert np.abs(c_ref - c_got).max() < 0.02
+    for r in range(c_ref.shape[0]):
+        t_ref = set(np.argsort(c_ref[r])[-5:])
+        t_got = set(np.argsort(c_got[r])[-5:])
+        assert len(t_ref & t_got) >= 4
+    # the int8 buffers must survive compilation (the optimization_barrier
+    # pins them; without it XLA may elide quant->dequant entirely)
+    hlo = jax.jit(lambda p, x: apply_efficientnet(
+        p, x, m.net, compute_dtype=jnp.float32,
+        act_int8=True)["logits"]).lower(params, feats).compile().as_text()
+    assert "s8" in hlo
+    # train mode never quantizes (boundaries would break gradients)
+    tr = apply_efficientnet(params, feats, m.net,
+                            compute_dtype=jnp.float32, act_int8=True,
+                            train=True)["logits"]
+    assert np.allclose(np.asarray(tr), np.asarray(
+        apply_efficientnet(params, feats, m.net,
+                           compute_dtype=jnp.float32,
+                           train=True)["logits"]))
