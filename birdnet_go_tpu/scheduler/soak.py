@@ -194,17 +194,26 @@ class _AuxPlanes:
                     log.exception("aux hls")
                     self.counters["aux_errors"] += 1
 
+        import jax.numpy as jnp
+
+        from birdnet_go_tpu.audio.audionorm import measure_lufs
+        from birdnet_go_tpu.ops.soundlevel import (
+            SoundLevelConfig,
+            band_levels_db,
+        )
+
+        cfg = SoundLevelConfig(sample_rate=48000)
+        pcm_f = self._tone[:48000].astype(np.float32) / 32768.0
+        # prewarm: compile every aux JAX graph SYNCHRONOUSLY, before the
+        # soak clock starts — a CPU XLA compile inside an aux thread
+        # holds the GIL for seconds and froze the tick loop at t≈5-12 s
+        # in the first kitchen-sink attempt (ab_ks: ticks stuck at 102,
+        # ready_backlog 7k). start() runs before loop.start()/farm.start()
+        # so this costs the measured window nothing.
+        np.asarray(band_levels_db(jnp.asarray(pcm_f), cfg))
+        measure_lufs(pcm_f, 48000)
+
         def soundlevel_plane():
-            import jax.numpy as jnp
-
-            from birdnet_go_tpu.audio.audionorm import measure_lufs
-            from birdnet_go_tpu.ops.soundlevel import (
-                SoundLevelConfig,
-                band_levels_db,
-            )
-
-            cfg = SoundLevelConfig(sample_rate=48000)
-            pcm_f = self._tone[:48000].astype(np.float32) / 32768.0
             while not self._stop.wait(1.0):
                 try:
                     np.asarray(band_levels_db(jnp.asarray(pcm_f), cfg))
@@ -217,6 +226,15 @@ class _AuxPlanes:
 
         self.prerenderer = PreRenderer(workers=1)
         self.prerenderer.start()
+        # prewarm the spectrogram mel kernel (same JAX-on-CPU compile
+        # hazard as above; the worker thread would otherwise compile it
+        # mid-soak) — submit one and wait for the render to land
+        self.prerenderer.submit(self._tone, 48000,
+                                f"{self._tmp.name}/spec_warm.png", width=400)
+        warm_deadline = time.monotonic() + 30.0
+        while (self.prerenderer.rendered + self.prerenderer.dropped) < 1 \
+                and time.monotonic() < warm_deadline:
+            time.sleep(0.05)
 
         def spectro_plane():
             i = 0
@@ -230,20 +248,22 @@ class _AuxPlanes:
                     log.exception("aux spectrogram")
                     self.counters["aux_errors"] += 1
 
+        import jax
+
+        from birdnet_go_tpu.models.geomodel import (
+            Geomodel,
+            GeomodelConfig,
+        )
+
+        gm = Geomodel(GeomodelConfig(hidden=(256, 256)))
+        params = gm.init(jax.random.PRNGKey(3))
+        grid = np.stack([
+            np.random.default_rng(5).uniform(-60, 60, 256),
+            np.random.default_rng(6).uniform(-180, 180, 256),
+            np.full(256, 21.0)], axis=-1).astype(np.float32)
+        np.asarray(gm.apply(params, grid))      # prewarm (see above)
+
         def range_plane():
-            import jax
-
-            from birdnet_go_tpu.models.geomodel import (
-                Geomodel,
-                GeomodelConfig,
-            )
-
-            gm = Geomodel(GeomodelConfig(hidden=(256, 256)))
-            params = gm.init(jax.random.PRNGKey(3))
-            grid = np.stack([
-                np.random.default_rng(5).uniform(-60, 60, 256),
-                np.random.default_rng(6).uniform(-180, 180, 256),
-                np.full(256, 21.0)], axis=-1).astype(np.float32)
             while not self._stop.wait(45.0):
                 try:
                     scores = np.asarray(gm.apply(params, grid))
