@@ -34,7 +34,11 @@ from birdnet_go_tpu.config.control import ControlBus, ControlSignal
 from birdnet_go_tpu.config.settings import Settings
 from birdnet_go_tpu.datastore.sqlite import Datastore
 from birdnet_go_tpu.inference.backend import JaxClassifier, JaxRangeFilter
-from birdnet_go_tpu.inference.loader import load_geomodel, load_model
+from birdnet_go_tpu.inference.loader import (
+    apply_serving_options,
+    load_geomodel,
+    load_model,
+)
 from birdnet_go_tpu.models.geomodel import birdnet_week
 from birdnet_go_tpu.scheduler.loop import DeviceLoop, ModelBatcher
 from birdnet_go_tpu.taxonomy.labels import load_labels
@@ -140,6 +144,7 @@ class Application:
                     .category(errors_mod.Category.MODEL) \
                     .context("model_id", ms.model_id).build()
                 raise
+            apply_serving_options(model, s.realtime)
             clf = self._make_classifier(model, params)
             self.classifiers[ms.model_id] = clf
             self.labels[ms.model_id] = load_labels(
@@ -831,6 +836,7 @@ class Application:
         if model_id in self.classifiers:
             return False
         model, params = load_model(model_id, checkpoint=checkpoint)
+        apply_serving_options(model, self.settings.realtime)
         clf = self._make_classifier(model, params)
         self.classifiers[model_id] = clf
         ms = next((m for m in self.settings.models

@@ -166,6 +166,13 @@ class RealtimeSettings:
     # back to tick_ms as tick busy time grows. 0/None = fixed tick.
     min_tick_ms: int = 15
     max_batch: int = 256              # device megabatch size per model
+    # store inter-block CNN activations as int8 in HBM: measured +2.8%
+    # step throughput on v5e (BENCH_r05 act8_boundaries), parity-gated
+    # (<0.02 post-sigmoid drift, top-5 stable — tests/test_quantized.py).
+    # Default off: the north star is detection-table parity with the
+    # TFLite reference, and the cast is lossy. Applies to native mel-CNN
+    # families; imported (.tflite/.onnx) graphs ignore it.
+    act_int8: bool = False
     # device batches a model may dispatch per tick (the steady-state
     # ceiling is max_batch × max_dispatches_per_tick per tick); >1 removes
     # the round-2 one-batch-per-tick cap (VERDICT r2 #1). 11 puts the

@@ -181,6 +181,19 @@ def load_model(model_id: str, checkpoint: str | None = None, seed: int = 0,
     return model, model.init(jax.random.PRNGKey(seed))
 
 
+def apply_serving_options(model, realtime) -> None:
+    """Apply config-driven serving options to a freshly loaded model.
+
+    `realtime.act_int8` flips the int8 activation-boundary path on
+    mel-CNN families (models/base.py `act_int8`; measured +2.8% on v5e,
+    BENCH_r05 act8_boundaries). Models without the knob — imported
+    .tflite/.onnx graphs, the geomodel — are left untouched."""
+    if getattr(realtime, "act_int8", False) and hasattr(model, "act_int8"):
+        model.act_int8 = True
+        log.info("act_int8 serving path enabled for %s",
+                 getattr(model.spec, "model_id", type(model).__name__))
+
+
 def geomodel_weights_installed(checkpoint: str | None = None) -> bool:
     """True when load_geomodel would serve trained weights rather than
     deterministic random init (whose scores are plausible-looking

@@ -172,3 +172,24 @@ def test_int8_activation_boundaries_parity(tiny):
         apply_efficientnet(params, feats, m.net,
                            compute_dtype=jnp.float32,
                            train=True)["logits"]))
+
+
+def test_act_int8_serving_option_wiring(tiny):
+    """realtime.act_int8 reaches the loaded model via
+    apply_serving_options (app.py start + load_model_runtime both call
+    it); imported-graph stand-ins without the knob are left alone."""
+    from birdnet_go_tpu.config.settings import RealtimeSettings
+    from birdnet_go_tpu.inference.loader import apply_serving_options
+
+    m, _ = tiny
+    m.act_int8 = False
+    apply_serving_options(m, RealtimeSettings(act_int8=True))
+    assert m.act_int8 is True
+    m.act_int8 = False
+    apply_serving_options(m, RealtimeSettings())
+    assert m.act_int8 is False
+
+    class NoKnob:
+        spec = None
+
+    apply_serving_options(NoKnob(), RealtimeSettings(act_int8=True))
