@@ -18,9 +18,10 @@ Scope is deliberately the language subset the SPA uses (verified by
 inventory): ES modules with named imports/exports, async/await,
 arrow functions, destructuring, template literals, spread/rest,
 optional chaining, nullish coalescing, for-of/in, try/catch, switch,
-regex literals, and the Object/Array/String/Number/Math/JSON/Date/
-Promise/Map/Set/URLSearchParams builtins.  No `class`, generators,
-Proxy, or labels — the gate in tests/test_frontend.py keeps the SPA
-inside this subset.
+labeled statements, regex literals, `class` (methods, accessors,
+statics, fields, private #members, extends/super), and the Object/
+Array/String/Number/Math/JSON/Date/Promise/Map/Set/URLSearchParams
+builtins.  No generators or Proxy — the gate in tests/test_frontend.py
+keeps the SPA inside this subset.
 """
 

@@ -28,12 +28,22 @@ class _ShortCircuit:
 _SC = _ShortCircuit()
 
 
+def _is_priv_name(name) -> bool:
+    """#ident-shaped member name (the only shape the lexer's privid
+    token produces) — distinguishes private members from ordinary
+    '#'-prefixed string keys arriving via computed access."""
+    return (isinstance(name, str) and len(name) > 1 and name[0] == "#"
+            and (name[1].isalpha() or name[1] in "_$"))
+
+
 class BreakEx(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class ContinueEx(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class ReturnEx(Exception):
@@ -351,8 +361,13 @@ class Interp:
                 s = Scope(env, is_function=True)
                 s.declare("this", obj)
                 s.declare("__home__", c)
-                obj.props[k] = (self.eval(expr, s)
-                                if expr is not None else UNDEF)
+                v = self.eval(expr, s) if expr is not None else UNDEF
+                if k.startswith("#"):
+                    if obj.privs is None:
+                        obj.privs = {}
+                    obj.privs[k] = v
+                else:
+                    obj.props[k] = v
 
     def _run_ctor_chain(self, klass, this, args):
         """Nearest constructor up the chain runs (an implicit derived
@@ -386,11 +401,11 @@ class Interp:
 
     # ======================================================== statements
 
-    def exec_stmt(self, s, scope, module=None):
+    def exec_stmt(self, s, scope, module=None, labels=()):
         typ = s[0]
         if typ == "stmt":
             self.cur_line = s[1]
-            return self.exec_stmt(s[2], scope, module)
+            return self.exec_stmt(s[2], scope, module, labels)
         if typ == "expr":
             self.eval(s[1], scope)
             return
@@ -429,9 +444,13 @@ class Interp:
                 iters = self._loop_tick(iters)
                 try:
                     self.exec_stmt(s[2], scope, module)
-                except BreakEx:
+                except BreakEx as e:
+                    if e.label is not None and e.label not in labels:
+                        raise
                     break
-                except ContinueEx:
+                except ContinueEx as e:
+                    if e.label is not None and e.label not in labels:
+                        raise
                     continue
             return
         if typ == "dowhile":
@@ -440,10 +459,13 @@ class Interp:
                 iters = self._loop_tick(iters)
                 try:
                     self.exec_stmt(s[1], scope, module)
-                except BreakEx:
+                except BreakEx as e:
+                    if e.label is not None and e.label not in labels:
+                        raise
                     break
-                except ContinueEx:
-                    pass
+                except ContinueEx as e:
+                    if e.label is not None and e.label not in labels:
+                        raise
                 if not js_truthy(self.eval(s[2], scope)):
                     break
             return
@@ -461,13 +483,19 @@ class Interp:
                 iscope.vars.update(fscope.vars)
                 try:
                     self.exec_stmt(body, iscope, module)
-                except BreakEx:
+                except BreakEx as e:
                     fscope.vars.update(
                         {k: v for k, v in iscope.vars.items()
                          if k in fscope.vars})
+                    if e.label is not None and e.label not in labels:
+                        raise
                     break
-                except ContinueEx:
-                    pass
+                except ContinueEx as e:
+                    if e.label is not None and e.label not in labels:
+                        fscope.vars.update(
+                            {k: v for k, v in iscope.vars.items()
+                             if k in fscope.vars})
+                        raise
                 fscope.vars.update({k: v for k, v in iscope.vars.items()
                                     if k in fscope.vars})
                 if update is not None:
@@ -487,15 +515,30 @@ class Interp:
                                       const=kind == "const")
                 try:
                     self.exec_stmt(body, iscope, module)
-                except BreakEx:
+                except BreakEx as e:
+                    if e.label is not None and e.label not in labels:
+                        raise
                     break
-                except ContinueEx:
+                except ContinueEx as e:
+                    if e.label is not None and e.label not in labels:
+                        raise
                     continue
             return
         if typ == "break":
-            raise BreakEx()
+            raise BreakEx(s[1] if len(s) > 1 else None)
         if typ == "continue":
-            raise ContinueEx()
+            raise ContinueEx(s[1] if len(s) > 1 else None)
+        if typ == "label":
+            # labeled statement: the label chain accumulates through
+            # stmt wrappers into the directly-labeled loop/switch, which
+            # absorbs matching labeled break/continue itself; a labeled
+            # BREAK out of a non-loop statement is absorbed here
+            try:
+                self.exec_stmt(s[2], scope, module, labels + (s[1],))
+            except BreakEx as e:
+                if e.label != s[1]:
+                    raise
+            return
         if typ == "throw":
             raise JSThrow(self.eval(s[1], scope),
                           stack=[(self.cur_path, self.cur_line)])
@@ -536,8 +579,9 @@ class Interp:
                         if run:
                             for st in body:
                                 self.exec_stmt(st, sscope, module)
-            except BreakEx:
-                pass
+            except BreakEx as e:
+                if e.label is not None and e.label not in labels:
+                    raise
             return
         if typ == "empty":
             return
@@ -919,6 +963,26 @@ class Interp:
                 return obj.props[name]
             return self._b.array_member(self, obj, name)
         if isinstance(obj, JSObject):
+            if _is_priv_name(name) and (obj.klass is not None
+                                        or obj.privs is not None):
+                # private members never fall through to plain props or
+                # builtins: declared-or-TypeError (brand-check semantics).
+                # Guarded to class instances + #ident-shaped names so
+                # plain objects keyed by '#'-strings (e.g. route hashes)
+                # keep ordinary property semantics.
+                if obj.privs is not None and name in obj.privs:
+                    return obj.privs[name]
+                c = obj.klass
+                while c is not None:
+                    if name in c.getters:
+                        return self.call(c.getters[name], obj, [])
+                    if name in c.methods:
+                        return c.methods[name]
+                    c = c.parent
+                raise JSThrow.type_error(
+                    f"cannot read private member {name} from an object "
+                    f"whose class did not declare it at "
+                    f"{self.cur_path}:{self.cur_line}")
             if name in obj.props:
                 return obj.props[name]
             c = obj.klass
@@ -965,6 +1029,21 @@ class Interp:
             obj.js_set(name, value)
             return
         if isinstance(obj, JSObject):
+            if _is_priv_name(name) and (obj.klass is not None
+                                        or obj.privs is not None):
+                c = obj.klass
+                while c is not None:
+                    if name in c.setters:
+                        self.call(c.setters[name], obj, [value])
+                        return
+                    c = c.parent
+                if obj.privs is not None and name in obj.privs:
+                    obj.privs[name] = value
+                    return
+                raise JSThrow.type_error(
+                    f"cannot write private member {name} to an object "
+                    f"whose class did not declare it at "
+                    f"{self.cur_path}:{self.cur_line}")
             c = obj.klass
             while c is not None:               # setter accessors first
                 if name in c.setters:

@@ -285,6 +285,17 @@ def tokenize(src: str, path: str = "<js>") -> list[Tok]:
             i = j
             continue
 
+        # private member name: #ident (class fields/methods)
+        if c == "#" and i + 1 < n and (src[i + 1].isalpha()
+                                       or src[i + 1] in "_$"):
+            j = i + 1
+            while j < n and (src[j].isalnum() or src[j] in "_$"):
+                j += 1
+            toks.append(Tok("privid", src[i:j], start_line, nl))
+            nl = False
+            i = j
+            continue
+
         # punctuation (longest match)
         for p in PUNCT:
             if src.startswith(p, i):

@@ -100,6 +100,11 @@ class Parser:
 
     def _statement_inner(self):
         t = self.peek()
+        if t.type == "ident" and self.peek(1).type == "punct" \
+                and self.peek(1).value == ":":
+            self.next()
+            self.next()
+            return ("label", t.value, self.statement())
         if t.type == "punct" and t.value == "{":
             return self.block()
         if t.type == "punct" and t.value == ";":
@@ -149,12 +154,18 @@ class Parser:
                 return ("return", e)
             if kw == "break":
                 self.next()
+                label = None
+                if self.at("ident") and not self.peek().nl_before:
+                    label = self.next().value
                 self.semi()
-                return ("break",)
+                return ("break", label)
             if kw == "continue":
                 self.next()
+                label = None
+                if self.at("ident") and not self.peek().nl_before:
+                    label = self.next().value
                 self.semi()
-                return ("continue",)
+                return ("continue", label)
             if kw == "throw":
                 self.next()
                 e = self.expression()
@@ -225,8 +236,9 @@ class Parser:
 
     def class_decl(self, as_expr=False):
         """ES class: methods, get/set accessors, static members, instance
-        and static fields, extends + super. Not covered (clean syntax
-        error): generator methods, private #fields, static blocks."""
+        and static fields, private #fields/#methods/#accessors, extends +
+        super. Not covered (clean syntax error): generator methods,
+        static blocks."""
         self.expect("kw", "class")
         name = None
         if self.at("ident") or self.at_any("kw", self._CONTEXTUAL):
@@ -270,8 +282,7 @@ class Parser:
             if self.at("punct", "*"):
                 raise JSSyntaxError(
                     f"{self.path}:{line}: generator methods are outside "
-                    "the supported subset (private #fields die in the "
-                    "lexer)")
+                    "the supported subset")
             computed = False
             if self.eat("punct", "["):
                 key = self.assignment()
@@ -279,7 +290,7 @@ class Parser:
                 computed = True
             else:
                 kt = self.next()
-                if kt.type in ("ident", "kw", "str"):
+                if kt.type in ("ident", "kw", "str", "privid"):
                     key = ("str", kt.value)
                 elif kt.type == "num":
                     key = ("str", _num_key(kt.value))
@@ -562,7 +573,7 @@ class Parser:
             if t.type == "punct" and t.value == ".":
                 self.next()
                 name = self.next()
-                if name.type not in ("ident", "kw"):
+                if name.type not in ("ident", "kw", "privid"):
                     raise JSSyntaxError(
                         f"{self.path}:{name.line}: bad member name")
                 e = ("member", e, name.value, False, False)

@@ -31,11 +31,12 @@ UNDEF = _Undefined()
 
 
 class JSObject:
-    __slots__ = ("props", "klass")
+    __slots__ = ("props", "klass", "privs")
 
     def __init__(self, props=None, klass=None):
         self.props = props if props is not None else {}
         self.klass = klass                # JSClass for class instances
+        self.privs = None                 # private #members (lazy dict)
 
     def __repr__(self):  # pragma: no cover - debug aid
         inner = ", ".join(f"{k}: {v!r}" for k, v in list(self.props.items())[:6])
