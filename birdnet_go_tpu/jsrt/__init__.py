@@ -19,9 +19,11 @@ inventory): ES modules with named imports/exports, async/await,
 arrow functions, destructuring, template literals, spread/rest,
 optional chaining, nullish coalescing, for-of/in, try/catch, switch,
 labeled statements, regex literals, `class` (methods, accessors,
-statics, fields, private #members, extends/super), and the Object/
-Array/String/Number/Math/JSON/Date/Promise/Map/Set/URLSearchParams
-builtins.  No generators or Proxy — the gate in tests/test_frontend.py
-keeps the SPA inside this subset.
+statics, fields, private #members, extends/super), `function*`
+generators (yield/yield*, next/return/throw, lazy for-of), and the
+Object/Array/String/Number/Math/JSON/Date/Promise/Map/Set/
+URLSearchParams builtins.  Still out (clean syntax errors): async
+generators, generator METHODS (function* only), Proxy, static blocks —
+the gate in tests/test_frontend.py keeps the SPA inside this subset.
 """
 

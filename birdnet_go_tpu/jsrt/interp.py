@@ -10,6 +10,8 @@ instead of hanging CI.
 from __future__ import annotations
 
 import math
+import queue
+import threading
 
 from .values import (UNDEF, BoundFunction, HostObject, JSArray, JSClass,
                      JSFunction, JSMap, JSObject, JSPromise, JSRegExp, JSSet,
@@ -53,6 +55,121 @@ class ReturnEx(Exception):
 
 class DeadlockError(RuntimeError):
     pass
+
+
+class JSGenerator:
+    """A `function*` instance. The body runs on a dedicated daemon thread
+    with strict two-queue handoff (queues of size 1, strict alternation),
+    so exactly ONE of caller/body ever executes — JS single-thread
+    semantics hold and the recursive tree-walk suspends for free at any
+    depth. Interpreter positional state (cur_path/cur_line/call_stack) is
+    swapped around each handoff so suspension never leaks frames into the
+    caller's stack traces."""
+
+    def __init__(self, interp, fn, scope):
+        self.interp = interp
+        self.fn = fn
+        self.scope = scope
+        self.done = False
+        self._started = False
+        self._to_gen = queue.Queue(1)
+        self._from_gen = queue.Queue(1)
+        self._thread = None
+        self._stack = []
+        self._pos = (fn.path, 0)
+
+    # ---- body side (generator thread) ----
+
+    def _body(self):
+        it = self.interp
+        it._gen_tl.gen = self
+        try:
+            cmd, val = self._to_gen.get()
+            if cmd == "return":
+                self._from_gen.put(("return", val))
+                return
+            if cmd == "throw":
+                self._from_gen.put(("throw", val))
+                return
+            ret = it._run_body(self.fn, self.scope)
+            self._from_gen.put(("return", ret))
+        except ReturnEx as r:
+            self._from_gen.put(("return", r.value))
+        except JSThrow as t:
+            self._from_gen.put(("throw", t))
+        except BaseException as e:      # interpreter bug — surface it
+            self._from_gen.put(("pyerr", e))
+
+    def _yield(self, value):
+        self._from_gen.put(("yield", value))
+        cmd, val = self._to_gen.get()
+        if cmd == "throw":
+            raise val if isinstance(val, JSThrow) else JSThrow(val)
+        if cmd == "return":
+            raise ReturnEx(val)         # unwinds through JS finally blocks
+        return val
+
+    # ---- caller side ----
+
+    def _resume(self, cmd, val):
+        it = self.interp
+        if self.done:
+            if cmd == "throw":
+                raise val if isinstance(val, JSThrow) else JSThrow(val)
+            return ("return", val if cmd == "return" else UNDEF)
+        if self._thread is not None \
+                and threading.current_thread() is self._thread:
+            raise JSThrow.type_error("generator is already running")
+        if not self._started:
+            self._started = True
+            if cmd == "return":         # closing an unstarted generator
+                self.done = True
+                return ("return", val)
+            self._thread = threading.Thread(
+                target=self._body, daemon=True,
+                name=f"jsgen-{self.fn.name}")
+            self._thread.start()
+        saved = (it.cur_path, it.cur_line, it.call_stack)
+        it.cur_path, it.cur_line = self._pos
+        it.call_stack = self._stack
+        try:
+            self._to_gen.put((cmd, val))
+            kind, out = self._from_gen.get()
+        finally:
+            self._pos = (it.cur_path, it.cur_line)
+            self._stack = it.call_stack
+            it.cur_path, it.cur_line, it.call_stack = saved
+        if kind == "pyerr":
+            self.done = True
+            raise out
+        if kind == "throw":
+            self.done = True
+            raise out
+        if kind == "return":
+            self.done = True
+        return (kind, out)
+
+    def js_next(self, value=UNDEF):
+        kind, out = self._resume("next", value)
+        o = JSObject()
+        o.props["value"] = out
+        o.props["done"] = kind == "return"
+        return o
+
+    def js_return(self, value=UNDEF):
+        kind, out = self._resume("return", value)
+        o = JSObject()
+        o.props["value"] = out
+        o.props["done"] = True
+        return o
+
+    def js_throw(self, value):
+        kind, out = self._resume(
+            "throw", value if isinstance(value, JSThrow) else JSThrow(value))
+        o = JSObject()
+        o.props["value"] = out
+        o.props["done"] = kind == "return"
+        return o
 
 
 class Scope:
@@ -128,6 +245,7 @@ class Interp:
         self.cur_path = "<js>"
         self.console_errors = []          # harness asserts this is empty
         self.rejected = []                # (promise, value) unhandled so far
+        self._gen_tl = threading.local()  # generator owning this thread
         self._b = _b
         _b.install_globals(self)
 
@@ -305,13 +423,17 @@ class Interp:
         if is_arrow:
             _, params, body, is_async, expr_body = node
             name = None
+            is_gen = False
         else:
-            _, name, params, body, is_async = node
+            _, name, params, body, is_async = node[:5]
+            is_gen = len(node) > 5 and node[5]
         plist, rest = params
-        return JSFunction(name, plist, rest, body, scope,
-                          is_async=is_async, is_arrow=is_arrow,
-                          expr_body=(node[4] if is_arrow else False),
-                          this_val=this_val, path=self.cur_path)
+        fn = JSFunction(name, plist, rest, body, scope,
+                        is_async=is_async, is_arrow=is_arrow,
+                        expr_body=(node[4] if is_arrow else False),
+                        this_val=this_val, path=self.cur_path)
+        fn.is_gen = is_gen
+        return fn
 
     def make_class(self, node, scope):
         _, name, parent_node, members = node
@@ -678,6 +800,7 @@ class Interp:
         if typ == "funcexpr":
             fn = JSFunction(node[1], node[2][0], node[2][1], node[3], scope,
                             is_async=node[4], path=self.cur_path)
+            fn.is_gen = len(node) > 5 and bool(node[5])
             return fn
         if typ == "classexpr":
             return self.make_class(node, scope)
@@ -685,6 +808,20 @@ class Interp:
             raise JSThrow.error(
                 None, "SyntaxError",
                 "'super' is only valid as super(...) or super.member")
+        if typ == "yield":
+            gen = getattr(self._gen_tl, "gen", None)
+            if gen is None:
+                raise JSThrow.error(
+                    None, "SyntaxError",
+                    f"yield outside a generator at "
+                    f"{self.cur_path}:{self.cur_line}")
+            if node[2]:                            # yield* delegation
+                last = UNDEF
+                for item in self.js_iterate(self.eval(node[1], scope)):
+                    last = gen._yield(item)
+                return last
+            return gen._yield(self.eval(node[1], scope)
+                              if node[1] is not None else UNDEF)
         if typ == "member":
             _, obj_node, prop, computed, optional = node
             if obj_node[0] == "super":
@@ -895,6 +1032,10 @@ class Interp:
             self.bind_pattern(pat, val, scope, declare=True)
         if fn.rest is not None:
             scope.declare(fn.rest, JSArray(list(args[len(fn.params):])))
+        if getattr(fn, "is_gen", False):
+            # calling a function* runs NO body code: it returns the
+            # suspended generator object
+            return JSGenerator(self, fn, scope)
         self.call_stack.append((fn.name, fn.path, self.cur_line))
         prev_path = self.cur_path
         self.cur_path = fn.path
@@ -1021,6 +1162,20 @@ class Interp:
             return self._b.set_member(self, obj, name)
         if isinstance(obj, JSRegExp):
             return self._b.regex_member(self, obj, name)
+        if isinstance(obj, JSGenerator):
+            if name == "next":
+                return NativeFunction(
+                    "next", lambda i, t, a: obj.js_next(
+                        a[0] if a else UNDEF))
+            if name == "return":
+                return NativeFunction(
+                    "return", lambda i, t, a: obj.js_return(
+                        a[0] if a else UNDEF))
+            if name == "throw":
+                return NativeFunction(
+                    "throw", lambda i, t, a: obj.js_throw(
+                        a[0] if a else UNDEF))
+            return UNDEF
         raise JSThrow.type_error(
             f"cannot read '{name}' of {type(obj).__name__}")
 
@@ -1119,6 +1274,23 @@ class Interp:
         return []
 
     def js_iterate(self, obj):
+        if isinstance(obj, JSGenerator):
+            def _drain():
+                # tighter than LOOP_BUDGET: each step is a thread handoff
+                # (~tens of µs), so 2M would hang the gate for minutes
+                budget = 200_000
+                n = 0
+                while True:
+                    n += 1
+                    if n > budget:
+                        raise DeadlockError(
+                            f"generator iteration at {self.cur_path}:"
+                            f"{self.cur_line} exceeded {budget}")
+                    res = obj.js_next()
+                    if res.props["done"]:
+                        return
+                    yield res.props["value"]
+            return _drain()
         if isinstance(obj, JSArray):
             return list(obj.items)
         if isinstance(obj, str):

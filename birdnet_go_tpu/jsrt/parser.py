@@ -210,13 +210,18 @@ class Parser:
 
     def func_decl(self, is_async):
         self.expect("kw", "function")
+        is_gen = bool(self.eat("punct", "*"))
+        if is_gen and is_async:
+            raise JSSyntaxError(
+                f"{self.path}:{self.peek().line}: async generators are "
+                "outside the supported subset")
         if self.at_any("kw", self._CONTEXTUAL):
             name = self.next().value          # contextual keyword as name
         else:
             name = self.expect("ident").value
         params = self.param_list()
         body = self.block()
-        return ("func", name, params, body, is_async)
+        return ("func", name, params, body, is_async, is_gen)
 
     def param_list(self):
         self.expect("punct", "(")
@@ -457,6 +462,16 @@ class Parser:
         return e
 
     def assignment(self):
+        if self.at("kw", "yield"):
+            self.next()
+            deleg = bool(self.eat("punct", "*"))
+            t = self.peek()
+            if not deleg and (t.nl_before or t.type == "eof"
+                              or (t.type == "punct"
+                                  and t.value in (")", "]", "}",
+                                                  ",", ";", ":"))):
+                return ("yield", None, False)
+            return ("yield", self.assignment(), deleg)
         if self.is_arrow_ahead():
             return self.arrow()
         left = self.conditional()
@@ -639,12 +654,17 @@ class Parser:
             if kw in ("null", "true", "false", "undefined"):
                 return ("lit", kw)
             if kw == "function":
+                is_gen = bool(self.eat("punct", "*"))
                 name = self.next().value if self.at("ident") else None
                 params = self.param_list()
                 body = self.block()
-                return ("funcexpr", name, params, body, False)
+                return ("funcexpr", name, params, body, False, is_gen)
             if kw == "async" and self.at("kw", "function"):
                 self.next()
+                if self.at("punct", "*"):
+                    raise JSSyntaxError(
+                        f"{self.path}:{self.peek().line}: async "
+                        "generators are outside the supported subset")
                 name = self.next().value if self.at("ident") else None
                 params = self.param_list()
                 body = self.block()

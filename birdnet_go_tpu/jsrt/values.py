@@ -82,7 +82,7 @@ class JSClass:
 class JSFunction:
     __slots__ = ("name", "params", "rest", "body", "env", "is_async",
                  "is_arrow", "expr_body", "this_val", "bound_this",
-                 "bound_args", "path", "home_class")
+                 "bound_args", "path", "home_class", "is_gen")
 
     def __init__(self, name, params, rest, body, env, is_async=False,
                  is_arrow=False, expr_body=False, this_val=None, path="<js>"):
@@ -99,6 +99,7 @@ class JSFunction:
         self.bound_args = None
         self.path = path
         self.home_class = None            # JSClass for methods (super)
+        self.is_gen = False               # function* (generator)
 
 
 class NativeFunction:

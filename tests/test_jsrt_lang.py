@@ -544,3 +544,59 @@ def test_private_write_outside_declaring_class_rejected():
     # (per-instance storage, not per-class brands) — accept either the
     # strict TypeError or the permissive write, but never a crash
     assert scope.get("r") in ("", "TypeError")
+
+
+def test_generators():
+    """function* (added round 5): body runs on a handoff thread so the
+    tree-walk suspends at any depth. Covers sent values, return
+    value/done, for-of and spread lazy iteration, yield* delegation,
+    finally cleanup on .return(), .throw() caught in-body, and
+    function* expressions."""
+    scope, _ = run("""
+        function* counter(n) {
+          let i = 0;
+          while (i < n) {
+            const sent = yield i;
+            i += sent !== undefined ? sent : 1;
+          }
+          return 'fin';
+        }
+        const g = counter(5);
+        let vals = [g.next().value, g.next(2).value, g.next().value,
+                    g.next().value];
+        const end = g.next();
+        let forof = [];
+        for (const v of counter(3)) forof.push(v);
+        function* inner() { yield 1; yield 2; }
+        function* outer() { yield 0; yield* inner(); yield 3; }
+        let cleaned = false;
+        function* res() { try { yield 'a'; } finally { cleaned = true; } }
+        const h = res(); h.next();
+        const ret = h.return('stop');
+        function* t() { try { yield 1; } catch (e) { yield 'c:' + e; } }
+        const tg = t(); tg.next();
+        let r = JSON.stringify([vals, end.value, end.done, forof,
+                                [...counter(3)], [...outer()], cleaned,
+                                ret.value, ret.done, tg.throw('boom').value,
+                                (function*(){ yield 42; })().next().value]);
+    """)
+    assert scope.get("r") == ('[[0,2,3,4],"fin",true,[0,1,2],[0,1,2],'
+                              '[0,1,2,3],true,"stop",true,"c:boom",42]')
+
+
+def test_generator_guards():
+    # yield outside a generator is a runtime SyntaxError, not a crash
+    with pytest.raises(JSThrow):
+        run("function f() { yield 1; } f();")
+    # async generators reject cleanly at parse time
+    with pytest.raises(JSSyntaxError):
+        parse("async function* f() {}")
+    # reentrant next() from inside the running body is a TypeError
+    scope, _ = run("""
+        let g;
+        function* f() { yield g.next(); }
+        g = f();
+        let r = '';
+        try { g.next(); } catch (e) { r = e.name; }
+    """)
+    assert scope.get("r") == "TypeError"
