@@ -62,13 +62,20 @@ export async function aboutView(outlet) {
     el("p", { class: "sub" }, link(`${REPO}/blob/main/LICENSE`,
                                    t("license")))));
 
+  // Missing payload fields render as "?" via a Proxy get-trap default,
+  // so the table never shows "undefined" on older servers.
+  const withDefaults = (o) => new Proxy(o, {
+    get: (tgt, k) => (Reflect.has(tgt, k) ? Reflect.get(tgt, k) : "?"),
+  });
   try {
-    const info = await api("/system/info");
-    version.textContent = info.version || "?";
-    platform.textContent =
-      `${info.platform || "?"} · Python ${info.python || "?"}`;
-    devices.textContent = (info.devices || []).join(", ") || "-";
-    uptime.textContent = `${Math.round(info.uptime_seconds || 0)}s`;
+    const info = withDefaults(await api("/system/info"));
+    version.textContent = String(info.version);
+    platform.textContent = `${info.platform} · Python ${info.python}`;
+    const devs = Reflect.get(info, "devices");
+    devices.textContent =
+      (Array.isArray(devs) ? devs.join(", ") : "") || "-";
+    uptime.textContent =
+      `${Math.round(Number(info.uptime_seconds) || 0)}s`;
   } catch (e) {
     version.textContent = "?";
     platform.textContent = e.message;

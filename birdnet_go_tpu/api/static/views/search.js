@@ -89,9 +89,11 @@ export async function searchView(outlet) {
   const searchBtn = el("button", { class: "primary" }, "🔍 " + t("search"));
   const resetBtn = el("button", {}, t("reset"));
   const saveBtn = el("button", {}, "★ " + t("save_search"));
+  const exportBtn = el("button", {}, "⬇ " + t("export_csv"));
   outlet.append(el("div", { class: "filters" },
     query, dateFrom, "–", dateTo, confMin, confMax, verified, lockedSel,
-    todSel, sourceSel, modelSel, sortSel, searchBtn, resetBtn, saveBtn));
+    todSel, sourceSel, modelSel, sortSel, searchBtn, resetBtn, saveBtn,
+    exportBtn));
 
   // ---- saved searches ----
   const savedWrap = el("div", { class: "chip-wrap",
@@ -259,6 +261,51 @@ export async function searchView(outlet) {
       run();
     } catch (e) { toast(e.message, true); }
   }
+
+  /** Pages through the FULL result set of a filter (not just the visible
+      page), one POST per 200 rows. The search endpoint is POST-only, so
+      the export is client-side, unlike the detections browser's
+      GET /detections/export link. */
+  async function* allResults(filters, pageSize = 200) {
+    let offset = 0;
+    while (true) {
+      const { detections = [], total = 0 } = await api("/detections/search",
+        { method: "POST", body: { ...filters, limit: pageSize, offset } });
+      for (const d of detections) yield d;
+      offset += detections.length;
+      if (!detections.length || offset >= total) return;
+    }
+  }
+
+  const csvEsc = (v) => {
+    const s = v === undefined || v === null ? "" : String(v);
+    const needsQuote = s.includes(",") || s.includes('"')
+      || s.includes("\n");
+    return needsQuote ? '"' + s.split('"').join('""') + '"' : s;
+  };
+
+  exportBtn.addEventListener("click", async () => {
+    if (!validate()) return;
+    exportBtn.disabled = true;
+    try {
+      const lines = ["timestamp,common_name,scientific_name,confidence,"
+                     + "source,verdict,locked"];
+      for await (const d of allResults(currentFilters())) {
+        lines.push([d.timestamp, d.common_name, d.scientific_name,
+                    d.confidence, d.source_id, d.verdict || "",
+                    d.locked ? "true" : "false"].map(csvEsc).join(","));
+      }
+      const url = URL.createObjectURL(
+        new Blob([lines.join("\n") + "\n"], { type: "text/csv" }));
+      const a = el("a", { href: url, download: "search-results.csv" });
+      document.body.append(a);
+      a.click();
+      a.remove();
+      URL.revokeObjectURL(url);
+      toast(`${t("export_csv")}: ${lines.length - 1}`);
+    } catch (e) { toast(e.message, true); }
+    exportBtn.disabled = false;
+  });
 
   searchBtn.addEventListener("click", () => { state.offset = 0; run(); });
   query.addEventListener("keydown", (ev) => {

@@ -20,10 +20,13 @@ arrow functions, destructuring, template literals, spread/rest,
 optional chaining, nullish coalescing, for-of/in, try/catch, switch,
 labeled statements, regex literals, `class` (methods, accessors,
 statics, fields, private #members, extends/super), `function*`
-generators (yield/yield*, next/return/throw, lazy for-of), and the
-Object/Array/String/Number/Math/JSON/Date/Promise/Map/Set/
-URLSearchParams builtins.  Still out (clean syntax errors): async
-generators, generator METHODS (function* only), Proxy, static blocks —
-the gate in tests/test_frontend.py keeps the SPA inside this subset.
+generators (yield/yield*, next/return/throw, lazy for-of) including
+generator METHODS in classes and object literals, `async function*` +
+`for await…of`, Proxy (get/set/has/deleteProperty/ownKeys traps) +
+Reflect, and the Object/Array/String/Number/Math/JSON/Date/Promise/
+Map/Set/URLSearchParams/URL/Blob builtins.  Still out (clean syntax
+errors): Symbol, tagged templates, static blocks, Proxy apply/
+construct traps — the gate in tests/test_frontend.py keeps the SPA
+inside this subset.
 """
 

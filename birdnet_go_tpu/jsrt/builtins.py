@@ -17,8 +17,8 @@ import time
 import urllib.parse
 
 from .values import (UNDEF, BoundFunction, HostObject, JSArray, JSFunction,
-                     JSMap, JSObject, JSPromise, JSRegExp, JSSet, JSThrow,
-                     NativeFunction, is_callable, map_key)
+                     JSMap, JSObject, JSPromise, JSProxy, JSRegExp, JSSet,
+                     JSThrow, NativeFunction, is_callable, map_key)
 
 
 def nf(name, fn):
@@ -974,6 +974,51 @@ class JSURL(HostObject):
         return UNDEF
 
 
+class JSBlob(HostObject):
+    """Blob([parts], {type}) — string parts only; enough for the SPA's
+    client-side CSV export through URL.createObjectURL (no byte
+    semantics, no streaming)."""
+
+    def __init__(self, parts=None, opts=None):
+        from .interp import js_str
+        items = parts.items if isinstance(parts, JSArray) else []
+        self.data = "".join(
+            p.data if isinstance(p, JSBlob) else js_str(p) for p in items)
+        self.type = ""
+        if isinstance(opts, JSObject):
+            t = opts.props.get("type")
+            if isinstance(t, str):
+                self.type = t
+
+    def js_get(self, name):
+        if name == "size":
+            return len(self.data)
+        if name == "type":
+            return self.type
+        if name == "text":
+            def _text(i, t, a):
+                p = i.promise()
+                i.resolve_promise(p, self.data)
+                return p
+            return nf("text", _text)
+        return UNDEF
+
+
+#: object-URL registry — lets tests reach the blob a download pointed at.
+#: LAST_OBJECT_URL_BLOB survives revokeObjectURL so a test can inspect a
+#: download the page already cleaned up after.
+OBJECT_URLS = {}
+LAST_OBJECT_URL_BLOB = None
+
+
+def _create_object_url(blob):
+    global LAST_OBJECT_URL_BLOB
+    LAST_OBJECT_URL_BLOB = blob
+    key = f"blob:jsrt/{len(OBJECT_URLS) + 1}"
+    OBJECT_URLS[key] = blob
+    return key
+
+
 # ============================================================= install
 
 
@@ -1005,6 +1050,11 @@ def js_to_py(v):
     from .interp import UNDEF as U
     if v is U:
         return None
+    if isinstance(v, JSProxy):
+        # trap-free materialization: JSON sees the target (get traps
+        # would need the interpreter; spread the proxy first if they
+        # must apply)
+        return js_to_py(v.target)
     if isinstance(v, JSArray):
         return [js_to_py(x) for x in v.items]
     if isinstance(v, JSObject):
@@ -1156,6 +1206,34 @@ def install_globals(interp):
         "fromEntries": nf("fromEntries", _from_entries),
         "freeze": nf("freeze", lambda i, t, a: a[0] if a else UNDEF),
     }, ctor=lambda i, a: JSObject()))
+
+    # ----------------------------------------------------- Proxy / Reflect
+    def _proxy_ctor(i, a):
+        target = a[0] if a else UNDEF
+        handler = a[1] if len(a) > 1 else UNDEF
+        if not isinstance(target, (JSObject, JSArray, JSProxy)) \
+                or not isinstance(handler, JSObject):
+            raise JSThrow.type_error(
+                "Cannot create proxy with a non-object as target "
+                "or handler")
+        return JSProxy(target, handler)
+
+    g.declare("Proxy", _ctor_obj("Proxy", {}, ctor=_proxy_ctor))
+
+    def _r2(fn):                     # (obj, key) operations
+        return lambda i, t, a: fn(i, a[0], js_str(a[1]))
+
+    g.declare("Reflect", JSObject({
+        "get": nf("get", _r2(lambda i, o, k: i.get_member(o, k))),
+        "set": nf("set", lambda i, t, a: (
+            i.set_member(a[0], js_str(a[1]), a[2] if len(a) > 2 else UNDEF),
+            True)[1]),
+        "has": nf("has", _r2(lambda i, o, k: i.js_has(o, k))),
+        "deleteProperty": nf("deleteProperty", _r2(
+            lambda i, o, k: (i.delete_member(o, k), True)[1])),
+        "ownKeys": nf("ownKeys",
+                      lambda i, t, a: JSArray(i.js_keys(a[0]))),
+    }))
 
     # -------------------------------------------------------------- Array
     def _is_array(i, t, a):
@@ -1375,8 +1453,18 @@ def install_globals(interp):
     g.declare("URLSearchParams", _ctor_obj(
         "URLSearchParams", {},
         ctor=lambda i, a: JSURLSearchParams(a[0] if a else "")))
-    g.declare("URL", _ctor_obj("URL", {}, ctor=lambda i, a:
+    g.declare("URL", _ctor_obj("URL", {
+        "createObjectURL": nf(
+            "createObjectURL",
+            lambda i, t, a: _create_object_url(a[0] if a else UNDEF)),
+        "revokeObjectURL": nf(
+            "revokeObjectURL",
+            lambda i, t, a: (OBJECT_URLS.pop(_s(a, 0), None), UNDEF)[1]),
+    }, ctor=lambda i, a:
               JSURL(_s(a, 0), _s(a, 1, None) if len(a) > 1 else None)))
+    g.declare("Blob", _ctor_obj(
+        "Blob", {}, ctor=lambda i, a: JSBlob(
+            a[0] if a else None, a[1] if len(a) > 1 else None)))
 
     # ------------------------------------------------------------- errors
     for ename in ("Error", "TypeError", "RangeError", "SyntaxError",

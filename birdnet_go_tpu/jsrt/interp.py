@@ -14,8 +14,9 @@ import queue
 import threading
 
 from .values import (UNDEF, BoundFunction, HostObject, JSArray, JSClass,
-                     JSFunction, JSMap, JSObject, JSPromise, JSRegExp, JSSet,
-                     JSThrow, NativeFunction, is_callable, map_key)
+                     JSFunction, JSMap, JSObject, JSPromise, JSProxy,
+                     JSRegExp, JSSet, JSThrow, NativeFunction, is_callable,
+                     map_key)
 
 
 class _ShortCircuit:
@@ -170,6 +171,21 @@ class JSGenerator:
         o.props["value"] = out
         o.props["done"] = kind == "return"
         return o
+
+
+class JSAsyncGenerator:
+    """An `async function*` instance. Wraps the thread-suspended
+    JSGenerator; next/return/throw hand back ALREADY-SETTLED promises.
+    That is sound here because this interpreter's `await` drives the job
+    queue synchronously (await_value): the body may await between yields
+    — running microtasks/timers on the generator thread while the caller
+    is parked on the handoff queue — and has always produced (or thrown)
+    its step result by the time control returns to the caller."""
+
+    __slots__ = ("gen",)
+
+    def __init__(self, gen):
+        self.gen = gen
 
 
 class Scope:
@@ -623,11 +639,12 @@ class Interp:
                 if update is not None:
                     self.eval(update, fscope)
             return
-        if typ in ("forof", "forin"):
+        if typ in ("forof", "forin", "forawait"):
             _, kind, pat, obj_node, body = s
             obj = self.eval(obj_node, scope)
             seq = (self.js_iterate(obj) if typ == "forof"
-                   else self.js_keys(obj))
+                   else self.js_keys(obj) if typ == "forin"
+                   else self._async_iterate(obj))
             for item in seq:
                 iscope = Scope(scope)
                 if kind is None:
@@ -1034,8 +1051,10 @@ class Interp:
             scope.declare(fn.rest, JSArray(list(args[len(fn.params):])))
         if getattr(fn, "is_gen", False):
             # calling a function* runs NO body code: it returns the
-            # suspended generator object
-            return JSGenerator(self, fn, scope)
+            # suspended generator object (async-wrapped for async gens —
+            # their body awaits run on the generator thread)
+            gen = JSGenerator(self, fn, scope)
+            return JSAsyncGenerator(gen) if fn.is_async else gen
         self.call_stack.append((fn.name, fn.path, self.cur_line))
         prev_path = self.cur_path
         self.cur_path = fn.path
@@ -1090,6 +1109,12 @@ class Interp:
             raise JSThrow.type_error(
                 f"cannot read properties of {js_str(obj)} (reading "
                 f"'{name}') at {self.cur_path}:{self.cur_line}")
+        if isinstance(obj, JSProxy):
+            trap = obj.handler.props.get("get")
+            if trap is not None:
+                return self.call(trap, obj.handler,
+                                 [obj.target, name, obj])
+            return self.get_member(obj.target, name)
         if isinstance(obj, HostObject):
             return obj.js_get(name)
         if isinstance(obj, str):
@@ -1176,10 +1201,32 @@ class Interp:
                     "throw", lambda i, t, a: obj.js_throw(
                         a[0] if a else UNDEF))
             return UNDEF
+        if isinstance(obj, JSAsyncGenerator):
+            op = {"next": obj.gen.js_next, "return": obj.gen.js_return,
+                  "throw": obj.gen.js_throw}.get(name)
+            if op is None:
+                return UNDEF
+
+            def _step(i, t, a, op=op):
+                p = i.promise()
+                try:
+                    i.resolve_promise(p, op(a[0] if a else UNDEF))
+                except JSThrow as th:
+                    i.reject_promise(p, th.value)
+                return p
+            return NativeFunction(name, _step)
         raise JSThrow.type_error(
             f"cannot read '{name}' of {type(obj).__name__}")
 
     def set_member(self, obj, name, value):
+        if isinstance(obj, JSProxy):
+            trap = obj.handler.props.get("set")
+            if trap is not None:
+                self.call(trap, obj.handler,
+                          [obj.target, name, value, obj])
+                return
+            self.set_member(obj.target, name, value)
+            return
         if isinstance(obj, HostObject):
             obj.js_set(name, value)
             return
@@ -1242,7 +1289,13 @@ class Interp:
             f"at {self.cur_path}:{self.cur_line}")
 
     def delete_member(self, obj, name):
-        if isinstance(obj, JSObject):
+        if isinstance(obj, JSProxy):
+            trap = obj.handler.props.get("deleteProperty")
+            if trap is not None:
+                self.call(trap, obj.handler, [obj.target, name])
+            else:
+                self.delete_member(obj.target, name)
+        elif isinstance(obj, JSObject):
             obj.props.pop(name, None)
         elif isinstance(obj, HostObject):
             obj.js_delete(name)
@@ -1252,6 +1305,12 @@ class Interp:
                 obj.items[i] = UNDEF
 
     def js_has(self, obj, name):
+        if isinstance(obj, JSProxy):
+            trap = obj.handler.props.get("has")
+            if trap is not None:
+                return js_truthy(self.call(trap, obj.handler,
+                                           [obj.target, name]))
+            return self.js_has(obj.target, name)
         if isinstance(obj, JSObject):
             return name in obj.props
         if isinstance(obj, HostObject):
@@ -1263,6 +1322,12 @@ class Interp:
         return False
 
     def js_keys(self, obj):
+        if isinstance(obj, JSProxy):
+            trap = obj.handler.props.get("ownKeys")
+            if trap is not None:
+                return [js_str(k) for k in self.js_iterate(
+                    self.call(trap, obj.handler, [obj.target]))]
+            return self.js_keys(obj.target)
         if isinstance(obj, JSObject):
             return list(obj.props.keys())
         if isinstance(obj, JSArray):
@@ -1273,7 +1338,31 @@ class Interp:
             return []
         return []
 
+    def _async_iterate(self, obj):
+        """`for await (… of obj)`: async generators step through their
+        promise-wrapped next(); any other iterable yields its items with
+        each element awaited (the spec's CreateAsyncFromSyncIterator)."""
+        if isinstance(obj, JSAsyncGenerator):
+            budget = 200_000             # same bound as sync generators
+            n = 0
+            while True:
+                n += 1
+                if n > budget:
+                    raise DeadlockError(
+                        f"async generator iteration at {self.cur_path}:"
+                        f"{self.cur_line} exceeded {budget}")
+                res = self.await_value(self.call(
+                    self.get_member(obj, "next"), obj, []))
+                if js_truthy(self.get_member(res, "done")):
+                    return
+                yield self.get_member(res, "value")
+        else:
+            for item in self.js_iterate(obj):
+                yield self.await_value(item)
+
     def js_iterate(self, obj):
+        if isinstance(obj, JSProxy):
+            return self.js_iterate(obj.target)
         if isinstance(obj, JSGenerator):
             def _drain():
                 # tighter than LOOP_BUDGET: each step is a thread handoff
@@ -1479,6 +1568,8 @@ def js_str(v):
         if isinstance(s, str):
             return s
         return f"[object {type(v).__name__}]"
+    if isinstance(v, JSProxy):
+        return js_str(v.target)
     return str(v)
 
 

@@ -211,10 +211,6 @@ class Parser:
     def func_decl(self, is_async):
         self.expect("kw", "function")
         is_gen = bool(self.eat("punct", "*"))
-        if is_gen and is_async:
-            raise JSSyntaxError(
-                f"{self.path}:{self.peek().line}: async generators are "
-                "outside the supported subset")
         if self.at_any("kw", self._CONTEXTUAL):
             name = self.next().value          # contextual keyword as name
         else:
@@ -278,16 +274,18 @@ class Parser:
                     and not self.peek(1).nl_before:
                 self.next()
                 is_async = True
+            # `*` directly before the member name marks a generator
+            # method (`*seq()`, `async *pages()`, `static *twice()`);
+            # get/set accessors can never be generators, so the
+            # accessor scan only runs when no `*` was consumed.
+            is_gen = bool(self.eat("punct", "*"))
             kind = "method"
-            for acc in ("get", "set"):
-                if self.at("kw", acc) and not self._kw_is_member_name():
-                    self.next()
-                    kind = acc
-                    break
-            if self.at("punct", "*"):
-                raise JSSyntaxError(
-                    f"{self.path}:{line}: generator methods are outside "
-                    "the supported subset")
+            if not is_gen:
+                for acc in ("get", "set"):
+                    if self.at("kw", acc) and not self._kw_is_member_name():
+                        self.next()
+                        kind = acc
+                        break
             computed = False
             if self.eat("punct", "["):
                 key = self.assignment()
@@ -307,11 +305,16 @@ class Parser:
                 params = self.param_list()
                 body = self.block()
                 members.append((kind, key, computed, is_static,
-                                ("funcexpr", None, params, body, is_async)))
+                                ("funcexpr", None, params, body, is_async,
+                                 is_gen)))
                 continue
             if kind in ("get", "set"):
                 raise JSSyntaxError(
                     f"{self.path}:{line}: accessor needs a body")
+            if is_gen:
+                raise JSSyntaxError(
+                    f"{self.path}:{line}: '*' marks a generator method, "
+                    "which needs a parameter list and body")
             init = self.assignment() if self.eat("punct", "=") else None
             self.semi()
             members.append(("field", key, computed, is_static, init))
@@ -329,6 +332,8 @@ class Parser:
 
     def for_stmt(self):
         self.expect("kw", "for")
+        # `for await (… of …)` — only the of-form may carry await
+        is_await = bool(self.eat("kw", "await"))
         self.expect("punct", "(")
         init = None
         if self.at("punct", ";"):
@@ -342,7 +347,8 @@ class Parser:
                 which = self.next().value
                 obj = self.assignment()
                 self.expect("punct", ")")
-                return ("for" + which, kind, pat, obj, self.statement())
+                return (self._for_kind(which, is_await), kind, pat, obj,
+                        self.statement())
             self.i = save
             init = self.var_decl()
             self.expect("punct", ";")
@@ -354,14 +360,28 @@ class Parser:
                 obj = self.assignment()
                 self.expect("punct", ")")
                 pat = self.expr_to_pattern(e)
-                return ("for" + which, None, pat, obj, self.statement())
+                return (self._for_kind(which, is_await), None, pat, obj,
+                        self.statement())
             init = ("expr", e)
             self.expect("punct", ";")
+        if is_await:
+            raise JSSyntaxError(
+                f"{self.path}:{self.peek().line}: 'for await' is only "
+                "valid with for…of")
         test = None if self.at("punct", ";") else self.expression()
         self.expect("punct", ";")
         update = None if self.at("punct", ")") else self.expression()
         self.expect("punct", ")")
         return ("for", init, test, update, self.statement())
+
+    def _for_kind(self, which, is_await):
+        if not is_await:
+            return "for" + which
+        if which != "of":
+            raise JSSyntaxError(
+                f"{self.path}:{self.peek().line}: 'for await' is only "
+                "valid with for…of")
+        return "forawait"
 
     def try_stmt(self):
         self.expect("kw", "try")
@@ -661,14 +681,11 @@ class Parser:
                 return ("funcexpr", name, params, body, False, is_gen)
             if kw == "async" and self.at("kw", "function"):
                 self.next()
-                if self.at("punct", "*"):
-                    raise JSSyntaxError(
-                        f"{self.path}:{self.peek().line}: async "
-                        "generators are outside the supported subset")
+                is_gen = bool(self.eat("punct", "*"))
                 name = self.next().value if self.at("ident") else None
                 params = self.param_list()
                 body = self.block()
-                return ("funcexpr", name, params, body, True)
+                return ("funcexpr", name, params, body, True, is_gen)
             if kw == "new":
                 callee = self.call_member(self.primary(), no_call=True)
                 args = self.arguments() if self.at("punct", "(") else []
@@ -717,12 +734,15 @@ class Parser:
                     break
                 continue
             is_async = False
-            if self.at("kw", "async") and self.peek(1).type in ("ident", "kw", "str") \
-                    and not (self.peek(1).type == "punct"):
+            if self.at("kw", "async"):
                 nxt = self.peek(1)
-                if not (nxt.type == "punct" and nxt.value in (",", "}", ":", "(")):
+                # `async` is a modifier when a member name (or `*` /
+                # computed `[`) follows; otherwise it IS the key
+                if nxt.type in ("ident", "kw", "str", "num") \
+                        or (nxt.type == "punct" and nxt.value in ("*", "[")):
                     self.next()
                     is_async = True
+            is_gen = bool(self.eat("punct", "*"))    # {*m(){}} / {async *m(){}}
             computed = False
             if self.eat("punct", "["):
                 key = self.assignment()
@@ -739,11 +759,16 @@ class Parser:
                 else:
                     raise JSSyntaxError(
                         f"{self.path}:{kt.line}: bad object key")
+            if is_gen and not self.at("punct", "("):
+                raise JSSyntaxError(
+                    f"{self.path}:{self.peek().line}: '*' marks a "
+                    "generator method, which needs a parameter list "
+                    "and body")
             if self.at("punct", "("):               # method shorthand
                 params = self.param_list()
                 body = self.block()
                 props.append(("prop", key, ("funcexpr", None, params, body,
-                                            is_async), computed))
+                                            is_async, is_gen), computed))
             elif self.eat("punct", ":"):
                 props.append(("prop", key, self.assignment(), computed))
             else:                                    # shorthand {a} / {a = 1}

@@ -157,6 +157,23 @@ class JSSet:
         self.entries = {}                 # hashable_key -> orig_value
 
 
+class JSProxy:
+    """`new Proxy(target, handler)` — the interpreter's member protocol
+    (get/set/has/delete/ownKeys) consults the handler's traps before
+    falling through to the target, so Object.keys / for-in / `in` /
+    `delete` all route through it. Function-target traps (apply,
+    construct) are outside the supported subset."""
+
+    __slots__ = ("target", "handler")
+
+    def __init__(self, target, handler):
+        self.target = target
+        self.handler = handler
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"JSProxy({self.target!r})"
+
+
 class HostObject:
     """Base for DOM / BOM / fetch objects implemented in Python."""
 

@@ -261,9 +261,13 @@ def _collect_declarations(toks: list[Tok]) -> set[str]:
     for i, t in enumerate(toks):
         nxt = toks[i + 1] if i + 1 < n else None
         prv = toks[i - 1] if i > 0 else None
-        if t.kind == "kw" and t.text in ("function", "class") and nxt \
-                and nxt.kind == "ident":
-            declared.add(nxt.text)
+        if t.kind == "kw" and t.text in ("function", "class") and nxt:
+            # `function f` / `function* f` / `async function* f`
+            if nxt.kind == "ident":
+                declared.add(nxt.text)
+            elif nxt.text == "*" and i + 2 < n \
+                    and toks[i + 2].kind == "ident":
+                declared.add(toks[i + 2].text)
         if t.kind == "kw" and t.text in ("const", "let", "var"):
             # {a: local} declares local, not a — but shorthand {a}
             # declares a; over-collect both (liberal)
@@ -302,7 +306,12 @@ def _collect_declarations(toks: list[Tok]) -> set[str]:
             is_fn = (head.kind == "kw" and head.text == "function") or (
                 head.kind == "ident" and i >= 2
                 and toks[i - 2].kind == "kw"
-                and toks[i - 2].text == "function")
+                and toks[i - 2].text == "function") or (
+                # generator forms: `function* f(` / `async function* f(`
+                head.kind == "ident" and i >= 3
+                and toks[i - 2].text == "*"
+                and toks[i - 3].kind == "kw"
+                and toks[i - 3].text == "function")
             is_method = head.kind == "ident" and i >= 2 \
                 and toks[i - 2].kind == "punct" \
                 and toks[i - 2].text in ("{", ",", ";", "}")

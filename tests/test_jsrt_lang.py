@@ -135,8 +135,8 @@ def test_class_case(src, expect):
 
 
 def test_class_unsupported_pieces_reject_cleanly():
-    with pytest.raises(JSSyntaxError):           # generator methods
-        parse("class T { *gen(){} }")
+    with pytest.raises(JSSyntaxError):           # static blocks
+        parse("class T { static { this.x = 1; } }")
     with pytest.raises(JSThrow):                 # extends a non-class
         run("class A extends 5 {}")
     with pytest.raises(JSThrow):                 # super outside derived
@@ -588,9 +588,9 @@ def test_generator_guards():
     # yield outside a generator is a runtime SyntaxError, not a crash
     with pytest.raises(JSThrow):
         run("function f() { yield 1; } f();")
-    # async generators reject cleanly at parse time
+    # `for await` outside for…of rejects cleanly at parse time
     with pytest.raises(JSSyntaxError):
-        parse("async function* f() {}")
+        parse("async function f() { for await (let i = 0; i < 3; i++) {} }")
     # reentrant next() from inside the running body is a TypeError
     scope, _ = run("""
         let g;
@@ -600,3 +600,171 @@ def test_generator_guards():
         try { g.next(); } catch (e) { r = e.name; }
     """)
     assert scope.get("r") == "TypeError"
+# --- appended to tests/test_jsrt_lang.py (round 5b) -----------------
+
+
+def test_generator_methods_in_classes_and_objects():
+    scope, _ = run("""
+      class Counter {
+        constructor(n) { this.n = n; }
+        *upto() { for (let i = 1; i <= this.n; i++) yield i; }
+        static *twice(x) { yield x; yield x; }
+      }
+      const c = new Counter(3);
+      let r = [...c.upto()].join(',');
+      let s = [...Counter.twice(7)].join('-');
+      const obj = {
+        base: 10,
+        *offsets() { yield this.base + 1; yield this.base + 2; }
+      };
+      let o = [...obj.offsets()].join(',');
+    """)
+    assert scope.get("r") == "1,2,3"
+    assert scope.get("s") == "7-7"
+    assert scope.get("o") == "11,12"
+
+
+def test_generator_method_for_of_and_early_break():
+    scope, _ = run("""
+      class Fib {
+        *seq() { let a = 0, b = 1; while (true) { yield a; [a, b] = [b, a + b]; } }
+      }
+      let out = [];
+      for (const v of new Fib().seq()) { if (v > 20) break; out.push(v); }
+      let r = out.join(',');
+    """)
+    assert scope.get("r") == "0,1,1,2,3,5,8,13"
+
+
+def test_async_generator_with_for_await():
+    scope, it = run("""
+      async function* ticks(n) {
+        for (let i = 0; i < n; i++) {
+          const v = await Promise.resolve(i * 10);
+          yield v;
+        }
+      }
+      let got = [];
+      (async () => {
+        for await (const v of ticks(3)) got.push(v);
+      })();
+      let r = got.join(',');
+    """)
+    assert scope.get("r") == "0,10,20"
+
+
+def test_async_generator_method_and_manual_next():
+    scope, _ = run("""
+      class Feed {
+        async *pages() { yield 'a'; yield await Promise.resolve('b'); }
+      }
+      let r = [];
+      (async () => {
+        const it = new Feed().pages();
+        let step = await it.next();
+        while (!step.done) { r.push(step.value); step = await it.next(); }
+      })();
+      let out = r.join('');
+    """)
+    assert scope.get("out") == "ab"
+
+
+def test_for_await_over_array_of_promises():
+    scope, _ = run("""
+      let r = 0;
+      (async () => {
+        for await (const v of [Promise.resolve(1), 2, Promise.resolve(3)])
+          r += v;
+      })();
+    """)
+    assert scope.get("r") == 6
+
+
+def test_async_generator_rejection_propagates():
+    scope, _ = run("""
+      async function* bad() { yield 1; throw new Error('boom'); }
+      let r = '';
+      (async () => {
+        try { for await (const v of bad()) r += v; }
+        catch (e) { r += ':' + e.message; }
+      })();
+    """)
+    assert scope.get("r") == "1:boom"
+
+
+def test_proxy_get_set_has_delete_traps():
+    scope, _ = run("""
+      const log = [];
+      const p = new Proxy({x: 1}, {
+        get(t, k) { log.push('get:' + k); return k in t ? t[k] : 'dflt'; },
+        set(t, k, v) { log.push('set:' + k); t[k] = v * 2; return true; },
+        has(t, k) { return k === 'ghost' || k in t; },
+        deleteProperty(t, k) { log.push('del:' + k); delete t[k]; return true; },
+      });
+      p.y = 5;
+      let r = p.x + p.y + p.missing;     // 1 + 10 + 'dflt'
+      let h = ('ghost' in p) && ('x' in p) && !('nope' in p);
+      delete p.x;
+      let hx = 'x' in p;
+      let l = log.join(',');
+    """)
+    assert scope.get("r") == "11dflt"
+    assert scope.get("h") is True
+    assert scope.get("hx") is False
+    assert scope.get("l") == "set:y,get:x,get:y,get:missing,del:x"
+
+
+def test_proxy_ownkeys_trap_drives_object_keys_and_forin():
+    scope, _ = run("""
+      const p = new Proxy({a: 1, b: 2, secret: 3}, {
+        ownKeys(t) { return Object.keys(t).filter((k) => k !== 'secret'); },
+      });
+      let r = Object.keys(p).join(',');
+      let f = [];
+      for (const k in p) f.push(k);
+      let fi = f.join(',');
+    """)
+    assert scope.get("r") == "a,b"
+    assert scope.get("fi") == "a,b"
+
+
+def test_proxy_without_traps_is_transparent():
+    scope, _ = run("""
+      const t = {n: 4};
+      const p = new Proxy(t, {});
+      p.m = 6;
+      let r = p.n + t.m + Object.keys(p).length;
+    """)
+    assert scope.get("r") == 12
+
+
+def test_proxy_requires_objects():
+    with pytest.raises(JSThrow) as ei:
+        run("new Proxy(5, {});")
+    assert "proxy" in js_str(ei.value.value).lower()
+
+
+def test_reflect_mirrors_member_protocol():
+    scope, _ = run("""
+      const o = {a: 1};
+      Reflect.set(o, 'b', 2);
+      let r = Reflect.get(o, 'a') + o.b;
+      let h = Reflect.has(o, 'a') && !Reflect.has(o, 'z');
+      let k = Reflect.ownKeys(o).join(',');
+      Reflect.deleteProperty(o, 'a');
+      let d = 'a' in o;
+    """)
+    assert scope.get("r") == 3
+    assert scope.get("h") is True
+    assert scope.get("k") == "a,b"
+    assert scope.get("d") is False
+
+
+def test_proxy_get_trap_receives_receiver_and_reflect_composes():
+    scope, _ = run("""
+      const p = new Proxy({v: 3}, {
+        get(t, k, recv) { return Reflect.get(t, k) * 10; },
+      });
+      let r = p.v;
+    """)
+    assert scope.get("r") == 30

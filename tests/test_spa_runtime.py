@@ -186,6 +186,20 @@ def test_search_view_query_save_and_review_flow(spa):
     assert any("/review" in u and m == "POST"
                for (m, u, _s) in session.fetch_log[n2:])
 
+    # client-side CSV export pages the FULL result set through an
+    # `async function*` + `for await` (jsrt r5) into a Blob object-URL
+    n3 = len(session.fetch_log)
+    session.click(_btn(session, "Export CSV"))
+    _assert_clean(session, "after CSV export")
+    assert any(u == "/api/v2/detections/search" and m == "POST"
+               for (m, u, _s) in session.fetch_log[n3:])
+    from birdnet_go_tpu.jsrt import builtins as jsb
+    blob = jsb.LAST_OBJECT_URL_BLOB
+    assert blob is not None and blob.type == "text/csv"
+    header, *rows = blob.data.strip().split("\n")
+    assert header.startswith("timestamp,common_name,")
+    assert rows and any("Turdus merula" in r for r in rows)
+
 
 def test_settings_server_error_anchors_to_field(spa):
     """A server-side rejection (validate(): latitude out of range —
