@@ -484,3 +484,171 @@ export function sparkline(values, { width = 110, height = 30 } = {}) {
   svg.append(svgEl("circle", { cx: lx, cy: ly, r: 3, fill: "var(--seq-400)" }));
   return svg;
 }
+
+/** Catmull-Rom → cubic-bezier smoothing for band boundaries (the
+    curveBasis look without d3). pts = [[x, y], …] → full path string. */
+function smoothPath(pts) {
+  let d = `M${pts[0][0].toFixed(1)},${pts[0][1].toFixed(1)}`;
+  for (let i = 0; i < pts.length - 1; i++) {
+    const p0 = pts[Math.max(0, i - 1)], p1 = pts[i];
+    const p2 = pts[i + 1], p3 = pts[Math.min(pts.length - 1, i + 2)];
+    d += ` C${(p1[0] + (p2[0] - p0[0]) / 6).toFixed(1)},`
+      + `${(p1[1] + (p2[1] - p0[1]) / 6).toFixed(1)} `
+      + `${(p2[0] - (p3[0] - p1[0]) / 6).toFixed(1)},`
+      + `${(p2[1] - (p3[1] - p1[1]) / 6).toFixed(1)} `
+      + `${p2[0].toFixed(1)},${p2[1].toFixed(1)}`;
+    }
+  return d;
+}
+
+/** Streamgraph: one smoothed band per category over shared buckets,
+    stacked inside-out around a centered (silhouette) baseline — the
+    reference's acoustic-succession diel chart
+    (frontend/.../charts/d3/AcousticSuccessionChart.svelte: stacked
+    per-species hour-of-day bands, stackOffsetWiggle + stackOrderInsideOut,
+    no y-axis, inline label at each band's thickest column when ≥13px,
+    hover tooltip, persistent swatch legend). rows = [{label, values}]. */
+export function streamGraph(rows, { colLabels = null, fmt = fmtNum,
+                                    height = 230 } = {}) {
+  const pad = { l: 10, r: 10, t: 10, b: 22 };
+  const width = 640;
+  const { wrap, svg, tip, plotW, plotH } = chartFrame(width, height, pad);
+  if (!rows.length || !rows[0].values.length) {
+    wrap.append(el("div", { class: "empty" }, "No data"));
+    return wrap;
+  }
+  const n = rows[0].values.length;
+  // inside-out order: largest totals in the middle, alternating sides
+  const order = [];
+  rows.map((r, i) => [r.values.reduce((s, v) => s + (v || 0), 0), i])
+    .sort((a, b) => b[0] - a[0])
+    .forEach((pair, k) => {
+      if (k % 2) order.push(pair[1]); else order.unshift(pair[1]);
+    });
+  // silhouette offset: every column's stack is centered on zero
+  const totals = Array.from({ length: n }, (_, j) =>
+    rows.reduce((s, r) => s + (r.values[j] || 0), 0));
+  const maxTotal = Math.max(...totals, 1);
+  let acc = totals.map((tot) => -tot / 2);
+  const layers = order.map((i) => {
+    const y0 = acc;
+    acc = acc.map((v, j) => v + (rows[i].values[j] || 0));
+    return { row: rows[i], series: i, y0, y1: acc };
+  });
+  const xAt = (j) => pad.l + (j / Math.max(1, n - 1)) * plotW;
+  const yAt = (v) => pad.t + plotH / 2 - (v / maxTotal) * plotH;
+  const colorOf = (i) => `var(--series-${(i % 5) + 1})`;
+  const labels = [];
+  for (const L of layers) {
+    const top = L.y1.map((v, j) => [xAt(j), yAt(v)]);
+    const bot = L.y0.map((v, j) => [xAt(j), yAt(v)]).reverse();
+    const band = svgEl("path", {
+      d: smoothPath(top) + ` L${bot[0][0].toFixed(1)},${bot[0][1].toFixed(1)} `
+        + smoothPath(bot).slice(1) + " Z",
+      fill: colorOf(L.series), opacity: 0.85 });
+    band.addEventListener("pointermove", (ev) => {
+      band.setAttribute("opacity", "1");
+      const box = svg.getBoundingClientRect();
+      const fx = (ev.clientX - box.left) * (width / box.width);
+      const j = Math.max(0, Math.min(n - 1,
+        Math.round((fx - pad.l) / (plotW / Math.max(1, n - 1)))));
+      const cl = colLabels ? colLabels[j] : String(j);
+      showTip(wrap, tip, ev.clientX, ev.clientY,
+              [[`${L.row.label} · ${cl}`, fmt(L.row.values[j] || 0)]]);
+    });
+    band.addEventListener("pointerleave", () => {
+      band.setAttribute("opacity", "0.85");
+      tip.style.display = "none";
+    });
+    svg.append(band);
+    // inline label at the band's thickest column, only when it fits
+    let jPeak = 0, thick = 0;
+    for (let j = 0; j < n; j++) {
+      const h = yAt(L.y0[j]) - yAt(L.y1[j]);
+      if (h > thick) { thick = h; jPeak = j; }
+    }
+    if (thick >= 13) {
+      const lbl = svgEl("text", {
+        x: xAt(jPeak), y: (yAt(L.y0[jPeak]) + yAt(L.y1[jPeak])) / 2 + 3.5,
+        "text-anchor": "middle", "font-size": 10.5, "font-weight": 600,
+        fill: "var(--text-primary)", "pointer-events": "none" });
+      lbl.textContent = L.row.label.length > 20
+        ? L.row.label.slice(0, 19) + "…" : L.row.label;
+      labels.push(lbl);
+    }
+  }
+  svg.append(...labels);                     // labels above every band
+  if (colLabels) {
+    colLabels.forEach((cl, j) => {
+      if (j % 3 !== 0) return;               // every 3rd hour, as reference
+      const lbl = svgEl("text", { x: xAt(j), y: height - 6,
+        "text-anchor": "middle", "font-size": 10, fill: "var(--text-muted)" });
+      lbl.textContent = cl;
+      svg.append(lbl);
+    });
+  }
+  // persistent legend: a streamgraph has no y-axis to anchor names to
+  const legend = el("div", { class: "legend" }, rows.map((r, i) =>
+    el("span", {}, el("span", { class: "key",
+                               style: `background:${colorOf(i)}` }), r.label)));
+  return el("div", {}, wrap, legend);
+}
+
+/** First-heard timeline: one row per species with a marker at its first
+    detection date on a shared time axis (reference
+    frontend/.../charts/d3/NewSpeciesTimelineChart.svelte: band scale per
+    species, time x-scale, tooltip, species label per row).
+    items = [{label, date: "YYYY-MM-DD", sci}], onClick(item) drills. */
+export function timelineChart(items, { from = null, to = null,
+                                       onClick = null } = {}) {
+  const rowH = 24, pad = { l: 150, r: 18, t: 8, b: 24 };
+  const width = 640, height = pad.t + items.length * rowH + pad.b;
+  const { wrap, svg, tip } = chartFrame(width, height, pad);
+  if (!items.length) {
+    wrap.append(el("div", { class: "empty" }, "No data"));
+    return wrap;
+  }
+  const plotW = width - pad.l - pad.r;
+  const ms = (d) => new Date(d + "T00:00:00Z").getTime();
+  const dates = items.map((it) => ms(it.date));
+  const t0 = from ? ms(from) : Math.min(...dates);
+  const t1 = to ? ms(to) : Math.max(...dates);
+  const span = Math.max(1, t1 - t0);
+  const xAt = (d) => pad.l + ((ms(d) - t0) / span) * plotW;
+  // ~6 date ticks across the span
+  const nTicks = Math.min(6, Math.max(2, Math.round(plotW / 90)));
+  for (let k = 0; k <= nTicks; k++) {
+    const tms = t0 + (span * k) / nTicks;
+    const x = pad.l + (plotW * k) / nTicks;
+    svg.append(svgEl("line", { x1: x, x2: x, y1: pad.t,
+      y2: height - pad.b, stroke: "var(--border)", "stroke-width": 1 }));
+    const lbl = svgEl("text", { x, y: height - 7, "text-anchor": "middle",
+      "font-size": 10, fill: "var(--text-muted)" });
+    lbl.textContent = new Date(tms).toISOString().slice(5, 10);
+    svg.append(lbl);
+  }
+  items.forEach((it, i) => {
+    const cy = pad.t + i * rowH + rowH / 2;
+    const cx = xAt(it.date);
+    const name = svgEl("text", { x: pad.l - 8, y: cy + 3.5,
+      "text-anchor": "end", "font-size": 11.5,
+      fill: "var(--text-secondary)" });
+    name.textContent = it.label.length > 22
+      ? it.label.slice(0, 21) + "…" : it.label;
+    const guide = svgEl("line", { x1: pad.l, x2: cx, y1: cy, y2: cy,
+      stroke: "var(--border)", "stroke-width": 1,
+      "stroke-dasharray": "2,3" });
+    // ≥8px marker with a 2px surface ring (mark spec)
+    const ring = svgEl("circle", { cx, cy, r: 6, fill: "var(--surface-1)" });
+    const dot = svgEl("circle", { cx, cy, r: 4,
+      fill: `var(--series-${(i % 5) + 1})` });
+    const hit = svgEl("rect", { x: 0, y: pad.t + i * rowH, width,
+      height: rowH, fill: "transparent" });
+    hit.addEventListener("pointermove", (ev) =>
+      showTip(wrap, tip, ev.clientX, ev.clientY, [[it.label, it.date]]));
+    hit.addEventListener("pointerleave", () => tip.style.display = "none");
+    if (onClick) makeClickable(hit, () => onClick(it));
+    svg.append(guide, name, ring, dot, hit);
+  });
+  return wrap;
+}

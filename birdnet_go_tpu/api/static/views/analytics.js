@@ -4,11 +4,13 @@
    per-species drill-down modal (reference analytics feature set:
    frontend/src/lib/desktop/features/analytics/components — TimeOfDay
    SpeciesChart, SpeciesRidgeline, NocturnalClock, YearOverYearChart,
-   SeasonalHeatmap, SpeciesPhenology, SpeciesDetailModal). */
+   SeasonalHeatmap, SpeciesPhenology, SpeciesDetailModal,
+   AcousticSuccessionChart → streamGraph, NewSpeciesTimelineChart →
+   timelineChart, SpeciesDiversityChart → diversity-over-time line). */
 
 import { api, el, fmtNum, t, table, isoDaysAgo, modal } from "../app.js";
 import { barChart, hBarChart, heatmap, lineChart, ridgeline,
-         radialClock } from "../charts.js";
+         radialClock, streamGraph, timelineChart } from "../charts.js";
 
 export async function analyticsView(outlet) {
   outlet.append(el("h1", {}, t("analytics")));
@@ -73,6 +75,13 @@ export async function analyticsView(outlet) {
         points: rows.map((r) => ({ x: (r.date || "").slice(5),
                                    y: r.count ?? r.total ?? 0 })),
       }])));
+      // same rows carry per-day distinct species (reference
+      // SpeciesDiversityChart.svelte — daily uniqueSpecies line + area)
+      two.append(card(t("diversity_over_time"), lineChart([{
+        name: "unique species", color: "var(--series-3)", area: true,
+        points: rows.map((r) => ({ x: (r.date || "").slice(5),
+                                   y: r.species ?? 0 })),
+      }])));
     } catch (e) { two.append(card(t("detections_per_day"), err(e))); }
 
     // confidence histogram
@@ -119,6 +128,14 @@ export async function analyticsView(outlet) {
             { colLabels: [...Array(24).keys()].map((h) =>
                 `${String(h).padStart(2, "0")}:00`) })
         : el("div", { class: "empty" }, t("no_data"))));
+      // the same per-species diel profiles, as the reference's
+      // acoustic-succession streamgraph (AcousticSuccessionChart.svelte)
+      if (species.length >= 2)
+        grid.append(card(t("acoustic_succession"),
+          streamGraph(species.map((s) => ({
+            label: s.common_name || s.scientific_name, values: s.hourly })),
+            { colLabels: [...Array(24).keys()].map((h) =>
+                `${String(h).padStart(2, "0")}:00`) })));
     } catch (e) { diel.append(card(t("species_by_hour"), err(e))); }
     if (hourlyTotals)
       diel.append(card(t("activity_clock"), radialClock(hourlyTotals)));
@@ -206,10 +223,20 @@ export async function analyticsView(outlet) {
     try {
       const res = await api("/analytics/species/first-seen");
       const rows = (Array.isArray(res) ? res : res.species || []).slice(0, 10);
-      four.append(el("div", { class: "card" },
+      // first-heard markers on a time axis (reference
+      // NewSpeciesTimelineChart.svelte); rows without a date fall back
+      // to the plain table
+      const items = rows.filter((r) => r.first_date).map((r) => ({
+        label: r.common_name || r.scientific_name,
+        sci: r.scientific_name, date: r.first_date }))
+        .sort((a, b) => (a.date < b.date ? -1 : 1));
+      four.append(el("div", { class: "card timeline-card" },
         el("h2", {}, t("newest_species")),
-        table([t("species"), t("first_seen")], rows.map((r) => [
-          r.common_name || r.scientific_name, r.first_date || "–"]))));
+        items.length
+          ? timelineChart(items, { onClick: (it) => location.hash =
+              `#/detections?species=${encodeURIComponent(it.sci)}` })
+          : table([t("species"), t("first_seen")], rows.map((r) => [
+              r.common_name || r.scientific_name, r.first_date || "–"]))));
     } catch (e) { four.append(card(t("newest_species"), err(e))); }
     // dawn chorus: today's hour-of-day activity histogram
     try {

@@ -1257,11 +1257,12 @@ def install_globals(interp):
             return JSArray([UNDEF] * int(a[0]))
         return JSArray(list(a))
 
+    # Array(n) without `new` behaves exactly like `new Array(n)` (spec)
     g.declare("Array", _ctor_obj("Array", {
         "isArray": nf("isArray", _is_array),
         "from": nf("from", _from),
         "of": nf("of", lambda i, t, a: JSArray(list(a))),
-    }, ctor=_array_ctor))
+    }, call=lambda i, t, a: _array_ctor(i, a), ctor=_array_ctor))
 
     # ------------------------------------------------------------- Number
     def _num_call(i, t, a):

@@ -368,7 +368,22 @@ class Element(Node):
         if name == "value":
             if "value" in self.props:
                 return self.props["value"]
-            return self.attrs.get("value", "")
+            if "value" in self.attrs:
+                return self.attrs["value"]
+            if self.tag == "select":
+                # browsers default selectedIndex to 0 on a non-multiple
+                # <select>: .value is the selected (else first) option's
+                # value — or its text when it has no value attr — not ""
+                opts = [c for c in self.descendants() if c.tag == "option"]
+                chosen = next((o for o in opts
+                               if o.props.get("selected")
+                               or "selected" in o.attrs), None)
+                o = chosen or (opts[0] if opts else None)
+                if o is not None:
+                    if "value" in o.props:
+                        return o.props["value"]
+                    return o.attrs.get("value", o.text_content())
+            return ""
         if name in _SELF_PROPS:
             defaults = {"checked": False, "disabled": False,
                         "selected": False, "open": False, "hidden": False,

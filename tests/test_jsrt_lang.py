@@ -768,3 +768,38 @@ def test_proxy_get_trap_receives_receiver_and_reflect_composes():
       let r = p.v;
     """)
     assert scope.get("r") == 30
+
+
+def test_array_callable_without_new():
+    """Array(n) without `new` is the same as `new Array(n)` (spec §23.1.1);
+    the SPA's `[...Array(24).keys()]` hour-axis idiom depends on it."""
+    scope, _ = run("""
+      let r = Array(3).length + Array(1, 2).length;
+      let k = [...Array(4).keys()].join('');
+    """)
+    assert scope.get("r") == 5
+    assert scope.get("k") == "0123"
+
+
+def test_select_value_defaults_to_first_option():
+    """A non-multiple <select> defaults selectedIndex to 0: .value is the
+    first option's value (or its text without a value attr), never "".
+    Regression: returning "" made every range-filtered analytics query
+    use an inverted date window."""
+    s = _dom_session()
+    scope = _run_in(s, """
+        const sel = document.createElement('select');
+        const o1 = document.createElement('option');
+        o1.value = '30'; o1.textContent = 'Last 30 days';
+        const o2 = document.createElement('option');
+        o2.value = '7';
+        sel.append(o1, o2);
+        let r = sel.value;
+        o2.selected = true;          // explicit selection wins
+        let r2 = sel.value;
+        sel.value = 'custom';        // assignment wins over everything
+        let r3 = sel.value;
+    """)
+    assert scope.get("r") == "30"
+    assert scope.get("r2") == "7"
+    assert scope.get("r3") == "custom"

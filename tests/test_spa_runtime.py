@@ -45,7 +45,12 @@ def spa(tiny_app):  # noqa: F811
     import pathlib
     tiny_app.settings.data_dir = str(
         pathlib.Path(tiny_app.settings.database.path).parent)
-    tiny_app.datastore.insert_detection(_detection())
+    # seed a RECENT detection: the detections view defaults to "last 7
+    # days" (first <option> — jsrt select.value mirrors browser
+    # selectedIndex=0 semantics), so a stale fixed date would be
+    # filtered out of every default view
+    import time as _time
+    tiny_app.datastore.insert_detection(_detection(ts=_time.time() - 3600))
     tiny_app.start(warmup=False)
     base = (f"http://{tiny_app.settings.webserver.host}:"
             f"{tiny_app.settings.webserver.port}")
@@ -458,6 +463,38 @@ def test_analytics_drilldown_deep_links_into_detections(spa):
         or session.query(".modal-overlay"), "mark click did nothing"
     if session.location.hash != before:
         assert session.location.hash.startswith("#/"), session.location.hash
+
+
+def test_analytics_depth_charts_render_and_drill(spa):
+    """Round-5 depth charts: the diel streamgraph (reference
+    AcousticSuccessionChart.svelte), first-heard timeline
+    (NewSpeciesTimelineChart.svelte), and diversity-over-time line
+    (SpeciesDiversityChart.svelte) render from live data, and a timeline
+    marker deep-links into the detections view with the species filter."""
+    import time as _time
+
+    tiny, session = spa
+    # two species spread over recent hours so the diel charts have ≥2
+    # bands inside the default 30-day analytics window (the fixture's
+    # seeded detection is dated 2023 and falls outside it)
+    now = _time.time()
+    for i, (sci, common) in enumerate([
+            ("Parus major", "Great Tit"),
+            ("Erithacus rubecula", "European Robin")]):
+        for k in range(3):
+            tiny.datastore.insert_detection(_detection(
+                sci=sci, common=common, ts=now - (i * 3 + k) * 3600))
+    session.navigate("analytics")
+    _assert_clean(session, "analytics render")
+    titles = [h.text_content().lower() for h in session.query("h2")]
+    assert any("streamgraph" in t for t in titles), titles
+    assert any("diversity over time" in t for t in titles), titles
+    marks = session.query(".timeline-card [role=button]")
+    assert marks, "first-heard timeline has no drillable markers"
+    session.click(marks[0])
+    _assert_clean(session, "timeline drill")
+    assert session.location.hash.startswith("#/detections?species="), \
+        session.location.hash
 
 
 def test_settings_patch_type_mismatch_is_400(spa):
