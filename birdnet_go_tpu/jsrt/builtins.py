@@ -16,9 +16,10 @@ import re
 import time
 import urllib.parse
 
-from .values import (UNDEF, BoundFunction, HostObject, JSArray, JSFunction,
-                     JSMap, JSObject, JSPromise, JSProxy, JSRegExp, JSSet,
-                     JSThrow, NativeFunction, is_callable, map_key)
+from .values import (SYM_INTERNAL_PREFIX, UNDEF, BoundFunction, HostObject,
+                     JSArray, JSFunction, JSMap, JSObject, JSPromise,
+                     JSProxy, JSRegExp, JSSet, JSSymbol, JSThrow,
+                     NativeFunction, is_callable, map_key)
 
 
 def nf(name, fn):
@@ -1058,7 +1059,8 @@ def js_to_py(v):
     if isinstance(v, JSArray):
         return [js_to_py(x) for x in v.items]
     if isinstance(v, JSObject):
-        return {k: js_to_py(x) for k, x in v.props.items() if x is not U}
+        return {k: js_to_py(x) for k, x in v.props.items()
+                if x is not U and not k.startswith(SYM_INTERNAL_PREFIX)}
     if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
         return int(v)
     if isinstance(v, (str, bool, int, float)) or v is None:
@@ -1211,7 +1213,10 @@ def install_globals(interp):
     def _proxy_ctor(i, a):
         target = a[0] if a else UNDEF
         handler = a[1] if len(a) > 1 else UNDEF
-        if not isinstance(target, (JSObject, JSArray, JSProxy)) \
+        from .values import JSClass
+        if not isinstance(target, (JSObject, JSArray, JSProxy, JSClass,
+                                   JSFunction, NativeFunction,
+                                   BoundFunction)) \
                 or not isinstance(handler, JSObject):
             raise JSThrow.type_error(
                 "Cannot create proxy with a non-object as target "
@@ -1219,6 +1224,39 @@ def install_globals(interp):
         return JSProxy(target, handler)
 
     g.declare("Proxy", _ctor_obj("Proxy", {}, ctor=_proxy_ctor))
+
+    # --------------------------------------------------------------- Symbol
+    # Symbol(desc) is call-only (`new Symbol` is a TypeError); Symbol.for
+    # interns in a per-realm registry keyed so equal names share one
+    # internal property key; well-known Symbol.iterator/asyncIterator use
+    # fixed keys the iteration protocol tests for.
+    sym_registry: dict[str, JSSymbol] = {}
+
+    def _symbol_call(i, t, a):
+        d = "" if not a or a[0] is UNDEF else js_str(a[0])
+        return JSSymbol(d)
+
+    def _symbol_for(i, t, a):
+        k = js_str(a[0]) if a else "undefined"
+        if k not in sym_registry:
+            sym_registry[k] = JSSymbol(k, key=f"{SYM_INTERNAL_PREFIX}for:{k}")
+        return sym_registry[k]
+
+    def _symbol_keyfor(i, t, a):
+        s = a[0] if a else UNDEF
+        if isinstance(s, JSSymbol) \
+                and s.key.startswith(f"{SYM_INTERNAL_PREFIX}for:"):
+            return s.key[len(SYM_INTERNAL_PREFIX) + 4:]
+        return UNDEF
+
+    g.declare("Symbol", _ctor_obj("Symbol", {
+        "for": nf("for", _symbol_for),
+        "keyFor": nf("keyFor", _symbol_keyfor),
+        "iterator": JSSymbol("Symbol.iterator",
+                             key=f"{SYM_INTERNAL_PREFIX}iterator"),
+        "asyncIterator": JSSymbol("Symbol.asyncIterator",
+                                  key=f"{SYM_INTERNAL_PREFIX}asyncIterator"),
+    }, call=_symbol_call))
 
     def _r2(fn):                     # (obj, key) operations
         return lambda i, t, a: fn(i, a[0], js_str(a[1]))
@@ -1295,9 +1333,25 @@ def install_globals(interp):
     }, call=_num_call, ctor=lambda i, a: to_number(a[0]) if a else 0)
     g.declare("Number", num)
 
+    def _string_raw(i, t, a):
+        strings = a[0] if a else UNDEF
+        raw = None
+        if isinstance(strings, JSArray):
+            raw = strings.props.get("raw") if strings.props else None
+            raw = raw if isinstance(raw, JSArray) else strings
+        if raw is None:
+            raise JSThrow.type_error("String.raw needs a template object")
+        out = []
+        for idx, part in enumerate(raw.items):
+            out.append(js_str(part))
+            if idx + 1 < len(raw.items) and idx + 1 < len(a):
+                out.append(js_str(a[idx + 1]))
+        return "".join(out)
+
     g.declare("String", _ctor_obj("String", {
         "fromCharCode": nf("fromCharCode", lambda i, t, a:
                            "".join(chr(int(to_number(x))) for x in a)),
+        "raw": nf("raw", _string_raw),
     }, call=lambda i, t, a: js_str(a[0]) if a else "",
         ctor=lambda i, a: js_str(a[0]) if a else ""))
 

@@ -13,10 +13,17 @@ import math
 import queue
 import threading
 
-from .values import (UNDEF, BoundFunction, HostObject, JSArray, JSClass,
+from .values import (SYM_INTERNAL_PREFIX, SYM_ITERATOR_KEY, UNDEF,
+                     BoundFunction, HostObject, JSArray, JSClass,
                      JSFunction, JSMap, JSObject, JSPromise, JSProxy,
-                     JSRegExp, JSSet, JSThrow, NativeFunction, is_callable,
-                     map_key)
+                     JSRegExp, JSSet, JSSymbol, JSThrow, NativeFunction,
+                     is_callable, map_key)
+
+
+def prop_key(v):
+    """ToPropertyKey for computed member access: symbols map to their
+    unique internal '@@sym:' string, everything else stringifies."""
+    return v.key if isinstance(v, JSSymbol) else js_str(v)
 
 
 class _ShortCircuit:
@@ -462,8 +469,21 @@ class Interp:
                     f"({js_typeof(parent)}) at "
                     f"{self.cur_path}:{self.cur_line}")
         klass = JSClass(name, parent)
+        if name:
+            # the class binding is visible inside static blocks/fields
+            # that run before the declaration statement completes
+            scope = Scope(scope)
+            scope.declare(name, klass)
         for kind, key, computed, is_static, value in members:
-            k = js_str(self.eval(key, scope)) if computed else key[1]
+            if kind == "staticblock":
+                # static {} runs once, here, in member order, with
+                # `this` bound to the class itself
+                s2 = Scope(scope, is_function=True)
+                s2.declare("this", klass)
+                s2.declare("__home__", klass)
+                self.exec_stmt(value, s2)
+                continue
+            k = prop_key(self.eval(key, scope)) if computed else key[1]
             if kind == "field":
                 if is_static:
                     s2 = Scope(scope, is_function=True)
@@ -806,7 +826,7 @@ class Interp:
                         props[k] = self.get_member(src, k)
                     continue
                 _, key, value, computed = p
-                k = js_str(self.eval(key, scope)) if computed else key[1]
+                k = prop_key(self.eval(key, scope)) if computed else key[1]
                 props[k] = self.eval(value, scope)
             return JSObject(props)
         if typ == "arrow":
@@ -853,7 +873,7 @@ class Interp:
                 return _SC
             if optional and (obj is None or obj is UNDEF):
                 return _SC
-            name = js_str(self.eval(prop, scope)) if computed else prop
+            name = prop_key(self.eval(prop, scope)) if computed else prop
             return self.get_member(obj, name)
         if typ == "call":
             _, callee, args, optional = node
@@ -886,7 +906,7 @@ class Interp:
                     return _SC
                 if copt and (obj is None or obj is UNDEF):
                     return _SC
-                name = (js_str(self.eval(prop, scope)) if computed else prop)
+                name = (prop_key(self.eval(prop, scope)) if computed else prop)
                 fn = self.get_member(obj, name)
                 this = obj
             else:
@@ -950,7 +970,7 @@ class Interp:
             left = self.eval(node[2], scope)
             right = self.eval(node[3], scope)
             if op == "in":
-                return self.js_has(right, js_str(left))
+                return self.js_has(right, prop_key(left))
             if op == "instanceof":
                 return self._b.js_instanceof(left, right)
             return binary_op(op, left, right)
@@ -965,7 +985,7 @@ class Interp:
                 operand = node[2]
                 if operand[0] == "member":
                     obj = self.eval(operand[1], scope)
-                    name = (js_str(self.eval(operand[2], scope))
+                    name = (prop_key(self.eval(operand[2], scope))
                             if operand[3] else operand[2])
                     self.delete_member(obj, name)
                 return True
@@ -987,7 +1007,7 @@ class Interp:
                 # evaluate the object expression ONCE — obj().n++ must
                 # not call obj() twice
                 obj = self.eval(target[1], scope)
-                name = (js_str(self.eval(target[2], scope)) if target[3]
+                name = (prop_key(self.eval(target[2], scope)) if target[3]
                         else target[2])
                 cur = to_number(self.get_member(obj, name))
                 new = js_num_add(cur, delta)
@@ -1007,7 +1027,27 @@ class Interp:
         if typ == "spread":
             raise JSThrow.type_error("unexpected spread")
         if typ == "tagged":
-            raise JSThrow.type_error("tagged templates unsupported")
+            # tag`a${x}b` — call tag(strings, x) with strings.raw kept
+            # escape-unprocessed; member tags bind `this` like any call
+            _, callee, quasis, exprs, raws = node
+            if callee[0] == "member":
+                obj = self.eval(callee[1], scope)
+                name = (prop_key(self.eval(callee[2], scope))
+                        if callee[3] else callee[2])
+                fn = self.get_member(obj, name)
+                this = obj
+            else:
+                fn = self.eval(callee, scope)
+                this = UNDEF
+            if not is_callable(fn):
+                raise JSThrow.type_error(
+                    f"template tag is not a function at "
+                    f"{self.cur_path}:{self.cur_line}")
+            strings = JSArray(list(quasis))
+            strings.props = {"raw": JSArray(list(raws))}
+            return self.call(fn, this,
+                             [strings] + [self.eval(e, scope)
+                                          for e in exprs])
         if typ == "shortdefault":
             raise JSThrow.type_error("invalid shorthand default outside "
                                      "destructuring")
@@ -1025,6 +1065,12 @@ class Interp:
     # ===================================================== call machinery
 
     def call(self, fn, this, args):
+        if isinstance(fn, JSProxy):
+            trap = fn.handler.props.get("apply")
+            if trap is not None and is_callable(trap):
+                return self.call(trap, fn.handler,
+                                 [fn.target, this, JSArray(list(args))])
+            return self.call(fn.target, this, args)
         if isinstance(fn, BoundFunction):
             return self.call(fn.target, fn.this_val, fn.args + args)
         if isinstance(fn, NativeFunction) or (
@@ -1085,6 +1131,13 @@ class Interp:
         return UNDEF
 
     def construct(self, ctor, args):
+        if isinstance(ctor, JSProxy):
+            trap = ctor.handler.props.get("construct")
+            if trap is not None and is_callable(trap):
+                return self.call(trap, ctor.handler,
+                                 [ctor.target, JSArray(list(args)),
+                                  ctor.target])
+            return self.construct(ctor.target, args)
         if isinstance(ctor, JSClass):
             obj = JSObject(klass=ctor)
             self._init_fields(ctor, obj)
@@ -1169,6 +1222,13 @@ class Interp:
                 c = c.parent
             if name == "name":
                 return obj.name
+            return UNDEF
+        if isinstance(obj, JSSymbol):
+            if name == "description":
+                return obj.desc
+            if name == "toString":
+                return NativeFunction(
+                    "toString", lambda i, t, a, o=obj: f"Symbol({o.desc})")
             return UNDEF
         if isinstance(obj, bool):
             if name == "toString":
@@ -1329,7 +1389,10 @@ class Interp:
                     self.call(trap, obj.handler, [obj.target]))]
             return self.js_keys(obj.target)
         if isinstance(obj, JSObject):
-            return list(obj.props.keys())
+            # symbol-keyed props are non-enumerable through every
+            # reflection path (Object.keys / for-in / spread / assign)
+            return [k for k in obj.props.keys()
+                    if not k.startswith(SYM_INTERNAL_PREFIX)]
         if isinstance(obj, JSArray):
             return [str(i) for i in range(len(obj.items))]
         if isinstance(obj, HostObject):
@@ -1393,6 +1456,27 @@ class Interp:
             if it is not UNDEF:
                 return it(self)
         if isinstance(obj, JSObject):
+            # Symbol.iterator protocol: own prop or class method (the
+            # get_member walk covers both)
+            fn = self.get_member(obj, SYM_ITERATOR_KEY)
+            if fn is not UNDEF and is_callable(fn):
+                it = self.call(fn, obj, [])
+
+                def _drive():
+                    budget = 200_000
+                    n = 0
+                    while True:
+                        n += 1
+                        if n > budget:
+                            raise DeadlockError(
+                                f"custom iterator at {self.cur_path}:"
+                                f"{self.cur_line} exceeded {budget}")
+                        res = self.call(
+                            self.get_member(it, "next"), it, [])
+                        if js_truthy(self.get_member(res, "done")):
+                            return
+                        yield self.get_member(res, "value")
+                return _drive()
             ent = obj.props.get("__entries__")
             if isinstance(ent, JSArray):
                 return list(ent.items)
@@ -1413,7 +1497,7 @@ class Interp:
             scope.set(target[1], value)
         elif target[0] == "member":
             obj = self.eval(target[1], scope)
-            name = (js_str(self.eval(target[2], scope)) if target[3]
+            name = (prop_key(self.eval(target[2], scope)) if target[3]
                     else target[2])
             self.set_member(obj, name, value)
         else:
@@ -1460,7 +1544,7 @@ class Interp:
                     f"{self.cur_path}:{self.cur_line}")
             used = set()
             for key, computed, sub, default in pat[1]:
-                k = js_str(self.eval(key, scope)) if computed else key[1]
+                k = prop_key(self.eval(key, scope)) if computed else key[1]
                 used.add(k)
                 v = self.get_member(value, k)
                 if v is UNDEF and default is not None:
@@ -1535,6 +1619,8 @@ def js_typeof(v):
         return "number"
     if isinstance(v, str):
         return "string"
+    if isinstance(v, JSSymbol):
+        return "symbol"
     if is_callable(v) or isinstance(v, JSClass):
         return "function"
     return "object"
@@ -1551,6 +1637,10 @@ def js_str(v):
         return "true" if v else "false"
     if isinstance(v, (int, float)):
         return format_number(v)
+    if isinstance(v, JSSymbol):
+        # lenient vs spec (implicit string conversion throws there);
+        # String(sym)/template output both read "Symbol(desc)"
+        return f"Symbol({v.desc})"
     if isinstance(v, JSArray):
         return ",".join("" if (x is None or x is UNDEF) else js_str(x)
                         for x in v.items)

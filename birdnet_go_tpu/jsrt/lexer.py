@@ -156,12 +156,15 @@ def tokenize(src: str, path: str = "<js>") -> list[Tok]:
             continue
 
         # template literal: tokenized into a single structured token.
-        # value = (quasis:[str], exprs:[token-sublists]) where each expr
-        # sublist is re-fed to the parser.
+        # value = (quasis:[str], exprs:[token-sublists], raws:[str]) where
+        # each expr sublist is re-fed to the parser; raws keep the quasi
+        # text with escape sequences unprocessed (tagged templates' .raw)
         if c == "`":
             quasis: list[str] = []
+            raws: list[str] = []
             exprs: list[list[Tok]] = []
             cur: list[str] = []
+            cur_raw: list[str] = []
             j = i + 1
             while True:
                 if j >= n:
@@ -170,15 +173,20 @@ def tokenize(src: str, path: str = "<js>") -> list[Tok]:
                 if ch == "\\":
                     j += 1
                     cur.append(_escape(src, j))
-                    j += _escape_len(src, j)
+                    esc_n = _escape_len(src, j)
+                    cur_raw.append("\\" + src[j:j + esc_n])
+                    j += esc_n
                     continue
                 if ch == "`":
                     quasis.append("".join(cur))
+                    raws.append("".join(cur_raw))
                     j += 1
                     break
                 if ch == "$" and j + 1 < n and src[j + 1] == "{":
                     quasis.append("".join(cur))
+                    raws.append("".join(cur_raw))
                     cur = []
+                    cur_raw = []
                     # find matching close brace, respecting nesting and
                     # nested strings/templates
                     depth = 1
@@ -224,8 +232,9 @@ def tokenize(src: str, path: str = "<js>") -> list[Tok]:
                 if ch == "\n":
                     line += 1
                 cur.append(ch)
+                cur_raw.append(ch)
                 j += 1
-            toks.append(Tok("tpl", (quasis, exprs), start_line, nl))
+            toks.append(Tok("tpl", (quasis, exprs, raws), start_line, nl))
             nl = False
             i = j
             continue

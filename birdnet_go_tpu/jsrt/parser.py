@@ -236,10 +236,10 @@ class Parser:
         return (params, rest)
 
     def class_decl(self, as_expr=False):
-        """ES class: methods, get/set accessors, static members, instance
-        and static fields, private #fields/#methods/#accessors, extends +
-        super. Not covered (clean syntax error): generator methods,
-        static blocks."""
+        """ES class: methods (incl. generator/async-generator), get/set
+        accessors, static members, instance and static fields, private
+        #fields/#methods/#accessors, extends + super, and `static {}`
+        initialization blocks."""
         self.expect("kw", "class")
         name = None
         if self.at("ident") or self.at_any("kw", self._CONTEXTUAL):
@@ -269,6 +269,13 @@ class Parser:
             if self.at("kw", "static") and not self._kw_is_member_name():
                 self.next()
                 is_static = True
+            # `static { … }` initialization block: runs once at class
+            # definition with `this` bound to the class, interleaved in
+            # member order with static field initializers
+            if is_static and self.at("punct", "{"):
+                members.append(("staticblock", None, False, True,
+                                self.block()))
+                continue
             is_async = False
             if self.at("kw", "async") and not self._kw_is_member_name() \
                     and not self.peek(1).nl_before:
@@ -632,10 +639,10 @@ class Parser:
             elif t.type == "punct" and t.value == "(" and not no_call:
                 e = ("call", e, self.arguments(), False)
             elif t.type == "tpl":
-                quasis, exprs = self.next().value
+                quasis, exprs, raws = self.next().value
                 parsed = [Parser(sub + [Tok("eof", None, t.line, True)],
                                  self.path).expression() for sub in exprs]
-                e = ("tagged", e, quasis, parsed)
+                e = ("tagged", e, quasis, parsed, raws)
             else:
                 return e
 
@@ -661,7 +668,7 @@ class Parser:
         if t.type == "regex":
             return ("regex", t.value[0], t.value[1])
         if t.type == "tpl":
-            quasis, exprs = t.value
+            quasis, exprs, _raws = t.value
             parsed = [Parser(sub + [Tok("eof", None, t.line, True)],
                              self.path).expression() for sub in exprs]
             return ("tpl", quasis, parsed)

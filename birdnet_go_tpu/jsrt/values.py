@@ -161,8 +161,8 @@ class JSProxy:
     """`new Proxy(target, handler)` — the interpreter's member protocol
     (get/set/has/delete/ownKeys) consults the handler's traps before
     falling through to the target, so Object.keys / for-in / `in` /
-    `delete` all route through it. Function-target traps (apply,
-    construct) are outside the supported subset."""
+    `delete` all route through it; interp.call/construct likewise
+    consult the apply/construct traps for callable targets."""
 
     __slots__ = ("target", "handler")
 
@@ -172,6 +172,35 @@ class JSProxy:
 
     def __repr__(self):  # pragma: no cover - debug aid
         return f"JSProxy({self.target!r})"
+
+
+_SYM_SEQ = 0
+
+
+class JSSymbol:
+    """`Symbol(desc)` — a unique, unforgeable property key. `key` is the
+    internal string under which a symbol-keyed property lives in an
+    object's props dict; the '@@sym:' prefix keeps such keys out of
+    every enumeration path (Object.keys / for-in / spread / JSON —
+    interp.js_keys and js_to_py filter on it). Well-known symbols
+    (Symbol.iterator) use fixed keys so protocols can test for them."""
+
+    __slots__ = ("desc", "key")
+
+    def __init__(self, desc="", key=None):
+        global _SYM_SEQ
+        if key is None:
+            _SYM_SEQ += 1
+            key = f"@@sym:{_SYM_SEQ}"
+        self.desc = desc or ""
+        self.key = key
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Symbol({self.desc})"
+
+
+SYM_INTERNAL_PREFIX = "@@sym:"
+SYM_ITERATOR_KEY = "@@sym:iterator"
 
 
 class HostObject:
@@ -233,6 +262,8 @@ def map_key(v):
 def is_callable(v):
     if isinstance(v, (JSFunction, NativeFunction, BoundFunction)):
         return True
+    if isinstance(v, JSProxy):            # proxy of a function is callable
+        return is_callable(v.target)
     # constructor hosts (Array, Map, …) and callable host objects expose
     # a NativeFunction-compatible .fn
     return isinstance(v, HostObject) and callable(getattr(v, "fn", None))

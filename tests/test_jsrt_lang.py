@@ -135,8 +135,6 @@ def test_class_case(src, expect):
 
 
 def test_class_unsupported_pieces_reject_cleanly():
-    with pytest.raises(JSSyntaxError):           # static blocks
-        parse("class T { static { this.x = 1; } }")
     with pytest.raises(JSThrow):                 # extends a non-class
         run("class A extends 5 {}")
     with pytest.raises(JSThrow):                 # super outside derived
@@ -803,3 +801,194 @@ def test_select_value_defaults_to_first_option():
     assert scope.get("r") == "30"
     assert scope.get("r2") == "7"
     assert scope.get("r3") == "custom"
+
+
+# ------------------------------------------------------- tagged templates
+
+
+def test_tagged_template_basic_cooked_and_raw():
+    scope, _ = run("""
+      function tag(strings, a, b) {
+        return strings.join('|') + ';' + strings.raw.join('|')
+          + ';' + a + ',' + b;
+      }
+      let r = tag`x\\n${1 + 1}y${"z"}`;
+    """)
+    # cooked first quasi has a real newline, raw keeps the backslash
+    assert scope.get("r") == "x\n|y|;x\\n|y|;2,z"
+
+
+def test_tagged_template_member_callee_binds_this():
+    scope, _ = run("""
+      const obj = {
+        sep: '-',
+        tag(strings, v) { return strings[0] + this.sep + v; },
+      };
+      let r = obj.tag`a${7}`;
+    """)
+    assert scope.get("r") == "a-7"
+
+
+def test_string_raw():
+    scope, _ = run("let r = String.raw`a\\n${1}b`;")
+    assert scope.get("r") == "a\\n1b"
+
+
+def test_tagged_template_url_encoding_tag():
+    # the SPA's q`` deep-link tag shape: interpolations URL-encoded
+    scope, _ = run("""
+      const q = (strings, ...vals) => strings.reduce((out, s, i) =>
+        i ? out + encodeURIComponent(vals[i - 1]) + s : s, "");
+      let r = q`#/detections?species=${"Parus major"}&x=${"a&b"}`;
+    """)
+    assert scope.get("r") == "#/detections?species=Parus%20major&x=a%26b"
+
+
+# ------------------------------------------------------------ static blocks
+
+
+def test_class_static_block_runs_at_definition_with_this_bound():
+    scope, _ = run("""
+      class C {
+        static table = {};
+        static {
+          for (const k of ['a', 'b']) this.table[k] = k.toUpperCase();
+          C.extra = Object.keys(this.table).length;
+        }
+      }
+      let r = C.table.a + C.table.b + C.extra;
+    """)
+    assert scope.get("r") == "AB2"
+
+
+def test_class_static_blocks_interleave_with_static_fields():
+    scope, _ = run("""
+      let seq = [];
+      class C {
+        static a = seq.push('a');
+        static { seq.push('block1'); }
+        static b = seq.push('b');
+        static { seq.push('block2'); }
+      }
+      let r = seq.join(',');
+    """)
+    assert scope.get("r") == "a,block1,b,block2"
+
+
+# --------------------------------------------------- proxy apply/construct
+
+
+def test_proxy_apply_trap():
+    scope, _ = run("""
+      const double = (x) => x * 2;
+      const p = new Proxy(double, {
+        apply(target, thisArg, args) { return target(args[0]) + 1; },
+      });
+      let r = p(5);
+    """)
+    assert scope.get("r") == 11
+
+
+def test_proxy_apply_without_trap_forwards():
+    scope, _ = run("""
+      const p = new Proxy((x) => x + 1, {});
+      let r = p(4);
+      let t = typeof p;
+    """)
+    assert scope.get("r") == 5
+    assert scope.get("t") == "function"
+
+
+def test_proxy_construct_trap():
+    scope, _ = run("""
+      class Point { constructor(x) { this.x = x; } }
+      const p = new Proxy(Point, {
+        construct(target, args) { return new target(args[0] * 10); },
+      });
+      let r = new p(4).x;
+    """)
+    assert scope.get("r") == 40
+
+
+# ------------------------------------------------------------------ Symbol
+
+
+def test_symbol_identity_typeof_and_description():
+    scope, _ = run("""
+      const s1 = Symbol('tag');
+      const s2 = Symbol('tag');
+      let same = s1 === s1;
+      let diff = s1 === s2;
+      let t = typeof s1;
+      let d = s1.description;
+      let str = s1.toString();
+    """)
+    assert scope.get("same") is True
+    assert scope.get("diff") is False
+    assert scope.get("t") == "symbol"
+    assert scope.get("d") == "tag"
+    assert scope.get("str") == "Symbol(tag)"
+
+
+def test_symbol_for_registry_and_new_throws():
+    scope, _ = run("""
+      let shared = Symbol.for('app') === Symbol.for('app');
+      let key = Symbol.keyFor(Symbol.for('app'));
+      let threw = false;
+      try { new Symbol('x'); } catch (e) { threw = true; }
+    """)
+    assert scope.get("shared") is True
+    assert scope.get("key") == "app"
+    assert scope.get("threw") is True
+
+
+def test_symbol_keyed_props_hidden_from_enumeration():
+    scope, _ = run("""
+      const s = Symbol('secret');
+      const o = {visible: 1, [s]: 2};
+      o[s] += 10;
+      let v = o[s];
+      let keys = Object.keys(o).join(',');
+      let json = JSON.stringify(o);
+      let forin = [];
+      for (const k in o) forin.push(k);
+      let spread = Object.keys({...o}).join(',');
+      let has = s in o;
+      delete o[s];
+      let gone = o[s] === undefined;
+    """)
+    assert scope.get("v") == 12
+    assert scope.get("keys") == "visible"
+    assert scope.get("json") == '{"visible":1}'
+    assert scope.get("spread") == "visible"
+    assert scope.get("has") is True
+    assert scope.get("gone") is True
+
+
+def test_symbol_iterator_makes_custom_iterables():
+    scope, _ = run("""
+      const range = {
+        from: 1, to: 4,
+        [Symbol.iterator]() {
+          let cur = this.from, last = this.to;
+          return { next: () => cur <= last
+            ? {done: false, value: cur++} : {done: true} };
+        },
+      };
+      let r = [...range].join(',');
+      let sum = 0;
+      for (const v of range) sum += v;
+    """)
+    assert scope.get("r") == "1,2,3,4"
+    assert scope.get("sum") == 10
+
+
+def test_symbol_iterator_method_in_class():
+    scope, _ = run("""
+      class Pair {
+        constructor(a, b) { this.a = a; this.b = b; }
+        *[Symbol.iterator]() { yield this.a; yield this.b; }
+      }
+      let r = [...new Pair('x', 'y')].join('');
+    """)
+    assert scope.get("r") == "xy"
